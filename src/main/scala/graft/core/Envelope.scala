@@ -1,0 +1,68 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The message envelope — the reference's `Message`/`MessageMetadata` surface
+  * (reference: pulsar-client-api/.../Message.java:41-281,
+  * pulsar-common/src/main/proto/PulsarApi.proto:106-162) expressed as a Spark
+  * schema, exactly like Spark's Kafka source contract.
+  *
+  * A topic is an unbounded DataFrame with this schema; a bounded Reader scan is
+  * a batch DataFrame with the same schema. Payload decode (the reference's
+  * schema registry) is a projection from `value: binary` to typed columns.
+  */
+object Envelope {
+  val schema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("ordering_key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = false),
+    StructField("properties", MapType(StringType, StringType), nullable = true),
+    StructField("event_time", TimestampType, nullable = true),
+    StructField("publish_time", TimestampType, nullable = false),
+    StructField("producer_name", StringType, nullable = false),
+    StructField("sequence_id", LongType, nullable = false),
+    StructField("deliver_at", TimestampType, nullable = true),
+    StructField("redelivery_count", IntegerType, nullable = false),
+    StructField("schema_version", BinaryType, nullable = true),
+    StructField("replicated_from", StringType, nullable = true)
+  ))
+
+  /** Wrap the `events` table into the envelope: user_id is the partition key
+    * (reference: partition_key, PulsarApi.proto:116), event_id the per-producer
+    * sequence (dedup key, Message.java:123), ts doubles as event & publish time.
+    * `partition` mirrors key-hash routing (Murmur3 on key,
+    * reference: RoundRobinPartitionMessageRouterImpl.java:74). */
+  def fromEvents(events: DataFrame, numPartitions: Int = 32): DataFrame =
+    events.select(
+      lit("events").as("topic"),
+      pmod(hash(col("user_id")), lit(numPartitions)).as("partition"),
+      col("event_id").as("offset"),
+      col("user_id").cast(StringType).as("key"),
+      lit(null).cast(BinaryType).as("ordering_key"),
+      encode(to_json(struct(col("event_type"), col("value"), col("props"))), "UTF-8").as("value"),
+      map(lit("event_type"), col("event_type")).as("properties"),
+      col("ts").as("event_time"),
+      col("ts").as("publish_time"),
+      concat(lit("producer-"), pmod(col("user_id"), lit(8)).cast(StringType)).as("producer_name"),
+      col("event_id").as("sequence_id"),
+      lit(null).cast(TimestampType).as("deliver_at"),
+      lit(0).as("redelivery_count"),
+      lit(null).cast(BinaryType).as("schema_version"),
+      lit(null).cast(StringType).as("replicated_from")
+    )
+
+  /** Typed decode of the JSON payload back to columns — the reference's
+    * AUTO_CONSUME / GenericRecord access (client/api/schema/GenericRecord.java:63). */
+  def decodeJson(env: DataFrame, payloadSchema: StructType): DataFrame =
+    env.withColumn("decoded", from_json(decode(col("value"), "UTF-8"), payloadSchema))
+
+  /** Key-hash dispatch filter: the slice of the stream consumer i of n sees
+    * under Key_Shared (reference: ConsistentHashingStickyKeyConsumerSelector.java:41-108). */
+  def keySharedSlice(env: DataFrame, consumer: Int, numConsumers: Int): DataFrame =
+    env.where(pmod(hash(col("key")), lit(numConsumers)) === lit(consumer))
+}

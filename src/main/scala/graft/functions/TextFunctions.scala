@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis functions for large-scale document pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting, shingling, MinHash, SimHash.
+  *
+  * All are built from codegen'd `org.apache.spark.sql.functions` (no UDFs), so
+  * they stay inside whole-stage codegen and scale linearly with the scan. The
+  * hash primitives are md5-based so a SQL oracle (DuckDB) can reproduce them
+  * bit-for-bit.
+  *
+  * Reference analog: the reference has no scalar-function library — Functions
+  * bodies do ad-hoc string work (e.g. word split,
+  * reference: pulsar-functions/java-examples/.../WordCountFunction.java:34);
+  * this module is the declarative, optimizable replacement.
+  */
+object TextFunctions {
+
+  /** Space-separated token count, computed arithmetically (len − len(without
+    * spaces) + 1) so any SQL engine reproduces it exactly. */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(translate(text, " ", "")) + 1).cast(LongType)
+
+  /** Word tokens (single-space separated corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Non-overlapping occurrence count of literal `word` as a whole token. */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val pat = s" $word "
+    ((length(padded) - length(regexp_replace(padded,
+      java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast(LongType)
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs, plausible
+    * average word length, and a sane stopword ratio. Deterministic arithmetic
+    * only — reproducible in SQL. */
+  def qualityScore(text: Column): Column = {
+    val chars = length(text).cast(DoubleType)
+    val toks = tokenCount(text).cast(DoubleType)
+    val avgWordLen = (chars - (toks - 1)) / toks
+    val stopRatio = wordOccurrences(text, "the").cast(DoubleType) / toks
+    val lenScore = least(chars / lit(500.0), lit(1.0))
+    val wordLenScore = lit(1.0) - least(abs(avgWordLen - lit(5.0)) / lit(5.0), lit(1.0))
+    val stopScore = least(stopRatio * lit(10.0), lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.3) * wordLenScore + lit(0.3) * stopScore, 6)
+  }
+
+  /** Stopword marker sets for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** Language ID: score each candidate language by whole-token stopword hits;
+    * argmax with deterministic alphabetical tie-break, 'und' (undetermined)
+    * when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, words) =>
+      val markerArr = array(words.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(markerArr, t)))
+    }
+    // argmax by (score, reverse-alphabetical lang) so ties pick the
+    // alphabetically first language; fold over (bestScore, bestLang).
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
+          .otherwise(acc)
+    }
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * cross-engine-reproducible document identity. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Distinct k-word shingles. Empty array for docs shorter than k words
+    * (guards Spark's descending `sequence` on negative ranges). */
+  def shingles(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    when(size(w) < k, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(w) - k),
+        i => array_join(slice(w, i + 1, lit(k)), " "))))
+  }
+
+  /** One MinHash value: min over shingles of md5(seed ‖ ':' ‖ shingle).
+    * md5-keyed so DuckDB reproduces it exactly. */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** Full signature as `numHashes` columns worth of values in an array. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(s => minhash(shingleArr, s)): _*)
+
+  /** 16-bit token hash from the first 4 hex nibbles of md5 — ascii arithmetic
+    * only, so a SQL oracle matches bit-for-bit. */
+  def hash16(token: Column): Column = {
+    val h = md5(token)
+    def nib(i: Int): Column = {
+      val a = ascii(substring(h, i, 1))
+      when(a <= 57, a - 48).otherwise(a - 87) // '0'-'9' → 0-9, 'a'-'f' → 10-15
+    }
+    nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+  }
+
+  /** SimHash-16: per token, hash16 bits vote ±1; sign of each per-bit vote sum
+    * forms the fingerprint. Callers aggregate sum([[simhashVote]](h, j)) per
+    * document for each bit j, then finish with [[simhashFromVotes]]. */
+  def bitOf(h: Column, j: Int): Column =
+    pmod((h / lit(1 << j)).cast(IntegerType), lit(2))
+
+  def simhashVote(h: Column, j: Int): Column = bitOf(h, j) * 2 - 1
+
+  def simhashFromVotes(votes: Seq[Column]): Column =
+    votes.zipWithIndex.map { case (v, j) =>
+      when(v >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

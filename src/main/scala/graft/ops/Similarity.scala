@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k with the (small) query set broadcast —
+  * the candidate corpus is only scanned, never shuffled, so this is the
+  * correct 100 TB shape for "few queries × huge corpus". Scale paths: IVF
+  * (coarse-cluster pre-filter — candidates shuffle only within the probed
+  * cells) and sign-random-projection LSH bucketing.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` must be
+    * small (it is broadcast); `candidates` can be arbitrarily large. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+
+  /** IVF-style ANN: only candidates in the query's coarse cell (`cellCol`) are
+    * scored. With an upstream k-means assignment this is classic IVF; any
+    * precomputed partition label works. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+              vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(cellCol).as("__cell"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      col(cellCol).as("__cell"))
+    val scored = c.join(broadcast(q), "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+
+  /** LSH-bucketed ANN: sign-random-projection bucket as the blocking key; only
+    * same-bucket candidates are scored. Recall trades off with `numPlanes`. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              numPlanes: Int, k: Int): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol),
+      srpBucket(col(vecCol), numPlanes, dim).as("__bucket"))
+    val a = bucketed.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col("__bucket"))
+    val b = bucketed.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      col("__bucket"))
+    val scored = a.join(b, "__bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+}

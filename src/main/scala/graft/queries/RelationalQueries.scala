@@ -1,0 +1,439 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.{AsOfJoin, EventOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY §2.1–§2.8): scans with pushdown,
+  * projections/filters, joins of every type, aggregations incl. cube/rollup,
+  * sorts/limits/top-k, set ops, scalar function library, analytic windows.
+  * Each query has a DuckDB oracle in [[oracleSql]] with identical column
+  * names/aliases.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // §2.1 scan + §2.2 projection/filter: predicate + column pruning reach the
+    // parquet scan (PushedFilters / 3-column ReadSchema).
+    "q_scan_pushdown" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1999-06-01").cast("timestamp_ntz") &&
+          col("l_discount") > 0.07)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // §2.2 entry-filter analog: server-side predicate before dispatch.
+    "q_entry_filter" -> ((s, d) => {
+      Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "signup") && col("value") > 100.0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // §2.1 seek-by-timestamp (time travel): first message >= ts.
+    "q_seek_by_time" -> ((s, d) => {
+      Tables.events(s, d)
+        .where(unix_millis(col("ts")) >= 1705276800000L) // 2024-01-15
+        .select(col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+    }),
+
+    // §2.6 peekMessages(n): first n in offset order.
+    "q_peek" -> ((s, d) => {
+      Tables.events(s, d).orderBy(col("event_id"))
+        .select(col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .limit(10)
+    }),
+
+    // §2.4 hash aggregation, TPC-H Q1 shape (partial+final agg from Catalyst).
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // §2.4 stateful counter parity (WordCount: incrCounter per key).
+    "q_stateful_counter" -> ((s, d) => {
+      Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+    }),
+
+    // §2.4 exact distinct aggregation.
+    "q_count_distinct" -> ((s, d) => {
+      Tables.orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // §2.4 grouping sets: cube.
+    "q_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+    }),
+
+    // §2.4 grouping sets: rollup over derived year.
+    "q_rollup" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .rollup(col("o_year"), col("o_orderstatus"))
+        .agg(sum(col("o_totalprice")).as("total"), count(lit(1)).as("cnt"))
+    }),
+
+    // §2.4 rate/stats aggregation (PulsarStats analog).
+    "q_rate_stats" -> ((s, d) => {
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+          stddev_samp(col("value")).as("sd_value"))
+    }),
+
+    // §2.4 backlog analysis between cursor positions.
+    "q_backlog" -> ((s, d) => {
+      EventOps.backlog(Tables.events(s, d), "event_id",
+        length(col("props")), 1000L, 5000L)
+    }),
+
+    // §2.3 broadcast join (small dims) — flagship revenue-by-nation.
+    "q_join_broadcast" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // §2.3 shuffle (sort-merge-able) fact-fact join.
+    "q_join_shuffle" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice")).as("total_price"))
+    }),
+
+    // §2.3 left outer join with null-handling.
+    "q_join_left" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+    }),
+
+    // §2.3 left-semi (EXISTS).
+    "q_semi_join" -> ((s, d) => {
+      val fOrders = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+      Tables.customer(s, d)
+        .join(fOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // §2.3 left-anti (NOT EXISTS).
+    "q_anti_join" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // §2.3 as-of join (point-in-time enrichment; union+window, single shuffle).
+    "q_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+          col("o_totalprice"))
+      AsOfJoin.asOf(
+        e, Seq("user_id"), "ts_ms",
+        o, Seq("o_custkey"), "odate_ms",
+        rightTieBreak = Seq("o_orderkey"), joinType = "inner")
+        .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // §2.3 interval join: same-key pairs within a 5-minute band.
+    "q_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      val a = e.select(col("event_id").as("a_id"), col("user_id"),
+        col("ts_ms").as("a_ms"))
+      val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts_ms").as("b_ms"))
+      a.join(b, col("user_id") === col("b_user") &&
+          col("b_ms") > col("a_ms") && col("b_ms") - col("a_ms") <= 300000L)
+        .select(col("a_id"), col("b_id"), (col("b_ms") - col("a_ms")).as("gap_ms"))
+    }),
+
+    // §2.6 top-k with deterministic tie-break.
+    "q_topk" -> ((s, d) => {
+      Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("o_custkey").asc)
+        .limit(10)
+    }),
+
+    // §2.6 global sort + limit.
+    "q_sort_limit" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(100)
+    }),
+
+    // §2.7 set ops: UNION ALL (multi-topic subscribe).
+    "q_union_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .unionAll(o.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.7 INTERSECT.
+    "q_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+    }),
+
+    // §2.7 EXCEPT.
+    "q_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .except(o.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+    }),
+
+    // §2.8 string scalar functions.
+    "q_string_fns" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_pfx"),
+        concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"),
+        reverse(col("p_brand")).as("brand_rev"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"))
+    }),
+
+    // §2.8 date/time functions (index-routing date_format parity).
+    "q_date_fns" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"),
+        concat(lit("orders-"), date_format(col("o_orderdate"), "yyyy-MM-dd")).as("index_name"))
+    }),
+
+    // §2.8 math scalar functions.
+    "q_math_fns" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_tax") * 100).as("tax_pct"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        (col("l_partkey") % 10).as("part_mod"),
+        greatest(col("l_quantity"), col("l_tax") * 100).as("gr"),
+        sqrt(col("l_quantity")).as("qty_sqrt"))
+    }),
+
+    // §2.5 SQL analytic windows: ranking.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"), col("rk"))
+    }),
+
+    // §2.5 analytic windows: running frame + lag/lead.
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("running_spend",
+          sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"),
+          col("prev_price"), col("next_price"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1999-06-01' AND l_discount > 0.07""",
+    "q_entry_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_type IN ('purchase','signup') AND value > 100.0""",
+    "q_seek_by_time" ->
+      """SELECT event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+         WHERE epoch_ms(ts) >= 1705276800000""",
+    "q_peek" ->
+      """SELECT event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+         ORDER BY event_id LIMIT 10""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                sum(l_extendedprice) AS sum_base_price,
+                sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                avg(l_quantity) AS avg_qty, avg(l_discount) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_stateful_counter" ->
+      """SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+         FROM events GROUP BY user_id""",
+    "q_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+                count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                count(*) AS cnt
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_rollup" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus,
+                sum(o_totalprice) AS total, count(*) AS cnt
+         FROM orders GROUP BY ROLLUP (o_year, o_orderstatus)""",
+    "q_rate_stats" ->
+      """SELECT event_type, count(*) AS n, avg(value) AS avg_value,
+                min(value) AS min_value, max(value) AS max_value,
+                stddev_samp(value) AS sd_value
+         FROM events GROUP BY event_type""",
+    "q_backlog" ->
+      """SELECT count(*) AS entries, sum(length(props)) AS bytes FROM events
+         WHERE event_id > 1000 AND event_id <= 5000""",
+    "q_join_broadcast" ->
+      """SELECT n_name,
+                sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name""",
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                sum(l_extendedprice) AS total_price
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority""",
+    "q_join_left" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+                coalesce(sum(o_totalprice), 0.0) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_mktsegment""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_asof_join" ->
+      """SELECT event_id, o_orderkey, o_totalprice FROM (
+           SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM events e JOIN orders o ON e.user_id = o.o_custkey
+           WHERE epoch_ms(o.o_orderdate) <= epoch_ms(e.ts)
+         ) WHERE rn = 1""",
+    "q_interval_join" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+                epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+         FROM events a JOIN events b ON a.user_id = b.user_id
+         WHERE epoch_ms(b.ts) > epoch_ms(a.ts)
+           AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 300000""",
+    "q_topk" ->
+      """SELECT o_custkey, sum(o_totalprice) AS revenue, count(*) AS n_orders
+         FROM orders GROUP BY o_custkey
+         ORDER BY revenue DESC, o_custkey ASC LIMIT 10""",
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q_union_all" ->
+      """SELECT o_custkey, count(*) AS n FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           UNION ALL
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ) GROUP BY o_custkey""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q_string_fns" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_uc, length(p_name) AS name_len,
+                substr(p_type, 1, 5) AS type_pfx,
+                concat_ws(':', p_brand, p_type) AS brand_type,
+                reverse(p_brand) AS brand_rev,
+                lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+         FROM part""",
+    "q_date_fns" ->
+      """SELECT o_orderkey, year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+                day(o_orderdate) AS o_day, quarter(o_orderdate) AS o_quarter,
+                strftime(o_orderdate, '%Y-%m') AS o_ym,
+                'orders-' || strftime(o_orderdate, '%Y-%m-%d') AS index_name
+         FROM orders""",
+    "q_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1 - l_discount) AS net_price,
+                CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+                CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct,
+                abs(l_discount - 0.05) AS disc_dev,
+                l_partkey % 10 AS part_mod,
+                greatest(l_quantity, l_tax * 100) AS gr,
+                sqrt(l_quantity) AS qty_sqrt
+         FROM lineitem""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER w AS rn, rank() OVER w AS rk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ) WHERE rn <= 3""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_totalprice, 1) OVER w AS next_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC)"""
+  )
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.{Compaction, Dedup, EventOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pulsar-semantics operators (SURVEY §2.4/§2.5/§2.9) in their batch-checkable
+  * form: the same `window`/`session_window`/aggregation expressions run
+  * unchanged under Structured Streaming (specs in graft.streaming cover the
+  * incremental path); here they run over the bounded `events` table so the
+  * DuckDB oracle can hash-check them.
+  *
+  * All raw timestamps are emitted as unix-epoch milliseconds: the testdata
+  * stores nanosecond timestamps, Spark truncates to µs and DuckDB keeps ns, so
+  * the ms domain is the shared exact representation.
+  */
+object StreamingSemanticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // 2024-01-15T00:00Z / 2024-01-31T00:00Z in epoch ms.
+  private val midMs = 1705276800000L
+  private val endMs = 1706659200000L
+
+  val queries: Map[String, Q] = Map(
+    // §2.5 tumbling event-time window (WindowConfig.windowLengthDurationMs).
+    "q_window_tumbling" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .select(unix_millis(col("w.start")).as("wstart_ms"), col("event_type"),
+          col("n"), col("total"))
+    }),
+
+    // §2.5 sliding window (slidingIntervalDurationMs < windowLength).
+    "q_window_sliding" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("wstart_ms"), col("event_type"),
+          col("n"))
+    }),
+
+    // §2.5 session window (parity-plus: absent in the reference).
+    "q_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+          col("n"), col("total"))
+    }),
+
+    // §2.9 delayed delivery: due-set at a cutoff, in delivery order.
+    // deliver_at := ts + (user_id % 60) minutes (synthetic delay column).
+    "q_delayed_due" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("deliver_at_ms",
+          unix_millis(col("ts")) + (col("user_id") % 60) * 60000L)
+      e.where(EventOps.delayedDue(col("deliver_at_ms"), lit(midMs)))
+        .where(unix_millis(col("ts")) > midMs - 7200000L) // due-scan horizon
+        .select(col("event_id"), col("user_id"), col("deliver_at_ms"))
+    }),
+
+    // §2.9 TTL expiry: keep only messages younger than 7 days at end-of-data.
+    "q_ttl_expiry" -> ((s, d) => {
+      Tables.events(s, d)
+        .where(unix_millis(col("ts")) > endMs - 7L * 86400000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_live"), min(unix_millis(col("ts"))).as("oldest_ms"))
+    }),
+
+    // §2.9 late-data routing: events older than watermark (max ts − 24h lag).
+    "q_late_data" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_ms", unix_millis(col("ts")))
+      val wm = e.agg(max(col("ts_ms")).as("max_ms"))
+      e.crossJoin(broadcast(wm))
+        .withColumn("is_late", col("ts_ms") < col("max_ms") - 86400000L)
+        .groupBy(col("event_type"), col("is_late"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.4 broker dedup: redelivered (duplicated) stream → exactly one row per
+    // (producer, sequence_id). Duplicates injected by unioning a slice back in.
+    "q_dedup_seq" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(concat(lit("producer-"), (col("user_id") % 8).cast("string"))
+          .as("producer_name"),
+          col("event_id").as("sequence_id"), col("event_type"), col("value"))
+      val redelivered = e.unionAll(e.where(col("sequence_id") % 7 === 0))
+      Dedup.byProducerSeq(redelivered, "producer_name", "sequence_id",
+          col("sequence_id"))
+        .groupBy(col("producer_name"))
+        .agg(count(lit(1)).as("n_unique"), sum(col("value")).as("total_value"))
+    }),
+
+    // §2.4 topic compaction: last value per key by offset.
+    "q_compact_last" -> ((s, d) => {
+      Compaction.compact(Tables.events(s, d), Seq("user_id"), col("event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+    }),
+
+    // §2.4 compaction with tombstones: value<10 marks a delete; keys whose
+    // final record is a tombstone disappear.
+    "q_compact_tombstone" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("v", when(col("value") < 10.0, lit(null)).otherwise(col("value")))
+      Compaction.compactWithTombstones(e, Seq("user_id"), col("event_id"), "v")
+        .select(col("user_id"), col("event_id").as("last_event_id"), col("v").as("last_value"))
+    }),
+
+    // §2.2 Key_Shared dispatch: the slice consumer 0 of 4 receives (hash-range
+    // membership expressed portably as key mod for the oracle; the library's
+    // Envelope.keySharedSlice uses murmur3 hash()).
+    "q_key_shared" -> ((s, d) => {
+      Tables.events(s, d)
+        .where(col("user_id") % 4 === 0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    }),
+
+    // §1.1 envelope round-trip: events → Message envelope → decoded payload.
+    "q_envelope" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val env = graft.core.Envelope.fromEvents(Tables.events(s, d))
+      val payload = StructType(Seq(StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      graft.core.Envelope.decodeJson(env, payload)
+        .select(col("offset"), col("key"), col("producer_name"),
+          col("sequence_id"), unix_millis(col("event_time")).as("event_time_ms"),
+          col("decoded.event_type").as("event_type"),
+          col("decoded.value").as("value"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS wstart_ms, event_type,
+                count(*) AS n, sum(value) AS total
+         FROM events GROUP BY 1, 2""",
+    "q_window_sliding" ->
+      """WITH g AS (SELECT epoch_ms(ts) AS ms, event_type FROM events)
+         SELECT wstart_ms, event_type, count(*) AS n FROM (
+           SELECT (ms // 1800000) * 1800000 AS wstart_ms, event_type FROM g
+           UNION ALL
+           SELECT (ms // 1800000) * 1800000 - 1800000 AS wstart_ms, event_type FROM g
+         ) GROUP BY wstart_ms, event_type""",
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+         flagged AS (
+           SELECT user_id, ms, value,
+                  CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                            >= 600000 OR lag(ms) OVER (PARTITION BY user_id
+                            ORDER BY ms) IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+           FROM e),
+         sessions AS (
+           SELECT user_id, ms, value,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ms
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id, min(ms) AS session_start_ms, count(*) AS n,
+                sum(value) AS total
+         FROM sessions GROUP BY user_id, sid""",
+    "q_delayed_due" ->
+      s"""SELECT event_id, user_id,
+                 epoch_ms(ts) + (user_id % 60) * 60000 AS deliver_at_ms
+          FROM events
+          WHERE epoch_ms(ts) + (user_id % 60) * 60000 <= $midMs
+            AND epoch_ms(ts) > $midMs - 7200000""",
+    "q_ttl_expiry" ->
+      s"""SELECT event_type, count(*) AS n_live, min(epoch_ms(ts)) AS oldest_ms
+          FROM events WHERE epoch_ms(ts) > $endMs - 7 * 86400000
+          GROUP BY event_type""",
+    "q_late_data" ->
+      """SELECT event_type,
+                epoch_ms(ts) < (SELECT max(epoch_ms(ts)) FROM events) - 86400000
+                  AS is_late,
+                count(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "q_dedup_seq" ->
+      """WITH e AS (SELECT 'producer-' || CAST(user_id % 8 AS VARCHAR)
+                      AS producer_name,
+                    event_id AS sequence_id, value FROM events),
+         redelivered AS (
+           SELECT * FROM e
+           UNION ALL SELECT * FROM e WHERE sequence_id % 7 = 0),
+         deduped AS (
+           SELECT producer_name, sequence_id, max(value) AS value
+           FROM redelivered GROUP BY producer_name, sequence_id)
+         SELECT producer_name, count(*) AS n_unique, sum(value) AS total_value
+         FROM deduped GROUP BY producer_name""",
+    "q_compact_last" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+                value AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY event_id DESC) AS rn FROM events)
+         WHERE rn = 1""",
+    "q_compact_tombstone" ->
+      """SELECT user_id, event_id AS last_event_id, v AS last_value FROM (
+           SELECT user_id, event_id,
+                  CASE WHEN value < 10.0 THEN NULL ELSE value END AS v,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 AND v IS NOT NULL""",
+    "q_key_shared" ->
+      """SELECT user_id, count(*) AS n FROM events
+         WHERE user_id % 4 = 0 GROUP BY user_id""",
+    "q_envelope" ->
+      """SELECT event_id AS offset, CAST(user_id AS VARCHAR) AS key,
+                'producer-' || CAST(user_id % 8 AS VARCHAR) AS producer_name,
+                event_id AS sequence_id, epoch_ms(ts) AS event_time_ms,
+                event_type, value
+         FROM events"""
+  )
+}

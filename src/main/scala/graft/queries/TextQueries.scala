@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.ops.{Dedup, MinHashLsh}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline over the `documents` table: token counting,
+  * quality scoring, language ID, fingerprinting, exact dedup, n-gram Jaccard
+  * near-dup, MinHash+LSH near-dup, SimHash. All hash primitives are md5-based
+  * so the DuckDB oracle reproduces them bit-for-bit.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_token_count" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+    }),
+
+    "q_quality_score" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        qualityScore(col("text")).as("quality"))
+    }),
+
+    "q_lang_id" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"), col("lang").as("lang_meta"),
+        langId(col("text")).as("lang_pred"))
+    }),
+
+    "q_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+    }),
+
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exactSummary(Tables.documents(s, d), Seq("text"), "doc_id")
+    }),
+
+    // N-gram Jaccard near-dup within a blocking key (source): exact pairwise
+    // similarity, bounded by the block so it never goes all-pairs global.
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"), col("source"),
+        shingles(col("text"), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("source"),
+        col("sh").as("sha"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
+        col("sh").as("shb"))
+      a.join(b, col("source") === col("src_b") && col("doc_a") < col("doc_b"))
+        .withColumn("inter",
+          size(array_intersect(col("sha"), col("shb"))).cast("double"))
+        .withColumn("jaccard", round(col("inter") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+        .where(col("jaccard") >= 0.12)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
+    // MinHash signature: first 4 hash values per doc (oracle-checkable slice
+    // of the full 16-hash signature).
+    "q_minhash_sig" -> ((s, d) => {
+      MinHashLsh.signatures(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
+    }),
+
+    // LSH candidate pairs via banded minhash signatures.
+    "q_minhash_lsh" -> ((s, d) => {
+      MinHashLsh.candidatePairs(Tables.documents(s, d), "doc_id", "text")
+    }),
+
+    // SimHash-16 fingerprint per document.
+    "q_simhash" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("h", hash16(col("tok")))
+      val votes = (0 until 16).map(j => sum(simhashVote(col("h"), j)).as(s"v$j"))
+      toks.groupBy(col("doc_id"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          simhashFromVotes((0 until 16).map(j => col(s"v$j"))).as("simhash"))
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata columns —
+    // the schema/partitioning shape for image/audio blobs (decode itself is
+    // stubbed; see graft.ops.Multimodal for the batch-iterator plumbing).
+    "q_multimodal_meta" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          col("source"))
+        .select(col("doc_id"), col("source"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          (octet_length(col("payload")) % 640).cast("long").as("fake_width"),
+          (octet_length(col("payload")).cast("long") / 1000 + 1).cast("long")
+            .as("fake_frames"))
+    })
+  )
+
+  private def minhashSqlExprs(n: Int): String =
+    (0 until n).map(i => s"min(md5('$i:' || sh)) AS mh$i").mkString(",\n                ")
+
+  /** Shared CTE: distinct 3-word shingles per doc (1-based list slicing). */
+  private val shingleCte =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       shingle_rows AS (
+         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+         WHERE len(w) >= 3)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id,
+                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                length(text) AS n_chars_actual
+         FROM documents""",
+    "q_quality_score" ->
+      """WITH m AS (
+           SELECT doc_id, CAST(length(text) AS DOUBLE) AS chars,
+                  CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS DOUBLE) AS toks,
+                  CAST((length(' ' || text || ' ')
+                    - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+                    AS DOUBLE) AS the_n
+           FROM documents)
+         SELECT doc_id, round(
+             0.4 * least(chars / 500.0, 1.0)
+           + 0.3 * (1.0 - least(abs((chars - (toks - 1)) / toks - 5.0) / 5.0, 1.0))
+           + 0.3 * least((the_n / toks) * 10.0, 1.0), 6) AS quality
+         FROM m""",
+    "q_lang_id" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         scores AS (
+           SELECT doc_id,
+             sum(CASE WHEN t IN ('der','die','und','nicht','das') THEN 1 ELSE 0 END) AS s_de,
+             sum(CASE WHEN t IN ('the','and','of','to','is') THEN 1 ELSE 0 END) AS s_en,
+             sum(CASE WHEN t IN ('el','la','de','que','los') THEN 1 ELSE 0 END) AS s_es,
+             sum(CASE WHEN t IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS s_fr,
+             sum(CASE WHEN t IN ('de5','shi4','le5','zai4','he2') THEN 1 ELSE 0 END) AS s_zh
+           FROM toks GROUP BY doc_id)
+         SELECT d.doc_id, d.lang AS lang_meta,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+         FROM documents d JOIN scores USING (doc_id)""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+                count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "q_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+          sizes AS (SELECT doc_id, count(*) AS sz FROM shingle_rows GROUP BY doc_id),
+          src AS (SELECT doc_id, source FROM documents),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS DOUBLE) AS inter
+            FROM shingle_rows a
+            JOIN shingle_rows b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            JOIN src sa ON sa.doc_id = a.doc_id
+            JOIN src sb ON sb.doc_id = b.doc_id AND sa.source = sb.source
+            GROUP BY a.doc_id, b.doc_id)
+          SELECT doc_a, doc_b,
+                 round(inter / (za.sz + zb.sz - inter), 6) AS jaccard
+          FROM inter
+          JOIN sizes za ON za.doc_id = doc_a
+          JOIN sizes zb ON zb.doc_id = doc_b
+          WHERE round(inter / (za.sz + zb.sz - inter), 6) >= 0.12""",
+    "q_minhash_sig" ->
+      s"""WITH $shingleCte
+          SELECT doc_id, ${(0 until 4).map(i => s"min(md5('$i:' || sh)) AS mh$i").mkString(", ")}
+          FROM shingle_rows GROUP BY doc_id""",
+    "q_minhash_lsh" ->
+      s"""WITH $shingleCte,
+          sigs AS (
+            SELECT doc_id,
+                ${minhashSqlExprs(16)}
+            FROM shingle_rows GROUP BY doc_id),
+          buckets AS (
+            SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket FROM sigs
+            UNION ALL
+            SELECT doc_id, 1, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) FROM sigs
+            UNION ALL
+            SELECT doc_id, 2, md5(mh8 || '|' || mh9 || '|' || mh10 || '|' || mh11) FROM sigs
+            UNION ALL
+            SELECT doc_id, 3, md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15) FROM sigs)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a
+          JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id""",
+    "q_simhash" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          hashed AS (
+            SELECT doc_id,
+              (CASE WHEN ascii(substr(md5(tok),1,1)) <= 57 THEN ascii(substr(md5(tok),1,1)) - 48 ELSE ascii(substr(md5(tok),1,1)) - 87 END) * 4096
+            + (CASE WHEN ascii(substr(md5(tok),2,1)) <= 57 THEN ascii(substr(md5(tok),2,1)) - 48 ELSE ascii(substr(md5(tok),2,1)) - 87 END) * 256
+            + (CASE WHEN ascii(substr(md5(tok),3,1)) <= 57 THEN ascii(substr(md5(tok),3,1)) - 48 ELSE ascii(substr(md5(tok),3,1)) - 87 END) * 16
+            + (CASE WHEN ascii(substr(md5(tok),4,1)) <= 57 THEN ascii(substr(md5(tok),4,1)) - 48 ELSE ascii(substr(md5(tok),4,1)) - 87 END) AS h
+            FROM toks),
+          votes AS (
+            SELECT doc_id,
+              ${(0 until 16).map(j => s"sum((CAST(floor(h / ${1 << j}) AS BIGINT) % 2) * 2 - 1) AS v$j").mkString(",\n              ")}
+            FROM hashed GROUP BY doc_id)
+          SELECT doc_id,
+            ${(0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
+          FROM votes""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, source, octet_length(encode(text)) AS n_bytes,
+                octet_length(encode(text)) % 640 AS fake_width,
+                octet_length(encode(text)) // 1000 + 1 AS fake_frames
+         FROM documents"""
+  )
+}
