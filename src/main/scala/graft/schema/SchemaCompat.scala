@@ -1,0 +1,118 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Schema-registry compatibility checks over Spark StructTypes.
+  *
+  * Reference: the broker enforces per-format compatibility on every schema
+  * update (SchemaRegistryServiceImpl.checkCompatible; Avro rules in
+  * AvroSchemaCompatibilityCheck.java — BACKWARD = new schema can read data
+  * written by the old, FORWARD = old can read new, FULL = both;
+  * reference: pulsar-broker/.../service/schema/SchemaRegistryServiceImpl.java,
+  * AvroSchemaCompatibilityCheck.java).
+  *
+  * Avro's resolution rules mapped to StructType:
+  *  - a field present in reader but absent in writer needs a default
+  *    (here: nullable) or the schemas are incompatible;
+  *  - a field present in writer but absent in reader is ignored (projection);
+  *  - shared fields must have promotable types (int→long, float→double, etc.)
+  *    and compatible nested structs/arrays/maps.
+  */
+object SchemaCompat {
+
+  sealed trait Mode
+  case object AlwaysCompatible extends Mode
+  case object Backward extends Mode
+  case object Forward extends Mode
+  case object Full extends Mode
+
+  /** Numeric/temporal promotions Avro resolution allows (writer → reader). */
+  private val promotions: Set[(DataType, DataType)] = Set(
+    (IntegerType, LongType), (IntegerType, FloatType), (IntegerType, DoubleType),
+    (LongType, FloatType), (LongType, DoubleType), (FloatType, DoubleType),
+    (ShortType, IntegerType), (ShortType, LongType), (ByteType, ShortType),
+    (ByteType, IntegerType), (ByteType, LongType),
+    (StringType, BinaryType), (BinaryType, StringType),
+    (TimestampNTZType, TimestampType))
+
+  private def typeCanRead(writer: DataType, reader: DataType): List[String] =
+    (writer, reader) match {
+      case (w, r) if w == r => Nil
+      case (w: StructType, r: StructType) => canReadErrors(w, r)
+      case (w: ArrayType, r: ArrayType) =>
+        typeCanRead(w.elementType, r.elementType)
+      case (w: MapType, r: MapType) =>
+        typeCanRead(w.keyType, r.keyType) ++ typeCanRead(w.valueType, r.valueType)
+      case (w, r) if promotions((w, r)) => Nil
+      case (w, r) => List(s"type ${w.simpleString} not readable as ${r.simpleString}")
+    }
+
+  /** Errors preventing `reader` from reading data written with `writer`. */
+  def canReadErrors(writer: StructType, reader: StructType): List[String] = {
+    val writerFields = writer.fields.map(f => f.name -> f).toMap
+    reader.fields.toList.flatMap { rf =>
+      writerFields.get(rf.name) match {
+        case None if rf.nullable => Nil // missing in writer → null default
+        case None => List(s"field ${rf.name}: absent in writer and not nullable")
+        case Some(wf) =>
+          val nullErr =
+            if (wf.nullable && !rf.nullable)
+              List(s"field ${rf.name}: writer nullable but reader requires non-null")
+            else Nil
+          nullErr ++ typeCanRead(wf.dataType, rf.dataType)
+            .map(e => s"field ${rf.name}: $e")
+      }
+    }
+  }
+
+  def canRead(writer: StructType, reader: StructType): Boolean =
+    canReadErrors(writer, reader).isEmpty
+
+  /** Check a proposed new schema against the latest stored one under `mode` —
+    * the pre-write gate the broker applies. Returns error list (empty = ok). */
+  def check(oldSchema: StructType, newSchema: StructType, mode: Mode): List[String] =
+    mode match {
+      case AlwaysCompatible => Nil
+      case Backward => canReadErrors(oldSchema, newSchema).map("BACKWARD: " + _)
+      case Forward  => canReadErrors(newSchema, oldSchema).map("FORWARD: " + _)
+      case Full =>
+        canReadErrors(oldSchema, newSchema).map("BACKWARD: " + _) ++
+          canReadErrors(newSchema, oldSchema).map("FORWARD: " + _)
+    }
+
+  def isCompatible(oldSchema: StructType, newSchema: StructType, mode: Mode): Boolean =
+    check(oldSchema, newSchema, mode).isEmpty
+}
+
+/** A tiny versioned schema catalog: the registry's storage surface
+  * (reference: BookkeeperSchemaStorage — versioned put/get; here an in-memory
+  * map suitable for session lifetime; persistence = a table property in a
+  * real deployment). */
+class SchemaRegistry(mode: SchemaCompat.Mode) {
+  private val store =
+    scala.collection.mutable.Map.empty[String, Vector[StructType]]
+
+  def latest(subject: String): Option[StructType] =
+    store.get(subject).flatMap(_.lastOption)
+
+  def versions(subject: String): Vector[StructType] =
+    store.getOrElse(subject, Vector.empty)
+
+  /** Register a new version after the compatibility gate; returns the new
+    * version number or the violation list. */
+  def register(subject: String, schema: StructType): Either[List[String], Int] =
+    synchronized {
+      latest(subject) match {
+        case Some(old) =>
+          val errs = SchemaCompat.check(old, schema, mode)
+          if (errs.nonEmpty) Left(errs)
+          else {
+            store(subject) = store(subject) :+ schema
+            Right(store(subject).size - 1)
+          }
+        case None =>
+          store(subject) = Vector(schema)
+          Right(0)
+      }
+    }
+}

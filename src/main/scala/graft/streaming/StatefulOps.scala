@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators: the reference's broker/function-runtime state
+  * machines re-expressed on `KeyValueGroupedDataset` state APIs. State lives
+  * in Spark's state store (RocksDB-backed in production), partitioned by key —
+  * the same per-key sharding Key_Shared dispatch gives the reference, which is
+  * what makes these hold up on a 1000-executor cluster.
+  */
+object StatefulOps {
+
+  // ---------------------------------------------------------------- TableView
+  /** Streaming TableView: maintains last-value-per-key (by offset) and emits
+    * the updated entry on every change — `TableView.forEachAndListen` parity
+    * (reference: client/api/TableView.java:88-112; upsert-per-message
+    * TableViewImpl.handleMessage :182). Null value = tombstone deletes the
+    * key (emits a KeyUpdate with null value so sinks can delete too). */
+  def tableViewStream(ds: Dataset[KeyedMsg]): Dataset[KeyUpdate] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .mapGroupsWithState[KeyUpdate, KeyUpdate](GroupStateTimeout.NoTimeout) {
+        (key, msgs, state: GroupState[KeyUpdate]) =>
+          // Highest-offset message in this batch wins; compare with stored.
+          val best = msgs.maxBy(_.offset)
+          val cur = state.getOption
+          if (cur.forall(_.offset < best.offset)) {
+            val upd = KeyUpdate(key, best.value, best.offset)
+            state.update(upd)
+            upd
+          } else cur.get
+      }
+  }
+
+  // ------------------------------------------------------------ count windows
+  /** Tumbling count window (trigger = evict = windowLengthCount): buffers per
+    * key, emits a window every `windowLength` records in offset order.
+    * Reference: WindowConfig.windowLengthCount (WindowConfig.java:33),
+    * CountTriggerPolicy/CountEvictionPolicy, WindowManager.add/onTrigger
+    * (WindowManager.java:93-129).
+    *
+    * Records are processed in offset order within each key (the reference's
+    * per-key ordering guarantee); a leftover partial window stays in state
+    * until completed by later batches. */
+  def tumblingCountWindow(ds: Dataset[KeyedMsg], windowLength: Int)
+  : Dataset[CountWindow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Seq[KeyedMsg], CountWindow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, msgs, state: GroupState[Seq[KeyedMsg]]) =>
+          val buf = state.getOption.getOrElse(Seq.empty) ++
+            msgs.toSeq.sortBy(_.offset)
+          val full = buf.grouped(windowLength).toSeq
+          val (complete, rest) = full.partition(_.size == windowLength)
+          state.update(rest.flatten)
+          complete.zipWithIndex.iterator.map { case (w, i) =>
+            CountWindow(key, w.head.offset, w.map(_.value), w.map(_.offset),
+              w.size)
+          }
+      }
+  }
+
+  /** Sliding count window (slidingIntervalCount < windowLengthCount): emits
+    * the last `windowLength` records every `slide` records.
+    * Reference: WindowConfig.java:37; WindowManager sliding semantics
+    * (WindowManager.java:93-129). State holds at most `windowLength` records
+    * per key plus the slide phase — bounded memory. */
+  def slidingCountWindow(ds: Dataset[KeyedMsg], windowLength: Int, slide: Int)
+  : Dataset[CountWindow] = {
+    import ds.sparkSession.implicits._
+    // state: (retained tail of records, count since last emit)
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[(Seq[KeyedMsg], Int), CountWindow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, msgs, state: GroupState[(Seq[KeyedMsg], Int)]) =>
+          var (tail, sinceEmit) = state.getOption.getOrElse((Seq.empty[KeyedMsg], 0))
+          val out = Seq.newBuilder[CountWindow]
+          msgs.toSeq.sortBy(_.offset).foreach { m =>
+            tail = (tail :+ m).takeRight(windowLength)
+            sinceEmit += 1
+            if (sinceEmit == slide) {
+              out += CountWindow(key, m.offset, tail.map(_.value),
+                tail.map(_.offset), tail.size)
+              sinceEmit = 0
+            }
+          }
+          state.update((tail, sinceEmit))
+          out.result().iterator
+      }
+  }
+
+  // --------------------------------------------------------- delayed delivery
+  /** Delayed delivery: hold each message in state until the event-time
+    * watermark passes its deliver-at time, then release it. The watermark is
+    * the clock, exactly like the tracker's `getScheduledMessages(cutoff)`
+    * (reference: broker/.../delayed/InMemoryDelayedDeliveryTracker.java:70-117).
+    * Requires `withWatermark` on the deliver-at column upstream. */
+  def delayedDelivery(ds: Dataset[DelayedMsg]): Dataset[DelayedMsg] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Seq[DelayedMsg], DelayedMsg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, msgs, state: GroupState[Seq[DelayedMsg]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.getOrElse(Seq.empty) ++ msgs
+          val (due, held) = buf.partition(_.deliverAt.getTime <= wm)
+          if (held.nonEmpty) {
+            state.update(held)
+            // Wake up when the earliest deliver-at could be due.
+            state.setTimeoutTimestamp(held.map(_.deliverAt.getTime).min max (wm + 1))
+          } else state.remove()
+          due.sortBy(m => (m.deliverAt.getTime, m.offset)).iterator
+      }
+  }
+
+  // -------------------------------------------------------------------- dedup
+  /** Streaming producer-seq dedup: exactly one row per (producer, sequence)
+    * within the watermark horizon — `MessageDeduplication` with a bounded
+    * ledger (reference: MessageDeduplication.java:52-366). */
+  def dedupByProducerSeq(df: DataFrame, eventTimeCol: String,
+                         watermarkDelay: String): DataFrame =
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("producer_name", "sequence_id")
+
+  // ------------------------------------------------------- windowed wordcount
+  /** WordCount parity: per-key running count in update mode — the
+    * incrCounter/getCounter loop of WordCountFunction
+    * (reference: pulsar-functions/java-examples/.../WordCountFunction.java:31-36). */
+  def wordCount(lines: DataFrame, textCol: String): DataFrame =
+    lines.select(explode(split(col(textCol), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).count()
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSuite
+import graft.ops.Multimodal.{MediaFeatures, MediaRecord}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rec(id: Long, mtype: String, n: Int) =
+    MediaRecord(id, mtype, Array.tabulate(n)(i => (i % 251).toByte),
+      Map("src" -> "test"))
+
+  test("extractFeatures preserves ids and produces the typed feature schema") {
+    val ds = Seq(rec(1, "image", 5000), rec(2, "video", 12000),
+      rec(3, "audio", 800)).toDS()
+    val out: Seq[MediaFeatures] =
+      Multimodal.extractFeatures(ds, batchSize = 2).collect().toSeq
+        .sortBy(_.media_id)
+    assert(out.map(_.media_id) == Seq(1L, 2L, 3L))
+    assert(out.map(_.n_bytes) == Seq(5000L, 12000L, 800L))
+    assert(out(1).n_frames == 13) // video: n/1000 + 1
+    assert(out(0).n_frames == 1)
+    assert(out.forall(_.embedding.length == 8))
+  }
+
+  test("stub decode is deterministic") {
+    val a = Multimodal.extractFeatures(Seq(rec(7, "image", 999)).toDS())
+      .collect().head
+    val b = Multimodal.extractFeatures(Seq(rec(7, "image", 999)).toDS())
+      .collect().head
+    assert(a == b || (a.media_id == b.media_id &&
+      a.embedding.toSeq == b.embedding.toSeq && a.width == b.width))
+  }
+
+  test("asMedia wraps any binary column into the media schema") {
+    val df = Seq((1L, "hello")).toDF("id", "txt")
+      .withColumn("payload", org.apache.spark.sql.functions
+        .encode(org.apache.spark.sql.functions.col("txt"), "UTF-8"))
+    val m = Multimodal.asMedia(df, "id", "payload", "image")
+    assert(m.schema.fieldNames.toSeq ==
+      Seq("media_id", "media_type", "payload", "meta"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** MemoryStream-driven semantics tests mirroring the reference's
+  * WindowManagerTest / CompactionTest / ClientDeduplicationTest scenarios. */
+class StatefulOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private var qn = 0
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+                          mode: String): (StreamingQuery, String) = {
+    qn += 1
+    val name = s"statefulops_out$qn"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    (q, name)
+  }
+
+  test("tableViewStream upserts last value per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedMsg]
+    val (q, name) = runToMemory(
+      StatefulOps.tableViewStream(in.toDS()).toDF(), "update")
+    in.addData(KeyedMsg("k1", "v1", 0L, ts("2024-01-01 00:00:00")),
+      KeyedMsg("k2", "a1", 1L, ts("2024-01-01 00:00:01")))
+    q.processAllAvailable()
+    in.addData(KeyedMsg("k1", "v2", 5L, ts("2024-01-01 00:00:02")),
+      KeyedMsg("k1", "stale", 3L, ts("2024-01-01 00:00:03")))
+    q.processAllAvailable()
+    val rows = spark.table(name).as[KeyUpdate].collect()
+    q.stop()
+    // Latest emission per key reflects highest offset ever seen.
+    val latest = rows.groupBy(_.key).map { case (k, v) => k -> v.maxBy(_.offset) }
+    assert(latest("k1").value == "v2" && latest("k1").offset == 5L)
+    assert(latest("k2").value == "a1")
+  }
+
+  test("tumblingCountWindow emits complete windows of exactly N, in order") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedMsg]
+    val (q, name) = runToMemory(
+      StatefulOps.tumblingCountWindow(in.toDS(), 3).toDF(), "append")
+    val t0 = ts("2024-01-01 00:00:00")
+    in.addData((1 to 5).map(i => KeyedMsg("k", s"v$i", i.toLong, t0)): _*)
+    q.processAllAvailable()
+    in.addData(KeyedMsg("k", "v6", 6L, t0), KeyedMsg("k", "v7", 7L, t0))
+    q.processAllAvailable()
+    val wins = spark.table(name).as[CountWindow].collect().sortBy(_.windowId)
+    q.stop()
+    assert(wins.length == 2)
+    assert(wins(0).values == Seq("v1", "v2", "v3"))
+    assert(wins(1).values == Seq("v4", "v5", "v6")) // completed by batch 2
+    assert(wins.forall(_.size == 3))
+  }
+
+  test("slidingCountWindow emits window of last N every slide records") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedMsg]
+    val (q, name) = runToMemory(
+      StatefulOps.slidingCountWindow(in.toDS(), windowLength = 3, slide = 2)
+        .toDF(), "append")
+    val t0 = ts("2024-01-01 00:00:00")
+    in.addData((1 to 6).map(i => KeyedMsg("k", s"v$i", i.toLong, t0)): _*)
+    q.processAllAvailable()
+    val wins = spark.table(name).as[CountWindow].collect().sortBy(_.windowId)
+    q.stop()
+    // emits at records 2, 4, 6 with the last up-to-3 records each time
+    assert(wins.map(_.values.toList).toList ==
+      List(List("v1", "v2"), List("v2", "v3", "v4"), List("v4", "v5", "v6")))
+  }
+
+  test("delayedDelivery releases messages only once watermark passes deliverAt") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DelayedMsg]
+    // Watermark lags max(deliverAt) by 25s, so releases are staged as the
+    // stream advances — the delayed-tracker holdback made observable.
+    val delayed = StatefulOps.delayedDelivery(
+      in.toDF().withWatermark("deliverAt", "25 seconds").as[DelayedMsg])
+    val (q, name) = runToMemory(delayed.toDF(), "append")
+    in.addData(
+      DelayedMsg("k", "early", 1L, ts("2024-01-01 00:00:10")),
+      DelayedMsg("k", "late", 2L, ts("2024-01-01 00:00:30")),
+      DelayedMsg("k", "marker", 0L, ts("2024-01-01 00:00:05")))
+    q.processAllAvailable()
+    // wm settles at :30-25s = :05; the timer at :05 fires only when the
+    // watermark strictly passes it → nothing released yet
+    val after1 = spark.table(name).as[DelayedMsg].collect()
+    assert(after1.isEmpty)
+    // advance wm to :40-25s = :15 → the :05 timer fires; marker (:05) and
+    // early (:10) are due, late (:30) still held
+    in.addData(DelayedMsg("k2", "tick", 3L, ts("2024-01-01 00:00:40")))
+    q.processAllAvailable()
+    val after2 = spark.table(name).as[DelayedMsg].collect()
+    assert(after2.map(_.value).toSet == Set("marker", "early"))
+    // advance wm to :60-25s = :35 → late (:30) released
+    in.addData(DelayedMsg("k3", "tick2", 4L, ts("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    val after3 = spark.table(name).as[DelayedMsg].collect()
+    q.stop()
+    assert(after3.map(_.value).toSet == Set("marker", "early", "late"))
+  }
+
+  test("dedupByProducerSeq drops redelivered duplicates within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SeqMsg]
+    val df = in.toDF()
+      .withColumnRenamed("producerName", "producer_name")
+      .withColumnRenamed("sequenceId", "sequence_id")
+    val deduped = StatefulOps.dedupByProducerSeq(df, "eventTime", "10 minutes")
+    val (q, name) = runToMemory(deduped, "append")
+    in.addData(
+      SeqMsg("p1", 1L, "a", ts("2024-01-01 00:00:00")),
+      SeqMsg("p1", 1L, "a-dup", ts("2024-01-01 00:00:01")),
+      SeqMsg("p1", 2L, "b", ts("2024-01-01 00:00:02")),
+      SeqMsg("p2", 1L, "x", ts("2024-01-01 00:00:03")))
+    q.processAllAvailable()
+    in.addData(SeqMsg("p1", 2L, "b-dup", ts("2024-01-01 00:00:04")))
+    q.processAllAvailable()
+    val rows = spark.table(name).count()
+    q.stop()
+    assert(rows == 3)
+  }
+
+  test("wordCount matches WordCountFunction semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val counts = StatefulOps.wordCount(in.toDF(), "value")
+    val (q, name) = runToMemory(counts, "complete")
+    in.addData("hello world", "hello graft")
+    q.processAllAvailable()
+    val m = spark.table(name).as[(String, Long)].collect().toMap
+    q.stop()
+    assert(m == Map("hello" -> 2L, "world" -> 1L, "graft" -> 1L))
+  }
+}

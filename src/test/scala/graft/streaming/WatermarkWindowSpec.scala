@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Watermark + event-time window semantics mirroring
+  * WaterMarkEventGeneratorTest / WindowManagerTest scenarios: out-of-order
+  * events inside the lag are aggregated; events older than the watermark are
+  * dropped (the reference routes them to lateDataTopic). */
+class WatermarkWindowSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tumbling event-time window aggregates out-of-order but drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedMsg]
+    val agg = in.toDF()
+      .withWatermark("eventTime", "10 seconds")
+      .groupBy(window(col("eventTime"), "1 minute"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("key"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+
+    // window [00:00, 00:01): 2 events, one out-of-order but within lag
+    in.addData(
+      KeyedMsg("k", "a", 0L, ts("2024-01-01 00:00:10")),
+      KeyedMsg("k", "b", 1L, ts("2024-01-01 00:00:05")))
+    q.processAllAvailable()
+    // advance watermark far past the first window → it closes and emits
+    in.addData(KeyedMsg("k", "c", 2L, ts("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    // this event is older than the watermark (00:04:50) → dropped
+    in.addData(KeyedMsg("k", "late", 3L, ts("2024-01-01 00:00:30")))
+    q.processAllAvailable()
+    // close the second window too
+    in.addData(KeyedMsg("k", "d", 4L, ts("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+
+    val rows = spark.table("wm_out")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, k, n) => (w.toInstant.toString, n) }.toMap
+    q.stop()
+    assert(rows("2024-01-01T00:00:00Z") == 2L) // late event NOT counted
+    assert(rows("2024-01-01T00:05:00Z") == 1L)
+  }
+
+  test("sliding event-time window assigns each event to len/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedMsg]
+    val agg = in.toDF()
+      .withWatermark("eventTime", "0 seconds")
+      .groupBy(window(col("eventTime"), "1 minute", "30 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").start()
+    in.addData(KeyedMsg("k", "a", 0L, ts("2024-01-01 00:00:45")))
+    q.processAllAvailable()
+    in.addData(KeyedMsg("k", "z", 1L, ts("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    val starts = spark.table("slide_out")
+      .as[(java.sql.Timestamp, Long)].collect().map(_._1.toInstant.toString)
+      .toSet
+    q.stop()
+    assert(starts.contains("2024-01-01T00:00:00Z"))
+    assert(starts.contains("2024-01-01T00:00:30Z"))
+  }
+}
