@@ -1,0 +1,121 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftColumnShim => ExpressionUtils}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot paths the built-in functions can't
+  * express efficiently (preference order per SURVEY §7: compose built-ins
+  * first; a native Expression only where that loses an order of magnitude).
+  *
+  * Both are allocation-light inner loops evaluated per row; CodegenFallback
+  * keeps them inside the generated pipeline (one virtual call per row, no
+  * serialization boundary — still far cheaper than a Scala UDF's
+  * encoder round-trip).
+  */
+
+/** Merge-intersection count of two SORTED long arrays — the pairwise scorer
+  * for hashed-shingle Jaccard. O(|a|+|b|) comparisons, zero allocation,
+  * versus array_intersect's per-pair hash-set build. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused MinHash signature: for each seed s in 0 until numHashes, the minimum
+  * of md5(s ‖ ":" ‖ shingle) over the shingle array, as lowercase hex —
+  * byte-identical to `min(md5(concat(seed, ':', shingle)))` (the DuckDB
+  * oracle's formulation) but with one reused MessageDigest and no
+  * per-seed array traversal / UTF8String churn. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(s => s"$s:".getBytes("UTF-8"))
+
+  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < n) {
+      val sb = arr.getUTF8String(i).getBytes
+      var s = 0
+      while (s < numHashes) {
+        md.reset()
+        md.update(seedPrefixes(s))
+        md.update(sb)
+        val dig = md.digest()
+        if (mins(s) == null || lessUnsigned(dig, mins(s))) mins(s) = dig
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(d => UTF8String.fromString(hex(d))))
+  }
+
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+object GraftExpressions {
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedLongIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def minhash_signature(shingleArr: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(
+      ExpressionUtils.expression(shingleArr), numHashes))
+}

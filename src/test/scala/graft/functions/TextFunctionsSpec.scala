@@ -63,6 +63,27 @@ class TextFunctionsSpec extends SparkSuite {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("fused MinHashSignature expression equals compositional min(md5(...))") {
+    val df = Seq("a b c d e f g", "join the spark data table now")
+      .toDF("text").withColumn("sh", shingles(col("text"), 3))
+    val fused = df.select(GraftExpressions.minhash_signature(col("sh"), 8))
+      .as[Seq[String]].collect()
+    val composed = df.select(minhashSignature(col("sh"), 8))
+      .as[Seq[String]].collect()
+    assert(fused.toSeq == composed.toSeq)
+  }
+
+  test("sorted_intersect_count equals array_intersect size on sorted arrays") {
+    val df = Seq((Seq(1L, 3L, 5L, 9L), Seq(3L, 4L, 5L, 10L)),
+      (Seq(1L, 2L), Seq(3L, 4L)), (Seq.empty[Long], Seq(1L)))
+      .toDF("a", "b")
+    val fast = df.select(GraftExpressions.sorted_intersect_count(col("a"),
+      col("b"))).as[Int].collect().toSeq
+    val ref = df.select(size(array_intersect(col("a"), col("b"))))
+      .as[Int].collect().toSeq
+    assert(fast == ref && fast == Seq(2, 0, 0))
+  }
+
   test("minhash: identical shingle sets give identical signatures") {
     val df = Seq("a b c d e", "a b c d e", "v w x y z").toDF("text")
       .withColumn("sh", shingles(col("text"), 3))
