@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Sink-side operators: JDBC upsert, geo-replication fan-out, interceptors.
+  */
+object Sinks {
+
+  /** Build the ANSI MERGE an upsert sink issues per micro-batch — the JDBC
+    * sink's INSERT_MODE=UPSERT (reference: pulsar-io/jdbc/core/.../
+    * JdbcSinkConfig.java:118-141; null value → DELETE mode likewise). The
+    * batch is staged to a temp table, then merged — the scalable shape (one
+    * round-trip, set-based) rather than per-row statements. */
+  def mergeSql(target: String, staging: String, keyCols: Seq[String],
+               valueCols: Seq[String], deleteOnNull: Option[String] = None): String = {
+    val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+    val set = valueCols.map(c => s"$c = s.$c").mkString(", ")
+    val cols = (keyCols ++ valueCols).mkString(", ")
+    val vals = (keyCols ++ valueCols).map(c => s"s.$c").mkString(", ")
+    val deleteClause = deleteOnNull
+      .map(c => s"WHEN MATCHED AND s.$c IS NULL THEN DELETE ").getOrElse("")
+    s"MERGE INTO $target t USING $staging s ON $on " +
+      deleteClause +
+      s"WHEN MATCHED THEN UPDATE SET $set " +
+      s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)"
+  }
+
+  /** foreachBatch upsert runner: dedupes the micro-batch to last-value-per-key
+    * (a batch may contain several updates for one key), then hands the batch
+    * and its MERGE statement to `exec` (a JDBC connection runner in
+    * production; a test harness here). At-least-once overall; exactly-once
+    * when the MERGE is idempotent, which last-value-per-key makes it. */
+  def upsertBatch(batch: DataFrame, ordCol: String, target: String,
+                  staging: String, keyCols: Seq[String])
+                 (exec: (DataFrame, String) => Unit): Unit = {
+    val valueCols = batch.columns.filterNot(keyCols.contains).toSeq
+    val deduped = Compaction.compact(batch, keyCols, col(ordCol))
+    exec(deduped, mergeSql(target, staging, keyCols, valueCols))
+  }
+
+  /** Geo-replication: replicate one stream to N sinks, each with its own
+    * checkpoint (its own replicator cursor — reference:
+    * broker/.../persistent/PersistentReplicator.java:69-291). Returns the
+    * running queries; each progresses independently, like per-cluster
+    * replicators. */
+  def replicate(df: DataFrame, sinks: Seq[(String, String)], // (path, checkpoint)
+                trigger: Trigger = Trigger.AvailableNow()): Seq[StreamingQuery] =
+    sinks.map { case (path, cp) =>
+      df.writeStream.format("graft-topic")
+        .option("path", path).option("checkpointLocation", cp)
+        .trigger(trigger).start()
+    }
+
+  /** Producer/consumer interceptors (reference: ProducerInterceptor /
+    * ConsumerInterceptor): pure row transforms applied at the sink/source
+    * boundary. Declarative columns keep them codegen'd. */
+  def withProducerInterceptor(df: DataFrame, f: DataFrame => DataFrame): DataFrame = f(df)
+  def withConsumerInterceptor(df: DataFrame, f: DataFrame => DataFrame): DataFrame = f(df)
+}

@@ -118,6 +118,29 @@ object StreamingSemanticsQueries {
         .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
     }),
 
+    // §2.4 TableView materialization: key → latest value map.
+    "q_tableview" -> ((s, d) => {
+      Compaction.tableView(
+        Tables.events(s, d).withColumnRenamed("event_type", "tv_value"),
+        "user_id", "tv_value", col("event_id"))
+    }),
+
+    // §2.1 admin point lookup: getMessageById (exact offset).
+    "q_msg_by_id" -> ((s, d) => {
+      Tables.events(s, d).where(col("event_id") === 4242L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+    }),
+
+    // §2.4 approx_count_distinct (HLL) — rows-only check: HLL sketches are
+    // engine-specific, so no value oracle; the library op under test is the
+    // sketch aggregation shape.
+    "q_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+    }),
+
     // §1.1 envelope round-trip: events → Message envelope → decoded payload.
     "q_envelope" -> ((s, d) => {
       import org.apache.spark.sql.types._
@@ -206,6 +229,14 @@ object StreamingSemanticsQueries {
     "q_key_shared" ->
       """SELECT user_id, count(*) AS n FROM events
          WHERE user_id % 4 = 0 GROUP BY user_id""",
+    "q_tableview" ->
+      """SELECT user_id, event_type AS tv_value
+         FROM (SELECT user_id, event_type, row_number() OVER (
+                 PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+         WHERE rn = 1""",
+    "q_msg_by_id" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_id = 4242""",
     "q_envelope" ->
       """SELECT event_id AS offset, CAST(user_id AS VARCHAR) AS key,
                 'producer-' || CAST(user_id % 8 AS VARCHAR) AS producer_name,

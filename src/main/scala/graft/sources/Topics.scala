@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
+
+/** Topic-subscription surfaces over the graft-topic DSv2 source (and any
+  * directory-of-topics layout): multi-topic and regex subscribe, reader
+  * seek, batch-receive pacing.
+  */
+object Topics {
+
+  /** Subscribe to several topics at once (multi-topic consumer,
+    * reference: ConsumerBuilder.topics) — UNION ALL of the per-topic streams
+    * with the origin topic already in the envelope. */
+  def subscribeMulti(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.readStream.format("graft-topic").option("path", d).load())
+      .reduce(_ unionByName _)
+
+  /** Regex subscribe (reference: ConsumerBuilder.topicsPattern
+    * ConsumerBuilder.java:140-157): topics under `root` whose name matches
+    * `pattern` at subscribe time. (The reference re-discovers periodically;
+    * here discovery happens at query start — restart to pick up new topics.) */
+  def subscribePattern(spark: SparkSession, root: String, pattern: String): DataFrame = {
+    val rx = pattern.r
+    val dirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && rx.pattern.matcher(f.getName).matches())
+      .map(_.getAbsolutePath).toSeq.sorted
+    require(dirs.nonEmpty, s"no topics under $root matching $pattern")
+    subscribeMulti(spark, dirs)
+  }
+
+  /** Bounded Reader scan from a start position (reference: Reader.java:148-174
+    * seek by MessageId / timestamp): batch read with the seek predicate pushed
+    * into segment pruning. */
+  def readerFrom(spark: SparkSession, dir: String,
+                 startOffset: Option[Long] = None,
+                 startTime: Option[java.sql.Timestamp] = None): DataFrame = {
+    var df = spark.read.format("graft-topic").option("path", dir).load()
+    startOffset.foreach(o => df = df.where(col("offset") >= o))
+    startTime.foreach(t => df = df.where(col("publish_time") >= lit(t)))
+    df
+  }
+
+  /** Batch-receive pacing (reference: BatchReceivePolicy maxNumMessages /
+    * timeout, ConsumerBuilder.java:675): micro-batch admission control via
+    * trigger interval; per-source rate caps belong on the source options
+    * (maxOffsetsPerTrigger-style) when the source supports admission limits. */
+  def pacedReader(r: DataStreamReader, dir: String): DataFrame =
+    r.format("graft-topic").option("path", dir).load()
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.sources.Topics
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SinksTopicsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("mergeSql renders ANSI MERGE with upsert + delete-on-null") {
+    val sql = Sinks.mergeSql("tgt", "stg", Seq("id"), Seq("name", "amount"),
+      deleteOnNull = Some("name"))
+    assert(sql ==
+      "MERGE INTO tgt t USING stg s ON t.id = s.id " +
+        "WHEN MATCHED AND s.name IS NULL THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET name = s.name, amount = s.amount " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, amount) VALUES (s.id, s.name, s.amount)")
+  }
+
+  test("upsertBatch dedupes to last-value-per-key before the merge") {
+    val batch = Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "x", 5L))
+      .toDF("id", "name", "ord")
+    var staged: DataFrame = null
+    var sql: String = null
+    Sinks.upsertBatch(batch, "ord", "tgt", "stg", Seq("id")) { (df, s) =>
+      staged = df; sql = s
+    }
+    val rows = staged.select("id", "name").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "b"), (2L, "x"))) // ord=20 wins for id=1
+    assert(sql.startsWith("MERGE INTO tgt"))
+  }
+
+  private def envelope(topicDir: String, n: Int): Unit =
+    (0 until n).map(i => ("t", 0, i.toLong, s"k$i", s"v$i",
+      ts("2024-01-01 00:00:01"), ts("2024-01-01 00:00:01"), "p", i.toLong))
+      .toDF("topic", "partition", "offset", "key", "value", "event_time",
+        "publish_time", "producer_name", "sequence_id")
+      .coalesce(1).write.format("graft-topic").option("path", topicDir)
+      .mode("append").save()
+
+  test("subscribePattern unions matching topics; readerFrom seeks") {
+    val root = Files.createTempDirectory("topics").toFile.getAbsolutePath
+    envelope(s"$root/orders-eu", 5)
+    envelope(s"$root/orders-us", 7)
+    envelope(s"$root/audit", 3)
+    val q = Topics.subscribePattern(spark, root, "orders-.*")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("pat_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val n = spark.table("pat_out").as[Long].head()
+    q.stop()
+    assert(n == 12)
+
+    val seek = Topics.readerFrom(spark, s"$root/orders-us",
+      startOffset = Some(3L)).count()
+    assert(seek == 4)
+  }
+
+  test("replicate fans out to two sinks with independent cursors") {
+    val src = Files.createTempDirectory("repl-src").toFile.getAbsolutePath
+    val d1 = Files.createTempDirectory("repl-1").toFile.getAbsolutePath
+    val d2 = Files.createTempDirectory("repl-2").toFile.getAbsolutePath
+    val c1 = Files.createTempDirectory("repl-c1").toFile.getAbsolutePath
+    val c2 = Files.createTempDirectory("repl-c2").toFile.getAbsolutePath
+    envelope(src, 9)
+    val stream = spark.readStream.format("graft-topic").option("path", src).load()
+    val qs = Sinks.replicate(stream, Seq((d1, c1), (d2, c2)))
+    qs.foreach(_.processAllAvailable()); qs.foreach(_.stop())
+    assert(spark.read.format("graft-topic").option("path", d1).load().count() == 9)
+    assert(spark.read.format("graft-topic").option("path", d2).load().count() == 9)
+  }
+}
