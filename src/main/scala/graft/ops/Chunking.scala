@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Chunked (oversized) message handling: producers split a large payload into
+  * numChunks pieces sharing a uuid; the consumer reassembles them in chunk_id
+  * order (reference: PulsarApi.proto:159-162 uuid/num_chunks/chunk_id;
+  * reassembly ConsumerImpl.java:1365-1447).
+  *
+  * Spark-first: a single groupBy(uuid) aggregation — array_agg sorted by
+  * chunk_id, concatenated. Map-side partial aggregation keeps the shuffle at
+  * one row per chunk (not per byte), and incomplete groups are either dropped
+  * or surfaced, like the consumer's maxPendingChunkedMessage expiry. */
+object Chunking {
+
+  /** Split rows into chunks of `chunkBytes` — the producer side.
+    * Output: (uuid, chunk_id, num_chunks, chunk_payload). */
+  def split(df: DataFrame, idCol: String, payloadCol: String,
+            chunkBytes: Int): DataFrame = {
+    val total = length(col(payloadCol))
+    val n = ceil(total.cast("double") / chunkBytes).cast("int")
+    df.select(
+      col(idCol).cast("string").as("uuid"),
+      n.as("num_chunks"),
+      posexplode(transform(sequence(lit(0), n - 1),
+        i => substring(col(payloadCol), (i * chunkBytes) + 1, lit(chunkBytes)))))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk_payload")
+  }
+
+  /** Reassemble chunks; incomplete messages (missing chunks) are dropped,
+    * mirroring consumer-side expiry of pending chunked messages. */
+  def reassemble(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("uuid"))
+      .agg(
+        max(col("num_chunks")).as("expected"),
+        count(lit(1)).as("got"),
+        concat_ws("", sort_array(collect_list(
+          struct(col("chunk_id"), col("chunk_payload"))))
+          .getField("chunk_payload")).as("payload"))
+      .where(col("got") === col("expected"))
+      .select(col("uuid"), col("payload"))
+}
