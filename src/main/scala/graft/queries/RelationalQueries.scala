@@ -260,6 +260,33 @@ object RelationalQueries {
         sqrt(col("l_quantity")).as("qty_sqrt"))
     }),
 
+    // §2.8 edit distance (near-match text ops).
+    "q_edit_distance" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("edist_name_type"),
+        levenshtein(col("p_brand"), lit("Brand#1")).as("edist_brand"))
+    }),
+
+    // §2.8 regex functions (entry-filter-style predicates + extraction).
+    "q_regex_fns" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        col("p_type").rlike("^(SMALL|LARGE)").as("is_sized"),
+        element_at(split(col("p_name"), " "), 1).as("name_head"))
+    }),
+
+    // §2.4 percentile sketch (rows-only: t-digest/GK internals are
+    // engine-specific like HLL).
+    "q_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("p50_approx"),
+          count(lit(1)).as("n"))
+    }),
+
     // §2.5 SQL analytic windows: ranking.
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -417,6 +444,17 @@ object RelationalQueries {
                 greatest(l_quantity, l_tax * 100) AS gr,
                 sqrt(l_quantity) AS qty_sqrt
          FROM lineitem""",
+    "q_edit_distance" ->
+      """SELECT p_partkey, levenshtein(p_name, p_type) AS edist_name_type,
+                levenshtein(p_brand, 'Brand#1') AS edist_brand
+         FROM part""",
+    "q_regex_fns" ->
+      """SELECT p_partkey,
+                regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+                regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+                regexp_matches(p_type, '^(SMALL|LARGE)') AS is_sized,
+                string_split(p_name, ' ')[1] AS name_head
+         FROM part""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
