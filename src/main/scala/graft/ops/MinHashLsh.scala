@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
+  /** Hash-heavy per-row compute must not inherit the scan's partitioning: a
+    * single small parquet file = one partition = one core doing all the
+    * digests. Spread to the cluster's parallelism first (the tiny shuffle of
+    * raw docs is orders cheaper than serializing the hash work). */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** MinHash signature per document: one row per doc with `mh0..mh{n-1}`.
     * Computed by the fused [[graft.functions.MinHashSignature]] expression —
     * one digest pass over the shingles instead of numHashes array
@@ -23,7 +32,11 @@ object MinHashLsh {
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numHashes: Int = 16): DataFrame = {
     val sh = shingles(col(textCol), shingleK).as("__sh")
-    val base = docs.select(col(idCol), sh).where(size(col("__sh")) > 0)
+    // shingles nonempty iff the doc has >= k tokens — filter on the cheap
+    // token count so the shingle array is computed exactly once.
+    val base = spread(docs.select(col(idCol), col(textCol)))
+      .where(tokenCount(col(textCol)) >= shingleK)
+      .select(col(idCol), sh)
       .select(col(idCol),
         GraftExpressions.minhash_signature(col("__sh"), numHashes).as("__sig"))
     base.select(
@@ -100,8 +113,9 @@ object MinHashLsh {
   def jaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
                      blockCol: String, shingleK: Int = 3,
                      threshold: Double = 0.0): DataFrame = {
-    val sh = docs.select(col(idCol), col(blockCol),
-      hashedShingles(col(textCol), shingleK).as("__sh"))
+    val sh = spread(docs.select(col(idCol), col(blockCol), col(textCol)))
+      .select(col(idCol), col(blockCol),
+        hashedShingles(col(textCol), shingleK).as("__sh"))
     val a = sh.select(col(idCol).as("doc_a"), col(blockCol),
       col("__sh").as("__sha"))
     val b = sh.select(col(idCol).as("doc_b"), col(blockCol).as("__blk_b"),
