@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{Envelope, Tables}
+import graft.ops.Compaction
+import org.apache.spark.sql.functions._
+
+/** Full-pipeline integration over the driver's real testdata (FIXTURES §B):
+  * events → Message envelope → graft-topic segments → Structured Streaming
+  * (watermarked window agg; stateful TableView) — every streaming answer
+  * cross-checked against the equivalent batch computation on the same rows.
+  */
+class EndToEndPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def topicDir(): String = {
+    val dir = Files.createTempDirectory("e2e-topic").toFile.getAbsolutePath
+    val env = Envelope.fromEvents(Tables.events(spark, sf))
+      .select(col("topic"), col("partition"), col("offset"), col("key"),
+        decode(col("value"), "UTF-8").as("value"), col("event_time"),
+        col("publish_time"), col("producer_name"), col("sequence_id"))
+    // replay in 4 sealed segments ordered by offset (publisher batches)
+    env.withColumn("seg", (col("offset") % 4).cast("int"))
+      .repartitionByRange(4, col("seg"))
+      .sortWithinPartitions(col("offset"))
+      .drop("seg")
+      .write.format("graft-topic").option("path", dir).mode("append").save()
+    dir
+  }
+
+  test("replayed topic: streaming windowed agg equals batch answer") {
+    val dir = topicDir()
+    val stream = spark.readStream.format("graft-topic").option("path", dir)
+      .load()
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w"), col("n"))
+    val q = stream.writeStream.format("memory").queryName("e2e_win")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("e2e_win").as[(Long, Long)].collect().toMap
+    q.stop()
+
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed.values.sum == 1000L) // sf0.001 events row count
+  }
+
+  test("replayed topic: streaming TableView equals batch compaction") {
+    val dir = topicDir()
+    val typed = spark.readStream.format("graft-topic").option("path", dir)
+      .load()
+      .select(col("key"), col("value"), col("offset"),
+        col("event_time").as("eventTime"))
+      .as[graft.streaming.KeyedMsg]
+    val q = graft.streaming.StatefulOps.tableViewStream(typed)
+      .writeStream.format("memory").queryName("e2e_tv")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    val rows = spark.table("e2e_tv").as[graft.streaming.KeyUpdate].collect()
+    q.stop()
+    val streamedLatest = rows.groupBy(_.key)
+      .map { case (k, v) => k -> v.maxBy(_.offset).offset }
+
+    val batchLatest = Compaction.compact(
+      Envelope.fromEvents(Tables.events(spark, sf)), Seq("key"), col("offset"))
+      .select(col("key"), col("offset")).as[(String, Long)].collect().toMap
+    assert(streamedLatest == batchLatest)
+    assert(streamedLatest.size == 15) // one entry per distinct user key
+  }
+}
