@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput benchmark (supplementary to Bench): replays the
+  * events table through the graft-topic segment log and measures end-to-end
+  * rows/sec for three pipelines — pass-through produce, watermarked windowed
+  * aggregation, and stateful TableView. Prints one JSON line.
+  *
+  * The reference's perf posture is msg/s through a broker
+  * (pulsar-perf, PerformanceProducer.java); the analog here is rows/s
+  * through source → operator → sink with checkpointing on.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "false") // streaming plans
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val tmp = java.nio.file.Files.createTempDirectory("streambench")
+    val topic = tmp.resolve("topic").toString
+    val events = graft.core.Tables.events(spark, sfDir)
+    val n = events.count()
+    // replay as 16 sealed segments
+    graft.core.Envelope.fromEvents(events)
+      .select(col("topic"), col("partition"), col("offset"), col("key"),
+        decode(col("value"), "UTF-8").as("value"), col("event_time"),
+        col("publish_time"), col("producer_name"), col("sequence_id"))
+      .withColumn("seg", pmod(col("offset"), lit(16)).cast("int"))
+      .repartition(16, col("seg")).drop("seg")
+      .write.format("graft-topic").option("path", topic).mode("append").save()
+
+    def timed(name: String)(build: => org.apache.spark.sql.streaming.StreamingQuery): (String, Double) = {
+      val t0 = System.nanoTime()
+      val q = build
+      q.processAllAvailable(); q.stop()
+      name -> (n / ((System.nanoTime() - t0) / 1e9))
+    }
+
+    val src = () => spark.readStream.format("graft-topic").option("path", topic).load()
+
+    val results = Seq(
+      timed("passthrough_rows_per_s") {
+        src().writeStream.format("graft-topic")
+          .option("path", tmp.resolve("out1").toString)
+          .option("checkpointLocation", tmp.resolve("cp1").toString).start()
+      },
+      timed("windowed_agg_rows_per_s") {
+        src().withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("key"))
+          .agg(count(lit(1)), sum(length(col("value"))))
+          .writeStream.format("memory").queryName("sb_win")
+          .outputMode("append")
+          .option("checkpointLocation", tmp.resolve("cp2").toString).start()
+      },
+      timed("tableview_rows_per_s") {
+        graft.streaming.StatefulOps.tableViewStream(
+          src().select(col("key"), col("value"), col("offset"),
+            col("event_time").as("eventTime")).as[graft.streaming.KeyedMsg])
+          .writeStream.format("memory").queryName("sb_tv")
+          .outputMode("update")
+          .option("checkpointLocation", tmp.resolve("cp3").toString).start()
+      })
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"stream_rows_per_s","rows":$n,"queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -49,4 +49,20 @@ object Topics {
     * (maxOffsetsPerTrigger-style) when the source supports admission limits. */
   def pacedReader(r: DataStreamReader, dir: String): DataFrame =
     r.format("graft-topic").option("path", dir).load()
+
+  /** File source (reference: pulsar-io/file FileSource/FileListingThread —
+    * watch a directory, publish each line with file provenance): Spark's
+    * streaming text source already handles listing/offsets/compression
+    * (gzip transparent); we add the envelope columns the connector attaches. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir)
+      .select(
+        col("value"),
+        input_file_name().as("source_file"),
+        current_timestamp().as("publish_time"))
+
+  /** Bounded variant for backfill. */
+  def fileSourceBatch(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(dir)
+      .select(col("value"), input_file_name().as("source_file"))
 }
