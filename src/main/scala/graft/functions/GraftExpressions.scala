@@ -110,7 +110,73 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Dot product of two float vectors in double precision — the inner loop of
+  * every similarity-search operator. Fully codegen'd (doGenCode): the
+  * generated loop reads primitive floats straight out of the columnar
+  * ArrayData with no per-element boxing or intermediate array, unlike
+  * zip_with+aggregate which materializes a boxed lambda result per element.
+  * Accumulation is left-to-right in element order, matching the
+  * zip_with/aggregate formulation bit-for-bit. Elements must be non-null;
+  * length mismatch scores the common prefix. */
+case class FloatVectorDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vector_dot"
+
+  /** Primitive accessor per side: float or double element arrays. */
+  private def getterName(e: Expression): String = e.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case other => throw new IllegalArgumentException(
+      s"float_vector_dot expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val aDouble = getterName(left) == "getDouble"
+    val bDouble = getterName(right) == "getDouble"
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.${getterName(left)}($i)
+         |        * (double) $b.${getterName(right)}($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
+  def float_vector_dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVectorDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   def sorted_intersect_count(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedLongIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

@@ -13,7 +13,14 @@ import org.apache.spark.sql.types._
   */
 object VectorFunctions {
 
+  /** Codegen'd primitive loop (FloatVectorDot); identical accumulation order
+    * to the zip_with+aggregate formulation it replaces. */
   def dot(a: Column, b: Column): Column =
+    GraftExpressions.float_vector_dot(a, b)
+
+  /** The compositional formulation (reference semantics; used to cross-check
+    * the native expression). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)

@@ -58,6 +58,18 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.forall(_._2 >= -1.0000001) && rows.forall(_._2 <= 1.0000001))
   }
 
+  test("codegen FloatVectorDot equals the zip_with/aggregate formulation") {
+    val vecs = (0 until 200).map { i =>
+      (Seq.tabulate(64)(j => (math.sin(i * 64 + j)).toFloat),
+        Seq.tabulate(64)(j => (math.cos(i * 64 + j)).toFloat))
+    }.toDF("a", "b")
+    val fused = vecs.select(VectorFunctions.dot(col("a"), col("b")))
+      .as[Double].collect()
+    val composed = vecs.select(VectorFunctions.dotComposed(col("a"), col("b")))
+      .as[Double].collect()
+    assert(fused.toSeq == composed.toSeq) // bitwise: same accumulation order
+  }
+
   test("srpBucket is deterministic across evaluations") {
     val emb = Seq((0L, vec(1f, 2f, 3f)), (1L, vec(-1f, 0f, 1f)))
       .toDF("vec_id", "embedding")
