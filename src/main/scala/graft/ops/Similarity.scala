@@ -52,6 +52,26 @@ object Similarity {
         col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate dedup: within a blocking key (coarse
+    * cell / LSH bucket — never all-pairs global), pairs with cosine ≥
+    * `threshold` mark the higher id as a duplicate of the lowest matching id.
+    * Returns (dup_id, keeper_id, sim). The block join shuffles on the block
+    * key; scoring is the codegen'd dot product. */
+  def cosineDedup(df: DataFrame, idCol: String, vecCol: String,
+                  blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("doc_a"), col(vecCol).as("__va"),
+      col(blockCol).as("__blk"))
+    val b = df.select(col(idCol).as("dup_id"), col(vecCol).as("__vb"),
+      col(blockCol).as("__blk_b"))
+    a.join(b, col("__blk") === col("__blk_b") && col("doc_a") < col("dup_id"))
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .where(col("sim") >= threshold)
+      .groupBy(col("dup_id"))
+      .agg(min_by(struct(col("doc_a"), col("sim")), col("doc_a")).as("k"))
+      .select(col("dup_id"), col("k.doc_a").as("keeper_id"),
+        round(col("k.sim"), 6).as("sim"))
+  }
+
   /** LSH-bucketed ANN: sign-random-projection bucket as the blocking key; only
     * same-bucket candidates are scored. Recall trades off with `numPlanes`. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,

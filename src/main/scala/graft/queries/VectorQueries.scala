@@ -32,6 +32,12 @@ object VectorQueries {
     "q_ann_lsh" -> ((s, d) => {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, numPlanes = 8, k = 3)
+    }),
+
+    // Embedding-cosine near-dup dedup within the coarse cell.
+    "q_embed_dedup" -> ((s, d) => {
+      Similarity.cosineDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", threshold = 0.35)
     })
   )
 
@@ -62,6 +68,25 @@ object VectorQueries {
                      AS rank
             FROM dots)
           WHERE rank <= 5""",
+    "q_embed_dedup" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+          dots AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS dup_id,
+                   sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+                   sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+                   sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+            FROM e a
+            JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id,
+            LATERAL unnest(range(1, 65)) AS t(i)
+            GROUP BY a.vec_id, b.vec_id),
+          sims AS (
+            SELECT doc_a, dup_id, dp / (sqrt(na) * sqrt(nb)) AS sim FROM dots
+            WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.35)
+          SELECT dup_id, doc_a AS keeper_id, round(sim, 6) AS sim FROM (
+            SELECT dup_id, doc_a, sim,
+                   row_number() OVER (PARTITION BY dup_id ORDER BY doc_a) AS rn
+            FROM sims)
+          WHERE rn = 1""",
     "q_ann_ivf" ->
       s"""WITH ${cosineCte("vec_id < 20")}
           SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
