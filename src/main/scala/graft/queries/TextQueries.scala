@@ -63,14 +63,13 @@ object TextQueries {
 
     // SimHash-16 fingerprint per document.
     "q_simhash" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .withColumn("h", hash16(col("tok")))
-      val votes = (0 until 16).map(j => sum(simhashVote(col("h"), j)).as(s"v$j"))
-      toks.groupBy(col("doc_id"))
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          simhashFromVotes((0 until 16).map(j => col(s"v$j"))).as("simhash"))
+      graft.ops.SimHashDedup.simhash16(Tables.documents(s, d), "doc_id", "text")
+    }),
+
+    // SimHash near-dup pairs: hamming <= 1 via pigeonhole block candidates.
+    "q_simhash_dedup" -> ((s, d) => {
+      graft.ops.SimHashDedup.nearDuplicates(Tables.documents(s, d),
+        "doc_id", "text", maxHamming = 1)
     }),
 
     // Multimodal plumbing: opaque binary payload + typed metadata columns —
@@ -90,6 +89,27 @@ object TextQueries {
 
   private def minhashSqlExprs(n: Int): String =
     (0 until n).map(i => s"min(md5('$i:' || sh)) AS mh$i").mkString(",\n                ")
+
+  /** Shared CTE chain ending in `sh(doc_id, simhash)` — the SQL mirror of
+    * SimHashDedup.simhash16 (md5-nibble hash16, ±1 votes, sign bits). */
+  private val simhashCte: String = {
+    def nib(i: Int) =
+      s"(CASE WHEN ascii(substr(md5(tok),$i,1)) <= 57 THEN ascii(substr(md5(tok),$i,1)) - 48 ELSE ascii(substr(md5(tok),$i,1)) - 87 END)"
+    s"""toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          hashed AS (
+            SELECT doc_id,
+              ${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS h
+            FROM toks),
+          votes AS (
+            SELECT doc_id,
+              ${(0 until 16).map(j => s"sum((CAST(floor(h / ${1 << j}) AS BIGINT) % 2) * 2 - 1) AS v$j").mkString(",\n              ")}
+            FROM hashed GROUP BY doc_id),
+          sh AS (
+            SELECT doc_id,
+              ${(0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
+            FROM votes)"""
+  }
 
   /** Shared CTE: distinct 3-word shingles per doc (1-based list slicing). */
   private val shingleCte =
@@ -187,22 +207,14 @@ object TextQueries {
           JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
                         AND a.doc_id < b.doc_id""",
     "q_simhash" ->
-      s"""WITH toks AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-          hashed AS (
-            SELECT doc_id,
-              (CASE WHEN ascii(substr(md5(tok),1,1)) <= 57 THEN ascii(substr(md5(tok),1,1)) - 48 ELSE ascii(substr(md5(tok),1,1)) - 87 END) * 4096
-            + (CASE WHEN ascii(substr(md5(tok),2,1)) <= 57 THEN ascii(substr(md5(tok),2,1)) - 48 ELSE ascii(substr(md5(tok),2,1)) - 87 END) * 256
-            + (CASE WHEN ascii(substr(md5(tok),3,1)) <= 57 THEN ascii(substr(md5(tok),3,1)) - 48 ELSE ascii(substr(md5(tok),3,1)) - 87 END) * 16
-            + (CASE WHEN ascii(substr(md5(tok),4,1)) <= 57 THEN ascii(substr(md5(tok),4,1)) - 48 ELSE ascii(substr(md5(tok),4,1)) - 87 END) AS h
-            FROM toks),
-          votes AS (
-            SELECT doc_id,
-              ${(0 until 16).map(j => s"sum((CAST(floor(h / ${1 << j}) AS BIGINT) % 2) * 2 - 1) AS v$j").mkString(",\n              ")}
-            FROM hashed GROUP BY doc_id)
-          SELECT doc_id,
-            ${(0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
-          FROM votes""",
+      s"""WITH $simhashCte
+          SELECT doc_id, simhash FROM sh""",
+    "q_simhash_dedup" ->
+      s"""WITH $simhashCte
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""",
     "q_multimodal_meta" ->
       """SELECT doc_id, source, octet_length(encode(text)) AS n_bytes,
                 octet_length(encode(text)) % 640 AS fake_width,
