@@ -16,14 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  /** Hash-heavy per-row compute must not inherit the scan's partitioning: a
-    * single small parquet file = one partition = one core doing all the
-    * digests. Spread to the cluster's parallelism first (the tiny shuffle of
-    * raw docs is orders cheaper than serializing the hash work). */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
 
   /** MinHash signature per document: one row per doc with `mh0..mh{n-1}`.
     * Computed by the fused [[graft.functions.MinHashSignature]] expression —
@@ -34,7 +26,7 @@ object MinHashLsh {
     val sh = shingles(col(textCol), shingleK).as("__sh")
     // shingles nonempty iff the doc has >= k tokens — filter on the cheap
     // token count so the shingle array is computed exactly once.
-    val base = spread(docs.select(col(idCol), col(textCol)))
+    val base = Par.spread(docs.select(col(idCol), col(textCol)))
       .where(tokenCount(col(textCol)) >= shingleK)
       .select(col(idCol), sh)
       .select(col(idCol),
@@ -113,7 +105,7 @@ object MinHashLsh {
   def jaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
                      blockCol: String, shingleK: Int = 3,
                      threshold: Double = 0.0): DataFrame = {
-    val sh = spread(docs.select(col(idCol), col(blockCol), col(textCol)))
+    val sh = Par.spread(docs.select(col(idCol), col(blockCol), col(textCol)))
       .select(col(idCol), col(blockCol),
         hashedShingles(col(textCol), shingleK).as("__sh"))
     val a = sh.select(col(idCol).as("doc_a"), col(blockCol),

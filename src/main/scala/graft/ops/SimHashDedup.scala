@@ -15,16 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object SimHashDedup {
 
-  private[ops] def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
-
   /** 16-bit SimHash per document: md5-nibble token hashes vote ±1 per bit;
     * the sign of each bit's vote sum forms the fingerprint (reproducible in
     * SQL — see the q_simhash oracle). */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = spread(docs.select(col(idCol), col(textCol)))
+    val toks = Par.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
       .withColumn("__h", hash16(col("__tok")))
     val votes = (0 until 16).map(j => sum(simhashVote(col("__h"), j)).as(s"__v$j"))

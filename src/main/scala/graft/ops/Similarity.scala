@@ -20,7 +20,8 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val c = Par.spread(candidates
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
@@ -39,8 +40,8 @@ object Similarity {
               vecCol: String, cellCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       col(cellCol).as("__cell"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      col(cellCol).as("__cell"))
+    val c = Par.spread(candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(cellCol).as("__cell")))
     val scored = c.join(broadcast(q), "__cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
@@ -59,9 +60,10 @@ object Similarity {
     * key; scoring is the codegen'd dot product. */
   def cosineDedup(df: DataFrame, idCol: String, vecCol: String,
                   blockCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("doc_a"), col(vecCol).as("__va"),
+    val spreadDf = Par.spread(df.select(col(idCol), col(vecCol), col(blockCol)))
+    val a = spreadDf.select(col(idCol).as("doc_a"), col(vecCol).as("__va"),
       col(blockCol).as("__blk"))
-    val b = df.select(col(idCol).as("dup_id"), col(vecCol).as("__vb"),
+    val b = spreadDf.select(col(idCol).as("dup_id"), col(vecCol).as("__vb"),
       col(blockCol).as("__blk_b"))
     a.join(b, col("__blk") === col("__blk_b") && col("doc_a") < col("dup_id"))
       .withColumn("sim", cosine(col("__va"), col("__vb")))
@@ -76,8 +78,9 @@ object Similarity {
     * same-bucket candidates are scored. Recall trades off with `numPlanes`. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
               numPlanes: Int, k: Int): DataFrame = {
-    val bucketed = df.select(col(idCol), col(vecCol),
-      srpBucket(col(vecCol), numPlanes, dim).as("__bucket"))
+    val bucketed = Par.spread(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol), col(vecCol),
+        srpBucket(col(vecCol), numPlanes, dim).as("__bucket"))
     val a = bucketed.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       col("__bucket"))
     val b = bucketed.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
