@@ -90,6 +90,15 @@ object RelationalQueries {
         .agg(sum(col("o_totalprice")).as("total"), count(lit(1)).as("cnt"))
     }),
 
+    // §2.4 explicit GROUPING SETS (cube/rollup's general form).
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                      sum(o_totalprice) AS total, count(*) AS cnt
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
+
     // §2.4 rate/stats aggregation (PulsarStats analog).
     "q_rate_stats" -> ((s, d) => {
       Tables.events(s, d).groupBy(col("event_type"))
@@ -349,6 +358,11 @@ object RelationalQueries {
       """SELECT year(o_orderdate) AS o_year, o_orderstatus,
                 sum(o_totalprice) AS total, count(*) AS cnt
          FROM orders GROUP BY ROLLUP (o_year, o_orderstatus)""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                sum(o_totalprice) AS total, count(*) AS cnt
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
     "q_rate_stats" ->
       """SELECT event_type, count(*) AS n, avg(value) AS avg_value,
                 min(value) AS min_value, max(value) AS max_value,

@@ -92,6 +92,39 @@ object StatefulOps {
       }
   }
 
+  /** Watermark-driven count window: like [[tumblingCountWindow]] but windows
+    * are cut in EVENT-TIME order and only from events at or below the
+    * watermark — so out-of-order arrival (within the allowed lag) cannot
+    * change window membership. This is the reference's watermark count
+    * trigger/eviction pair (WatermarkCountTriggerPolicy.java:34-65,
+    * WatermarkCountEvictionPolicy.java): triggers fire as the watermark
+    * passes events, not as they arrive. Requires `withWatermark` on
+    * eventTime upstream. */
+  def watermarkCountWindow(ds: Dataset[KeyedMsg], windowLength: Int)
+  : Dataset[CountWindow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Seq[KeyedMsg], CountWindow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, msgs, state: GroupState[Seq[KeyedMsg]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.getOrElse(Seq.empty) ++ msgs
+          // seal events the watermark has passed; cut windows in event-time
+          // order (offset as the deterministic tie-break)
+          val (ripe, unripe) = buf.partition(_.eventTime.getTime <= wm)
+          val ordered = ripe.sortBy(m => (m.eventTime.getTime, m.offset))
+          val emit = ordered.grouped(windowLength).toSeq
+          val (complete, rest) = emit.partition(_.size == windowLength)
+          val held = rest.flatten ++ unripe
+          if (held.nonEmpty) {
+            state.update(held)
+            state.setTimeoutTimestamp(wm + 1 max 1) // wake on next wm advance
+          } else state.remove()
+          complete.iterator.map(w => CountWindow(key, w.head.offset,
+            w.map(_.value), w.map(_.offset), w.size))
+      }
+  }
+
   // --------------------------------------------------------- delayed delivery
   /** Delayed delivery: hold each message in state until the event-time
     * watermark passes its deliver-at time, then release it. The watermark is

@@ -72,6 +72,32 @@ class StatefulOpsSpec extends SparkSuite {
       List(List("v1", "v2"), List("v2", "v3", "v4"), List("v4", "v5", "v6")))
   }
 
+  test("watermarkCountWindow cuts windows in event-time order despite arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedMsg]
+    val windows = StatefulOps.watermarkCountWindow(
+      in.toDF().withWatermark("eventTime", "0 seconds").as[KeyedMsg], 2)
+    val (q, name) = runToMemory(windows.toDF(), "append")
+    // arrive OUT of event-time order: :30, :10, :20, :40
+    in.addData(
+      KeyedMsg("k", "c", 3L, ts("2024-01-01 00:00:30")),
+      KeyedMsg("k", "a", 1L, ts("2024-01-01 00:00:10")),
+      KeyedMsg("k", "b", 2L, ts("2024-01-01 00:00:20")),
+      KeyedMsg("k", "d", 4L, ts("2024-01-01 00:00:40")))
+    q.processAllAvailable()
+    // advance the watermark past everything buffered
+    in.addData(KeyedMsg("k2", "tick", 9L, ts("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    in.addData(KeyedMsg("k2", "tick2", 10L, ts("2024-01-01 00:20:00")))
+    q.processAllAvailable()
+    val wins = spark.table(name).as[CountWindow]
+      .collect().filter(_.key == "k").sortBy(_.windowId)
+    q.stop()
+    // windows are (a,b) and (c,d): EVENT-time order, not arrival order
+    assert(wins.map(_.values.toList).toList ==
+      List(List("a", "b"), List("c", "d")))
+  }
+
   test("delayedDelivery releases messages only once watermark passes deliverAt") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[DelayedMsg]
