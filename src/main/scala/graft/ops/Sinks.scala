@@ -53,6 +53,20 @@ object Sinks {
         .trigger(trigger).start()
     }
 
+  /** Bucketed write: pre-shuffle a fact table by its join key into N buckets
+    * so repeated joins/aggregations on that key run with NO exchange — the
+    * managed-table analog of the reference's key-hash partitioned topics
+    * (key ordering + locality per hash range). At 100 TB this turns the
+    * recurring fact-fact join from a full shuffle into a local zip of
+    * buckets. Requires a catalog table (bucketing lives in the metastore). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keyCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Producer/consumer interceptors (reference: ProducerInterceptor /
     * ConsumerInterceptor): pure row transforms applied at the sink/source
     * boundary. Declarative columns keep them codegen'd. */
