@@ -308,6 +308,36 @@ object RelationalQueries {
           col("rn"), col("rk"))
     }),
 
+    // §2.5 analytic windows: RANGE frame over event-time (90-day trailing
+    // spend per customer).
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("odate_ms"))
+        .rangeBetween(-7776000000L, 0L) // 90 days in ms
+      Tables.orders(s, d)
+        .withColumn("odate_ms",
+          unix_millis(col("o_orderdate").cast("timestamp")))
+        .withColumn("trailing_90d_spend", sum(col("o_totalprice")).over(w))
+        .withColumn("trailing_90d_orders", count(lit(1)).over(w))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("trailing_90d_spend"), col("trailing_90d_orders"))
+    }),
+
+    // §2.5 analytic windows: distribution functions.
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("cheapest_in_status",
+          first(col("o_orderkey")).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("pr"), col("cd"),
+          col("quartile"), col("cheapest_in_status"))
+    }),
+
     // §2.5 analytic windows: running frame + lag/lead.
     "q_window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -477,6 +507,25 @@ object RelationalQueries {
            WINDOW w AS (PARTITION BY o_custkey
                         ORDER BY o_totalprice DESC, o_orderkey ASC)
          ) WHERE rn <= 3""",
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+                sum(o_totalprice) OVER w AS trailing_90d_spend,
+                count(*) OVER w AS trailing_90d_orders
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+                      RANGE BETWEEN 7776000000 PRECEDING AND CURRENT ROW)""",
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd,
+                ntile(4) OVER w AS quartile,
+                first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+                  ORDER BY o_totalprice ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS cheapest_in_status
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice ASC, o_orderkey ASC)""",
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
                 sum(o_totalprice) OVER (PARTITION BY o_custkey
