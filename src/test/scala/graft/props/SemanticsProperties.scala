@@ -64,6 +64,38 @@ class SemanticsProperties extends SparkSuite {
     }
   }
 
+  private val asofGen = for {
+    lefts <- Gen.listOfN(25, for {
+      k <- Gen.oneOf("a", "b"); t <- Gen.choose(0L, 30L)
+    } yield (k, t))
+    rights <- Gen.listOfN(25, for {
+      k <- Gen.oneOf("a", "b"); t <- Gen.choose(0L, 30L)
+    } yield (k, t))
+  } yield (lefts, rights)
+
+  test("asOf join equals the per-row latest-at-or-before reference model") {
+    import graft.ops.AsOfJoin
+    samples(asofGen, 8).foreach { case (lefts, rights) =>
+      val l = lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val r = rights.zipWithIndex.map { case ((k, t), i) =>
+        (1000L + i, k, t, s"r$i")
+      }
+      // reference model: most recent right at-or-before, max rid on time ties
+      val model = l.flatMap { case (id, k, t) =>
+        val cand = r.filter(x => x._2 == k && x._3 <= t)
+        if (cand.isEmpty) None
+        else Some(id -> cand.maxBy(x => (x._3, x._1))._4)
+      }.toMap
+
+      val got = AsOfJoin.asOf(
+        l.toDF("lid", "k", "t"), Seq("k"), "t",
+        r.toDF("rid", "rk", "rt", "payload"), Seq("rk"), "rt",
+        rightTieBreak = Seq("rid"), joinType = "inner")
+        .select("lid", "payload").as[(Long, String)].collect().toMap
+      assert(got == model, s"lefts=$l rights=$r")
+    }
+  }
+
   private val schemaGen: Gen[StructType] = Gen.listOfN(4,
     for {
       n <- Gen.oneOf("a", "b", "c", "d", "e")
