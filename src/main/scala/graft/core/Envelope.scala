@@ -65,4 +65,21 @@ object Envelope {
     * under Key_Shared (reference: ConsistentHashingStickyKeyConsumerSelector.java:41-108). */
   def keySharedSlice(env: DataFrame, consumer: Int, numConsumers: Int): DataFrame =
     env.where(pmod(hash(col("key")), lit(numConsumers)) === lit(consumer))
+
+  /** Message routing modes (reference: MessageRoutingMode.java:39-55,
+    * RoundRobinPartitionMessageRouterImpl.java:74 — keyed messages hash,
+    * unkeyed round-robin; SinglePartition pins everything to one). Returns
+    * the DataFrame repartitioned per the chosen router — the produce-side
+    * partition assignment. */
+  def routeKeyHash(df: DataFrame, numPartitions: Int, keyCol: String = "key"): DataFrame =
+    df.repartition(numPartitions, col(keyCol))
+
+  def routeRoundRobin(df: DataFrame, numPartitions: Int): DataFrame =
+    df.repartition(numPartitions) // RoundRobinPartitioning
+
+  def routeSinglePartition(df: DataFrame): DataFrame =
+    df.coalesce(1)
+
+  def routeCustom(df: DataFrame, numPartitions: Int, routingExpr: Column): DataFrame =
+    df.repartition(numPartitions, routingExpr)
 }

@@ -81,7 +81,9 @@ class TopicTable(path: String) extends Table with SupportsRead with SupportsWrit
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TopicScanBuilder(path)
+    new TopicScanBuilder(path,
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
+      Option(options.get("startingTime")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TopicWriteBuilder(path, info.queryId())
@@ -89,7 +91,8 @@ class TopicTable(path: String) extends Table with SupportsRead with SupportsWrit
 
 // ---------------------------------------------------------------------- read
 
-class TopicScanBuilder(path: String) extends ScanBuilder
+class TopicScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None,
+                       startingTimeMs: Option[Long] = None) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TopicTable.schema
@@ -112,15 +115,18 @@ class TopicScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new TopicScan(path, pushed, required)
+  override def build(): Scan =
+    new TopicScan(path, pushed, required, maxSegmentsPerTrigger, startingTimeMs)
 }
 
-class TopicScan(path: String, filters: Array[Filter], required: StructType)
+class TopicScan(path: String, filters: Array[Filter], required: StructType,
+                maxSegmentsPerTrigger: Option[Int] = None,
+                startingTimeMs: Option[Long] = None)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TopicMicroBatchStream(path)
+    new TopicMicroBatchStream(path, maxSegmentsPerTrigger, startingTimeMs)
   override def description(): String =
     s"GraftTopicScan(path=$path, prunedBy=${filters.mkString(",")})"
 
@@ -235,11 +241,48 @@ case class SegmentSetOffset(segments: Set[String]) extends Offset {
   }
 }
 
-class TopicMicroBatchStream(path: String) extends MicroBatchStream {
+class TopicMicroBatchStream(path: String,
+                            maxSegmentsPerTrigger: Option[Int] = None,
+                            startingTimeMs: Option[Long] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
   private val mapper = new ObjectMapper()
-  override def initialOffset(): Offset = SegmentSetOffset(Set.empty)
+
+  /** `startingTime` seek: segments wholly before the timestamp start out
+    * consumed — the subscribe-from-timestamp cursor position
+    * (PersistentMessageFinder.java:57-64 as an initial-offset rule). */
+  override def initialOffset(): Offset = startingTimeMs match {
+    case None => SegmentSetOffset(Set.empty)
+    case Some(ts) =>
+      val skipped = TopicTable.listSegments(path).filter { f =>
+        !SegmentStats.mightMatch(f,
+          Array(GreaterThanOrEqual("publish_time",
+            new java.sql.Timestamp(ts)): Filter))
+      }
+      SegmentSetOffset(skipped.map(_.getName).toSet)
+  }
+
   override def latestOffset(): Offset =
-    SegmentSetOffset(TopicTable.listSegments(path).map(_.getName).toSet)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  /** Batch-receive pacing (BatchReceivePolicy.maxNumMessages analog at
+    * segment granularity): admit at most maxSegmentsPerTrigger new sealed
+    * segments per micro-batch. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val consumed = start.asInstanceOf[SegmentSetOffset].segments
+    val unconsumed = TopicTable.listSegments(path).map(_.getName)
+      .filterNot(consumed.contains).sorted
+    val admitted = maxSegmentsPerTrigger match {
+      case Some(n) => unconsumed.take(n)
+      case None => unconsumed
+    }
+    SegmentSetOffset(consumed ++ admitted)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
   override def deserializeOffset(json: String): Offset =
     SegmentSetOffset(mapper.readTree(json).get("segments").elements().asScala
       .map(_.asText).toSet)

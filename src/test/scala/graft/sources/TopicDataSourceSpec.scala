@@ -103,6 +103,43 @@ class TopicDataSourceSpec extends SparkSuite {
     assert(total == 80)
   }
 
+  test("maxSegmentsPerTrigger paces admission across micro-batches") {
+    val dir = tmpDir()
+    (0 until 3).foreach(i => envelopeDf(i * 10 until (i + 1) * 10)
+      .coalesce(1).write.format("graft-topic").option("path", dir)
+      .mode("append").save())
+    val q = spark.readStream.format("graft-topic").option("path", dir)
+      .option("maxSegmentsPerTrigger", "1").load()
+      .groupBy().count()
+      .writeStream.format("memory").queryName("paced")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    val total = spark.table("paced").as[Long].head()
+    q.stop()
+    assert(total == 30)
+    assert(batches.length == 3) // one sealed segment admitted per trigger
+    assert(batches.forall(_.numInputRows == 10))
+  }
+
+  test("startingTime seeks the stream past wholly-older segments") {
+    val dir = tmpDir()
+    envelopeDf(0 until 60).coalesce(1).write.format("graft-topic")
+      .option("path", dir).mode("append").save() // publish_time < 00:01
+    envelopeDf(60 until 120).coalesce(1).write.format("graft-topic")
+      .option("path", dir).mode("append").save() // publish_time >= 00:01
+    val q = spark.readStream.format("graft-topic").option("path", dir)
+      .option("startingTime", ts("2024-01-01 00:01:00").getTime.toString)
+      .load()
+      .groupBy().count()
+      .writeStream.format("memory").queryName("seeked")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val n = spark.table("seeked").as[Long].head()
+    q.stop()
+    assert(n == 60) // first segment skipped entirely
+  }
+
   test("streaming write: epoch-named segments are idempotent on replay") {
     val dir = tmpDir()
     val src = tmpDir()

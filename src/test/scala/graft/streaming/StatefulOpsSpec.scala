@@ -150,6 +150,26 @@ class StatefulOpsSpec extends SparkSuite {
     assert(rows == 3)
   }
 
+  test("stateful ops run on the RocksDB state store (production state path)") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[KeyedMsg]
+      val (q, name) = runToMemory(
+        StatefulOps.tableViewStream(in.toDS()).toDF(), "update")
+      in.addData(KeyedMsg("k1", "v1", 0L, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      in.addData(KeyedMsg("k1", "v2", 5L, ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      val latest = spark.table(name).as[KeyUpdate].collect().maxBy(_.offset)
+      q.stop()
+      assert(latest.value == "v2") // state survived across batches in RocksDB
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("wordCount matches WordCountFunction semantics") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
