@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.SparkEntry
+import graft.SparkSuite
+
+/** Plan-shape invariants — the properties that make these queries survive a
+  * 100 TB scale-up, locked in as regression tests: pushdown reaching the
+  * scan, dimension broadcasts, top-k without a global sort, the as-of join's
+  * single shuffle.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filters and projection are pushed into the parquet scan") {
+    val p = plan("q_scan_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)") ||
+      p.contains("PushedFilters: [IsNotNull(l_discount), IsNotNull(l_shipdate)"))
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double"))
+  }
+
+  test("star join broadcasts its dimensions") {
+    val p = plan("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "nation/region (at least) must broadcast")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("as-of join uses exactly one hash shuffle (union+window, no explode)") {
+    // AQE hides children from collect() pre-execution; audit the plan string
+    val n = "Exchange hashpartitioning".r.findAllIn(plan("q_asof_join")).length
+    assert(n == 1, s"expected 1 exchange, got $n")
+  }
+
+  test("aggregations run partial+final (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial"))
+    val c = plan("q_compact_last")
+    assert(c.contains("partial_max_by") || c.contains("partial"))
+  }
+
+  test("semi/anti joins avoid materializing the probe side") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+}

@@ -45,6 +45,30 @@ class WatermarkWindowSpec extends SparkSuite {
     assert(rows("2024-01-01T00:05:00Z") == 1L)
   }
 
+  test("LateDataRouter sends late rows to the side output instead of dropping") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedMsg]
+    val router = new LateDataRouter("eventTime", lagMs = 60000)
+    val onTime = scala.collection.mutable.Buffer.empty[String]
+    val late = scala.collection.mutable.Buffer.empty[String]
+    val q = in.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (ok, l8) = router.split(batch)
+        onTime ++= ok.select("value").as[String](spark.implicits.newStringEncoder).collect()
+        late ++= l8.select("value").as[String](spark.implicits.newStringEncoder).collect()
+        ()
+    }.start()
+    in.addData(KeyedMsg("k", "a", 0L, ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    // watermark now 00:59; this row is 2 minutes older → late side output
+    in.addData(KeyedMsg("k", "stale", 1L, ts("2024-01-01 00:57:00")),
+      KeyedMsg("k", "fresh", 2L, ts("2024-01-01 01:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(onTime.toSet == Set("a", "fresh"))
+    assert(late.toSet == Set("stale")) // routed, not dropped
+  }
+
   test("sliding event-time window assigns each event to len/slide windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedMsg]
