@@ -54,7 +54,11 @@ object FunctionExecutor {
     def currentKey: Option[String] = key
   }
 
-  /** Pre-register named counters (accumulators must exist before the job). */
+  /** Pre-register named counters (accumulators must exist before the job).
+    * Caveat vs the reference's BookKeeper-backed counters: Spark accumulators
+    * are at-least-once under task retries/speculation — use them for
+    * monitoring parity, and state-store counters
+    * ([[graft.streaming.StatefulOps]]) when exact counts matter. */
   def counters(spark: SparkSession, names: Seq[String]): Map[String, LongAccumulator] =
     names.map(n => n -> spark.sparkContext.longAccumulator(s"graft.fn.$n")).toMap
 

@@ -118,6 +118,20 @@ object StreamingSemanticsQueries {
         .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
     }),
 
+    // §2.5 tumbling COUNT window (windowLengthCount), batch-checkable form:
+    // per key, consecutive groups of 5 events in offset order.
+    "q_count_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("win_idx", ((col("rn") - 1) / 5).cast("long"))
+        .groupBy(col("user_id"), col("win_idx"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+          min(col("event_id")).as("first_offset"),
+          max(col("event_id")).as("last_offset"))
+    }),
+
     // §2.4 TableView materialization: key → latest value map.
     "q_tableview" -> ((s, d) => {
       Compaction.tableView(
@@ -229,6 +243,14 @@ object StreamingSemanticsQueries {
     "q_key_shared" ->
       """SELECT user_id, count(*) AS n FROM events
          WHERE user_id % 4 = 0 GROUP BY user_id""",
+    "q_count_window" ->
+      """SELECT user_id, win_idx, count(*) AS n, sum(value) AS total,
+                min(event_id) AS first_offset, max(event_id) AS last_offset
+         FROM (SELECT user_id, event_id, value,
+                      CAST((row_number() OVER (PARTITION BY user_id
+                        ORDER BY event_id) - 1) // 5 AS BIGINT) AS win_idx
+               FROM events)
+         GROUP BY user_id, win_idx""",
     "q_tableview" ->
       """SELECT user_id, event_type AS tv_value
          FROM (SELECT user_id, event_type, row_number() OVER (

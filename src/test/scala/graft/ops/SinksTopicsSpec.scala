@@ -60,6 +60,25 @@ class SinksTopicsSpec extends SparkSuite {
     assert(seek == 4)
   }
 
+  test("fileSource attaches file provenance in batch and streaming") {
+    val dir = Files.createTempDirectory("fsrc").toFile.getAbsolutePath
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.txt"),
+      "l1\nl2\n".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.txt"),
+      "l3\n".getBytes)
+    val batch = Topics.fileSourceBatch(spark, dir)
+      .as[(String, String)].collect()
+    assert(batch.length == 3)
+    assert(batch.forall { case (_, f) => f.endsWith(".txt") })
+    val q = Topics.fileSource(spark, dir)
+      .writeStream.format("memory").queryName("fsrc_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val n = spark.table("fsrc_out").count()
+    q.stop()
+    assert(n == 3)
+  }
+
   test("replicate fans out to two sinks with independent cursors") {
     val src = Files.createTempDirectory("repl-src").toFile.getAbsolutePath
     val d1 = Files.createTempDirectory("repl-1").toFile.getAbsolutePath
