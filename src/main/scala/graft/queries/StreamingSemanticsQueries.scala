@@ -139,6 +139,13 @@ object StreamingSemanticsQueries {
         "user_id", "tv_value", col("event_id"))
     }),
 
+    // §2.1 getMessageIdByTimestamp: first message position at/after a time.
+    "q_msgid_by_ts" -> ((s, d) => {
+      Tables.events(s, d)
+        .where(unix_millis(col("ts")) >= midMs)
+        .agg(min(col("event_id")).as("first_offset"))
+    }),
+
     // §2.1 admin point lookup: getMessageById (exact offset).
     "q_msg_by_id" -> ((s, d) => {
       Tables.events(s, d).where(col("event_id") === 4242L)
@@ -259,6 +266,9 @@ object StreamingSemanticsQueries {
     "q_msg_by_id" ->
       """SELECT event_id, user_id, event_type, value FROM events
          WHERE event_id = 4242""",
+    "q_msgid_by_ts" ->
+      s"""SELECT min(event_id) AS first_offset FROM events
+          WHERE epoch_ms(ts) >= $midMs""",
     "q_envelope" ->
       """SELECT event_id AS offset, CAST(user_id AS VARCHAR) AS key,
                 'producer-' || CAST(user_id % 8 AS VARCHAR) AS producer_name,
