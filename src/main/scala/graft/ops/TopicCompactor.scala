@@ -48,4 +48,22 @@ object TopicCompactor {
     val kept = spark.read.format("graft-topic").option("path", dir).load().count()
     (kept, toRemove.length)
   }
+
+  /** TTL / retention enforcement: drop whole segments whose newest message is
+    * older than the horizon — the cursor fast-forward of
+    * PersistentMessageExpiryMonitor (reference: broker/.../
+    * PersistentMessageExpiryMonitor.java:44-104) plus size/time retention
+    * (RetentionPolicies.java:30-38), at sealed-segment granularity so expiry
+    * is a metadata operation, never a rewrite. Straddling segments stay (the
+    * reader's TTL filter handles residue rows). Returns segments removed. */
+  def expire(spark: SparkSession, dir: String, olderThanMs: Long): Int = {
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
+    val expired = TopicTable.listSegments(dir).filter { f =>
+      !graft.sources.v2.SegmentStats.mightMatch(f,
+        Array(GreaterThanOrEqual("publish_time",
+          new java.sql.Timestamp(olderThanMs)): Filter))
+    }
+    expired.foreach(_.delete())
+    expired.length
+  }
 }

@@ -20,6 +20,24 @@ class TopicCompactorSpec extends SparkSuite {
       .coalesce(1).write.format("graft-topic").option("path", dir)
       .mode("append").save()
 
+  test("expire drops wholly-old segments, keeps straddlers (TTL fast-forward)") {
+    val dir = Files.createTempDirectory("expire").toFile.getAbsolutePath
+    def writeAt(t: String, rows: Seq[(String, Long)]): Unit =
+      rows.map { case (k, o) => ("t", 0, o, k, "v", ts(t), ts(t), "p", o) }
+        .toDF("topic", "partition", "offset", "key", "value", "event_time",
+          "publish_time", "producer_name", "sequence_id")
+        .coalesce(1).write.format("graft-topic").option("path", dir)
+        .mode("append").save()
+    writeAt("2024-01-01 00:00:00", Seq(("a", 0L), ("b", 1L))) // old
+    writeAt("2024-01-05 00:00:00", Seq(("c", 2L), ("d", 3L))) // young
+    val removed = TopicCompactor.expire(spark, dir,
+      ts("2024-01-03 00:00:00").getTime)
+    assert(removed == 1)
+    val keys = spark.read.format("graft-topic").option("path", dir).load()
+      .select("key").as[String].collect().sorted
+    assert(keys.toSeq == Seq("c", "d"))
+  }
+
   test("compaction keeps latest per key, drops tombstoned keys, frees segments") {
     val dir = Files.createTempDirectory("compactor").toFile.getAbsolutePath
     write(dir, Seq(("k1", "v1", 0L), ("k2", "a1", 1L), ("k1", "v2", 2L)))
