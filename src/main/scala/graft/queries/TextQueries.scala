@@ -15,6 +15,15 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // WordCount parity (reference: WordCountFunction.java:31-36) — the
+    // flagship Function example as a batch aggregation over documents.
+    "q_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .where(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    }),
+
     "q_token_count" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
@@ -120,6 +129,10 @@ object TextQueries {
          WHERE len(w) >= 3)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word""",
     "q_token_count" ->
       """SELECT doc_id,
                 length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
