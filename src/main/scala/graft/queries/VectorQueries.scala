@@ -34,6 +34,15 @@ object VectorQueries {
         dim = 64, numPlanes = 8, k = 3)
     }),
 
+    // IVF with TRAINED coarse cells (k-means; rows-only — learned model
+    // state has no SQL oracle).
+    "q_ann_ivf_trained" -> ((s, d) => {
+      val indexed = graft.ops.KMeans.ivfIndex(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 3)
+      Similarity.ivfTopK(indexed.where(col("vec_id") < 10), indexed,
+        "vec_id", "embedding", "cell", 3)
+    }),
+
     // Embedding-cosine near-dup dedup within the coarse cell.
     "q_embed_dedup" -> ((s, d) => {
       Similarity.cosineDedup(Tables.embeddings(s, d), "vec_id", "embedding",
