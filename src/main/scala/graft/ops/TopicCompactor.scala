@@ -43,7 +43,10 @@ object TopicCompactor {
       .option("path", dir).mode("append").save()
     val after = TopicTable.listSegments(dir).map(_.getName).toSet
     val toRemove = before.filter(f => after.contains(f.getName))
-    toRemove.foreach(_.delete())
+    toRemove.foreach { f =>
+      f.delete()
+      graft.sources.v2.SegmentStats.sidecarFor(f).delete()
+    }
 
     val kept = spark.read.format("graft-topic").option("path", dir).load().count()
     (kept, toRemove.length)
@@ -63,7 +66,10 @@ object TopicCompactor {
         Array(GreaterThanOrEqual("publish_time",
           new java.sql.Timestamp(olderThanMs)): Filter))
     }
-    expired.foreach(_.delete())
+    expired.foreach { f =>
+      f.delete()
+      graft.sources.v2.SegmentStats.sidecarFor(f).delete()
+    }
     expired.length
   }
 }

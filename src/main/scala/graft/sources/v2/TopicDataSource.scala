@@ -141,29 +141,59 @@ class TopicScan(path: String, filters: Array[Filter], required: StructType,
 
 case class TopicInputPartition(file: String) extends InputPartition
 
-/** Per-segment min/max offset & publish_time, read from the segment's first
-  * and last lines (segments are written in offset order) — the pruning
-  * "footer". */
+/** Per-segment min/max offset & publish_time — the pruning "footer".
+  * Preferred source is the `.meta` sidecar the writer drops at commit (so
+  * pruning is pure metadata, never a data read); fallback scans the
+  * segment's first/last lines (segments are written in offset order). */
 object SegmentStats {
   private val mapper = new ObjectMapper()
 
+  case class Stats(minOff: Long, maxOff: Long, minPt: Long, maxPt: Long)
+
+  def sidecarFor(segment: File): File =
+    new File(segment.getParentFile, segment.getName + ".meta")
+
+  def writeSidecar(segment: File, s: Stats): Unit = {
+    val nf = JsonNodeFactory.instance
+    val o = nf.objectNode()
+    o.put("min_offset", s.minOff); o.put("max_offset", s.maxOff)
+    o.put("min_publish_time_ms", s.minPt); o.put("max_publish_time_ms", s.maxPt)
+    java.nio.file.Files.write(sidecarFor(segment).toPath,
+      o.toString.getBytes("UTF-8"))
+  }
+
+  private def readStats(f: File): Option[Stats] = {
+    val side = sidecarFor(f)
+    if (side.exists()) {
+      val n = mapper.readTree(new String(
+        java.nio.file.Files.readAllBytes(side.toPath), "UTF-8"))
+      Some(Stats(n.get("min_offset").asLong, n.get("max_offset").asLong,
+        n.get("min_publish_time_ms").asLong, n.get("max_publish_time_ms").asLong))
+    } else {
+      // fallback: scan first/last line of the segment
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try {
+        val lines = src.getLines()
+        if (!lines.hasNext) None
+        else {
+          val firstLine = lines.next()
+          var lastLine = firstLine
+          while (lines.hasNext) lastLine = lines.next()
+          val first = mapper.readTree(firstLine)
+          val last = mapper.readTree(lastLine)
+          Some(Stats(first.get("offset").asLong, last.get("offset").asLong,
+            first.get("publish_time_ms").asLong,
+            last.get("publish_time_ms").asLong))
+        }
+      } finally src.close()
+    }
+  }
+
   def mightMatch(f: File, filters: Array[Filter]): Boolean = {
     if (filters.isEmpty) return true
-    val src = scala.io.Source.fromFile(f, "UTF-8")
-    try {
-      val lines = src.getLines()
-      if (!lines.hasNext) return false
-      // Segments are written in offset order: first/last line give min/max.
-      // (Production note: a 100 TB deployment keeps these in a footer sidecar
-      // or manifest so pruning never opens the segment.)
-      val firstLine = lines.next()
-      var lastLine = firstLine
-      while (lines.hasNext) lastLine = lines.next()
-      val first = mapper.readTree(firstLine)
-      val last = mapper.readTree(lastLine)
-      val minOff = first.get("offset").asLong; val maxOff = last.get("offset").asLong
-      val minPt = first.get("publish_time_ms").asLong
-      val maxPt = last.get("publish_time_ms").asLong
+    readStats(f) match {
+      case None => false // empty segment matches nothing
+      case Some(Stats(minOff, maxOff, minPt, maxPt)) =>
       def ms(v: Any): Long = v match {
         case t: java.sql.Timestamp => t.getTime
         case i: java.time.Instant => i.toEpochMilli
@@ -181,7 +211,7 @@ object SegmentStats {
         case LessThanOrEqual("publish_time", v) => minPt <= ms(v)
         case _ => true
       }
-    } finally src.close()
+    }
   }
 }
 
@@ -316,7 +346,9 @@ class TopicBatchWrite(path: String, queryId: String) extends BatchWrite {
     new TopicWriterFactory(path, s"b-$queryId")
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case SegmentCommit(f) => new File(f).delete() }
+    messages.collect { case SegmentCommit(f) =>
+      new File(f).delete(); SegmentStats.sidecarFor(new File(f)).delete()
+    }
 }
 
 class TopicStreamingWrite(path: String, queryId: String) extends StreamingWrite {
@@ -324,7 +356,9 @@ class TopicStreamingWrite(path: String, queryId: String) extends StreamingWrite 
     new TopicStreamWriterFactory(path, queryId)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case SegmentCommit(f) => new File(f).delete() }
+    messages.collect { case SegmentCommit(f) =>
+      new File(f).delete(); SegmentStats.sidecarFor(new File(f)).delete()
+    }
 }
 
 class TopicWriterFactory(path: String, prefix: String) extends DataWriterFactory {
@@ -347,8 +381,17 @@ class SegmentWriter(dir: String, name: String) extends DataWriter[InternalRow] {
   private val out = new java.io.PrintWriter(
     new java.io.OutputStreamWriter(new java.io.FileOutputStream(tmp), "UTF-8"))
   private val nf = JsonNodeFactory.instance
+  // pruning-footer stats tracked as rows stream through
+  private var n = 0L
+  private var minOff = Long.MaxValue; private var maxOff = Long.MinValue
+  private var minPt = Long.MaxValue; private var maxPt = Long.MinValue
 
   override def write(r: InternalRow): Unit = {
+    n += 1
+    val off = r.getLong(2)
+    minOff = math.min(minOff, off); maxOff = math.max(maxOff, off)
+    val pt = if (r.isNullAt(6)) 0L else r.getLong(6) / 1000L
+    minPt = math.min(minPt, pt); maxPt = math.max(maxPt, pt)
     val o = nf.objectNode()
     def s(i: Int, k: String): Unit =
       if (r.isNullAt(i)) o.putNull(k) else o.put(k, r.getUTF8String(i).toString)
@@ -368,6 +411,9 @@ class SegmentWriter(dir: String, name: String) extends DataWriter[InternalRow] {
     val dst = new File(dir, name)
     if (dst.exists()) dst.delete() // idempotent epoch replay
     tmp.renameTo(dst)
+    if (n > 0) // sidecar written AFTER the segment: readers always fall back
+      SegmentStats.writeSidecar(dst,
+        SegmentStats.Stats(minOff, maxOff, minPt, maxPt))
     SegmentCommit(dst.getAbsolutePath)
   }
   override def abort(): Unit = { out.close(); tmp.delete() }

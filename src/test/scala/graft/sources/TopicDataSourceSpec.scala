@@ -70,6 +70,27 @@ class TopicDataSourceSpec extends SparkSuite {
     assert(parts == 1)
   }
 
+  test("pruning uses the .meta sidecar; deleting it falls back to a scan") {
+    val dir = tmpDir()
+    envelopeDf(0 until 50).coalesce(1).write.format("graft-topic")
+      .option("path", dir).mode("append").save()
+    envelopeDf(50 until 100).coalesce(1).write.format("graft-topic")
+      .option("path", dir).mode("append").save()
+    val segs = graft.sources.v2.TopicTable.listSegments(dir)
+    // writer dropped one sidecar per segment
+    assert(segs.forall(s => graft.sources.v2.SegmentStats.sidecarFor(s).exists()))
+    def prunedCount() = {
+      val q = spark.read.format("graft-topic").option("path", dir).load()
+        .where(col("offset") >= 50L)
+      q.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get.inputRDD.getNumPartitions
+    }
+    assert(prunedCount() == 1) // sidecar path
+    segs.foreach(s => graft.sources.v2.SegmentStats.sidecarFor(s).delete())
+    assert(prunedCount() == 1) // scan fallback gives identical pruning
+  }
+
   test("column pruning reaches the reader") {
     val dir = tmpDir()
     envelopeDf(0 until 10).write.format("graft-topic")
