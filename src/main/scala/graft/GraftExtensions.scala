@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSignature, SortedLongIntersectCount}
+import graft.functions.{FloatVectorDot, MinHashSignature, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
         "sorted_intersect_count"),
       (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("float_vector_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+      (args: Seq[Expression]) => FloatVectorDot(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),

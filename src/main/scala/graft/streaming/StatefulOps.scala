@@ -125,6 +125,40 @@ object StatefulOps {
       }
   }
 
+  /** Mixed trigger/eviction policy pair: COUNT trigger with TIME eviction —
+    * every `triggerCount`-th record per key fires a window holding the
+    * records whose event time lies within `windowDurationMs` of the
+    * triggering record (reference: WindowManager with CountTriggerPolicy +
+    * TimeEvictionPolicy — the four trigger×evict combos of
+    * WindowConfig.java:33-39; this is the remaining mixed pair alongside
+    * count/count, time/time and watermark-count). State is bounded by the
+    * eviction horizon per key. */
+  def countTriggerTimeEvict(ds: Dataset[KeyedMsg], triggerCount: Int,
+                            windowDurationMs: Long): Dataset[CountWindow] = {
+    import ds.sparkSession.implicits._
+    // state: (retained records within horizon, records since last trigger)
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[(Seq[KeyedMsg], Int), CountWindow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, msgs, state: GroupState[(Seq[KeyedMsg], Int)]) =>
+          var (buf, sinceTrigger) = state.getOption.getOrElse((Seq.empty[KeyedMsg], 0))
+          val out = Seq.newBuilder[CountWindow]
+          msgs.toSeq.sortBy(_.offset).foreach { m =>
+            buf = (buf :+ m).filter(
+              _.eventTime.getTime > m.eventTime.getTime - windowDurationMs)
+            sinceTrigger += 1
+            if (sinceTrigger == triggerCount) {
+              val w = buf.sortBy(x => (x.eventTime.getTime, x.offset))
+              out += CountWindow(key, m.offset, w.map(_.value),
+                w.map(_.offset), w.size)
+              sinceTrigger = 0
+            }
+          }
+          state.update((buf, sinceTrigger))
+          out.result().iterator
+      }
+  }
+
   // --------------------------------------------------------- delayed delivery
   /** Delayed delivery: hold each message in state until the event-time
     * watermark passes its deliver-at time, then release it. The watermark is

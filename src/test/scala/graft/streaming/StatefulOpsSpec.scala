@@ -72,6 +72,25 @@ class StatefulOpsSpec extends SparkSuite {
       List(List("v1", "v2"), List("v2", "v3", "v4"), List("v4", "v5", "v6")))
   }
 
+  test("countTriggerTimeEvict fires every Nth record with a time-bounded window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedMsg]
+    val (q, name) = runToMemory(
+      StatefulOps.countTriggerTimeEvict(in.toDS(), triggerCount = 2,
+        windowDurationMs = 60000).toDF(), "append")
+    in.addData(
+      KeyedMsg("k", "a", 1L, ts("2024-01-01 00:00:00")),
+      KeyedMsg("k", "b", 2L, ts("2024-01-01 00:00:30")), // trigger 1
+      KeyedMsg("k", "c", 3L, ts("2024-01-01 00:02:00")),
+      KeyedMsg("k", "d", 4L, ts("2024-01-01 00:02:10"))) // trigger 2
+    q.processAllAvailable()
+    val wins = spark.table(name).as[CountWindow].collect().sortBy(_.windowId)
+    q.stop()
+    assert(wins.length == 2)
+    assert(wins(0).values == Seq("a", "b")) // both within 60s of b
+    assert(wins(1).values == Seq("c", "d")) // a,b evicted: older than 60s
+  }
+
   test("watermarkCountWindow cuts windows in event-time order despite arrival order") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedMsg]
