@@ -1,0 +1,84 @@
+package graft.props
+
+import java.security.MessageDigest
+
+import graft.SparkSuite
+import graft.ops.{MinHashLsh, SimHashDedup}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The LSH pipelines re-implemented as sequential Scala models and compared
+  * exactly with the distributed versions on generated corpora — the hashes
+  * are deterministic (md5), so candidate sets must match member for member,
+  * independent of Spark AND of the DuckDB oracle. */
+class LshProperties extends SparkSuite {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private val vocab = Seq("spark", "join", "data", "the", "table", "scan",
+    "merge", "row", "key", "sort")
+  private val docGen = Gen.listOfN(30, Gen.choose(5, 25).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" "))))
+
+  private def modelShingles(text: String, k: Int): Seq[String] =
+    text.split(" ").toSeq.sliding(k).filter(_.size == k)
+      .map(_.mkString(" ")).toSeq.distinct
+
+  test("minhash LSH candidate pairs equal the sequential banding model") {
+    (0 until 4).flatMap(i => docGen(Gen.Parameters.default, Seed(7L + i)))
+      .foreach { texts =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        // sequential model
+        val buckets = docs.flatMap { case (id, t) =>
+          val sh = modelShingles(t, 3)
+          if (sh.isEmpty) Nil
+          else {
+            val sig = (0 until 16).map(s =>
+              sh.map(x => md5hex(s"$s:$x")).min)
+            (0 until 4).map(b =>
+              ((b, md5hex(sig.slice(b * 4, b * 4 + 4).mkString("|"))), id))
+          }
+        }
+        val modelPairs = buckets.groupBy(_._1).values.flatMap { grp =>
+          val ids = grp.map(_._2).sorted
+          for (a <- ids; b <- ids if a < b) yield (a, b)
+        }.toSet
+
+        val got = MinHashLsh
+          .candidatePairs(docs.toDF("doc_id", "text"), "doc_id", "text")
+          .as[(Long, Long)].collect().toSet
+        assert(got == modelPairs, s"docs=$texts")
+      }
+  }
+
+  test("simhash near-dup pairs equal the all-pairs hamming model") {
+    def hash16(tok: String): Int = {
+      val h = md5hex(tok).take(4)
+      h.foldLeft(0)((acc, c) => acc * 16 + Integer.parseInt(c.toString, 16))
+    }
+    def simhash(text: String): Long = {
+      val hs = text.split(" ").toSeq.map(hash16)
+      (0 until 16).map { j =>
+        val v = hs.map(h => ((h >> j) & 1) * 2 - 1).sum
+        if (v >= 0) 1L << j else 0L
+      }.sum
+    }
+    (0 until 3).flatMap(i => docGen(Gen.Parameters.default, Seed(42L + i)))
+      .foreach { texts =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val sh = docs.map { case (id, t) => id -> simhash(t) }
+        val modelPairs = (for {
+          (a, ha) <- sh; (b, hb) <- sh if a < b
+          if java.lang.Long.bitCount(ha ^ hb) <= 1
+        } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+
+        val got = SimHashDedup
+          .nearDuplicates(docs.toDF("doc_id", "text"), "doc_id", "text", 1)
+          .as[(Long, Long, Int)].collect().toSet
+        assert(got == modelPairs, s"docs=$texts")
+      }
+  }
+}
