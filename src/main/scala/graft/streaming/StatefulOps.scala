@@ -183,6 +183,31 @@ object StatefulOps {
       }
   }
 
+  /** Per-key dispatch throttling: emit at most `maxPerTrigger` records per
+    * key per micro-batch in offset order, deferring the excess in state —
+    * the flow-control permit model (reference: permits ServerCnx.handleFlow
+    * :1910, PublishRateLimiterImpl; MessageDispatchThrottlingTest scenarios):
+    * backpressure, never drops. Deferred records drain as later batches
+    * deliver data for the key — dispatch happens on permits, so a key drains
+    * whenever its arrival rate falls below the cap. (A recurring
+    * processing-time timer would auto-drain idle keys but livelocks
+    * processAllAvailable-style draining; callers wanting idle drain feed
+    * periodic ticks per key.) */
+  def throttleByKey(ds: Dataset[KeyedMsg], maxPerTrigger: Int)
+  : Dataset[KeyedMsg] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Seq[KeyedMsg], KeyedMsg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, msgs, state: GroupState[Seq[KeyedMsg]]) =>
+          val buf = (state.getOption.getOrElse(Seq.empty) ++ msgs)
+            .sortBy(_.offset)
+          val (emit, held) = buf.splitAt(maxPerTrigger)
+          if (held.nonEmpty) state.update(held) else state.remove()
+          emit.iterator
+      }
+  }
+
   // -------------------------------------------------------------------- dedup
   /** Streaming producer-seq dedup: exactly one row per (producer, sequence)
     * within the watermark horizon — `MessageDeduplication` with a bounded

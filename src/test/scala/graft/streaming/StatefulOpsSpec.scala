@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** MemoryStream-driven semantics tests mirroring the reference's
@@ -146,6 +147,30 @@ class StatefulOpsSpec extends SparkSuite {
     val after3 = spark.table(name).as[DelayedMsg].collect()
     q.stop()
     assert(after3.map(_.value).toSet == Set("marker", "early", "late"))
+  }
+
+  test("throttleByKey caps per-trigger dispatch and drains without dropping") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedMsg]
+    val (q, name) = runToMemory(
+      StatefulOps.throttleByKey(in.toDS(), maxPerTrigger = 2).toDF(), "append")
+    val t0 = ts("2024-01-01 00:00:00")
+    in.addData((1 to 5).map(i => KeyedMsg("k", s"v$i", i.toLong, t0)): _*)
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 2) // capped at 2 for this trigger
+    // new data for the key delivers fresh permits: drains 2 per batch
+    in.addData(KeyedMsg("k", "v6", 6L, t0))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 4) // v3, v4
+    in.addData(KeyedMsg("k", "v7", 7L, t0))
+    q.processAllAvailable()
+    in.addData(KeyedMsg("k", "v8", 8L, t0))
+    q.processAllAvailable()
+    val vals = spark.table(name).where(col("key") === "k")
+      .as[KeyedMsg].collect().sortBy(_.offset).map(_.value)
+    q.stop()
+    // all emitted in offset order, nothing dropped, never >2 per trigger
+    assert(vals.toSeq == Seq("v1", "v2", "v3", "v4", "v5", "v6", "v7", "v8"))
   }
 
   test("dedupByProducerSeq drops redelivered duplicates within watermark") {
