@@ -185,10 +185,30 @@ object ProtoCodec {
       if (idx < 0 || idx >= schema.length) r.skip(wire) // unknown field
       else {
         val f = schema.fields(idx)
+        val isRepeated = f.dataType.isInstanceOf[ArrayType]
         val elemType = f.dataType match {
           case ArrayType(et, _) => et
           case dt => dt
         }
+        // packed repeated scalars (proto3 canonical): numeric repeated field
+        // arriving as one length-delimited buffer of concatenated values
+        val packedScalar = isRepeated && wire == 2 && (elemType match {
+          case IntegerType | ShortType | ByteType | LongType | BooleanType |
+               DoubleType | FloatType => true
+          case _ => false
+        })
+        if (packedScalar) {
+          val sub = new Reader(r.lenDelimited())
+          while (sub.hasMore) {
+            repeated(idx) += (elemType match {
+              case IntegerType | ShortType | ByteType => sub.varint().toInt
+              case LongType => sub.varint()
+              case BooleanType => sub.varint() != 0
+              case DoubleType => java.lang.Double.longBitsToDouble(sub.fixed64())
+              case FloatType => java.lang.Float.intBitsToFloat(sub.fixed32())
+            })
+          }
+        } else {
         val v: Any = elemType match {
           case IntegerType | ShortType | ByteType => r.varint().toInt
           case LongType => r.varint()
@@ -205,6 +225,7 @@ object ProtoCodec {
         f.dataType match {
           case ArrayType(_, _) => repeated(idx) += v
           case _ => values(idx) = v
+        }
         }
       }
     }

@@ -47,6 +47,17 @@ class ProtoCodecSpec extends SparkSuite {
     assert(ProtoCodec.decode(v1bytes, v2).getString(5) == "")
   }
 
+  test("decoder accepts packed repeated scalars (canonical proto3 writers)") {
+    // hand-encode field 4 (flags: repeated int32) PACKED: tag wire=2, then
+    // a length-delimited buffer of varints [1, 0, 7]
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((4 << 3) | 2) // field 4, wire 2
+    out.write(3)            // payload length
+    out.write(1); out.write(0); out.write(7)
+    val decoded = ProtoCodec.decode(out.toByteArray, schema)
+    assert(decoded.getSeq[Int](3).toList == List(1, 0, 7))
+  }
+
   test("negative and large varints survive") {
     val s = StructType(Seq(StructField("x", LongType), StructField("y", IntegerType)))
     for ((x, y) <- Seq((-1L, -2), (Long.MaxValue, Int.MaxValue),

@@ -45,6 +45,34 @@ class WatermarkWindowSpec extends SparkSuite {
     assert(rows("2024-01-01T00:05:00Z") == 1L)
   }
 
+  test("session window closes after the gap passes under the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedMsg]
+    val agg = in.toDF()
+      .withWatermark("eventTime", "0 seconds")
+      .groupBy(session_window(col("eventTime"), "1 minute"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"), col("key"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // one session of 3 events (gaps < 1 min), then a far-future event closes it
+    in.addData(
+      KeyedMsg("k", "a", 0L, ts("2024-01-01 00:00:00")),
+      KeyedMsg("k", "b", 1L, ts("2024-01-01 00:00:30")),
+      KeyedMsg("k", "c", 2L, ts("2024-01-01 00:01:10")))
+    q.processAllAvailable()
+    in.addData(KeyedMsg("k", "z", 3L, ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    in.addData(KeyedMsg("k", "zz", 4L, ts("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (s, _, n) => (s.toInstant.toString, n) }.toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01T00:00:00Z", 3L))) // merged session of 3
+    assert(rows.contains(("2024-01-01T01:00:00Z", 1L)))
+  }
+
   test("LateDataRouter sends late rows to the side output instead of dropping") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedMsg]
