@@ -19,7 +19,9 @@ object Chunking {
   def split(df: DataFrame, idCol: String, payloadCol: String,
             chunkBytes: Int): DataFrame = {
     val total = length(col(payloadCol))
-    val n = ceil(total.cast("double") / chunkBytes).cast("int")
+    // An empty payload is one empty chunk (not zero): sequence(0, -1) would
+    // emit bogus descending chunks and the message would never reassemble.
+    val n = greatest(ceil(total.cast("double") / chunkBytes).cast("int"), lit(1))
     df.select(
       col(idCol).cast("string").as("uuid"),
       n.as("num_chunks"),

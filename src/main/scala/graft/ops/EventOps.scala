@@ -44,5 +44,8 @@ object EventOps {
   def backlog(df: DataFrame, offsetCol: String, sizeExpr: Column,
               fromOffset: Long, toOffset: Long): DataFrame =
     df.where(col(offsetCol) > fromOffset && col(offsetCol) <= toOffset)
-      .agg(count(lit(1)).as("entries"), sum(sizeExpr).as("bytes"))
+      .agg(count(lit(1)).as("entries"),
+        // BIGINT on both engines: DuckDB's sum() widens to HUGEINT, which
+        // hash-diverges from Spark's LongType even when values agree.
+        sum(sizeExpr).cast("long").as("bytes"))
 }

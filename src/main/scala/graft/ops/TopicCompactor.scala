@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *    ([[Compaction.compact]] — one hash aggregation, not a sequential scan);
   *  - tombstones: keys whose surviving record has a null value are dropped
   *    (phase-two behavior);
-  *  - phase two: write the compacted horizon as ONE new sealed segment, then
-  *    atomically swap out the segments it replaces. Readers before the swap
-  *    see the old segments, after it the compacted one — the compacted-ledger
-  *    switch of CompactedTopicImpl.
+  *  - phase two: write the compacted horizon as new sealed segments — one per
+  *    (partition, offset-range), each sorted by offset, written in parallel —
+  *    then swap out the segments they replace. Readers before the swap see
+  *    the old segments, after it the compacted ones — the compacted-ledger
+  *    switch of CompactedTopicImpl, distributed: at 100 TB the horizon is
+  *    |keys| rows and must never serialize through one task.
   *
   * Offsets are preserved, so consumers keep their cursor semantics
   * (a compacted read returns each key's latest offset, exactly like reading
@@ -25,31 +27,36 @@ import org.apache.spark.sql.functions._
   */
 object TopicCompactor {
 
-  /** Compact `dir` in place. Returns (keysKept, segmentsRemoved). */
-  def compact(spark: SparkSession, dir: String): (Long, Int) = {
+  /** Compact `dir` in place. Returns (keysKept, segmentsRemoved).
+    * `targetSegments` caps the output range count (0 = the session's shuffle
+    * parallelism); range partitioning on (partition, offset) keeps each
+    * output segment offset-sorted and segment-name order aligned with offset
+    * order, so min/max pruning stays effective over the compacted horizon. */
+  def compact(spark: SparkSession, dir: String, targetSegments: Int = 0): (Long, Int) = {
     val before = TopicTable.listSegments(dir)
     if (before.isEmpty) return (0L, 0)
     val df = spark.read.format("graft-topic").option("path", dir).load()
 
-    val compacted = Compaction
+    val latest = Compaction
       .compact(df, Seq("key"), col("offset"))
       .where(col("value").isNotNull) // tombstone removal
-      .sortWithinPartitions(col("offset"))
+    val compacted = (if (targetSegments > 0)
+      latest.repartitionByRange(targetSegments, col("partition"), col("offset"))
+    else latest.repartitionByRange(col("partition"), col("offset")))
+      .sortWithinPartitions(col("partition"), col("offset"))
 
-    // phase two: new sealed segment first, then drop the replaced ones —
+    // phase two: new sealed segments first, then drop the replaced ones —
     // crash between the two steps leaves duplicates (re-compactable), never
     // data loss.
-    compacted.coalesce(1).write.format("graft-topic")
+    compacted.write.format("graft-topic")
       .option("path", dir).mode("append").save()
-    val after = TopicTable.listSegments(dir).map(_.getName).toSet
-    val toRemove = before.filter(f => after.contains(f.getName))
-    toRemove.foreach { f =>
+    before.foreach { f =>
       f.delete()
       graft.sources.v2.SegmentStats.sidecarFor(f).delete()
     }
 
     val kept = spark.read.format("graft-topic").option("path", dir).load().count()
-    (kept, toRemove.length)
+    (kept, before.length)
   }
 
   /** TTL / retention enforcement: drop whole segments whose newest message is

@@ -110,7 +110,7 @@ object RelationalQueries {
     // §2.4 backlog analysis between cursor positions.
     "q_backlog" -> ((s, d) => {
       EventOps.backlog(Tables.events(s, d), "event_id",
-        length(col("props")), 1000L, 5000L)
+        octet_length(col("props")), 1000L, 5000L)
     }),
 
     // §2.3 broadcast join (small dims) — flagship revenue-by-nation.
@@ -399,8 +399,8 @@ object RelationalQueries {
                 stddev_samp(value) AS sd_value
          FROM events GROUP BY event_type""",
     "q_backlog" ->
-      """SELECT count(*) AS entries, sum(length(props)) AS bytes FROM events
-         WHERE event_id > 1000 AND event_id <= 5000""",
+      """SELECT count(*) AS entries, CAST(sum(strlen(props)) AS BIGINT) AS bytes
+         FROM events WHERE event_id > 1000 AND event_id <= 5000""",
     "q_join_broadcast" ->
       """SELECT n_name,
                 sum(l_extendedprice * (1 - l_discount)) AS revenue,

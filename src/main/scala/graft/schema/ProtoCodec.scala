@@ -220,7 +220,8 @@ object ProtoCodec {
           case st: StructType => decode(r.lenDelimited(), st)
           case TimestampType | TimestampNTZType =>
             new java.sql.Timestamp(r.fixed64() / 1000L)
-          case other => r.skip(wire)
+          case other => throw new IllegalArgumentException(
+            s"unsupported datatype for proto decode: $other")
         }
         f.dataType match {
           case ArrayType(_, _) => repeated(idx) += v

@@ -19,17 +19,13 @@ object Topics {
 
   /** Regex subscribe (reference: ConsumerBuilder.topicsPattern
     * ConsumerBuilder.java:140-157): topics under `root` whose name matches
-    * `pattern` at subscribe time. (The reference re-discovers periodically;
-    * here discovery happens at query start — restart to pick up new topics.) */
-  def subscribePattern(spark: SparkSession, root: String, pattern: String): DataFrame = {
-    val rx = pattern.r
-    val dirs = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && rx.pattern.matcher(f.getName).matches())
-      .map(_.getAbsolutePath).toSeq.sorted
-    require(dirs.nonEmpty, s"no topics under $root matching $pattern")
-    subscribeMulti(spark, dirs)
-  }
+    * `pattern`. The source re-resolves the matching topic directories at
+    * every micro-batch plan, so topics created mid-stream join WITHOUT a
+    * restart — the periodic recheck of
+    * PatternMultiTopicsConsumerImpl.java:50,67,96. */
+  def subscribePattern(spark: SparkSession, root: String, pattern: String): DataFrame =
+    spark.readStream.format("graft-topic")
+      .option("path", root).option("subscribePattern", pattern).load()
 
   /** Bounded Reader scan from a start position (reference: Reader.java:148-174
     * seek by MessageId / timestamp): batch read with the seek predicate pushed

@@ -4,6 +4,7 @@ import java.io.File
 import java.util.UUID
 
 import scala.collection.JavaConverters._
+import scala.collection.mutable
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.JsonNodeFactory
@@ -22,9 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
 /** A Pulsar-like topic as a custom DSv2 source/sink — the "Structured
   * Streaming + custom source" north star.
   *
-  * Storage model: a topic is a directory of immutable, append-only JSON-line
-  * segment files (`segment-*.jsonl`) — the managed-ledger analog (a ledger is
-  * sealed once written; reference: managed-ledger/.../ManagedLedgerImpl.java:767-794).
+  * Storage model: a topic is a directory of PARTITION subdirectories
+  * (`partition-NNN/`), each an append-only log of immutable JSON-line segment
+  * files (`segment-*.jsonl`) — the partitioned-topic layout (a partitioned
+  * topic is N internal topics, reference:
+  * pulsar-client/.../PartitionedProducerImpl.java) over the managed-ledger
+  * analog (a ledger is sealed once written; reference:
+  * managed-ledger/.../ManagedLedgerImpl.java:767-794). Segments directly in
+  * the topic root are accepted as a legacy/flat single-partition layout.
   *
   * Read paths:
   *  - batch scan = Reader from earliest to latest (Reader.java:148-174), with
@@ -33,14 +39,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (PersistentMessageFinder.java:57-64) and compacted-topic findStartPoint
   *    (CompactedTopicImpl.java:169-197) as DSv2 pruning. Column pruning is
   *    pushed into the row parser.
-  *  - micro-batch stream = Consumer subscribe (ConsumerImpl): offsets count
-  *    whole segments (segments are sealed), checkpoint-committed like a
-  *    cursor markDelete.
+  *  - micro-batch stream = Consumer subscribe (ConsumerImpl): one
+  *    InputPartition per (topic partition, sealed segment); the partition
+  *    list is re-discovered at every micro-batch plan, so a topic growing
+  *    from N to M partitions is picked up without restart — the
+  *    autoUpdatePartitions behavior (ConsumerBuilder.java:614-626).
   *
-  * Write paths: batch append and streaming epoch writes. Streaming segment
-  * names embed (epochId, partitionId), so a replayed epoch overwrites the
-  * same files — idempotent, the effectively-once produce guarantee
-  * (FunctionConfig.EFFECTIVELY_ONCE analog).
+  * Write paths: batch append and streaming epoch writes, each routing rows to
+  * their envelope `partition`'s subdirectory (the producer's partition
+  * router). Streaming segment names embed (epochId, taskId), so a replayed
+  * epoch overwrites the same files — idempotent, the effectively-once produce
+  * guarantee (FunctionConfig.EFFECTIVELY_ONCE analog).
   */
 class TopicDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-topic"
@@ -64,12 +73,71 @@ object TopicTable {
     StructField("producer_name", StringType),
     StructField("sequence_id", LongType)))
 
-  def listSegments(dir: String): Array[File] = {
+  /** Bookkeeping id for segments sitting flat in the topic root (legacy
+    * single-partition layout). */
+  val FlatPartition: Int = -1
+
+  private val PartDirRx = "partition-(\\d+)".r
+
+  def partitionDir(root: String, pid: Int): File =
+    new File(root, f"partition-$pid%03d")
+
+  private def segmentsIn(d: File): Array[File] =
+    Option(d.listFiles((_, n) => n.startsWith("segment-") && n.endsWith(".jsonl")))
+      .getOrElse(Array.empty).sortBy(_.getName)
+
+  /** Every (partitionId, segment) in the topic: partition subdirectories plus
+    * legacy flat-root segments (partition [[FlatPartition]]). Re-listed at
+    * every micro-batch plan — partition-count evolution is picked up live. */
+  def listPartitioned(dir: String): Seq[(Int, File)] = {
     val d = new File(dir)
-    if (!d.exists()) Array.empty
-    else d.listFiles((_, n) => n.startsWith("segment-") && n.endsWith(".jsonl"))
-      .sortBy(_.getName)
+    if (!d.exists()) return Seq.empty
+    val flat = segmentsIn(d).toSeq.map(f => (FlatPartition, f))
+    val parts = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap { p =>
+        p.getName match {
+          case PartDirRx(n) if p.isDirectory =>
+            segmentsIn(p).toSeq.map(f => (n.toInt, f))
+          case _ => Seq.empty
+        }
+      }
+    (flat ++ parts).sortBy { case (pid, f) => (pid, f.getName) }
   }
+
+  def listSegments(dir: String): Array[File] =
+    listPartitioned(dir).map(_._2).toArray
+
+  /** Segment-name family: the non-digit prefix after `segment-` ("e" for
+    * epoch-named streaming segments, "b" for batch appends, "txn-e" for
+    * transactional epochs, ...). Within one (partition, family) the writers
+    * assign names monotone in append order — epoch numbers for streaming,
+    * commit-time stamps for batch — the analog of the broker's monotone
+    * ledger-id allocation, and the contract that lets the stream cursor be a
+    * bounded frontier instead of a segment set. */
+  def family(name: String): String =
+    name.stripPrefix("segment-").takeWhile(!_.isDigit)
+
+  /** Topic resolution for `subscribePattern` (regex multi-topic subscribe,
+    * reference: ConsumerBuilder.topicsPattern :140-157): subdirectories of
+    * `path` whose name matches. Called at EVERY micro-batch plan, so topics
+    * created mid-stream are discovered without restart — the recheck timer of
+    * PatternMultiTopicsConsumerImpl.java:50,67,96. Without a pattern the path
+    * itself is the single topic (named ""). */
+  def resolveTopics(path: String, pattern: Option[String]): Seq[(String, String)] =
+    pattern match {
+      case None => Seq(("", path))
+      case Some(p) =>
+        val rx = p.r
+        Option(new File(path).listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isDirectory &&
+            rx.pattern.matcher(f.getName).matches())
+          .sortBy(_.getName)
+          .map(f => (f.getName, f.getAbsolutePath))
+    }
+
+  /** Offset bookkeeping key for one (topic, partition). */
+  def partKey(topic: String, pid: Int): String =
+    if (topic.isEmpty) pid.toString else s"$topic#$pid"
 }
 
 class TopicTable(path: String) extends Table with SupportsRead with SupportsWrite {
@@ -83,7 +151,8 @@ class TopicTable(path: String) extends Table with SupportsRead with SupportsWrit
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TopicScanBuilder(path,
       Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
-      Option(options.get("startingTime")).map(_.toLong))
+      Option(options.get("startingTime")).map(_.toLong),
+      Option(options.get("subscribePattern")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TopicWriteBuilder(path, info.queryId())
@@ -92,7 +161,8 @@ class TopicTable(path: String) extends Table with SupportsRead with SupportsWrit
 // ---------------------------------------------------------------------- read
 
 class TopicScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None,
-                       startingTimeMs: Option[Long] = None) extends ScanBuilder
+                       startingTimeMs: Option[Long] = None,
+                       pattern: Option[String] = None) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TopicTable.schema
@@ -116,24 +186,28 @@ class TopicScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None,
     required = requiredSchema
 
   override def build(): Scan =
-    new TopicScan(path, pushed, required, maxSegmentsPerTrigger, startingTimeMs)
+    new TopicScan(path, pushed, required, maxSegmentsPerTrigger,
+      startingTimeMs, pattern)
 }
 
 class TopicScan(path: String, filters: Array[Filter], required: StructType,
                 maxSegmentsPerTrigger: Option[Int] = None,
-                startingTimeMs: Option[Long] = None)
+                startingTimeMs: Option[Long] = None,
+                pattern: Option[String] = None)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TopicMicroBatchStream(path, maxSegmentsPerTrigger, startingTimeMs)
+    new TopicMicroBatchStream(path, maxSegmentsPerTrigger, startingTimeMs, pattern)
   override def description(): String =
     s"GraftTopicScan(path=$path, prunedBy=${filters.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val segs = TopicTable.listSegments(path)
+    val segs = TopicTable.resolveTopics(path, pattern)
+      .flatMap { case (_, dir) => TopicTable.listSegments(dir) }
     segs.filter(f => SegmentStats.mightMatch(f, filters))
       .map(f => TopicInputPartition(f.getAbsolutePath): InputPartition)
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new TopicReaderFactory(required)
@@ -181,9 +255,14 @@ object SegmentStats {
           while (lines.hasNext) lastLine = lines.next()
           val first = mapper.readTree(firstLine)
           val last = mapper.readTree(lastLine)
+          def pt(n: JsonNode, orElse: Long): Long = {
+            val v = n.get("publish_time_ms")
+            if (v == null || v.isNull) orElse else v.asLong
+          }
+          // null publish times contribute nothing to the pt range (a null
+          // never matches a time predicate, so excluding it is exact)
           Some(Stats(first.get("offset").asLong, last.get("offset").asLong,
-            first.get("publish_time_ms").asLong,
-            last.get("publish_time_ms").asLong))
+            pt(first, Long.MaxValue), pt(last, Long.MinValue)))
         }
       } finally src.close()
     }
@@ -229,20 +308,29 @@ class SegmentReader(file: String, required: StructType)
   private var row: InternalRow = _
 
   private def fieldValue(node: JsonNode, name: String): Any = {
-    def str(k: String) = {
+    def get(k: String): JsonNode = {
       val n = node.get(k)
-      if (n == null || n.isNull) null else UTF8String.fromString(n.asText)
+      if (n == null || n.isNull) null else n
+    }
+    def str(k: String) = {
+      val n = get(k)
+      if (n == null) null else UTF8String.fromString(n.asText)
     }
     name match {
       case "topic" => str("topic")
-      case "partition" => node.get("partition").asInt
-      case "offset" => node.get("offset").asLong
+      case "partition" =>
+        val n = get("partition"); if (n == null) null else n.asInt
+      case "offset" =>
+        val n = get("offset"); if (n == null) null else n.asLong
       case "key" => str("key")
       case "value" => str("value")
-      case "event_time" => node.get("event_time_ms").asLong * 1000L
-      case "publish_time" => node.get("publish_time_ms").asLong * 1000L
+      case "event_time" => // null round-trips as null, not 1970-01-01
+        val n = get("event_time_ms"); if (n == null) null else n.asLong * 1000L
+      case "publish_time" =>
+        val n = get("publish_time_ms"); if (n == null) null else n.asLong * 1000L
       case "producer_name" => str("producer_name")
-      case "sequence_id" => node.get("sequence_id").asLong
+      case "sequence_id" =>
+        val n = get("sequence_id"); if (n == null) null else n.asLong
     }
   }
 
@@ -259,38 +347,130 @@ class SegmentReader(file: String, required: StructType)
 
 // ----------------------------------------------------------- streaming read
 
-/** Stream offset = the set of sealed segments consumed so far. Segments are
-  * immutable once written (closed ledgers), but NEW segment names may sort
-  * anywhere, so the offset must name what was read rather than count it. */
-case class SegmentSetOffset(segments: Set[String]) extends Offset {
+/** Stream position within one topic partition: a frontier per segment-name
+  * family (the highest admitted name) plus a small `pending` set of names at
+  * or below the frontier not yet admitted. A segment is consumed iff its name
+  * is ≤ its family's frontier and not pending. The offset therefore stays
+  * CONSTANT-SIZE as segments accumulate — a cursor position, not a set —
+  * exactly like the reference cursor's markDeletePosition +
+  * individuallyDeletedMessages ranges (managed-ledger ManagedCursorImpl).
+  * Correctness relies on the writers' monotone-name contract
+  * ([[TopicTable.family]]). */
+case class PartCursor(frontiers: Map[String, String], pending: Set[String]) {
+  def consumed(name: String): Boolean =
+    frontiers.get(TopicTable.family(name)).exists(name <= _) &&
+      !pending.contains(name)
+}
+
+case class TopicOffset(parts: Map[String, PartCursor]) extends Offset {
+  def consumed(part: String, name: String): Boolean =
+    parts.get(part).exists(_.consumed(name))
+
   override def json(): String = {
     val nf = JsonNodeFactory.instance
-    val arr = nf.arrayNode()
-    segments.toSeq.sorted.foreach(arr.add)
-    nf.objectNode().set[JsonNode]("segments", arr).toString
+    val root = nf.objectNode()
+    root.put("v", 2)
+    val po = nf.objectNode()
+    parts.toSeq.sortBy(_._1).foreach { case (part, c) =>
+      val cn = nf.objectNode()
+      val fo = nf.objectNode()
+      c.frontiers.toSeq.sorted.foreach { case (fam, name) => fo.put(fam, name) }
+      cn.set[JsonNode]("f", fo)
+      if (c.pending.nonEmpty) {
+        val xa = nf.arrayNode()
+        c.pending.toSeq.sorted.foreach(xa.add)
+        cn.set[JsonNode]("x", xa)
+      }
+      po.set[JsonNode](part, cn)
+    }
+    root.set[JsonNode]("parts", po)
+    root.toString
+  }
+}
+
+object TopicOffset {
+  val empty: TopicOffset = TopicOffset(Map.empty)
+
+  /** The offset marking exactly `consumed` as read, given the full listing.
+    * Frontier = max consumed name per (partition, family); pending = the
+    * unconsumed stragglers that sort at or below it. Names consumed earlier
+    * but since deleted (compaction/expiry) drop out harmlessly. */
+  def marking(listed: Seq[(String, String)],
+              consumed: Set[(String, String)]): TopicOffset = {
+    val parts = listed.groupBy(_._1).flatMap { case (part, files) =>
+      val names = files.map(_._2)
+      val consumedNames = names.filter(n => consumed((part, n)))
+      if (consumedNames.isEmpty) None
+      else {
+        val frontiers = consumedNames.groupBy(TopicTable.family)
+          .map { case (fam, ns) => fam -> ns.max }
+        val pending = names.filter(n => !consumed((part, n)) &&
+          frontiers.get(TopicTable.family(n)).exists(n <= _)).toSet
+        Some(part -> PartCursor(frontiers, pending))
+      }
+    }
+    TopicOffset(parts)
+  }
+
+  def fromJson(json: String, listed: => Seq[(String, String)]): TopicOffset = {
+    val mapper = new ObjectMapper()
+    val node = mapper.readTree(json)
+    if (node.has("segments")) {
+      // legacy v1 checkpoint: the full consumed-segment name set (flat layout)
+      val consumed = node.get("segments").elements().asScala
+        .map(n => (TopicTable.FlatPartition.toString, n.asText)).toSet
+      marking(listed, consumed)
+    } else {
+      val po = node.get("parts")
+      val parts = po.fieldNames().asScala.map { k =>
+        val cn = po.get(k)
+        val fo = cn.get("f")
+        val frontiers = fo.fieldNames().asScala
+          .map(f => f -> fo.get(f).asText).toMap
+        val pending =
+          if (cn.has("x")) cn.get("x").elements().asScala.map(_.asText).toSet
+          else Set.empty[String]
+        k -> PartCursor(frontiers, pending)
+      }.toMap
+      TopicOffset(parts)
+    }
   }
 }
 
 class TopicMicroBatchStream(path: String,
                             maxSegmentsPerTrigger: Option[Int] = None,
-                            startingTimeMs: Option[Long] = None)
+                            startingTimeMs: Option[Long] = None,
+                            pattern: Option[String] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
-  private val mapper = new ObjectMapper()
+
+  /** Full (topic#partition, segment) listing. Topic resolution AND partition
+    * listing happen here, at plan time — new matching topics (regex
+    * re-discovery) and new partition directories (autoUpdatePartitions) both
+    * enter the stream without restart. */
+  private def listedFiles: Seq[(String, File)] =
+    TopicTable.resolveTopics(path, pattern).flatMap { case (t, dir) =>
+      TopicTable.listPartitioned(dir).map { case (pid, f) =>
+        (TopicTable.partKey(t, pid), f)
+      }
+    }
+
+  private def listedNames: Seq[(String, String)] =
+    listedFiles.map { case (part, f) => (part, f.getName) }
 
   /** `startingTime` seek: segments wholly before the timestamp start out
     * consumed — the subscribe-from-timestamp cursor position
     * (PersistentMessageFinder.java:57-64 as an initial-offset rule). */
   override def initialOffset(): Offset = startingTimeMs match {
-    case None => SegmentSetOffset(Set.empty)
+    case None => TopicOffset.empty
     case Some(ts) =>
-      val skipped = TopicTable.listSegments(path).filter { f =>
+      val skipped = listedFiles.filter { case (_, f) =>
         !SegmentStats.mightMatch(f,
           Array(GreaterThanOrEqual("publish_time",
             new java.sql.Timestamp(ts)): Filter))
-      }
-      SegmentSetOffset(skipped.map(_.getName).toSet)
+      }.map { case (part, f) => (part, f.getName) }.toSet
+      TopicOffset.marking(listedNames, skipped)
   }
 
   override def latestOffset(): Offset =
@@ -299,32 +479,39 @@ class TopicMicroBatchStream(path: String,
 
   /** Batch-receive pacing (BatchReceivePolicy.maxNumMessages analog at
     * segment granularity): admit at most maxSegmentsPerTrigger new sealed
-    * segments per micro-batch. */
+    * segments per micro-batch, oldest names first across all partitions. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val consumed = start.asInstanceOf[SegmentSetOffset].segments
-    val unconsumed = TopicTable.listSegments(path).map(_.getName)
-      .filterNot(consumed.contains).sorted
+    val startOff = start.asInstanceOf[TopicOffset]
+    val listed = listedNames
+    val unconsumed = listed
+      .filterNot { case (part, n) => startOff.consumed(part, n) }
+      .sortBy { case (part, n) => (n, part) }
     val admitted = maxSegmentsPerTrigger match {
-      case Some(n) => unconsumed.take(n)
+      case Some(k) => unconsumed.take(k)
       case None => unconsumed
     }
-    SegmentSetOffset(consumed ++ admitted)
+    val consumedNow = listed.filter { case (part, n) =>
+      startOff.consumed(part, n)
+    }.toSet ++ admitted
+    TopicOffset.marking(listed, consumedNow)
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset =
-    SegmentSetOffset(mapper.readTree(json).get("segments").elements().asScala
-      .map(_.asText).toSet)
+    TopicOffset.fromJson(json, listedNames)
   override def commit(end: Offset): Unit = () // cursor markDelete analog
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SegmentSetOffset].segments
-    val e = end.asInstanceOf[SegmentSetOffset].segments
-    TopicTable.listSegments(path)
-      .filter(f => e.contains(f.getName) && !s.contains(f.getName))
-      .map(f => TopicInputPartition(f.getAbsolutePath): InputPartition)
+    val s = start.asInstanceOf[TopicOffset]
+    val e = end.asInstanceOf[TopicOffset]
+    listedFiles
+      .filter { case (part, f) =>
+        e.consumed(part, f.getName) && !s.consumed(part, f.getName)
+      }
+      .map { case (_, f) => TopicInputPartition(f.getAbsolutePath): InputPartition }
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new TopicReaderFactory(TopicTable.schema)
@@ -339,83 +526,111 @@ class TopicWriteBuilder(path: String, queryId: String) extends WriteBuilder {
   }
 }
 
-case class SegmentCommit(file: String) extends WriterCommitMessage
+case class SegmentCommit(files: Seq[String]) extends WriterCommitMessage
 
 class TopicBatchWrite(path: String, queryId: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new TopicWriterFactory(path, s"b-$queryId")
+    new TopicWriterFactory(path, queryId.take(8))
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case SegmentCommit(f) =>
+    messages.collect { case SegmentCommit(fs) => fs.foreach { f =>
       new File(f).delete(); SegmentStats.sidecarFor(new File(f)).delete()
-    }
+    } }
 }
 
 class TopicStreamingWrite(path: String, queryId: String) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new TopicStreamWriterFactory(path, queryId)
+    new TopicStreamWriterFactory(path)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case SegmentCommit(f) =>
+    messages.collect { case SegmentCommit(fs) => fs.foreach { f =>
       new File(f).delete(); SegmentStats.sidecarFor(new File(f)).delete()
-    }
+    } }
 }
 
-class TopicWriterFactory(path: String, prefix: String) extends DataWriterFactory {
+class TopicWriterFactory(path: String, qid: String) extends DataWriterFactory {
+  /** Batch segments are named by COMMIT time (family "b") so names stay
+    * monotone in append order across successive batch writes — the cursor
+    * frontier contract. */
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SegmentWriter(path, f"segment-$prefix-p$partitionId%05d.jsonl")
+    new SegmentWriter(path,
+      () => f"segment-b${System.currentTimeMillis()}%013d-$qid-p$partitionId%05d.jsonl")
 }
 
-class TopicStreamWriterFactory(path: String, queryId: String)
+class TopicStreamWriterFactory(path: String)
   extends StreamingDataWriterFactory {
-  /** Epoch in the name ⇒ replaying an epoch rewrites the same file —
-    * idempotent streaming produce (effectively-once). */
+  /** Epoch in the name ⇒ replaying an epoch rewrites the same files —
+    * idempotent streaming produce (effectively-once). Epochs are monotone,
+    * satisfying the frontier contract (family "e"). */
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new SegmentWriter(path, f"segment-e$epochId%010d-p$partitionId%05d.jsonl")
+    new SegmentWriter(path,
+      () => f"segment-e$epochId%010d-p$partitionId%05d.jsonl")
 }
 
-class SegmentWriter(dir: String, name: String) extends DataWriter[InternalRow] {
-  new File(dir).mkdirs()
-  private val tmp = new File(dir, s".$name.${UUID.randomUUID()}.tmp")
-  private val out = new java.io.PrintWriter(
-    new java.io.OutputStreamWriter(new java.io.FileOutputStream(tmp), "UTF-8"))
+/** Routes each row to its envelope partition's subdirectory — the producer's
+  * partition router (reference: PartitionedProducerImpl; MessageRoutingMode).
+  * One open segment per (this task, envelope partition); all are committed
+  * (tmp-rename + sidecar) atomically-per-file at task commit. */
+class SegmentWriter(root: String, finalName: () => String)
+  extends DataWriter[InternalRow] {
   private val nf = JsonNodeFactory.instance
-  // pruning-footer stats tracked as rows stream through
-  private var n = 0L
-  private var minOff = Long.MaxValue; private var maxOff = Long.MinValue
-  private var minPt = Long.MaxValue; private var maxPt = Long.MinValue
+
+  private class PartOut(pid: Int) {
+    val dir: File = TopicTable.partitionDir(root, pid)
+    dir.mkdirs()
+    val tmp = new File(dir, s".graft-${UUID.randomUUID()}.tmp")
+    val out = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(new java.io.FileOutputStream(tmp), "UTF-8"))
+    // pruning-footer stats tracked as rows stream through
+    var n = 0L
+    var minOff: Long = Long.MaxValue; var maxOff: Long = Long.MinValue
+    var minPt: Long = Long.MaxValue; var maxPt: Long = Long.MinValue
+  }
+  private val outs = mutable.Map.empty[Int, PartOut]
 
   override def write(r: InternalRow): Unit = {
-    n += 1
-    val off = r.getLong(2)
-    minOff = math.min(minOff, off); maxOff = math.max(maxOff, off)
-    val pt = if (r.isNullAt(6)) 0L else r.getLong(6) / 1000L
-    minPt = math.min(minPt, pt); maxPt = math.max(maxPt, pt)
+    val pid = if (r.isNullAt(1)) 0 else r.getInt(1)
+    val po = outs.getOrElseUpdate(pid, new PartOut(pid))
+    po.n += 1
+    val off = if (r.isNullAt(2)) 0L else r.getLong(2)
+    po.minOff = math.min(po.minOff, off); po.maxOff = math.max(po.maxOff, off)
     val o = nf.objectNode()
     def s(i: Int, k: String): Unit =
       if (r.isNullAt(i)) o.putNull(k) else o.put(k, r.getUTF8String(i).toString)
     s(0, "topic")
-    o.put("partition", if (r.isNullAt(1)) 0 else r.getInt(1))
-    o.put("offset", r.getLong(2))
+    o.put("partition", pid)
+    o.put("offset", off)
     s(3, "key"); s(4, "value")
-    o.put("event_time_ms", if (r.isNullAt(5)) 0L else r.getLong(5) / 1000L)
-    o.put("publish_time_ms", if (r.isNullAt(6)) 0L else r.getLong(6) / 1000L)
+    // nullable-by-schema event_time round-trips as null, never 1970-01-01
+    if (r.isNullAt(5)) o.putNull("event_time_ms")
+    else o.put("event_time_ms", r.getLong(5) / 1000L)
+    if (r.isNullAt(6)) o.putNull("publish_time_ms")
+    else {
+      val pt = r.getLong(6) / 1000L
+      po.minPt = math.min(po.minPt, pt); po.maxPt = math.max(po.maxPt, pt)
+      o.put("publish_time_ms", pt)
+    }
     s(7, "producer_name")
     o.put("sequence_id", if (r.isNullAt(8)) 0L else r.getLong(8))
-    out.println(o.toString)
+    po.out.println(o.toString)
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
-    val dst = new File(dir, name)
-    if (dst.exists()) dst.delete() // idempotent epoch replay
-    tmp.renameTo(dst)
-    if (n > 0) // sidecar written AFTER the segment: readers always fall back
-      SegmentStats.writeSidecar(dst,
-        SegmentStats.Stats(minOff, maxOff, minPt, maxPt))
-    SegmentCommit(dst.getAbsolutePath)
+    val name = finalName()
+    val files = outs.values.toSeq.sortBy(_.dir.getName).map { po =>
+      po.out.close()
+      val dst = new File(po.dir, name)
+      if (dst.exists()) dst.delete() // idempotent epoch replay
+      po.tmp.renameTo(dst)
+      if (po.n > 0) // sidecar written AFTER the segment: readers always fall back
+        SegmentStats.writeSidecar(dst,
+          SegmentStats.Stats(po.minOff, po.maxOff, po.minPt, po.maxPt))
+      dst.getAbsolutePath
+    }
+    SegmentCommit(files)
   }
-  override def abort(): Unit = { out.close(); tmp.delete() }
+  override def abort(): Unit =
+    outs.values.foreach { po => po.out.close(); po.tmp.delete() }
   override def close(): Unit = ()
 }

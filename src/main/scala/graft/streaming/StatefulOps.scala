@@ -21,16 +21,19 @@ object StatefulOps {
   def tableViewStream(ds: Dataset[KeyedMsg]): Dataset[KeyUpdate] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
-      .mapGroupsWithState[KeyUpdate, KeyUpdate](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[KeyUpdate, KeyUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key, msgs, state: GroupState[KeyUpdate]) =>
           // Highest-offset message in this batch wins; compare with stored.
           val best = msgs.maxBy(_.offset)
           val cur = state.getOption
           if (cur.forall(_.offset < best.offset)) {
             val upd = KeyUpdate(key, best.value, best.offset)
-            state.update(upd)
-            upd
-          } else cur.get
+            // Tombstone deletes the key from the view (TableViewImpl
+            // handleMessage :190 removes on null); emit it so sinks delete too.
+            if (best.value == null) state.remove() else state.update(upd)
+            Iterator.single(upd)
+          } else Iterator.empty // no change → the listener does not fire
       }
   }
 

@@ -45,9 +45,10 @@ class TopicCompactorSpec extends SparkSuite {
     write(dir, Seq(("k3", null, 6L), ("k4", "r1", 7L))) // tombstone k3
     assert(TopicTable.listSegments(dir).length == 3)
 
-    val (kept, removed) = TopicCompactor.compact(spark, dir)
+    val (kept, removed) = TopicCompactor.compact(spark, dir, targetSegments = 2)
     assert(kept == 3 && removed == 3)
-    assert(TopicTable.listSegments(dir).length == 1)
+    val segs = TopicTable.listSegments(dir).length
+    assert(segs >= 1 && segs <= 2) // ranged parallel write, old segments freed
 
     val back = spark.read.format("graft-topic").option("path", dir).load()
       .select("key", "value", "offset").as[(String, String, Long)]
@@ -63,5 +64,38 @@ class TopicCompactorSpec extends SparkSuite {
     val seek = graft.sources.Topics.readerFrom(spark, dir,
       startOffset = Some(5L)).select("key").as[String].collect()
     assert(seek.toSeq.sorted == Seq("k1", "k4"))
+  }
+
+  test("compacted horizon is written distributed: many segments, sorted within") {
+    val dir = Files.createTempDirectory("compactor-dist").toFile.getAbsolutePath
+    // two topic partitions, 100 keys each, several updates per key
+    (0 until 2).foreach { p =>
+      (0 until 300).map { i =>
+        ("t", p, (p * 1000 + i).toLong, s"k$p-${i % 100}", s"v$i",
+          ts("2024-01-01 00:00:01"), ts("2024-01-01 00:00:01"), "p",
+          (p * 1000 + i).toLong)
+      }.toDF("topic", "partition", "offset", "key", "value", "event_time",
+        "publish_time", "producer_name", "sequence_id")
+        .coalesce(1).write.format("graft-topic").option("path", dir)
+        .mode("append").save()
+    }
+    val (kept, removed) = TopicCompactor.compact(spark, dir, targetSegments = 4)
+    assert(kept == 200 && removed == 2)
+    val segs = TopicTable.listSegments(dir)
+    assert(segs.length > 1) // NOT one coalesced writer task
+    // both partition dirs hold compacted data; offsets sorted within each segment
+    assert(segs.map(_.getParentFile.getName).toSet ==
+      Set("partition-000", "partition-001"))
+    segs.foreach { f =>
+      val offs = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .map(l => """"offset":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+        .toSeq
+      assert(offs == offs.sorted, s"offsets unsorted in ${f.getName}")
+    }
+    // latest-per-key survives
+    val back = spark.read.format("graft-topic").option("path", dir).load()
+    assert(back.count() == 200)
+    assert(back.where(col("key") === "k0-99").select("value").as[String]
+      .head() == "v299")
   }
 }

@@ -161,6 +161,132 @@ class TopicDataSourceSpec extends SparkSuite {
     assert(n == 60) // first segment skipped entirely
   }
 
+  test("null event_time round-trips as null (not epoch 0)") {
+    val dir = tmpDir()
+    Seq(("t1", 0, 0L, "k", "v", null.asInstanceOf[java.sql.Timestamp],
+      ts("2024-01-01 00:00:00"), "p", 0L))
+      .toDF("topic", "partition", "offset", "key", "value", "event_time",
+        "publish_time", "producer_name", "sequence_id")
+      .write.format("graft-topic").option("path", dir).mode("append").save()
+    val r = spark.read.format("graft-topic").option("path", dir).load()
+      .select("event_time", "publish_time").head()
+    assert(r.isNullAt(0))
+    assert(r.getTimestamp(1) == ts("2024-01-01 00:00:00"))
+  }
+
+  test("writer routes rows to their partition subdirectory (partition router)") {
+    val dir = tmpDir()
+    (0 until 30).map { i =>
+      ("t1", i % 3, i.toLong, s"k$i", s"v$i", ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 00:00:00"), "p", i.toLong)
+    }.toDF("topic", "partition", "offset", "key", "value", "event_time",
+      "publish_time", "producer_name", "sequence_id")
+      .coalesce(1).write.format("graft-topic").option("path", dir)
+      .mode("append").save()
+    val byDir = graft.sources.v2.TopicTable.listPartitioned(dir)
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byDir.keySet == Set(0, 1, 2)) // one subdir per envelope partition
+    val back = spark.read.format("graft-topic").option("path", dir).load()
+    assert(back.count() == 30)
+    assert(back.where($"partition" === 1).count() == 10)
+  }
+
+  test("stream discovers a new partition directory without restart (autoUpdatePartitions)") {
+    val dir = tmpDir()
+    def writePart(p: Int, offs: Range): Unit =
+      offs.map { i =>
+        ("t1", p, i.toLong, s"k$i", s"v$i", ts("2024-01-01 00:00:00"),
+          ts("2024-01-01 00:00:00"), "p", i.toLong)
+      }.toDF("topic", "partition", "offset", "key", "value", "event_time",
+        "publish_time", "producer_name", "sequence_id")
+        .coalesce(1).write.format("graft-topic").option("path", dir)
+        .mode("append").save()
+    writePart(0, 0 until 20)
+    val q = spark.readStream.format("graft-topic").option("path", dir).load()
+      .groupBy($"partition").count()
+      .writeStream.format("memory").queryName("part_evo")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    assert(spark.table("part_evo").as[(Int, Long)].collect().toMap ==
+      Map(0 -> 20L))
+    writePart(1, 100 until 130) // the topic grows a partition mid-stream
+    q.processAllAvailable()
+    val counts = spark.table("part_evo").as[(Int, Long)].collect().toMap
+    q.stop()
+    assert(counts == Map(0 -> 20L, 1 -> 30L))
+  }
+
+  test("subscribePattern discovers topics created mid-stream (regex recheck)") {
+    val root = tmpDir()
+    def writeTopic(name: String, offs: Range): Unit =
+      envelopeDf(offs).coalesce(1).write.format("graft-topic")
+        .option("path", s"$root/$name").mode("append").save()
+    writeTopic("t-a", 0 until 10)
+    val q = graft.sources.Topics.subscribePattern(spark, root, "t-.*")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("rediscover")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    assert(spark.table("rediscover").as[Long].head() == 10)
+    writeTopic("t-b", 0 until 7)   // new matching topic, no restart
+    writeTopic("skip-me", 0 until 5) // non-matching topic stays invisible
+    q.processAllAvailable()
+    val n = spark.table("rediscover").as[Long].head()
+    q.stop()
+    assert(n == 17)
+  }
+
+  test("stream offset stays bounded as segments accumulate (cursor, not a set)") {
+    import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmpDir()
+    val pdir = new java.io.File(dir, "partition-000"); pdir.mkdirs()
+    (1 to 10000).foreach { i =>
+      java.nio.file.Files.write(
+        new java.io.File(pdir, f"segment-e$i%010d-p00000.jsonl").toPath,
+        s"""{"topic":"t","partition":0,"offset":$i,"key":"k","value":"v","event_time_ms":0,"publish_time_ms":0,"producer_name":"p","sequence_id":$i}"""
+          .getBytes("UTF-8"))
+    }
+    val stream = new TopicMicroBatchStream(dir)
+    val off1 = stream.latestOffset(TopicOffset.empty, ReadLimit.allAvailable())
+    // 10k consumed segments compress to one frontier name
+    assert(off1.json().length < 300, s"offset too big: ${off1.json()}")
+    assert(stream.planInputPartitions(TopicOffset.empty, off1).length == 10000)
+    // one more segment → exactly one new input partition, offset still tiny
+    java.nio.file.Files.write(
+      new java.io.File(pdir, f"segment-e${10001}%010d-p00000.jsonl").toPath,
+      s"""{"topic":"t","partition":0,"offset":10001,"key":"k","value":"v","event_time_ms":0,"publish_time_ms":0,"producer_name":"p","sequence_id":10001}"""
+        .getBytes("UTF-8"))
+    val off2 = stream.latestOffset(off1, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(off1, off2).length == 1)
+    assert(off2.json().length < 300)
+  }
+
+  test("legacy v1 set-offset checkpoints migrate to the frontier cursor") {
+    import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmpDir()
+    // legacy flat layout: segments in the topic root
+    (1 to 4).foreach { i =>
+      java.nio.file.Files.write(
+        new java.io.File(dir, f"segment-e$i%010d-p00000.jsonl").toPath,
+        s"""{"topic":"t","partition":0,"offset":$i,"key":"k","value":"v","event_time_ms":0,"publish_time_ms":0,"producer_name":"p","sequence_id":$i}"""
+          .getBytes("UTF-8"))
+    }
+    val stream = new TopicMicroBatchStream(dir)
+    // v1 checkpoint: segments 1 and 3 consumed (2 pending below the frontier)
+    val legacy =
+      """{"segments":["segment-e0000000001-p00000.jsonl","segment-e0000000003-p00000.jsonl"]}"""
+    val migrated = stream.deserializeOffset(legacy).asInstanceOf[TopicOffset]
+    val latest = stream.latestOffset(migrated, ReadLimit.allAvailable())
+    val batch = stream.planInputPartitions(migrated, latest)
+    assert(batch.length == 2) // exactly the unconsumed 2 and 4
+    val names = batch.map(_.asInstanceOf[graft.sources.v2.TopicInputPartition]
+      .file.split("/").last).sorted
+    assert(names.toSeq == Seq("segment-e0000000002-p00000.jsonl",
+      "segment-e0000000004-p00000.jsonl"))
+  }
+
   test("streaming write: epoch-named segments are idempotent on replay") {
     val dir = tmpDir()
     val src = tmpDir()
