@@ -53,15 +53,39 @@ class Admin(spark: SparkSession, topicDir: String) {
 
 /** Materialized TableView handle over a (compacted or raw) topic — the
   * read surface of TableView (reference: client/api/TableView.java:35-112:
-  * get/containsKey/size/entrySet on the continuously-updated map). Batch
-  * snapshot semantics; the continuously-updated form is
-  * [[graft.streaming.StatefulOps.tableViewStream]]. */
+  * get/containsKey/size/entrySet on the continuously-updated map; the impl
+  * materializes read-all-existing then tails, TableViewImpl.java:96-99).
+  *
+  * The compaction aggregate runs ONCE per snapshot and is persisted; every
+  * get/containsKey/size is a lookup against the cached snapshot, not a topic
+  * rescan. `refresh()` re-materializes after new writes — the explicit analog
+  * of the listener's continuous upserts (the continuously-updated form is
+  * [[graft.streaming.StatefulOps.tableViewStream]]). At 100 TB the snapshot
+  * is |keys| rows, cached across the cluster; point gets stay distributed
+  * filters on the cache, never a driver-side map of the whole keyspace. */
 class TableViewHandle(spark: SparkSession, topicDir: String) {
   import graft.ops.Compaction
 
-  private def snapshot: DataFrame = Compaction.tableView(
-    spark.read.format("graft-topic").option("path", topicDir).load(),
-    "key", "value", col("offset"))
+  private var cached: Option[DataFrame] = None
+
+  private def snapshot: DataFrame = synchronized {
+    cached.getOrElse {
+      val s = Compaction.tableView(
+        spark.read.format("graft-topic").option("path", topicDir).load(),
+        "key", "value", col("offset")).persist()
+      s.count() // materialize eagerly so first get() is already warm
+      cached = Some(s)
+      s
+    }
+  }
+
+  /** Drop the materialized snapshot; the next read re-compacts the topic. */
+  def refresh(): Unit = synchronized {
+    cached.foreach(_.unpersist())
+    cached = None
+  }
+
+  def close(): Unit = refresh()
 
   def get(key: String): Option[String] =
     snapshot.where(col("key") === key).collect().headOption

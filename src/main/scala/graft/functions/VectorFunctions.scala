@@ -29,6 +29,14 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2-normalized copy (unit sphere) — train IVF cells on this for cosine
+    * search (spherical k-means): cosine neighbors are exactly L2 neighbors
+    * on the sphere, so L2-trained cells align with the search metric. */
+  def unit(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => (x.cast(DoubleType) / n).cast(FloatType))
+  }
+
   /** Squared L2 distance. */
   def l2sq(a: Column, b: Column): Column =
     aggregate(

@@ -1,46 +1,115 @@
 package graft.ops
 
+import scala.collection.mutable.ArrayBuffer
+
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Lloyd's k-means over an embedding column — the coarse-quantizer trainer
   * that turns [[Similarity.ivfTopK]] into real IVF (train centroids, assign
-  * cells, search only the probed cell).
+  * cells, search only the probed cells).
   *
   * Spark-first shape: centroids live in the plan as literals (broadcast by
   * construction), assignment is k codegen'd dot products per row — ranking by
   * |c|² − 2·v·c, since |v|² is constant per row — and the mean recompute is
-  * one hash aggregation per iteration. The only driver-side state is the
-  * k×dim centroid matrix, which is what makes this run unchanged on a
+  * one hash aggregation per iteration over a CACHED projection (one parquet
+  * read for the whole fit, not one per iteration). The only driver-side state
+  * is the k×dim centroid matrix, which is what makes this run unchanged on a
   * 1000-executor corpus.
   */
 object KMeans {
 
-  /** Deterministic init: the first k vectors in id order (reproducible across
-    * runs and engines; k-means|| would go here for adversarial inits). */
+  /** k-means‖ initialization (Bahmani et al., VLDB 2012): a few passes that
+    * oversample points with probability ∝ their squared distance to the
+    * current center set, then a deterministic weighted farthest-first
+    * reduction of the ~`2k·rounds` candidates to k on the driver. Unlike
+    * first-k-by-id init this cannot collapse onto one dense region on
+    * adversarial data. "Randomness" is xxhash64(id, round) — deterministic
+    * across runs, engines and executors; no RNG state ships anywhere. */
+  def initParallel(data: DataFrame, idCol: String, vecCol: String, k: Int,
+                   rounds: Int = 2): Array[Array[Double]] = {
+    def toVec(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Float](0).map(_.toDouble).toArray
+    val seed = data.orderBy(col(idCol)).limit(1).select(col(vecCol))
+      .collect().map(toVec)
+    val centers = ArrayBuffer(seed.toIndexedSeq: _*)
+    val l = math.max(2 * k, 8) // oversampling factor per round
+
+    (0 until rounds).foreach { round =>
+      val d2 = minDistSq(col(vecCol), centers.toArray).as("__d2")
+      val withD = data.select(col(idCol), col(vecCol), d2)
+      val tot = withD.agg(sum(col("__d2"))).head().getDouble(0)
+      if (tot > 0) {
+        // uniform-in-[0,1) from the id hash; accept w.p. min(1, l·d²/Σd²)
+        val r = pmod(xxhash64(col(idCol).cast("string"), lit(round)),
+          lit(1000000L)).cast("double") / 1000000.0
+        val picked = withD
+          .where(r < least(lit(1.0), col("__d2") * l / tot))
+          .select(col(vecCol)).collect().map(toVec)
+        centers ++= picked
+      }
+    }
+
+    // weight candidates by the number of points they serve, then reduce to k
+    // by deterministic weighted farthest-first (heaviest seed; then argmax of
+    // weight × distance² to the chosen set)
+    val cands = centers.toArray
+    if (cands.length <= k) return cands
+    val weights = data
+      .select(assignExpr(col(vecCol), cands).as("c"))
+      .groupBy(col("c")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = ArrayBuffer(
+      weights.toSeq.sortBy { case (i, w) => (-w, i) }.head._1)
+    while (chosen.length < k) {
+      val next = cands.indices
+        .filterNot(chosen.contains)
+        .maxBy(i => (weights.getOrElse(i, 0L).toDouble max 1.0) *
+          chosen.map(j => d2(cands(i), cands(j))).min)
+      chosen += next
+    }
+    chosen.map(cands).toArray
+  }
+
+  /** Min squared L2 distance from `vec` to any of `centers` (|v|² included —
+    * needed for the absolute d² the ‖-init sampling uses). */
+  private def minDistSq(vec: Column, centers: Array[Array[Double]]): Column = {
+    val v2 = VectorFunctions.dot(vec, vec)
+    val ds = centers.map { c =>
+      val c2 = c.map(x => x * x).sum
+      v2 - lit(2.0) * VectorFunctions.dot(vec, typedlit(c.toSeq)) + lit(c2)
+    }
+    greatest(ds.reduce((a, b) => least(a, b)), lit(0.0)) // clamp fp negatives
+  }
+
+  /** Train centroids: k-means‖ init + `iters` Lloyd iterations over one
+    * cached pass-through projection. */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
   : Array[Array[Double]] = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    var centroids: Array[Array[Double]] = df
-      .orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-
-    val data = Par.spread(df.select(col(vecCol)))
-    (0 until iters).foreach { _ =>
-      val assigned = data.withColumn("cell", assignExpr(col(vecCol), centroids))
-      val meanCols = (1 to dim).map(i =>
-        avg(element_at(col(vecCol), i).cast("double")).as(s"m$i"))
-      val means = assigned.groupBy(col("cell"))
-        .agg(meanCols.head, meanCols.tail: _*)
-        .collect()
-        .map(r => r.getInt(0) -> (1 to dim).map(i =>
-          r.getDouble(i)).toArray).toMap
-      centroids = centroids.indices.map(c =>
-        means.getOrElse(c, centroids(c))).toArray // empty cell keeps centroid
-    }
-    centroids
+    val data = Par.spread(df.select(col(idCol), col(vecCol))).persist()
+    try {
+      val dim = data.select(size(col(vecCol))).head().getInt(0)
+      var centroids = initParallel(data, idCol, vecCol, k)
+      (0 until iters).foreach { _ =>
+        val assigned = data.withColumn("cell", assignExpr(col(vecCol), centroids))
+        val meanCols = (1 to dim).map(i =>
+          avg(element_at(col(vecCol), i).cast("double")).as(s"m$i"))
+        val means = assigned.groupBy(col("cell"))
+          .agg(meanCols.head, meanCols.tail: _*)
+          .collect()
+          .map(r => r.getInt(0) -> (1 to dim).map(i =>
+            r.getDouble(i)).toArray).toMap
+        centroids = centroids.indices.map(c =>
+          means.getOrElse(c, centroids(c))).toArray // empty cell keeps centroid
+      }
+      centroids
+    } finally { data.unpersist(); () }
   }
 
   /** Cell assignment as a pure Column: argmin over centroids of
@@ -54,6 +123,22 @@ object KMeans {
         lit(i).as("i"))
     }
     array_min(array(scored.toIndexedSeq: _*)).getField("i")
+  }
+
+  /** Multi-probe list: indices of the `nprobe` nearest centroids, nearest
+    * first. Real IVF probes several cells — single-probe recall falls off a
+    * cliff for queries near cell boundaries (the verdict's nprobe=1 gap). */
+  def probeExpr(vec: Column, centroids: Array[Array[Double]],
+                nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (lit(c2) - lit(2.0) * VectorFunctions.dot(vec, typedlit(c.toSeq)))
+          .as("d"),
+        lit(i).as("i"))
+    }
+    transform(slice(sort_array(array(scored.toIndexedSeq: _*)), 1, nprobe),
+      s => s.getField("i"))
   }
 
   /** Train + assign: returns the input with a `cell` column — feed straight

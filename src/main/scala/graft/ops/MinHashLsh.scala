@@ -54,11 +54,19 @@ object MinHashLsh {
   /** Candidate near-duplicate pairs (a < b): docs sharing any band bucket.
     * Shuffles once on (band, bucket) and expands pairs inside each bucket
     * group — no self-join, so the (md5-heavy) signature subtree is computed
-    * exactly once. Bucket groups are near-dup clusters and stay small, which
-    * is what makes the in-group pair expansion safe at 100 TB. */
+    * exactly once.
+    *
+    * Bucket groups are near-dup clusters and normally stay small; the
+    * degenerate bucket (boilerplate / empty docs collapsing to one
+    * signature) would make the in-group expansion quadratic on a single
+    * task. Buckets larger than `maxBucket` therefore expand as a STAR
+    * around their smallest member — O(|B|) pairs that still link every
+    * member into the duplicate cluster (connectivity is what dedup
+    * consumes), so no task ever goes quadratic. Within the cap the exact
+    * all-pairs semantics are unchanged. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      shingleK: Int = 3, numHashes: Int = 16,
-                     bands: Int = 4): DataFrame = {
+                     bands: Int = 4, maxBucket: Int = 1024): DataFrame = {
     val rows = numHashes / bands
     val bb = bandBuckets(signatures(docs, idCol, textCol, shingleK, numHashes),
       idCol, bands, rows)
@@ -66,10 +74,14 @@ object MinHashLsh {
       .agg(sort_array(collect_list(col(idCol))).as("ds"))
       .where(size(col("ds")) > 1)
     // ordered pairs (ds[i], ds[j]) for i < j, via indexed transform
-    val pairs = flatten(transform(col("ds"), (x, i) =>
+    val pairsAll = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))),
         y => struct(x.as("a"), y.as("b")))))
-    grouped.select(explode(pairs).as("p"))
+    // degenerate bucket: hub = smallest id (ds is sorted), linear fan-out
+    val pairsStar = transform(slice(col("ds"), lit(2), size(col("ds"))),
+      y => struct(element_at(col("ds"), 1).as("a"), y.as("b")))
+    grouped.select(explode(when(size(col("ds")) <= maxBucket, pairsAll)
+      .otherwise(pairsStar)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate detection: 16-bit token-weighted fingerprints,
@@ -31,9 +31,14 @@ object SimHashDedup {
 
   /** Near-duplicate pairs (a < b) with hamming(simhash) ≤ maxHamming.
     * maxHamming+1 blocks of 16/(maxHamming+1) bits each guarantee every
-    * qualifying pair shares a block — candidates never go all-pairs. */
+    * qualifying pair shares a block — candidates never go all-pairs.
+    *
+    * Like [[MinHashLsh.candidatePairs]], a bucket larger than `maxBucket`
+    * (boilerplate collapsing to one fingerprint) expands as a star around
+    * its smallest member instead of all-pairs, keeping every task linear
+    * while preserving cluster connectivity. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 1): DataFrame = {
+                     maxHamming: Int = 1, maxBucket: Int = 1024): DataFrame = {
     val blocks = maxHamming + 1
     require(16 % blocks == 0, s"16 bits must split evenly into $blocks blocks")
     val width = 16 / blocks
@@ -49,12 +54,16 @@ object SimHashDedup {
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
         col("simhash").as("sh")))).as("ds"))
       .where(size(col("ds")) > 1)
-    val pairs = flatten(transform(col("ds"), (x, i) =>
+    def pairOf(x: Column, y: Column) =
+      struct(x.getField("id").as("doc_a"), y.getField("id").as("doc_b"),
+        bit_count(x.getField("sh").bitwiseXOR(y.getField("sh"))).as("hamming"))
+    val pairsAll = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-        y => struct(x.getField("id").as("doc_a"), y.getField("id").as("doc_b"),
-          bit_count(x.getField("sh").bitwiseXOR(y.getField("sh")))
-            .as("hamming")))))
-    grouped.select(explode(pairs).as("p"))
+        y => pairOf(x, y))))
+    val pairsStar = transform(slice(col("ds"), lit(2), size(col("ds"))),
+      y => pairOf(element_at(col("ds"), 1), y))
+    grouped.select(explode(when(size(col("ds")) <= maxBucket, pairsAll)
+      .otherwise(pairsStar)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()

@@ -53,6 +53,32 @@ object Similarity {
         col("rank"))
   }
 
+  /** Multi-probe IVF ANN: candidates are assigned their ONE nearest cell;
+    * each query probes its `nprobe` nearest cells
+    * ([[KMeans.probeExpr]]) — the standard IVF recall lever (a query near a
+    * cell boundary finds neighbors in the adjacent cell). The probe fan-out
+    * multiplies only the broadcast query side; the corpus is still scanned
+    * once, never shuffled. */
+  def ivfTopKProbed(queries: DataFrame, candidates: DataFrame, idCol: String,
+                    vecCol: String, centroids: Array[Array[Double]],
+                    nprobe: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cell",
+        explode(KMeans.probeExpr(col("__qv"), centroids, nprobe)))
+    val c = Par.spread(candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv")))
+      .withColumn("__cell", KMeans.assignExpr(col("__cv"), centroids))
+    val scored = c.join(broadcast(q), "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate dedup: within a blocking key (coarse
     * cell / LSH bucket — never all-pairs global), pairs with cosine ≥
     * `threshold` mark the higher id as a duplicate of the lowest matching id.

@@ -43,6 +43,15 @@ object VectorQueries {
         "vec_id", "embedding", "cell", 3)
     }),
 
+    // Multi-probe IVF (rows-only — trained centroids are engine-side state):
+    // each query probes its 4 nearest cells, the production recall setting.
+    "q_ann_ivf_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.ops.KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+      Similarity.ivfTopKProbed(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", cents, nprobe = 4, k = 3)
+    }),
+
     // Embedding-cosine near-dup dedup within the coarse cell.
     "q_embed_dedup" -> ((s, d) => {
       Similarity.cosineDedup(Tables.embeddings(s, d), "vec_id", "embedding",

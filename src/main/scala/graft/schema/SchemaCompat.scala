@@ -82,6 +82,97 @@ object SchemaCompat {
 
   def isCompatible(oldSchema: StructType, newSchema: StructType, mode: Mode): Boolean =
     check(oldSchema, newSchema, mode).isEmpty
+
+  // ------------------------------------------------------------- per-format
+
+  /** The reference gates each schema format with its own checker
+    * (SchemaRegistryServiceImpl picks the check by SchemaType):
+    * AvroSchemaCompatibilityCheck, JsonSchemaCompatibilityCheck (extends the
+    * Avro check — JSON schemas are stored as Avro schemas, so resolution
+    * rules are identical), ProtobufNativeSchemaCompatibilityCheck (wire-level
+    * field-number rules), KeyValueSchemaCompatibilityCheck (key AND value
+    * each gated independently with their own format). */
+  sealed trait Format
+  case object AvroFormat extends Format
+  case object JsonFormat extends Format
+  case object ProtoNativeFormat extends Format
+
+  /** Proto wire-type family: within a family the bytes re-decode cleanly
+    * (varint ints/bools; fixed64; fixed32; length-delimited). Identity on the
+    * wire is the FIELD NUMBER (position here, as ProtoCodec assigns numbers
+    * positionally), so renames are free but a wire-type change at the same
+    * number breaks decoding — the rules of
+    * ProtobufNativeSchemaCompatibilityCheck.java. */
+  private def wireFamily(dt: DataType): String = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType => "varint"
+    case DoubleType | TimestampType | TimestampNTZType => "fixed64"
+    case FloatType => "fixed32"
+    case StringType | BinaryType => "len"
+    case _ => "unsupported"
+  }
+
+  private def protoTypeErrors(w: DataType, r: DataType, num: Int): List[String] =
+    (w, r) match {
+      case (ws: StructType, rs: StructType) =>
+        protoReadErrors(ws, rs).map(e => s"field $num: $e")
+      case (ArrayType(we, _), ArrayType(re, _)) => protoTypeErrors(we, re, num)
+      case (_: StructType, _) | (_, _: StructType) |
+           (_: ArrayType, _) | (_, _: ArrayType) =>
+        List(s"field $num: message/repeated shape changed " +
+          s"(${w.simpleString} -> ${r.simpleString})")
+      case _ if wireFamily(w) == wireFamily(r) && wireFamily(w) != "unsupported" =>
+        Nil
+      case _ =>
+        List(s"field $num: wire type ${w.simpleString} -> ${r.simpleString} " +
+          "breaks decoding")
+    }
+
+  /** Errors preventing a proto `reader` schema from decoding bytes written
+    * with `writer`: same field number must keep a wire-compatible type; new
+    * trailing numbers default; removed numbers are skipped as unknown. */
+  def protoReadErrors(writer: StructType, reader: StructType): List[String] =
+    reader.fields.toList.zipWithIndex.flatMap { case (rf, i) =>
+      if (i >= writer.fields.length) Nil // new field number → proto default
+      else protoTypeErrors(writer.fields(i).dataType, rf.dataType, i + 1)
+    }
+
+  def readErrors(format: Format, writer: StructType,
+                 reader: StructType): List[String] = format match {
+    case AvroFormat | JsonFormat => canReadErrors(writer, reader)
+    case ProtoNativeFormat => protoReadErrors(writer, reader)
+  }
+
+  /** The pre-write gate with the format's own rules. */
+  def checkFormat(format: Format, oldSchema: StructType, newSchema: StructType,
+                  mode: Mode): List[String] = mode match {
+    case AlwaysCompatible => Nil
+    case Backward => readErrors(format, oldSchema, newSchema).map("BACKWARD: " + _)
+    case Forward  => readErrors(format, newSchema, oldSchema).map("FORWARD: " + _)
+    case Full =>
+      readErrors(format, oldSchema, newSchema).map("BACKWARD: " + _) ++
+        readErrors(format, newSchema, oldSchema).map("FORWARD: " + _)
+  }
+
+  /** KeyValue schema: each side carries its own format and is gated
+    * INDEPENDENTLY — both must pass (KeyValueSchemaCompatibilityCheck.java);
+    * changing a side's format is always a break. */
+  case class KeyValueSchema(keyFormat: Format, key: StructType,
+                            valueFormat: Format, value: StructType)
+
+  def checkKeyValue(oldSchema: KeyValueSchema, newSchema: KeyValueSchema,
+                    mode: Mode): List[String] = {
+    val keyErrs =
+      if (oldSchema.keyFormat != newSchema.keyFormat)
+        List(s"key: format changed ${oldSchema.keyFormat} -> ${newSchema.keyFormat}")
+      else checkFormat(newSchema.keyFormat, oldSchema.key, newSchema.key, mode)
+        .map("key: " + _)
+    val valErrs =
+      if (oldSchema.valueFormat != newSchema.valueFormat)
+        List(s"value: format changed ${oldSchema.valueFormat} -> ${newSchema.valueFormat}")
+      else checkFormat(newSchema.valueFormat, oldSchema.value, newSchema.value, mode)
+        .map("value: " + _)
+    keyErrs ++ valErrs
+  }
 }
 
 /** A tiny versioned schema catalog: the registry's storage surface

@@ -22,6 +22,24 @@ object DeadLetter {
 
   case class Attempt[T](record: T, redeliveryCount: Int)
 
+  /** Exponential redelivery backoff: the delay before redelivery attempt n
+    * (1-based) is min(maxDelayMs, minDelayMs × multiplier^(n−1)) — the
+    * MultiplierRedeliveryBackoff schedule (reference:
+    * client/api/RedeliveryBackoff.java; NegativeAcksTracker.java:38 arms the
+    * nack redelivery timer with it; retry topics in Pulsar are time-delayed). */
+  case class RedeliveryBackoff(minDelayMs: Long, maxDelayMs: Long,
+                               multiplier: Double = 2.0) {
+    require(minDelayMs > 0 && maxDelayMs >= minDelayMs && multiplier >= 1.0)
+    def delayMs(redeliveryCount: Int): Long = {
+      val n = math.max(1, redeliveryCount)
+      val d = minDelayMs * math.pow(multiplier, (n - 1).toDouble)
+      if (d >= maxDelayMs.toDouble) maxDelayMs else d.toLong
+    }
+  }
+
+  /** A retry attempt with its earliest redelivery time. */
+  case class ScheduledAttempt[T](attempt: Attempt[T], deliverAtMs: Long)
+
   case class Routed[T, U](ok: Seq[(T, U)], retry: Seq[Attempt[T]],
                           dead: Seq[Attempt[T]])
 
@@ -40,6 +58,22 @@ object DeadLetter {
         case (a, Failure(_)) if a.redeliveryCount + 1 >= maxRedeliverCount =>
           a.copy(redeliveryCount = a.redeliveryCount + 1)
       })
+  }
+
+  /** [[route]] plus the redelivery schedule: each retry is stamped with
+    * deliver-at = failure time + backoff(its new redelivery count). Feed the
+    * scheduled retries through [[StatefulOps.delayedDelivery]] (the
+    * retry-topic hold): attempt n is then not redelivered before its backoff
+    * elapses, which is the reference's timed retry-topic behavior. */
+  def routeWithBackoff[T, U](batch: Seq[Attempt[T]], maxRedeliverCount: Int,
+                             backoff: RedeliveryBackoff, nowMs: Long)
+                            (process: T => Try[U])
+  : (Seq[(T, U)], Seq[ScheduledAttempt[T]], Seq[Attempt[T]]) = {
+    val r = route(batch, maxRedeliverCount)(process)
+    (r.ok,
+      r.retry.map(a =>
+        ScheduledAttempt(a, nowMs + backoff.delayMs(a.redeliveryCount))),
+      r.dead)
   }
 
   /** Distributed form: tag each record with its disposition without

@@ -44,5 +44,24 @@ class AdminSpec extends SparkSuite {
     assert(tv.containsKey("k0") && !tv.containsKey("nope"))
     assert(tv.entrySet() == Map("k0" -> "v16", "k1" -> "v17",
       "k2" -> "v18", "k3" -> "v19"))
+    tv.close()
+  }
+
+  test("TableView handle materializes ONE snapshot; refresh() re-reads") {
+    val dir = topic()
+    val tv = new TableViewHandle(spark, dir)
+    assert(tv.get("k0").contains("v16"))
+    // append a newer value for k0 — invisible until refresh, which proves
+    // point gets hit the cached snapshot instead of re-compacting the topic
+    Seq(("t", 0, 20L, "k0", "v20", ts("2024-01-01 00:20:00"),
+      ts("2024-01-01 00:20:00"), "p", 20L))
+      .toDF("topic", "partition", "offset", "key", "value", "event_time",
+        "publish_time", "producer_name", "sequence_id")
+      .coalesce(1).write.format("graft-topic").option("path", dir)
+      .mode("append").save()
+    assert(tv.get("k0").contains("v16")) // snapshot semantics, no rescan
+    tv.refresh()
+    assert(tv.get("k0").contains("v20")) // refreshed snapshot sees the write
+    tv.close()
   }
 }

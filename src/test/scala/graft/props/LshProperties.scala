@@ -81,4 +81,37 @@ class LshProperties extends SparkSuite {
         assert(got == modelPairs, s"docs=$texts")
       }
   }
+
+  test("degenerate corpus (10k identical docs) stays linear, never quadratic") {
+    // 10k copies of one text collapse every band into ONE bucket; all-pairs
+    // would be ~2×10⁸ pair structs on a single task. The star fallback must
+    // keep output O(n) while still connecting every doc into the cluster.
+    val n = 10000
+    val docs = (0 until n).map(i => (i.toLong, "the spark table scan merge"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashLsh
+      .candidatePairs(docs, "doc_id", "text", maxBucket = 1024)
+      .as[(Long, Long)].collect()
+    assert(pairs.length == n - 1) // star around doc 0, deduped across bands
+    val connected = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(connected.size == n) // every doc linked into the duplicate cluster
+    assert(pairs.forall(_._1 == 0L)) // hub is the smallest id
+
+    val sim = SimHashDedup
+      .nearDuplicates(docs, "doc_id", "text", 1, maxBucket = 1024)
+      .as[(Long, Long, Int)].collect()
+    assert(sim.length == n - 1)
+    assert(sim.forall(_._3 == 0)) // identical docs: hamming 0
+    assert(sim.flatMap(p => Seq(p._1, p._2)).toSet.size == n)
+  }
+
+  test("bucket cap keeps exact all-pairs semantics below the threshold") {
+    // 40 identical docs with cap 64 → all-pairs path must be untouched
+    val docs = (0 until 40).map(i => (i.toLong, "the spark table scan merge"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashLsh
+      .candidatePairs(docs, "doc_id", "text", maxBucket = 64)
+      .as[(Long, Long)].collect()
+    assert(pairs.length == 40 * 39 / 2)
+  }
 }

@@ -48,6 +48,59 @@ class SchemaCompatSpec extends SparkSuite {
     assert(!canRead(r, w))
   }
 
+  test("proto-native: rename at same field number OK; wire-type change breaks") {
+    // identity on the proto wire is the field NUMBER — renames are free
+    val w = StructType(Seq(StructField("count", IntegerType),
+      StructField("label", StringType)))
+    val renamed = StructType(Seq(StructField("n", LongType), // varint family
+      StructField("tag", BinaryType))) // len family
+    assert(checkFormat(ProtoNativeFormat, w, renamed, Full).isEmpty)
+    // int32 (varint) → float (fixed32) at field 1 breaks decoding both ways
+    val broken = StructType(Seq(StructField("count", FloatType),
+      StructField("label", StringType)))
+    assert(checkFormat(ProtoNativeFormat, w, broken, Backward).nonEmpty)
+    assert(checkFormat(ProtoNativeFormat, w, broken, Forward).nonEmpty)
+    // the same change is legal under Avro rules (int→float promotion) —
+    // the formats genuinely need different checkers
+    assert(checkFormat(AvroFormat, w, broken, Backward).isEmpty)
+  }
+
+  test("proto-native: trailing adds/removes OK; repeated-shape change breaks") {
+    val w = StructType(Seq(StructField("a", LongType)))
+    val added = w.add(StructField("b", StringType, nullable = false))
+    // non-nullable trailing add is fine in proto (defaults), not in Avro
+    assert(checkFormat(ProtoNativeFormat, w, added, Full).isEmpty)
+    assert(checkFormat(AvroFormat, w, added, Backward).nonEmpty)
+    assert(checkFormat(ProtoNativeFormat, added, w, Full).isEmpty) // removal
+    val repeated = StructType(Seq(StructField("a", ArrayType(LongType))))
+    assert(checkFormat(ProtoNativeFormat, w, repeated, Backward).nonEmpty)
+  }
+
+  test("json format follows the Avro resolution rules (reference subclassing)") {
+    val v2 = v1.add(StructField("email", StringType, nullable = true))
+    assert(checkFormat(JsonFormat, v1, v2, Backward).isEmpty)
+    val bad = v1.add(StructField("email", StringType, nullable = false))
+    assert(checkFormat(JsonFormat, v1, bad, Backward).nonEmpty)
+  }
+
+  test("KeyValue: key AND value gated independently, each with its format") {
+    val key = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val kv1 = KeyValueSchema(AvroFormat, key, ProtoNativeFormat, v1)
+    // value evolves legally under proto rules → compatible
+    val kv2 = kv1.copy(value = StructType(Seq(
+      StructField("id2", LongType, nullable = false),
+      StructField("name2", BinaryType, nullable = true))))
+    assert(checkKeyValue(kv1, kv2, Full).isEmpty)
+    // a breaking KEY change fails even though the value is untouched
+    val kvBadKey = kv1.copy(key = StructType(Seq(
+      StructField("id", StringType, nullable = false))))
+    val errs = checkKeyValue(kv1, kvBadKey, Backward)
+    assert(errs.nonEmpty && errs.forall(_.startsWith("key: ")))
+    // changing one side's format is always a break
+    assert(checkKeyValue(kv1, kv1.copy(valueFormat = AvroFormat), Backward)
+      .exists(_.contains("format changed")))
+  }
+
   test("registry gates incompatible updates and versions compatible ones") {
     val reg = new SchemaRegistry(Full)
     assert(reg.register("topic-a", v1) == Right(0))

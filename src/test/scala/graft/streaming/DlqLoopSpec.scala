@@ -73,4 +73,50 @@ class DlqLoopSpec extends SparkSuite {
     assert(dead.map(_._2).toSet == Set("poison-a", "poison-b"))
     assert(dead.forall(_._3 == 3)) // exactly maxRedeliverCount attempts
   }
+
+  test("retry redelivery honors the exponential backoff schedule") {
+    import graft.streaming.DeadLetter.RedeliveryBackoff
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val backoff = RedeliveryBackoff(minDelayMs = 1000, maxDelayMs = 4000)
+    // min(max, min × 2^(n−1)): 1s, 2s, then capped at 4s
+    assert((1 to 6).map(backoff.delayMs) ==
+      Seq(1000L, 2000L, 4000L, 4000L, 4000L, 4000L))
+
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    val process: ((String, String, Long)) => Try[String] = {
+      case (_, v, _) =>
+        if (v.startsWith("poison")) Failure(new RuntimeException("boom"))
+        else Success(v)
+    }
+    // hop 1 fails at t0: rc 0→1, redeliverable no earlier than t0+1s
+    val (_, s1, _) = DeadLetter.routeWithBackoff(
+      Seq(Attempt(("k1", "poison-a", 0L), 0)), 5, backoff, t0)(process)
+    assert(s1.head.deliverAtMs == t0 + 1000)
+    // hop 2 fails at its redelivery time: rc 1→2, +2s; hop 3: capped +4s
+    val (_, s2, _) = DeadLetter.routeWithBackoff(
+      s1.map(_.attempt), 5, backoff, s1.head.deliverAtMs)(process)
+    assert(s2.head.deliverAtMs == t0 + 1000 + 2000)
+    val (_, s3, _) = DeadLetter.routeWithBackoff(
+      s2.map(_.attempt), 5, backoff, s2.head.deliverAtMs)(process)
+    assert(s3.head.deliverAtMs == t0 + 1000 + 2000 + 4000)
+
+    // the retry-topic hold: the scheduled retry must NOT surface before its
+    // deliver-at — delayedDelivery with the watermark as the clock
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DelayedMsg]
+    val delayed = StatefulOps.delayedDelivery(
+      in.toDF().withWatermark("deliverAt", "5 seconds").as[DelayedMsg])
+    val q = delayed.toDF().writeStream.format("memory")
+      .queryName("dlq_backoff").outputMode("append").start()
+    in.addData(DelayedMsg("k1", "poison-a#rc1", 0L,
+      new java.sql.Timestamp(s1.head.deliverAtMs)))
+    q.processAllAvailable()
+    assert(spark.table("dlq_backoff").isEmpty) // backoff not yet elapsed
+    in.addData(DelayedMsg("tick", "tick", 9L, ts("2024-01-01 00:00:30")))
+    q.processAllAvailable() // watermark passes t0+1s → retry released
+    val released = spark.table("dlq_backoff").as[DelayedMsg].collect()
+    q.stop()
+    assert(released.exists(_.value == "poison-a#rc1"))
+  }
 }

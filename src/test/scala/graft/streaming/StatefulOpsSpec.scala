@@ -39,6 +39,31 @@ class StatefulOpsSpec extends SparkSuite {
     assert(latest("k2").value == "a1")
   }
 
+  test("tableViewStream: stale batches emit nothing; tombstone deletes the key") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedMsg]
+    val (q, name) = runToMemory(
+      StatefulOps.tableViewStream(in.toDS()).toDF(), "update")
+    in.addData(KeyedMsg("k1", "v1", 5L, ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    in.addData(KeyedMsg("k1", "stale", 3L, ts("2024-01-01 00:00:01")))
+    q.processAllAvailable()
+    // the stale-only batch fired no listener (old behavior re-emitted v1)
+    assert(spark.table(name).count() == 1)
+    // tombstone: emits the delete notification and removes the stored entry
+    in.addData(KeyedMsg("k1", null, 9L, ts("2024-01-01 00:00:02")))
+    q.processAllAvailable()
+    val rows2 = spark.table(name).as[KeyUpdate].collect()
+    assert(rows2.length == 2 &&
+      rows2.exists(r => r.offset == 9L && r.value == null))
+    // with the key deleted, a lower-offset write re-creates it (map semantics)
+    in.addData(KeyedMsg("k1", "v2", 7L, ts("2024-01-01 00:00:03")))
+    q.processAllAvailable()
+    val rows3 = spark.table(name).as[KeyUpdate].collect()
+    q.stop()
+    assert(rows3.exists(r => r.offset == 7L && r.value == "v2"))
+  }
+
   test("tumblingCountWindow emits complete windows of exactly N, in order") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedMsg]
