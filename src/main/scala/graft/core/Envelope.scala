@@ -62,9 +62,50 @@ object Envelope {
     env.withColumn("decoded", from_json(decode(col("value"), "UTF-8"), payloadSchema))
 
   /** Key-hash dispatch filter: the slice of the stream consumer i of n sees
-    * under Key_Shared (reference: ConsistentHashingStickyKeyConsumerSelector.java:41-108). */
+    * under Key_Shared — the simple mod-hash form (reference:
+    * HashRangeAutoSplitStickyKeyConsumerSelector-style uniform split). */
   def keySharedSlice(env: DataFrame, consumer: Int, numConsumers: Int): DataFrame =
     env.where(pmod(hash(col("key")), lit(numConsumers)) === lit(consumer))
+
+  /** The Key_Shared ring size (reference:
+    * StickyKeyConsumerSelector.DEFAULT_RANGE_SIZE = 2 << 15). */
+  val KeySharedRangeSize: Int = 2 << 15
+
+  /** Consistent-hash ring for Key_Shared dispatch (reference:
+    * ConsistentHashingStickyKeyConsumerSelector.java:41-108): each consumer
+    * hashes `pointsPerConsumer` points onto a 2<<15 ring; a key is served by
+    * the consumer owning the first ring point at/after hash(key) mod range
+    * (wrapping to the first point). The observable difference from mod-hash:
+    * when a consumer joins, ONLY the keys in the ranges its points claim
+    * move — and they all move TO the new consumer; no key migrates between
+    * existing consumers. */
+  def keySharedRing(consumers: Seq[String], pointsPerConsumer: Int = 100,
+                    rangeSize: Int = KeySharedRangeSize): Seq[(Int, String)] =
+    consumers.flatMap { c =>
+      (0 until pointsPerConsumer).map { i =>
+        (math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(s"${c}_$i"), rangeSize), c)
+      }
+    }.sortBy(identity)
+
+  /** The consumer a key is dispatched to, as a pure Column over the
+    * (broadcast-literal) ring — the selector's `select(keyHash)`. One array
+    * literal + a filter expression, so ring size never deepens the plan. */
+  def keySharedConsistentAssign(keyCol: Column, ring: Seq[(Int, String)],
+                                rangeSize: Int = KeySharedRangeSize): Column = {
+    require(ring.nonEmpty, "ring needs at least one consumer point")
+    val posCol = pmod(hash(keyCol), lit(rangeSize))
+    val ringArr = typedlit(ring)
+    val owning = filter(ringArr, e => e.getField("_1") >= posCol)
+    when(size(owning) > 0, element_at(owning, 1).getField("_2"))
+      .otherwise(lit(ring.head._2)) // wrap around the ring
+  }
+
+  /** The slice of the stream one consumer sees under consistent-hash
+    * Key_Shared. */
+  def keySharedConsistentSlice(env: DataFrame, consumer: String,
+                               ring: Seq[(Int, String)]): DataFrame =
+    env.where(keySharedConsistentAssign(col("key"), ring) === lit(consumer))
 
   /** Message routing modes (reference: MessageRoutingMode.java:39-55,
     * RoundRobinPartitionMessageRouterImpl.java:74 — keyed messages hash,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
@@ -69,7 +69,42 @@ object Sinks {
 
   /** Producer/consumer interceptors (reference: ProducerInterceptor /
     * ConsumerInterceptor): pure row transforms applied at the sink/source
-    * boundary. Declarative columns keep them codegen'd. */
+    * boundary, composed in registration order via [[Interceptors.chain]].
+    * Declarative columns keep them codegen'd. */
   def withProducerInterceptor(df: DataFrame, f: DataFrame => DataFrame): DataFrame = f(df)
   def withConsumerInterceptor(df: DataFrame, f: DataFrame => DataFrame): DataFrame = f(df)
+}
+
+/** Interceptor combinators — the reference's interceptor chain semantics
+  * (ProducerInterceptor.beforeSend transforms the message before publish,
+  * interceptors run in registration order, ConsumerInterceptor.beforeConsume
+  * mirrors it on the receive path; reference:
+  * client/api/ProducerInterceptor.java, ConsumerInterceptor.java and the
+  * chain impls pulsar-client/.../ProducerInterceptors.java,
+  * ConsumerInterceptors.java). Each interceptor is a declarative
+  * DataFrame→DataFrame transform, so a chain stays one codegen'd projection. */
+object Interceptors {
+  type Interceptor = DataFrame => DataFrame
+
+  /** Compose in registration order: the first interceptor sees the original
+    * record, each next one the previous output — beforeSend chaining. */
+  def chain(interceptors: Seq[Interceptor]): Interceptor =
+    df => interceptors.foldLeft(df)((d, f) => f(d))
+
+  /** Metadata mutation: stamp/overwrite a property (message properties are
+    * the reference's mutable metadata surface for interceptors). */
+  def addProperty(key: String, value: Column): Interceptor =
+    df => df.withColumn("properties",
+      map_concat(
+        map_filter(coalesce(col("properties"),
+          map().cast("map<string,string>")), (k, _) => k =!= key),
+        map(lit(key), value.cast("string"))))
+
+  /** Payload transform (beforeSend rewriting the value). */
+  def mapValue(f: Column => Column): Interceptor =
+    df => df.withColumn("value", f(col("value")))
+
+  /** Filtering interceptor: silently drop records matching `pred` (the
+    * interceptor-returns-null drop convention). */
+  def dropWhere(pred: Column): Interceptor = df => df.where(!pred)
 }

@@ -173,6 +173,20 @@ object StreamingSemanticsQueries {
           col("sequence_id"), unix_millis(col("event_time")).as("event_time_ms"),
           col("decoded.event_type").as("event_type"),
           col("decoded.value").as("value"))
+    }),
+
+    // §2.1 CDC (Debezium-envelope) changelog → materialized current state:
+    // each event upserts its user's row; an 'error' event is the delete op.
+    // Latest change per key wins (event_id as the changelog position), keys
+    // whose newest change is a delete vanish — one max_by aggregation.
+    "q_cdc_materialize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"), col("event_id"))
+      val changes = graft.sources.Cdc.envelopeMixed(ev,
+        when(col("event_type") === "error", graft.sources.Cdc.Deletes)
+          .otherwise(graft.sources.Cdc.Updates),
+        col("event_id"))
+      graft.sources.Cdc.materialize(changes, Seq("user_id"))
     })
   )
 
@@ -274,6 +288,11 @@ object StreamingSemanticsQueries {
                 'producer-' || CAST(user_id % 8 AS VARCHAR) AS producer_name,
                 event_id AS sequence_id, epoch_ms(ts) AS event_time_ms,
                 event_type, value
-         FROM events"""
+         FROM events""",
+    "q_cdc_materialize" ->
+      """SELECT user_id, event_type, value, event_id
+         FROM (SELECT user_id, event_type, value, event_id, row_number() OVER (
+                 PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+         WHERE rn = 1 AND event_type <> 'error'"""
   )
 }

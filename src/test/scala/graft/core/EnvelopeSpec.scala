@@ -39,6 +39,31 @@ class EnvelopeSpec extends SparkSuite {
     assert(total == env.count()) // every message to exactly one consumer
   }
 
+  test("consistent-hash Key_Shared: a joining consumer steals ranges, never reshuffles") {
+    val keys = (0 until 2000).map(i => s"key-$i").toDF("key")
+    val ring3 = Envelope.keySharedRing(Seq("c-a", "c-b", "c-c"), 50)
+    val ring4 = Envelope.keySharedRing(Seq("c-a", "c-b", "c-c", "c-d"), 50)
+    val rows = keys.select(col("key"),
+      Envelope.keySharedConsistentAssign(col("key"), ring3).as("before"),
+      Envelope.keySharedConsistentAssign(col("key"), ring4).as("after"))
+      .as[(String, String, String)].collect()
+    // total function: every key owned, and by a real consumer
+    assert(rows.forall(r => Set("c-a", "c-b", "c-c").contains(r._2)))
+    // roughly balanced across the 3 consumers (100-point ring)
+    val byOwner = rows.groupBy(_._2).view.mapValues(_.size)
+    assert(byOwner.size == 3 && byOwner.values.forall(n => n > 300 && n < 1200))
+    // THE consistent-hash property (vs mod-hash): when c-d joins, every key
+    // that moves moves TO c-d; no key migrates between existing consumers
+    val moved = rows.filter(r => r._2 != r._3)
+    assert(moved.nonEmpty && moved.forall(_._3 == "c-d"))
+    assert(moved.size < rows.length / 2) // a join never reshuffles the world
+    // per-consumer slices are disjoint and complete
+    val env = keys.withColumnRenamed("key", "key")
+    val sliceSizes = Seq("c-a", "c-b", "c-c").map(c =>
+      Envelope.keySharedConsistentSlice(env, c, ring3).count())
+    assert(sliceSizes.sum == 2000)
+  }
+
   test("generator produces deterministic nested Person records") {
     val p1 = graft.sources.Generator.personBatch(spark, 10).collect()
     val p2 = graft.sources.Generator.personBatch(spark, 10).collect()

@@ -79,6 +79,28 @@ class SinksTopicsSpec extends SparkSuite {
     assert(n == 3)
   }
 
+  test("interceptor chain composes in registration order with drops and metadata") {
+    import org.apache.spark.sql.functions._
+    val env = Seq(
+      ("k1", "hello", Map("a" -> "1")),
+      ("k2", "secret", Map.empty[String, String]),
+      ("k3", "world", null.asInstanceOf[Map[String, String]]))
+      .toDF("key", "value", "properties")
+    val intercepted = Interceptors.chain(Seq(
+      Interceptors.dropWhere(col("value") === "secret"),
+      Interceptors.mapValue(v => upper(v)),
+      Interceptors.addProperty("stage", lit("s1")),
+      Interceptors.addProperty("stage", lit("s2")) // later one overwrites
+    ))(env)
+    val rows = intercepted.orderBy("key")
+      .select(col("key"), col("value"), col("properties"))
+      .as[(String, String, Map[String, String])].collect()
+    assert(rows.map(_._1).toSeq == Seq("k1", "k3")) // k2 dropped
+    assert(rows.map(_._2).toSeq == Seq("HELLO", "WORLD")) // mapValue ran
+    assert(rows.forall(_._3("stage") == "s2")) // chain order: s2 overwrote s1
+    assert(rows(0)._3("a") == "1") // pre-existing metadata preserved
+  }
+
   test("replicate fans out to two sinks with independent cursors") {
     val src = Files.createTempDirectory("repl-src").toFile.getAbsolutePath
     val d1 = Files.createTempDirectory("repl-1").toFile.getAbsolutePath
