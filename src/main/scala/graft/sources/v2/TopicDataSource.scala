@@ -236,6 +236,9 @@ object SegmentStats {
       o.toString.getBytes("UTF-8"))
   }
 
+  /** Public metadata accessor (sidecar-first, scan fallback). */
+  def statsFor(f: File): Option[Stats] = readStats(f)
+
   private def readStats(f: File): Option[Stats] = {
     val side = sidecarFor(f)
     if (side.exists()) {

@@ -28,3 +28,10 @@ case class CountWindow(key: String, windowId: Long, values: Seq[String],
 /** TableView upsert notification (current value per key after each update).
   * Reference: TableView.listen / forEachAndListen (TableView.java:88-112). */
 case class KeyUpdate(key: String, value: String, offset: Long)
+
+/** Routed delayed message: disposition "deliver" (due now) or "defer"
+  * (far-future — parked in bucket `bucket` instead of state).
+  * Reference: the bucketed tracker's in-memory/snapshot split,
+  * broker/.../delayed/bucket/BucketDelayedDeliveryTracker.java:67. */
+case class DelayedRoute(key: String, value: String, offset: Long,
+                        deliverAt: Timestamp, disposition: String, bucket: Long)

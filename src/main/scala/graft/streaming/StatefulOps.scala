@@ -167,7 +167,12 @@ object StatefulOps {
     * watermark passes its deliver-at time, then release it. The watermark is
     * the clock, exactly like the tracker's `getScheduledMessages(cutoff)`
     * (reference: broker/.../delayed/InMemoryDelayedDeliveryTracker.java:70-117).
-    * Requires `withWatermark` on the deliver-at column upstream. */
+    * Requires `withWatermark` upstream. Clock choice: watermarking the
+    * deliver-at column is fine when delays are short and uniform, but a
+    * single far-future deliver-at then drags the watermark (= the clock)
+    * forward and releases everything behind it early — when schedules span
+    * hours+, watermark the PUBLISH/event-time column instead so the clock
+    * tracks real arrival time (the tracker's `clock.millis()` cutoff). */
   def delayedDelivery(ds: Dataset[DelayedMsg]): Dataset[DelayedMsg] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
@@ -185,6 +190,43 @@ object StatefulOps {
           due.sortBy(m => (m.deliverAt.getTime, m.offset)).iterator
       }
   }
+
+  /** Bounded-state delayed delivery — the bucketed tracker's memory posture
+    * (reference: broker/.../delayed/bucket/BucketDelayedDeliveryTracker.java:67
+    * keeps only near-term deliveries in the in-memory queue and snapshots
+    * far-future ones to buckets re-loaded when their time nears). Messages
+    * due within `horizonMs` of the watermark are held in state and released
+    * like [[delayedDelivery]]; farther-future messages are NOT buffered —
+    * they emit immediately as disposition "defer" with their deliver-at
+    * bucket (`deliverAt / bucketMs`), for the caller to park in a bucket
+    * topic (e.g. `delayed-bucket-<n>`) and re-ingest when the bucket nears.
+    * State is then bounded by arrival-rate × horizon per key, independent of
+    * how far ahead deliveries are scheduled. */
+  def delayedDeliveryBounded(ds: Dataset[DelayedMsg], horizonMs: Long,
+                             bucketMs: Long): Dataset[DelayedRoute] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Seq[DelayedMsg], DelayedRoute](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, msgs, state: GroupState[Seq[DelayedMsg]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val (near, far) = msgs.toSeq
+            .partition(_.deliverAt.getTime <= wm + horizonMs)
+          val buf = state.getOption.getOrElse(Seq.empty) ++ near
+          val (due, held) = buf.partition(_.deliverAt.getTime <= wm)
+          if (held.nonEmpty) {
+            state.update(held)
+            state.setTimeoutTimestamp(held.map(_.deliverAt.getTime).min max (wm + 1))
+          } else state.remove()
+          (due.sortBy(m => (m.deliverAt.getTime, m.offset)).map(m =>
+            DelayedRoute(m.key, m.value, m.offset, m.deliverAt, "deliver", -1L)) ++
+            far.map(m => DelayedRoute(m.key, m.value, m.offset, m.deliverAt,
+              "defer", m.deliverAt.getTime / bucketMs))).iterator
+      }
+  }
+
+  /** The bucket-topic name a deferred message parks in. */
+  def delayedBucketTopic(bucket: Long): String = f"delayed-bucket-$bucket%012d"
 
   /** Per-key dispatch throttling: emit at most `maxPerTrigger` records per
     * key per micro-batch in offset order, deferring the excess in state —

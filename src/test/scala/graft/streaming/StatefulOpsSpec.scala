@@ -174,6 +174,41 @@ class StatefulOpsSpec extends SparkSuite {
     assert(after3.map(_.value).toSet == Set("marker", "early", "late"))
   }
 
+  test("delayedDeliveryBounded defers far-future messages out of state (bucket spill)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DelayedMsg]
+    val routed = StatefulOps.delayedDeliveryBounded(
+      in.toDF().withWatermark("deliverAt", "10 seconds").as[DelayedMsg],
+      horizonMs = 60000L, bucketMs = 3600000L) // 1 min horizon, 1h buckets
+    val (q, name) = runToMemory(routed.toDF(), "append")
+    // batch 1 only advances the watermark (wm starts at 0 → everything far)
+    in.addData(DelayedMsg("wm", "tick", 0L, ts("2024-01-01 00:00:20")))
+    q.processAllAvailable()
+    // wm ≈ :10. near = due within 1 min of wm; far = hours out
+    in.addData(
+      DelayedMsg("k", "near", 1L, ts("2024-01-01 00:00:40")),
+      DelayedMsg("k", "far", 2L, ts("2024-01-01 03:30:00")))
+    q.processAllAvailable()
+    val afterRoute = spark.table(name).as[DelayedRoute].collect()
+    // far-future message was NOT buffered: deferred immediately with its
+    // bucket ("tick" was also deferred — at the epoch-0 bootstrap watermark
+    // everything is beyond the horizon, which is the safe direction)
+    val deferred = afterRoute.filter(_.disposition == "defer")
+    assert(deferred.exists(_.value == "far") && !deferred.exists(_.value == "near"))
+    assert(deferred.find(_.value == "far").get.bucket ==
+      ts("2024-01-01 03:30:00").getTime / 3600000L)
+    assert(StatefulOps.delayedBucketTopic(deferred.head.bucket)
+      .startsWith("delayed-bucket-"))
+    // advance the watermark past the near message's deliverAt → released
+    in.addData(DelayedMsg("wm", "tick2", 3L, ts("2024-01-01 00:01:30")))
+    q.processAllAvailable()
+    val released = spark.table(name).as[DelayedRoute].collect()
+    q.stop()
+    assert(released.exists(r => r.value == "near" && r.disposition == "deliver"))
+    // the far message never surfaced as a delivery from THIS operator's state
+    assert(!released.exists(r => r.value == "far" && r.disposition == "deliver"))
+  }
+
   test("throttleByKey caps per-trigger dispatch and drains without dropping") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedMsg]
