@@ -50,4 +50,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan("q_semi_join").contains("LeftSemi"))
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
+
+  test("multi-probe IVF broadcasts the probe set; the corpus is never shuffled pre-join") {
+    val p = plan("q_ann_ivf_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), "query side must broadcast")
+    // the only hash exchange is the top-k window's partitionBy(query_id) —
+    // the corpus reaches the cell join shuffle-free
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 exchange (window), got $n")
+  }
+
+  test("CDC materialize is one partial+final max_by aggregation") {
+    val p = plan("q_cdc_materialize")
+    assert(p.contains("partial_max_by") || p.contains("partial"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("LSH/simhash candidate generation never goes nested-loop") {
+    Seq("q_minhash_lsh", "q_simhash_dedup", "q_ngram_jaccard").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q plan has an all-pairs join")
+    }
+  }
 }
