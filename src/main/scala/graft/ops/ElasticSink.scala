@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ElasticSearch sink surface — the document mapping of the reference's ES
+  * connector (reference: pulsar-io/elastic-search/.../ElasticSearchSink.java —
+  * JSON doc per record, _id from the message key;  JsonConverter.java;
+  * date-pattern index routing IndexNameFormatter.java:36-41:
+  * `logs-%{+yyyy-MM-dd}` substitutes the event time).
+  *
+  * The mapping (index name, _id, document JSON, bulk payload) is pure and
+  * unit-tested; the HTTP transport is a `foreachBatch` caller's plug-in —
+  * same split as the JDBC sink (set-based payload handed to an executor).
+  */
+object ElasticSink {
+
+  private val PatternRx = """%\{\+([^}]+)\}""".r
+
+  /** Index-name column from a date pattern: every `%{+fmt}` segment becomes
+    * `date_format(eventTime, fmt)`, literals pass through. */
+  def indexName(pattern: String, eventTime: Column): Column = {
+    val parts = scala.collection.mutable.Buffer.empty[Column]
+    var last = 0
+    for (m <- PatternRx.findAllMatchIn(pattern)) {
+      if (m.start > last) parts += lit(pattern.substring(last, m.start))
+      parts += date_format(eventTime, m.group(1))
+      last = m.end
+    }
+    if (last < pattern.length) parts += lit(pattern.substring(last))
+    if (parts.isEmpty) lit(pattern) else concat(parts.toSeq: _*)
+  }
+
+  /** Rows → ES documents: (index, _id, doc). `_id` from the key column (null
+    * key → ES auto-id, as the connector does); the doc is the row minus the
+    * routing columns, as JSON. */
+  def documents(df: DataFrame, indexPattern: String, timeCol: String,
+                idCol: Option[String]): DataFrame = {
+    val docCols = df.columns.filterNot(c => idCol.contains(c)).map(col)
+    df.select(
+      indexName(indexPattern, col(timeCol)).as("index"),
+      idCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))
+        .as("_id"),
+      to_json(struct(docCols.toIndexedSeq: _*)).as("doc"))
+  }
+
+  /** The _bulk API payload for one micro-batch partition: action line +
+    * source line per doc (ndjson). Pure string building — the transport
+    * POSTs this per partition inside foreachBatch. */
+  def bulkPayload(docs: Iterator[(String, String, String)]): String =
+    docs.map { case (index, id, doc) =>
+      val action =
+        if (id == null) s"""{"index":{"_index":"$index"}}"""
+        else s"""{"index":{"_index":"$index","_id":"$id"}}"""
+      action + "\n" + doc
+    }.mkString("", "\n", "\n")
+}

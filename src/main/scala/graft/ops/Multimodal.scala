@@ -72,4 +72,41 @@ object Multimodal {
   def sizeBalanced(df: DataFrame, partitions: Int): DataFrame =
     df.repartitionByRange(partitions,
       octet_length(col("payload")), col("media_id"))
+
+  case class Frame(media_id: Long, frame_idx: Int, t_ms: Long,
+                   embedding: Array[Float])
+
+  /** Frame sampling: one row per sampled frame at `everyMs` spacing — the
+    * 1→N explode shape a video pipeline needs (frame count from the stub
+    * decode; a real codec would seek/decode each timestamp; the per-batch
+    * iterator shape is identical to [[extractFeatures]]). */
+  def sampleFrames(ds: Dataset[MediaRecord], everyMs: Long,
+                   frameMs: Long = 40L): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val f = stubDecode(r)
+        val durationMs = f.n_frames * frameMs
+        (0L until durationMs by everyMs).zipWithIndex.map { case (t, i) =>
+          // STUB frame embedding: the media embedding perturbed per-frame;
+          // a real decoder seeks to t and embeds the decoded frame
+          Frame(r.media_id, i, t,
+            f.embedding.zipWithIndex.map { case (v, j) =>
+              v + (((t + j) % 7).toFloat / 100f)
+            })
+        }
+      }
+    }
+  }
+
+  /** Resize: metadata-level transform (target dims recorded; payload passes
+    * through untouched by the STUB — a real impl re-encodes here). Keeping
+    * resize as a separate projection means the expensive re-encode composes
+    * with [[sizeBalanced]] and batching exactly like decode does. */
+  def resizeTo(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map(r => r.copy(meta =
+      Option(r.meta).getOrElse(Map.empty) ++
+        Map("resize_w" -> w.toString, "resize_h" -> h.toString)))
+  }
 }

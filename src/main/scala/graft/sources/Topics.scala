@@ -61,4 +61,23 @@ object Topics {
   def fileSourceBatch(spark: SparkSession, dir: String): DataFrame =
     spark.read.text(dir)
       .select(col("value"), input_file_name().as("source_file"))
+
+  /** Protocol-source envelope: wrap any line-delivering stream (Spark's
+    * `socket` source, a rate source, an HTTP/NSQ/RabbitMQ bridge emitting a
+    * `value` column — the reference's protocol connectors
+    * pulsar-io/{netty,http,nsq,rabbitmq} all reduce to this) with the topic
+    * provenance columns the graft envelope expects. */
+  def lineEnvelope(lines: DataFrame, topic: String): DataFrame =
+    lines.select(
+      lit(topic).as("topic"),
+      col("value").cast("string").as("value"),
+      monotonically_increasing_id().as("offset"),
+      current_timestamp().as("publish_time"))
+
+  /** Socket ingestion (the netty/HTTP test-fixture analog): Spark's built-in
+    * TextSocketSource + [[lineEnvelope]]. */
+  def socketSource(spark: SparkSession, host: String, port: Int,
+                   topic: String): DataFrame =
+    lineEnvelope(spark.readStream.format("socket")
+      .option("host", host).option("port", port).load(), topic)
 }

@@ -32,6 +32,26 @@ class MultimodalSpec extends SparkSuite {
       a.embedding.toSeq == b.embedding.toSeq && a.width == b.width))
   }
 
+  test("sampleFrames explodes a video into evenly spaced frame rows") {
+    val ds = Seq(rec(5, "video", 12000)).toDS() // 13 frames × 40ms = 520ms
+    val frames = Multimodal.sampleFrames(ds, everyMs = 100).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.length == 6) // t = 0,100,...,500
+    assert(frames.map(_.t_ms).toSeq == Seq(0L, 100L, 200L, 300L, 400L, 500L))
+    assert(frames.forall(_.media_id == 5L))
+    assert(frames.forall(_.embedding.length == 8))
+    // frame embeddings vary by timestamp (per-frame, not per-media)
+    assert(frames.map(_.embedding.toSeq).distinct.length > 1)
+  }
+
+  test("resizeTo stamps target dimensions without touching the payload") {
+    val out = Multimodal.resizeTo(Seq(rec(9, "image", 100)).toDS(), 224, 224)
+      .collect().head
+    assert(out.meta("resize_w") == "224" && out.meta("resize_h") == "224")
+    assert(out.meta("src") == "test") // original metadata kept
+    assert(out.payload.length == 100)
+  }
+
   test("asMedia wraps any binary column into the media schema") {
     val df = Seq((1L, "hello")).toDF("id", "txt")
       .withColumn("payload", org.apache.spark.sql.functions
