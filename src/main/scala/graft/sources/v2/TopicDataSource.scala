@@ -543,12 +543,27 @@ class TopicBatchWrite(path: String, queryId: String) extends BatchWrite {
 
 class TopicStreamingWrite(path: String, queryId: String) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new TopicStreamWriterFactory(path)
+    new TopicStreamWriterFactory(path, TopicStreamingWrite.alphaId(queryId))
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case SegmentCommit(fs) => fs.foreach { f =>
       new File(f).delete(); SegmentStats.sidecarFor(new File(f)).delete()
     } }
+}
+
+object TopicStreamingWrite {
+  /** Letters-only query discriminator for epoch segment names: each
+    * streaming query gets its OWN name family ("e" + 8 letters), so two
+    * queries producing into one topic cannot collide on epoch names or
+    * swallow each other's segments under a shared family frontier — the
+    * analog of the reference's unique producer names on one topic. Stable
+    * across restarts (the streaming query id persists in the checkpoint),
+    * which keeps epoch replay idempotent. */
+  def alphaId(queryId: String): String =
+    queryId.toLowerCase.filter(c => c.isDigit || ('a' to 'f').contains(c))
+      .map(c => if (c.isDigit) ('a' + (c - '0')).toChar
+                else ('k' + (c - 'a')).toChar)
+      .padTo(8, 'a').take(8).mkString
 }
 
 class TopicWriterFactory(path: String, qid: String) extends DataWriterFactory {
@@ -560,15 +575,16 @@ class TopicWriterFactory(path: String, qid: String) extends DataWriterFactory {
       () => f"segment-b${System.currentTimeMillis()}%013d-$qid-p$partitionId%05d.jsonl")
 }
 
-class TopicStreamWriterFactory(path: String)
+class TopicStreamWriterFactory(path: String, alphaQueryId: String)
   extends StreamingDataWriterFactory {
   /** Epoch in the name ⇒ replaying an epoch rewrites the same files —
-    * idempotent streaming produce (effectively-once). Epochs are monotone,
-    * satisfying the frontier contract (family "e"). */
+    * idempotent streaming produce (effectively-once). Epochs are monotone
+    * within the query's own family ("e" + query discriminator), satisfying
+    * the frontier contract even with several producers on one topic. */
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new SegmentWriter(path,
-      () => f"segment-e$epochId%010d-p$partitionId%05d.jsonl")
+      () => f"segment-e$alphaQueryId$epochId%010d-p$partitionId%05d.jsonl")
 }
 
 /** Routes each row to its envelope partition's subdirectory — the producer's

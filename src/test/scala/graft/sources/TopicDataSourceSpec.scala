@@ -262,6 +262,43 @@ class TopicDataSourceSpec extends SparkSuite {
     assert(off2.json().length < 300)
   }
 
+  test("mixed name families: batch appends after streaming epochs still consumed") {
+    // epoch-named ("e") segments sort AFTER batch-time ("b") names; the
+    // per-FAMILY frontiers must keep both monotone sequences independently,
+    // or a batch append into a streamed topic would land below the "e"
+    // frontier and be swallowed.
+    val src = tmpDir(); val dir = tmpDir(); val cp = tmpDir()
+    envelopeDf(0 until 10).coalesce(1).write.format("graft-topic")
+      .option("path", src).mode("append").save()
+    // streaming write → epoch-named segments in dir
+    val sq = spark.readStream.format("graft-topic").option("path", src).load()
+      .writeStream.format("graft-topic").option("path", dir)
+      .option("checkpointLocation", cp).start()
+    sq.processAllAvailable(); sq.stop()
+    // now a reader tails dir; then a BATCH append arrives (family "b")
+    val q = spark.readStream.format("graft-topic").option("path", dir).load()
+      .groupBy().count()
+      .writeStream.format("memory").queryName("mixed_fam")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    assert(spark.table("mixed_fam").as[Long].head() == 10)
+    envelopeDf(100 until 120).coalesce(1).write.format("graft-topic")
+      .option("path", dir).mode("append").save()
+    q.processAllAvailable()
+    val n = spark.table("mixed_fam").as[Long].head()
+    // and another streaming epoch after the batch write
+    val sq2 = spark.readStream.format("graft-topic").option("path", src).load()
+      .where($"offset" < 5)
+      .writeStream.format("graft-topic").option("path", dir)
+      .option("checkpointLocation", tmpDir()).start()
+    sq2.processAllAvailable(); sq2.stop()
+    q.processAllAvailable()
+    val n2 = spark.table("mixed_fam").as[Long].head()
+    q.stop()
+    assert(n == 30, s"batch append below the e-frontier was lost (got $n)")
+    assert(n2 == 35, s"post-batch epoch write lost (got $n2)")
+  }
+
   test("legacy v1 set-offset checkpoints migrate to the frontier cursor") {
     import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
