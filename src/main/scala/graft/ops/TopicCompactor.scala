@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * Offsets are preserved, so consumers keep their cursor semantics
   * (a compacted read returns each key's latest offset, exactly like reading
   * through the compacted ledger).
+  *
+  * Live tails: the streaming cursor tracks segment NAMES, so a tail re-
+  * receives the compacted horizon under its new names (same offsets).
+  * Guard downstream with `dropDuplicates("partition", "offset")` — offset
+  * stability across compaction exists precisely to make that dedup exact
+  * (spec: "tailing across compaction").
   */
 object TopicCompactor {
 

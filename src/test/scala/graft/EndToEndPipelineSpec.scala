@@ -31,6 +31,57 @@ class EndToEndPipelineSpec extends SparkSuite {
     dir
   }
 
+  test("LLM training-data pipeline end-to-end: filter → dedup → near-dup → stats") {
+    import graft.functions.TextFunctions
+    import graft.ops.MinHashLsh
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+
+    // 1. quality + language gate (the usual first pass of a corpus build)
+    val gated = docs
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .where(col("quality") > 0.2 && TextFunctions.tokenCount(col("text")) >= 5)
+    val gatedN = gated.count()
+    assert(gatedN > 0 && gatedN <= total)
+
+    // 2. exact dedup on the normalized fingerprint — keep the smallest doc_id
+    val keeperPerFp = gated
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .groupBy("fp").agg(min_by(struct(gated.columns.map(col).toIndexedSeq: _*),
+        col("doc_id")).as("d"), count(lit(1)).as("copies"))
+    val exactDeduped = keeperPerFp.select(col("d.*"))
+    val exactN = exactDeduped.count()
+    assert(exactN <= gatedN)
+
+    // 3. near-dup removal: minhash-LSH candidates verified by true Jaccard,
+    //    drop the larger id of each confirmed pair
+    val pairs = MinHashLsh.candidatePairs(exactDeduped, "doc_id", "text")
+    val confirmed = MinHashLsh
+      .jaccardOfPairs(pairs, exactDeduped, "doc_id", "text")
+      .where(col("jaccard") >= 0.7)
+    val dropIds = confirmed.select(col("doc_b").as("doc_id")).distinct()
+    val corpus = exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
+    val corpusN = corpus.count()
+    assert(corpusN == exactN - dropIds.count())
+
+    // 4. corpus stats a data curator reads off the final set
+    val stats = corpus.agg(
+      count(lit(1)).as("docs"),
+      sum(TextFunctions.tokenCount(col("text"))).as("tokens"),
+      avg(col("quality")).as("avg_quality")).head()
+    assert(stats.getLong(0) == corpusN && stats.getLong(1) > 0)
+
+    // every dropped near-dup still has its representative in the corpus
+    val orphans = confirmed.join(dropIds.withColumnRenamed("doc_id", "doc_b"),
+      Seq("doc_b"))
+      .join(corpus.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      // doc_a itself may have been dropped via another pair — then ITS keeper
+      // survives; verify transitively that some corpus doc covers each drop
+      .join(dropIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+    assert(orphans.isEmpty)
+  }
+
   test("replayed topic: streaming windowed agg equals batch answer") {
     val dir = topicDir()
     val stream = spark.readStream.format("graft-topic").option("path", dir)

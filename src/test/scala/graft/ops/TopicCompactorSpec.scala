@@ -66,6 +66,33 @@ class TopicCompactorSpec extends SparkSuite {
     assert(seek.toSeq.sorted == Seq("k1", "k4"))
   }
 
+  test("tailing across compaction: offsets are preserved, dedup-by-offset guards replays") {
+    // The segment-level cursor consumed the OLD segment names; compaction
+    // writes the horizon under NEW names, so a live tail re-receives the
+    // compacted rows (same offsets). dropDuplicates on (partition, offset)
+    // is the downstream guard — offsets are stable across compaction, which
+    // is exactly why the compactor preserves them.
+    val dir = Files.createTempDirectory("compact-tail").toFile.getAbsolutePath
+    write(dir, Seq(("k1", "v1", 0L), ("k2", "a1", 1L)))
+    write(dir, Seq(("k1", "v2", 2L), ("k3", "c1", 3L)))
+    val q = spark.readStream.format("graft-topic").option("path", dir).load()
+      .dropDuplicates("partition", "offset")
+      .writeStream.format("memory").queryName("compact_tail")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("compact_tail").count() == 4)
+    TopicCompactor.compact(spark, dir, targetSegments = 2)
+    q.processAllAvailable()
+    // compacted segments re-delivered but offset-deduped: no new rows
+    assert(spark.table("compact_tail").count() == 4)
+    // fresh appends after compaction flow through normally
+    write(dir, Seq(("k4", "d1", 4L)))
+    q.processAllAvailable()
+    val n = spark.table("compact_tail").count()
+    q.stop()
+    assert(n == 5)
+  }
+
   test("compacted horizon is written distributed: many segments, sorted within") {
     val dir = Files.createTempDirectory("compactor-dist").toFile.getAbsolutePath
     // two topic partitions, 100 keys each, several updates per key
