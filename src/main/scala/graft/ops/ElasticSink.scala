@@ -35,13 +35,15 @@ object ElasticSink {
     * key → ES auto-id, as the connector does); the doc is the row minus the
     * routing columns, as JSON. */
   def documents(df: DataFrame, indexPattern: String, timeCol: String,
-                idCol: Option[String]): DataFrame = {
-    val docCols = df.columns.filterNot(c => idCol.contains(c)).map(col)
+                idCol: Option[String],
+                docCols: Option[Seq[String]] = None): DataFrame = {
+    val cols = docCols.getOrElse(
+      df.columns.toSeq.filterNot(c => idCol.contains(c))).map(col)
     df.select(
       indexName(indexPattern, col(timeCol)).as("index"),
       idCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))
         .as("_id"),
-      to_json(struct(docCols.toIndexedSeq: _*)).as("doc"))
+      to_json(struct(cols.toIndexedSeq: _*)).as("doc"))
   }
 
   /** The _bulk API payload for one micro-batch partition: action line +

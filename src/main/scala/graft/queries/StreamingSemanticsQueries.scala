@@ -187,6 +187,52 @@ object StreamingSemanticsQueries {
           .otherwise(graft.sources.Cdc.Updates),
         col("event_id"))
       graft.sources.Cdc.materialize(changes, Seq("user_id"))
+    }),
+
+    // §2.9 chunked messages end-to-end: split every document into 256-byte
+    // chunks, shuffle once on uuid, reassemble — must reproduce the corpus
+    // byte-for-byte (ConsumerImpl.java:1365-1447 reassembly semantics).
+    "q_chunk_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.ops.Chunking.reassemble(
+        graft.ops.Chunking.split(docs, "doc_id", "text", 256))
+    }),
+
+    // §2.9 dead-letter routing as a declared query: an 'error' event fails
+    // processing and routes to retry with its redelivery count bumped; the
+    // rest succeed (DeadLetterPolicy flow, batch-checkable disposition).
+    "q_dlq_route" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.events(s, d).select(col("event_id"), col("event_type"))
+        .as[(Long, String)]
+        .map { case (id, et) => graft.streaming.DeadLetter.Attempt((id, et), 0) }
+      graft.streaming.DeadLetter.routeDataset(ds, maxRedeliverCount = 3) {
+        case (_, et) =>
+          if (et == "error") scala.util.Failure(new RuntimeException("poison"))
+          else scala.util.Success(et)
+      }.select(col("_1").as("disposition"),
+        col("_2.record._1").as("event_id"),
+        col("_2.redeliveryCount").as("redeliveries"))
+    }),
+
+    // §2.1 ES sink document mapping: date-pattern index routing + _id from
+    // the message key + JSON document (IndexNameFormatter/JsonConverter).
+    "q_es_documents" -> ((s, d) => {
+      graft.ops.ElasticSink.documents(
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts")),
+        "events-%{+yyyy-MM-dd}", "ts", idCol = Some("event_id"),
+        docCols = Some(Seq("user_id", "event_type")))
+    }),
+
+    // §2.2 consistent-hash Key_Shared assignment (rows-only: the murmur ring
+    // is engine-side state, like the LSH planes).
+    "q_key_shared_ring" -> ((s, d) => {
+      val ring = graft.core.Envelope.keySharedRing(Seq("c-0", "c-1", "c-2"), 64)
+      Tables.events(s, d).select(col("user_id")).distinct()
+        .select(col("user_id"), graft.core.Envelope
+          .keySharedConsistentAssign(col("user_id").cast("string"), ring)
+          .as("consumer"))
     })
   )
 
@@ -293,6 +339,23 @@ object StreamingSemanticsQueries {
       """SELECT user_id, event_type, value, event_id
          FROM (SELECT user_id, event_type, value, event_id, row_number() OVER (
                  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
-         WHERE rn = 1 AND event_type <> 'error'"""
+         WHERE rn = 1 AND event_type <> 'error'""",
+    "q_chunk_roundtrip" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS uuid, text AS payload
+         FROM documents""",
+    "q_dlq_route" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'retry' ELSE 'ok' END
+                  AS disposition,
+                event_id,
+                CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                  AS redeliveries
+         FROM events""",
+    "q_es_documents" ->
+      """SELECT 'events-' || strftime(ts, '%Y-%m-%d') AS "index",
+                CAST(event_id AS VARCHAR) AS _id,
+                CAST(to_json(struct_pack(user_id := user_id,
+                                         event_type := event_type)) AS VARCHAR)
+                  AS doc
+         FROM events"""
   )
 }
