@@ -262,6 +262,58 @@ class TopicDataSourceSpec extends SparkSuite {
     assert(off2.json().length < 300)
   }
 
+  test("admission paces across partitions oldest-name-first, consuming everything") {
+    import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmpDir()
+    // two partitions, interleaved epoch names
+    (0 until 2).foreach { p =>
+      val pdir = new java.io.File(dir, f"partition-$p%03d"); pdir.mkdirs()
+      (1 to 3).foreach { e =>
+        java.nio.file.Files.write(
+          new java.io.File(pdir, f"segment-e$e%010d-p00000.jsonl").toPath,
+          s"""{"topic":"t","partition":$p,"offset":$e,"key":"k","value":"v","event_time_ms":0,"publish_time_ms":0,"producer_name":"p","sequence_id":$e}"""
+            .getBytes("UTF-8"))
+      }
+    }
+    val stream = new TopicMicroBatchStream(dir, maxSegmentsPerTrigger = Some(2))
+    var off: org.apache.spark.sql.connector.read.streaming.Offset = TopicOffset.empty
+    var batches = 0; var total = 0
+    var progressed = true
+    while (progressed) {
+      val next = stream.latestOffset(off, ReadLimit.allAvailable())
+      val n = stream.planInputPartitions(off, next).length
+      progressed = n > 0
+      if (progressed) { batches += 1; total += n; off = next }
+    }
+    assert(total == 6 && batches == 3) // 2 per trigger, nothing starved
+  }
+
+  test("startingTime with out-of-order segment times parks stragglers as pending") {
+    import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmpDir()
+    // three segments; the MIDDLE name holds the NEWEST publish times, so a
+    // startingTime seek consumes names 1 and 3 and must park name 2's gap
+    // as pending below the frontier rather than lose it
+    val pdir = new java.io.File(dir, "partition-000"); pdir.mkdirs()
+    def raw(e: Int, ptMs: Long): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(pdir, f"segment-e$e%010d-p00000.jsonl").toPath,
+        s"""{"topic":"t","partition":0,"offset":$e,"key":"k","value":"v$e","event_time_ms":0,"publish_time_ms":$ptMs,"producer_name":"p","sequence_id":$e}"""
+          .getBytes("UTF-8"))
+    raw(1, 1000L); raw(2, 9000L); raw(3, 2000L)
+    val stream = new TopicMicroBatchStream(dir, startingTimeMs = Some(5000L))
+    val init = stream.initialOffset().asInstanceOf[TopicOffset]
+    // names 1 and 3 are wholly-older (consumed); 2 is pending below frontier 3
+    assert(init.parts("0").pending == Set("segment-e0000000002-p00000.jsonl"))
+    val next = stream.latestOffset(init, ReadLimit.allAvailable())
+    val batch = stream.planInputPartitions(init, next)
+    assert(batch.length == 1 &&
+      batch.head.asInstanceOf[graft.sources.v2.TopicInputPartition]
+        .file.endsWith("segment-e0000000002-p00000.jsonl"))
+  }
+
   test("mixed name families: batch appends after streaming epochs still consumed") {
     // epoch-named ("e") segments sort AFTER batch-time ("b") names; the
     // per-FAMILY frontiers must keep both monotone sequences independently,
