@@ -86,22 +86,34 @@ object TopicTable {
     Option(d.listFiles((_, n) => n.startsWith("segment-") && n.endsWith(".jsonl")))
       .getOrElse(Array.empty).sortBy(_.getName)
 
-  /** Every (partitionId, segment) in the topic: partition subdirectories plus
-    * legacy flat-root segments (partition [[FlatPartition]]). Re-listed at
-    * every micro-batch plan — partition-count evolution is picked up live. */
+  /** The cold-tier subdirectory: sealed segments moved here by
+    * [[graft.ops.Offloader]] keep their (partition, name) identity, so
+    * consumers — including the name-keyed stream cursor — read through
+    * transparently (the offload read-back of
+    * BlobStoreManagedLedgerOffloader.java:95). */
+  val OffloadTier = "offloaded"
+
+  /** Every (partitionId, segment) in the topic: partition subdirectories,
+    * the cold tier's mirror tree, plus legacy flat-root segments (partition
+    * [[FlatPartition]]). Re-listed at every micro-batch plan —
+    * partition-count evolution is picked up live. */
   def listPartitioned(dir: String): Seq[(Int, File)] = {
     val d = new File(dir)
     if (!d.exists()) return Seq.empty
-    val flat = segmentsIn(d).toSeq.map(f => (FlatPartition, f))
-    val parts = Option(d.listFiles()).getOrElse(Array.empty).toSeq
-      .flatMap { p =>
-        p.getName match {
-          case PartDirRx(n) if p.isDirectory =>
-            segmentsIn(p).toSeq.map(f => (n.toInt, f))
-          case _ => Seq.empty
+    def tree(root: File): Seq[(Int, File)] = {
+      val flat = segmentsIn(root).toSeq.map(f => (FlatPartition, f))
+      val parts = Option(root.listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap { p =>
+          p.getName match {
+            case PartDirRx(n) if p.isDirectory =>
+              segmentsIn(p).toSeq.map(f => (n.toInt, f))
+            case _ => Seq.empty
+          }
         }
-      }
-    (flat ++ parts).sortBy { case (pid, f) => (pid, f.getName) }
+      flat ++ parts
+    }
+    (tree(d) ++ tree(new File(d, OffloadTier)))
+      .sortBy { case (pid, f) => (pid, f.getName) }
   }
 
   def listSegments(dir: String): Array[File] =
@@ -641,6 +653,13 @@ class SegmentWriter(root: String, finalName: () => String)
       po.out.close()
       val dst = new File(po.dir, name)
       if (dst.exists()) dst.delete() // idempotent epoch replay
+      // a replayed epoch may have been offloaded meanwhile — the rewrite
+      // supersedes the cold copy (same (partition, name) identity)
+      val cold = new File(new File(new File(root, TopicTable.OffloadTier),
+        po.dir.getName), name)
+      if (cold.exists()) {
+        cold.delete(); SegmentStats.sidecarFor(cold).delete()
+      }
       po.tmp.renameTo(dst)
       if (po.n > 0) // sidecar written AFTER the segment: readers always fall back
         SegmentStats.writeSidecar(dst,
