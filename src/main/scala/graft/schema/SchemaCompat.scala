@@ -178,8 +178,37 @@ object SchemaCompat {
 /** A tiny versioned schema catalog: the registry's storage surface
   * (reference: BookkeeperSchemaStorage — versioned put/get; here an in-memory
   * map suitable for session lifetime; persistence = a table property in a
-  * real deployment). */
+  * real deployment). [[decodeAuto]] is the AUTO_CONSUME read path: each
+  * message decoded with ITS writer schema version, presented as the latest
+  * view. */
 class SchemaRegistry(mode: SchemaCompat.Mode) {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  /** AUTO_CONSUME decode (reference: Schema.AUTO_CONSUME() Schema.java:417
+    * decodes to GenericRecord using the server-side registry + the message's
+    * schemaVersion Message.java:209): each row's JSON payload is parsed with
+    * the schema version stamped on the message, then resolved up to the
+    * LATEST registered schema — fields the writer lacked become null (the
+    * Avro default rule), shared fields promote (int→long etc). One
+    * `coalesce(when(version==v, …))` projection, fully codegen'd. */
+  def decodeAuto(df: DataFrame, subject: String, valueCol: String,
+                 versionCol: String): DataFrame = {
+    val vs = versions(subject)
+    require(vs.nonEmpty, s"no schema registered for $subject")
+    val latest = vs.last
+    def upcast(dec: Column, from: StructType): Column =
+      struct(latest.fields.toIndexedSeq.map { f =>
+        if (from.fieldNames.contains(f.name))
+          dec.getField(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    val resolved = coalesce(vs.zipWithIndex.map { case (sch, v) =>
+      when(col(versionCol) === lit(v),
+        upcast(from_json(col(valueCol), sch), sch))
+    }: _*)
+    df.withColumn("decoded", resolved)
+  }
   private val store =
     scala.collection.mutable.Map.empty[String, Vector[StructType]]
 

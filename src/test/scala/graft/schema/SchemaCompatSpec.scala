@@ -111,4 +111,28 @@ class SchemaCompatSpec extends SparkSuite {
     assert(reg.latest("topic-a").contains(ok))
     assert(reg.versions("topic-a").size == 2)
   }
+
+  test("AUTO_CONSUME decode resolves each message's writer version to the latest view") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val reg = new SchemaRegistry(Backward)
+    val v0 = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType)))
+    val v1s = StructType(Seq(StructField("id", LongType), // int→long promotion
+      StructField("name", StringType),
+      StructField("email", StringType, nullable = true)))
+    assert(reg.register("users", v0) == Right(0))
+    assert(reg.register("users", v1s) == Right(1))
+
+    val rows = Seq(
+      ("""{"id": 1, "name": "ada"}""", 0),                               // v0 writer
+      ("""{"id": 2, "name": "bob", "email": "b@x"}""", 1))               // v1 writer
+      .toDF("payload", "schema_version")
+    val out = reg.decodeAuto(rows, "users", "payload", "schema_version")
+      .select(col("decoded.id"), col("decoded.name"), col("decoded.email"))
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+    // both rows surface in the LATEST schema: id widened to long, the v0
+    // writer's missing email defaults to null
+    assert(out.toSeq == Seq((1L, "ada", None), (2L, "bob", Some("b@x"))))
+  }
 }
