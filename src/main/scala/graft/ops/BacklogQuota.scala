@@ -33,7 +33,9 @@ object BacklogQuota {
       import org.apache.spark.sql.sources.{Filter, GreaterThan}
       graft.sources.v2.SegmentStats.mightMatch(f,
         Array(GreaterThan("offset", cursorOffset): Filter))
-    }.sortBy(_.getName)
+    }.sortBy(f => // oldest DATA first — names interleave across families
+      graft.sources.v2.SegmentStats.statsFor(f).map(_.maxOff)
+        .getOrElse(Long.MaxValue))
 
   /** Quota check for the subscription at `cursorOffset`. */
   def check(dir: String, cursorOffset: Long, limitBytes: Long): Status = {

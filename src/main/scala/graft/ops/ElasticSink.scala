@@ -38,7 +38,8 @@ object ElasticSink {
                 idCol: Option[String],
                 docCols: Option[Seq[String]] = None): DataFrame = {
     val cols = docCols.getOrElse(
-      df.columns.toSeq.filterNot(c => idCol.contains(c))).map(col)
+      df.columns.toSeq.filterNot(c => idCol.contains(c) || c == timeCol))
+      .map(col)
     df.select(
       indexName(indexPattern, col(timeCol)).as("index"),
       idCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))
@@ -46,14 +47,31 @@ object ElasticSink {
       to_json(struct(cols.toIndexedSeq: _*)).as("doc"))
   }
 
+  /** Minimal JSON string escape for values interpolated into action lines
+    * (_id comes from arbitrary message keys). */
+  private[ops] def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u$c%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
   /** The _bulk API payload for one micro-batch partition: action line +
     * source line per doc (ndjson). Pure string building — the transport
     * POSTs this per partition inside foreachBatch. */
   def bulkPayload(docs: Iterator[(String, String, String)]): String =
     docs.map { case (index, id, doc) =>
+      val idx = jsonEscape(index)
       val action =
-        if (id == null) s"""{"index":{"_index":"$index"}}"""
-        else s"""{"index":{"_index":"$index","_id":"$id"}}"""
+        if (id == null) s"""{"index":{"_index":"$idx"}}"""
+        else s"""{"index":{"_index":"$idx","_id":"${jsonEscape(id)}"}}"""
       action + "\n" + doc
     }.mkString("", "\n", "\n")
 }

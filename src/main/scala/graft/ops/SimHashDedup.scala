@@ -33,10 +33,15 @@ object SimHashDedup {
     * maxHamming+1 blocks of 16/(maxHamming+1) bits each guarantee every
     * qualifying pair shares a block — candidates never go all-pairs.
     *
-    * Like [[MinHashLsh.candidatePairs]], a bucket larger than `maxBucket`
-    * (boilerplate collapsing to one fingerprint) expands as a star around
-    * its smallest member instead of all-pairs, keeping every task linear
-    * while preserving cluster connectivity. */
+    * A bucket larger than `maxBucket` (boilerplate collapsing onto few
+    * fingerprints) switches from all-pairs to a bounded expansion that still
+    * preserves component structure under the hamming filter: members with
+    * the SAME fingerprint link as a star around their smallest id (hamming
+    * 0, always kept), and one representative per distinct fingerprint joins
+    * a rep-level all-pairs — bounded by the fingerprint space 2^(16−width),
+    * not the document count. Any qualifying pair (x, y) is then connected
+    * x—rep(x)—rep(y)—y, so dedup connectivity survives even when both
+    * members are far from the bucket minimum. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 1, maxBucket: Int = 1024): DataFrame = {
     val blocks = maxHamming + 1
@@ -50,20 +55,38 @@ object SimHashDedup {
         shiftright(col("simhash"), i * width).bitwiseAND(mask).as("v")
       )): _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.blk"), col("b.v"))
-    val grouped = melted.groupBy(col("blk"), col("v"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
-        col("simhash").as("sh")))).as("ds"))
-      .where(size(col("ds")) > 1)
+    // members per (block, value, fingerprint): the degenerate bucket is
+    // exactly-equal fingerprints, which this level collapses
+    val bySh = melted.groupBy(col("blk"), col("v"), col("simhash"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    val grouped = bySh.groupBy(col("blk"), col("v"))
+      .agg(sort_array(collect_list(struct(
+        element_at(col("ids"), 1).as("rep"),
+        col("simhash").as("sh"),
+        col("ids").as("ids")))).as("gs"),
+        sum(size(col("ids"))).cast("int").as("total"))
+      .where(col("total") > 1)
     def pairOf(x: Column, y: Column) =
       struct(x.getField("id").as("doc_a"), y.getField("id").as("doc_b"),
         bit_count(x.getField("sh").bitwiseXOR(y.getField("sh"))).as("hamming"))
-    val pairsAll = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-        y => pairOf(x, y))))
-    val pairsStar = transform(slice(col("ds"), lit(2), size(col("ds"))),
-      y => pairOf(element_at(col("ds"), 1), y))
-    grouped.select(explode(when(size(col("ds")) <= maxBucket, pairsAll)
-      .otherwise(pairsStar)).as("p"))
+    def allPairs(xs: Column) =
+      flatten(transform(xs, (x, i) =>
+        transform(slice(xs, i + lit(2), size(xs)), y => pairOf(x, y))))
+    // exact path: every member against every member (sorted by id)
+    val members = sort_array(flatten(transform(col("gs"), g =>
+      transform(g.getField("ids"),
+        i => struct(i.as("id"), g.getField("sh").as("sh"))))))
+    val pairsAll = allPairs(members)
+    // capped path: per-fingerprint stars + rep-level all-pairs
+    val stars = flatten(transform(col("gs"), g =>
+      transform(slice(g.getField("ids"), lit(2), size(g.getField("ids"))),
+        y => struct(g.getField("rep").as("doc_a"), y.as("doc_b"),
+          lit(0).as("hamming")))))
+    val reps = transform(col("gs"), g =>
+      struct(g.getField("rep").as("id"), g.getField("sh").as("sh")))
+    val pairsCapped = concat(stars, allPairs(reps))
+    grouped.select(explode(when(col("total") <= maxBucket, pairsAll)
+      .otherwise(pairsCapped)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()

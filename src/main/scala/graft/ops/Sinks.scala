@@ -105,6 +105,9 @@ object Interceptors {
     df => df.withColumn("value", f(col("value")))
 
   /** Filtering interceptor: silently drop records matching `pred` (the
-    * interceptor-returns-null drop convention). */
-  def dropWhere(pred: Column): Interceptor = df => df.where(!pred)
+    * interceptor-returns-null drop convention). Rows where the predicate
+    * evaluates to NULL (e.g. a tombstone's null value) are KEPT — under SQL
+    * three-valued logic a bare `!pred` would silently drop them. */
+  def dropWhere(pred: Column): Interceptor =
+    df => df.where(!coalesce(pred, lit(false)))
 }

@@ -203,10 +203,16 @@ class SchemaRegistry(mode: SchemaCompat.Mode) {
           dec.getField(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
+    // a version stamp outside the registered range RAISES (the reference's
+    // registry lookup fails on an unknown schemaVersion) rather than letting
+    // a silent null flow into downstream aggregations
+    val unknown = upcast(from_json(
+      raise_error(concat(lit(s"unknown schema version for '$subject': "),
+        col(versionCol).cast("string"))).cast("string"), latest), latest)
     val resolved = coalesce(vs.zipWithIndex.map { case (sch, v) =>
       when(col(versionCol) === lit(v),
         upcast(from_json(col(valueCol), sch), sch))
-    }: _*)
+    } :+ unknown: _*)
     df.withColumn("decoded", resolved)
   }
   private val store =

@@ -66,13 +66,25 @@ object Topics {
     * `socket` source, a rate source, an HTTP/NSQ/RabbitMQ bridge emitting a
     * `value` column — the reference's protocol connectors
     * pulsar-io/{netty,http,nsq,rabbitmq} all reduce to this) with the topic
-    * provenance columns the graft envelope expects. */
+    * provenance columns the graft envelope expects.
+    *
+    * Offsets are unique within ONE batch only (`monotonically_increasing_id`
+    * restarts every micro-batch) — a STREAMING caller feeding offset-keyed
+    * ops (dedup, TableView) must fold in the epoch via [[epochOffsets]]
+    * inside `foreachBatch`. */
   def lineEnvelope(lines: DataFrame, topic: String): DataFrame =
     lines.select(
       lit(topic).as("topic"),
       col("value").cast("string").as("value"),
       monotonically_increasing_id().as("offset"),
       current_timestamp().as("publish_time"))
+
+  /** Batch-unique offsets: (batchId << 40) + within-batch id. The mid layout
+    * is (taskPartition << 33) | row, so this is collision-free while a batch
+    * stays under 128 tasks and 2^33 rows per task — widen the shift beyond
+    * that. */
+  def epochOffsets(env: DataFrame, batchId: Long): DataFrame =
+    env.withColumn("offset", lit(batchId * (1L << 40)) + col("offset"))
 
   /** Socket ingestion (the netty/HTTP test-fixture analog): Spark's built-in
     * TextSocketSource + [[lineEnvelope]]. */

@@ -259,25 +259,38 @@ object SegmentStats {
       Some(Stats(n.get("min_offset").asLong, n.get("max_offset").asLong,
         n.get("min_publish_time_ms").asLong, n.get("max_publish_time_ms").asLong))
     } else {
-      // fallback: scan first/last line of the segment
+      // fallback: one pass over the segment. Offsets come from the first and
+      // last lines (write order), but the publish-time range must be min/max
+      // over the NON-NULL times — taking only the endpoints would let a null
+      // endpoint poison the range with a sentinel and prune live rows.
       val src = scala.io.Source.fromFile(f, "UTF-8")
       try {
         val lines = src.getLines()
         if (!lines.hasNext) None
         else {
-          val firstLine = lines.next()
-          var lastLine = firstLine
-          while (lines.hasNext) lastLine = lines.next()
-          val first = mapper.readTree(firstLine)
-          val last = mapper.readTree(lastLine)
-          def pt(n: JsonNode, orElse: Long): Long = {
-            val v = n.get("publish_time_ms")
-            if (v == null || v.isNull) orElse else v.asLong
+          var minOff = Long.MaxValue; var maxOff = Long.MinValue
+          var minPt = Long.MaxValue; var maxPt = Long.MinValue
+          var first = true
+          var lastOff = 0L
+          while (first || lines.hasNext) {
+            val n = mapper.readTree(if (first) { first = false; lines.next() }
+                                    else lines.next())
+            val off = n.get("offset")
+            if (off != null && !off.isNull) {
+              lastOff = off.asLong
+              minOff = math.min(minOff, lastOff)
+              maxOff = math.max(maxOff, lastOff)
+            }
+            val pt = n.get("publish_time_ms")
+            if (pt != null && !pt.isNull) {
+              minPt = math.min(minPt, pt.asLong)
+              maxPt = math.max(maxPt, pt.asLong)
+            }
           }
-          // null publish times contribute nothing to the pt range (a null
-          // never matches a time predicate, so excluding it is exact)
-          Some(Stats(first.get("offset").asLong, last.get("offset").asLong,
-            pt(first, Long.MaxValue), pt(last, Long.MinValue)))
+          // all-null pt keeps the (MaxValue, MinValue) sentinels: no time
+          // predicate can match rows whose publish_time is null, so pruning
+          // the segment under a time filter is exact
+          Some(Stats(minOff, maxOff, minPt, maxPt))
         }
       } finally src.close()
     }
@@ -578,13 +591,26 @@ object TopicStreamingWrite {
       .padTo(8, 'a').take(8).mkString
 }
 
+/** Strictly-increasing commit stamp: wall-clock millis, bumped past the last
+  * issued value so two commits in the same millisecond (or a clock step
+  * backwards) still produce ascending names within this JVM — the local
+  * analog of the broker's central monotone ledger-id allocator. Across
+  * executors the residual guarantee is wall-clock agreement (NTP-level skew
+  * narrows the race to the listing/rename window, documented at
+  * [[TopicTable.family]]). */
+object SegmentClock {
+  private val last = new java.util.concurrent.atomic.AtomicLong(0L)
+  def next(): Long =
+    last.updateAndGet(l => math.max(System.currentTimeMillis(), l + 1))
+}
+
 class TopicWriterFactory(path: String, qid: String) extends DataWriterFactory {
   /** Batch segments are named by COMMIT time (family "b") so names stay
     * monotone in append order across successive batch writes — the cursor
-    * frontier contract. */
+    * frontier contract ([[SegmentClock]] breaks same-millisecond ties). */
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SegmentWriter(path,
-      () => f"segment-b${System.currentTimeMillis()}%013d-$qid-p$partitionId%05d.jsonl")
+      () => f"segment-b${SegmentClock.next()}%013d-$qid-p$partitionId%05d.jsonl")
 }
 
 class TopicStreamWriterFactory(path: String, alphaQueryId: String)

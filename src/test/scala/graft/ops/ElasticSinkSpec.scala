@@ -43,6 +43,16 @@ class ElasticSinkSpec extends SparkSuite {
     assert(lines(2) == """{"index":{"_index":"ev-2024-01"}}""") // auto-id
   }
 
+  test("bulk action lines JSON-escape hostile message keys") {
+    val bulk = ElasticSink.bulkPayload(Iterator(
+      ("idx", "a\"b\\c\nd", """{"x":1}""")))
+    val action = bulk.split("\n")(0)
+    assert(action == """{"index":{"_index":"idx","_id":"a\"b\\c\nd"}}""")
+    // the action line parses as valid JSON
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(action)
+    assert(node.get("index").get("_id").asText == "a\"b\\c\nd")
+  }
+
   test("lineEnvelope wraps protocol-source lines with topic provenance") {
     val env = graft.sources.Topics.lineEnvelope(
       Seq("a", "b").toDF("value"), "net-topic")
@@ -50,5 +60,16 @@ class ElasticSinkSpec extends SparkSuite {
     val r = env.collect()
     assert(r.map(_.getString(1)).toSet == Set("a", "b"))
     assert(r.forall(_.getString(0) == "net-topic"))
+  }
+
+  test("epochOffsets makes line offsets batch-unique for offset-keyed consumers") {
+    val batch = graft.sources.Topics.lineEnvelope(
+      Seq("a", "b", "c").toDF("value"), "t")
+    val off1 = graft.sources.Topics.epochOffsets(batch, 1)
+      .select("offset").as[Long].collect().toSet
+    val off2 = graft.sources.Topics.epochOffsets(batch, 2)
+      .select("offset").as[Long].collect().toSet
+    assert(off1.size == 3 && off2.size == 3)
+    assert((off1 & off2).isEmpty) // no collisions across micro-batches
   }
 }

@@ -84,7 +84,8 @@ class SinksTopicsSpec extends SparkSuite {
     val env = Seq(
       ("k1", "hello", Map("a" -> "1")),
       ("k2", "secret", Map.empty[String, String]),
-      ("k3", "world", null.asInstanceOf[Map[String, String]]))
+      ("k3", "world", null.asInstanceOf[Map[String, String]]),
+      ("k0", null.asInstanceOf[String], Map.empty[String, String]))
       .toDF("key", "value", "properties")
     val intercepted = Interceptors.chain(Seq(
       Interceptors.dropWhere(col("value") === "secret"),
@@ -95,10 +96,11 @@ class SinksTopicsSpec extends SparkSuite {
     val rows = intercepted.orderBy("key")
       .select(col("key"), col("value"), col("properties"))
       .as[(String, String, Map[String, String])].collect()
-    assert(rows.map(_._1).toSeq == Seq("k1", "k3")) // k2 dropped
-    assert(rows.map(_._2).toSeq == Seq("HELLO", "WORLD")) // mapValue ran
+    // k2 dropped; the NULL-value tombstone k0 survives (3-valued-logic trap)
+    assert(rows.map(_._1).toSeq == Seq("k0", "k1", "k3"))
+    assert(rows.map(_._2).toSeq == Seq(null, "HELLO", "WORLD")) // mapValue ran
     assert(rows.forall(_._3("stage") == "s2")) // chain order: s2 overwrote s1
-    assert(rows(0)._3("a") == "1") // pre-existing metadata preserved
+    assert(rows(1)._3("a") == "1") // k1's pre-existing metadata preserved
   }
 
   test("replicate fans out to two sinks with independent cursors") {

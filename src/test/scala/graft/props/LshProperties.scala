@@ -105,6 +105,54 @@ class LshProperties extends SparkSuite {
     assert(sim.flatMap(p => Seq(p._1, p._2)).toSet.size == n)
   }
 
+  test("capped simhash buckets preserve duplicate-cluster components") {
+    // With a tiny cap every bucket takes the bounded path; the connected
+    // components of the returned pair graph must equal the all-pairs
+    // hamming-model components — the guarantee dedup actually consumes.
+    def hash16m(tok: String): Int = {
+      val h = md5hex(tok).take(4)
+      h.foldLeft(0)((acc, c) => acc * 16 + Integer.parseInt(c.toString, 16))
+    }
+    def simhash(text: String): Long = {
+      val hs = text.split(" ").toSeq.map(hash16m)
+      (0 until 16).map { j =>
+        val v = hs.map(h => ((h >> j) & 1) * 2 - 1).sum
+        if (v >= 0) 1L << j else 0L
+      }.sum
+    }
+    def comps(ids: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      pairs.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+    (0 until 3).flatMap(i => docGen(Gen.Parameters.default, Seed(99L + i)))
+      .foreach { texts =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val sh = docs.map { case (id, t) => id -> simhash(t) }
+        val modelPairs = for {
+          (a, ha) <- sh; (b, hb) <- sh
+          if a < b && java.lang.Long.bitCount(ha ^ hb) <= 1
+        } yield (a, b)
+        val got = SimHashDedup
+          .nearDuplicates(docs.toDF("doc_id", "text"), "doc_id", "text",
+            maxHamming = 1, maxBucket = 3)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+        // every returned pair genuinely qualifies…
+        val shMap = sh.toMap
+        assert(got.forall { case (a, b) =>
+          java.lang.Long.bitCount(shMap(a) ^ shMap(b)) <= 1 })
+        // …and the component structure is identical to the full model
+        val ids = docs.map(_._1)
+        assert(comps(ids, got) == comps(ids, modelPairs), s"docs=$texts")
+      }
+  }
+
   test("bucket cap keeps exact all-pairs semantics below the threshold") {
     // 40 identical docs with cap 64 → all-pairs path must be untouched
     val docs = (0 until 40).map(i => (i.toLong, "the spark table scan merge"))

@@ -134,5 +134,14 @@ class SchemaCompatSpec extends SparkSuite {
     // both rows surface in the LATEST schema: id widened to long, the v0
     // writer's missing email defaults to null
     assert(out.toSeq == Seq((1L, "ada", None), (2L, "bob", Some("b@x"))))
+
+    // an unregistered version stamp raises instead of silently nulling
+    val drift = Seq(("""{"id": 3}""", 7)).toDF("payload", "schema_version")
+    val err = intercept[Exception] {
+      reg.decodeAuto(drift, "users", "payload", "schema_version")
+        .select(col("decoded")).collect()
+    }
+    assert(err.getMessage.contains("unknown schema version") ||
+      Option(err.getCause).exists(_.getMessage.contains("unknown schema version")))
   }
 }

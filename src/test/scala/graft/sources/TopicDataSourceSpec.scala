@@ -262,6 +262,28 @@ class TopicDataSourceSpec extends SparkSuite {
     assert(off2.json().length < 300)
   }
 
+  test("sidecar-less stats survive null publish times at the segment endpoints") {
+    val dir = tmpDir()
+    val pdir = new java.io.File(dir, "partition-000"); pdir.mkdirs()
+    // last line's publish_time is null: the scan fallback must still see the
+    // real times from earlier lines (endpoint-only stats would poison the
+    // range and prune live rows)
+    val lines = Seq(
+      s"""{"topic":"t","partition":0,"offset":1,"key":"k","value":"v1","event_time_ms":0,"publish_time_ms":${ts("2024-01-10 00:00:00").getTime},"producer_name":"p","sequence_id":1}""",
+      s"""{"topic":"t","partition":0,"offset":2,"key":"k","value":"v2","event_time_ms":0,"publish_time_ms":null,"producer_name":"p","sequence_id":2}""")
+    java.nio.file.Files.write(
+      new java.io.File(pdir, "segment-e0000000001-p00000.jsonl").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val q = spark.read.format("graft-topic").option("path", dir).load()
+      .where($"publish_time" >= lit(ts("2024-01-01 00:00:00")))
+    assert(q.count() == 1) // v1 matches; the segment was NOT pruned away
+  }
+
+  test("SegmentClock stamps are strictly increasing even inside one millisecond") {
+    val stamps = (0 until 2000).map(_ => graft.sources.v2.SegmentClock.next())
+    assert(stamps == stamps.sorted && stamps.distinct.size == stamps.size)
+  }
+
   test("admission paces across partitions oldest-name-first, consuming everything") {
     import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
