@@ -55,37 +55,36 @@ object SimHashDedup {
         shiftright(col("simhash"), i * width).bitwiseAND(mask).as("v")
       )): _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.blk"), col("b.v"))
-    // members per (block, value, fingerprint): the degenerate bucket is
-    // exactly-equal fingerprints, which this level collapses
-    val bySh = melted.groupBy(col("blk"), col("v"), col("simhash"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-    val grouped = bySh.groupBy(col("blk"), col("v"))
-      .agg(sort_array(collect_list(struct(
-        element_at(col("ids"), 1).as("rep"),
-        col("simhash").as("sh"),
-        col("ids").as("ids")))).as("gs"),
-        sum(size(col("ids"))).cast("int").as("total"))
-      .where(col("total") > 1)
+    // ONE shuffle on (block, value); all further shaping happens inside the
+    // collected array so the capped path costs no extra exchange
+    val grouped = melted.groupBy(col("blk"), col("v"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("simhash").as("sh")))).as("ds"))
+      .where(size(col("ds")) > 1)
     def pairOf(x: Column, y: Column) =
       struct(x.getField("id").as("doc_a"), y.getField("id").as("doc_b"),
         bit_count(x.getField("sh").bitwiseXOR(y.getField("sh"))).as("hamming"))
     def allPairs(xs: Column) =
       flatten(transform(xs, (x, i) =>
         transform(slice(xs, i + lit(2), size(xs)), y => pairOf(x, y))))
-    // exact path: every member against every member (sorted by id)
-    val members = sort_array(flatten(transform(col("gs"), g =>
-      transform(g.getField("ids"),
-        i => struct(i.as("id"), g.getField("sh").as("sh"))))))
-    val pairsAll = allPairs(members)
-    // capped path: per-fingerprint stars + rep-level all-pairs
-    val stars = flatten(transform(col("gs"), g =>
-      transform(slice(g.getField("ids"), lit(2), size(g.getField("ids"))),
-        y => struct(g.getField("rep").as("doc_a"), y.as("doc_b"),
-          lit(0).as("hamming")))))
-    val reps = transform(col("gs"), g =>
-      struct(g.getField("rep").as("id"), g.getField("sh").as("sh")))
+    // exact path: every member against every member
+    val pairsAll = allPairs(col("ds"))
+    // capped path: the degenerate bucket concentrates on FEW fingerprints —
+    // per-fingerprint stars (hamming 0) plus an all-pairs over one
+    // representative per distinct fingerprint, bounded by the fingerprint
+    // space 2^(16−width), not the document count. Only evaluated for
+    // oversized buckets (CASE WHEN short-circuits).
+    def membersOf(s: Column) =
+      filter(col("ds"), x => x.getField("sh") === s)
+    val shs = array_sort(array_distinct(transform(col("ds"),
+      x => x.getField("sh"))))
+    val stars = flatten(transform(shs, s =>
+      transform(slice(membersOf(s), lit(2), size(membersOf(s))),
+        y => struct(element_at(membersOf(s), 1).getField("id").as("doc_a"),
+          y.getField("id").as("doc_b"), lit(0).as("hamming")))))
+    val reps = sort_array(transform(shs, s => element_at(membersOf(s), 1)))
     val pairsCapped = concat(stars, allPairs(reps))
-    grouped.select(explode(when(col("total") <= maxBucket, pairsAll)
+    grouped.select(explode(when(size(col("ds")) <= maxBucket, pairsAll)
       .otherwise(pairsCapped)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
