@@ -26,19 +26,30 @@ object Bench {
     SparkEntry.queries("q_join_broadcast")(spark, sfDir).count()
 
     // best-of-2 per query: one-off scheduler/GC hiccups on a shared box
-    // otherwise masquerade as operator cost
+    // otherwise masquerade as operator cost. A FAILING query records -1 and
+    // is listed in "failed" — a swallowed exception must not read as a fast
+    // successful run.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${t.getMessage}")
+          return -1.0
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val a = once()
+      val best = if (a < 0) a else { val b = once(); if (b < 0) b else math.min(a, b) }
+      if (best < 0) failed += name
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,15 +32,18 @@ object Chunking {
   }
 
   /** Reassemble chunks; incomplete messages (missing chunks) are dropped,
-    * mirroring consumer-side expiry of pending chunked messages. */
+    * mirroring consumer-side expiry of pending chunked messages. Redelivered
+    * duplicate chunks are deduplicated inside the aggregation (the reference
+    * consumer dedups by chunk_id) — a raw count(*) would drop a complete
+    * message on one duplicate, or accept duplicate+missing as complete. */
   def reassemble(chunks: DataFrame): DataFrame =
     chunks.groupBy(col("uuid"))
       .agg(
         max(col("num_chunks")).as("expected"),
-        count(lit(1)).as("got"),
-        concat_ws("", sort_array(collect_list(
-          struct(col("chunk_id"), col("chunk_payload"))))
-          .getField("chunk_payload")).as("payload"))
-      .where(col("got") === col("expected"))
-      .select(col("uuid"), col("payload"))
+        array_distinct(sort_array(collect_list(
+          struct(col("chunk_id"), col("chunk_payload"))))).as("cs"))
+      .where(size(col("cs")) === col("expected"))
+      .select(col("uuid"),
+        concat_ws("", transform(col("cs"),
+          c => c.getField("chunk_payload"))).as("payload"))
 }

@@ -21,17 +21,25 @@ object Dedup {
                     pref: Column): DataFrame =
     Compaction.compact(df, Seq(producerCol, seqCol), pref)
 
+  /** Content key: a single column hashes directly; several columns go
+    * through to_json(struct(...)) so field boundaries AND nulls survive --
+    * concat_ws skips null columns, which would collide (a, null) with
+    * (null, a), silently deduplicating distinct rows. */
+  private def contentKey(cols: Seq[String]): Column =
+    if (cols.size == 1) col(cols.head)
+    else to_json(struct(cols.map(col): _*))
+
   /** Exact content dedup by hash of normalized content: first-seen (minimum
     * `ord`) row wins. `cols` are the content columns hashed together. */
   def exactByContent(df: DataFrame, cols: Seq[String], ord: Column): DataFrame =
     Compaction.compact(
-      df.withColumn("__ck", md5(concat_ws("", cols.map(col): _*))),
+      df.withColumn("__ck", md5(contentKey(cols))),
       Seq("__ck"), struct(ord * -1)) // min-ord wins = max of negated ord
       .drop("__ck")
 
   /** Dedup summary: per distinct content hash, the keeper id and duplicate
     * count — the shape audit pipelines want. */
   def exactSummary(df: DataFrame, cols: Seq[String], idCol: String): DataFrame =
-    df.groupBy(md5(concat_ws("", cols.map(col): _*)).as("content_hash"))
+    df.groupBy(md5(contentKey(cols)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 }

@@ -30,7 +30,11 @@ object KMeans {
   def initParallel(data: DataFrame, idCol: String, vecCol: String, k: Int,
                    rounds: Int = 2): Array[Array[Double]] = {
     def toVec(r: org.apache.spark.sql.Row): Array[Double] =
-      r.getSeq[Float](0).map(_.toDouble).toArray
+      r.getSeq[Any](0).map { // array<float> OR array<double>, like the dot expr
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case n: java.lang.Number => n.doubleValue()
+      }.toArray
     val seed = data.orderBy(col(idCol)).limit(1).select(col(vecCol))
       .collect().map(toVec)
     val centers = ArrayBuffer(seed.toIndexedSeq: _*)

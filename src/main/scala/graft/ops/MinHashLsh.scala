@@ -98,8 +98,8 @@ object MinHashLsh {
     * exact near-dup pass). */
   def jaccardOfPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                      textCol: String, shingleK: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
-      hashedShingles(col(textCol), shingleK).as("__sh"))
+    val sh = Par.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), hashedShingles(col(textCol), shingleK).as("__sh"))
     val a = sh.select(col(idCol).as("doc_a"), col("__sh").as("__sha"))
     val b = sh.select(col(idCol).as("doc_b"), col("__sh").as("__shb"))
     pairs.join(a, "doc_a").join(b, "doc_b")

@@ -22,16 +22,13 @@ object Offloader {
   /** Offload sealed segments whose newest message is older than `olderThanMs`.
     * Returns the number of segments moved. */
   def offload(dir: String, olderThanMs: Long): Int = {
-    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
     val tier = new File(dir, TopicTable.OffloadTier)
     val victims = TopicTable.listPartitioned(dir)
       .filterNot { case (_, f) => // already offloaded segments stay put
         f.getParentFile.getPath.contains(TopicTable.OffloadTier)
       }
-      .filter { case (_, f) =>
-        !SegmentStats.mightMatch(f, Array(GreaterThanOrEqual("publish_time",
-          new java.sql.Timestamp(olderThanMs)): Filter))
-      }
+      // provably cold only — unknown-age segments stay hot
+      .filter { case (_, f) => SegmentStats.whollyOlderThan(f, olderThanMs) }
     victims.foreach { case (pid, f) =>
       val dst =
         if (pid == TopicTable.FlatPartition) tier

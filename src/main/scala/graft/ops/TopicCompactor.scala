@@ -73,12 +73,10 @@ object TopicCompactor {
     * is a metadata operation, never a rewrite. Straddling segments stay (the
     * reader's TTL filter handles residue rows). Returns segments removed. */
   def expire(spark: SparkSession, dir: String, olderThanMs: Long): Int = {
-    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
-    val expired = TopicTable.listSegments(dir).filter { f =>
-      !graft.sources.v2.SegmentStats.mightMatch(f,
-        Array(GreaterThanOrEqual("publish_time",
-          new java.sql.Timestamp(olderThanMs)): Filter))
-    }
+    // provably-old only: a segment of unknown age (null publish times) is
+    // NOT expired — TTL must never destroy data it cannot date
+    val expired = TopicTable.listSegments(dir).filter(f =>
+      graft.sources.v2.SegmentStats.whollyOlderThan(f, olderThanMs))
     expired.foreach { f =>
       f.delete()
       graft.sources.v2.SegmentStats.sidecarFor(f).delete()

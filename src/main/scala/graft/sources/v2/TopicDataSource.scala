@@ -251,6 +251,14 @@ object SegmentStats {
   /** Public metadata accessor (sidecar-first, scan fallback). */
   def statsFor(f: File): Option[Stats] = readStats(f)
 
+  /** True iff every row's publish time is KNOWN and older than the horizon.
+    * Distinct from `!mightMatch(pt >= horizon)`: a segment whose rows all
+    * have null publish_time matches no time predicate (correct for read
+    * pruning) but its AGE is unknown — expiry/offload/seek must not treat
+    * it as old, or fresh unknown-time data is destroyed. */
+  def whollyOlderThan(f: File, horizonMs: Long): Boolean =
+    readStats(f).exists(s => s.maxPt != Long.MinValue && s.maxPt < horizonMs)
+
   private def readStats(f: File): Option[Stats] = {
     val side = sidecarFor(f)
     if (side.exists()) {
@@ -493,11 +501,11 @@ class TopicMicroBatchStream(path: String,
   override def initialOffset(): Offset = startingTimeMs match {
     case None => TopicOffset.empty
     case Some(ts) =>
-      val skipped = listedFiles.filter { case (_, f) =>
-        !SegmentStats.mightMatch(f,
-          Array(GreaterThanOrEqual("publish_time",
-            new java.sql.Timestamp(ts)): Filter))
-      }.map { case (part, f) => (part, f.getName) }.toSet
+      // only PROVABLY older segments start out consumed; unknown-age
+      // (null publish time) segments are still delivered
+      val skipped = listedFiles
+        .filter { case (_, f) => SegmentStats.whollyOlderThan(f, ts) }
+        .map { case (part, f) => (part, f.getName) }.toSet
       TopicOffset.marking(listedNames, skipped)
   }
 

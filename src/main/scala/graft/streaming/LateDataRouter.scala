@@ -40,9 +40,13 @@ class LateDataRouter(eventTimeCol: String, lagMs: Long) extends Serializable {
   def split(batch: DataFrame): (DataFrame, DataFrame) = {
     val wm = watermarkMs
     val tsMs = unix_millis(col(eventTimeCol))
+    // null event times route ON-TIME (3-valued logic would otherwise drop
+    // them from BOTH slices — in the component whose whole point is that
+    // nothing is silently dropped)
     val (onTime, late) =
       if (wm == Long.MinValue) (batch, batch.limit(0))
-      else (batch.where(tsMs >= wm), batch.where(tsMs < wm))
+      else (batch.where(coalesce(tsMs >= wm, lit(true))),
+        batch.where(coalesce(tsMs < wm, lit(false))))
     val batchMax = batch.agg(max(tsMs)).head()
     if (!batchMax.isNullAt(0))
       maxSeenMs = math.max(maxSeenMs, batchMax.getLong(0))

@@ -29,9 +29,13 @@ object StatefulOps {
           val cur = state.getOption
           if (cur.forall(_.offset < best.offset)) {
             val upd = KeyUpdate(key, best.value, best.offset)
-            // Tombstone deletes the key from the view (TableViewImpl
-            // handleMessage :190 removes on null); emit it so sinks delete too.
-            if (best.value == null) state.remove() else state.update(upd)
+            // A tombstone (null value) deletes the key from the VIEW
+            // (TableViewImpl.handleMessage removes on null) and is emitted
+            // so sinks delete too — but the stored entry keeps the offset
+            // high-water mark: micro-batches can deliver out of order
+            // across batches, and dropping state would let an older
+            // redelivered offset resurrect the deleted key.
+            state.update(upd)
             Iterator.single(upd)
           } else Iterator.empty // no change → the listener does not fire
       }
@@ -58,7 +62,11 @@ object StatefulOps {
             msgs.toSeq.sortBy(_.offset)
           val full = buf.grouped(windowLength).toSeq
           val (complete, rest) = full.partition(_.size == windowLength)
-          state.update(rest.flatten)
+          val leftover = rest.flatten
+          // exact-multiple keys must CLEAR state, not store an empty Seq —
+          // a high-cardinality key space would otherwise grow the state
+          // store forever with empty entries
+          if (leftover.nonEmpty) state.update(leftover) else state.remove()
           complete.zipWithIndex.iterator.map { case (w, i) =>
             CountWindow(key, w.head.offset, w.map(_.value), w.map(_.offset),
               w.size)

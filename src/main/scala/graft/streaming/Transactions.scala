@@ -35,11 +35,17 @@ object Transactions {
       new File(dir).mkdirs()
       val staging = new File(dir, f".txn-stage-e$epochId%010d")
       batch.write.mode("overwrite").json(staging.getAbsolutePath)
+      // idempotent epoch replay: clear EVERY part of an earlier attempt
+      // first — a replay may produce fewer partitions (AQE/shuffle config),
+      // and an orphaned higher-numbered part would become visible once the
+      // marker lands, breaking atomic visibility
+      Option(new File(dir).listFiles((_, n) =>
+        n.startsWith(f"segment-txn-e$epochId%010d-") && n.endsWith(".jsonl")))
+        .getOrElse(Array.empty).foreach(_.delete())
       // seal: rename part files to epoch-stamped segments (metadata only)
       val parts = staging.listFiles((_, n) => n.startsWith("part-")).sorted
       parts.zipWithIndex.foreach { case (p, i) =>
         val target = new File(dir, f"segment-txn-e$epochId%010d-p$i%05d.jsonl")
-        if (target.exists()) target.delete() // idempotent epoch replay
         p.renameTo(target)
       }
       staging.listFiles().foreach(_.delete())

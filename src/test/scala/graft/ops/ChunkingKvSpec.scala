@@ -26,6 +26,20 @@ class ChunkingKvSpec extends SparkSuite {
     assert(Chunking.reassemble(chunks).count() == 0)
   }
 
+  test("reassemble dedups redelivered chunks; duplicate+missing stays incomplete") {
+    val df = Seq((1L, "0123456789abcdef")).toDF("id", "payload")
+    val chunks = Chunking.split(df, "id", "payload", 4)
+    // at-least-once redelivery duplicates chunk 1 → message still assembles
+    val withDup = chunks.union(chunks.where(col("chunk_id") === 1))
+    val back = Chunking.reassemble(withDup).as[(String, String)].collect()
+    assert(back.toSeq == Seq(("1", "0123456789abcdef")))
+    // duplicate of chunk 0 AND chunk 1 missing: a raw count would say
+    // complete (got==expected) and emit chunk0+chunk0 — must stay incomplete
+    val corrupt = chunks.where(col("chunk_id") =!= 1)
+      .union(chunks.where(col("chunk_id") === 0))
+    assert(Chunking.reassemble(corrupt).count() == 0)
+  }
+
   test("KeyValue INLINE pack/unpack round-trips typed key and value") {
     val df = Seq((7L, "alice", 12.5)).toDF("id", "name", "amount")
     val packed = KeyValueSchema.inline(df, Seq("id"), Seq("name", "amount"))

@@ -50,18 +50,23 @@ class StatefulOpsSpec extends SparkSuite {
     q.processAllAvailable()
     // the stale-only batch fired no listener (old behavior re-emitted v1)
     assert(spark.table(name).count() == 1)
-    // tombstone: emits the delete notification and removes the stored entry
+    // tombstone: emits the delete notification; the stored entry keeps the
+    // offset high-water mark
     in.addData(KeyedMsg("k1", null, 9L, ts("2024-01-01 00:00:02")))
     q.processAllAvailable()
     val rows2 = spark.table(name).as[KeyUpdate].collect()
     assert(rows2.length == 2 &&
       rows2.exists(r => r.offset == 9L && r.value == null))
-    // with the key deleted, a lower-offset write re-creates it (map semantics)
-    in.addData(KeyedMsg("k1", "v2", 7L, ts("2024-01-01 00:00:03")))
+    // an OLDER redelivered offset must NOT resurrect the deleted key
+    in.addData(KeyedMsg("k1", "stale2", 7L, ts("2024-01-01 00:00:03")))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 2)
+    // a genuinely newer write re-creates it
+    in.addData(KeyedMsg("k1", "v2", 11L, ts("2024-01-01 00:00:04")))
     q.processAllAvailable()
     val rows3 = spark.table(name).as[KeyUpdate].collect()
     q.stop()
-    assert(rows3.exists(r => r.offset == 7L && r.value == "v2"))
+    assert(rows3.exists(r => r.offset == 11L && r.value == "v2"))
   }
 
   test("tumblingCountWindow emits complete windows of exactly N, in order") {
