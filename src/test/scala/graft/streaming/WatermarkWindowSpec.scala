@@ -88,12 +88,14 @@ class WatermarkWindowSpec extends SparkSuite {
     }.start()
     in.addData(KeyedMsg("k", "a", 0L, ts("2024-01-01 01:00:00")))
     q.processAllAvailable()
-    // watermark now 00:59; this row is 2 minutes older → late side output
+    // watermark now 00:59; this row is 2 minutes older → late side output;
+    // the null event time lands on-time (NOT silently lost to 3VL)
     in.addData(KeyedMsg("k", "stale", 1L, ts("2024-01-01 00:57:00")),
-      KeyedMsg("k", "fresh", 2L, ts("2024-01-01 01:01:00")))
+      KeyedMsg("k", "fresh", 2L, ts("2024-01-01 01:01:00")),
+      KeyedMsg("k", "no-ts", 3L, null))
     q.processAllAvailable()
     q.stop()
-    assert(onTime.toSet == Set("a", "fresh"))
+    assert(onTime.toSet == Set("a", "fresh", "no-ts"))
     assert(late.toSet == Set("stale")) // routed, not dropped
   }
 
