@@ -54,7 +54,9 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   * per-seed array traversal / UTF8String churn. */
 case class MinHashSignature(child: Expression, numHashes: Int)
   extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // empty shingle sets produce [null × N] (min over nothing), so elements
+  // are nullable
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "minhash_signature"
 
   @transient private lazy val seedPrefixes: Array[Array[Byte]] =
@@ -85,7 +87,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null
+    if (n == 0) // min over an empty set is null PER SEED — [null × N], the
+      // same shape the compositional array(array_min(...)) form produces
+      return new GenericArrayData(new Array[Any](numHashes))
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[Array[Byte]](numHashes)
     var i = 0

@@ -27,13 +27,11 @@ object TextFunctions {
   /** Word tokens (single-space separated corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Non-overlapping occurrence count of literal `word` as a whole token. */
-  def wordOccurrences(text: Column, word: String): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
-    val pat = s" $word "
-    ((length(padded) - length(regexp_replace(padded,
-      java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast(LongType)
-  }
+  /** Exact occurrence count of `word` as a whole token. (The
+    * pad-and-replace formulation undercounts ADJACENT repeats — each
+    * " word " match consumes the delimiter space the next one needs.) */
+  def wordOccurrences(text: Column, word: String): Column =
+    size(filter(tokens(text), t => t === word)).cast(LongType)
 
   /** Heuristic quality score in [0,1]: rewards mid-length docs, plausible
     * average word length, and a sane stopword ratio. Deterministic arithmetic

@@ -143,9 +143,8 @@ object TextQueries {
            SELECT doc_id, CAST(length(text) AS DOUBLE) AS chars,
                   CAST(length(text) - length(replace(text, ' ', '')) + 1
                     AS DOUBLE) AS toks,
-                  CAST((length(' ' || text || ' ')
-                    - length(replace(' ' || text || ' ', ' the ', ''))) // 5
-                    AS DOUBLE) AS the_n
+                  CAST(len(list_filter(string_split(text, ' '),
+                    x -> x = 'the')) AS DOUBLE) AS the_n
            FROM documents)
          SELECT doc_id, round(
              0.4 * least(chars / 500.0, 1.0)

@@ -21,9 +21,15 @@ object AvroCodec {
 
   /** StructType → Avro record schema (nullable fields become unions with
     * null, matching Avro's optional-field idiom the compatibility rules
-    * reason about). */
+    * reason about). Nested record names carry the FIELD PATH — sibling
+    * structs would otherwise collide on one record fullname and Avro's
+    * parser rejects the redefinition. Array/map element nullability maps to
+    * element unions, so `Seq("a", null)` encodes instead of NPE-ing in the
+    * datum writer. */
   def toAvroSchema(st: StructType, name: String = "record"): Schema = {
-    def fieldType(dt: DataType): Schema = dt match {
+    def nullable(s: Schema): Schema =
+      Schema.createUnion(Schema.create(Schema.Type.NULL), s)
+    def fieldType(dt: DataType, path: String): Schema = dt match {
       case BooleanType => Schema.create(Schema.Type.BOOLEAN)
       case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
       case LongType => Schema.create(Schema.Type.LONG)
@@ -32,17 +38,19 @@ object AvroCodec {
       case StringType => Schema.create(Schema.Type.STRING)
       case BinaryType => Schema.create(Schema.Type.BYTES)
       case TimestampType | TimestampNTZType => Schema.create(Schema.Type.LONG)
-      case ArrayType(et, _) => Schema.createArray(fieldType(et))
-      case MapType(StringType, vt, _) => Schema.createMap(fieldType(vt))
-      case s: StructType => toAvroSchema(s, name + "_nested")
+      case ArrayType(et, cn) =>
+        val e = fieldType(et, path + "_item")
+        Schema.createArray(if (cn) nullable(e) else e)
+      case MapType(StringType, vt, vn) =>
+        val v = fieldType(vt, path + "_value")
+        Schema.createMap(if (vn) nullable(v) else v)
+      case s: StructType => toAvroSchema(s, path)
       case other =>
         throw new IllegalArgumentException(s"unsupported avro type: $other")
     }
     val fields = st.fields.map { f =>
-      val base = fieldType(f.dataType)
-      val t = if (f.nullable)
-        Schema.createUnion(Schema.create(Schema.Type.NULL), base)
-      else base
+      val base = fieldType(f.dataType, name + "_" + f.name)
+      val t = if (f.nullable) nullable(base) else base
       new Schema.Field(f.name, t,
         null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
@@ -71,6 +79,11 @@ object AvroCodec {
           k.toString -> toAvroValue(mv, resolved.getValueType)
         }.asJava
       case ts: java.sql.Timestamp => ts.getTime * 1000L // micros
+      case ldt: java.time.LocalDateTime => // TimestampNTZ external type
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      case s: java.lang.Short => s.intValue() // avro INT carries short/byte
+      case b: java.lang.Byte => b.intValue()
       case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
       case other => other
     }
@@ -88,6 +101,13 @@ object AvroCodec {
     case (u: org.apache.avro.util.Utf8, StringType) => u.toString
     case (micros: java.lang.Long, TimestampType) =>
       new java.sql.Timestamp(micros / 1000L)
+    case (micros: java.lang.Long, TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros.longValue(), 1000000L),
+        (Math.floorMod(micros.longValue(), 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case (i: java.lang.Integer, ShortType) => i.shortValue()
+    case (i: java.lang.Integer, ByteType) => i.byteValue()
     case (bb: java.nio.ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
     case (other, _) => other

@@ -169,6 +169,8 @@ object ProtoCodec {
     case st: StructType => null // absent message ⇒ null (proto3 messages)
     case ArrayType(_, _) => Seq.empty
     case TimestampType => new java.sql.Timestamp(0)
+    case TimestampNTZType =>
+      java.time.LocalDateTime.ofEpochSecond(0L, 0, java.time.ZoneOffset.UTC)
     case other => null
   }
 
@@ -218,8 +220,14 @@ object ProtoCodec {
           case StringType => new String(r.lenDelimited(), "UTF-8")
           case BinaryType => r.lenDelimited()
           case st: StructType => decode(r.lenDelimited(), st)
-          case TimestampType | TimestampNTZType =>
+          case TimestampType =>
             new java.sql.Timestamp(r.fixed64() / 1000L)
+          case TimestampNTZType => // NTZ's external type is LocalDateTime
+            val micros = r.fixed64()
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L),
+              (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
           case other => throw new IllegalArgumentException(
             s"unsupported datatype for proto decode: $other")
         }

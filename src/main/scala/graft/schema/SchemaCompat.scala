@@ -40,9 +40,17 @@ object SchemaCompat {
       case (w, r) if w == r => Nil
       case (w: StructType, r: StructType) => canReadErrors(w, r)
       case (w: ArrayType, r: ArrayType) =>
-        typeCanRead(w.elementType, r.elementType)
+        // element nullability is part of the contract: writer data with null
+        // elements must not flow into a reader promising none
+        (if (w.containsNull && !r.containsNull)
+          List("array elements: writer nullable but reader requires non-null")
+        else Nil) ++ typeCanRead(w.elementType, r.elementType)
       case (w: MapType, r: MapType) =>
-        typeCanRead(w.keyType, r.keyType) ++ typeCanRead(w.valueType, r.valueType)
+        (if (w.valueContainsNull && !r.valueContainsNull)
+          List("map values: writer nullable but reader requires non-null")
+        else Nil) ++
+          typeCanRead(w.keyType, r.keyType) ++
+          typeCanRead(w.valueType, r.valueType)
       case (w, r) if promotions((w, r)) => Nil
       case (w, r) => List(s"type ${w.simpleString} not readable as ${r.simpleString}")
     }
@@ -181,7 +189,8 @@ object SchemaCompat {
   * real deployment). [[decodeAuto]] is the AUTO_CONSUME read path: each
   * message decoded with ITS writer schema version, presented as the latest
   * view. */
-class SchemaRegistry(mode: SchemaCompat.Mode) {
+class SchemaRegistry(mode: SchemaCompat.Mode,
+                     format: SchemaCompat.Format = SchemaCompat.AvroFormat) {
   import org.apache.spark.sql.{Column, DataFrame}
   import org.apache.spark.sql.functions._
 
@@ -219,18 +228,21 @@ class SchemaRegistry(mode: SchemaCompat.Mode) {
     scala.collection.mutable.Map.empty[String, Vector[StructType]]
 
   def latest(subject: String): Option[StructType] =
-    store.get(subject).flatMap(_.lastOption)
+    synchronized { store.get(subject).flatMap(_.lastOption) }
 
   def versions(subject: String): Vector[StructType] =
-    store.getOrElse(subject, Vector.empty)
+    synchronized { store.getOrElse(subject, Vector.empty) }
 
-  /** Register a new version after the compatibility gate; returns the new
-    * version number or the violation list. */
+  /** Register a new version after the compatibility gate — with the
+    * registry's FORMAT-specific rules (the reference picks the checker by
+    * SchemaType; gating a proto subject with Avro's by-name rules would
+    * admit positionally-breaking changes). Returns the new version number
+    * or the violation list. */
   def register(subject: String, schema: StructType): Either[List[String], Int] =
     synchronized {
-      latest(subject) match {
+      store.get(subject).flatMap(_.lastOption) match {
         case Some(old) =>
-          val errs = SchemaCompat.check(old, schema, mode)
+          val errs = SchemaCompat.checkFormat(format, old, schema, mode)
           if (errs.nonEmpty) Left(errs)
           else {
             store(subject) = store(subject) :+ schema

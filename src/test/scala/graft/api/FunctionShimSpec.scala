@@ -42,6 +42,30 @@ class FunctionShimSpec extends SparkSuite {
     def process(w: Seq[Int], ctx: RecordContext): Option[Int] = Some(w.sum)
   }
 
+  test("window function publishes and counters surface as side outputs") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(
+      ("k", ts("2024-01-01 00:00:01"), "a"),
+      ("k", ts("2024-01-01 00:00:02"), "b"),
+      ("k", ts("2024-01-01 00:10:01"), "c"))
+      .toDF("t", "ts", "p").select(col("ts"), lit("k").as("key"), col("p"))
+    val fn = new GraftWindowFunction[String, String] {
+      def process(items: Seq[String], ctx: RecordContext): Option[String] = {
+        ctx.incrCounter("windows", 1)
+        if (items.size > 1) ctx.publish("alerts", s"big:${items.size}")
+        Some(items.mkString("+"))
+      }
+    }
+    val (results, side) = WindowedRunner.runTumblingWithPublishes(
+      df, "ts", "key", "p", "5 minutes", fn)
+    assert(results.count() == 2)
+    val sides = side.select("topic", "message")
+      .as[(String, String)].collect().toSet
+    assert(sides.contains(("alerts", "big:2"))) // fan-out captured, not lost
+    assert(sides.count(_._1 == "__counter:windows") == 1 ||
+      sides.exists(_._1 == "__counter:windows"))
+  }
+
   test("window function processes collected window contents") {
     val ctxStub = new RecordContext {
       def incrCounter(k: String, n: Long): Unit = ()

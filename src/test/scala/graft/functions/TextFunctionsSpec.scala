@@ -56,6 +56,25 @@ class TextFunctionsSpec extends SparkSuite {
       Seq("en", "es", "und"))
   }
 
+  test("wordOccurrences counts adjacent repeated tokens exactly") {
+    val df = Seq("the the the", "the cat the", "nothing here", "the")
+      .toDF("text")
+    val n = df.select(TextFunctions.wordOccurrences(col("text"), "the"))
+      .as[Long].collect().toSeq
+    assert(n == Seq(3L, 2L, 0L, 1L)) // pad-and-replace undercounted "the the the"
+  }
+
+  test("fused MinHashSignature matches the compositional form on EMPTY shingle sets") {
+    val df = Seq("a b").toDF("text") // < k tokens → zero shingles
+    val sh = TextFunctions.shingles(col("text"), 3)
+    val fused = df.select(graft.functions.GraftExpressions
+      .minhash_signature(sh, 4)).collect().head.getSeq[String](0)
+    val composed = df.select(TextFunctions.minhashSignature(sh, 4))
+      .collect().head.getSeq[String](0)
+    assert(fused == composed) // both: [null, null, null, null]
+    assert(fused.size == 4 && fused.forall(_ == null))
+  }
+
   test("qualityScore is bounded in [0,1]") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
       "a", ("word " * 200).trim).toDF("text")

@@ -36,6 +36,33 @@ class AvroCodecSpec extends SparkSuite {
     assert(decoded(1).isNullAt(2) && decoded(1).isNullAt(3))
   }
 
+  test("sibling struct fields get distinct nested record names") {
+    val st = StructType(Seq(
+      StructField("a", StructType(Seq(StructField("x", IntegerType)))),
+      StructField("b", StructType(Seq(StructField("y", StringType))))))
+    // used to throw SchemaParseException: Can't redefine record_nested
+    val avro = AvroCodec.toAvroSchema(st)
+    assert(new org.apache.avro.Schema.Parser().parse(avro.toString) != null)
+    val row = Row(Row(1), Row("s"))
+    val bytes = AvroCodec.encode(row, avro)
+    assert(AvroCodec.decode(bytes, avro, avro).get("a") != null)
+  }
+
+  test("arrays with null elements and short/NTZ columns round-trip") {
+    val st = StructType(Seq(
+      StructField("tags", ArrayType(StringType, containsNull = true)),
+      StructField("sh", ShortType),
+      StructField("t", TimestampNTZType)))
+    val ldt = java.time.LocalDateTime.of(2024, 1, 15, 10, 30, 0)
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Seq("a", null, "b"), 7.toShort, ldt)), st)
+    val back = AvroCodec.decodeColumn(
+      AvroCodec.encodeColumn(df, st), "value", st, st).collect().head
+    assert(back.getSeq[String](0) == Seq("a", null, "b"))
+    assert(back.getShort(1) == 7.toShort)
+    assert(back.getAs[java.time.LocalDateTime](2) == ldt)
+  }
+
   test("schema resolution: new reader with nullable field reads old data") {
     val readerV2 = personSchema.add(
       StructField("nickname", StringType, nullable = true))

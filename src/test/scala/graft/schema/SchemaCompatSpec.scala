@@ -101,6 +101,30 @@ class SchemaCompatSpec extends SparkSuite {
       .exists(_.contains("format changed")))
   }
 
+  test("array/map element nullability is part of the read contract") {
+    val w = StructType(Seq(StructField("xs",
+      ArrayType(StringType, containsNull = true))))
+    val r = StructType(Seq(StructField("xs",
+      ArrayType(StringType, containsNull = false))))
+    assert(!canRead(w, r)) // null elements would reach a non-null reader
+    assert(canRead(r, w))  // tightening on the writer side is fine
+  }
+
+  test("registry gates with its format's own rules (proto positional break)") {
+    val reg = new SchemaRegistry(Backward, ProtoNativeFormat)
+    val old = StructType(Seq(StructField("a", IntegerType),
+      StructField("b", IntegerType)))
+    assert(reg.register("proto-subj", old) == Right(0))
+    // inserting a nullable field mid-record passes Avro's by-name rules but
+    // shifts proto field numbers: field 2 becomes a string over varint bytes
+    val shifted = StructType(Seq(StructField("a", IntegerType),
+      StructField("c", StringType, nullable = true),
+      StructField("b", IntegerType)))
+    assert(reg.register("proto-subj", shifted).isLeft)
+    assert(new SchemaRegistry(Backward, AvroFormat) // by-name rules admit it
+      .register("s", old).isRight)
+  }
+
   test("registry gates incompatible updates and versions compatible ones") {
     val reg = new SchemaRegistry(Full)
     assert(reg.register("topic-a", v1) == Right(0))
