@@ -55,8 +55,13 @@ object SimHashDedup {
         shiftright(col("simhash"), i * width).bitwiseAND(mask).as("v")
       )): _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.blk"), col("b.v"))
-    // ONE shuffle on (block, value); all further shaping happens inside the
-    // collected array so the capped path costs no extra exchange
+    // ONE shuffle on (block, value); the grouped output is |buckets| rows —
+    // tiny — so splitting it into two filtered branches costs nothing (the
+    // exchange below the aggregate is canonically identical and reused),
+    // while keeping each branch's expression tree flat enough to evaluate
+    // cheaply. A single when(exact, capped) projection nests ~8 higher-order
+    // functions and HOFs never codegen, so the merged form ran the whole
+    // interpreted tree for every bucket (r2's 4x regression).
     val grouped = melted.groupBy(col("blk"), col("v"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
         col("simhash").as("sh")))).as("ds"))
@@ -67,25 +72,27 @@ object SimHashDedup {
     def allPairs(xs: Column) =
       flatten(transform(xs, (x, i) =>
         transform(slice(xs, i + lit(2), size(xs)), y => pairOf(x, y))))
-    // exact path: every member against every member
-    val pairsAll = allPairs(col("ds"))
-    // capped path: the degenerate bucket concentrates on FEW fingerprints —
+    // exact branch: every member against every member (the common case)
+    val exact = grouped.where(size(col("ds")) <= maxBucket)
+      .select(explode(allPairs(col("ds"))).as("p"))
+    // capped branch: a degenerate bucket concentrates on FEW fingerprints —
     // per-fingerprint stars (hamming 0) plus an all-pairs over one
     // representative per distinct fingerprint, bounded by the fingerprint
-    // space 2^(16−width), not the document count. Only evaluated for
-    // oversized buckets (CASE WHEN short-circuits).
-    def membersOf(s: Column) =
-      filter(col("ds"), x => x.getField("sh") === s)
-    val shs = array_sort(array_distinct(transform(col("ds"),
-      x => x.getField("sh"))))
-    val stars = flatten(transform(shs, s =>
-      transform(slice(membersOf(s), lit(2), size(membersOf(s))),
-        y => struct(element_at(membersOf(s), 1).getField("id").as("doc_a"),
-          y.getField("id").as("doc_b"), lit(0).as("hamming")))))
-    val reps = sort_array(transform(shs, s => element_at(membersOf(s), 1)))
-    val pairsCapped = concat(stars, allPairs(reps))
-    grouped.select(explode(when(size(col("ds")) <= maxBucket, pairsAll)
-      .otherwise(pairsCapped)).as("p"))
+    // space 2^(16−width), not the document count. Any qualifying pair (x, y)
+    // stays connected x—rep(x)—rep(y)—y. Staged projections keep each HOF
+    // tree shallow and scan the bucket once per distinct fingerprint.
+    val capped = grouped.where(size(col("ds")) > maxBucket)
+      .withColumn("members", transform(
+        array_sort(array_distinct(transform(col("ds"), x => x.getField("sh")))),
+        s => filter(col("ds"), x => x.getField("sh") === s)))
+      .withColumn("stars", flatten(transform(col("members"), m =>
+        transform(slice(m, lit(2), size(m)), y =>
+          struct(element_at(m, 1).getField("id").as("doc_a"),
+            y.getField("id").as("doc_b"), lit(0).as("hamming"))))))
+      .withColumn("reps", sort_array(transform(col("members"),
+        m => element_at(m, 1))))
+      .select(explode(concat(col("stars"), allPairs(col("reps")))).as("p"))
+    exact.union(capped)
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
