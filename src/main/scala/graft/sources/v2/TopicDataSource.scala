@@ -122,10 +122,13 @@ object TopicTable {
   /** Segment-name family: the non-digit prefix after `segment-` ("e" for
     * epoch-named streaming segments, "b" for batch appends, "txn-e" for
     * transactional epochs, ...). Within one (partition, family) the writers
-    * assign names monotone in append order — epoch numbers for streaming,
-    * commit-time stamps for batch — the analog of the broker's monotone
-    * ledger-id allocation, and the contract that lets the stream cursor be a
-    * bounded frontier instead of a segment set. */
+    * assign names monotone in VISIBILITY order — epoch numbers for streaming
+    * (epochs are serialized per query), driver-issued job-commit stamps for
+    * batch ([[TopicBatchWrite.commit]]) — the analog of the broker's
+    * monotone ledger-id allocation, and the contract that lets the stream
+    * cursor be a bounded frontier instead of a segment set. Writers outside
+    * this application fall back to wall clocks; readers defend with
+    * `frontierGraceMs`. */
   def family(name: String): String =
     name.stripPrefix("segment-").takeWhile(!_.isDigit)
 
@@ -164,7 +167,8 @@ class TopicTable(path: String) extends Table with SupportsRead with SupportsWrit
     new TopicScanBuilder(path,
       Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
       Option(options.get("startingTime")).map(_.toLong),
-      Option(options.get("subscribePattern")))
+      Option(options.get("subscribePattern")),
+      Option(options.get("frontierGraceMs")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TopicWriteBuilder(path, info.queryId())
@@ -174,7 +178,8 @@ class TopicTable(path: String) extends Table with SupportsRead with SupportsWrit
 
 class TopicScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None,
                        startingTimeMs: Option[Long] = None,
-                       pattern: Option[String] = None) extends ScanBuilder
+                       pattern: Option[String] = None,
+                       frontierGraceMs: Option[Long] = None) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TopicTable.schema
@@ -199,18 +204,20 @@ class TopicScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None,
 
   override def build(): Scan =
     new TopicScan(path, pushed, required, maxSegmentsPerTrigger,
-      startingTimeMs, pattern)
+      startingTimeMs, pattern, frontierGraceMs)
 }
 
 class TopicScan(path: String, filters: Array[Filter], required: StructType,
                 maxSegmentsPerTrigger: Option[Int] = None,
                 startingTimeMs: Option[Long] = None,
-                pattern: Option[String] = None)
+                pattern: Option[String] = None,
+                frontierGraceMs: Option[Long] = None)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TopicMicroBatchStream(path, maxSegmentsPerTrigger, startingTimeMs, pattern)
+    new TopicMicroBatchStream(path, maxSegmentsPerTrigger, startingTimeMs,
+      pattern, frontierGraceMs)
   override def description(): String =
     s"GraftTopicScan(path=$path, prunedBy=${filters.mkString(",")})"
 
@@ -234,7 +241,12 @@ case class TopicInputPartition(file: String) extends InputPartition
 object SegmentStats {
   private val mapper = new ObjectMapper()
 
-  case class Stats(minOff: Long, maxOff: Long, minPt: Long, maxPt: Long)
+  /** `nullPt` counts rows whose publish time is NULL (unknown age); −1 means
+    * the count itself is unknown (a sidecar written before the field
+    * existed), which age-based destruction must treat as "may contain
+    * unknown-age rows". */
+  case class Stats(minOff: Long, maxOff: Long, minPt: Long, maxPt: Long,
+                   nullPt: Long)
 
   def sidecarFor(segment: File): File =
     new File(segment.getParentFile, segment.getName + ".meta")
@@ -244,6 +256,7 @@ object SegmentStats {
     val o = nf.objectNode()
     o.put("min_offset", s.minOff); o.put("max_offset", s.maxOff)
     o.put("min_publish_time_ms", s.minPt); o.put("max_publish_time_ms", s.maxPt)
+    o.put("null_publish_time", s.nullPt)
     java.nio.file.Files.write(sidecarFor(segment).toPath,
       o.toString.getBytes("UTF-8"))
   }
@@ -255,9 +268,12 @@ object SegmentStats {
     * Distinct from `!mightMatch(pt >= horizon)`: a segment whose rows all
     * have null publish_time matches no time predicate (correct for read
     * pruning) but its AGE is unknown — expiry/offload/seek must not treat
-    * it as old, or fresh unknown-time data is destroyed. */
+    * it as old, or fresh unknown-time data is destroyed. A segment MIXING
+    * old-timestamped rows with null-time rows has a real (old) maxPt yet
+    * still holds unknown-age rows, so the null count must be exactly zero. */
   def whollyOlderThan(f: File, horizonMs: Long): Boolean =
-    readStats(f).exists(s => s.maxPt != Long.MinValue && s.maxPt < horizonMs)
+    readStats(f).exists(s =>
+      s.nullPt == 0 && s.maxPt != Long.MinValue && s.maxPt < horizonMs)
 
   private def readStats(f: File): Option[Stats] = {
     val side = sidecarFor(f)
@@ -265,7 +281,9 @@ object SegmentStats {
       val n = mapper.readTree(new String(
         java.nio.file.Files.readAllBytes(side.toPath), "UTF-8"))
       Some(Stats(n.get("min_offset").asLong, n.get("max_offset").asLong,
-        n.get("min_publish_time_ms").asLong, n.get("max_publish_time_ms").asLong))
+        n.get("min_publish_time_ms").asLong, n.get("max_publish_time_ms").asLong,
+        if (n.has("null_publish_time")) n.get("null_publish_time").asLong
+        else -1L))
     } else {
       // fallback: one pass over the segment. Offsets come from the first and
       // last lines (write order), but the publish-time range must be min/max
@@ -278,6 +296,7 @@ object SegmentStats {
         else {
           var minOff = Long.MaxValue; var maxOff = Long.MinValue
           var minPt = Long.MaxValue; var maxPt = Long.MinValue
+          var nullPt = 0L
           var first = true
           var lastOff = 0L
           while (first || lines.hasNext) {
@@ -293,12 +312,12 @@ object SegmentStats {
             if (pt != null && !pt.isNull) {
               minPt = math.min(minPt, pt.asLong)
               maxPt = math.max(maxPt, pt.asLong)
-            }
+            } else nullPt += 1
           }
           // all-null pt keeps the (MaxValue, MinValue) sentinels: no time
           // predicate can match rows whose publish_time is null, so pruning
           // the segment under a time filter is exact
-          Some(Stats(minOff, maxOff, minPt, maxPt))
+          Some(Stats(minOff, maxOff, minPt, maxPt, nullPt))
         }
       } finally src.close()
     }
@@ -308,7 +327,7 @@ object SegmentStats {
     if (filters.isEmpty) return true
     readStats(f) match {
       case None => false // empty segment matches nothing
-      case Some(Stats(minOff, maxOff, minPt, maxPt)) =>
+      case Some(Stats(minOff, maxOff, minPt, maxPt, _)) =>
       def ms(v: Any): Long = v match {
         case t: java.sql.Timestamp => t.getTime
         case i: java.time.Instant => i.toEpochMilli
@@ -476,7 +495,8 @@ object TopicOffset {
 class TopicMicroBatchStream(path: String,
                             maxSegmentsPerTrigger: Option[Int] = None,
                             startingTimeMs: Option[Long] = None,
-                            pattern: Option[String] = None)
+                            pattern: Option[String] = None,
+                            frontierGraceMs: Option[Long] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -515,12 +535,33 @@ class TopicMicroBatchStream(path: String,
 
   /** Batch-receive pacing (BatchReceivePolicy.maxNumMessages analog at
     * segment granularity): admit at most maxSegmentsPerTrigger new sealed
-    * segments per micro-batch, oldest names first across all partitions. */
+    * segments per micro-batch, oldest names first across all partitions.
+    *
+    * `frontierGraceMs` (option, default off) quarantines very recently
+    * committed segments from admission: a foreign writer (another JVM/app
+    * whose clock may lag) racing the commit of a higher name can publish a
+    * LOWER name slightly later; once the frontier has advanced past it, a
+    * late-appearing lower name is indistinguishable from a consumed one and
+    * would be silently skipped. Deferring admission until a segment is at
+    * least grace-old guarantees any racing lower name is already listed by
+    * admission time and therefore parks in `pending` instead of vanishing.
+    * In-process writers need no grace — batch names are driver-issued under
+    * a lock ([[TopicBatchWrite.commit]]), so name order matches visibility
+    * order within one application. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[TopicOffset]
-    val listed = listedNames
+    val files = listedFiles
+    val listed = files.map { case (part, f) => (part, f.getName) }
+    val fresh: Set[(String, String)] = frontierGraceMs match {
+      case Some(g) if g > 0 =>
+        val cutoff = System.currentTimeMillis() - g
+        files.filter(_._2.lastModified() > cutoff)
+          .map { case (part, f) => (part, f.getName) }.toSet
+      case _ => Set.empty
+    }
     val unconsumed = listed
       .filterNot { case (part, n) => startOff.consumed(part, n) }
+      .filterNot(fresh)
       .sortBy { case (part, n) => (n, part) }
     val admitted = maxSegmentsPerTrigger match {
       case Some(k) => unconsumed.take(k)
@@ -564,14 +605,63 @@ class TopicWriteBuilder(path: String, queryId: String) extends WriteBuilder {
 
 case class SegmentCommit(files: Seq[String]) extends WriterCommitMessage
 
+/** One staged-but-unnamed segment from a batch task: the task's tmp file
+  * plus the pruning stats gathered while writing it. Naming happens at JOB
+  * commit on the driver. */
+case class StagedSegment(path: String, n: Long, minOff: Long, maxOff: Long,
+                         minPt: Long, maxPt: Long, nullPt: Long)
+case class StagedCommit(segments: Seq[StagedSegment]) extends WriterCommitMessage
+
+/** Batch append with DRIVER-issued segment names: tasks stage their files
+  * invisibly (dot-prefixed tmp names the listers ignore) and report them in
+  * the commit message; the job-level commit — which runs once, on the
+  * driver, after every task succeeded — stamps each file from the single
+  * [[SegmentClock]] and renames it visible, all under one lock. Name order
+  * therefore equals visibility order for every batch writer in the
+  * application, which is the monotone-name contract the stream cursor's
+  * family frontier relies on ([[TopicTable.family]]) — the analog of the
+  * broker's central monotone ledger-id allocator
+  * (managed-ledger/.../ManagedLedgerImpl.java:767-794) rather than
+  * per-task wall clocks. Foreign applications writing the same topic are
+  * covered by the reader-side `frontierGraceMs` quarantine. */
 class TopicBatchWrite(path: String, queryId: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new TopicWriterFactory(path, queryId.take(8))
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    new TopicStagedWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.toSeq
+      .collect { case StagedCommit(ss) => ss }.flatten
+      .sortBy(_.path)
+    // stamp+rename under one lock: no interleaving with another in-process
+    // batch commit, so a smaller stamp can never become visible after a
+    // larger one was listed
+    val renamed = SegmentClock.synchronized {
+      staged.map { s =>
+        val src = new File(s.path)
+        val dst = new File(src.getParentFile,
+          f"segment-b${SegmentClock.next()}%013d-${queryId.take(8)}.jsonl")
+        if (!src.renameTo(dst))
+          throw new java.io.IOException(
+            s"graft-topic batch commit: rename failed for ${s.path}")
+        (dst, s)
+      }
+    }
+    // sidecars follow the segments (readers fall back to a scan if missing)
+    renamed.foreach { case (dst, s) =>
+      if (s.n > 0)
+        SegmentStats.writeSidecar(dst,
+          SegmentStats.Stats(s.minOff, s.maxOff, s.minPt, s.maxPt, s.nullPt))
+    }
+  }
+
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case SegmentCommit(fs) => fs.foreach { f =>
-      new File(f).delete(); SegmentStats.sidecarFor(new File(f)).delete()
-    } }
+    messages.foreach {
+      case StagedCommit(ss) => ss.foreach(s => new File(s.path).delete())
+      case SegmentCommit(fs) => fs.foreach { f =>
+        new File(f).delete(); SegmentStats.sidecarFor(new File(f)).delete()
+      }
+      case _ => ()
+    }
 }
 
 class TopicStreamingWrite(path: String, queryId: String) extends StreamingWrite {
@@ -601,24 +691,23 @@ object TopicStreamingWrite {
 
 /** Strictly-increasing commit stamp: wall-clock millis, bumped past the last
   * issued value so two commits in the same millisecond (or a clock step
-  * backwards) still produce ascending names within this JVM — the local
-  * analog of the broker's central monotone ledger-id allocator. Across
-  * executors the residual guarantee is wall-clock agreement (NTP-level skew
-  * narrows the race to the listing/rename window, documented at
-  * [[TopicTable.family]]). */
+  * backwards) still produce ascending names within this JVM. Batch names are
+  * issued ONLY on the driver, inside [[TopicBatchWrite.commit]]'s lock — the
+  * local analog of the broker's central monotone ledger-id allocator — so
+  * within one application name order equals visibility order. Two SEPARATE
+  * applications appending to one topic keep a wall-clock assumption; readers
+  * close that window with `frontierGraceMs`. */
 object SegmentClock {
   private val last = new java.util.concurrent.atomic.AtomicLong(0L)
   def next(): Long =
     last.updateAndGet(l => math.max(System.currentTimeMillis(), l + 1))
 }
 
-class TopicWriterFactory(path: String, qid: String) extends DataWriterFactory {
-  /** Batch segments are named by COMMIT time (family "b") so names stay
-    * monotone in append order across successive batch writes — the cursor
-    * frontier contract ([[SegmentClock]] breaks same-millisecond ties). */
+class TopicStagedWriterFactory(path: String) extends DataWriterFactory {
+  /** Batch tasks stage invisibly; the driver names segments at job commit
+    * ([[TopicBatchWrite.commit]]). */
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SegmentWriter(path,
-      () => f"segment-b${SegmentClock.next()}%013d-$qid-p$partitionId%05d.jsonl")
+    new SegmentWriter(path, () => "", staged = true)
 }
 
 class TopicStreamWriterFactory(path: String, alphaQueryId: String)
@@ -635,9 +724,15 @@ class TopicStreamWriterFactory(path: String, alphaQueryId: String)
 
 /** Routes each row to its envelope partition's subdirectory — the producer's
   * partition router (reference: PartitionedProducerImpl; MessageRoutingMode).
-  * One open segment per (this task, envelope partition); all are committed
-  * (tmp-rename + sidecar) atomically-per-file at task commit. */
-class SegmentWriter(root: String, finalName: () => String)
+  * One open segment per (this task, envelope partition). Two commit modes:
+  *  - `staged = false` (streaming epochs): tmp-rename + sidecar per file at
+  *    TASK commit under the caller-supplied name (epoch names are monotone
+  *    per query family, so task-level visibility is safe).
+  *  - `staged = true` (batch): files stay as invisible tmps; the commit
+  *    message carries their paths + stats and the DRIVER names and reveals
+  *    them at job commit ([[TopicBatchWrite.commit]]). */
+class SegmentWriter(root: String, finalName: () => String,
+                    staged: Boolean = false)
   extends DataWriter[InternalRow] {
   private val nf = JsonNodeFactory.instance
 
@@ -651,6 +746,7 @@ class SegmentWriter(root: String, finalName: () => String)
     var n = 0L
     var minOff: Long = Long.MaxValue; var maxOff: Long = Long.MinValue
     var minPt: Long = Long.MaxValue; var maxPt: Long = Long.MinValue
+    var nullPt = 0L
   }
   private val outs = mutable.Map.empty[Int, PartOut]
 
@@ -658,30 +754,44 @@ class SegmentWriter(root: String, finalName: () => String)
     val pid = if (r.isNullAt(1)) 0 else r.getInt(1)
     val po = outs.getOrElseUpdate(pid, new PartOut(pid))
     po.n += 1
-    val off = if (r.isNullAt(2)) 0L else r.getLong(2)
-    po.minOff = math.min(po.minOff, off); po.maxOff = math.max(po.maxOff, off)
     val o = nf.objectNode()
     def s(i: Int, k: String): Unit =
       if (r.isNullAt(i)) o.putNull(k) else o.put(k, r.getUTF8String(i).toString)
     s(0, "topic")
     o.put("partition", pid)
-    o.put("offset", off)
+    // null offset round-trips as null (stats skip it — a null-offset row
+    // matches no offset predicate), matching the reader's surfacing
+    if (r.isNullAt(2)) o.putNull("offset")
+    else {
+      val off = r.getLong(2)
+      po.minOff = math.min(po.minOff, off); po.maxOff = math.max(po.maxOff, off)
+      o.put("offset", off)
+    }
     s(3, "key"); s(4, "value")
     // nullable-by-schema event_time round-trips as null, never 1970-01-01
     if (r.isNullAt(5)) o.putNull("event_time_ms")
     else o.put("event_time_ms", r.getLong(5) / 1000L)
-    if (r.isNullAt(6)) o.putNull("publish_time_ms")
+    if (r.isNullAt(6)) { o.putNull("publish_time_ms"); po.nullPt += 1 }
     else {
       val pt = r.getLong(6) / 1000L
       po.minPt = math.min(po.minPt, pt); po.maxPt = math.max(po.maxPt, pt)
       o.put("publish_time_ms", pt)
     }
     s(7, "producer_name")
-    o.put("sequence_id", if (r.isNullAt(8)) 0L else r.getLong(8))
+    if (r.isNullAt(8)) o.putNull("sequence_id")
+    else o.put("sequence_id", r.getLong(8))
     po.out.println(o.toString)
   }
 
   override def commit(): WriterCommitMessage = {
+    if (staged) {
+      val segs = outs.values.toSeq.sortBy(_.dir.getName).map { po =>
+        po.out.close()
+        StagedSegment(po.tmp.getAbsolutePath, po.n, po.minOff, po.maxOff,
+          po.minPt, po.maxPt, po.nullPt)
+      }
+      return StagedCommit(segs)
+    }
     val name = finalName()
     val files = outs.values.toSeq.sortBy(_.dir.getName).map { po =>
       po.out.close()
@@ -697,7 +807,8 @@ class SegmentWriter(root: String, finalName: () => String)
       po.tmp.renameTo(dst)
       if (po.n > 0) // sidecar written AFTER the segment: readers always fall back
         SegmentStats.writeSidecar(dst,
-          SegmentStats.Stats(po.minOff, po.maxOff, po.minPt, po.maxPt))
+          SegmentStats.Stats(po.minOff, po.maxOff, po.minPt, po.maxPt,
+            po.nullPt))
       dst.getAbsolutePath
     }
     SegmentCommit(files)

@@ -398,6 +398,131 @@ class TopicDataSourceSpec extends SparkSuite {
       "segment-e0000000004-p00000.jsonl"))
   }
 
+  test("frontierGraceMs: a skewed-clock writer's late LOWER name loses zero rows") {
+    import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmpDir()
+    val pdir = new java.io.File(dir, "partition-000"); pdir.mkdirs()
+    def rawB(stamp: Long, off: Int): java.io.File = {
+      val f = new java.io.File(pdir, f"segment-b$stamp%013d-x.jsonl")
+      java.nio.file.Files.write(f.toPath,
+        s"""{"topic":"t","partition":0,"offset":$off,"key":"k","value":"v$off","event_time_ms":0,"publish_time_ms":0,"producer_name":"p","sequence_id":$off}"""
+          .getBytes("UTF-8"))
+      f
+    }
+    val old = System.currentTimeMillis() - 600000L
+    val stream = new TopicMicroBatchStream(dir,
+      frontierGraceMs = Some(60000L))
+    // an aged segment is admitted normally
+    val f1 = rawB(100, 1); f1.setLastModified(old)
+    val off1 = stream.latestOffset(TopicOffset.empty, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(TopicOffset.empty, off1).length == 1)
+    // a FRESH high name arrives: quarantined, frontier must not advance
+    val f2 = rawB(300, 3)
+    val off2 = stream.latestOffset(off1, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(off1, off2).isEmpty,
+      "fresh segment admitted inside the grace window")
+    // the skewed-clock writer lands a LOWER name strictly later
+    val f3 = rawB(200, 2)
+    // both age past the grace window → admitted together, nothing skipped
+    f2.setLastModified(old); f3.setLastModified(old)
+    val off3 = stream.latestOffset(off2, ReadLimit.allAvailable())
+    val batch = stream.planInputPartitions(off2, off3)
+      .map(_.asInstanceOf[graft.sources.v2.TopicInputPartition]
+        .file.split("/").last).sorted
+    assert(batch.toSeq == Seq("segment-b0000000000200-x.jsonl",
+      "segment-b0000000000300-x.jsonl"),
+      s"late lower name lost: delivered only $batch")
+  }
+
+  test("without grace, a late lower name below the frontier is the documented loss") {
+    // the control for the test above: the default (grace off) path admits
+    // immediately — zero latency — and the foreign-writer inversion is
+    // exactly the case frontierGraceMs exists for
+    import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmpDir()
+    val pdir = new java.io.File(dir, "partition-000"); pdir.mkdirs()
+    def rawB(stamp: Long): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(pdir, f"segment-b$stamp%013d-x.jsonl").toPath,
+        s"""{"topic":"t","partition":0,"offset":$stamp,"key":"k","value":"v","event_time_ms":0,"publish_time_ms":0,"producer_name":"p","sequence_id":$stamp}"""
+          .getBytes("UTF-8"))
+    val stream = new TopicMicroBatchStream(dir)
+    rawB(300)
+    val off1 = stream.latestOffset(TopicOffset.empty, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(TopicOffset.empty, off1).length == 1,
+      "default path must admit a fresh segment immediately")
+  }
+
+  test("batch segment names are driver-issued at job commit (no task clocks)") {
+    val dir = tmpDir()
+    // 3 tasks × up to 3 envelope partitions each stage invisibly; the job
+    // commit stamps every file from one clock under one lock
+    (0 until 30).map { i =>
+      ("t1", i % 3, i.toLong, s"k$i", s"v$i", ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 00:00:00"), "p", i.toLong)
+    }.toDF("topic", "partition", "offset", "key", "value", "event_time",
+      "publish_time", "producer_name", "sequence_id")
+      .repartition(3).write.format("graft-topic").option("path", dir)
+      .mode("append").save()
+    val segs = graft.sources.v2.TopicTable.listPartitioned(dir)
+    assert(segs.map(_._2.getName).distinct.size == segs.size)
+    assert(segs.forall { case (_, f) =>
+      graft.sources.v2.TopicTable.family(f.getName) == "b" })
+    assert(segs.forall { case (_, f) =>
+      graft.sources.v2.SegmentStats.sidecarFor(f).exists() })
+    // no staged tmps survive the commit
+    val leftovers = segs.map(_._2.getParentFile).distinct
+      .flatMap(d => Option(d.listFiles((_, n) => n.startsWith(".graft-")))
+        .getOrElse(Array.empty).toSeq)
+    assert(leftovers.isEmpty, s"staged tmps leaked: $leftovers")
+    assert(spark.read.format("graft-topic").option("path", dir).load()
+      .count() == 30)
+  }
+
+  test("whollyOlderThan refuses a segment mixing old rows with null-time rows") {
+    import graft.sources.v2.SegmentStats
+    val dir = tmpDir()
+    val pdir = new java.io.File(dir, "partition-000"); pdir.mkdirs()
+    val mixed = new java.io.File(pdir, "segment-e0000000001-p00000.jsonl")
+    java.nio.file.Files.write(mixed.toPath, Seq(
+      s"""{"topic":"t","partition":0,"offset":1,"key":"k","value":"old","event_time_ms":0,"publish_time_ms":1000,"producer_name":"p","sequence_id":1}""",
+      s"""{"topic":"t","partition":0,"offset":2,"key":"k","value":"unknown-age","event_time_ms":0,"publish_time_ms":null,"producer_name":"p","sequence_id":2}""")
+      .mkString("\n").getBytes("UTF-8"))
+    // scan fallback: maxPt is old, but the null-time row makes age unknown
+    assert(!SegmentStats.whollyOlderThan(mixed, horizonMs = 5000L))
+    // the sidecar the writer drops carries the null count and agrees
+    SegmentStats.writeSidecar(mixed, SegmentStats.statsFor(mixed).get)
+    assert(!SegmentStats.whollyOlderThan(mixed, horizonMs = 5000L))
+    // an all-known old segment IS wholly older
+    val known = new java.io.File(pdir, "segment-e0000000002-p00000.jsonl")
+    java.nio.file.Files.write(known.toPath,
+      s"""{"topic":"t","partition":0,"offset":3,"key":"k","value":"old","event_time_ms":0,"publish_time_ms":1000,"producer_name":"p","sequence_id":3}"""
+        .getBytes("UTF-8"))
+    assert(SegmentStats.whollyOlderThan(known, horizonMs = 5000L))
+    // a pre-null-count sidecar (unknown count) must be treated as unsafe
+    SegmentStats.writeSidecar(known, SegmentStats.statsFor(known).get)
+    val side = SegmentStats.sidecarFor(known)
+    val trimmed = new String(java.nio.file.Files.readAllBytes(side.toPath),
+      "UTF-8").replaceAll(""","null_publish_time":\d+""", "")
+    java.nio.file.Files.write(side.toPath, trimmed.getBytes("UTF-8"))
+    assert(!SegmentStats.whollyOlderThan(known, horizonMs = 5000L))
+  }
+
+  test("null offset and sequence_id round-trip as null (not 0)") {
+    val dir = tmpDir()
+    Seq(("t1", 0, null.asInstanceOf[java.lang.Long], "k", "v",
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "p",
+      null.asInstanceOf[java.lang.Long]))
+      .toDF("topic", "partition", "offset", "key", "value", "event_time",
+        "publish_time", "producer_name", "sequence_id")
+      .write.format("graft-topic").option("path", dir).mode("append").save()
+    val r = spark.read.format("graft-topic").option("path", dir).load()
+      .select("offset", "sequence_id").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("streaming write: epoch-named segments are idempotent on replay") {
     val dir = tmpDir()
     val src = tmpDir()
