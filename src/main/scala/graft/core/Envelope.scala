@@ -90,11 +90,15 @@ object Envelope {
 
   /** The consumer a key is dispatched to, as a pure Column over the
     * (broadcast-literal) ring — the selector's `select(keyHash)`. One array
-    * literal + a filter expression, so ring size never deepens the plan. */
+    * literal + a filter expression, so ring size never deepens the plan.
+    * The key position is the first 16 md5 bits ([[graft.functions
+    * .TextFunctions.hash16]]) rather than the reference's Murmur3 — equally
+    * uniform, and reproducible by the SQL oracle bit-for-bit (the 2<<15
+    * default range is exactly the hash16 codomain). */
   def keySharedConsistentAssign(keyCol: Column, ring: Seq[(Int, String)],
                                 rangeSize: Int = KeySharedRangeSize): Column = {
     require(ring.nonEmpty, "ring needs at least one consumer point")
-    val posCol = pmod(hash(keyCol), lit(rangeSize))
+    val posCol = pmod(graft.functions.TextFunctions.hash16(keyCol), lit(rangeSize))
     val ringArr = typedlit(ring)
     val owning = filter(ringArr, e => e.getField("_1") >= posCol)
     when(size(owning) > 0, element_at(owning, 1).getField("_2"))

@@ -79,6 +79,35 @@ object Similarity {
         col("rank"))
   }
 
+  /** Probe-setting profile in ONE corpus pass: the query side explodes
+    * (nprobe variant × probed cell), so comparing several recall settings
+    * multiplies only the broadcast side — the corpus is scanned and
+    * cell-assigned exactly once. Returns top-k per (nprobe, query):
+    * (nprobe, query_id, neighbor_id, sim, rank). Used to hard-check the
+    * IVF recall/monotonicity contract against the exact brute-force result. */
+  def ivfProbeProfile(queries: DataFrame, candidates: DataFrame, idCol: String,
+                      vecCol: String, centroids: Array[Array[Double]],
+                      probes: Seq[Int], k: Int): DataFrame = {
+    val maxProbe = probes.max
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cells", KMeans.probeExpr(col("__qv"), centroids, maxProbe))
+      .withColumn("nprobe", explode(typedlit(probes)))
+      .withColumn("__cell", explode(slice(col("__cells"), lit(1), col("nprobe"))))
+      .drop("__cells")
+    val c = Par.spread(candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv")))
+      .withColumn("__cell", KMeans.assignExpr(col("__cv"), centroids))
+    val scored = c.join(broadcast(q), "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate dedup: within a blocking key (coarse
     * cell / LSH bucket — never all-pairs global), pairs with cosine ≥
     * `threshold` mark the higher id as a duplicate of the lowest matching id.

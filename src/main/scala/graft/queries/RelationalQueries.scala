@@ -287,13 +287,19 @@ object RelationalQueries {
         element_at(split(col("p_name"), " "), 1).as("name_head"))
     }),
 
-    // §2.4 percentile sketch (rows-only: t-digest/GK internals are
-    // engine-specific like HLL).
+    // §2.4 percentiles: the EXACT interpolated median is cross-engine
+    // (percentile ≡ quantile_cont) and hash-checked outright; the GK sketch
+    // (percentile_approx) is engine-specific, so its hard check is the
+    // error bound vs the exact value in the same aggregation.
     "q_percentile" -> ((s, d) => {
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("p50_approx"),
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50_exact"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("__p50a"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("p50_exact"), col("n"),
+          (abs(col("__p50a") - col("p50_exact"))
+            <= col("p50_exact") * 0.01).as("approx_within_1pct"))
     }),
 
     // §2.5 SQL analytic windows: ranking.
@@ -353,6 +359,10 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+                count(*) AS n, true AS approx_within_1pct
+         FROM lineitem GROUP BY l_returnflag""",
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1999-06-01' AND l_discount > 0.07""",

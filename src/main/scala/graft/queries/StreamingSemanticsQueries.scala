@@ -153,13 +153,18 @@ object StreamingSemanticsQueries {
           col("value"))
     }),
 
-    // §2.4 approx_count_distinct (HLL) — rows-only check: HLL sketches are
-    // engine-specific, so no value oracle; the library op under test is the
-    // sketch aggregation shape.
+    // §2.4 approx_count_distinct (HLL). The sketch value is engine-specific,
+    // so the hard check is the error bound vs the exact distinct count
+    // computed in the same aggregation: a sketch drifting past 10% (HLL++
+    // default rsd is 5%) flips the boolean and hash-fails the driver gate.
     "q_approx_distinct" -> ((s, d) => {
       Tables.events(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id")).as("__approx"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("__approx") - col("exact_users"))
+            <= col("exact_users") * 0.1).as("approx_within_10pct"))
     }),
 
     // §1.1 envelope round-trip: events → Message envelope → decoded payload.
@@ -225,8 +230,10 @@ object StreamingSemanticsQueries {
         docCols = Some(Seq("user_id", "event_type")))
     }),
 
-    // §2.2 consistent-hash Key_Shared assignment (rows-only: the murmur ring
-    // is engine-side state, like the LSH planes).
+    // §2.2 consistent-hash Key_Shared assignment. The ring is deterministic
+    // engine-side state, so the oracle embeds it as literal VALUES and
+    // reproduces the md5-bit key position + first-point-at-or-after lookup
+    // exactly — a full hash check of the selector.
     "q_key_shared_ring" -> ((s, d) => {
       val ring = graft.core.Envelope.keySharedRing(Seq("c-0", "c-1", "c-2"), 64)
       Tables.events(s, d).select(col("user_id")).distinct()
@@ -356,6 +363,31 @@ object StreamingSemanticsQueries {
                 CAST(to_json(struct_pack(user_id := user_id,
                                          event_type := event_type)) AS VARCHAR)
                   AS doc
-         FROM events"""
+         FROM events""",
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                count(*) AS n, true AS approx_within_10pct
+         FROM events GROUP BY event_type""",
+    "q_key_shared_ring" -> {
+      // the deterministic ring as literal VALUES; key position = hash16
+      // (first 4 md5 nibbles), identical to TextFunctions.hash16
+      val ring = graft.core.Envelope.keySharedRing(Seq("c-0", "c-1", "c-2"), 64)
+      val ringVals = ring.map { case (p, c) => s"($p, '$c')" }.mkString(", ")
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) <= 57" +
+          s" THEN ascii(substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 48" +
+          s" ELSE ascii(substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 87 END)"
+      val h16 = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+      s"""WITH ring(pos, consumer) AS (SELECT * FROM (VALUES $ringVals) t(pos, consumer)),
+          kp AS (SELECT user_id, $h16 % ${graft.core.Envelope.KeySharedRangeSize}
+                   AS kpos
+                 FROM (SELECT DISTINCT user_id FROM events))
+          SELECT user_id, coalesce(
+            (SELECT consumer FROM ring
+             WHERE pos >= kpos ORDER BY pos, consumer LIMIT 1),
+            (SELECT consumer FROM ring ORDER BY pos, consumer LIMIT 1))
+            AS consumer
+          FROM kp"""
+    }
   )
 }

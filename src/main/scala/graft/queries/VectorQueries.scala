@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`embedding: array<float>`):
   * brute-force cosine top-k baseline, IVF-style coarse-cell ANN, and
-  * LSH-bucketed ANN (no SQL oracle — bucket assignment is engine-side).
+  * LSH-bucketed ANN. The LSH planes are deterministic literals, so its
+  * oracle reproduces them exactly; the TRAINED IVF variants are checked by
+  * recall@k bounds against the exact brute-force result computed in-query.
   */
 object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -38,30 +40,63 @@ object VectorQueries {
         emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", "label", 3)
     }),
 
-    // LSH-bucketed ANN over the whole corpus (rows-only check: the
-    // sign-random-projection planes are engine-side state).
+    // LSH-bucketed ANN over the whole corpus. The SRP planes are
+    // deterministic md5-derived dyadic rationals (VectorFunctions.plane), so
+    // the oracle embeds them as literal VALUES and reproduces buckets,
+    // cosines, and ranks EXACTLY — a full hash check despite the
+    // "engine-side model".
     "q_ann_lsh" -> ((s, d) => {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, numPlanes = 8, k = 3)
     }),
 
-    // IVF with TRAINED coarse cells (k-means; rows-only — learned model
-    // state has no SQL oracle).
+    // IVF with TRAINED coarse cells (k-means). The learned centroids have no
+    // SQL twin, so the hard check is recall@3 against the EXACT brute-force
+    // top-3 computed in the same query: the driver oracle asserts the recall
+    // bound holds (a false `recall_ok` hash-fails the round). Bound 0.30 is
+    // margined under the measured 0.43–0.53 on the isotropic test corpus.
     "q_ann_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
       val cents = centroidsFor(s, d, k = 8, iters = 3)
-      val indexed = Tables.embeddings(s, d).withColumn("cell",
+      val indexed = emb.withColumn("cell",
         graft.ops.KMeans.assignExpr(col("embedding"), cents))
-      Similarity.ivfTopK(indexed.where(col("vec_id") < 10), indexed,
-        "vec_id", "embedding", "cell", 3)
+      val q = indexed.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = Similarity.ivfTopK(q, indexed, "vec_id", "embedding", "cell", 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val slots = exact.agg(count(lit(1)).as("__slots"),
+        countDistinct(col("query_id")).as("n_queries"))
+      val hits = ann.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("__hits"))
+      slots.crossJoin(hits).select(col("n_queries"),
+        (col("__hits") / col("__slots") >= 0.30).as("recall_ok"))
     }),
 
-    // Multi-probe IVF (rows-only — trained centroids are engine-side state):
-    // each query probes its 4 nearest cells, the production recall setting.
+    // Multi-probe IVF recall profile, one corpus scan for all probe
+    // settings: recall@3 at the production setting (nprobe=4) must clear
+    // its bound, recall must be monotone in nprobe, and probing every cell
+    // must reproduce the exact brute-force top-3 — all hard-checked by the
+    // driver oracle. Bound 0.60 is margined under the measured 0.77–0.97.
     "q_ann_ivf_multiprobe" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cents = centroidsFor(s, d, k = 8, iters = 3)
-      Similarity.ivfTopKProbed(emb.where(col("vec_id") < 10), emb,
-        "vec_id", "embedding", cents, nprobe = 4, k = 3)
+      val q = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val prof = Similarity.ivfProbeProfile(q, emb, "vec_id", "embedding",
+        cents, Seq(1, 4, 8), 3)
+      val hits = prof.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(sum(when(col("nprobe") === 1, 1).otherwise(0)).as("__h1"),
+          sum(when(col("nprobe") === 4, 1).otherwise(0)).as("__h4"),
+          sum(when(col("nprobe") === 8, 1).otherwise(0)).as("__h8"))
+      val slots = exact.agg(count(lit(1)).as("__slots"),
+        countDistinct(col("query_id")).as("n_queries"))
+      slots.crossJoin(hits).select(
+        col("n_queries"),
+        (col("__h4") / col("__slots") >= 0.60).as("recall_ok"),
+        (col("__h4") >= col("__h1")).as("monotone_ok"),
+        (col("__h8") === col("__slots")).as("exact_at_full_probe"))
     }),
 
     // Embedding-cosine near-dup dedup within the coarse cell.
@@ -88,7 +123,56 @@ object VectorQueries {
           WHERE query_id <> neighbor_id
           GROUP BY query_id, neighbor_id, q.label, c_label)"""
 
+  /** The SRP planes as literal (plane, 1-based index, component) VALUES —
+    * [[graft.functions.VectorFunctions.plane]] components are dyadic
+    * rationals (m/2^24 − 1/2), so their decimal strings round-trip exactly
+    * into DuckDB doubles. */
+  private def planeValues(numPlanes: Int, dim: Int): String =
+    (0 until numPlanes).flatMap { p =>
+      val arr = graft.functions.VectorFunctions.plane(p, dim)
+      (1 to dim).map(i => s"($p, $i, ${arr(i - 1)})")
+    }.mkString(", ")
+
   val oracleSql: Map[String, String] = Map(
+    "q_ann_lsh" ->
+      s"""WITH planes(p, i, v) AS (SELECT * FROM (VALUES ${planeValues(8, 64)}) t(p, i, v)),
+          b AS (
+            SELECT vec_id,
+                   sum(CASE WHEN dp >= 0 THEN CAST(pow(2, p) AS BIGINT)
+                       ELSE 0 END) AS bucket
+            FROM (
+              SELECT e.vec_id, pl.p,
+                     sum(CAST(e.embedding[pl.i] AS DOUBLE) * pl.v) AS dp
+              FROM embeddings e CROSS JOIN planes pl
+              GROUP BY e.vec_id, pl.p)
+            GROUP BY vec_id),
+          pairs AS (
+            SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+          dots AS (
+            SELECT pr.query_id, pr.neighbor_id,
+                   sum(CAST(q.embedding[t.i] AS DOUBLE) * CAST(n.embedding[t.i] AS DOUBLE)) AS dp,
+                   sum(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)) AS nq,
+                   sum(CAST(n.embedding[t.i] AS DOUBLE) * CAST(n.embedding[t.i] AS DOUBLE)) AS nc
+            FROM pairs pr
+            JOIN embeddings q ON q.vec_id = pr.query_id
+            JOIN embeddings n ON n.vec_id = pr.neighbor_id,
+            LATERAL unnest(range(1, 65)) AS t(i)
+            GROUP BY pr.query_id, pr.neighbor_id)
+          SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+            SELECT query_id, neighbor_id, dp / (sqrt(nq) * sqrt(nc)) AS sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC, neighbor_id ASC)
+                     AS rank
+            FROM dots)
+          WHERE rank <= 3""",
+    "q_ann_ivf_trained" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id < 10""",
+    "q_ann_ivf_multiprobe" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
+                true AS monotone_ok, true AS exact_at_full_probe
+         FROM embeddings WHERE vec_id < 10""",
     "q_embed_topk" ->
       s"""WITH ${cosineCte("vec_id < 20")}
           SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (

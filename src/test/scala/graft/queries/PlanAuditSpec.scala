@@ -52,12 +52,25 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("multi-probe IVF broadcasts the probe set; the corpus is never shuffled pre-join") {
-    val p = plan("q_ann_ivf_multiprobe")
+    // audit the operator itself: the recall-profile QUERY wraps it in tiny
+    // exact/hits joins whose exchanges move a few dozen rows, but the
+    // corpus-side shape is what must survive 100 TB
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val cents = graft.ops.KMeans.fit(emb, "vec_id", "embedding", 4, 2)
+    val prof = graft.ops.Similarity.ivfProbeProfile(
+      emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", cents,
+      Seq(1, 2, 4), 3)
+    val p = prof.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), "query side must broadcast")
-    // the only hash exchange is the top-k window's partitionBy(query_id) —
-    // the corpus reaches the cell join shuffle-free
+    // the only hash exchange is the top-k window's partitionBy — the corpus
+    // reaches the cell join shuffle-free for EVERY probe setting at once
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(n == 1, s"expected 1 exchange (window), got $n")
+    // and the composite recall query never falls back to a nested loop
+    val q = plan("q_ann_ivf_multiprobe")
+    assert(!q.contains("CartesianProduct(condition"),
+      "corpus-side join degenerated to a filtered cartesian product")
   }
 
   test("CDC materialize is one partial+final max_by aggregation") {
