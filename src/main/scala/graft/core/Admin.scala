@@ -93,6 +93,23 @@ class TableViewHandle(spark: SparkSession, topicDir: String) {
 
   def containsKey(key: String): Boolean = get(key).isDefined
   def size(): Long = snapshot.count()
-  def entrySet(): Map[String, String] =
+
+  /** Map-parity full materialization, CAPPED: at 100 TB a topic's keyspace
+    * can dwarf driver memory, so this refuses beyond `maxEntries` rather
+    * than OOM the driver — stream with [[entries]] instead. */
+  def entrySet(maxEntries: Long = 1000000L): Map[String, String] = {
+    val n = size()
+    require(n <= maxEntries,
+      s"TableView holds $n keys > cap $maxEntries; iterate with entries() " +
+        "or raise maxEntries explicitly")
     snapshot.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  /** Driver-memory-safe iteration over the snapshot: partitions are pulled
+    * one at a time (toLocalIterator), never the whole keyspace at once. */
+  def entries(): Iterator[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    snapshot.toLocalIterator().asScala
+      .map(r => r.getString(0) -> r.getString(1))
+  }
 }

@@ -40,8 +40,14 @@ object ElasticSink {
     val cols = docCols.getOrElse(
       df.columns.toSeq.filterNot(c => idCol.contains(c) || c == timeCol))
       .map(col)
+    // a null event time would null every date segment and (via concat) the
+    // whole index name, and one null index NPEs the partition's bulk
+    // payload — route such rows to a literal fallback index instead (the
+    // connector's behavior for unparseable dates)
+    val fallbackIndex = PatternRx.replaceAllIn(indexPattern, "unrouted")
     df.select(
-      indexName(indexPattern, col(timeCol)).as("index"),
+      coalesce(indexName(indexPattern, col(timeCol)), lit(fallbackIndex))
+        .as("index"),
       idCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))
         .as("_id"),
       to_json(struct(cols.toIndexedSeq: _*)).as("doc"))
@@ -50,6 +56,7 @@ object ElasticSink {
   /** Minimal JSON string escape for values interpolated into action lines
     * (_id comes from arbitrary message keys). */
   private[ops] def jsonEscape(s: String): String = {
+    if (s == null) return "" // defense in depth: never poison a whole batch
     val b = new StringBuilder(s.length + 8)
     s.foreach {
       case '"' => b.append("\\\"")

@@ -7,11 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, plus the batch-iterator decode/feature-extract shape.
   *
-  * The Spark-side plumbing — schema, partitioning, batched iteration, feature
-  * schema — is real; the codec itself is a clearly-marked STUB (no media
-  * libraries in this environment): `stubDecode` produces deterministic fake
-  * features from the payload bytes so the pipeline is testable end-to-end.
-  * Swapping in a real decoder = replacing one function, nothing else moves.
+  * IMAGE decode is REAL: the JDK's `javax.imageio` reads PNG/JPEG/GIF/BMP
+  * payloads (zero new dependencies), yielding true width/height and a
+  * deterministic pixel-derived embedding. Audio/video stay behind the
+  * clearly-marked `stubDecode` (the JDK ships no audio/video codec); a
+  * payload that fails image decode also falls back there, so the pipeline
+  * never throws on corrupt blobs. Swapping in a richer codec = replacing one
+  * function, nothing else moves.
   */
 object Multimodal {
 
@@ -29,8 +31,77 @@ object Multimodal {
                            width: Int, height: Int, n_frames: Int,
                            embedding: Array[Float])
 
-  /** STUB decode: deterministic fake features derived from payload bytes.
-    * A real implementation would decode the image/audio container here. */
+  /** Real image decode via the JDK's ImageIO. None ⇒ the payload is not a
+    * decodable image (wrong container, corrupt, or audio/video). The file
+    * cache is disabled so executor threads never contend on temp files. */
+  private[ops] def decodeImage(payload: Array[Byte])
+  : Option[java.awt.image.BufferedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+  }
+
+  /** 8-dim image embedding: mean luminance (Rec. 601 weights) of 8 vertical
+    * strips, centered on 0 — deterministic and computed from the REAL
+    * decoded pixels (a stand-in for a vision model with the same data
+    * flow). */
+  private[ops] def stripEmbedding(img: java.awt.image.BufferedImage)
+  : Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](8); val counts = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+          (rgb & 0xff) * 114L) / 1000.0
+        val s = x * 8 / w
+        sums(s) += lum; counts(s) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(8)(i =>
+      if (counts(i) == 0) 0f
+      else ((sums(i) / counts(i)) / 255.0 - 0.5).toFloat)
+  }
+
+  /** Deterministic real PNG: pixel (x, y) = a seed-keyed RGB pattern,
+    * encoded through the JDK PNG writer. Used to synthesize genuine image
+    * payloads for pipelines and tests (the decode side recovers the exact
+    * dimensions and pixels). */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((seed * 31 + x * 7 + y * 13) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Feature extraction for one record: real ImageIO decode for images,
+    * [[stubDecode]] fallback for everything else (incl. undecodable
+    * payloads). */
+  private[ops] def decode(r: MediaRecord): MediaFeatures =
+    (if (r.media_type == "image") decodeImage(r.payload) else None) match {
+      case Some(img) =>
+        MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+          img.getWidth, img.getHeight, n_frames = 1, stripEmbedding(img))
+      case None => stubDecode(r)
+    }
+
+  /** STUB decode: deterministic fake features derived from payload bytes —
+    * the audio/video fallback (no JDK codec exists for those). */
   private[ops] def stubDecode(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length
     val checksum = r.payload.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
@@ -51,8 +122,8 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // per-batch setup would go here (codec/model init)
-        batch.map(stubDecode)
+        // per-batch setup would go here (model init, GPU transfer)
+        batch.map(decode)
       }
     }
   }
@@ -85,7 +156,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        val f = stubDecode(r)
+        val f = decode(r)
         val durationMs = f.n_frames * frameMs
         (0L until durationMs by everyMs).zipWithIndex.map { case (t, i) =>
           // STUB frame embedding: the media embedding perturbed per-frame;

@@ -40,18 +40,27 @@ object Sinks {
     exec(deduped, mergeSql(target, staging, keyCols, valueCols))
   }
 
-  /** Geo-replication: replicate one stream to N sinks, each with its own
-    * checkpoint (its own replicator cursor — reference:
-    * broker/.../persistent/PersistentReplicator.java:69-291). Returns the
-    * running queries; each progresses independently, like per-cluster
-    * replicators. */
-  def replicate(df: DataFrame, sinks: Seq[(String, String)], // (path, checkpoint)
-                trigger: Trigger = Trigger.AvailableNow()): Seq[StreamingQuery] =
+  /** Geo-replication: replicate the local topic stream to N remote clusters,
+    * each with its own checkpoint (its own replicator cursor — reference:
+    * broker/.../persistent/PersistentReplicator.java:69-291). Loop guard
+    * (reference Message.isReplicated/getReplicatedFrom,
+    * Message.java:231-239): only LOCALLY-produced rows
+    * (`replicated_from IS NULL`) are forwarded, stamped with this cluster
+    * as their origin — a row that arrived via replication is never
+    * re-replicated, so an A↔B (or full-mesh) deployment converges instead
+    * of ping-ponging; each origin cluster fans its own rows out directly.
+    * Returns the running queries; each progresses independently. */
+  def replicate(df: DataFrame, localCluster: String,
+                sinks: Seq[(String, String)], // (path, checkpoint)
+                trigger: Trigger = Trigger.AvailableNow()): Seq[StreamingQuery] = {
+    val local = df.where(col("replicated_from").isNull)
+      .withColumn("replicated_from", lit(localCluster))
     sinks.map { case (path, cp) =>
-      df.writeStream.format("graft-topic")
+      local.writeStream.format("graft-topic")
         .option("path", path).option("checkpointLocation", cp)
         .trigger(trigger).start()
     }
+  }
 
   /** Bucketed write: pre-shuffle a fact table by its join key into N buckets
     * so repeated joins/aggregations on that key run with NO exchange — the

@@ -84,15 +84,26 @@ object TextQueries {
     // Multimodal plumbing: opaque binary payload + typed metadata columns —
     // the schema/partitioning shape for image/audio blobs (decode itself is
     // stubbed; see graft.ops.Multimodal for the batch-iterator plumbing).
+    // Multimodal round-trip with REAL image decode: each document gets a
+    // genuine PNG payload (dimensions derived from doc_id), which the
+    // batch-iterator pipeline decodes back via the JDK's ImageIO — the
+    // oracle hash-checks that the DECODED width/height match the encoding
+    // formula, so a broken codec path cannot pass.
     "q_multimodal_meta" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-          col("source"))
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val media = docs.as[(Long, String)].map { case (id, src) =>
+        graft.ops.Multimodal.MediaRecord(id, "image",
+          graft.ops.Multimodal.encodePng(
+            16 + (id % 32).toInt, 16 + (id % 24).toInt, id),
+          Map("source" -> src))
+      }
+      graft.ops.Multimodal.extractFeatures(media, batchSize = 64).toDF()
+        .join(docs, col("media_id") === col("doc_id"))
         .select(col("doc_id"), col("source"),
-          octet_length(col("payload")).cast("long").as("n_bytes"),
-          (octet_length(col("payload")) % 640).cast("long").as("fake_width"),
-          (octet_length(col("payload")).cast("long") / 1000 + 1).cast("long")
-            .as("fake_frames"))
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          size(col("embedding")).cast("long").as("embedding_dim"))
     })
   )
 
@@ -228,9 +239,8 @@ object TextQueries {
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""",
     "q_multimodal_meta" ->
-      """SELECT doc_id, source, octet_length(encode(text)) AS n_bytes,
-                octet_length(encode(text)) % 640 AS fake_width,
-                octet_length(encode(text)) // 1000 + 1 AS fake_frames
+      """SELECT doc_id, source, 16 + doc_id % 32 AS width,
+                16 + doc_id % 24 AS height, 8 AS embedding_dim
          FROM documents"""
   )
 }

@@ -136,13 +136,32 @@ object SchemaCompat {
     }
 
   /** Errors preventing a proto `reader` schema from decoding bytes written
-    * with `writer`: same field number must keep a wire-compatible type; new
-    * trailing numbers default; removed numbers are skipped as unknown. */
-  def protoReadErrors(writer: StructType, reader: StructType): List[String] =
-    reader.fields.toList.zipWithIndex.flatMap { case (rf, i) =>
+    * with `writer`: same field number must keep a wire-compatible type (a
+    * RENAME at the same number is legal — numbers are identity in proto);
+    * new trailing numbers default; removed trailing numbers are skipped as
+    * unknown. Because this codec derives field numbers from POSITION, an
+    * arity change must be a pure TRAILING add/remove: dropping or inserting
+    * a MIDDLE field renumbers every later field, which often decodes
+    * cleanly (neighbors share a wire family) while routing every subsequent
+    * value into the wrong column — so when the field counts differ, the
+    * shared prefix must keep its names as proof the change was trailing. */
+  def protoReadErrors(writer: StructType, reader: StructType): List[String] = {
+    val shared = math.min(writer.fields.length, reader.fields.length)
+    val alignErr =
+      if (writer.fields.length == reader.fields.length) Nil
+      else (0 until shared).toList.flatMap { i =>
+        if (writer.fields(i).name != reader.fields(i).name)
+          List(s"field ${i + 1}: field count changed and names diverge " +
+            s"(writer '${writer.fields(i).name}' vs reader " +
+            s"'${reader.fields(i).name}') — a non-trailing add/remove " +
+            "renumbers later fields and silently re-routes their values")
+        else Nil
+      }
+    alignErr ++ reader.fields.toList.zipWithIndex.flatMap { case (rf, i) =>
       if (i >= writer.fields.length) Nil // new field number → proto default
       else protoTypeErrors(writer.fields(i).dataType, rf.dataType, i + 1)
     }
+  }
 
   def readErrors(format: Format, writer: StructType,
                  reader: StructType): List[String] = format match {

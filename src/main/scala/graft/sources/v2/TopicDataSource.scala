@@ -61,7 +61,11 @@ class TopicDataSource extends TableProvider with DataSourceRegister {
 }
 
 object TopicTable {
-  /** Envelope subset persisted per message (ms-epoch times on disk). */
+  /** Envelope subset persisted per message (ms-epoch times on disk).
+    * `replicated_from` is the geo-replication origin stamp (reference:
+    * Message.isReplicated/getReplicatedFrom, Message.java:231-239): null for
+    * locally-produced rows, the origin cluster for rows a replicator copied
+    * in — the loop guard [[graft.ops.Sinks.replicate]] keys on. */
   val schema: StructType = StructType(Seq(
     StructField("topic", StringType),
     StructField("partition", IntegerType),
@@ -71,7 +75,8 @@ object TopicTable {
     StructField("event_time", TimestampType),
     StructField("publish_time", TimestampType),
     StructField("producer_name", StringType),
-    StructField("sequence_id", LongType)))
+    StructField("sequence_id", LongType),
+    StructField("replicated_from", StringType)))
 
   /** Bookkeeping id for segments sitting flat in the topic root (legacy
     * single-partition layout). */
@@ -159,9 +164,14 @@ class TopicTable(path: String) extends Table with SupportsRead with SupportsWrit
   require(path != null, "graft-topic requires .option(\"path\", dir)")
   override def name(): String = s"graft-topic:$path"
   override def schema(): StructType = TopicTable.schema
+  /** ACCEPT_ANY_SCHEMA: writers resolve envelope fields BY NAME from the
+    * incoming query schema (absent nullable fields persist as null), so a
+    * producer can append the 9-column legacy envelope or the full one with
+    * `replicated_from` without a cast shim. */
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TopicScanBuilder(path,
@@ -171,7 +181,7 @@ class TopicTable(path: String) extends Table with SupportsRead with SupportsWrit
       Option(options.get("frontierGraceMs")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new TopicWriteBuilder(path, info.queryId())
+    new TopicWriteBuilder(path, info.queryId(), info.schema())
 }
 
 // ---------------------------------------------------------------------- read
@@ -386,6 +396,7 @@ class SegmentReader(file: String, required: StructType)
       case "producer_name" => str("producer_name")
       case "sequence_id" =>
         val n = get("sequence_id"); if (n == null) null else n.asLong
+      case "replicated_from" => str("replicated_from") // absent in legacy rows
     }
   }
 
@@ -596,10 +607,13 @@ class TopicMicroBatchStream(path: String,
 
 // --------------------------------------------------------------------- write
 
-class TopicWriteBuilder(path: String, queryId: String) extends WriteBuilder {
+class TopicWriteBuilder(path: String, queryId: String, schema: StructType)
+  extends WriteBuilder {
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new TopicBatchWrite(path, queryId)
-    override def toStreaming: StreamingWrite = new TopicStreamingWrite(path, queryId)
+    override def toBatch: BatchWrite =
+      new TopicBatchWrite(path, queryId, schema)
+    override def toStreaming: StreamingWrite =
+      new TopicStreamingWrite(path, queryId, schema)
   }
 }
 
@@ -624,9 +638,10 @@ case class StagedCommit(segments: Seq[StagedSegment]) extends WriterCommitMessag
   * (managed-ledger/.../ManagedLedgerImpl.java:767-794) rather than
   * per-task wall clocks. Foreign applications writing the same topic are
   * covered by the reader-side `frontierGraceMs` quarantine. */
-class TopicBatchWrite(path: String, queryId: String) extends BatchWrite {
+class TopicBatchWrite(path: String, queryId: String, schema: StructType)
+  extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new TopicStagedWriterFactory(path)
+    new TopicStagedWriterFactory(path, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.toSeq
@@ -664,9 +679,11 @@ class TopicBatchWrite(path: String, queryId: String) extends BatchWrite {
     }
 }
 
-class TopicStreamingWrite(path: String, queryId: String) extends StreamingWrite {
+class TopicStreamingWrite(path: String, queryId: String, schema: StructType)
+  extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new TopicStreamWriterFactory(path, TopicStreamingWrite.alphaId(queryId))
+    new TopicStreamWriterFactory(path, TopicStreamingWrite.alphaId(queryId),
+      schema)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case SegmentCommit(fs) => fs.foreach { f =>
@@ -703,14 +720,16 @@ object SegmentClock {
     last.updateAndGet(l => math.max(System.currentTimeMillis(), l + 1))
 }
 
-class TopicStagedWriterFactory(path: String) extends DataWriterFactory {
+class TopicStagedWriterFactory(path: String, schema: StructType)
+  extends DataWriterFactory {
   /** Batch tasks stage invisibly; the driver names segments at job commit
     * ([[TopicBatchWrite.commit]]). */
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SegmentWriter(path, () => "", staged = true)
+    new SegmentWriter(path, () => "", staged = true, writeSchema = schema)
 }
 
-class TopicStreamWriterFactory(path: String, alphaQueryId: String)
+class TopicStreamWriterFactory(path: String, alphaQueryId: String,
+                               schema: StructType)
   extends StreamingDataWriterFactory {
   /** Epoch in the name ⇒ replaying an epoch rewrites the same files —
     * idempotent streaming produce (effectively-once). Epochs are monotone
@@ -719,7 +738,8 @@ class TopicStreamWriterFactory(path: String, alphaQueryId: String)
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new SegmentWriter(path,
-      () => f"segment-e$alphaQueryId$epochId%010d-p$partitionId%05d.jsonl")
+      () => f"segment-e$alphaQueryId$epochId%010d-p$partitionId%05d.jsonl",
+      writeSchema = schema)
 }
 
 /** Routes each row to its envelope partition's subdirectory — the producer's
@@ -730,11 +750,20 @@ class TopicStreamWriterFactory(path: String, alphaQueryId: String)
   *    per query family, so task-level visibility is safe).
   *  - `staged = true` (batch): files stay as invisible tmps; the commit
   *    message carries their paths + stats and the DRIVER names and reveals
-  *    them at job commit ([[TopicBatchWrite.commit]]). */
+  *    them at job commit ([[TopicBatchWrite.commit]]).
+  *
+  * Envelope fields are resolved BY NAME from `writeSchema` (the incoming
+  * query's schema — ACCEPT_ANY_SCHEMA): a field the query doesn't produce
+  * persists as null (partition defaults to 0), so legacy 9-column producers
+  * and full-envelope producers coexist. */
 class SegmentWriter(root: String, finalName: () => String,
-                    staged: Boolean = false)
+                    staged: Boolean = false,
+                    writeSchema: StructType = TopicTable.schema)
   extends DataWriter[InternalRow] {
   private val nf = JsonNodeFactory.instance
+  private val fieldIdx: Map[String, Int] =
+    writeSchema.fieldNames.zipWithIndex.toMap
+  private def at(name: String): Int = fieldIdx.getOrElse(name, -1)
 
   private class PartOut(pid: Int) {
     val dir: File = TopicTable.partitionDir(root, pid)
@@ -751,35 +780,46 @@ class SegmentWriter(root: String, finalName: () => String,
   private val outs = mutable.Map.empty[Int, PartOut]
 
   override def write(r: InternalRow): Unit = {
-    val pid = if (r.isNullAt(1)) 0 else r.getInt(1)
+    def isNull(i: Int): Boolean = i < 0 || r.isNullAt(i)
+    val pidIdx = at("partition")
+    val pid = if (isNull(pidIdx)) 0 else r.getInt(pidIdx)
     val po = outs.getOrElseUpdate(pid, new PartOut(pid))
     po.n += 1
     val o = nf.objectNode()
-    def s(i: Int, k: String): Unit =
-      if (r.isNullAt(i)) o.putNull(k) else o.put(k, r.getUTF8String(i).toString)
-    s(0, "topic")
+    def s(name: String, k: String): Unit = {
+      val i = at(name)
+      if (isNull(i)) o.putNull(k) else o.put(k, r.getUTF8String(i).toString)
+    }
+    s("topic", "topic")
     o.put("partition", pid)
     // null offset round-trips as null (stats skip it — a null-offset row
     // matches no offset predicate), matching the reader's surfacing
-    if (r.isNullAt(2)) o.putNull("offset")
+    val offIdx = at("offset")
+    if (isNull(offIdx)) o.putNull("offset")
     else {
-      val off = r.getLong(2)
+      val off = r.getLong(offIdx)
       po.minOff = math.min(po.minOff, off); po.maxOff = math.max(po.maxOff, off)
       o.put("offset", off)
     }
-    s(3, "key"); s(4, "value")
+    s("key", "key"); s("value", "value")
     // nullable-by-schema event_time round-trips as null, never 1970-01-01
-    if (r.isNullAt(5)) o.putNull("event_time_ms")
-    else o.put("event_time_ms", r.getLong(5) / 1000L)
-    if (r.isNullAt(6)) { o.putNull("publish_time_ms"); po.nullPt += 1 }
+    val etIdx = at("event_time")
+    if (isNull(etIdx)) o.putNull("event_time_ms")
+    else o.put("event_time_ms", r.getLong(etIdx) / 1000L)
+    val ptIdx = at("publish_time")
+    if (isNull(ptIdx)) { o.putNull("publish_time_ms"); po.nullPt += 1 }
     else {
-      val pt = r.getLong(6) / 1000L
+      val pt = r.getLong(ptIdx) / 1000L
       po.minPt = math.min(po.minPt, pt); po.maxPt = math.max(po.maxPt, pt)
       o.put("publish_time_ms", pt)
     }
-    s(7, "producer_name")
-    if (r.isNullAt(8)) o.putNull("sequence_id")
-    else o.put("sequence_id", r.getLong(8))
+    s("producer_name", "producer_name")
+    val seqIdx = at("sequence_id")
+    if (isNull(seqIdx)) o.putNull("sequence_id")
+    else o.put("sequence_id", r.getLong(seqIdx))
+    if (at("replicated_from") >= 0 && !isNull(at("replicated_from")))
+      o.put("replicated_from",
+        r.getUTF8String(at("replicated_from")).toString)
     po.out.println(o.toString)
   }
 

@@ -44,6 +44,10 @@ class AdminSpec extends SparkSuite {
     assert(tv.containsKey("k0") && !tv.containsKey("nope"))
     assert(tv.entrySet() == Map("k0" -> "v16", "k1" -> "v17",
       "k2" -> "v18", "k3" -> "v19"))
+    // the cap refuses a driver-side materialization of a too-wide keyspace;
+    // the streaming iterator handles any size
+    assertThrows[IllegalArgumentException](tv.entrySet(maxEntries = 2))
+    assert(tv.entries().toMap == tv.entrySet())
     tv.close()
   }
 

@@ -43,6 +43,17 @@ class ElasticSinkSpec extends SparkSuite {
     assert(lines(2) == """{"index":{"_index":"ev-2024-01"}}""") // auto-id
   }
 
+  test("a null event time routes to the fallback index, not a poisoned batch") {
+    val withNull = Seq(("k9", "click", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("key", "event_type", "ts")
+    val doc = ElasticSink.documents(withNull, "ev-%{+yyyy-MM}", "ts",
+      idCol = Some("key")).collect().head
+    assert(doc.getString(0) == "ev-unrouted") // date segment → fallback
+    // and even a null index can no longer NPE the partition's bulk payload
+    val bulk = ElasticSink.bulkPayload(Iterator((null, "k", """{"a":1}""")))
+    assert(bulk.startsWith("""{"index":{"_index":""""))
+  }
+
   test("bulk action lines JSON-escape hostile message keys") {
     val bulk = ElasticSink.bulkPayload(Iterator(
       ("idx", "a\"b\\c\nd", """{"x":1}""")))

@@ -32,6 +32,39 @@ class MultimodalSpec extends SparkSuite {
       a.embedding.toSeq == b.embedding.toSeq && a.width == b.width))
   }
 
+  test("a real PNG payload decodes to its true dimensions and pixel embedding") {
+    val png = Multimodal.encodePng(37, 23, seed = 42L)
+    // it is a genuine PNG container
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte,
+      'G'.toByte))
+    val ds = Seq(MediaRecord(11L, "image", png, Map.empty)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head
+    assert(f.width == 37 && f.height == 23)
+    assert(f.n_bytes == png.length.toLong && f.n_frames == 1)
+    assert(f.embedding.length == 8)
+    // embedding comes from the decoded pixels: re-encoding the same image
+    // reproduces it; a different seed (different pixels) changes it
+    val f2 = Multimodal.extractFeatures(
+      Seq(MediaRecord(12L, "image", Multimodal.encodePng(37, 23, 42L),
+        Map.empty)).toDS()).collect().head
+    assert(f.embedding.toSeq == f2.embedding.toSeq)
+    val f3 = Multimodal.extractFeatures(
+      Seq(MediaRecord(13L, "image", Multimodal.encodePng(37, 23, 43L),
+        Map.empty)).toDS()).collect().head
+    assert(f.embedding.toSeq != f3.embedding.toSeq)
+  }
+
+  test("an undecodable image payload falls back to the stub, never throws") {
+    val garbage = MediaRecord(21L, "image",
+      Array.tabulate(500)(i => (i % 251).toByte), Map.empty)
+    val truncated = MediaRecord(22L, "image",
+      Multimodal.encodePng(20, 20, 1L).take(30), Map.empty)
+    val out = Multimodal.extractFeatures(Seq(garbage, truncated).toDS())
+      .collect().sortBy(_.media_id)
+    assert(out.length == 2) // both rows survive with stub features
+    assert(out.forall(_.embedding.length == 8))
+  }
+
   test("sampleFrames explodes a video into evenly spaced frame rows") {
     val ds = Seq(rec(5, "video", 12000)).toDS() // 13 frames × 40ms = 520ms
     val frames = Multimodal.sampleFrames(ds, everyMs = 100).collect()

@@ -111,9 +111,36 @@ class SinksTopicsSpec extends SparkSuite {
     val c2 = Files.createTempDirectory("repl-c2").toFile.getAbsolutePath
     envelope(src, 9)
     val stream = spark.readStream.format("graft-topic").option("path", src).load()
-    val qs = Sinks.replicate(stream, Seq((d1, c1), (d2, c2)))
+    val qs = Sinks.replicate(stream, "cluster-a", Seq((d1, c1), (d2, c2)))
     qs.foreach(_.processAllAvailable()); qs.foreach(_.stop())
-    assert(spark.read.format("graft-topic").option("path", d1).load().count() == 9)
+    val r1 = spark.read.format("graft-topic").option("path", d1).load()
+    assert(r1.count() == 9)
     assert(spark.read.format("graft-topic").option("path", d2).load().count() == 9)
+    // replicated rows carry their origin stamp
+    assert(r1.where(col("replicated_from") === "cluster-a").count() == 9)
+  }
+
+  test("A↔B replication mesh converges (origin loop guard, no ping-pong)") {
+    def tmp(p: String) = Files.createTempDirectory(p).toFile.getAbsolutePath
+    val a = tmp("mesh-a"); val b = tmp("mesh-b")
+    envelope(a, 5)
+    def run(src: String, dst: String, cluster: String, cp: String): Unit = {
+      val stream = spark.readStream.format("graft-topic")
+        .option("path", src).load()
+      val qs = Sinks.replicate(stream, cluster, Seq((dst, cp)))
+      qs.foreach(_.processAllAvailable()); qs.foreach(_.stop())
+    }
+    val cpAB = tmp("mesh-cp-ab"); val cpBA = tmp("mesh-cp-ba")
+    def countIn(dir: String) =
+      spark.read.format("graft-topic").option("path", dir).load().count()
+    // round 1: A's 5 local rows land in B
+    run(a, b, "cluster-a", cpAB)
+    assert(countIn(b) == 5)
+    // round 2: B→A must forward NOTHING (every row in B is remote-origin)
+    run(b, a, "cluster-b", cpBA)
+    assert(countIn(a) == 5, "replicated rows ping-ponged back to A")
+    // round 3: another A→B pass moves nothing new either (same checkpoint)
+    run(a, b, "cluster-a", cpAB)
+    assert(countIn(b) == 5, "loop guard failed: B keeps accreting copies")
   }
 }

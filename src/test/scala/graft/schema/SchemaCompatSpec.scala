@@ -65,6 +65,26 @@ class SchemaCompatSpec extends SparkSuite {
     assert(checkFormat(AvroFormat, w, broken, Backward).isEmpty)
   }
 
+  test("proto-native: dropping a MIDDLE field is rejected even when neighbors share a wire family") {
+    // positional numbering: dropping 'b' (one of two consecutive varints)
+    // re-routes 'c' into field 2 — every value decodes "cleanly" into the
+    // wrong column, so the gate must flag it, not pass it
+    val w = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType), StructField("c", LongType)))
+    val middleDropped = StructType(Seq(StructField("a", LongType),
+      StructField("c", LongType)))
+    assert(checkFormat(ProtoNativeFormat, w, middleDropped, Backward).nonEmpty)
+    // a middle INSERT shifts later numbers the same way
+    val middleInserted = StructType(Seq(StructField("a", LongType),
+      StructField("x", LongType), StructField("b", LongType),
+      StructField("c", LongType)))
+    assert(checkFormat(ProtoNativeFormat, w, middleInserted, Backward).nonEmpty)
+    // the TRAILING drop of the same wire shape stays legal
+    val trailingDropped = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType)))
+    assert(checkFormat(ProtoNativeFormat, w, trailingDropped, Full).isEmpty)
+  }
+
   test("proto-native: trailing adds/removes OK; repeated-shape change breaks") {
     val w = StructType(Seq(StructField("a", LongType)))
     val added = w.add(StructField("b", StringType, nullable = false))
