@@ -30,7 +30,11 @@ object Bench {
     // is listed in "failed" — a swallowed exception must not read as a fast
     // successful run.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    // optional args = query-name subset (local iteration); driver passes none
+    // optional args = query-name subset (local iteration); driver passes
+    // none. Unknown names fail loudly — a typo must not look like a fast
+    // clean run.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }

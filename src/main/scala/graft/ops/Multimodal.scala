@@ -17,6 +17,10 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // one JVM-wide switch, set at class init (not per record/encode): the
+  // ImageIO disk cache would otherwise create+delete a temp file per image
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** The media-record schema: one blob + typed metadata per row. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -35,12 +39,10 @@ object Multimodal {
     * decodable image (wrong container, corrupt, or audio/video). The file
     * cache is disabled so executor threads never contend on temp files. */
   private[ops] def decodeImage(payload: Array[Byte])
-  : Option[java.awt.image.BufferedImage] = {
-    javax.imageio.ImageIO.setUseCache(false)
+  : Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
-  }
 
   /** 8-dim image embedding: mean luminance (Rec. 601 weights) of 8 vertical
     * strips, centered on 0 — deterministic and computed from the REAL

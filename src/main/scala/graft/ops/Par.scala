@@ -7,13 +7,18 @@ import org.apache.spark.sql.DataFrame
   * parquet file = one partition = one core doing all the work. The tiny
   * shuffle of input rows is orders cheaper than serializing the compute.
   *
-  * Unconditional: probing `df.rdd.getNumPartitions` to decide would force a
-  * full physical plan of the unoptimized frame (planning the query twice at
-  * scale) and pin the pre-AQE partitioning. The operators calling this are
-  * exactly those whose input rows are narrow relative to their per-row
-  * compute, so the round-robin exchange is accepted by design.
+  * The already-wide case matters just as much: collapsing a 100 TB scan's
+  * thousands of input splits down to defaultParallelism would shuffle the
+  * whole corpus into a few giant partitions. The guard therefore keys on
+  * `df.inputFiles` — leaf-file metadata from the logical plan, no physical
+  * planning (the old `df.rdd.getNumPartitions` probe planned the query
+  * twice and pinned the pre-AQE partitioning) — and only spreads inputs
+  * narrower than the session's parallelism.
   */
 private[ops] object Par {
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val nFiles = df.inputFiles.length
+    if (nFiles == 0 || nFiles < p) df.repartition(p) else df
+  }
 }

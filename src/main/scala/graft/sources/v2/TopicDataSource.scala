@@ -609,22 +609,98 @@ class TopicMicroBatchStream(path: String,
 
 class TopicWriteBuilder(path: String, queryId: String, schema: StructType)
   extends WriteBuilder {
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new TopicBatchWrite(path, queryId, schema)
-    override def toStreaming: StreamingWrite =
-      new TopicStreamingWrite(path, queryId, schema)
+  override def build(): Write = {
+    // ACCEPT_ANY_SCHEMA turned off Spark's own write-side validation, so
+    // the builder re-checks here (driver, analysis time): any envelope
+    // field the query DOES produce must carry the envelope's type —
+    // otherwise the name-resolved InternalRow accessors would persist
+    // reinterpreted garbage (e.g. a string read through getLong).
+    val expected = TopicTable.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = schema.fields.toSeq.flatMap { f =>
+      expected.get(f.name) match {
+        case Some(t) if t != f.dataType =>
+          Some(s"${f.name}: ${f.dataType.simpleString} (envelope needs ${t.simpleString})")
+        case _ => None // unknown columns are ignored by the writer
+      }
+    }
+    require(bad.isEmpty,
+      s"graft-topic write schema type mismatch — ${bad.mkString("; ")}")
+    new Write {
+      override def toBatch: BatchWrite =
+        new TopicBatchWrite(path, queryId, schema)
+      override def toStreaming: StreamingWrite =
+        new TopicStreamingWrite(path, queryId, schema)
+    }
   }
 }
 
 case class SegmentCommit(files: Seq[String]) extends WriterCommitMessage
 
-/** One staged-but-unnamed segment from a batch task: the task's tmp file
-  * plus the pruning stats gathered while writing it. Naming happens at JOB
-  * commit on the driver. */
-case class StagedSegment(path: String, n: Long, minOff: Long, maxOff: Long,
+/** One staged-but-invisible segment from a task: the tmp file plus the
+  * pruning stats gathered while writing it. `name` is the final segment
+  * name for streaming epochs (computed from the epoch id) and empty for
+  * batch, where the DRIVER stamps names at job commit. Visibility always
+  * happens at job/epoch commit, in ascending-name order. */
+case class StagedSegment(path: String, name: String, n: Long,
+                         minOff: Long, maxOff: Long,
                          minPt: Long, maxPt: Long, nullPt: Long)
 case class StagedCommit(segments: Seq[StagedSegment]) extends WriterCommitMessage
+
+/** Shared driver-side reveal: rename staged tmps to their final names in
+  * ASCENDING name order under one lock, so a reader listing mid-commit can
+  * only observe a prefix of the name sequence — name order equals
+  * visibility order, the frontier cursor's contract. Each revealed file's
+  * mtime is refreshed to the reveal instant (staging can predate the
+  * commit by arbitrarily long, and the reader-side `frontierGraceMs`
+  * quarantine keys on segment age AT VISIBILITY, not at write). A failure
+  * midway deletes the already-revealed files before rethrowing, so a
+  * failed job never leaves half its output visible. */
+private[v2] object SegmentReveal {
+  def reveal(root: String, named: Seq[(File, StagedSegment)]): Unit = {
+    val sorted = named.sortBy { case (dst, _) => (dst.getParent, dst.getName) }
+    val revealed = mutable.Buffer.empty[File]
+    try SegmentClock.synchronized {
+      sorted.foreach { case (dst, s) =>
+        if (dst.exists()) { // idempotent epoch replay overwrites
+          dst.delete(); SegmentStats.sidecarFor(dst).delete()
+        }
+        // a replayed epoch may have been offloaded meanwhile — the rewrite
+        // supersedes the cold copy (same (partition, name) identity)
+        val cold = new File(new File(new File(root, TopicTable.OffloadTier),
+          dst.getParentFile.getName), dst.getName)
+        if (cold.exists()) {
+          cold.delete(); SegmentStats.sidecarFor(cold).delete()
+        }
+        if (!new File(s.path).renameTo(dst))
+          throw new java.io.IOException(
+            s"graft-topic commit: rename failed for ${s.path} -> $dst")
+        dst.setLastModified(System.currentTimeMillis())
+        revealed += dst
+      }
+    } catch {
+      case t: Throwable =>
+        revealed.foreach { f =>
+          f.delete(); SegmentStats.sidecarFor(f).delete()
+        }
+        throw t
+    }
+    // sidecars follow the segments (readers fall back to a scan if missing)
+    sorted.foreach { case (dst, s) =>
+      if (s.n > 0)
+        SegmentStats.writeSidecar(dst,
+          SegmentStats.Stats(s.minOff, s.maxOff, s.minPt, s.maxPt, s.nullPt))
+    }
+  }
+
+  def abortStaged(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedCommit(ss) => ss.foreach(s => new File(s.path).delete())
+      case SegmentCommit(fs) => fs.foreach { f =>
+        new File(f).delete(); SegmentStats.sidecarFor(new File(f)).delete()
+      }
+      case _ => ()
+    }
+}
 
 /** Batch append with DRIVER-issued segment names: tasks stage their files
   * invisibly (dot-prefixed tmp names the listers ignore) and report them in
@@ -647,48 +723,61 @@ class TopicBatchWrite(path: String, queryId: String, schema: StructType)
     val staged = messages.toSeq
       .collect { case StagedCommit(ss) => ss }.flatten
       .sortBy(_.path)
-    // stamp+rename under one lock: no interleaving with another in-process
-    // batch commit, so a smaller stamp can never become visible after a
-    // larger one was listed
-    val renamed = SegmentClock.synchronized {
-      staged.map { s =>
-        val src = new File(s.path)
-        val dst = new File(src.getParentFile,
-          f"segment-b${SegmentClock.next()}%013d-${queryId.take(8)}.jsonl")
-        if (!src.renameTo(dst))
-          throw new java.io.IOException(
-            s"graft-topic batch commit: rename failed for ${s.path}")
-        (dst, s)
-      }
+    // one stamp per file, issued inside the reveal's lock window via this
+    // pre-pass: stamps are ascending in the same order the reveal renames,
+    // so a smaller name can never become visible after a larger one
+    val named = staged.map { s =>
+      val dst = new File(new File(s.path).getParentFile,
+        f"segment-b${SegmentClock.next()}%013d-${queryId.take(8)}.jsonl")
+      (dst, s)
     }
-    // sidecars follow the segments (readers fall back to a scan if missing)
-    renamed.foreach { case (dst, s) =>
-      if (s.n > 0)
-        SegmentStats.writeSidecar(dst,
-          SegmentStats.Stats(s.minOff, s.maxOff, s.minPt, s.maxPt, s.nullPt))
-    }
+    SegmentReveal.reveal(path, named)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case StagedCommit(ss) => ss.foreach(s => new File(s.path).delete())
-      case SegmentCommit(fs) => fs.foreach { f =>
-        new File(f).delete(); SegmentStats.sidecarFor(new File(f)).delete()
-      }
-      case _ => ()
-    }
+    SegmentReveal.abortStaged(messages)
 }
 
+/** Streaming epochs reveal at EPOCH commit on the driver, not at task
+  * commit: two tasks of one epoch routing rows to the same envelope
+  * partition produce sibling names (`...-p00000`, `...-p00001`) in one
+  * name family, and unordered task-level renames could let a reader admit
+  * the higher name before the lower existed — the same frontier hole the
+  * batch path closes with driver-side reveal. Epoch replay stays
+  * idempotent: names embed (query, epoch, task), so a replay overwrites
+  * the same files ([[SegmentReveal]] handles the overwrite + cold-tier
+  * supersede). */
 class TopicStreamingWrite(path: String, queryId: String, schema: StructType)
   extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new TopicStreamWriterFactory(path, TopicStreamingWrite.alphaId(queryId),
       schema)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  private val alpha = TopicStreamingWrite.alphaId(queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.toSeq
+      .collect { case StagedCommit(ss) => ss }.flatten
+    val named = staged.map { s =>
+      (new File(new File(s.path).getParentFile, s.name), s)
+    }
+    SegmentReveal.reveal(path, named)
+    // a REPLAYED epoch can legitimately produce fewer task files than the
+    // failed attempt (partition counts change across restarts): anything
+    // still visible under this epoch's name prefix that this commit did
+    // not produce is the previous attempt's orphan — reap it, or its rows
+    // double-deliver
+    val keep = named.map { case (dst, _) =>
+      (dst.getParentFile.getName, dst.getName) }.toSet
+    val prefix = f"segment-e$alpha$epochId%010d-"
+    TopicTable.listPartitioned(path).foreach { case (_, f) =>
+      if (f.getName.startsWith(prefix) &&
+          !keep((f.getParentFile.getName, f.getName))) {
+        f.delete(); SegmentStats.sidecarFor(f).delete()
+      }
+    }
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case SegmentCommit(fs) => fs.foreach { f =>
-      new File(f).delete(); SegmentStats.sidecarFor(new File(f)).delete()
-    } }
+    SegmentReveal.abortStaged(messages)
 }
 
 object TopicStreamingWrite {
@@ -725,7 +814,7 @@ class TopicStagedWriterFactory(path: String, schema: StructType)
   /** Batch tasks stage invisibly; the driver names segments at job commit
     * ([[TopicBatchWrite.commit]]). */
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SegmentWriter(path, () => "", staged = true, writeSchema = schema)
+    new SegmentWriter(path, stagedName = "", writeSchema = schema)
 }
 
 class TopicStreamWriterFactory(path: String, alphaQueryId: String,
@@ -734,30 +823,29 @@ class TopicStreamWriterFactory(path: String, alphaQueryId: String,
   /** Epoch in the name ⇒ replaying an epoch rewrites the same files —
     * idempotent streaming produce (effectively-once). Epochs are monotone
     * within the query's own family ("e" + query discriminator), satisfying
-    * the frontier contract even with several producers on one topic. */
+    * the frontier contract even with several producers on one topic; the
+    * intra-epoch task siblings are visibility-ordered by the epoch-commit
+    * reveal ([[TopicStreamingWrite]]). */
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new SegmentWriter(path,
-      () => f"segment-e$alphaQueryId$epochId%010d-p$partitionId%05d.jsonl",
+      stagedName = f"segment-e$alphaQueryId$epochId%010d-p$partitionId%05d.jsonl",
       writeSchema = schema)
 }
 
 /** Routes each row to its envelope partition's subdirectory — the producer's
   * partition router (reference: PartitionedProducerImpl; MessageRoutingMode).
-  * One open segment per (this task, envelope partition). Two commit modes:
-  *  - `staged = false` (streaming epochs): tmp-rename + sidecar per file at
-  *    TASK commit under the caller-supplied name (epoch names are monotone
-  *    per query family, so task-level visibility is safe).
-  *  - `staged = true` (batch): files stay as invisible tmps; the commit
-  *    message carries their paths + stats and the DRIVER names and reveals
-  *    them at job commit ([[TopicBatchWrite.commit]]).
+  * One open segment per (this task, envelope partition). Task commit never
+  * reveals anything: files stay as invisible tmps and the commit message
+  * carries their paths + stats (plus the precomputed `stagedName` for
+  * streaming epochs; empty for batch, where the driver stamps names) — the
+  * job/epoch commit renames them visible in order ([[SegmentReveal]]).
   *
   * Envelope fields are resolved BY NAME from `writeSchema` (the incoming
   * query's schema — ACCEPT_ANY_SCHEMA): a field the query doesn't produce
   * persists as null (partition defaults to 0), so legacy 9-column producers
   * and full-envelope producers coexist. */
-class SegmentWriter(root: String, finalName: () => String,
-                    staged: Boolean = false,
+class SegmentWriter(root: String, stagedName: String,
                     writeSchema: StructType = TopicTable.schema)
   extends DataWriter[InternalRow] {
   private val nf = JsonNodeFactory.instance
@@ -824,34 +912,12 @@ class SegmentWriter(root: String, finalName: () => String,
   }
 
   override def commit(): WriterCommitMessage = {
-    if (staged) {
-      val segs = outs.values.toSeq.sortBy(_.dir.getName).map { po =>
-        po.out.close()
-        StagedSegment(po.tmp.getAbsolutePath, po.n, po.minOff, po.maxOff,
-          po.minPt, po.maxPt, po.nullPt)
-      }
-      return StagedCommit(segs)
-    }
-    val name = finalName()
-    val files = outs.values.toSeq.sortBy(_.dir.getName).map { po =>
+    val segs = outs.values.toSeq.sortBy(_.dir.getName).map { po =>
       po.out.close()
-      val dst = new File(po.dir, name)
-      if (dst.exists()) dst.delete() // idempotent epoch replay
-      // a replayed epoch may have been offloaded meanwhile — the rewrite
-      // supersedes the cold copy (same (partition, name) identity)
-      val cold = new File(new File(new File(root, TopicTable.OffloadTier),
-        po.dir.getName), name)
-      if (cold.exists()) {
-        cold.delete(); SegmentStats.sidecarFor(cold).delete()
-      }
-      po.tmp.renameTo(dst)
-      if (po.n > 0) // sidecar written AFTER the segment: readers always fall back
-        SegmentStats.writeSidecar(dst,
-          SegmentStats.Stats(po.minOff, po.maxOff, po.minPt, po.maxPt,
-            po.nullPt))
-      dst.getAbsolutePath
+      StagedSegment(po.tmp.getAbsolutePath, stagedName, po.n,
+        po.minOff, po.maxOff, po.minPt, po.maxPt, po.nullPt)
     }
-    SegmentCommit(files)
+    StagedCommit(segs)
   }
   override def abort(): Unit =
     outs.values.foreach { po => po.out.close(); po.tmp.delete() }
