@@ -723,15 +723,22 @@ class TopicBatchWrite(path: String, queryId: String, schema: StructType)
     val staged = messages.toSeq
       .collect { case StagedCommit(ss) => ss }.flatten
       .sortBy(_.path)
-    // one stamp per file, issued inside the reveal's lock window via this
-    // pre-pass: stamps are ascending in the same order the reveal renames,
-    // so a smaller name can never become visible after a larger one
-    val named = staged.map { s =>
-      val dst = new File(new File(s.path).getParentFile,
-        f"segment-b${SegmentClock.next()}%013d-${queryId.take(8)}.jsonl")
-      (dst, s)
+    // stamping and reveal share ONE critical section (the reveal's lock is
+    // reentrant): if stamps were issued outside it, two concurrent batch
+    // commits could interleave so the job holding HIGHER stamps reveals
+    // first, a micro-batch trigger between the reveals advances the family
+    // frontier past the lower names, and the lower names are silently
+    // skipped when they appear. Inside the lock, stamps are ascending in
+    // the same order the reveal renames, and no other commit's names can
+    // become visible between this commit's stamping and its reveal.
+    SegmentClock.synchronized {
+      val named = staged.map { s =>
+        val dst = new File(new File(s.path).getParentFile,
+          f"segment-b${SegmentClock.next()}%013d-${queryId.take(8)}.jsonl")
+        (dst, s)
+      }
+      SegmentReveal.reveal(path, named)
     }
-    SegmentReveal.reveal(path, named)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
