@@ -52,11 +52,16 @@ object Multimodal {
   : Array[Float] = {
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Double](8); val counts = new Array[Long](8)
+    // bulk row transfer: one getRGB call per ROW, not per pixel — the
+    // per-pixel overload routes every call through the color-model
+    // conversion indirection and was the dominant cost of the decode path
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         val lum = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
           (rgb & 0xff) * 114L) / 1000.0
         val s = x * 8 / w
@@ -77,11 +82,17 @@ object Multimodal {
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // write straight into the INT_RGB raster's backing array — identical
+    // semantics to per-pixel setRGB for this image type (low 24 bits), but
+    // one array fill instead of width*height color-model round-trips
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < height) {
+      val base = y * width
       var x = 0
       while (x < width) {
-        img.setRGB(x, y, ((seed * 31 + x * 7 + y * 13) & 0xffffff).toInt)
+        data(base + x) = ((seed * 31 + x * 7 + y * 13) & 0xffffff).toInt
         x += 1
       }
       y += 1
