@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: the JDK's `javax.imageio` reads PNG/JPEG/GIF/BMP
   * payloads (zero new dependencies), yielding true width/height and a
-  * deterministic pixel-derived embedding. Audio/video stay behind the
-  * clearly-marked `stubDecode` (the JDK ships no audio/video codec); a
-  * payload that fails image decode also falls back there, so the pipeline
-  * never throws on corrupt blobs. Swapping in a richer codec = replacing one
-  * function, nothing else moves.
+  * deterministic pixel-derived embedding. AUDIO decode is REAL too:
+  * `javax.sound.sampled` parses WAV/AIFF headers and 16-bit PCM frames,
+  * yielding true sample-rate/channels/duration and a PCM-derived embedding.
+  * Only VIDEO stays behind the clearly-marked `stubDecode` (the JDK ships
+  * no video codec); a payload that fails image/audio decode also falls back
+  * there, so the pipeline never throws on corrupt blobs. Swapping in a
+  * richer codec = replacing one function, nothing else moves.
   */
 object Multimodal {
 
@@ -33,7 +35,9 @@ object Multimodal {
 
   case class MediaFeatures(media_id: Long, media_type: String, n_bytes: Long,
                            width: Int, height: Int, n_frames: Int,
-                           embedding: Array[Float])
+                           embedding: Array[Float],
+                           sample_rate: Int = 0, channels: Int = 0,
+                           duration_ms: Long = 0L, pcm_sum: Long = 0L)
 
   /** Real image decode via the JDK's ImageIO. None ⇒ the payload is not a
     * decodable image (wrong container, corrupt, or audio/video). The file
@@ -102,19 +106,107 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Feature extraction for one record: real ImageIO decode for images,
-    * [[stubDecode]] fallback for everything else (incl. undecodable
-    * payloads). */
-  private[ops] def decode(r: MediaRecord): MediaFeatures =
-    (if (r.media_type == "image") decodeImage(r.payload) else None) match {
-      case Some(img) =>
-        MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
-          img.getWidth, img.getHeight, n_frames = 1, stripEmbedding(img))
-      case None => stubDecode(r)
+  /** Real audio decode via the JDK's `javax.sound.sampled`: parses WAV/AIFF
+    * containers and returns the format plus the raw interleaved 16-bit PCM
+    * samples. None ⇒ not a decodable 16-bit PCM stream (wrong container,
+    * corrupt, or a compressed encoding the JDK doesn't ship a codec for). */
+  private[ops] def decodeAudio(payload: Array[Byte])
+  : Option[(javax.sound.sampled.AudioFormat, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = bb.getShort(); i += 1 }
+          Some((fmt, samples))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** 8-dim audio embedding: mean normalized amplitude of 8 equal PCM
+    * segments — the audio twin of [[stripEmbedding]], computed from the
+    * REAL decoded samples. */
+  private[ops] def pcmEmbedding(samples: Array[Short]): Array[Float] = {
+    val n = samples.length
+    val sums = new Array[Double](8); val counts = new Array[Long](8)
+    var i = 0
+    while (i < n) {
+      val s = i * 8 / n
+      sums(s) += samples(i); counts(s) += 1
+      i += 1
     }
+    Array.tabulate(8)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i) / 32768.0).toFloat)
+  }
+
+  /** Feature extraction for one record: real ImageIO decode for images,
+    * real `javax.sound.sampled` decode for audio, [[stubDecode]] fallback
+    * for video and undecodable payloads. */
+  private[ops] def decode(r: MediaRecord): MediaFeatures = r.media_type match {
+    case "image" =>
+      decodeImage(r.payload) match {
+        case Some(img) =>
+          MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+            img.getWidth, img.getHeight, n_frames = 1, stripEmbedding(img))
+        case None => stubDecode(r)
+      }
+    case "audio" =>
+      decodeAudio(r.payload) match {
+        case Some((fmt, samples)) =>
+          val rate = fmt.getSampleRate.toInt
+          val ch = fmt.getChannels
+          val frames = samples.length / math.max(ch, 1)
+          var sum = 0L
+          var i = 0
+          while (i < samples.length) { sum += samples(i); i += 1 }
+          MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+            width = 0, height = 0, n_frames = frames,
+            embedding = pcmEmbedding(samples),
+            sample_rate = rate, channels = ch,
+            duration_ms = frames * 1000L / rate, pcm_sum = sum)
+        case None => stubDecode(r)
+      }
+    case _ => stubDecode(r)
+  }
+
+  /** Deterministic real WAV: mono 16-bit little-endian PCM where sample i =
+    * `(seed*31 + i*7919) % 4096 - 2048`, written through the JDK WAV
+    * encoder. The decode side recovers the exact format and samples, so an
+    * oracle can hash-check decoded metadata AND the PCM sum against this
+    * formula — a broken codec path cannot pass. */
+  def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = ((seed * 31 + i.toLong * 7919) % 4096 - 2048).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   /** STUB decode: deterministic fake features derived from payload bytes —
-    * the audio/video fallback (no JDK codec exists for those). */
+    * the VIDEO fallback (the JDK ships no video codec) and the safety net
+    * for undecodable image/audio payloads. */
   private[ops] def stubDecode(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length
     val checksum = r.payload.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))

@@ -104,6 +104,31 @@ object TextQueries {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           size(col("embedding")).cast("long").as("embedding_dim"))
+    }),
+
+    // Multimodal round-trip with REAL audio decode: each document gets a
+    // genuine WAV payload (mono 16-bit PCM, sample i = a doc_id-seeded
+    // formula), which the pipeline decodes back via javax.sound.sampled —
+    // the oracle hash-checks the DECODED sample rate / channels / frame
+    // count / duration AND the exact PCM sample sum against the encoding
+    // formula, so a broken or fake codec path cannot pass.
+    "q_multimodal_audio" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val media = docs.as[(Long, String)].map { case (id, src) =>
+        graft.ops.Multimodal.MediaRecord(id, "audio",
+          graft.ops.Multimodal.encodeWav(
+            800 + (id % 400).toInt, 8000 * (1 + (id % 3).toInt), id),
+          Map("source" -> src))
+      }
+      graft.ops.Multimodal.extractFeatures(media, batchSize = 64).toDF()
+        .join(docs, col("media_id") === col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("duration_ms"),
+          col("pcm_sum"))
     })
   )
 
@@ -241,6 +266,26 @@ object TextQueries {
     "q_multimodal_meta" ->
       """SELECT doc_id, source, 16 + doc_id % 32 AS width,
                 16 + doc_id % 24 AS height, 8 AS embedding_dim
-         FROM documents"""
+         FROM documents""",
+    // mirrors Multimodal.encodeWav's PCM formula: the Spark side must decode
+    // the WAV container bit-exactly to reproduce these sums
+    "q_multimodal_audio" ->
+      """WITH params AS (
+           SELECT doc_id, source,
+                  800 + doc_id % 400 AS n,
+                  8000 * (1 + doc_id % 3) AS rate
+           FROM documents),
+         sums AS (
+           SELECT p.doc_id,
+                  CAST(sum((p.doc_id * 31 + t.i * 7919) % 4096 - 2048) AS BIGINT) AS pcm_sum
+           FROM params p, LATERAL unnest(range(0, p.n)) AS t(i)
+           GROUP BY p.doc_id)
+         SELECT p.doc_id, p.source,
+                CAST(p.rate AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS channels,
+                CAST(p.n AS BIGINT) AS n_frames,
+                (p.n * 1000) // p.rate AS duration_ms,
+                s.pcm_sum
+         FROM params p JOIN sums s ON s.doc_id = p.doc_id"""
   )
 }

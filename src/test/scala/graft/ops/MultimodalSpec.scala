@@ -54,6 +54,44 @@ class MultimodalSpec extends SparkSuite {
     assert(f.embedding.toSeq != f3.embedding.toSeq)
   }
 
+  test("a real WAV payload decodes to its true format, frames, and PCM sum") {
+    val wav = Multimodal.encodeWav(nSamples = 1000, sampleRate = 16000,
+      seed = 5L)
+    // it is a genuine RIFF/WAVE container
+    assert(wav.take(4).toSeq == "RIFF".getBytes("UTF-8").toSeq)
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRecord(31L, "audio", wav, Map.empty)).toDS()).collect().head
+    assert(f.sample_rate == 16000 && f.channels == 1 && f.n_frames == 1000)
+    assert(f.duration_ms == 62L) // floor(1000 * 1000 / 16000)
+    // the PCM sum only matches if every decoded sample is bit-exact
+    val expected = (0 until 1000)
+      .map(i => (5L * 31 + i.toLong * 7919) % 4096 - 2048).sum
+    assert(f.pcm_sum == expected)
+    assert(f.embedding.length == 8)
+    // embedding comes from the decoded samples: same seed reproduces it,
+    // a different seed (different PCM) changes it
+    val f2 = Multimodal.extractFeatures(
+      Seq(MediaRecord(32L, "audio", Multimodal.encodeWav(1000, 16000, 5L),
+        Map.empty)).toDS()).collect().head
+    assert(f.embedding.toSeq == f2.embedding.toSeq)
+    val f3 = Multimodal.extractFeatures(
+      Seq(MediaRecord(33L, "audio", Multimodal.encodeWav(1000, 16000, 6L),
+        Map.empty)).toDS()).collect().head
+    assert(f.embedding.toSeq != f3.embedding.toSeq)
+  }
+
+  test("an undecodable audio payload falls back to the stub, never throws") {
+    val garbage = MediaRecord(41L, "audio",
+      Array.tabulate(600)(i => (i % 251).toByte), Map.empty)
+    val truncated = MediaRecord(42L, "audio",
+      Multimodal.encodeWav(500, 8000, 1L).take(20), Map.empty)
+    val out = Multimodal.extractFeatures(Seq(garbage, truncated).toDS())
+      .collect().sortBy(_.media_id)
+    assert(out.length == 2)
+    assert(out.forall(_.embedding.length == 8))
+    assert(out.forall(_.sample_rate == 0)) // stub features, not fake audio
+  }
+
   test("an undecodable image payload falls back to the stub, never throws") {
     val garbage = MediaRecord(21L, "image",
       Array.tabulate(500)(i => (i % 251).toByte), Map.empty)
