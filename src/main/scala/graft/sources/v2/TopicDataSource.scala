@@ -88,8 +88,19 @@ object TopicTable {
     new File(root, f"partition-$pid%03d")
 
   private def segmentsIn(d: File): Array[File] =
-    Option(d.listFiles((_, n) => n.startsWith("segment-") && n.endsWith(".jsonl")))
+    Option(d.listFiles((_, n) => n.startsWith("segment-") &&
+      (n.endsWith(".jsonl") || n.endsWith(".jsonl" + SegmentCodec.ColdExt))))
       .getOrElse(Array.empty).sortBy(_.getName)
+
+  /** Cursor-stable segment name: the offloader may rewrite a JSONL segment
+    * as a parquet twin ([[SegmentCodec]]); the physical `.parquet` suffix is
+    * a codec detail, not identity. Frontiers, families, pending sets, and
+    * consumed-checks all key on the logical name, so offloading a segment
+    * never changes its cursor position — and checkpoints written before a
+    * rewrite stay valid after it. */
+  def logicalName(name: String): String =
+    name.stripSuffix(SegmentCodec.ColdExt)
+  def logicalName(f: File): String = logicalName(f.getName)
 
   /** The cold-tier subdirectory: sealed segments moved here by
     * [[graft.ops.Offloader]] keep their (partition, name) identity, so
@@ -101,7 +112,12 @@ object TopicTable {
   /** Every (partitionId, segment) in the topic: partition subdirectories,
     * the cold tier's mirror tree, plus legacy flat-root segments (partition
     * [[FlatPartition]]). Re-listed at every micro-batch plan —
-    * partition-count evolution is picked up live. */
+    * partition-count evolution is picked up live. One LOGICAL name maps to
+    * exactly one file: an offload race (parquet twin written, JSONL not yet
+    * deleted) briefly leaves two physical copies of the same segment, and
+    * the JSONL copy wins (fresh writes are JSONL; the twin is the rewrite),
+    * the hot tier breaking any remaining tie — never both, or every row in
+    * the segment would double-deliver. */
   def listPartitioned(dir: String): Seq[(Int, File)] = {
     val d = new File(dir)
     if (!d.exists()) return Seq.empty
@@ -117,8 +133,17 @@ object TopicTable {
         }
       flat ++ parts
     }
-    (tree(d) ++ tree(new File(d, OffloadTier)))
-      .sortBy { case (pid, f) => (pid, f.getName) }
+    val hot = tree(d).map { case (pid, f) => ((pid, f), false) }
+    val cold = tree(new File(d, OffloadTier)).map { case (pid, f) => ((pid, f), true) }
+    (hot ++ cold)
+      .groupBy { case ((pid, f), _) => (pid, logicalName(f)) }
+      .values.map { copies =>
+        copies.minBy { case ((_, f), isCold) =>
+          (f.getName.endsWith(SegmentCodec.ColdExt), isCold)
+        }._1
+      }
+      .toSeq
+      .sortBy { case (pid, f) => (pid, logicalName(f)) }
   }
 
   def listSegments(dir: String): Array[File] =
@@ -287,6 +312,8 @@ object SegmentStats {
 
   private def readStats(f: File): Option[Stats] = {
     val side = sidecarFor(f)
+    if (!side.exists() && f.getName.endsWith(SegmentCodec.ColdExt))
+      return SegmentCodec.footerStats(f) // parquet footer = built-in sidecar
     if (side.exists()) {
       val n = mapper.readTree(new String(
         java.nio.file.Files.readAllBytes(side.toPath), "UTF-8"))
@@ -360,8 +387,13 @@ object SegmentStats {
 }
 
 class TopicReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new SegmentReader(p.asInstanceOf[TopicInputPartition].file, required)
+  /** Dispatch on the physical extension: hot segments are JSONL, offloaded
+    * cold segments may be parquet twins ([[SegmentCodec]]). */
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val f = p.asInstanceOf[TopicInputPartition].file
+    if (f.endsWith(SegmentCodec.ColdExt)) new ParquetSegmentReader(f, required)
+    else new SegmentReader(f, required)
+  }
 }
 
 /** Parses one segment; projects only the pruned columns into InternalRows. */
@@ -524,7 +556,7 @@ class TopicMicroBatchStream(path: String,
     }
 
   private def listedNames: Seq[(String, String)] =
-    listedFiles.map { case (part, f) => (part, f.getName) }
+    listedFiles.map { case (part, f) => (part, TopicTable.logicalName(f)) }
 
   /** `startingTime` seek: segments wholly before the timestamp start out
     * consumed — the subscribe-from-timestamp cursor position
@@ -536,7 +568,7 @@ class TopicMicroBatchStream(path: String,
       // (null publish time) segments are still delivered
       val skipped = listedFiles
         .filter { case (_, f) => SegmentStats.whollyOlderThan(f, ts) }
-        .map { case (part, f) => (part, f.getName) }.toSet
+        .map { case (part, f) => (part, TopicTable.logicalName(f)) }.toSet
       TopicOffset.marking(listedNames, skipped)
   }
 
@@ -562,12 +594,12 @@ class TopicMicroBatchStream(path: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[TopicOffset]
     val files = listedFiles
-    val listed = files.map { case (part, f) => (part, f.getName) }
+    val listed = files.map { case (part, f) => (part, TopicTable.logicalName(f)) }
     val fresh: Set[(String, String)] = frontierGraceMs match {
       case Some(g) if g > 0 =>
         val cutoff = System.currentTimeMillis() - g
         files.filter(_._2.lastModified() > cutoff)
-          .map { case (part, f) => (part, f.getName) }.toSet
+          .map { case (part, f) => (part, TopicTable.logicalName(f)) }.toSet
       case _ => Set.empty
     }
     val unconsumed = listed
@@ -596,7 +628,8 @@ class TopicMicroBatchStream(path: String,
     val e = end.asInstanceOf[TopicOffset]
     listedFiles
       .filter { case (part, f) =>
-        e.consumed(part, f.getName) && !s.consumed(part, f.getName)
+        val n = TopicTable.logicalName(f)
+        e.consumed(part, n) && !s.consumed(part, n)
       }
       .map { case (_, f) => TopicInputPartition(f.getAbsolutePath): InputPartition }
       .toArray
@@ -665,12 +698,17 @@ private[v2] object SegmentReveal {
           dst.delete(); SegmentStats.sidecarFor(dst).delete()
         }
         // a replayed epoch may have been offloaded meanwhile — the rewrite
-        // supersedes the cold copy (same (partition, name) identity)
-        val cold = new File(new File(new File(root, TopicTable.OffloadTier),
-          dst.getParentFile.getName), dst.getName)
-        if (cold.exists()) {
-          cold.delete(); SegmentStats.sidecarFor(cold).delete()
-        }
+        // supersedes the cold copy (same (partition, logical-name) identity,
+        // whether the cold copy is still JSONL or a parquet twin)
+        val coldDir = new File(new File(root, TopicTable.OffloadTier),
+          dst.getParentFile.getName)
+        Seq(new File(coldDir, dst.getName),
+            new File(coldDir, dst.getName + SegmentCodec.ColdExt))
+          .foreach { cold =>
+            if (cold.exists()) {
+              cold.delete(); SegmentStats.sidecarFor(cold).delete()
+            }
+          }
         if (!new File(s.path).renameTo(dst))
           throw new java.io.IOException(
             s"graft-topic commit: rename failed for ${s.path} -> $dst")

@@ -25,10 +25,16 @@ class OffloaderSpec extends SparkSuite {
     writeAt(dir, "2024-02-01 00:00:00", 50 until 80) // hot
     val moved = Offloader.offload(dir, ts("2024-01-15 00:00:00").getTime)
     assert(moved == 1)
-    // the cold segment (and its sidecar) now live under offloaded/
+    // the cold segment is REWRITTEN as a parquet twin (same logical name)
+    // with its sidecar alongside under offloaded/
     val cold = new File(dir, s"${TopicTable.OffloadTier}/partition-000")
-    assert(cold.listFiles().count(_.getName.endsWith(".jsonl")) == 1)
+    assert(cold.listFiles().count(_.getName.endsWith(".jsonl.parquet")) == 1)
     assert(cold.listFiles().count(_.getName.endsWith(".meta")) == 1)
+    assert(cold.listFiles().count(_.getName.endsWith(".jsonl")) == 0)
+    // it is genuine parquet (magic bytes), not renamed JSONL
+    val twin = cold.listFiles().find(_.getName.endsWith(".parquet")).get
+    val magic = java.nio.file.Files.readAllBytes(twin.toPath).take(4)
+    assert(new String(magic, "UTF-8") == "PAR1")
     // transparent read-back: all rows visible, pruning still metadata-driven
     val back = spark.read.format("graft-topic").option("path", dir).load()
     assert(back.count() == 80)
@@ -37,6 +43,45 @@ class OffloaderSpec extends SparkSuite {
     assert(Offloader.recall(dir) == 1)
     assert(spark.read.format("graft-topic").option("path", dir).load()
       .count() == 80)
+  }
+
+  test("parquet twin round-trips every column including nulls") {
+    val dir = Files.createTempDirectory("offload-nulls").toFile.getAbsolutePath
+    val rows = Seq(
+      ("t", 0, 1L, "k1", "v1", ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 00:00:00"), "p", 1L),
+      ("t", 0, 2L, null, null, null,
+        ts("2024-01-01 00:00:01"), null, 2L))
+    rows.toDF("topic", "partition", "offset", "key", "value", "event_time",
+      "publish_time", "producer_name", "sequence_id")
+      .coalesce(1).write.format("graft-topic").option("path", dir)
+      .mode("append").save()
+    val before = spark.read.format("graft-topic").option("path", dir).load()
+      .collect().map(_.toSeq).toSet
+    assert(Offloader.offload(dir, ts("2024-06-01 00:00:00").getTime) == 1)
+    val after = spark.read.format("graft-topic").option("path", dir).load()
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
+  test("parquet footer statistics serve pruning when the sidecar is missing") {
+    val dir = Files.createTempDirectory("offload-footer").toFile.getAbsolutePath
+    writeAt(dir, "2024-01-01 00:00:00", 0 until 50)
+    assert(Offloader.offload(dir, ts("2024-06-01 00:00:00").getTime) == 1)
+    val cold = new File(dir, s"${TopicTable.OffloadTier}/partition-000")
+    val twin = cold.listFiles().find(_.getName.endsWith(".parquet")).get
+    // drop the sidecar: stats must come from the parquet footer
+    assert(new File(cold, twin.getName + ".meta").delete())
+    val st = graft.sources.v2.SegmentStats.statsFor(twin).get
+    assert(st.minOff == 0L && st.maxOff == 49L)
+    assert(st.nullPt == 0L)
+    assert(st.minPt == ts("2024-01-01 00:00:00").getTime &&
+      st.maxPt == st.minPt)
+    // and pruning still answers through the footer: an out-of-range offset
+    // predicate skips the segment entirely, an in-range one reads it
+    val back = spark.read.format("graft-topic").option("path", dir).load()
+    assert(back.where(col("offset") > 100).count() == 0)
+    assert(back.where(col("offset") <= 10).count() == 11)
   }
 
   test("stream cursor continuity: consumed stays consumed across offload, unconsumed delivers from cold") {
