@@ -57,7 +57,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout capture keeps only a tail, which has truncated the head of
+    // this (long) line in past runs — persist the full record to a file so
+    // per-query timings are never lost from the round artifact
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      line + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"BENCH: could not write $outFile: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -535,6 +535,51 @@ object TopicOffset {
   }
 }
 
+/** JVM-global first-OBSERVATION registry, one map per topic path, shared by
+  * every reader instance. Purpose: distinguish a segment that has been
+  * visible all along from one that just APPEARED — the signal behind both
+  * the automatic late-arrival recovery and the `frontierGraceMs` quarantine.
+  * Observation time cannot be forged by a foreign writer the way mtime can
+  * (POSIX rename preserves mtime, so a stage-then-rename writer looks
+  * pre-aged). Memory is bounded by the live listing: entries for names no
+  * longer listed are pruned on every observe — the same O(#segments) the
+  * per-trigger listing itself already costs.
+  *
+  * Baseline: the FIRST listing this JVM takes of a path seeds firstSeen
+  * from file mtime — those names were visible before we started watching,
+  * so they can never be classified as late arrivals, and mtime is the best
+  * available age estimate for grace pacing. */
+private[v2] object SegmentFirstSeen {
+  private val dirs =
+    scala.collection.concurrent.TrieMap
+      .empty[String, scala.collection.concurrent.TrieMap[(String, String), Long]]
+
+  /** Record `listed` (part, name, mtime) for `path`; returns (firstSeen
+    * lookup, names first observed by THIS call, whether this was the
+    * baseline listing). */
+  def observe(path: String, listed: Seq[(String, String, Long)])
+  : (Map[(String, String), Long], Set[(String, String)], Boolean) = {
+    val now = System.currentTimeMillis()
+    val baseline = !dirs.contains(path)
+    val m = dirs.getOrElseUpdate(path,
+      scala.collection.concurrent.TrieMap.empty)
+    val listedKeys = listed.map { case (p, n, _) => (p, n) }.toSet
+    val newNames = Set.newBuilder[(String, String)]
+    listed.foreach { case (p, n, mtime) =>
+      val k = (p, n)
+      if (!m.contains(k)) {
+        if (!baseline) newNames += k
+        m(k) = if (baseline) mtime else now
+      }
+    }
+    m.keys.filterNot(listedKeys).foreach(m.remove) // deleted segments
+    (m.toMap, newNames.result(), baseline)
+  }
+
+  /** Test hook: forget a path so the next observe is a fresh baseline. */
+  private[graft] def reset(path: String): Unit = dirs.remove(path)
+}
+
 class TopicMicroBatchStream(path: String,
                             maxSegmentsPerTrigger: Option[Int] = None,
                             startingTimeMs: Option[Long] = None,
@@ -543,6 +588,8 @@ class TopicMicroBatchStream(path: String,
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Full (topic#partition, segment) listing. Topic resolution AND partition
     * listing happen here, at plan time — new matching topics (regex
@@ -580,26 +627,53 @@ class TopicMicroBatchStream(path: String,
     * segment granularity): admit at most maxSegmentsPerTrigger new sealed
     * segments per micro-batch, oldest names first across all partitions.
     *
-    * `frontierGraceMs` (option, default off) quarantines very recently
-    * committed segments from admission: a foreign writer (another JVM/app
-    * whose clock may lag) racing the commit of a higher name can publish a
-    * LOWER name slightly later; once the frontier has advanced past it, a
-    * late-appearing lower name is indistinguishable from a consumed one and
-    * would be silently skipped. Deferring admission until a segment is at
-    * least grace-old guarantees any racing lower name is already listed by
-    * admission time and therefore parks in `pending` instead of vanishing.
-    * In-process writers need no grace — batch names are driver-issued under
-    * a lock ([[TopicBatchWrite.commit]]), so name order matches visibility
-    * order within one application. */
+    * Foreign-writer defense is ON BY DEFAULT via first-observation
+    * tracking ([[SegmentFirstSeen]]): a name that first APPEARS already
+    * below its family frontier — a foreign writer's (skewed clock, slow
+    * commit) late publication — is exactly the case the frontier would
+    * silently classify as consumed. Such names are pulled OUT of the
+    * consumed set, so [[TopicOffset.marking]] parks them in `pending` and
+    * the next trigger admits and delivers them: zero data loss, zero added
+    * latency for the normal path. In-process writers can never hit this —
+    * batch names are driver-issued inside the reveal lock
+    * ([[TopicBatchWrite.commit]]), so name order matches visibility order
+    * within one application.
+    *
+    * `frontierGraceMs` (option, default off) additionally PACES admission:
+    * a segment is only admitted once it has been OBSERVED for at least the
+    * grace window, so a racing lower name is already listed by the time the
+    * frontier advances and never needs the late-arrival path at all.
+    * Keying on observation age (not mtime — POSIX rename preserves mtime,
+    * so a foreign stage-then-rename writer would look pre-aged) covers
+    * writers that do not run this codebase. The residual window in both
+    * defenses is a restart: a late name whose first appearance lands while
+    * no reader JVM is watching is indistinguishable from a consumed one. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[TopicOffset]
     val files = listedFiles
     val listed = files.map { case (part, f) => (part, TopicTable.logicalName(f)) }
+    val (firstSeen, newNames, _) = SegmentFirstSeen.observe(path,
+      files.map { case (part, f) =>
+        (part, TopicTable.logicalName(f), f.lastModified())
+      })
+    val byName = files.map { case (part, f) =>
+      ((part, TopicTable.logicalName(f)), f) }.toMap
+    // late = first appeared below its family frontier. A seek's initial
+    // offset intentionally skips provably-pre-seek segments — one of those
+    // appearing late is the seek working as intended, not data loss.
+    val late = newNames.filter { case pn @ (p, n) =>
+      startOff.consumed(p, n) &&
+        !startingTimeMs.exists(ts =>
+          byName.get(pn).exists(SegmentStats.whollyOlderThan(_, ts)))
+    }
+    if (late.nonEmpty)
+      log.warn(s"graft-topic $path: ${late.size} segment(s) appeared " +
+        s"BELOW their family frontier (foreign writer's late commit?) — " +
+        s"parking as pending for redelivery: ${late.take(3).mkString(", ")}")
     val fresh: Set[(String, String)] = frontierGraceMs match {
       case Some(g) if g > 0 =>
         val cutoff = System.currentTimeMillis() - g
-        files.filter(_._2.lastModified() > cutoff)
-          .map { case (part, f) => (part, TopicTable.logicalName(f)) }.toSet
+        listed.filter(pn => firstSeen.getOrElse(pn, 0L) > cutoff).toSet
       case _ => Set.empty
     }
     val unconsumed = listed
@@ -612,7 +686,7 @@ class TopicMicroBatchStream(path: String,
     }
     val consumedNow = listed.filter { case (part, n) =>
       startOff.consumed(part, n)
-    }.toSet ++ admitted
+    }.toSet -- late ++ admitted
     TopicOffset.marking(listed, consumedNow)
   }
 

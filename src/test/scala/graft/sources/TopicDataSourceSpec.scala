@@ -398,7 +398,7 @@ class TopicDataSourceSpec extends SparkSuite {
       "segment-e0000000004-p00000.jsonl"))
   }
 
-  test("frontierGraceMs: a skewed-clock writer's late LOWER name loses zero rows") {
+  test("frontierGraceMs: observation-age pacing an mtime-forging writer cannot bypass") {
     import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val dir = tmpDir()
@@ -412,33 +412,45 @@ class TopicDataSourceSpec extends SparkSuite {
     }
     val old = System.currentTimeMillis() - 600000L
     val stream = new TopicMicroBatchStream(dir,
-      frontierGraceMs = Some(60000L))
-    // an aged segment is admitted normally
+      frontierGraceMs = Some(500L))
+    // pre-existing aged segment (baseline listing) is admitted normally
     val f1 = rawB(100, 1); f1.setLastModified(old)
     val off1 = stream.latestOffset(TopicOffset.empty, ReadLimit.allAvailable())
     assert(stream.planInputPartitions(TopicOffset.empty, off1).length == 1)
-    // a FRESH high name arrives: quarantined, frontier must not advance
-    val f2 = rawB(300, 3)
+    // a high name arrives with a FORGED old mtime (a foreign writer's
+    // rename preserves mtime on POSIX): quarantine keys on when the READER
+    // first observed it, so the forgery does not bypass the grace window
+    val f2 = rawB(300, 3); f2.setLastModified(old)
     val off2 = stream.latestOffset(off1, ReadLimit.allAvailable())
     assert(stream.planInputPartitions(off1, off2).isEmpty,
-      "fresh segment admitted inside the grace window")
-    // the skewed-clock writer lands a LOWER name strictly later
-    val f3 = rawB(200, 2)
-    // both age past the grace window → admitted together, nothing skipped
-    f2.setLastModified(old); f3.setLastModified(old)
+      "mtime-forged segment admitted inside the grace window")
+    // the skewed-clock writer lands a LOWER name strictly later. The
+    // observation clock starts at the next LISTING, so after the sleep the
+    // high name is grace-aged (admitted, frontier advances) while the lower
+    // one is only now observed: it parks as pending under the advanced
+    // frontier instead of vanishing...
+    val f3 = rawB(200, 2); f3.setLastModified(old)
+    Thread.sleep(900)
     val off3 = stream.latestOffset(off2, ReadLimit.allAvailable())
-    val batch = stream.planInputPartitions(off2, off3)
+    val batch3 = stream.planInputPartitions(off2, off3)
       .map(_.asInstanceOf[graft.sources.v2.TopicInputPartition]
-        .file.split("/").last).sorted
-    assert(batch.toSeq == Seq("segment-b0000000000200-x.jsonl",
-      "segment-b0000000000300-x.jsonl"),
-      s"late lower name lost: delivered only $batch")
+        .file.split("/").last)
+    assert(batch3.toSeq == Seq("segment-b0000000000300-x.jsonl"))
+    // ...and once IT ages past the grace window it is delivered too —
+    // nothing skipped, in spite of the inverted arrival order
+    Thread.sleep(900)
+    val off4 = stream.latestOffset(off3, ReadLimit.allAvailable())
+    val batch4 = stream.planInputPartitions(off3, off4)
+      .map(_.asInstanceOf[graft.sources.v2.TopicInputPartition]
+        .file.split("/").last)
+    assert(batch4.toSeq == Seq("segment-b0000000000200-x.jsonl"),
+      s"late lower name lost: delivered $batch4")
   }
 
-  test("without grace, a late lower name below the frontier is the documented loss") {
-    // the control for the test above: the default (grace off) path admits
-    // immediately — zero latency — and the foreign-writer inversion is
-    // exactly the case frontierGraceMs exists for
+  test("without grace, a late lower name below the frontier parks pending and is delivered") {
+    // default-on foreign-writer defense: zero-latency admission for the
+    // normal path, and a name first appearing BELOW its family frontier is
+    // recovered via pending instead of being classified consumed
     import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val dir = tmpDir()
@@ -453,6 +465,21 @@ class TopicDataSourceSpec extends SparkSuite {
     val off1 = stream.latestOffset(TopicOffset.empty, ReadLimit.allAvailable())
     assert(stream.planInputPartitions(TopicOffset.empty, off1).length == 1,
       "default path must admit a fresh segment immediately")
+    // foreign writer's late commit: a LOWER name appears under the advanced
+    // frontier. Trigger 1 detects the late arrival and parks it pending...
+    rawB(200)
+    val off2 = stream.latestOffset(off1, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(off1, off2).isEmpty)
+    // ...trigger 2 admits and delivers it — no rows lost, no option set
+    val off3 = stream.latestOffset(off2, ReadLimit.allAvailable())
+    val batch = stream.planInputPartitions(off2, off3)
+      .map(_.asInstanceOf[graft.sources.v2.TopicInputPartition]
+        .file.split("/").last)
+    assert(batch.toSeq == Seq("segment-b0000000000200-x.jsonl"),
+      s"late lower name not recovered: $batch")
+    // and it does not re-deliver afterwards
+    val off4 = stream.latestOffset(off3, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(off3, off4).isEmpty)
   }
 
   test("batch segment names are driver-issued at job commit (no task clocks)") {
