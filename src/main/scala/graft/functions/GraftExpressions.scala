@@ -92,16 +92,20 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       return new GenericArrayData(new Array[Any](numHashes))
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[Array[Byte]](numHashes)
+    // one scratch digest buffer: digest(buf,off,len) writes in place (and
+    // resets), so the hot loop allocates only when a new minimum survives —
+    // rare after the first few shingles — instead of 16×|shingles| times
+    val scratch = new Array[Byte](16)
     var i = 0
     while (i < n) {
       val sb = arr.getUTF8String(i).getBytes
       var s = 0
       while (s < numHashes) {
-        md.reset()
         md.update(seedPrefixes(s))
         md.update(sb)
-        val dig = md.digest()
-        if (mins(s) == null || lessUnsigned(dig, mins(s))) mins(s) = dig
+        md.digest(scratch, 0, 16)
+        if (mins(s) == null || lessUnsigned(scratch, mins(s)))
+          mins(s) = scratch.clone()
         s += 1
       }
       i += 1
