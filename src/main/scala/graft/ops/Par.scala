@@ -9,16 +9,52 @@ import org.apache.spark.sql.DataFrame
   *
   * The already-wide case matters just as much: collapsing a 100 TB scan's
   * thousands of input splits down to defaultParallelism would shuffle the
-  * whole corpus into a few giant partitions. The guard therefore keys on
-  * `df.inputFiles` — leaf-file metadata from the logical plan, no physical
-  * planning (the old `df.rdd.getNumPartitions` probe planned the query
-  * twice and pinned the pre-AQE partitioning) — and only spreads inputs
-  * narrower than the session's parallelism.
+  * whole corpus into a few giant partitions. The guard therefore:
+  *
+  *  - leaves NON-file-backed inputs alone (memory streams, post-shuffle
+  *    plans): their width is unknowable without planning the query twice
+  *    (the old `df.rdd.getNumPartitions` probe did exactly that and pinned
+  *    the pre-AQE partitioning), and forcing a repartition would collapse a
+  *    plan that is already wide;
+  *  - for file-backed inputs, estimates the scan's partition count the way
+  *    `FilePartition` bin-packs splits (openCost padding, maxPartitionBytes
+  *    / bytesPerCore split sizing). A raw file COUNT is not enough: many
+  *    tiny files pack into far fewer partitions than files. The estimate
+  *    `ceil(paddedBytes / maxSplitBytes)` is a LOWER bound on the real
+  *    packing (each packed partition holds at most maxSplitBytes), so
+  *    "estimate ≥ parallelism" safely implies the scan is wide enough.
+  *
+  * File sizes come from driver-side stats of the (already-listed) leaf
+  * files; on a filesystem we cannot stat, the file-count heuristic is the
+  * fallback.
   */
 private[ops] object Par {
+  private def fileSize(path: String): Long =
+    try {
+      val p =
+        if (path.startsWith("file:"))
+          java.nio.file.Paths.get(new java.net.URI(path))
+        else java.nio.file.Paths.get(path)
+      java.nio.file.Files.size(p)
+    } catch { case _: Exception => -1L }
+
   def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val nFiles = df.inputFiles.length
-    if (nFiles == 0 || nFiles < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty) return df // unknown width — never force a collapse
+    val sizes = files.map(fileSize)
+    if (sizes.exists(_ < 0L)) // unstatable (remote FS): count heuristic
+      return if (files.length < p) df.repartition(p) else df
+    def bytesConf(key: String, default: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get(key, default))
+    val maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", "128MB")
+    val openCost = bytesConf("spark.sql.files.openCostInBytes", "4MB")
+    val totalBytes = sizes.map(_ + openCost).sum
+    val bytesPerCore = totalBytes / math.max(p, 1)
+    val maxSplit = math.min(maxPartitionBytes, math.max(openCost, bytesPerCore))
+    val estimated = (totalBytes + maxSplit - 1) / math.max(maxSplit, 1)
+    if (estimated < p) df.repartition(p) else df
   }
 }

@@ -139,24 +139,31 @@ object SchemaCompat {
     * with `writer`: same field number must keep a wire-compatible type (a
     * RENAME at the same number is legal — numbers are identity in proto);
     * new trailing numbers default; removed trailing numbers are skipped as
-    * unknown. Because this codec derives field numbers from POSITION, an
-    * arity change must be a pure TRAILING add/remove: dropping or inserting
-    * a MIDDLE field renumbers every later field, which often decodes
+    * unknown. Because this codec derives field numbers from POSITION, a
+    * MIDDLE add/remove renumbers every later field — which often decodes
     * cleanly (neighbors share a wire family) while routing every subsequent
-    * value into the wrong column — so when the field counts differ, the
-    * shared prefix must keep its names as proof the change was trailing. */
+    * value into the wrong column — and an equal-count change (middle drop
+    * plus trailing add) is just as misrouting as one that changes arity.
+    * The shift detector therefore runs at EVERY arity and is name-based: a
+    * name mismatch at one position is accepted as a rename only when the
+    * name is NEW on its side; a name that also exists at another position
+    * of the other schema is evidence of a positional shift. (Heuristic: a
+    * shift combined with renaming every shifted field is undetectable from
+    * names alone — positional codecs cannot do better without persisted
+    * field numbers.) */
   def protoReadErrors(writer: StructType, reader: StructType): List[String] = {
     val shared = math.min(writer.fields.length, reader.fields.length)
-    val alignErr =
-      if (writer.fields.length == reader.fields.length) Nil
-      else (0 until shared).toList.flatMap { i =>
-        if (writer.fields(i).name != reader.fields(i).name)
-          List(s"field ${i + 1}: field count changed and names diverge " +
-            s"(writer '${writer.fields(i).name}' vs reader " +
-            s"'${reader.fields(i).name}') — a non-trailing add/remove " +
-            "renumbers later fields and silently re-routes their values")
-        else Nil
-      }
+    val writerNames = writer.fields.map(_.name).toSet
+    val readerNames = reader.fields.map(_.name).toSet
+    val alignErr = (0 until shared).toList.flatMap { i =>
+      val wn = writer.fields(i).name; val rn = reader.fields(i).name
+      if (wn != rn && (writerNames.contains(rn) || readerNames.contains(wn)))
+        List(s"field ${i + 1}: name '$wn' -> '$rn' is a positional shift " +
+          "(the name exists at another field number) — a non-trailing " +
+          "add/remove renumbers later fields and silently re-routes their " +
+          "values")
+      else Nil
+    }
     alignErr ++ reader.fields.toList.zipWithIndex.flatMap { case (rf, i) =>
       if (i >= writer.fields.length) Nil // new field number → proto default
       else protoTypeErrors(writer.fields(i).dataType, rf.dataType, i + 1)

@@ -83,6 +83,17 @@ class SchemaCompatSpec extends SparkSuite {
     val trailingDropped = StructType(Seq(StructField("a", LongType),
       StructField("b", LongType)))
     assert(checkFormat(ProtoNativeFormat, w, trailingDropped, Full).isEmpty)
+    // EQUAL-count middle drop + trailing add is the same misrouting and
+    // must be flagged too (the shift detector runs at every arity)
+    val equalCountShift = StructType(Seq(StructField("a", LongType),
+      StructField("c", LongType), StructField("x", LongType)))
+    assert(checkFormat(ProtoNativeFormat, w, equalCountShift, Backward).nonEmpty)
+    // a rename at a stable number COMBINED with a trailing add is legal:
+    // 'b2' is new on the reader side, so nothing shifted
+    val renamePlusTrailing = StructType(Seq(StructField("a", LongType),
+      StructField("b2", LongType), StructField("c", LongType),
+      StructField("d", LongType)))
+    assert(checkFormat(ProtoNativeFormat, w, renamePlusTrailing, Backward).isEmpty)
   }
 
   test("proto-native: trailing adds/removes OK; repeated-shape change breaks") {
