@@ -64,4 +64,25 @@ object VectorFunctions {
       when(dot(v, typedlit(plane(p, dim).toSeq)) >= 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Ordered multi-probe bucket sequence for SRP LSH: the vector's own
+    * bucket first, then one-bit flips in order of INCREASING margin
+    * |dot(v, plane(p))| — the planes the vector sits closest to are the
+    * likeliest sign disagreements with its true neighbors (multi-probe
+    * LSH), the SRP analog of IVF's nprobe-nearest-cells. Element i is the
+    * bucket probed at budget i+1; budgets are prefixes, so probe sets NEST
+    * and recall is monotone in the budget by construction. */
+  def srpProbeBuckets(v: Column, numPlanes: Int, dim: Int): Column = {
+    val dots = (0 until numPlanes).map(p => dot(v, typedlit(plane(p, dim).toSeq)))
+    val bucket = dots.zipWithIndex.map { case (d, p) =>
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val powers = typedlit((0 until numPlanes).map(p => 1L << p))
+    val byMargin = array_sort(array(dots.zipWithIndex.map { case (d, p) =>
+      struct(abs(d).as("m"), lit(p).as("p"))
+    }: _*))
+    concat(array(bucket),
+      transform(byMargin, s =>
+        bucket.bitwiseXOR(element_at(powers, s.getField("p") + lit(1)))))
+  }
 }

@@ -108,6 +108,42 @@ object Similarity {
         round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Multi-probe LSH profile in ONE corpus pass — the SRP analog of
+    * [[ivfProbeProfile]]: each query probes its own bucket plus one-bit
+    * flips in increasing-margin order ([[graft.functions.VectorFunctions
+    * .srpProbeBuckets]]); the probe fan-out multiplies only the broadcast
+    * query side, the corpus is scanned and bucketed exactly once. Probe
+    * sets nest (budget m's buckets are a prefix of budget m+1's), so hits
+    * against an exact baseline are monotone in the budget by construction —
+    * the contract the composite recall query hard-checks. Returns top-k per
+    * (nprobe, query). */
+  def lshProbeProfile(queries: DataFrame, candidates: DataFrame, idCol: String,
+                      vecCol: String, dim: Int, numPlanes: Int,
+                      probes: Seq[Int], k: Int): DataFrame = {
+    val maxProbe = probes.max
+    require(maxProbe <= numPlanes + 1,
+      s"probe budget $maxProbe exceeds own bucket + $numPlanes one-bit flips")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__buckets",
+        slice(srpProbeBuckets(col("__qv"), numPlanes, dim), 1, maxProbe))
+      .withColumn("nprobe", explode(typedlit(probes)))
+      .withColumn("__bucket",
+        explode(slice(col("__buckets"), lit(1), col("nprobe"))))
+      .drop("__buckets")
+    val c = Par.spread(candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv")))
+      .withColumn("__bucket", srpBucket(col("__cv"), numPlanes, dim))
+    val scored = c.join(broadcast(q), "__bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate dedup: within a blocking key (coarse
     * cell / LSH bucket — never all-pairs global), pairs with cosine ≥
     * `threshold` mark the higher id as a duplicate of the lowest matching id.

@@ -99,6 +99,33 @@ object VectorQueries {
         (col("__h8") === col("__slots")).as("exact_at_full_probe"))
     }),
 
+    // Multi-probe SRP LSH recall profile, one corpus scan for all probe
+    // budgets — the LSH twin of q_ann_ivf_multiprobe. Probe sets NEST (own
+    // bucket, then one-bit flips by increasing margin), so hit counts must
+    // be monotone in the budget — a structural invariant a broken probe
+    // order or bucket join breaks. recall_ok's 5% floor is margined under
+    // the measured 17% at full probe on the isotropic test corpus.
+    "q_ann_lsh_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val prof = Similarity.lshProbeProfile(q, emb, "vec_id", "embedding",
+        dim = 64, numPlanes = 8, probes = Seq(1, 5, 9), k = 3)
+      val hits = prof.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(
+          coalesce(sum(when(col("nprobe") === 1, 1)), lit(0)).as("__h1"),
+          coalesce(sum(when(col("nprobe") === 5, 1)), lit(0)).as("__h5"),
+          coalesce(sum(when(col("nprobe") === 9, 1)), lit(0)).as("__h9"))
+      val slots = exact.agg(count(lit(1)).as("__slots"),
+        countDistinct(col("query_id")).as("n_queries"))
+      slots.crossJoin(hits).select(
+        col("n_queries"),
+        (col("__h5") >= col("__h1")).as("monotone_mid"),
+        (col("__h9") >= col("__h5")).as("monotone_full"),
+        (col("__h9") >= col("__slots") * 0.05).as("recall_ok"))
+    }),
+
     // Embedding-cosine near-dup dedup within the coarse cell.
     "q_embed_dedup" -> ((s, d) => {
       Similarity.cosineDedup(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -172,6 +199,10 @@ object VectorQueries {
     "q_ann_ivf_multiprobe" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
                 true AS monotone_ok, true AS exact_at_full_probe
+         FROM embeddings WHERE vec_id < 10""",
+    "q_ann_lsh_multiprobe" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS monotone_mid,
+                true AS monotone_full, true AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
     "q_embed_topk" ->
       s"""WITH ${cosineCte("vec_id < 20")}

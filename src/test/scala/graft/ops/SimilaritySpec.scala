@@ -105,6 +105,43 @@ class SimilaritySpec extends SparkSuite {
     assert(recallAt(8) == 1.0) // probing every cell ≡ brute force
   }
 
+  test("multi-probe LSH: nested budgets are monotone and budget 1 ≡ single-probe lshTopK") {
+    // same clustered regime as the IVF test: 20 well-separated 64-d clusters
+    val emb = (0 until 1000).map { i =>
+      val c = VectorFunctions.plane(i % 20, 64)
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (i.toLong, Seq.tabulate(64)(j =>
+        (c(j) / n + 0.15 * math.sin(i * 64.0 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 15)
+    val truth = Similarity
+      .bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val prof = Similarity.lshProbeProfile(queries, emb, "vec_id", "embedding",
+      dim = 64, numPlanes = 8, probes = Seq(1, 5, 9), k = 10)
+      .select("nprobe", "query_id", "neighbor_id")
+      .as[(Int, Long, Long)].collect()
+    def hits(m: Int) = prof.collect { case (`m`, q, n) if truth((q, n)) => 1 }.sum
+    val (h1, h5, h9) = (hits(1), hits(5), hits(9))
+    // probe sets nest → hit counts monotone by construction
+    assert(h1 <= h5 && h5 <= h9, s"non-monotone: $h1, $h5, $h9")
+    // flipping the low-margin bits is the recall lever on clustered data
+    assert(h9 > h1, s"multi-probe did not improve recall ($h1 -> $h9)")
+    assert(h9 >= (truth.size * 0.5).toInt,
+      s"recall@10 at 9 probes only $h9/${truth.size}")
+    // budget 1 probes exactly the query's own bucket = single-probe LSH
+    val single = Similarity.lshTopK(emb, "vec_id", "embedding",
+      dim = 64, numPlanes = 8, k = 10)
+      .where(col("query_id") < 15)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val budget1 = Similarity.lshProbeProfile(queries, emb, "vec_id",
+      "embedding", dim = 64, numPlanes = 8, probes = Seq(1), k = 10)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(budget1 == single)
+  }
+
   test("codegen FloatVectorDot equals the zip_with/aggregate formulation") {
     val vecs = (0 until 200).map { i =>
       (Seq.tabulate(64)(j => (math.sin(i * 64 + j)).toFloat),
