@@ -119,7 +119,10 @@ object Multimodal {
         val fmt = in.getFormat
         if (fmt.getEncoding !=
               javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getSampleSizeInBits != 16) None
+            fmt.getSampleSizeInBits != 16 ||
+            fmt.getSampleRate <= 0 || fmt.getChannels <= 0) None // corrupt
+              // header (rate 0 / NOT_SPECIFIED) must fall back, not divide
+              // by zero downstream
         else {
           val bytes = in.readAllBytes()
           val n = bytes.length / 2
@@ -142,7 +145,7 @@ object Multimodal {
     val sums = new Array[Double](8); val counts = new Array[Long](8)
     var i = 0
     while (i < n) {
-      val s = i * 8 / n
+      val s = (i.toLong * 8 / n).toInt // i*8 would wrap Int past ~268M samples
       sums(s) += samples(i); counts(s) += 1
       i += 1
     }

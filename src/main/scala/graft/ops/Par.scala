@@ -43,15 +43,26 @@ private[ops] object Par {
     val p = spark.sparkContext.defaultParallelism
     val files = df.inputFiles
     if (files.isEmpty) return df // unknown width — never force a collapse
-    val sizes = files.map(fileSize)
-    if (sizes.exists(_ < 0L)) // unstatable (remote FS): count heuristic
-      return if (files.length < p) df.repartition(p) else df
     def bytesConf(key: String, default: String): Long =
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get(key, default))
     val maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", "128MB")
     val openCost = bytesConf("spark.sql.files.openCostInBytes", "4MB")
-    val totalBytes = sizes.map(_ + openCost).sum
+    // once padded bytes reach p × maxPartitionBytes the scan is provably
+    // wide (bytesPerCore ≥ maxPartitionBytes ⇒ maxSplit = maxPartitionBytes
+    // ⇒ estimate ≥ p), so statting stops there — and at the first
+    // unstatable file (remote FS), falling back to the count heuristic
+    // without touching the rest
+    var totalBytes = 0L
+    var i = 0
+    while (i < files.length) {
+      val s = fileSize(files(i))
+      if (s < 0L)
+        return if (files.length < p) df.repartition(p) else df
+      totalBytes += s + openCost
+      if (totalBytes >= p.toLong * maxPartitionBytes) return df
+      i += 1
+    }
     val bytesPerCore = totalBytes / math.max(p, 1)
     val maxSplit = math.min(maxPartitionBytes, math.max(openCost, bytesPerCore))
     val estimated = (totalBytes + maxSplit - 1) / math.max(maxSplit, 1)

@@ -151,13 +151,36 @@ object SegmentCodec {
     }
 }
 
-/** Reads one parquet-rewritten segment; projects only the pruned columns —
-  * the columnar twin of [[SegmentReader]]. */
+/** Reads one parquet-rewritten segment; the pruned columns are pushed into
+  * the parquet reader as a requested projection, so unrequested columns are
+  * never decompressed or assembled — the columnar read the offload rewrite
+  * exists for. The columnar twin of [[SegmentReader]]. */
 class ParquetSegmentReader(file: String, required: StructType)
   extends PartitionReader[InternalRow] {
-  private val reader = ParquetReader
-    .builder(new GroupReadSupport(), new Path(file))
-    .withConf(new Configuration()).build()
+  /** Envelope column name → on-disk parquet field (ms-epoch twins for the
+    * timestamp columns). */
+  private def diskField(name: String): String = name match {
+    case "event_time" => "event_time_ms"
+    case "publish_time" => "publish_time_ms"
+    case other => other
+  }
+
+  private val reader = {
+    val conf = new Configuration()
+    val wanted = required.fields.map(f => diskField(f.name)).toSet
+    val projected = SegmentCodec.parquetSchema.getFields.asScala
+      .filter(f => wanted.contains(f.getName)).toList
+    // an empty projection (count-only scan) still needs one column to drive
+    // row iteration — partition is the narrowest
+    val fields =
+      if (projected.nonEmpty) projected
+      else SegmentCodec.parquetSchema.getFields.asScala
+        .filter(_.getName == "partition").toList
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      new MessageType("graft_segment", fields.asJava).toString)
+    ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf).build()
+  }
   private var row: InternalRow = _
 
   private def fieldValue(g: Group, name: String): Any = {

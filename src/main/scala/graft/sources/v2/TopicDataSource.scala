@@ -535,51 +535,6 @@ object TopicOffset {
   }
 }
 
-/** JVM-global first-OBSERVATION registry, one map per topic path, shared by
-  * every reader instance. Purpose: distinguish a segment that has been
-  * visible all along from one that just APPEARED — the signal behind both
-  * the automatic late-arrival recovery and the `frontierGraceMs` quarantine.
-  * Observation time cannot be forged by a foreign writer the way mtime can
-  * (POSIX rename preserves mtime, so a stage-then-rename writer looks
-  * pre-aged). Memory is bounded by the live listing: entries for names no
-  * longer listed are pruned on every observe — the same O(#segments) the
-  * per-trigger listing itself already costs.
-  *
-  * Baseline: the FIRST listing this JVM takes of a path seeds firstSeen
-  * from file mtime — those names were visible before we started watching,
-  * so they can never be classified as late arrivals, and mtime is the best
-  * available age estimate for grace pacing. */
-private[v2] object SegmentFirstSeen {
-  private val dirs =
-    scala.collection.concurrent.TrieMap
-      .empty[String, scala.collection.concurrent.TrieMap[(String, String), Long]]
-
-  /** Record `listed` (part, name, mtime) for `path`; returns (firstSeen
-    * lookup, names first observed by THIS call, whether this was the
-    * baseline listing). */
-  def observe(path: String, listed: Seq[(String, String, Long)])
-  : (Map[(String, String), Long], Set[(String, String)], Boolean) = {
-    val now = System.currentTimeMillis()
-    val baseline = !dirs.contains(path)
-    val m = dirs.getOrElseUpdate(path,
-      scala.collection.concurrent.TrieMap.empty)
-    val listedKeys = listed.map { case (p, n, _) => (p, n) }.toSet
-    val newNames = Set.newBuilder[(String, String)]
-    listed.foreach { case (p, n, mtime) =>
-      val k = (p, n)
-      if (!m.contains(k)) {
-        if (!baseline) newNames += k
-        m(k) = if (baseline) mtime else now
-      }
-    }
-    m.keys.filterNot(listedKeys).foreach(m.remove) // deleted segments
-    (m.toMap, newNames.result(), baseline)
-  }
-
-  /** Test hook: forget a path so the next observe is a fresh baseline. */
-  private[graft] def reset(path: String): Unit = dirs.remove(path)
-}
-
 class TopicMicroBatchStream(path: String,
                             maxSegmentsPerTrigger: Option[Int] = None,
                             startingTimeMs: Option[Long] = None,
@@ -590,6 +545,31 @@ class TopicMicroBatchStream(path: String,
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Per-STREAM first-observation state — the signal behind both automatic
+    * late-arrival recovery and the `frontierGraceMs` quarantine.
+    * Observation time cannot be forged by a foreign writer the way mtime
+    * can (POSIX rename preserves mtime, so a stage-then-rename writer looks
+    * pre-aged). Per-instance on purpose: a JVM-global registry would let
+    * two streams on one root with different subscribe patterns prune each
+    * other's entries (mass re-delivery), and would make late detection
+    * one-shot across queries — the first stream to list a late name would
+    * consume the "new" signal and every other stream reading the same topic
+    * would silently skip it. Memory is bounded by THIS stream's live
+    * listing: entries for names no longer listed are pruned every trigger —
+    * the same O(#segments) the per-trigger listing itself already costs.
+    *
+    * The baseline listing seeds firstSeen from file mtime: those names were
+    * visible before this stream started watching, so they can never be
+    * classified as late arrivals, and mtime is the best available age
+    * estimate for grace pacing. */
+  private var baselined = false
+  private val firstSeen = mutable.Map.empty[(String, String), Long]
+  /** Late arrivals stay candidates until the checkpointed START offset
+    * stops classifying them consumed (the pending reclassification landed
+    * in the WAL) — a trigger failing between detection and offset commit
+    * must not lose the recovery. */
+  private val lateCandidates = mutable.Set.empty[(String, String)]
 
   /** Full (topic#partition, segment) listing. Topic resolution AND partition
     * listing happen here, at plan time — new matching topics (regex
@@ -652,24 +632,44 @@ class TopicMicroBatchStream(path: String,
     val startOff = start.asInstanceOf[TopicOffset]
     val files = listedFiles
     val listed = files.map { case (part, f) => (part, TopicTable.logicalName(f)) }
-    val (firstSeen, newNames, _) = SegmentFirstSeen.observe(path,
-      files.map { case (part, f) =>
-        (part, TopicTable.logicalName(f), f.lastModified())
-      })
+    val listedSet = listed.toSet
+    val now = System.currentTimeMillis()
+    val newNames: Set[(String, String)] =
+      if (!baselined) {
+        baselined = true
+        files.foreach { case (part, f) =>
+          firstSeen((part, TopicTable.logicalName(f))) = f.lastModified()
+        }
+        Set.empty
+      } else {
+        val nn = listedSet.diff(firstSeen.keySet)
+        nn.foreach(firstSeen(_) = now)
+        nn
+      }
+    firstSeen.filterInPlace { case (k, _) => listedSet.contains(k) }
     val byName = files.map { case (part, f) =>
       ((part, TopicTable.logicalName(f)), f) }.toMap
     // late = first appeared below its family frontier. A seek's initial
     // offset intentionally skips provably-pre-seek segments — one of those
     // appearing late is the seek working as intended, not data loss.
-    val late = newNames.filter { case pn @ (p, n) =>
+    val newLate = newNames.filter { case pn @ (p, n) =>
       startOff.consumed(p, n) &&
         !startingTimeMs.exists(ts =>
           byName.get(pn).exists(SegmentStats.whollyOlderThan(_, ts)))
     }
-    if (late.nonEmpty)
-      log.warn(s"graft-topic $path: ${late.size} segment(s) appeared " +
+    if (newLate.nonEmpty)
+      log.warn(s"graft-topic $path: ${newLate.size} segment(s) appeared " +
         s"BELOW their family frontier (foreign writer's late commit?) — " +
-        s"parking as pending for redelivery: ${late.take(3).mkString(", ")}")
+        s"parking as pending for redelivery: ${newLate.take(3).mkString(", ")}")
+    lateCandidates ++= newLate
+    // a candidate is done the moment the start offset stops calling it
+    // consumed (its pending reclassification reached the checkpoint; normal
+    // admission takes over) or it left the listing — and must NOT persist
+    // past that, or its eventual delivery would re-flag it forever
+    lateCandidates.filterInPlace { case pn @ (p, n) =>
+      listedSet.contains(pn) && startOff.consumed(p, n)
+    }
+    val late: Set[(String, String)] = lateCandidates.toSet
     val fresh: Set[(String, String)] = frontierGraceMs match {
       case Some(g) if g > 0 =>
         val cutoff = System.currentTimeMillis() - g
