@@ -1,0 +1,138 @@
+package graft.ops
+
+import java.io.File
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Generic keyed-store sink family — the Spark-first analog of the
+  * reference's KV/doc-store sinks (pulsar-io/redis `RedisSink` batches
+  * key→value SETs with an optional expiry, pulsar-io/hbase buffers
+  * Puts/Deletes, pulsar-io/mongo and -dynamodb upsert documents by key).
+  * Their shared contract, extracted:
+  *
+  *  - last-write-wins UPSERT per key, versioned by an `ord` column;
+  *  - null value = DELETE (the null→DELETE convention the JDBC sink's
+  *    MERGE encodes, [[Sinks.mergeSql]]) — persisted as an ord-carrying
+  *    TOMBSTONE, so a delete and an upsert race by version instead of by
+  *    arrival order and out-of-order / replayed batches converge to the
+  *    same state (an unversioned DEL would let an older delete destroy a
+  *    newer value);
+  *  - write batching — one micro-batch is ONE set-based merge, never
+  *    per-row round-trips;
+  *  - optional TTL: entries past their expiry stop being visible and are
+  *    reaped at the next merge (the Redis SETEX analog, lazily evicted).
+  *
+  * [[ParquetKvStore]] is the embedded implementation: a compacted keyed
+  * table maintained by merge-on-write into GENERATION directories with an
+  * atomically-swapped `_current` pointer — readers always see a complete
+  * generation, a crash mid-merge leaves the previous generation intact.
+  * Swapping in Redis/HBase/Cassandra = implementing [[KvStore.merge]] with
+  * that client's bulk API; everything upstream is unchanged. */
+trait KvStore {
+  /** Apply one batch, already compacted to last-per-key: rows whose value
+    * column is null are DELETES (tombstones). Set-based. */
+  def merge(lastPerKey: DataFrame): Unit
+
+  /** Current visible state: live (non-tombstone, non-expired) entries. */
+  def read(): DataFrame
+}
+
+/** Embedded, durable KvStore over parquet generations.
+  *
+  * @param ord       versioning column (struct allowed): last-write-wins is
+  *                  decided by this — across merges, replays, and
+  *                  out-of-order batches the state converges
+  * @param valueCol  the column whose null marks a tombstone
+  * @param expireAtCol optional epoch-ms column; entries with a non-null
+  *                  value ≤ `now` are invisible to [[read]] and reaped at
+  *                  the next [[merge]]
+  */
+class ParquetKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
+                     ord: Column, valueCol: String,
+                     expireAtCol: Option[String] = None)
+  extends KvStore {
+  new File(path).mkdirs()
+
+  private def pointer = new File(path, "_current")
+
+  private def currentGen(): Option[File] =
+    if (!pointer.exists()) None
+    else {
+      val name = new String(
+        java.nio.file.Files.readAllBytes(pointer.toPath), "UTF-8").trim
+      Some(new File(path, name)).filter(_.exists())
+    }
+
+  private def nextGenIndex(): Int = {
+    val existing = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName.stripPrefix("gen-").toInt)
+    // orphans from a crash between write and pointer swap are counted too,
+    // so a retry never writes into a half-written directory
+    if (existing.isEmpty) 0 else existing.max + 1
+  }
+
+  private def notExpired(df: DataFrame): DataFrame = expireAtCol match {
+    case Some(c) =>
+      df.where(col(c).isNull || col(c) > unix_millis(current_timestamp()))
+    case None => df
+  }
+
+  override def read(): DataFrame = currentGen() match {
+    case Some(gen) =>
+      notExpired(spark.read.parquet(gen.getAbsolutePath))
+        .where(col(valueCol).isNotNull) // tombstones are bookkeeping
+    case None => throw new IllegalStateException(
+      s"ParquetKvStore at $path has no state yet (no merge ran)")
+  }
+
+  override def merge(lastPerKey: DataFrame): Unit = {
+    // expired entries are reaped BEFORE compaction so an expired newer
+    // entry cannot shadow-win against live data and then vanish; tombstones
+    // are kept and compete by ord — the convergence guarantee
+    val base = currentGen()
+      .map(g => notExpired(spark.read.parquet(g.getAbsolutePath))
+        .unionByName(lastPerKey))
+      .getOrElse(lastPerKey)
+    val merged = Compaction.compact(base, keyCols, ord)
+    val gen = new File(path, s"gen-${nextGenIndex()}")
+    merged.write.mode("overwrite").parquet(gen.getAbsolutePath)
+    // atomic pointer swap: readers see the old complete generation until
+    // the rename lands, the new one after
+    val tmp = new File(path, "._current.tmp")
+    java.nio.file.Files.write(tmp.toPath, gen.getName.getBytes("UTF-8"))
+    if (!tmp.renameTo(pointer)) {
+      pointer.delete()
+      if (!tmp.renameTo(pointer))
+        throw new java.io.IOException(s"KvStore pointer swap failed at $path")
+    }
+    // keep exactly the live generation; older ones are dead weight
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
+        f.getName != gen.getName)
+      .foreach { old =>
+        old.listFiles().foreach(_.delete()); old.delete()
+      }
+  }
+}
+
+object KvStore {
+
+  /** One micro-batch against a store: compact to last-value-per-key first
+    * (a batch may carry several updates for one key — only the newest
+    * matters, including a newest tombstone), then ONE set-based merge.
+    * Replay-idempotent and order-insensitive: everything races by `ord`. */
+  def upsertBatch(batch: DataFrame, keyCols: Seq[String], ord: Column,
+                  store: KvStore): Unit =
+    store.merge(Compaction.compact(batch, keyCols, ord))
+
+  /** Streaming wiring: each micro-batch becomes one [[upsertBatch]] merge —
+    * the foreachBatch shape every reference KV sink maps to. */
+  def sink(df: DataFrame, keyCols: Seq[String], ord: Column,
+           store: KvStore): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) => upsertBatch(batch, keyCols, ord, store)
+    }
+}

@@ -194,6 +194,30 @@ object StreamingSemanticsQueries {
       graft.sources.Cdc.materialize(changes, Seq("user_id"))
     }),
 
+    // §2.1 KV/doc-store sink family (the Redis/HBase/Mongo sink analog):
+    // the events changelog merges into an embedded compacted key→value
+    // store in TWO out-of-order generation merges (odd event ids, then
+    // even), 'error' events as null-state tombstones. Convergence is the
+    // point: deletes race upserts by version (event_id), not arrival
+    // order, so the store read back must equal the latest non-deleted
+    // state per user — which is exactly what the oracle computes.
+    "q_kv_store" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("event_type")).as("state"),
+        col("value"), col("event_id"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-kv")
+        .toFile.getAbsolutePath
+      val store = new graft.ops.ParquetKvStore(s, dir, Seq("user_id"),
+        col("event_id"), valueCol = "state")
+      graft.ops.KvStore.upsertBatch(ev.where(col("event_id") % 2 === 1),
+        Seq("user_id"), col("event_id"), store)
+      graft.ops.KvStore.upsertBatch(ev.where(col("event_id") % 2 === 0),
+        Seq("user_id"), col("event_id"), store)
+      store.read().select(col("user_id"), col("state"),
+        col("value").as("last_value"), col("event_id"))
+    }),
+
     // §2.9 chunked messages end-to-end: split every document into 256-byte
     // chunks, shuffle once on uuid, reassemble — must reproduce the corpus
     // byte-for-byte (ConsumerImpl.java:1365-1447 reassembly semantics).
@@ -344,6 +368,11 @@ object StreamingSemanticsQueries {
          FROM events""",
     "q_cdc_materialize" ->
       """SELECT user_id, event_type, value, event_id
+         FROM (SELECT user_id, event_type, value, event_id, row_number() OVER (
+                 PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+         WHERE rn = 1 AND event_type <> 'error'""",
+    "q_kv_store" ->
+      """SELECT user_id, event_type AS state, value AS last_value, event_id
          FROM (SELECT user_id, event_type, value, event_id, row_number() OVER (
                  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
          WHERE rn = 1 AND event_type <> 'error'""",

@@ -1,0 +1,124 @@
+package graft.ops
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The embedded KV-store sink: last-write-wins upsert, versioned
+  * tombstones, TTL, generation durability, replay idempotence, and the
+  * streaming foreachBatch wiring. */
+class KvStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def newStore(dir: String, expireAtCol: Option[String] = None) =
+    new ParquetKvStore(spark, dir, Seq("k"), col("ver"), "v", expireAtCol)
+
+  private def rows(t: (String, java.lang.Long, String)*) =
+    t.toSeq.toDF("k", "ver", "v")
+      .select(col("k"), col("ver").cast("long").as("ver"), col("v"))
+
+  test("last-write-wins across merges; null value is a versioned tombstone") {
+    val dir = Files.createTempDirectory("kv").toFile.getAbsolutePath
+    val store = newStore(dir)
+    KvStore.upsertBatch(rows(("a", 1L, "a1"), ("b", 1L, "b1"), ("a", 2L, "a2")),
+      Seq("k"), col("ver"), store)
+    assert(store.read().select("k", "v").as[(String, String)].collect().toSet ==
+      Set(("a", "a2"), ("b", "b1")))
+    // delete b at ver 3, update a at ver 3
+    KvStore.upsertBatch(rows(("b", 3L, null), ("a", 3L, "a3")),
+      Seq("k"), col("ver"), store)
+    assert(store.read().select("k", "v").as[(String, String)].collect().toSet ==
+      Set(("a", "a3")))
+  }
+
+  test("deletes race upserts by version, not arrival order") {
+    val dir = Files.createTempDirectory("kv-ooo").toFile.getAbsolutePath
+    val store = newStore(dir)
+    // the NEWER update arrives first, the OLDER delete second — an
+    // unversioned DEL would destroy the newer value; the tombstone loses
+    KvStore.upsertBatch(rows(("a", 5L, "a5")), Seq("k"), col("ver"), store)
+    KvStore.upsertBatch(rows(("a", 3L, null)), Seq("k"), col("ver"), store)
+    assert(store.read().select("k", "v").as[(String, String)].collect().toSet ==
+      Set(("a", "a5")))
+    // and the mirror: a newer delete beats an older update arriving late
+    KvStore.upsertBatch(rows(("a", 9L, null)), Seq("k"), col("ver"), store)
+    KvStore.upsertBatch(rows(("a", 7L, "a7")), Seq("k"), col("ver"), store)
+    assert(store.read().count() == 0)
+  }
+
+  test("replaying a batch is idempotent") {
+    val dir = Files.createTempDirectory("kv-replay").toFile.getAbsolutePath
+    val store = newStore(dir)
+    val batch = rows(("a", 1L, "a1"), ("b", 2L, null), ("c", 3L, "c3"))
+    KvStore.upsertBatch(batch, Seq("k"), col("ver"), store)
+    val first = store.read().collect().map(_.toSeq).toSet
+    KvStore.upsertBatch(batch, Seq("k"), col("ver"), store)
+    assert(store.read().collect().map(_.toSeq).toSet == first)
+  }
+
+  test("TTL: expired entries are invisible and cannot shadow live data") {
+    val dir = Files.createTempDirectory("kv-ttl").toFile.getAbsolutePath
+    val store = new ParquetKvStore(spark, dir, Seq("k"), col("ver"), "v",
+      expireAtCol = Some("expire_at"))
+    val now = System.currentTimeMillis()
+    val batch = Seq(
+      ("live", 1L, "x", java.lang.Long.valueOf(now + 3600000L)),
+      ("gone", 1L, "y", java.lang.Long.valueOf(now - 1000L)),
+      ("keep", 1L, "z", null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "ver", "v", "expire_at")
+      .select(col("k"), col("ver").cast("long"), col("v"),
+        col("expire_at").cast("long"))
+    KvStore.upsertBatch(batch, Seq("k"), col("ver"), store)
+    assert(store.read().select("k").as[String].collect().toSet ==
+      Set("live", "keep"))
+    // the reap is real: after the next merge the expired row is gone from
+    // the stored generation too, so an older live version cannot lose to a
+    // vanished competitor
+    KvStore.upsertBatch(
+      Seq(("other", 2L, "w", null.asInstanceOf[java.lang.Long]))
+        .toDF("k", "ver", "v", "expire_at")
+        .select(col("k"), col("ver").cast("long"), col("v"),
+          col("expire_at").cast("long")),
+      Seq("k"), col("ver"), store)
+    val gen = new File(dir).listFiles().filter(_.getName.startsWith("gen-"))
+    assert(gen.length == 1)
+    assert(spark.read.parquet(gen.head.getAbsolutePath)
+      .where(col("k") === "gone").count() == 0)
+  }
+
+  test("a crash orphan generation never breaks the next merge") {
+    val dir = Files.createTempDirectory("kv-crash").toFile.getAbsolutePath
+    val store = newStore(dir)
+    KvStore.upsertBatch(rows(("a", 1L, "a1")), Seq("k"), col("ver"), store)
+    // simulate a crash AFTER writing a generation but BEFORE the pointer
+    // swap: an orphan gen dir exists that _current does not reference
+    new File(dir, "gen-7").mkdirs()
+    KvStore.upsertBatch(rows(("b", 2L, "b2")), Seq("k"), col("ver"), store)
+    assert(store.read().select("k", "v").as[(String, String)].collect().toSet ==
+      Set(("a", "a1"), ("b", "b2")))
+  }
+
+  test("streaming sink: micro-batches merge through foreachBatch") {
+    val dir = Files.createTempDirectory("kv-stream").toFile.getAbsolutePath
+    val store = newStore(dir)
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, String)]
+    val df = source.toDF().toDF("k", "ver", "raw")
+      .select(col("k"), col("ver"),
+        when(col("raw") === "DEL", lit(null)).otherwise(col("raw")).as("v"))
+    val q = KvStore.sink(df, Seq("k"), col("ver"), store)
+      .option("checkpointLocation",
+        Files.createTempDirectory("kv-cp").toFile.getAbsolutePath)
+      .start()
+    source.addData(("a", 1L, "a1"), ("b", 1L, "b1"))
+    q.processAllAvailable()
+    source.addData(("a", 2L, "DEL"), ("c", 2L, "c2"))
+    q.processAllAvailable()
+    q.stop()
+    assert(store.read().select("k", "v").as[(String, String)].collect().toSet ==
+      Set(("b", "b1"), ("c", "c2")))
+  }
+}
