@@ -73,6 +73,42 @@ class PlanAuditSpec extends SparkSuite {
       "corpus-side join degenerated to a filtered cartesian product")
   }
 
+  test("multi-probe LSH broadcasts the probed query side; corpus bucketed in place") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val prof = graft.ops.Similarity.lshProbeProfile(
+      emb.where(col("vec_id") < 5), emb, "vec_id", "embedding",
+      dim = 64, numPlanes = 8, probes = Seq(1, 5, 9), k = 3)
+    val p = prof.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "probed query side must broadcast")
+    // the corpus is scanned and bucketed once; the only hash exchange is
+    // the top-k window's partitionBy
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 exchange (window), got $n")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("KV-store merge is one partial+final max_by compaction, no sort or window") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kv-audit")
+      .toFile.getAbsolutePath
+    val store = new graft.ops.ParquetKvStore(spark, dir, Seq("k"),
+      col("ver"), "v")
+    graft.ops.KvStore.upsertBatch(
+      Seq(("a", 1L, "x")).toDF("k", "ver", "v"), Seq("k"), col("ver"), store)
+    // audit the merged-state plan the NEXT merge would execute
+    val merged = graft.ops.Compaction.compact(
+      store.read().unionByName(Seq(("b", 2L, "y")).toDF("k", "ver", "v")),
+      Seq("k"), col("ver"))
+    val p = merged.queryExecution.executedPlan.toString
+    assert(p.contains("partial_max_by") || p.contains("partial"),
+      "merge must combine map-side")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      "merge must stay a single hash aggregation")
+  }
+
   test("CDC materialize is one partial+final max_by aggregation") {
     val p = plan("q_cdc_materialize")
     assert(p.contains("partial_max_by") || p.contains("partial"))
