@@ -27,7 +27,10 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * [[ParquetKvStore]] is the embedded implementation: a compacted keyed
   * table maintained by merge-on-write into GENERATION directories with an
   * atomically-swapped `_current` pointer — readers always see a complete
-  * generation, a crash mid-merge leaves the previous generation intact.
+  * generation, a crash mid-merge leaves the previous generation intact,
+  * and the replaced generation is retained through the next merge so a
+  * lazy [[read]] result stays scannable across one merge cycle (hold it
+  * longer and you must re-resolve via [[read]]).
   * Swapping in Redis/HBase/Cassandra = implementing [[KvStore.merge]] with
   * that client's bulk API; everything upstream is unchanged. */
 trait KvStore {
@@ -89,13 +92,15 @@ class ParquetKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
   }
 
   override def merge(lastPerKey: DataFrame): Unit = {
-    // expired entries are reaped BEFORE compaction so an expired newer
-    // entry cannot shadow-win against live data and then vanish; tombstones
-    // are kept and compete by ord — the convergence guarantee
-    val base = currentGen()
-      .map(g => notExpired(spark.read.parquet(g.getAbsolutePath))
-        .unionByName(lastPerKey))
-      .getOrElse(lastPerKey)
+    // expired entries are reaped BEFORE compaction — and on BOTH sides of
+    // the merge, so an expired incoming entry cannot shadow-win against
+    // live stored data (and vice versa) and the outcome is independent of
+    // which side of a merge an entry arrives on; tombstones are kept and
+    // compete by ord — the convergence guarantee
+    val prevGen = currentGen()
+    val base = notExpired(prevGen
+      .map(g => spark.read.parquet(g.getAbsolutePath).unionByName(lastPerKey))
+      .getOrElse(lastPerKey))
     val merged = Compaction.compact(base, keyCols, ord)
     val gen = new File(path, s"gen-${nextGenIndex()}")
     merged.write.mode("overwrite").parquet(gen.getAbsolutePath)
@@ -108,10 +113,16 @@ class ParquetKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
       if (!tmp.renameTo(pointer))
         throw new java.io.IOException(s"KvStore pointer swap failed at $path")
     }
-    // keep exactly the live generation; older ones are dead weight
+    // keep the live generation AND the one it replaced: a lazy DataFrame
+    // handed out by read() before this merge is still bound to the previous
+    // generation's files and must stay scannable. Anything older (including
+    // orphans from a crash between write and swap) is dead weight. A reader
+    // that holds one read() result across MORE than one merge cycle must
+    // re-resolve via read() — that is the documented staleness bound.
+    val keep = Set(gen.getName) ++ prevGen.map(_.getName)
     Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
-        f.getName != gen.getName)
+        !keep(f.getName))
       .foreach { old =>
         old.listFiles().foreach(_.delete()); old.delete()
       }

@@ -15,6 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Shared scoring shape: corpus side joined to the BROADCAST prepared
+    * query side on `key`, self-pairs dropped, cosine-scored. One place so
+    * the single-probe and probe-profile variants cannot drift. */
+  private def scoreAgainst(c: DataFrame, q: DataFrame, key: String): DataFrame =
+    c.join(broadcast(q), key)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+
+  /** Shared top-k tail: rank per `groupCols` by (sim desc, neighbor asc) —
+    * the deterministic tie-break every oracle reproduces — keep k, round. */
+  private def topK(scored: DataFrame, k: Int,
+                   groupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(groupCols.map(col) ++ Seq(col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rank")): _*)
+  }
+
   /** Exact top-k cosine neighbors for each query vector. `queries` must be
     * small (it is broadcast); `candidates` can be arbitrarily large. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
@@ -25,12 +45,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
-        col("rank"))
+    topK(scored, k, Seq("query_id"))
   }
 
   /** IVF-style ANN: only candidates in the query's coarse cell (`cellCol`) are
@@ -42,15 +57,7 @@ object Similarity {
       col(cellCol).as("__cell"))
     val c = Par.spread(candidates.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), col(cellCol).as("__cell")))
-    val scored = c.join(broadcast(q), "__cell")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
-        col("rank"))
+    topK(scoreAgainst(c, q, "__cell"), k, Seq("query_id"))
   }
 
   /** Multi-probe IVF ANN: candidates are assigned their ONE nearest cell;
@@ -68,15 +75,7 @@ object Similarity {
     val c = Par.spread(candidates.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv")))
       .withColumn("__cell", KMeans.assignExpr(col("__cv"), centroids))
-    val scored = c.join(broadcast(q), "__cell")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
-        col("rank"))
+    topK(scoreAgainst(c, q, "__cell"), k, Seq("query_id"))
   }
 
   /** Probe-setting profile in ONE corpus pass: the query side explodes
@@ -97,15 +96,7 @@ object Similarity {
     val c = Par.spread(candidates.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv")))
       .withColumn("__cell", KMeans.assignExpr(col("__cv"), centroids))
-    val scored = c.join(broadcast(q), "__cell")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("nprobe"), col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
-        round(col("sim"), 6).as("sim"), col("rank"))
+    topK(scoreAgainst(c, q, "__cell"), k, Seq("nprobe", "query_id"))
   }
 
   /** Multi-probe LSH profile in ONE corpus pass — the SRP analog of
@@ -133,15 +124,7 @@ object Similarity {
     val c = Par.spread(candidates.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv")))
       .withColumn("__bucket", srpBucket(col("__cv"), numPlanes, dim))
-    val scored = c.join(broadcast(q), "__bucket")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("nprobe"), col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
-        round(col("sim"), 6).as("sim"), col("rank"))
+    topK(scoreAgainst(c, q, "__bucket"), k, Seq("nprobe", "query_id"))
   }
 
   /** Embedding-cosine near-duplicate dedup: within a blocking key (coarse
@@ -179,11 +162,6 @@ object Similarity {
     val scored = a.join(b, "__bucket")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
-        col("rank"))
+    topK(scored, k, Seq("query_id"))
   }
 }

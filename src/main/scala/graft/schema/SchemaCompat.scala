@@ -146,11 +146,18 @@ object SchemaCompat {
     * plus trailing add) is just as misrouting as one that changes arity.
     * The shift detector therefore runs at EVERY arity and is name-based: a
     * name mismatch at one position is accepted as a rename only when the
-    * name is NEW on its side; a name that also exists at another position
-    * of the other schema is evidence of a positional shift. (Heuristic: a
-    * shift combined with renaming every shifted field is undetectable from
-    * names alone — positional codecs cannot do better without persisted
-    * field numbers.) */
+    * name is NEW on its side AND the field count is unchanged; a name that
+    * also exists at another position of the other schema is evidence of a
+    * positional shift, and a rename COMBINED with an arity change is
+    * rejected as ambiguous UNLESS a later shared position still matches
+    * exactly (an anchor): writer (a,b,c) → reader (a,b2,c,d) is a safe
+    * rename — the anchored `c` contradicts any shift through position 2 —
+    * but writer (a,b,c) → reader (a,X) reads equally as "rename b→X, drop
+    * trailing c" (safe) and "drop middle b, rename c→X" (silently
+    * re-routes b's values into X), and names alone cannot tell them apart.
+    * (Heuristic: an equal-arity shift that renames every shifted field is
+    * still undetectable — positional codecs cannot do better without
+    * persisted field numbers.) */
   def protoReadErrors(writer: StructType, reader: StructType): List[String] = {
     val shared = math.min(writer.fields.length, reader.fields.length)
     val writerNames = writer.fields.map(_.name).toSet
@@ -162,6 +169,14 @@ object SchemaCompat {
           "(the name exists at another field number) — a non-trailing " +
           "add/remove renumbers later fields and silently re-routes their " +
           "values")
+      else if (wn != rn && writer.fields.length != reader.fields.length &&
+        !((i + 1) until shared).exists(j =>
+          writer.fields(j).name == reader.fields(j).name))
+        List(s"field ${i + 1}: name '$wn' -> '$rn' combined with a field " +
+          "count change and no later matching position is ambiguous — it " +
+          "reads equally as a rename plus trailing add/remove (safe) and " +
+          "as a middle add/remove that re-routes later values; rename and " +
+          "add/remove in separate steps")
       else Nil
     }
     alignErr ++ reader.fields.toList.zipWithIndex.flatMap { case (rf, i) =>

@@ -494,19 +494,45 @@ object TopicOffset {
     * unconsumed stragglers that sort at or below it. Names consumed earlier
     * but since deleted (compaction/expiry) drop out harmlessly. */
   def marking(listed: Seq[(String, String)],
-              consumed: Set[(String, String)]): TopicOffset = {
-    val parts = listed.groupBy(_._1).flatMap { case (part, files) =>
-      val names = files.map(_._2)
+              consumed: Set[(String, String)]): TopicOffset =
+    marking(listed, consumed, TopicOffset.empty, Set.empty)
+
+  /** [[marking]] seeded by the previous offset, for the per-trigger advance:
+    * family frontiers are MONOTONE (max of the seed's and this listing's),
+    * and `seed` pending names in `retainedAbsent` — absent from THIS listing
+    * but not yet durably absent — survive as pending. Both guard the same
+    * hole: a segment name can transiently vanish from one listing (epoch
+    * replay's delete→rename, offload/recall moving a file between tiers
+    * mid-listing), and recomputing the cursor from that listing alone would
+    * regress the frontier (→ an already-delivered segment re-admitted on
+    * reappearance) or un-park a late arrival (→ it re-classifies consumed
+    * and is lost). Names that stay gone (retention, compaction) leave the
+    * pending set once durably absent; a monotone frontier over a deleted
+    * name is harmless — it only marks consumed work consumed. */
+  def marking(listed: Seq[(String, String)],
+              consumed: Set[(String, String)],
+              seed: TopicOffset,
+              retainedAbsent: Set[(String, String)]): TopicOffset = {
+    val byPart = listed.groupBy(_._1)
+    val parts = (byPart.keySet ++ seed.parts.keySet).flatMap { part =>
+      val names = byPart.getOrElse(part, Seq.empty).map(_._2)
+      val seedCur = seed.parts.get(part)
       val consumedNames = names.filter(n => consumed((part, n)))
-      if (consumedNames.isEmpty) None
+      val listedMax = consumedNames.groupBy(TopicTable.family)
+        .map { case (fam, ns) => fam -> ns.max }
+      val seedF = seedCur.map(_.frontiers).getOrElse(Map.empty)
+      val frontiers = (listedMax.keySet ++ seedF.keySet).map { fam =>
+        fam -> (listedMax.get(fam).toSeq ++ seedF.get(fam).toSeq).max
+      }.toMap
+      if (frontiers.isEmpty) None
       else {
-        val frontiers = consumedNames.groupBy(TopicTable.family)
-          .map { case (fam, ns) => fam -> ns.max }
-        val pending = names.filter(n => !consumed((part, n)) &&
+        val pendingListed = names.filter(n => !consumed((part, n)) &&
           frontiers.get(TopicTable.family(n)).exists(n <= _)).toSet
-        Some(part -> PartCursor(frontiers, pending))
+        val pendingAbsent = seedCur.map(_.pending).getOrElse(Set.empty)
+          .filter(n => retainedAbsent((part, n)))
+        Some(part -> PartCursor(frontiers, pendingListed ++ pendingAbsent))
       }
-    }
+    }.toMap
     TopicOffset(parts)
   }
 
@@ -533,6 +559,14 @@ object TopicOffset {
       TopicOffset(parts)
     }
   }
+}
+
+object TopicMicroBatchStream {
+  /** Consecutive listings a known segment name must be absent from before
+    * its observation record is pruned (and a parked pending name released).
+    * Transient rename windows span exactly one listing; retention deletions
+    * are permanent, so they prune after this many triggers. */
+  val DurableAbsenceListings = 3
 }
 
 class TopicMicroBatchStream(path: String,
@@ -565,6 +599,14 @@ class TopicMicroBatchStream(path: String,
     * estimate for grace pacing. */
   private var baselined = false
   private val firstSeen = mutable.Map.empty[(String, String), Long]
+  /** Consecutive listings a known name has been absent from. A record is
+    * only dropped after [[TopicMicroBatchStream.DurableAbsenceListings]]
+    * consecutive absences: a single absence can be a transient rename window (epoch
+    * replay's delete→rename, offload/recall moving the file between tiers
+    * mid-listing), and pruning on it would make the reappearance look like
+    * a first observation — re-flagging an already-delivered segment as a
+    * late arrival and duplicating it. */
+  private val absences = mutable.Map.empty[(String, String), Int]
   /** Late arrivals stay candidates until the checkpointed START offset
     * stops classifying them consumed (the pending reclassification landed
     * in the WAL) — a trigger failing between detection and offset commit
@@ -646,7 +688,18 @@ class TopicMicroBatchStream(path: String,
         nn.foreach(firstSeen(_) = now)
         nn
       }
-    firstSeen.filterInPlace { case (k, _) => listedSet.contains(k) }
+    // durable-absence pruning: see [[absences]] — one missed listing is not
+    // evidence a segment is gone
+    val absentNow = firstSeen.keySet.diff(listedSet)
+    absences.filterInPlace { case (k, _) => absentNow.contains(k) }
+    absentNow.foreach(k => absences(k) = absences.getOrElse(k, 0) + 1)
+    val durablyAbsent = absences.collect {
+      case (k, c) if c >= TopicMicroBatchStream.DurableAbsenceListings => k
+    }.toSet
+    firstSeen --= durablyAbsent
+    absences --= durablyAbsent
+    val retainedAbsent: Set[(String, String)] =
+      (absentNow -- durablyAbsent).toSet
     val byName = files.map { case (part, f) =>
       ((part, TopicTable.logicalName(f)), f) }.toMap
     // late = first appeared below its family frontier. A seek's initial
@@ -664,10 +717,12 @@ class TopicMicroBatchStream(path: String,
     lateCandidates ++= newLate
     // a candidate is done the moment the start offset stops calling it
     // consumed (its pending reclassification reached the checkpoint; normal
-    // admission takes over) or it left the listing — and must NOT persist
-    // past that, or its eventual delivery would re-flag it forever
+    // admission takes over) or it left the listing DURABLY — and must NOT
+    // persist past that, or its eventual delivery would re-flag it forever.
+    // Transient absence (still in firstSeen) keeps the candidate alive so a
+    // rename window cannot lose the recovery.
     lateCandidates.filterInPlace { case pn @ (p, n) =>
-      listedSet.contains(pn) && startOff.consumed(p, n)
+      firstSeen.contains(pn) && startOff.consumed(p, n)
     }
     val late: Set[(String, String)] = lateCandidates.toSet
     val fresh: Set[(String, String)] = frontierGraceMs match {
@@ -687,7 +742,9 @@ class TopicMicroBatchStream(path: String,
     val consumedNow = listed.filter { case (part, n) =>
       startOff.consumed(part, n)
     }.toSet -- late ++ admitted
-    TopicOffset.marking(listed, consumedNow)
+    // seeded marking: frontiers monotone vs the checkpointed start, parked
+    // names survive a transient absence — see [[TopicOffset.marking]]
+    TopicOffset.marking(listed, consumedNow, startOff, retainedAbsent)
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

@@ -82,10 +82,56 @@ class KvStoreSpec extends SparkSuite {
         .select(col("k"), col("ver").cast("long"), col("v"),
           col("expire_at").cast("long")),
       Seq("k"), col("ver"), store)
+    // current + the generation it replaced are retained (lazy readers of
+    // the previous generation stay scannable); older ones are reaped
     val gen = new File(dir).listFiles().filter(_.getName.startsWith("gen-"))
-    assert(gen.length == 1)
-    assert(spark.read.parquet(gen.head.getAbsolutePath)
+    assert(gen.map(_.getName).toSet == Set("gen-0", "gen-1"))
+    assert(spark.read.parquet(new File(dir, "gen-1").getAbsolutePath)
       .where(col("k") === "gone").count() == 0)
+  }
+
+  test("a lazy read() stays scannable across one merge cycle") {
+    val dir = Files.createTempDirectory("kv-lazy").toFile.getAbsolutePath
+    val store = newStore(dir)
+    KvStore.upsertBatch(rows(("a", 1L, "a1")), Seq("k"), col("ver"), store)
+    val lazyDf = store.read() // bound to gen-0's files, not yet executed
+    KvStore.upsertBatch(rows(("b", 2L, "b2")), Seq("k"), col("ver"), store)
+    // gen-0 must still exist: executing the pre-merge DataFrame now reads
+    // the old snapshot rather than throwing FileNotFoundException
+    assert(lazyDf.select("k", "v").as[(String, String)].collect().toSet ==
+      Set(("a", "a1")))
+    assert(store.read().select("k").as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("TTL reaping is symmetric: an expired incoming entry cannot destroy stored live data") {
+    val dir = Files.createTempDirectory("kv-ttl-sym").toFile.getAbsolutePath
+    val now = System.currentTimeMillis()
+    val store = new ParquetKvStore(spark, dir, Seq("k"), col("ver"), "v",
+      expireAtCol = Some("expire_at"))
+    def batch(rows: Seq[(String, Long, String, java.lang.Long)]) =
+      rows.toDF("k", "ver", "v", "expire_at")
+        .select(col("k"), col("ver").cast("long"), col("v"),
+          col("expire_at").cast("long"))
+    // stored: live k@ord=3; incoming: already-expired k@ord=9 — the higher
+    // ord must NOT shadow-win and then vanish (which would destroy ord=3)
+    KvStore.upsertBatch(batch(Seq(("k", 3L, "live", null))),
+      Seq("k"), col("ver"), store)
+    KvStore.upsertBatch(
+      batch(Seq(("k", 9L, "dead", java.lang.Long.valueOf(now - 1000L)))),
+      Seq("k"), col("ver"), store)
+    assert(store.read().select("k", "v").as[(String, String)].collect().toSet ==
+      Set(("k", "live")))
+    // mirror arrival order converges to the same state
+    val dir2 = Files.createTempDirectory("kv-ttl-sym2").toFile.getAbsolutePath
+    val store2 = new ParquetKvStore(spark, dir2, Seq("k"), col("ver"), "v",
+      expireAtCol = Some("expire_at"))
+    KvStore.upsertBatch(
+      batch(Seq(("k", 9L, "dead", java.lang.Long.valueOf(now - 1000L)))),
+      Seq("k"), col("ver"), store2)
+    KvStore.upsertBatch(batch(Seq(("k", 3L, "live", null))),
+      Seq("k"), col("ver"), store2)
+    assert(store2.read().select("k", "v").as[(String, String)].collect().toSet ==
+      Set(("k", "live")))
   }
 
   test("a crash orphan generation never breaks the next merge") {

@@ -88,12 +88,20 @@ class SchemaCompatSpec extends SparkSuite {
     val equalCountShift = StructType(Seq(StructField("a", LongType),
       StructField("c", LongType), StructField("x", LongType)))
     assert(checkFormat(ProtoNativeFormat, w, equalCountShift, Backward).nonEmpty)
-    // a rename at a stable number COMBINED with a trailing add is legal:
-    // 'b2' is new on the reader side, so nothing shifted
+    // a rename at a stable number COMBINED with a trailing add is legal
+    // when a later position still matches exactly: 'b2' is new on the
+    // reader side and the anchored 'c' proves nothing shifted
     val renamePlusTrailing = StructType(Seq(StructField("a", LongType),
       StructField("b2", LongType), StructField("c", LongType),
       StructField("d", LongType)))
     assert(checkFormat(ProtoNativeFormat, w, renamePlusTrailing, Backward).isEmpty)
+    // but a rename combined with an arity change and NO later anchor is
+    // ambiguous: (a,b,c) -> (a,X) reads equally as "rename b, drop trailing
+    // c" and "drop middle b, rename c" — the latter re-routes b's values
+    // into X silently, so the pair is rejected
+    val unanchoredRename = StructType(Seq(StructField("a", LongType),
+      StructField("x", LongType)))
+    assert(checkFormat(ProtoNativeFormat, w, unanchoredRename, Backward).nonEmpty)
   }
 
   test("proto-native: trailing adds/removes OK; repeated-shape change breaks") {

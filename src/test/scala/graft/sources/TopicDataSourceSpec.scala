@@ -311,6 +311,41 @@ class TopicDataSourceSpec extends SparkSuite {
     assert(total == 6 && batches == 3) // 2 per trigger, nothing starved
   }
 
+  test("a transient listing absence never re-delivers a consumed segment") {
+    import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmpDir()
+    val pdir = new java.io.File(dir, "partition-000"); pdir.mkdirs()
+    def seg(e: Int) = new java.io.File(pdir, f"segment-e$e%010d-p00000.jsonl")
+    def write(e: Int): Unit = java.nio.file.Files.write(seg(e).toPath,
+      s"""{"topic":"t","partition":0,"offset":$e,"key":"k","value":"v","event_time_ms":0,"publish_time_ms":0,"producer_name":"p","sequence_id":$e}"""
+        .getBytes("UTF-8"))
+    (1 to 3).foreach(write)
+    val stream = new TopicMicroBatchStream(dir)
+    val off1 = stream.latestOffset(TopicOffset.empty, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(TopicOffset.empty, off1).length == 3)
+    // the family-max name vanishes for ONE listing — the epoch-replay
+    // delete→rename / offload-recall rename window — then reappears
+    val hidden = java.nio.file.Files.createTempDirectory("graft-hide").toFile
+    val stash = new java.io.File(hidden, seg(3).getName)
+    assert(seg(3).renameTo(stash))
+    val off2 = stream.latestOffset(off1, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(off1, off2).isEmpty)
+    assert(stash.renameTo(seg(3)))
+    val off3 = stream.latestOffset(off2, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(off2, off3).isEmpty,
+      "reappearing consumed segment was re-admitted")
+    // the next genuinely new segment flows alone — the reappeared name must
+    // not ride along as a late-arrival redelivery
+    write(4)
+    val off4 = stream.latestOffset(off3, ReadLimit.allAvailable())
+    val batch4 = stream.planInputPartitions(off3, off4)
+    assert(batch4.length == 1 &&
+      batch4.head.asInstanceOf[graft.sources.v2.TopicInputPartition]
+        .file.endsWith(seg(4).getName),
+      s"expected only segment 4, got ${batch4.mkString(", ")}")
+  }
+
   test("startingTime with out-of-order segment times parks stragglers as pending") {
     import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
