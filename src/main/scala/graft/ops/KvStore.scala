@@ -60,6 +60,11 @@ class ParquetKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
 
   private def pointer = new File(path, "_current")
 
+  /** Absolute path of the live generation, if any — lets [[BucketedKvStore]]
+    * read all buckets in ONE multi-path scan instead of a union of N. */
+  private[ops] def currentGenPath: Option[String] =
+    currentGen().map(_.getAbsolutePath)
+
   private def currentGen(): Option[File] =
     if (!pointer.exists()) None
     else {
@@ -126,6 +131,103 @@ class ParquetKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
       .foreach { old =>
         old.listFiles().foreach(_.delete()); old.delete()
       }
+  }
+}
+
+/** Hash-bucketed [[KvStore]]: keys are sharded into `numBuckets` independent
+  * [[ParquetKvStore]] generation chains (`bucket-NNNNN/gen-M`), so one merge
+  * rewrites ONLY the buckets the batch touches — O(touched buckets), not
+  * O(|store|). This is the 100 TB shape: an unbucketed compacted store
+  * rewrites everything every micro-batch no matter how small the batch; here
+  * steady-state merge cost tracks the batch (each touched bucket is
+  * ~|store|/numBuckets), the LSM/HBase-region idea expressed as parquet
+  * directories. Size `numBuckets` so one bucket ≈ a few merge batches.
+  *
+  * The batch is staged to parquet partitioned by bucket in ONE pass (no
+  * per-bucket re-filtering of the input), then each touched bucket merges
+  * its slice. [[read]] is a single multi-path parquet scan over all live
+  * generations, not a union of `numBuckets` plans.
+  *
+  * Atomicity is PER KEY, not cross-key: a reader overlapping a merge can see
+  * bucket A's new generation and bucket B's old one. That matches the sinks
+  * this family models (Redis/HBase/Mongo batch writers commit key by key,
+  * with no cross-key snapshot); each bucket alone keeps the full
+  * versioned-tombstone convergence contract, and a replay after a crash
+  * mid-merge re-merges every bucket idempotently (everything races by
+  * `ord`). `numBuckets` is fixed at store creation and persisted — changing
+  * it would re-home keys and strand their history. */
+class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
+                      ord: Column, valueCol: String,
+                      expireAtCol: Option[String] = None,
+                      numBuckets: Int = 64)
+  extends KvStore {
+  require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+  new File(path).mkdirs()
+
+  private val bucketsFile = new File(path, "_buckets")
+  private val buckets: Int = {
+    if (bucketsFile.exists()) {
+      val persisted = new String(
+        java.nio.file.Files.readAllBytes(bucketsFile.toPath), "UTF-8").trim.toInt
+      require(persisted == numBuckets,
+        s"store at $path was created with $persisted buckets; " +
+          s"got $numBuckets — bucket count is fixed for the store's life " +
+          "(changing it would re-home keys away from their history)")
+      persisted
+    } else {
+      java.nio.file.Files.write(bucketsFile.toPath,
+        numBuckets.toString.getBytes("UTF-8"))
+      numBuckets
+    }
+  }
+
+  private def bucketExpr: Column =
+    pmod(hash(keyCols.map(col): _*), lit(buckets))
+
+  private def bucketStore(b: Int): ParquetKvStore =
+    new ParquetKvStore(spark,
+      new File(path, f"bucket-$b%05d").getAbsolutePath,
+      keyCols, ord, valueCol, expireAtCol)
+
+  private def notExpired(df: DataFrame): DataFrame = expireAtCol match {
+    case Some(c) =>
+      df.where(col(c).isNull || col(c) > unix_millis(current_timestamp()))
+    case None => df
+  }
+
+  override def merge(lastPerKey: DataFrame): Unit = {
+    // ONE pass over the batch writes it partitioned by bucket; only the
+    // partition directories that exist are merged
+    val staging = new File(path, s"_staging-${java.util.UUID.randomUUID()}")
+    try {
+      lastPerKey.withColumn("__b", bucketExpr)
+        .write.partitionBy("__b").parquet(staging.getAbsolutePath)
+      val touched = Option(staging.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("__b="))
+        .map(f => (f.getName.stripPrefix("__b=").toInt, f))
+        .sortBy(_._1)
+      touched.foreach { case (b, slice) =>
+        // reading the partition dir directly omits the __b column
+        bucketStore(b).merge(spark.read.parquet(slice.getAbsolutePath))
+      }
+    } finally deleteRecursively(staging)
+  }
+
+  override def read(): DataFrame = {
+    val gens = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket-"))
+      .sortBy(_.getName)
+      .flatMap(b => new ParquetKvStore(spark, b.getAbsolutePath, keyCols, ord,
+        valueCol, expireAtCol).currentGenPath)
+    if (gens.isEmpty) throw new IllegalStateException(
+      s"BucketedKvStore at $path has no state yet (no merge ran)")
+    notExpired(spark.read.parquet(gens.toIndexedSeq: _*))
+      .where(col(valueCol).isNotNull)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 }
 

@@ -208,8 +208,10 @@ object StreamingSemanticsQueries {
         col("value"), col("event_id"))
       val dir = java.nio.file.Files.createTempDirectory("graft-kv")
         .toFile.getAbsolutePath
-      val store = new graft.ops.ParquetKvStore(s, dir, Seq("user_id"),
-        col("event_id"), valueCol = "state")
+      // the bucketed (scale-path) store: merge cost tracks the batch's
+      // touched buckets, not the whole store — same oracle as unbucketed
+      val store = new graft.ops.BucketedKvStore(s, dir, Seq("user_id"),
+        col("event_id"), valueCol = "state", numBuckets = 16)
       graft.ops.KvStore.upsertBatch(ev.where(col("event_id") % 2 === 1),
         Seq("user_id"), col("event_id"), store)
       graft.ops.KvStore.upsertBatch(ev.where(col("event_id") % 2 === 0),

@@ -134,6 +134,58 @@ class KvStoreSpec extends SparkSuite {
       Set(("k", "live")))
   }
 
+  test("bucketed store: converges like the unbucketed one across out-of-order merges") {
+    val dir = Files.createTempDirectory("kv-bucketed").toFile.getAbsolutePath
+    val store = new BucketedKvStore(spark, dir, Seq("k"), col("ver"), "v",
+      numBuckets = 8)
+    // newest-first arrival, tombstone racing an older upsert by version
+    KvStore.upsertBatch(rows(("a", 5L, "a5"), ("b", 4L, null)),
+      Seq("k"), col("ver"), store)
+    KvStore.upsertBatch(rows(("a", 2L, "a2"), ("b", 1L, "b1"), ("c", 3L, "c3")),
+      Seq("k"), col("ver"), store)
+    assert(store.read().select("k", "v").as[(String, String)].collect().toSet ==
+      Set(("a", "a5"), ("c", "c3"))) // b's newest state is the tombstone
+  }
+
+  test("bucketed store: a merge rewrites only the buckets its batch touches") {
+    val dir = Files.createTempDirectory("kv-touch").toFile.getAbsolutePath
+    val store = new BucketedKvStore(spark, dir, Seq("k"), col("ver"), "v",
+      numBuckets = 16)
+    KvStore.upsertBatch(
+      rows((1 to 50).map(i =>
+        (s"k$i", java.lang.Long.valueOf(1L), s"v$i")): _*),
+      Seq("k"), col("ver"), store)
+    def gensPerBucket() = new File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket-")).map { b =>
+        b.getName -> b.listFiles().map(_.getName)
+          .filter(_.startsWith("gen-")).sorted.toSeq
+      }.toMap
+    val before = gensPerBucket()
+    // a single-key batch must advance exactly ONE bucket's generation chain
+    KvStore.upsertBatch(rows(("k1", 2L, "v1b")), Seq("k"), col("ver"), store)
+    val after = gensPerBucket()
+    val changed = after.filter { case (b, gens) => before.get(b) != Some(gens) }
+    assert(changed.size == 1,
+      s"expected 1 rewritten bucket, got ${changed.keys.mkString(", ")}")
+    assert(store.read().where(col("k") === "k1")
+      .select("v").as[String].collect().toSeq == Seq("v1b"))
+  }
+
+  test("bucketed store: bucket count is fixed at creation") {
+    val dir = Files.createTempDirectory("kv-fixed").toFile.getAbsolutePath
+    val store = new BucketedKvStore(spark, dir, Seq("k"), col("ver"), "v",
+      numBuckets = 8)
+    KvStore.upsertBatch(rows(("a", 1L, "a1")), Seq("k"), col("ver"), store)
+    val e = intercept[IllegalArgumentException] {
+      new BucketedKvStore(spark, dir, Seq("k"), col("ver"), "v", numBuckets = 32)
+    }
+    assert(e.getMessage.contains("fixed"))
+    // reopening with the same count works and sees the data
+    val reopened = new BucketedKvStore(spark, dir, Seq("k"), col("ver"), "v",
+      numBuckets = 8)
+    assert(reopened.read().select("k").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("a crash orphan generation never breaks the next merge") {
     val dir = Files.createTempDirectory("kv-crash").toFile.getAbsolutePath
     val store = newStore(dir)

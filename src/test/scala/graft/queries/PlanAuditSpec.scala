@@ -109,6 +109,25 @@ class PlanAuditSpec extends SparkSuite {
       "merge must stay a single hash aggregation")
   }
 
+  test("bucketed KV read is ONE multi-path scan, not a union of per-bucket plans") {
+    import graft.ops.{BucketedKvStore, KvStore}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kv-bucket-audit")
+      .toFile.getAbsolutePath
+    val store = new BucketedKvStore(spark, dir, Seq("k"), col("ver"), "v",
+      numBuckets = 8)
+    KvStore.upsertBatch(
+      (1 to 40).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "ver", "v"),
+      Seq("k"), col("ver"), store)
+    val p = store.read().queryExecution.executedPlan.toString
+    assert(!p.contains("Union"),
+      "bucketed read must merge bucket generations into one scan relation")
+    // filters (tombstone/TTL) sit above a single parquet scan
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"expected exactly one parquet scan node:\n$p")
+  }
+
   test("CDC materialize is one partial+final max_by aggregation") {
     val p = plan("q_cdc_materialize")
     assert(p.contains("partial_max_by") || p.contains("partial"))
