@@ -70,6 +70,21 @@ object TextQueries {
       MinHashLsh.candidatePairs(Tables.documents(s, d), "doc_id", "text")
     }),
 
+    // Incremental near-dup against a PERSISTED LSH index: the corpus arrives
+    // in two batches (odd doc_ids, then even); each batch probes only the
+    // stored buckets it touches and appends its postings. The union of the
+    // per-batch pair outputs must equal the one-shot candidatePairs result —
+    // same oracle SQL as q_minhash_lsh.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-lsh-idx")
+        .toFile.getAbsolutePath
+      val idx = new graft.ops.MinHashIndex(s, dir, "doc_id", "text")
+      val p1 = idx.addAndFindPairs(docs.where(col("doc_id") % 2 === 1))
+      val p2 = idx.addAndFindPairs(docs.where(col("doc_id") % 2 === 0))
+      p1.unionByName(p2)
+    }),
+
     // SimHash-16 fingerprint per document.
     "q_simhash" -> ((s, d) => {
       graft.ops.SimHashDedup.simhash16(Tables.documents(s, d), "doc_id", "text")
@@ -164,6 +179,28 @@ object TextQueries {
          FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
          WHERE len(w) >= 3)"""
 
+  /** Banded-minhash candidate pairs — the oracle for BOTH the one-shot
+    * `q_minhash_lsh` and the incremental-index `q_dedup_incremental`
+    * (feeding the corpus through in batches must produce the same pairs). */
+  private lazy val lshPairsSql =
+    s"""WITH $shingleCte,
+        sigs AS (
+          SELECT doc_id,
+              ${minhashSqlExprs(16)}
+          FROM shingle_rows GROUP BY doc_id),
+        buckets AS (
+          SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket FROM sigs
+          UNION ALL
+          SELECT doc_id, 1, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) FROM sigs
+          UNION ALL
+          SELECT doc_id, 2, md5(mh8 || '|' || mh9 || '|' || mh10 || '|' || mh11) FROM sigs
+          UNION ALL
+          SELECT doc_id, 3, md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15) FROM sigs)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id"""
+
   val oracleSql: Map[String, String] = Map(
     "q_wordcount" ->
       """SELECT word, count(*) AS n FROM (
@@ -236,24 +273,9 @@ object TextQueries {
       s"""WITH $shingleCte
           SELECT doc_id, ${(0 until 4).map(i => s"min(md5('$i:' || sh)) AS mh$i").mkString(", ")}
           FROM shingle_rows GROUP BY doc_id""",
-    "q_minhash_lsh" ->
-      s"""WITH $shingleCte,
-          sigs AS (
-            SELECT doc_id,
-                ${minhashSqlExprs(16)}
-            FROM shingle_rows GROUP BY doc_id),
-          buckets AS (
-            SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket FROM sigs
-            UNION ALL
-            SELECT doc_id, 1, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) FROM sigs
-            UNION ALL
-            SELECT doc_id, 2, md5(mh8 || '|' || mh9 || '|' || mh10 || '|' || mh11) FROM sigs
-            UNION ALL
-            SELECT doc_id, 3, md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15) FROM sigs)
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM buckets a
-          JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-                        AND a.doc_id < b.doc_id""",
+    "q_minhash_lsh" -> lshPairsSql,
+    // the incremental index must land on EXACTLY the one-shot pair set
+    "q_dedup_incremental" -> lshPairsSql,
     "q_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM sh""",
