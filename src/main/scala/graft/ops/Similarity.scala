@@ -127,6 +127,43 @@ object Similarity {
     topK(scoreAgainst(c, q, "__bucket"), k, Seq("nprobe", "query_id"))
   }
 
+  /** Per-budget recall@k of a probe profile against the exact top-k result:
+    * one (nprobe, recall) row per budget, budgets with zero hits included.
+    * `profile` is [[ivfProbeProfile]]/[[lshProbeProfile]] output; `exact` is
+    * the brute-force (query_id, neighbor_id) slots on the SAME sample. */
+  def probeRecalls(profile: DataFrame, exact: DataFrame,
+                   budgets: Seq[Int]): DataFrame = {
+    val slots = exact.agg(count(lit(1)).as("__slots"))
+    val hits = profile.select(col("nprobe"), col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("__hits"))
+    slots.select(explode(typedlit(budgets)).as("nprobe"), col("__slots"))
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        (coalesce(col("__hits"), lit(0)) / col("__slots")).as("recall"))
+  }
+
+  /** Probe-budget auto-tuning against a recall target — the standard
+    * IVF/LSH tuning loop as one distributed query: profile a SAMPLE of
+    * queries at every candidate budget (one corpus scan via the profile
+    * functions), measure recall@k against the exact brute-force on that
+    * sample, and choose the SMALLEST budget meeting `targetRecall`, falling
+    * back to the largest when none does (`target_met` reports which).
+    * Returns one row (chosen_nprobe, achieved_recall, target_met). At scale
+    * the sample is small and broadcast; the corpus is scanned once. */
+  def chooseProbeBudget(recalls: DataFrame,
+                        targetRecall: Double): DataFrame = {
+    val chosen = recalls.agg(
+      min(when(col("recall") >= targetRecall, col("nprobe"))).as("__met"),
+      max(col("nprobe")).as("__max"))
+      .select(coalesce(col("__met"), col("__max")).as("chosen_nprobe"))
+    chosen.join(recalls, chosen("chosen_nprobe") === recalls("nprobe"))
+      .select(col("chosen_nprobe"),
+        round(col("recall"), 6).as("achieved_recall"),
+        (col("recall") >= targetRecall).as("target_met"))
+  }
+
   /** Embedding-cosine near-duplicate dedup: within a blocking key (coarse
     * cell / LSH bucket — never all-pairs global), pairs with cosine ≥
     * `threshold` mark the higher id as a duplicate of the lowest matching id.

@@ -126,6 +126,33 @@ object VectorQueries {
         (col("__h9") >= col("__slots") * 0.05).as("recall_ok"))
     }),
 
+    // Probe-budget auto-tuning against a recall target (the roadmap "LSH
+    // auto-tune"): per-budget recall vs the exact brute-force on the sample,
+    // then pick the SMALLEST budget meeting the target (max budget when none
+    // does). The booleans re-derive the choice contract from the recall
+    // table independently of chooseProbeBudget's own aggregation — chosen
+    // must be the minimal qualifying budget, one of the candidates, and
+    // valid (met the target or was the fallback max).
+    "q_ann_autotune" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val prof = Similarity.lshProbeProfile(q, emb, "vec_id", "embedding",
+        dim = 64, numPlanes = 8, probes = Seq(1, 5, 9), k = 3)
+      val recalls = Similarity.probeRecalls(prof, exact, Seq(1, 5, 9))
+      val tuned = Similarity.chooseProbeBudget(recalls, targetRecall = 0.05)
+      val bounds = recalls.agg(
+        min(when(col("recall") >= 0.05, col("nprobe"))).as("__mm"),
+        max(col("nprobe")).as("__mx"))
+      tuned.crossJoin(bounds).select(
+        (col("chosen_nprobe") === coalesce(col("__mm"), col("__mx")))
+          .as("choice_minimal"),
+        col("chosen_nprobe").isin(1, 5, 9).as("choice_in_budgets"),
+        (col("target_met") || col("chosen_nprobe") === col("__mx"))
+          .as("choice_valid"))
+    }),
+
     // Embedding-cosine near-dup dedup within the coarse cell.
     "q_embed_dedup" -> ((s, d) => {
       Similarity.cosineDedup(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -204,6 +231,9 @@ object VectorQueries {
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS monotone_mid,
                 true AS monotone_full, true AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
+    "q_ann_autotune" ->
+      """SELECT true AS choice_minimal, true AS choice_in_budgets,
+                true AS choice_valid""",
     "q_embed_topk" ->
       s"""WITH ${cosineCte("vec_id < 20")}
           SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (

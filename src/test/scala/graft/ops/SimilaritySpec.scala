@@ -142,6 +142,40 @@ class SimilaritySpec extends SparkSuite {
     assert(budget1 == single)
   }
 
+  test("probe auto-tune picks the minimal budget meeting the recall target") {
+    // clustered regime again: recall climbs with the budget, so minimality
+    // is observable — the chosen budget must match a recall table computed
+    // here, independently of chooseProbeBudget's aggregation
+    val emb = (0 until 1000).map { i =>
+      val c = VectorFunctions.plane(i % 20, 64)
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (i.toLong, Seq.tabulate(64)(j =>
+        (c(j) / n + 0.15 * math.sin(i * 64.0 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 15)
+    val budgets = Seq(1, 3, 5, 9)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+    val prof = Similarity.lshProbeProfile(queries, emb, "vec_id", "embedding",
+      dim = 64, numPlanes = 8, probes = budgets, k = 10)
+    val recalls = Similarity.probeRecalls(prof, exact, budgets)
+      .as[(Int, Double)].collect().toMap
+    assert(recalls.keySet == budgets.toSet, "every budget gets a recall row")
+    // a reachable target: half of the best recall — some budget clears it
+    val target = recalls(9) / 2
+    val (chosen, achieved, met) = Similarity
+      .chooseProbeBudget(Similarity.probeRecalls(prof, exact, budgets), target)
+      .as[(Int, Double, Boolean)].collect().head
+    val expected = budgets.filter(b => recalls(b) >= target).min
+    assert(chosen == expected, s"chose $chosen, minimal qualifying $expected")
+    assert(met && math.abs(achieved - recalls(chosen)) < 1e-5)
+    // an unreachable target falls back to the max budget, flagged not-met
+    val (chosenMax, _, metMax) = Similarity
+      .chooseProbeBudget(Similarity.probeRecalls(prof, exact, budgets), 1.01)
+      .as[(Int, Double, Boolean)].collect().head
+    assert(chosenMax == 9 && !metMax)
+  }
+
   test("codegen FloatVectorDot equals the zip_with/aggregate formulation") {
     val vecs = (0 until 200).map { i =>
       (Seq.tabulate(64)(j => (math.sin(i * 64 + j)).toFloat),
