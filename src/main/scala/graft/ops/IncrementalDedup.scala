@@ -1,7 +1,5 @@
 package graft.ops
 
-import scala.util.Try
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,8 +31,26 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
                    textCol: String, shingleK: Int = 3, numHashes: Int = 16,
                    bands: Int = 4, maxBucket: Int = 1024) {
 
-  private def postings(): Option[DataFrame] =
-    Try(spark.read.parquet(path)).toOption
+  /** The stored postings, partitioned on (band, bucket-prefix). Only a
+    * MISSING index maps to None — absent path, or a path with no partition
+    * directories yet (a zero-row append leaves just a _SUCCESS marker). A
+    * read FAILURE (permissions, corrupt footer) must propagate, not
+    * silently degrade into "empty index" and drop every cross-batch pair
+    * while still reporting success. */
+  private def postings(): Option[DataFrame] = {
+    val d = new java.io.File(path)
+    val hasData = d.exists() &&
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.startsWith("band="))
+    if (!hasData) None else Some(spark.read.parquet(path))
+  }
+
+  /** Two-hex-char bucket prefix (letter-prefixed so partition-column type
+    * inference can never read an all-digit value as a number and strip its
+    * leading zero): with `bands` × 256 partition directories, a probe's
+    * static (band, bp) filter prunes the postings scan to the slices the
+    * batch touches instead of re-reading the whole index. */
+  private def bp = concat(lit("p"), substring(col("bucket"), 1, 2))
 
   /** Probe + emit + append for one batch. Returns (doc_a, doc_b) candidate
     * near-dup pairs, doc_a < doc_b, involving at least one batch document. */
@@ -51,10 +67,18 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
       val touched = newBB.select("band", "bucket").distinct()
       val oldTouched = postings() match {
         case Some(old) =>
-          // ONLY buckets this batch touches leave the scan; with postings
-          // laid out bucketed/partitioned this prunes, and the key set is
-          // one distinct of the batch — broadcast-able
-          old.join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+          // two-stage pruning: a STATIC partition filter on the touched
+          // (band, bucket-prefix) dirs — collected on the driver, bounded
+          // by bands × 256 — cuts the listing/scan to the touched slices;
+          // the broadcast semi-join then narrows to the exact buckets
+          val touchedParts = newBB
+            .select(col("band"), bp.as("bp")).distinct()
+            .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+          val partFilter = touchedParts
+            .map { case (b, p) => col("band") === b && col("bp") === p }
+            .reduceOption(_ || _).getOrElse(lit(false))
+          old.where(partFilter).drop("bp")
+            .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
             .withColumn("__new", lit(false))
         case None => newBB.limit(0)
       }
@@ -96,7 +120,8 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
         // of the postings path, and a lazily recomputed plan would read this
         // batch's own postings back as "old"
         .localCheckpoint(true)
-      newBB.drop("__new").write.mode("append").parquet(path)
+      newBB.drop("__new").withColumn("bp", bp)
+        .write.mode("append").partitionBy("band", "bp").parquet(path)
       pairs
     } finally newBB.unpersist()
   }

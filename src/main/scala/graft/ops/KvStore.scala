@@ -23,6 +23,9 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *    per-row round-trips;
   *  - optional TTL: entries past their expiry stop being visible and are
   *    reaped at the next merge (the Redis SETEX analog, lazily evicted).
+  *    A merge reaps only the state it rewrites — in the bucketed store
+  *    that is the touched buckets, so workloads whose keys go cold run
+  *    [[BucketedKvStore.reapAll]] periodically to bound cold-bucket disk.
   *
   * [[ParquetKvStore]] is the embedded implementation: a compacted keyed
   * table maintained by merge-on-write into GENERATION directories with an
@@ -40,6 +43,18 @@ trait KvStore {
 
   /** Current visible state: live (non-tombstone, non-expired) entries. */
   def read(): DataFrame
+}
+
+object KvStoreExpiry {
+  /** THE visibility/reap predicate for the whole store family: an entry is
+    * live while its expiry is unset or in the future. One definition so the
+    * bucketed and unbucketed stores can never diverge on expiry semantics. */
+  def notExpired(df: DataFrame, expireAtCol: Option[String]): DataFrame =
+    expireAtCol match {
+      case Some(c) =>
+        df.where(col(c).isNull || col(c) > unix_millis(current_timestamp()))
+      case None => df
+    }
 }
 
 /** Embedded, durable KvStore over parquet generations.
@@ -82,11 +97,14 @@ class ParquetKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     if (existing.isEmpty) 0 else existing.max + 1
   }
 
-  private def notExpired(df: DataFrame): DataFrame = expireAtCol match {
-    case Some(c) =>
-      df.where(col(c).isNull || col(c) > unix_millis(current_timestamp()))
-    case None => df
-  }
+  private def notExpired(df: DataFrame): DataFrame =
+    KvStoreExpiry.notExpired(df, expireAtCol)
+
+  /** Reap-only merge: recompacts the stored generation with no incoming
+    * rows, dropping expired entries from disk. No-op before the first
+    * merge. */
+  private[ops] def reap(): Unit =
+    currentGenPath.foreach(g => merge(spark.read.parquet(g).limit(0)))
 
   override def read(): DataFrame = currentGen() match {
     case Some(gen) =>
@@ -167,16 +185,26 @@ class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
   private val bucketsFile = new File(path, "_buckets")
   private val buckets: Int = {
     if (bucketsFile.exists()) {
-      val persisted = new String(
-        java.nio.file.Files.readAllBytes(bucketsFile.toPath), "UTF-8").trim.toInt
+      val raw = new String(
+        java.nio.file.Files.readAllBytes(bucketsFile.toPath), "UTF-8").trim
+      val persisted = raw.toIntOption.filter(_ > 0).getOrElse(
+        throw new IllegalStateException(
+          s"store at $path has a corrupt _buckets file ('$raw') — " +
+            "refusing to guess the bucket count (merging under the wrong " +
+            "count re-homes keys away from their history)"))
       require(persisted == numBuckets,
         s"store at $path was created with $persisted buckets; " +
           s"got $numBuckets — bucket count is fixed for the store's life " +
           "(changing it would re-home keys away from their history)")
       persisted
     } else {
-      java.nio.file.Files.write(bucketsFile.toPath,
+      // tmp + rename, like the generation pointer: a crash mid-write must
+      // not leave a truncated count that would silently re-home keys
+      val tmp = new File(path, "._buckets.tmp")
+      java.nio.file.Files.write(tmp.toPath,
         numBuckets.toString.getBytes("UTF-8"))
+      if (!tmp.renameTo(bucketsFile) && !bucketsFile.exists())
+        throw new java.io.IOException(s"could not persist _buckets at $path")
       numBuckets
     }
   }
@@ -189,12 +217,6 @@ class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
       new File(path, f"bucket-$b%05d").getAbsolutePath,
       keyCols, ord, valueCol, expireAtCol)
 
-  private def notExpired(df: DataFrame): DataFrame = expireAtCol match {
-    case Some(c) =>
-      df.where(col(c).isNull || col(c) > unix_millis(current_timestamp()))
-    case None => df
-  }
-
   override def merge(lastPerKey: DataFrame): Unit = {
     // ONE pass over the batch writes it partitioned by bucket; only the
     // partition directories that exist are merged
@@ -206,22 +228,53 @@ class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
         .filter(f => f.isDirectory && f.getName.startsWith("__b="))
         .map(f => (f.getName.stripPrefix("__b=").toInt, f))
         .sortBy(_._1)
-      touched.foreach { case (b, slice) =>
+      // the per-bucket merges are independent (disjoint directories) —
+      // submit them concurrently so one logical merge is not numBuckets
+      // serial Spark jobs
+      inParallel(touched.toSeq) { case (b, slice) =>
         // reading the partition dir directly omits the __b column
         bucketStore(b).merge(spark.read.parquet(slice.getAbsolutePath))
       }
     } finally deleteRecursively(staging)
   }
 
-  override def read(): DataFrame = {
-    val gens = Option(new File(path).listFiles()).getOrElse(Array.empty)
+  /** Reap expired entries from EVERY bucket, including those no recent
+    * batch touched — per-bucket merges only reap the buckets they rewrite,
+    * so a periodic reapAll (the Redis active-expire / HBase major-compaction
+    * analog) is what bounds disk for workloads whose keys go cold.
+    * Tombstones are NOT reaped: they must outlive any replayable older
+    * upsert to keep convergence. */
+  def reapAll(): Unit =
+    inParallel(bucketDirs().toSeq)(b =>
+      new ParquetKvStore(spark, b.getAbsolutePath, keyCols, ord,
+        valueCol, expireAtCol).reap())
+
+  private def inParallel[A](work: Seq[A])(f: A => Unit): Unit = {
+    if (work.nonEmpty) {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(8, work.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(work.map(a => Future(f(a)))), Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
+
+  private def bucketDirs(): Array[File] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("bucket-"))
       .sortBy(_.getName)
+
+  override def read(): DataFrame = {
+    val gens = bucketDirs()
       .flatMap(b => new ParquetKvStore(spark, b.getAbsolutePath, keyCols, ord,
         valueCol, expireAtCol).currentGenPath)
     if (gens.isEmpty) throw new IllegalStateException(
       s"BucketedKvStore at $path has no state yet (no merge ran)")
-    notExpired(spark.read.parquet(gens.toIndexedSeq: _*))
+    KvStoreExpiry.notExpired(spark.read.parquet(gens.toIndexedSeq: _*),
+      expireAtCol)
       .where(col(valueCol).isNotNull)
   }
 

@@ -141,7 +141,13 @@ object Similarity {
     slots.select(explode(typedlit(budgets)).as("nprobe"), col("__slots"))
       .join(hits, Seq("nprobe"), "left")
       .select(col("nprobe"),
-        (coalesce(col("__hits"), lit(0)) / col("__slots")).as("recall"))
+        // an empty sample must fail loudly, not propagate NULL recalls into
+        // a silent max-budget "choice" with target_met = NULL
+        when(col("__slots") === 0, raise_error(lit(
+          "probeRecalls: exact result is empty — the query sample matched " +
+            "no rows, so recall is undefined")))
+          .otherwise(coalesce(col("__hits"), lit(0)) / col("__slots"))
+          .as("recall"))
   }
 
   /** Probe-budget auto-tuning against a recall target — the standard

@@ -186,6 +186,48 @@ class KvStoreSpec extends SparkSuite {
     assert(reopened.read().select("k").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("bucketed store: reapAll drops expired entries from buckets no batch touches") {
+    val dir = Files.createTempDirectory("kv-reap").toFile.getAbsolutePath
+    val now = System.currentTimeMillis()
+    val store = new BucketedKvStore(spark, dir, Seq("k"), col("ver"), "v",
+      expireAtCol = Some("expire_at"), numBuckets = 8)
+    def batch(rows: Seq[(String, Long, String, java.lang.Long)]) =
+      rows.toDF("k", "ver", "v", "expire_at")
+        .select(col("k"), col("ver").cast("long"), col("v"),
+          col("expire_at").cast("long"))
+    // "cold" is LIVE at insert (so it lands on disk — merge reaps anything
+    // already expired) and expires shortly after
+    KvStore.upsertBatch(batch(Seq(
+      ("cold", 1L, "x", java.lang.Long.valueOf(now + 1200L)),
+      ("live", 1L, "y", null))), Seq("k"), col("ver"), store)
+    // after expiry the row is invisible but still ON DISK in its bucket
+    def storedKeys() = new File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket-"))
+      .flatMap(b => b.listFiles().filter(_.getName.startsWith("gen-"))
+        .sortBy(_.getName).lastOption)
+      .map(g => spark.read.parquet(g.getAbsolutePath))
+      .reduce(_ unionByName _).select("k").as[String].collect().toSet
+    assert(storedKeys() == Set("cold", "live"))
+    Thread.sleep(1500) // let "cold" expire; no batch touches its bucket
+    store.reapAll()
+    assert(storedKeys() == Set("live"),
+      "reapAll must rewrite cold buckets without any incoming batch")
+    assert(store.read().select("k").as[String].collect().toSet == Set("live"))
+  }
+
+  test("bucketed store: a corrupt _buckets file is refused, not guessed") {
+    val dir = Files.createTempDirectory("kv-corrupt").toFile.getAbsolutePath
+    val store = new BucketedKvStore(spark, dir, Seq("k"), col("ver"), "v",
+      numBuckets = 8)
+    KvStore.upsertBatch(rows(("a", 1L, "a1")), Seq("k"), col("ver"), store)
+    java.nio.file.Files.write(new File(dir, "_buckets").toPath,
+      "".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      new BucketedKvStore(spark, dir, Seq("k"), col("ver"), "v", numBuckets = 8)
+    }
+    assert(e.getMessage.contains("corrupt"))
+  }
+
   test("a crash orphan generation never breaks the next merge") {
     val dir = Files.createTempDirectory("kv-crash").toFile.getAbsolutePath
     val store = newStore(dir)

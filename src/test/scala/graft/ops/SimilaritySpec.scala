@@ -174,6 +174,12 @@ class SimilaritySpec extends SparkSuite {
       .chooseProbeBudget(Similarity.probeRecalls(prof, exact, budgets), 1.01)
       .as[(Int, Double, Boolean)].collect().head
     assert(chosenMax == 9 && !metMax)
+    // an empty sample fails loudly instead of yielding NULL recalls
+    val err = intercept[Exception] {
+      Similarity.probeRecalls(prof, exact.limit(0), budgets).collect()
+    }
+    assert(err.getMessage.contains("empty") ||
+      Option(err.getCause).exists(_.getMessage.contains("empty")))
   }
 
   test("codegen FloatVectorDot equals the zip_with/aggregate formulation") {
