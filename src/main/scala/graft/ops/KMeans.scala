@@ -150,4 +150,42 @@ object KMeans {
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String, k: Int,
                iters: Int = 5): DataFrame =
     df.withColumn("cell", assignExpr(col(vecCol), fit(df, idCol, vecCol, k, iters)))
+
+  /** Persist a trained coarse quantizer next to its table: one tiny parquet
+    * of (cell, centroid) rows — k×dim doubles, readable by any engine. The
+    * reference analog is index state outliving a run (a quantizer is a
+    * reusable artifact, like the in-process [[graft.queries.VectorQueries]]
+    * centroid cache but durable). */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession, path: String,
+                    centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer persisted by [[saveCentroids]], cells in order. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("cell").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+  }
+
+  /** Load the quantizer at `path` if present, else train one and persist
+    * it there — the deploy shape: first run trains, every later run (and
+    * every other consumer of the table) reuses the artifact. */
+  def fitOrLoad(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                iters: Int, path: String): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    if (new java.io.File(path).exists()) loadCentroids(spark, path)
+    else {
+      val cents = fit(df, idCol, vecCol, k, iters)
+      saveCentroids(spark, path, cents)
+      cents
+    }
+  }
 }

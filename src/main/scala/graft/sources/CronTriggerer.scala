@@ -83,6 +83,42 @@ object CronTriggerer {
     }
   }
 
+  /** The driver loop the Schedule exists for: at each cron fire, run ONE
+    * bounded pass — in Spark terms a `Trigger.AvailableNow` streaming query
+    * that drains whatever input accumulated since the previous fire and
+    * stops (the discover()-then-read() lifecycle of the reference's
+    * BatchSource under its CronTriggerer). Clock and sleep are injected so
+    * the loop is unit-testable with virtual time and so a driver can hook
+    * its own wait primitive; the loop never drifts — the cursor advances
+    * fire-to-fire from the SCHEDULE, not from how long a pass took, and a
+    * pass overrunning the next fire time causes an immediate (not skipped)
+    * next pass.
+    *
+    * @param runPass   executes one bounded pass; receives the fire instant
+    * @param now       clock used once, to anchor the first fire
+    * @param sleepUntil blocks until the given instant (virtual time in
+    *                  tests; `Thread.sleep` of the delta in a real driver)
+    * @param maxFires  stop after this many passes (Int.MaxValue = forever)
+    * @param shouldStop polled before each sleep and pass for clean shutdown
+    * @return the number of passes run */
+  def runLoop(schedule: Schedule, runPass: LocalDateTime => Unit,
+              now: () => LocalDateTime,
+              sleepUntil: LocalDateTime => Unit,
+              maxFires: Int = Int.MaxValue,
+              shouldStop: () => Boolean = () => false): Int = {
+    var fires = 0
+    var cursor = now()
+    while (fires < maxFires && !shouldStop()) {
+      val at = schedule.nextAfter(cursor)
+      sleepUntil(at)
+      if (shouldStop()) return fires
+      runPass(at)
+      fires += 1
+      cursor = at
+    }
+    fires
+  }
+
   /** Parse "m h dom mon dow". */
   def parse(expr: String): Schedule = {
     val f = expr.trim.split("\\s+")

@@ -44,4 +44,26 @@ class KMeansSpec extends SparkSuite {
       .as[Int].collect().toSeq
     assert(a == b)
   }
+
+  test("centroids persist, reload bit-identically, and fitOrLoad reuses the artifact") {
+    val cents = KMeans.fit(clustered, "vec_id", "embedding", 3, 5)
+    val path = java.nio.file.Files.createTempDirectory("ivf-cent")
+      .toFile.getAbsolutePath + "/centroids"
+    KMeans.saveCentroids(spark, path, cents)
+    val back = KMeans.loadCentroids(spark, path)
+    assert(back.length == cents.length &&
+      back.zip(cents).forall { case (x, y) => x.sameElements(y) },
+      "persisted quantizer must round-trip bit-identically")
+    // a present artifact is LOADED, not retrained: an empty input would
+    // make any training attempt blow up
+    val loaded = KMeans.fitOrLoad(clustered.limit(0), "vec_id", "embedding",
+      3, 5, path)
+    assert(loaded.zip(cents).forall { case (x, y) => x.sameElements(y) })
+    // no artifact → trains and persists it
+    val path2 = java.nio.file.Files.createTempDirectory("ivf-cent2")
+      .toFile.getAbsolutePath + "/centroids"
+    val trained = KMeans.fitOrLoad(clustered, "vec_id", "embedding", 3, 5, path2)
+    assert(KMeans.loadCentroids(spark, path2)
+      .zip(trained).forall { case (x, y) => x.sameElements(y) })
+  }
 }

@@ -117,4 +117,60 @@ class BridgeCdcCronSpec extends SparkSuite {
     intercept[IllegalArgumentException](CronTriggerer.parse("0 0 * *"))
     intercept[IllegalArgumentException](CronTriggerer.parse("61 0 * * *"))
   }
+
+  test("cron driver loop fires on schedule under virtual time, no drift") {
+    val s = CronTriggerer.parse("*/15 * * * *")
+    val start = LocalDateTime.of(2024, 1, 1, 0, 7)
+    var clock = start
+    val fired = Seq.newBuilder[LocalDateTime]
+    val n = CronTriggerer.runLoop(s,
+      runPass = at => {
+        fired += at
+        // a pass that OVERRUNS the next fire: the loop must not skip it
+        if (at.getMinute == 30) clock = clock.plusMinutes(20)
+      },
+      now = () => start,
+      sleepUntil = at => { if (at.isAfter(clock)) clock = at },
+      maxFires = 4)
+    assert(n == 4)
+    // anchored at :07 → :15, :30, (overrun to :50) → :45 runs immediately,
+    // then :00 — exactly the schedule's fire sequence, no drift, no skips
+    assert(fired.result() == s.fireTimes(start, start.plusHours(1)).take(4))
+  }
+
+  test("cron driver loop drives real AvailableNow passes over a topic") {
+    def tmpDir() = java.nio.file.Files
+      .createTempDirectory("graft-cron").toFile.getAbsolutePath
+    val dir = tmpDir()
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => (("t", 0, i.toLong, s"k$i", s"v$i"): (String, Int, Long, String, String)))
+        .toDF("topic", "partition", "offset", "key", "value")
+        .write.format("graft-topic").mode("append").option("path", dir).save()
+    writeBatch(0 until 10)
+    val out = tmpDir()
+    val counts = Seq.newBuilder[Long]
+    val s = CronTriggerer.parse("*/5 * * * *")
+    var clock = LocalDateTime.of(2024, 6, 1, 12, 0)
+    CronTriggerer.runLoop(s,
+      runPass = _ => {
+        // one bounded pass: drain everything available now, then stop —
+        // the Trigger.AvailableNow lifecycle the cron loop exists to drive
+        val q = spark.readStream.format("graft-topic").option("path", dir)
+          .load()
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", s"$out/_chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        counts += spark.read.parquet(out).count()
+        writeBatch(10 until 15) // lands between fires; next pass drains it
+      },
+      now = () => clock,
+      sleepUntil = at => clock = at,
+      maxFires = 2)
+    // pass 1 drained the initial 10; pass 2 drained ONLY the 5 that arrived
+    // after it (checkpointed cursor, no re-read)
+    assert(counts.result() == Seq(10L, 15L))
+  }
 }
