@@ -44,6 +44,7 @@ object Bench {
         try { fn(spark, sfDir).count() }
         catch { case t: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${t.getMessage}")
+          t.printStackTrace()
           return -1.0
         }
         (System.nanoTime() - t0) / 1e9

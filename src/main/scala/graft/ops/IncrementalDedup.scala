@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   */
 class MinHashIndex(spark: SparkSession, path: String, idCol: String,
                    textCol: String, shingleK: Int = 3, numHashes: Int = 16,
-                   bands: Int = 4, maxBucket: Int = 1024) {
+                   bands: Int = 4, maxBucket: Int = 1024,
+                   prefixChars: Int = 1) {
 
   /** The stored postings, partitioned on (band, bucket-prefix). Only a
     * MISSING index maps to None — absent path, or a path with no partition
@@ -45,12 +46,15 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
     if (!hasData) None else Some(spark.read.parquet(path))
   }
 
-  /** Two-hex-char bucket prefix (letter-prefixed so partition-column type
-    * inference can never read an all-digit value as a number and strip its
-    * leading zero): with `bands` × 256 partition directories, a probe's
-    * static (band, bp) filter prunes the postings scan to the slices the
-    * batch touches instead of re-reading the whole index. */
-  private def bp = concat(lit("p"), substring(col("bucket"), 1, 2))
+  /** Bucket prefix of `prefixChars` hex chars (letter-prefixed so
+    * partition-column type inference can never read an all-digit value as a
+    * number and strip its leading zero): with `bands` × 16^prefixChars
+    * partition directories, a probe's static (band, bp) filter prunes the
+    * postings scan to the slices the batch touches instead of re-reading
+    * the whole index. Default 1 (64 dirs) keeps per-batch file counts sane;
+    * raise it when the index dwarfs every batch and finer pruning pays for
+    * the extra directories. */
+  private def bp = concat(lit("p"), substring(col("bucket"), 1, prefixChars))
 
   /** Probe + emit + append for one batch. Returns (doc_a, doc_b) candidate
     * near-dup pairs, doc_a < doc_b, involving at least one batch document. */
@@ -67,17 +71,20 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
       val touched = newBB.select("band", "bucket").distinct()
       val oldTouched = postings() match {
         case Some(old) =>
-          // two-stage pruning: a STATIC partition filter on the touched
-          // (band, bucket-prefix) dirs — collected on the driver, bounded
-          // by bands × 256 — cuts the listing/scan to the touched slices;
-          // the broadcast semi-join then narrows to the exact buckets
+          // two-stage pruning: STATIC partition filters on the touched
+          // bands and bucket-prefixes — collected on the driver, bounded
+          // by bands + 256 — cut the listing/scan to (a slight cartesian
+          // superset of) the touched slices; the broadcast semi-join then
+          // narrows to the exact buckets. Two flat isin filters, NOT a
+          // per-pair OR chain: a chain over bands × 256 pairs nests the
+          // column tree deep enough to overflow the converter's stack.
           val touchedParts = newBB
             .select(col("band"), bp.as("bp")).distinct()
-            .collect().map(r => (r.getInt(0), r.getString(1))).toSet
-          val partFilter = touchedParts
-            .map { case (b, p) => col("band") === b && col("bp") === p }
-            .reduceOption(_ || _).getOrElse(lit(false))
-          old.where(partFilter).drop("bp")
+            .collect().map(r => (r.getInt(0), r.getString(1)))
+          val bandsTouched = touchedParts.map(_._1).distinct.toSeq
+          val prefixesTouched = touchedParts.map(_._2).distinct.toSeq
+          old.where(col("band").isin(bandsTouched: _*) &&
+              col("bp").isin(prefixesTouched: _*)).drop("bp")
             .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
             .withColumn("__new", lit(false))
         case None => newBB.limit(0)
@@ -120,7 +127,11 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
         // of the postings path, and a lazily recomputed plan would read this
         // batch's own postings back as "old"
         .localCheckpoint(true)
+      // repartition ON the partition columns first: otherwise every task
+      // writes one file into every directory it has rows for — tasks ×
+      // dirs tiny files per batch instead of one file per touched dir
       newBB.drop("__new").withColumn("bp", bp)
+        .repartition(col("band"), col("bp"))
         .write.mode("append").partitionBy("band", "bp").parquet(path)
       pairs
     } finally newBB.unpersist()

@@ -209,9 +209,12 @@ object StreamingSemanticsQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft-kv")
         .toFile.getAbsolutePath
       // the bucketed (scale-path) store: merge cost tracks the batch's
-      // touched buckets, not the whole store — same oracle as unbucketed
+      // touched buckets, not the whole store — same oracle as unbucketed.
+      // 4 buckets at bench scale: the per-bucket job overhead is the price
+      // of the bucketed shape, so size buckets ≈ a few batches (the class
+      // doc's sizing rule) rather than paying 16 tiny jobs per merge
       val store = new graft.ops.BucketedKvStore(s, dir, Seq("user_id"),
-        col("event_id"), valueCol = "state", numBuckets = 16)
+        col("event_id"), valueCol = "state", numBuckets = 4)
       graft.ops.KvStore.upsertBatch(ev.where(col("event_id") % 2 === 1),
         Seq("user_id"), col("event_id"), store)
       graft.ops.KvStore.upsertBatch(ev.where(col("event_id") % 2 === 0),
