@@ -46,6 +46,28 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
     if (!hasData) None else Some(spark.read.parquet(path))
   }
 
+  /** The prefix width the index was CREATED with wins over the
+    * constructor: probing p3a-style directories with p3-style filters (or
+    * vice versa) would silently match nothing and drop every cross-batch
+    * pair, splitting the index into mutually-invisible generations. */
+  private lazy val effectivePrefixChars: Int = {
+    val f = new java.io.File(path, "_prefix")
+    if (f.exists()) {
+      val raw = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      raw.toIntOption.filter(_ > 0).getOrElse(throw new IllegalStateException(
+        s"index at $path has a corrupt _prefix file ('$raw')"))
+    } else {
+      new java.io.File(path).mkdirs()
+      val tmp = new java.io.File(path, "._prefix.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        prefixChars.toString.getBytes("UTF-8"))
+      if (!tmp.renameTo(f) && !f.exists())
+        throw new java.io.IOException(s"could not persist _prefix at $path")
+      prefixChars
+    }
+  }
+
   /** Bucket prefix of `prefixChars` hex chars (letter-prefixed so
     * partition-column type inference can never read an all-digit value as a
     * number and strip its leading zero): with `bands` × 16^prefixChars
@@ -54,7 +76,8 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
     * the whole index. Default 1 (64 dirs) keeps per-batch file counts sane;
     * raise it when the index dwarfs every batch and finer pruning pays for
     * the extra directories. */
-  private def bp = concat(lit("p"), substring(col("bucket"), 1, prefixChars))
+  private def bp =
+    concat(lit("p"), substring(col("bucket"), 1, effectivePrefixChars))
 
   /** Probe + emit + append for one batch. Returns (doc_a, doc_b) candidate
     * near-dup pairs, doc_a < doc_b, involving at least one batch document. */

@@ -181,7 +181,10 @@ object KMeans {
   def fitOrLoad(df: DataFrame, idCol: String, vecCol: String, k: Int,
                 iters: Int, path: String): Array[Array[Double]] = {
     val spark = df.sparkSession
-    if (new java.io.File(path).exists()) loadCentroids(spark, path)
+    // a COMPLETE artifact carries the writer's _SUCCESS marker; a directory
+    // without one is a crashed save — retrain over it rather than wedging
+    // every later run on a partial read
+    if (new java.io.File(path, "_SUCCESS").exists()) loadCentroids(spark, path)
     else {
       val cents = fit(df, idCol, vecCol, k, iters)
       saveCentroids(spark, path, cents)

@@ -96,8 +96,9 @@ object CronTriggerer {
     *
     * @param runPass   executes one bounded pass; receives the fire instant
     * @param now       clock used once, to anchor the first fire
-    * @param sleepUntil blocks until the given instant (virtual time in
-    *                  tests; `Thread.sleep` of the delta in a real driver)
+    * @param sleepUntil blocks until the given instant; the instant may
+    *                  already be PAST after an overrunning pass, so a real
+    *                  driver sleeps max(0, delta) (virtual time in tests)
     * @param maxFires  stop after this many passes (Int.MaxValue = forever)
     * @param shouldStop polled before each sleep and pass for clean shutdown
     * @return the number of passes run */

@@ -49,21 +49,23 @@ object DelayedBuckets {
     } finally defer.unpersist()
   }
 
-  /** Re-ingest every parked bucket whose window START is within
-    * `horizonMs` of `nowMs` — due messages must re-enter the live tracker
-    * BEFORE their deliverAt arrives, and anything the bounded tracker can
-    * buffer (≤ horizon ahead) is safe to hand back. Each due bucket's rows
-    * are appended to `targetTopic` (deliverAt restored from event_time via
-    * the envelope), then the bucket is retired. Returns re-ingested bucket
-    * ids; a second run is a no-op. */
+  /** Re-ingest every parked bucket whose window END is within `horizonMs`
+    * of `nowMs` — then EVERY row in the bucket satisfies the tracker's own
+    * near/far predicate against wall clock, so nothing ping-pongs back into
+    * the same bucket (modulo watermark lag, which is bounded and
+    * self-resolving). Pick `horizonMs` ≥ 2 × `bucketMs` so a bucket's
+    * earliest rows re-enter comfortably before their deliverAt. Each due
+    * bucket is first RENAMED aside and read from there: a park landing in
+    * the live directory between this job's read and its cleanup would
+    * otherwise be deleted unread — renamed-aside, a concurrent park simply
+    * recreates the live directory and its rows wait for the next fire,
+    * while a park caught mid-stage fails its job and replays (the
+    * at-least-once contract, loss-free). Rows append to `targetTopic`
+    * (deliverAt restored from event_time via the envelope); returns
+    * re-ingested bucket ids, and a second run is a no-op. */
   def reingestDue(spark: SparkSession, root: String, targetTopic: String,
                   nowMs: Long, bucketMs: Long, horizonMs: Long): Seq[Long] = {
-    val due = Option(new File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("delayed-bucket-"))
-      .map(f => (f.getName.stripPrefix("delayed-bucket-").toLong, f))
-      .filter { case (b, _) => b * bucketMs <= nowMs + horizonMs }
-      .sortBy(_._1)
-    due.foreach { case (_, dir) =>
+    def drain(dir: File): Unit = {
       spark.read.format("graft-topic").option("path", dir.getAbsolutePath)
         .load()
         .select(col("key"), col("value"), col("sequence_id"),
@@ -72,7 +74,25 @@ object DelayedBuckets {
         .option("path", targetTopic).save()
       deleteRecursively(dir)
     }
-    due.map(_._1).toIndexedSeq
+    def listed() = Option(new File(root).listFiles()).getOrElse(Array.empty)
+    // recover first: a crash between a previous run's target write and its
+    // cleanup leaves a .retiring dir — it was due then, so drain it now
+    // (rows already written before the crash re-ingest again: the
+    // at-least-once side of the contract)
+    listed().filter(f => f.isDirectory && f.getName.startsWith(".retiring-"))
+      .foreach(drain)
+    val due = listed()
+      .filter(f => f.isDirectory && f.getName.startsWith("delayed-bucket-"))
+      .map(f => (f.getName.stripPrefix("delayed-bucket-").toLong, f))
+      .filter { case (b, _) => (b + 1) * bucketMs <= nowMs + horizonMs }
+      .sortBy(_._1)
+    val ingested = due.flatMap { case (b, dir) =>
+      val aside = new File(root,
+        s".retiring-${dir.getName}-${java.util.UUID.randomUUID()}")
+      if (!dir.renameTo(aside)) None // lost a race with another run: skip
+      else { drain(aside); Some(b) }
+    }
+    ingested.toIndexedSeq
   }
 
   private def deleteRecursively(f: File): Unit = {

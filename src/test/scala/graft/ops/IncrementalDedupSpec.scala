@@ -60,4 +60,20 @@ class IncrementalDedupSpec extends SparkSuite {
     // re-emit its pairs idempotently, never pair a doc with itself
     assert(pairSet(idx.addAndFindPairs(dup)) == Set((1L, 100L)))
   }
+
+  test("the prefix width the index was created with wins over the constructor") {
+    val docs = corpus()
+    val dir = Files.createTempDirectory("lsh-idx-pfx").toFile.getAbsolutePath
+    // created wide (2-char prefixes), reopened with the (narrower) default:
+    // probes must still see the old postings — a width mismatch would
+    // silently match nothing and drop every cross-batch pair
+    val wide = new MinHashIndex(spark, dir, "doc_id", "text", prefixChars = 2)
+    wide.addAndFindPairs(docs.where(col("doc_id") <= 5))
+    val reopened = new MinHashIndex(spark, dir, "doc_id", "text")
+    val pairs = pairSet(reopened.addAndFindPairs(docs.where(col("doc_id") === 13)))
+    // 13 is a boilerplate variant: it buckets with ALL of 1..5, every one
+    // parked by the wide index
+    assert(pairs == (1L to 5L).map((_, 13L)).toSet,
+      s"reopened index lost cross-batch pairs: $pairs")
+  }
 }

@@ -30,13 +30,16 @@ class DelayedBucketsSpec extends SparkSuite {
     val b1 = spark.read.format("graft-topic")
       .option("path", s"$root/${StatefulOps.delayedBucketTopic(1L)}").load()
     assert(b1.select("key").as[String].collect().toSeq == Seq("k1"))
-    assert(!new File(root).listFiles().map(_.getName)
-      .exists(_.contains("-1")), "deliver rows must not create a bucket")
+    // EXACTLY the three defer buckets exist — in particular no bucket for
+    // the "deliver" row (its bucket id is -1)
+    assert(new File(root).listFiles().map(_.getName).toSet ==
+      Set(1L, 2L, 8L).map(StatefulOps.delayedBucketTopic))
 
-    // now = 50s, horizon 60s: only bucket 1 (window starts 60s) is due;
-    // bucket 2 (120s) and 8 (480s) stay parked
+    // now = 65s, horizon 60s: only bucket 1 (window ENDS 120s ≤ 125s) is
+    // due — window-END due-ness means every handed-back row is within the
+    // tracker's own near horizon; buckets 2 (ends 180s) and 8 stay parked
     assert(DelayedBuckets.reingestDue(spark, root, target,
-      nowMs = 50000L, bucketMs = BucketMs, horizonMs = 60000L) == Seq(1L))
+      nowMs = 65000L, bucketMs = BucketMs, horizonMs = 60000L) == Seq(1L))
     val got1 = spark.read.format("graft-topic").option("path", target).load()
       .select(col("key"), col("value"), col("sequence_id"),
         unix_millis(col("event_time")).as("deliver_ms"))
@@ -46,14 +49,32 @@ class DelayedBucketsSpec extends SparkSuite {
     // the due bucket is retired; a second run is a no-op
     assert(!new File(s"$root/${StatefulOps.delayedBucketTopic(1L)}").exists())
     assert(DelayedBuckets.reingestDue(spark, root, target,
-      nowMs = 50000L, bucketMs = BucketMs, horizonMs = 60000L).isEmpty)
+      nowMs = 65000L, bucketMs = BucketMs, horizonMs = 60000L).isEmpty)
 
     // time advances: the remaining buckets re-ingest together
     assert(DelayedBuckets.reingestDue(spark, root, target,
-      nowMs = 450000L, bucketMs = BucketMs, horizonMs = 60000L) == Seq(2L, 8L))
+      nowMs = 480000L, bucketMs = BucketMs, horizonMs = 60000L) == Seq(2L, 8L))
     val keys = spark.read.format("graft-topic").option("path", target).load()
       .select("key").as[String].collect().toSet
     assert(keys == Set("k1", "k2", "k3"))
+  }
+
+  test("a crash between re-ingest write and cleanup is recovered, not lost") {
+    val root = Files.createTempDirectory("delayed-crash").toFile.getAbsolutePath
+    val target = s"$root/__ingest"
+    DelayedBuckets.park(Seq(
+      DelayedRoute("kc", "vc", 5L, ts(70000L), "defer", 70000L / BucketMs))
+      .toDS(), root)
+    // simulate the crash window: the bucket was renamed aside (this run's
+    // first step) but the process died before draining it
+    val live = new File(s"$root/${StatefulOps.delayedBucketTopic(1L)}")
+    assert(live.renameTo(new File(root, ".retiring-crashed-run")))
+    // ANY later run sweeps the orphan first, even if nothing else is due
+    assert(DelayedBuckets.reingestDue(spark, root, target,
+      nowMs = 0L, bucketMs = BucketMs, horizonMs = 0L).isEmpty)
+    assert(spark.read.format("graft-topic").option("path", target).load()
+      .select("key").as[String].collect().toSeq == Seq("kc"))
+    assert(!new File(root, ".retiring-crashed-run").exists())
   }
 
   test("re-ingested messages flow back through the bounded tracker as near-term") {
@@ -66,17 +87,19 @@ class DelayedBucketsSpec extends SparkSuite {
     val routes = Seq(
       DelayedRoute("k9", "v9", 9L, ts(70000L), "defer", 70000L / BucketMs)).toDS()
     DelayedBuckets.park(routes, root)
+    // bucket 1's window ends at 120s: due once now + horizon reaches it
     DelayedBuckets.reingestDue(spark, root, target,
-      nowMs = 20000L, bucketMs = BucketMs, horizonMs = 60000L)
+      nowMs = 60000L, bucketMs = BucketMs, horizonMs = 60000L)
     val replayed = spark.read.format("graft-topic").option("path", target)
       .load()
       .select(col("key"), col("value"),
         col("sequence_id").as("offset"), col("event_time").as("deliverAt"))
       .as[DelayedMsg].collect()
     assert(replayed.length == 1 && replayed.head.deliverAt == ts(70000L))
-    // 70s deliverAt with a watermark at 20s is within the 60s horizon: the
+    // 70s deliverAt with a watermark at 60s is within the 60s horizon: the
     // bounded tracker's near/far split would now HOLD it, not defer it —
-    // the same predicate delayedDeliveryBounded applies
-    assert(replayed.head.deliverAt.getTime <= 20000L + 60000L)
+    // the same predicate delayedDeliveryBounded applies, so nothing
+    // ping-pongs back into the bucket it came from
+    assert(replayed.head.deliverAt.getTime <= 60000L + 60000L)
   }
 }
