@@ -141,4 +141,28 @@ class PlanAuditSpec extends SparkSuite {
         !p.contains("BroadcastNestedLoopJoin"), s"$q plan has an all-pairs join")
     }
   }
+
+  test("incremental-index probe prunes the postings scan by partition") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsh-idx-audit")
+      .toFile.getAbsolutePath
+    val idx = new graft.ops.MinHashIndex(spark, dir, "doc_id", "text")
+    val docs = (1L to 20L)
+      .map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta v$i"))
+      .toDF("doc_id", "text")
+    idx.addAndFindPairs(docs.where(col("doc_id") <= 10))
+    // the probe's band/bp predicates must reach the postings scan as
+    // PARTITION filters (pruned listing), not post-scan row filters — the
+    // property the (band, bp) directory layout exists for. The returned
+    // pairs DF is checkpointed (its executed plan is just the checkpoint
+    // scan), so audit the probe-shaped read directly.
+    val probe = spark.read.parquet(dir)
+      .where(col("band").isin(0, 1) && col("bp").isin("p0", "p1"))
+    val scan = probe.queryExecution.executedPlan.toString
+    val partFilters = scan.linesIterator
+      .find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(partFilters.contains("band") && partFilters.contains("bp"),
+      s"band/bp must prune partitions, got: $partFilters\n$scan")
+  }
 }
