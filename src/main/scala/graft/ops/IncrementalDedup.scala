@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.io.File
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,29 +24,99 @@ import org.apache.spark.sql.functions._
   * `q_dedup_incremental` oracle checks that equality hash-for-hash against
   * the same DuckDB SQL as `q_minhash_lsh`.
   *
+  * '''Storage lifecycle.''' Postings live in GENERATION directories with an
+  * atomically-swapped `_current` pointer (the [[ParquetKvStore]] pattern):
+  * appends accumulate one parquet file per touched (band, bp) partition per
+  * batch inside the live generation, and a periodic [[compact]] rewrites
+  * them into ONE file per partition in a fresh generation — so a pipeline
+  * that runs forever (the [[graft.sources.CronTriggerer.runLoop]] shape)
+  * keeps per-partition file counts O(1) instead of O(batches). Compaction
+  * can also EXPIRE postings by batch age (`retainOrdGe`), the analog of the
+  * reference dedup snapshot horizon (`MessageDeduplication.takeSnapshot`,
+  * pulsar-broker/.../persistent/MessageDeduplication.java): an expired
+  * document silently stops matching future near-dups, which is the
+  * retention contract, not a bug.
+  *
+  * Appends, probes, and compaction are serialized by a SINGLE driver (the
+  * cron-loop contract shared with [[graft.streaming.DelayedBuckets]]): a
+  * reader holding a pre-compact [[addAndFindPairs]] result stays scannable
+  * for one compact cycle (the replaced generation is retained until the
+  * next one), but an append racing a concurrent compact could land in a
+  * generation that is about to be retired — do not run them concurrently.
+  *
   * The reference analog is dedup state that outlives any one run (broker
-  * dedup cursors persisted in `MessageDeduplication.java` snapshots); the
-  * index here is an append-only parquet postings table, compactable like
-  * any other.
+  * dedup cursors persisted in `MessageDeduplication.java` snapshots).
   */
 class MinHashIndex(spark: SparkSession, path: String, idCol: String,
                    textCol: String, shingleK: Int = 3, numHashes: Int = 16,
                    bands: Int = 4, maxBucket: Int = 1024,
                    prefixChars: Int = 1) {
 
-  /** The stored postings, partitioned on (band, bucket-prefix). Only a
-    * MISSING index maps to None — absent path, or a path with no partition
-    * directories yet (a zero-row append leaves just a _SUCCESS marker). A
-    * read FAILURE (permissions, corrupt footer) must propagate, not
-    * silently degrade into "empty index" and drop every cross-batch pair
-    * while still reporting success. */
-  private def postings(): Option[DataFrame] = {
-    val d = new java.io.File(path)
-    val hasData = d.exists() &&
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .exists(f => f.isDirectory && f.getName.startsWith("band="))
-    if (!hasData) None else Some(spark.read.parquet(path))
+  private def pointer = new File(path, "_current")
+
+  private def currentGen(): Option[File] =
+    if (!pointer.exists()) None
+    else {
+      val name = new String(
+        java.nio.file.Files.readAllBytes(pointer.toPath), "UTF-8").trim
+      Some(new File(path, name)).filter(_.exists())
+    }
+
+  /** Absolute path of the live postings generation, if any — for plan
+    * audits and external scans of the raw postings. */
+  def currentGenerationPath: Option[String] =
+    currentGen().map(_.getAbsolutePath)
+
+  private def nextGenIndex(): Int = {
+    val existing = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName.stripPrefix("gen-").toInt)
+    // orphans from a crash between write and pointer swap count too, so a
+    // retry never writes into a half-written directory
+    if (existing.isEmpty) 0 else existing.max + 1
   }
+
+  private def swapPointer(genName: String): Unit = {
+    val tmp = new File(path, "._current.tmp")
+    java.nio.file.Files.write(tmp.toPath, genName.getBytes("UTF-8"))
+    if (!tmp.renameTo(pointer)) {
+      pointer.delete()
+      if (!tmp.renameTo(pointer))
+        throw new java.io.IOException(s"index pointer swap failed at $path")
+    }
+  }
+
+  /** The generation appends land in: the live one, or a freshly-created
+    * `gen-0` on the first append (pointer swapped before the write, so a
+    * crash mid-append leaves a pointed-at generation with partial
+    * partitions — whose rows simply re-pair idempotently on replay). */
+  private def appendGen(): File = currentGen().getOrElse {
+    val d = new File(path)
+    d.mkdirs()
+    // a pre-generation index (band= dirs at the top level) must fail loudly:
+    // silently probing an empty generation would drop every cross-batch pair
+    if (Option(d.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.startsWith("band=")))
+      throw new IllegalStateException(
+        s"index at $path uses the pre-generation flat layout — rebuild it " +
+          "(probing past it would silently drop every cross-batch pair)")
+    val gen = new File(path, s"gen-${nextGenIndex()}")
+    gen.mkdirs()
+    swapPointer(gen.getName)
+    gen
+  }
+
+  /** The stored postings, partitioned on (band, bucket-prefix) inside the
+    * live generation. Only a MISSING index maps to None — no generation
+    * yet, or one with no partition directories (a zero-row append leaves
+    * just a _SUCCESS marker). A read FAILURE (permissions, corrupt footer)
+    * must propagate, not silently degrade into "empty index" and drop
+    * every cross-batch pair while still reporting success. */
+  private def postings(): Option[DataFrame] =
+    currentGen().filter { g =>
+      Option(g.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.startsWith("band="))
+    }.map(g => spark.read.parquet(g.getAbsolutePath))
 
   /** The prefix width the index was CREATED with wins over the
     * constructor: probing p3a-style directories with p3-style filters (or
@@ -79,9 +151,16 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
   private def bp =
     concat(lit("p"), substring(col("bucket"), 1, effectivePrefixChars))
 
-  /** Probe + emit + append for one batch. Returns (doc_a, doc_b) candidate
-    * near-dup pairs, doc_a < doc_b, involving at least one batch document. */
-  def addAndFindPairs(batch: DataFrame): DataFrame = {
+  /** Probe + emit + append for one batch, stamped with the current wall
+    * clock as its batch ord. Returns (doc_a, doc_b) candidate near-dup
+    * pairs, doc_a < doc_b, involving at least one batch document. */
+  def addAndFindPairs(batch: DataFrame): DataFrame =
+    addAndFindPairs(batch, System.currentTimeMillis())
+
+  /** As [[addAndFindPairs]], with an explicit batch ord (epoch-ms or any
+    * monotone batch stamp) persisted on the appended postings — the age
+    * axis [[compact]]'s retention horizon prunes on. */
+  def addAndFindPairs(batch: DataFrame, batchOrd: Long): DataFrame = {
     val rowsPerBand = numHashes / bands
     val newBB = MinHashLsh.bandBuckets(
       MinHashLsh.signatures(batch, idCol, textCol, shingleK, numHashes),
@@ -107,7 +186,8 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
           val bandsTouched = touchedParts.map(_._1).distinct.toSeq
           val prefixesTouched = touchedParts.map(_._2).distinct.toSeq
           old.where(col("band").isin(bandsTouched: _*) &&
-              col("bp").isin(prefixesTouched: _*)).drop("bp")
+              col("bp").isin(prefixesTouched: _*))
+            .select(col(idCol), col("band"), col("bucket"))
             .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
             .withColumn("__new", lit(false))
         case None => newBB.limit(0)
@@ -154,9 +234,43 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
       // writes one file into every directory it has rows for — tasks ×
       // dirs tiny files per batch instead of one file per touched dir
       newBB.drop("__new").withColumn("bp", bp)
+        .withColumn("ord", lit(batchOrd))
         .repartition(col("band"), col("bp"))
-        .write.mode("append").partitionBy("band", "bp").parquet(path)
+        .write.mode("append").partitionBy("band", "bp")
+        .parquet(appendGen().getAbsolutePath)
       pairs
     } finally newBB.unpersist()
+  }
+
+  /** Rewrite the accumulated per-batch append files into ONE file per
+    * (band, bp) partition in a fresh generation, atomically swapped in —
+    * per-partition file counts go back to O(1) no matter how many batches
+    * appended, and the pair set [[addAndFindPairs]] computes is unchanged.
+    *
+    * `retainOrdGe` additionally EXPIRES postings whose batch ord predates
+    * the horizon: their documents stop matching future near-dups (the
+    * dedup-snapshot retention contract). The replaced generation is kept
+    * until the next compact so a lazy reader bound to it stays scannable;
+    * anything older (including crash orphans) is deleted. No-op on an
+    * empty index. */
+  def compact(retainOrdGe: Option[Long] = None): Unit = {
+    val prev = currentGen()
+    postings().foreach { p =>
+      val kept = retainOrdGe.map(h => p.where(col("ord") >= h)).getOrElse(p)
+      val next = new File(path, s"gen-${nextGenIndex()}")
+      kept.repartition(col("band"), col("bp"))
+        .write.partitionBy("band", "bp").parquet(next.getAbsolutePath)
+      swapPointer(next.getName)
+      val keep = Set(next.getName) ++ prev.map(_.getName)
+      Option(new File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
+          !keep(f.getName))
+        .foreach(deleteRecursively)
+    }
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 }

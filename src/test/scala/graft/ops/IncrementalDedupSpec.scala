@@ -61,6 +61,86 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(pairSet(idx.addAndFindPairs(dup)) == Set((1L, 100L)))
   }
 
+  // data files per (band, bp) partition directory of the LIVE generation
+  private def filesPerPartition(idx: MinHashIndex): Map[String, Int] = {
+    val gen = new java.io.File(idx.currentGenerationPath.get)
+    (for {
+      band <- Option(gen.listFiles()).getOrElse(Array.empty)
+        if band.isDirectory && band.getName.startsWith("band=")
+      bp <- Option(band.listFiles()).getOrElse(Array.empty)
+        if bp.isDirectory && bp.getName.startsWith("bp=")
+    } yield s"${band.getName}/${bp.getName}" ->
+      bp.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+  }
+
+  test("compact collapses per-batch append files to one per partition, pair set unchanged") {
+    val docs = corpus()
+    val dirA = Files.createTempDirectory("lsh-idx-a").toFile.getAbsolutePath
+    val dirB = Files.createTempDirectory("lsh-idx-b").toFile.getAbsolutePath
+    val plain = new MinHashIndex(spark, dirA, "doc_id", "text")
+    val compacted = new MinHashIndex(spark, dirB, "doc_id", "text")
+    val splits = Seq(
+      docs.where(col("doc_id") <= 5),
+      docs.where(col("doc_id") > 5 && col("doc_id") <= 13))
+    val last = docs.where(col("doc_id") > 13)
+    splits.foreach { b => plain.addAndFindPairs(b); compacted.addAndFindPairs(b) }
+    assert(filesPerPartition(compacted).values.exists(_ > 1),
+      "appends should have accumulated multiple files in some partition")
+    compacted.compact()
+    val after = filesPerPartition(compacted)
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"compact must leave exactly one file per partition, got $after")
+    // the replaced generation is retained ONE cycle (lazy-reader bound);
+    // a second compact retires it
+    def gens() = Option(new java.io.File(dirB).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("gen-"))
+      .map(_.getName).toSet
+    assert(gens().size == 2, s"prev generation must be retained, got ${gens()}")
+    compacted.compact()
+    assert(gens().size == 2, s"older generations must be reaped, got ${gens()}")
+    // probes against the compacted index see exactly what the plain one sees
+    assert(pairSet(compacted.addAndFindPairs(last)) ==
+      pairSet(plain.addAndFindPairs(last)))
+  }
+
+  test("compaction retention expires postings by batch ord") {
+    val docs = corpus()
+    val dir = Files.createTempDirectory("lsh-idx-ttl").toFile.getAbsolutePath
+    val idx = new MinHashIndex(spark, dir, "doc_id", "text")
+    idx.addAndFindPairs(docs.where(col("doc_id") === 1), batchOrd = 1000L)
+    idx.addAndFindPairs(docs.where(col("doc_id") === 2), batchOrd = 3000L)
+    idx.compact(retainOrdGe = Some(2000L))
+    // doc 1's postings predate the horizon: a fresh duplicate pairs only
+    // with the retained doc 2 (both are variants of the same boilerplate)
+    import spark.implicits._
+    val dup = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta variant9"))
+      .toDF("doc_id", "text")
+    assert(pairSet(idx.addAndFindPairs(dup, batchOrd = 5000L)) == Set((2L, 100L)))
+  }
+
+  test("compact ignores crash-orphan generations and a pre-generation layout fails loudly") {
+    val docs = corpus()
+    val dir = Files.createTempDirectory("lsh-idx-orphan").toFile
+    val idx = new MinHashIndex(spark, dir.getAbsolutePath, "doc_id", "text")
+    idx.addAndFindPairs(docs.where(col("doc_id") <= 5))
+    // orphan from a crash between write and pointer swap: never pointed at,
+    // must be skipped by probes and reaped by compact (not re-pointed)
+    new java.io.File(dir, "gen-7").mkdirs()
+    idx.compact()
+    assert(idx.currentGenerationPath.get.endsWith("gen-8"),
+      "compact must allocate past the orphan, never reuse its directory")
+    assert(!new java.io.File(dir, "gen-7").exists(), "orphan must be reaped")
+    assert(pairSet(idx.addAndFindPairs(docs.where(col("doc_id") === 13))) ==
+      (1L to 5L).map((_, 13L)).toSet)
+    // a flat pre-generation layout must throw, not probe an empty index
+    val legacy = Files.createTempDirectory("lsh-idx-legacy").toFile
+    new java.io.File(legacy, "band=0").mkdirs()
+    val bad = new MinHashIndex(spark, legacy.getAbsolutePath, "doc_id", "text")
+    intercept[IllegalStateException] {
+      bad.addAndFindPairs(docs.where(col("doc_id") === 1))
+    }
+  }
+
   test("the prefix width the index was created with wins over the constructor") {
     val docs = corpus()
     val dir = Files.createTempDirectory("lsh-idx-pfx").toFile.getAbsolutePath

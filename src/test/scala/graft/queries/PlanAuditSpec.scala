@@ -157,7 +157,7 @@ class PlanAuditSpec extends SparkSuite {
     // property the (band, bp) directory layout exists for. The returned
     // pairs DF is checkpointed (its executed plan is just the checkpoint
     // scan), so audit the probe-shaped read directly.
-    val probe = spark.read.parquet(dir)
+    val probe = spark.read.parquet(idx.currentGenerationPath.get)
       .where(col("band").isin(0, 1) && col("bp").isin("p0", "p1"))
     val scan = probe.queryExecution.executedPlan.toString
     val partFilters = scan.linesIterator
