@@ -25,7 +25,16 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *    reaped at the next merge (the Redis SETEX analog, lazily evicted).
   *    A merge reaps only the state it rewrites — in the bucketed store
   *    that is the touched buckets, so workloads whose keys go cold run
-  *    [[BucketedKvStore.reapAll]] periodically to bound cold-bucket disk.
+  *    [[BucketedKvStore.reapAll]] periodically to bound cold-bucket disk;
+  *  - optional tombstone retention: without a horizon, every deleted key's
+  *    tombstone is rewritten into every future generation of its bucket
+  *    forever, so a workload with ongoing deletes grows the store
+  *    unboundedly. `tombstoneRetainMs` reaps tombstones `retainMs` after
+  *    the merge that persisted them (the analog of the reference
+  *    compactor's eventual tombstone drop) — set it beyond the maximum
+  *    replay window: a batch replayed from FURTHER back than the horizon
+  *    can resurrect a key whose tombstone was already reaped, which is the
+  *    standard tombstone-GC contract, not a bug.
   *
   * [[ParquetKvStore]] is the embedded implementation: a compacted keyed
   * table maintained by merge-on-write into GENERATION directories with an
@@ -66,10 +75,15 @@ object KvStoreExpiry {
   * @param expireAtCol optional epoch-ms column; entries with a non-null
   *                  value ≤ `now` are invisible to [[read]] and reaped at
   *                  the next [[merge]]
+  * @param tombstoneRetainMs optional horizon: a tombstone leaves disk at
+  *                  the first merge that runs ≥ this many ms after the
+  *                  merge that persisted it. Choose it beyond the maximum
+  *                  replay window (see the class doc's GC contract).
   */
 class ParquetKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
                      ord: Column, valueCol: String,
-                     expireAtCol: Option[String] = None)
+                     expireAtCol: Option[String] = None,
+                     tombstoneRetainMs: Option[Long] = None)
   extends KvStore {
   new File(path).mkdirs()
 
@@ -110,6 +124,7 @@ class ParquetKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     case Some(gen) =>
       notExpired(spark.read.parquet(gen.getAbsolutePath))
         .where(col(valueCol).isNotNull) // tombstones are bookkeeping
+        .drop("__reap_at") // as is the tombstone reap stamp, when present
     case None => throw new IllegalStateException(
       s"ParquetKvStore at $path has no state yet (no merge ran)")
   }
@@ -120,11 +135,38 @@ class ParquetKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     // live stored data (and vice versa) and the outcome is independent of
     // which side of a merge an entry arrives on; tombstones are kept and
     // compete by ord — the convergence guarantee
+    val now = System.currentTimeMillis()
     val prevGen = currentGen()
-    val base = notExpired(prevGen
-      .map(g => spark.read.parquet(g.getAbsolutePath).unionByName(lastPerKey))
-      .getOrElse(lastPerKey))
-    val merged = Compaction.compact(base, keyCols, ord)
+    // an incoming batch never carries the reap stamp; null-fill it so the
+    // union is schema-stable whichever side a row arrives on (and a store
+    // predating the horizon option null-fills the stored side)
+    val incoming =
+      if (tombstoneRetainMs.isDefined)
+        lastPerKey.withColumn("__reap_at", lit(null).cast("long"))
+      else lastPerKey
+    val unioned = prevGen
+      .map(g => spark.read.parquet(g.getAbsolutePath).unionByName(incoming,
+        allowMissingColumns = tombstoneRetainMs.isDefined))
+      .getOrElse(incoming)
+    // tombstones stamped by an EARLIER merge whose horizon has passed leave
+    // disk here; a replayed old tombstone re-arrives unstamped and is
+    // re-stamped below, which only extends its retention, never its version
+    val reaped = tombstoneRetainMs match {
+      case Some(_) => unioned.where(col(valueCol).isNotNull ||
+        col("__reap_at").isNull || col("__reap_at") > now)
+      case None => unioned
+    }
+    val base = notExpired(reaped)
+    val compacted = Compaction.compact(base, keyCols, ord)
+    // surviving unstamped tombstones get this merge's horizon; live rows
+    // never carry a stamp (a key can die and be re-upserted — the stamp
+    // must not survive the resurrection)
+    val merged = tombstoneRetainMs match {
+      case Some(h) => compacted.withColumn("__reap_at",
+        when(col(valueCol).isNotNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("__reap_at"), lit(now + h))))
+      case None => compacted
+    }
     val gen = new File(path, s"gen-${nextGenIndex()}")
     merged.write.mode("overwrite").parquet(gen.getAbsolutePath)
     // atomic pointer swap: readers see the old complete generation until
@@ -177,7 +219,8 @@ class ParquetKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
 class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
                       ord: Column, valueCol: String,
                       expireAtCol: Option[String] = None,
-                      numBuckets: Int = 64)
+                      numBuckets: Int = 64,
+                      tombstoneRetainMs: Option[Long] = None)
   extends KvStore {
   require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
   new File(path).mkdirs()
@@ -215,14 +258,18 @@ class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
   private def bucketStore(b: Int): ParquetKvStore =
     new ParquetKvStore(spark,
       new File(path, f"bucket-$b%05d").getAbsolutePath,
-      keyCols, ord, valueCol, expireAtCol)
+      keyCols, ord, valueCol, expireAtCol, tombstoneRetainMs)
 
   override def merge(lastPerKey: DataFrame): Unit = {
     // ONE pass over the batch writes it partitioned by bucket; only the
-    // partition directories that exist are merged
+    // partition directories that exist are merged. Repartition ON the
+    // bucket column first: otherwise every upstream task writes one file
+    // into every bucket it has rows for — tasks × touched-buckets tiny
+    // staging files instead of one per touched bucket
     val staging = new File(path, s"_staging-${java.util.UUID.randomUUID()}")
     try {
       lastPerKey.withColumn("__b", bucketExpr)
+        .repartition(col("__b"))
         .write.partitionBy("__b").parquet(staging.getAbsolutePath)
       val touched = Option(staging.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("__b="))
@@ -242,12 +289,13 @@ class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     * batch touched — per-bucket merges only reap the buckets they rewrite,
     * so a periodic reapAll (the Redis active-expire / HBase major-compaction
     * analog) is what bounds disk for workloads whose keys go cold.
-    * Tombstones are NOT reaped: they must outlive any replayable older
-    * upsert to keep convergence. */
+    * Tombstones are reaped only past `tombstoneRetainMs` (never, when
+    * unset): they must outlive any replayable older upsert to keep
+    * convergence. */
   def reapAll(): Unit =
     inParallel(bucketDirs().toSeq)(b =>
       new ParquetKvStore(spark, b.getAbsolutePath, keyCols, ord,
-        valueCol, expireAtCol).reap())
+        valueCol, expireAtCol, tombstoneRetainMs).reap())
 
   private def inParallel[A](work: Seq[A])(f: A => Unit): Unit = {
     if (work.nonEmpty) {
@@ -276,6 +324,7 @@ class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     KvStoreExpiry.notExpired(spark.read.parquet(gens.toIndexedSeq: _*),
       expireAtCol)
       .where(col(valueCol).isNotNull)
+      .drop("__reap_at")
   }
 
   private def deleteRecursively(f: File): Unit = {

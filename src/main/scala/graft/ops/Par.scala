@@ -15,7 +15,11 @@ import org.apache.spark.sql.DataFrame
   *    plans): their width is unknowable without planning the query twice
   *    (the old `df.rdd.getNumPartitions` probe did exactly that and pinned
   *    the pre-AQE partitioning), and forcing a repartition would collapse a
-  *    plan that is already wide;
+  *    plan that is already wide. LocalRelation inputs are safe to skip for
+  *    a different reason: LocalTableScanExec parallelizes its rows across
+  *    leafNodeDefaultParallelism on its own (asserted in ParSpreadSpec, so
+  *    a Spark behavior change surfaces as a test failure, not a silent
+  *    1-partition hash loop);
   *  - for file-backed inputs, estimates the scan's partition count the way
   *    `FilePartition` bin-packs splits (openCost padding, maxPartitionBytes
   *    / bytesPerCore split sizing). A raw file COUNT is not enough: many

@@ -49,6 +49,24 @@ object DelayedBuckets {
     } finally defer.unpersist()
   }
 
+  /** Run tokens of in-flight [[reingestDue]] calls in THIS JVM: the
+    * recovery sweep must not drain an aside dir a concurrent run (a cron
+    * fire overlapping a manual run — same driver process, the deployment
+    * contract) renamed and is actively draining; only orphans whose owner
+    * is no longer live are crash debris. Cross-PROCESS overlap stays
+    * unsupported, like every single-driver component here. */
+  private val liveRuns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[streaming] def registerRun(token: String): Unit = liveRuns.add(token)
+  private[streaming] def unregisterRun(token: String): Unit =
+    liveRuns.remove(token)
+
+  /** Token embedded in an aside-dir name: `.retiring-<token>-<bucket dir>`.
+    * Dash-free so it parses back unambiguously. */
+  private def asideToken(name: String): String =
+    name.stripPrefix(".retiring-").takeWhile(_ != '-')
+
   /** Re-ingest every parked bucket whose window END is within `horizonMs`
     * of `nowMs` — then EVERY row in the bucket satisfies the tracker's own
     * near/far predicate against wall clock, so nothing ping-pongs back into
@@ -65,34 +83,41 @@ object DelayedBuckets {
     * re-ingested bucket ids, and a second run is a no-op. */
   def reingestDue(spark: SparkSession, root: String, targetTopic: String,
                   nowMs: Long, bucketMs: Long, horizonMs: Long): Seq[Long] = {
-    def drain(dir: File): Unit = {
-      spark.read.format("graft-topic").option("path", dir.getAbsolutePath)
-        .load()
-        .select(col("key"), col("value"), col("sequence_id"),
-          col("event_time"))
-        .write.format("graft-topic").mode("append")
-        .option("path", targetTopic).save()
-      deleteRecursively(dir)
-    }
-    def listed() = Option(new File(root).listFiles()).getOrElse(Array.empty)
-    // recover first: a crash between a previous run's target write and its
-    // cleanup leaves a .retiring dir — it was due then, so drain it now
-    // (rows already written before the crash re-ingest again: the
-    // at-least-once side of the contract)
-    listed().filter(f => f.isDirectory && f.getName.startsWith(".retiring-"))
-      .foreach(drain)
-    val due = listed()
-      .filter(f => f.isDirectory && f.getName.startsWith("delayed-bucket-"))
-      .map(f => (f.getName.stripPrefix("delayed-bucket-").toLong, f))
-      .filter { case (b, _) => (b + 1) * bucketMs <= nowMs + horizonMs }
-      .sortBy(_._1)
-    val ingested = due.flatMap { case (b, dir) =>
-      val aside = new File(root,
-        s".retiring-${dir.getName}-${java.util.UUID.randomUUID()}")
-      if (!dir.renameTo(aside)) None // lost a race with another run: skip
-      else { drain(aside); Some(b) }
-    }
-    ingested.toIndexedSeq
+    val runToken = java.util.UUID.randomUUID().toString.replace("-", "")
+    registerRun(runToken)
+    try {
+      def drain(dir: File): Unit = {
+        spark.read.format("graft-topic").option("path", dir.getAbsolutePath)
+          .load()
+          .select(col("key"), col("value"), col("sequence_id"),
+            col("event_time"))
+          .write.format("graft-topic").mode("append")
+          .option("path", targetTopic).save()
+        deleteRecursively(dir)
+      }
+      def listed() = Option(new File(root).listFiles()).getOrElse(Array.empty)
+      // recover first: a crash between a previous run's target write and its
+      // cleanup leaves a .retiring dir — it was due then, so drain it now
+      // (rows already written before the crash re-ingest again: the
+      // at-least-once side of the contract). Aside dirs OWNED by a live
+      // concurrent run are being drained by that run, not orphans: draining
+      // them here would double-ingest the bucket and race the owner's
+      // cleanup.
+      listed().filter(f => f.isDirectory && f.getName.startsWith(".retiring-"))
+        .filterNot(f => liveRuns.contains(asideToken(f.getName)))
+        .foreach(drain)
+      val due = listed()
+        .filter(f => f.isDirectory && f.getName.startsWith("delayed-bucket-"))
+        .map(f => (f.getName.stripPrefix("delayed-bucket-").toLong, f))
+        .filter { case (b, _) => (b + 1) * bucketMs <= nowMs + horizonMs }
+        .sortBy(_._1)
+      val ingested = due.flatMap { case (b, dir) =>
+        val aside = new File(root, s".retiring-$runToken-${dir.getName}")
+        if (!dir.renameTo(aside)) None // lost a race with another run: skip
+        else { drain(aside); Some(b) }
+      }
+      ingested.toIndexedSeq
+    } finally unregisterRun(runToken)
   }
 
   private def deleteRecursively(f: File): Unit = {

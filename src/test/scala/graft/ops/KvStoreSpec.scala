@@ -228,6 +228,57 @@ class KvStoreSpec extends SparkSuite {
     assert(e.getMessage.contains("corrupt"))
   }
 
+  test("tombstone retention: deleted keys leave disk past the horizon, convergence holds within it") {
+    val dir = Files.createTempDirectory("kv-tomb").toFile.getAbsolutePath
+    val store = new ParquetKvStore(spark, dir, Seq("k"), col("ver"), "v",
+      tombstoneRetainMs = Some(0L))
+    KvStore.upsertBatch(rows(("a", 1L, "a1"), ("b", 1L, "b1")),
+      Seq("k"), col("ver"), store)
+    KvStore.upsertBatch(rows(("a", 2L, null)), Seq("k"), col("ver"), store)
+    // the tombstone IS persisted by its own merge (it must beat ord=1)
+    def storedKeys() = spark.read.parquet(store.currentGenPath.get)
+      .select("k").as[String].collect().toSet
+    assert(storedKeys() == Set("a", "b"))
+    Thread.sleep(5) // let the 0ms horizon pass
+    KvStore.upsertBatch(rows(("c", 3L, "c3")), Seq("k"), col("ver"), store)
+    assert(storedKeys() == Set("b", "c"),
+      "a tombstone past its horizon must leave disk at the next merge")
+    // a replay from BEFORE the horizon resurrects the key — the documented
+    // tombstone-GC contract (choose the horizon beyond the replay window)
+    KvStore.upsertBatch(rows(("a", 1L, "a1")), Seq("k"), col("ver"), store)
+    assert(store.read().where(col("k") === "a").count() == 1)
+
+    // within the horizon, convergence is intact: a newer delete still beats
+    // an older upsert replayed after it
+    val dir2 = Files.createTempDirectory("kv-tomb2").toFile.getAbsolutePath
+    val store2 = new ParquetKvStore(spark, dir2, Seq("k"), col("ver"), "v",
+      tombstoneRetainMs = Some(3600000L))
+    KvStore.upsertBatch(rows(("d", 9L, null)), Seq("k"), col("ver"), store2)
+    KvStore.upsertBatch(rows(("d", 7L, "d7")), Seq("k"), col("ver"), store2)
+    assert(store2.read().count() == 0)
+    // the reap stamp is bookkeeping: never in read()'s schema
+    assert(!store2.read().columns.contains("__reap_at"))
+  }
+
+  test("bucketed store: reapAll drops expired tombstones from untouched buckets") {
+    val dir = Files.createTempDirectory("kv-tomb-b").toFile.getAbsolutePath
+    val store = new BucketedKvStore(spark, dir, Seq("k"), col("ver"), "v",
+      numBuckets = 4, tombstoneRetainMs = Some(0L))
+    KvStore.upsertBatch(rows(("a", 1L, "a1"), ("b", 2L, null)),
+      Seq("k"), col("ver"), store)
+    def storedKeys() = new File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket-"))
+      .flatMap(b => b.listFiles().filter(_.getName.startsWith("gen-"))
+        .sortBy(_.getName).lastOption)
+      .map(g => spark.read.parquet(g.getAbsolutePath))
+      .reduce(_ unionByName _).select("k").as[String].collect().toSet
+    assert(storedKeys() == Set("a", "b"))
+    Thread.sleep(5)
+    store.reapAll()
+    assert(storedKeys() == Set("a"),
+      "reapAll must retire horizon-expired tombstones with no incoming batch")
+  }
+
   test("a crash orphan generation never breaks the next merge") {
     val dir = Files.createTempDirectory("kv-crash").toFile.getAbsolutePath
     val store = newStore(dir)

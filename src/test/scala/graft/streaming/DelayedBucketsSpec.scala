@@ -77,6 +77,32 @@ class DelayedBucketsSpec extends SparkSuite {
     assert(!new File(root, ".retiring-crashed-run").exists())
   }
 
+  test("the recovery sweep skips aside dirs owned by a live concurrent run") {
+    val root = Files.createTempDirectory("delayed-race").toFile.getAbsolutePath
+    val target = s"$root/__ingest"
+    DelayedBuckets.park(Seq(
+      DelayedRoute("kz", "vz", 6L, ts(70000L), "defer", 70000L / BucketMs))
+      .toDS(), root)
+    // another run in this JVM renamed the bucket aside and is draining it
+    val live = new File(s"$root/${StatefulOps.delayedBucketTopic(1L)}")
+    val token = "feedfacecafe"
+    val aside = new File(root, s".retiring-$token-${live.getName}")
+    assert(live.renameTo(aside))
+    DelayedBuckets.registerRun(token)
+    try {
+      assert(DelayedBuckets.reingestDue(spark, root, target,
+        nowMs = 0L, bucketMs = BucketMs, horizonMs = 0L).isEmpty)
+      assert(aside.exists(),
+        "an aside dir owned by a live run must not be swept (double-ingest)")
+    } finally DelayedBuckets.unregisterRun(token)
+    // the owner is gone: now it is crash debris and sweeps normally
+    DelayedBuckets.reingestDue(spark, root, target,
+      nowMs = 0L, bucketMs = BucketMs, horizonMs = 0L)
+    assert(!aside.exists())
+    assert(spark.read.format("graft-topic").option("path", target).load()
+      .select("key").as[String].collect().toSeq == Seq("kz"))
+  }
+
   test("re-ingested messages flow back through the bounded tracker as near-term") {
     // the full loop, batch-shaped: a bucket re-ingests into a topic whose
     // rows become DelayedMsg input again; within the horizon the tracker
