@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.io.File
 
-import graft.streaming.StatefulOps.delayedBucketTopic
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,12 +13,15 @@ import org.apache.spark.sql.functions._
   *
   * `delayedDeliveryBounded` emits far-future messages as disposition
   * "defer" with a `deliverAt / bucketMs` bucket id; [[park]] writes each
-  * micro-batch's deferred rows into per-bucket graft-topics
-  * (`delayed-bucket-<n>`), and a periodic [[reingestDue]] (cron-triggered
-  * batch job) moves every bucket whose window enters the live horizon back
-  * into the ingest topic, where the stream re-buffers them as near-term.
-  * Delivery state stays bounded by arrival-rate × horizon while the parked
-  * backlog lives on storage, not in stream state.
+  * micro-batch's deferred rows into the PARKING-LOT topic at `root` — one
+  * envelope partition per bucket ([[StatefulOps.delayedBucketDir]]), so
+  * parking any number of buckets is ONE routed graft-topic write (the
+  * producer partition-router doing the fan-out inside the job), not a
+  * driver-paced per-bucket job loop. A periodic [[reingestDue]]
+  * (cron-triggered batch job) moves every bucket whose window enters the
+  * live horizon back into the ingest topic, where the stream re-buffers
+  * them as near-term. Delivery state stays bounded by arrival-rate ×
+  * horizon while the parked backlog lives on storage, not in stream state.
   *
   * Re-ingestion is AT-LEAST-ONCE: a crash between the target write and the
   * bucket retire re-ingests the bucket on the next run — the same
@@ -27,24 +29,26 @@ import org.apache.spark.sql.functions._
   * envelope keeps (key, sequence_id) for the standard downstream dedup. */
 object DelayedBuckets {
 
-  /** Park one batch of routes: "defer" rows land in their bucket topic
-    * under `root` (deliverAt rides the envelope's event_time, the original
-    * offset its sequence_id); "deliver" rows are untouched. Returns the
-    * parked bucket ids. The distinct-bucket set is bounded by the batch's
-    * deliver-at spread / bucketMs, so the driver-side loop stays small. */
+  /** Park one batch of routes: "defer" rows land in their bucket's
+    * partition of the parking-lot topic at `root` (deliverAt rides the
+    * envelope's event_time, the original offset its sequence_id, the
+    * bucket id the partition — the router fans out inside the ONE write
+    * job); "deliver" rows are untouched. Returns the parked bucket ids;
+    * the distinct-bucket aggregation is the only other job, so parking B
+    * buckets is O(1) jobs however large B grows. */
   def park(routes: Dataset[DelayedRoute], root: String): Seq[Long] = {
     val defer = routes.filter(_.disposition == "defer").persist()
     try {
       import routes.sparkSession.implicits._
       val buckets = defer.map(_.bucket).distinct().collect().sorted
-      buckets.foreach { b =>
-        defer.filter(_.bucket == b)
-          .select(col("key"), col("value"),
+      buckets.foreach(StatefulOps.delayedBucketDir) // int-range guard
+      if (buckets.nonEmpty)
+        defer.select(col("key"), col("value"),
             col("offset").as("sequence_id"),
-            col("deliverAt").as("event_time"))
+            col("deliverAt").as("event_time"),
+            col("bucket").cast("int").as("partition"))
           .write.format("graft-topic").mode("append")
-          .option("path", s"$root/${delayedBucketTopic(b)}").save()
-      }
+          .option("path", root).save()
       buckets.toIndexedSeq
     } finally defer.unpersist()
   }
@@ -106,9 +110,12 @@ object DelayedBuckets {
       listed().filter(f => f.isDirectory && f.getName.startsWith(".retiring-"))
         .filterNot(f => liveRuns.contains(asideToken(f.getName)))
         .foreach(drain)
+      val BucketDir = "partition-(\\d+)".r
       val due = listed()
-        .filter(f => f.isDirectory && f.getName.startsWith("delayed-bucket-"))
-        .map(f => (f.getName.stripPrefix("delayed-bucket-").toLong, f))
+        .flatMap(f => f.getName match {
+          case BucketDir(b) if f.isDirectory => Some((b.toLong, f))
+          case _ => None
+        })
         .filter { case (b, _) => (b + 1) * bucketMs <= nowMs + horizonMs }
         .sortBy(_._1)
       val ingested = due.flatMap { case (b, dir) =>

@@ -206,10 +206,11 @@ object StatefulOps {
     * due within `horizonMs` of the watermark are held in state and released
     * like [[delayedDelivery]]; farther-future messages are NOT buffered —
     * they emit immediately as disposition "defer" with their deliver-at
-    * bucket (`deliverAt / bucketMs`), for the caller to park in a bucket
-    * topic (e.g. `delayed-bucket-<n>`) and re-ingest when the bucket nears.
-    * State is then bounded by arrival-rate × horizon per key, independent of
-    * how far ahead deliveries are scheduled. */
+    * bucket (`deliverAt / bucketMs`), for the caller to park in the
+    * parking-lot topic (one partition per bucket, [[delayedBucketDir]]) and
+    * re-ingest when the bucket nears. State is then bounded by
+    * arrival-rate × horizon per key, independent of how far ahead
+    * deliveries are scheduled. */
   def delayedDeliveryBounded(ds: Dataset[DelayedMsg], horizonMs: Long,
                              bucketMs: Long): Dataset[DelayedRoute] = {
     import ds.sparkSession.implicits._
@@ -233,8 +234,17 @@ object StatefulOps {
       }
   }
 
-  /** The bucket-topic name a deferred message parks in. */
-  def delayedBucketTopic(bucket: Long): String = f"delayed-bucket-$bucket%012d"
+  /** The partition directory a deferred message parks in, inside the
+    * parking-lot topic ([[graft.streaming.DelayedBuckets.park]]): bucket
+    * id = envelope partition, the same `partition-NNN` layout every
+    * partitioned graft-topic uses, so ONE routed batch write parks every
+    * bucket at once. */
+  def delayedBucketDir(bucket: Long): String = {
+    require(bucket >= 0 && bucket <= Int.MaxValue.toLong,
+      s"bucket id $bucket does not fit the envelope partition column — " +
+        "bucketMs is too small for the deliver-at range")
+    f"partition-$bucket%03d"
+  }
 
   /** Per-key dispatch throttling: emit at most `maxPerTrigger` records per
     * key per micro-batch in offset order, deferring the excess in state —

@@ -28,12 +28,12 @@ class DelayedBucketsSpec extends SparkSuite {
     assert(parked == Seq(1L, 2L, 8L))
     // each bucket topic holds exactly its rows; "deliver" rows never park
     val b1 = spark.read.format("graft-topic")
-      .option("path", s"$root/${StatefulOps.delayedBucketTopic(1L)}").load()
+      .option("path", s"$root/${StatefulOps.delayedBucketDir(1L)}").load()
     assert(b1.select("key").as[String].collect().toSeq == Seq("k1"))
     // EXACTLY the three defer buckets exist — in particular no bucket for
     // the "deliver" row (its bucket id is -1)
     assert(new File(root).listFiles().map(_.getName).toSet ==
-      Set(1L, 2L, 8L).map(StatefulOps.delayedBucketTopic))
+      Set(1L, 2L, 8L).map(StatefulOps.delayedBucketDir))
 
     // now = 65s, horizon 60s: only bucket 1 (window ENDS 120s ≤ 125s) is
     // due — window-END due-ness means every handed-back row is within the
@@ -47,7 +47,7 @@ class DelayedBucketsSpec extends SparkSuite {
     assert(got1 == Set(("k1", "v1", 1L, 100000L)),
       "envelope must round-trip key/sequence_id/deliverAt")
     // the due bucket is retired; a second run is a no-op
-    assert(!new File(s"$root/${StatefulOps.delayedBucketTopic(1L)}").exists())
+    assert(!new File(s"$root/${StatefulOps.delayedBucketDir(1L)}").exists())
     assert(DelayedBuckets.reingestDue(spark, root, target,
       nowMs = 65000L, bucketMs = BucketMs, horizonMs = 60000L).isEmpty)
 
@@ -67,7 +67,7 @@ class DelayedBucketsSpec extends SparkSuite {
       .toDS(), root)
     // simulate the crash window: the bucket was renamed aside (this run's
     // first step) but the process died before draining it
-    val live = new File(s"$root/${StatefulOps.delayedBucketTopic(1L)}")
+    val live = new File(s"$root/${StatefulOps.delayedBucketDir(1L)}")
     assert(live.renameTo(new File(root, ".retiring-crashed-run")))
     // ANY later run sweeps the orphan first, even if nothing else is due
     assert(DelayedBuckets.reingestDue(spark, root, target,
@@ -84,7 +84,7 @@ class DelayedBucketsSpec extends SparkSuite {
       DelayedRoute("kz", "vz", 6L, ts(70000L), "defer", 70000L / BucketMs))
       .toDS(), root)
     // another run in this JVM renamed the bucket aside and is draining it
-    val live = new File(s"$root/${StatefulOps.delayedBucketTopic(1L)}")
+    val live = new File(s"$root/${StatefulOps.delayedBucketDir(1L)}")
     val token = "feedfacecafe"
     val aside = new File(root, s".retiring-$token-${live.getName}")
     assert(live.renameTo(aside))

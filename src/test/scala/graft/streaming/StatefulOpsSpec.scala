@@ -202,8 +202,8 @@ class StatefulOpsSpec extends SparkSuite {
     assert(deferred.exists(_.value == "far") && !deferred.exists(_.value == "near"))
     assert(deferred.find(_.value == "far").get.bucket ==
       ts("2024-01-01 03:30:00").getTime / 3600000L)
-    assert(StatefulOps.delayedBucketTopic(deferred.head.bucket)
-      .startsWith("delayed-bucket-"))
+    assert(StatefulOps.delayedBucketDir(deferred.head.bucket)
+      .startsWith("partition-"))
     // advance the watermark past the near message's deliverAt → released
     in.addData(DelayedMsg("wm", "tick2", 3L, ts("2024-01-01 00:01:30")))
     q.processAllAvailable()
