@@ -38,28 +38,47 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case t: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${t.getMessage}")
-          t.printStackTrace()
-          return -1.0
-        }
-        (System.nanoTime() - t0) / 1e9
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case t: Throwable =>
+        System.err.println(s"BENCH FAIL $name: ${t.getMessage}")
+        t.printStackTrace()
+        return -1.0
       }
-      val a = once()
-      val best = if (a < 0) a else { val b = once(); if (b < 0) b else math.min(a, b) }
-      if (best < 0) failed += name
-      name -> best
+      (System.nanoTime() - t0) / 1e9
     }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    selected.foreach { case (name, fn) =>
+      val a = once(name, fn)
+      val best = if (a < 0) a else {
+        val b = once(name, fn); if (b < 0) b else math.min(a, b)
+      }
+      if (best < 0) failed += name
+      results(name) = best
+    }
+    // noise guard: best-of-2 runs back-to-back, so a box-load spike spanning
+    // both looks like real operator cost (it inverted a 3x MinHash win into
+    // an apparent regression once). Re-time the slowest queries at the END
+    // of the run — the second look lands minutes after the first,
+    // decorrelating the noise — and keep the min.
+    val retimed = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
+      .flatMap { case (name, first) =>
+        val again = once(name, selected(name))
+        if (again >= 0 && again < first) { results(name) = again; Some(name) }
+        else None
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"retimed_improved":$retimedJson,"sf":"$sfDir"}"""
     println(line)
     // the stdout capture keeps only a tail, which has truncated the head of
     // this (long) line in past runs — persist the full record to a file so
