@@ -252,7 +252,7 @@ class TopicScan(path: String, filters: Array[Filter], required: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TopicMicroBatchStream(path, maxSegmentsPerTrigger, startingTimeMs,
-      pattern, frontierGraceMs)
+      pattern, frontierGraceMs, Some(checkpointLocation))
   override def description(): String =
     s"GraftTopicScan(path=$path, prunedBy=${filters.mkString(",")})"
 
@@ -573,7 +573,8 @@ class TopicMicroBatchStream(path: String,
                             maxSegmentsPerTrigger: Option[Int] = None,
                             startingTimeMs: Option[Long] = None,
                             pattern: Option[String] = None,
-                            frontierGraceMs: Option[Long] = None)
+                            frontierGraceMs: Option[Long] = None,
+                            checkpointLocation: Option[String] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -612,6 +613,66 @@ class TopicMicroBatchStream(path: String,
     * in the WAL) — a trigger failing between detection and offset commit
     * must not lose the recovery. */
   private val lateCandidates = mutable.Set.empty[(String, String)]
+
+  /** Observation-state sidecar under the stream's checkpoint directory.
+    * The firstSeen/absences/lateCandidates maps are the late-arrival
+    * defense's MEMORY; keeping them only in the JVM left the documented
+    * residual window — a late name whose first appearance landed across a
+    * restart re-entered the mtime baseline and was indistinguishable from
+    * a consumed one. Persisting them restores watch continuity: on restart
+    * the stream baselines from the sidecar, so a name absent from it is a
+    * genuinely NEW observation and the below-frontier check can park it
+    * for redelivery. Written tmp+rename after every plan (O(listing), the
+    * same order the listing itself costs); a CORRUPT sidecar fails loudly
+    * — silently treating it as missing would reopen the exact window it
+    * closes. State staler than the checkpointed offset (crash between
+    * plan and WAL commit) only re-observes names, which is idempotent. */
+  private def obsFile: Option[File] = checkpointLocation.map { loc =>
+    val dir =
+      if (loc.startsWith("file:")) new File(new java.net.URI(loc))
+      else new File(loc)
+    new File(dir, "graft-observations.json")
+  }
+
+  locally {
+    obsFile.filter(_.exists()).foreach { f =>
+      val node = new ObjectMapper().readTree(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      baselined = node.get("baselined").asBoolean
+      node.get("firstSeen").elements().asScala.foreach { e =>
+        firstSeen((e.get(0).asText, e.get(1).asText)) = e.get(2).asLong }
+      node.get("absences").elements().asScala.foreach { e =>
+        absences((e.get(0).asText, e.get(1).asText)) = e.get(2).asInt }
+      node.get("lateCandidates").elements().asScala.foreach { e =>
+        lateCandidates += ((e.get(0).asText, e.get(1).asText)) }
+    }
+  }
+
+  private def persistObservations(): Unit = obsFile.foreach { f =>
+    val nf = JsonNodeFactory.instance
+    val root = nf.objectNode()
+    root.put("baselined", baselined)
+    def tuples(xs: Iterable[((String, String), Option[Long])], field: String): Unit = {
+      val arr = nf.arrayNode()
+      xs.toSeq.sortBy(_._1).foreach { case ((p, n), v) =>
+        val e = nf.arrayNode(); e.add(p); e.add(n); v.foreach(e.add)
+        arr.add(e)
+      }
+      root.set[JsonNode](field, arr)
+    }
+    tuples(firstSeen.map { case (k, v) => k -> Some(v) }, "firstSeen")
+    tuples(absences.map { case (k, v) => k -> Some(v.toLong) }, "absences")
+    tuples(lateCandidates.map(_ -> None), "lateCandidates")
+    f.getParentFile.mkdirs()
+    val tmp = new File(f.getParentFile, "." + f.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, root.toString.getBytes("UTF-8"))
+    if (!tmp.renameTo(f)) {
+      f.delete()
+      if (!tmp.renameTo(f))
+        throw new java.io.IOException(
+          s"graft-topic: observation sidecar swap failed at $f")
+    }
+  }
 
   /** Full (topic#partition, segment) listing. Topic resolution AND partition
     * listing happen here, at plan time — new matching topics (regex
@@ -667,9 +728,12 @@ class TopicMicroBatchStream(path: String,
     * frontier advances and never needs the late-arrival path at all.
     * Keying on observation age (not mtime — POSIX rename preserves mtime,
     * so a foreign stage-then-rename writer would look pre-aged) covers
-    * writers that do not run this codebase. The residual window in both
-    * defenses is a restart: a late name whose first appearance lands while
-    * no reader JVM is watching is indistinguishable from a consumed one. */
+    * writers that do not run this codebase. Restarts do NOT reopen the
+    * window: observation state persists in a checkpoint sidecar
+    * ([[obsFile]]), so a late name first appearing while the query is
+    * stopped is still a new observation on restart and parks for
+    * redelivery; only a stream run without a checkpoint location (direct
+    * construction in tests) falls back to the mtime baseline. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[TopicOffset]
     val files = listedFiles
@@ -744,7 +808,9 @@ class TopicMicroBatchStream(path: String,
     }.toSet -- late ++ admitted
     // seeded marking: frontiers monotone vs the checkpointed start, parked
     // names survive a transient absence — see [[TopicOffset.marking]]
-    TopicOffset.marking(listed, consumedNow, startOff, retainedAbsent)
+    val out = TopicOffset.marking(listed, consumedNow, startOff, retainedAbsent)
+    persistObservations()
+    out
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

@@ -517,6 +517,52 @@ class TopicDataSourceSpec extends SparkSuite {
     assert(stream.planInputPartitions(off3, off4).isEmpty)
   }
 
+  test("a late name first appearing across a restart parks and is delivered (persisted observations)") {
+    // the docstring's old residual window: firstSeen lived only in the JVM,
+    // so a foreign late commit landing while the query was STOPPED entered
+    // the restart's mtime baseline and was classified consumed. With the
+    // checkpoint sidecar the restarted stream knows what it had seen.
+    import graft.sources.v2.{TopicMicroBatchStream, TopicOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmpDir()
+    val cp = tmpDir()
+    val pdir = new java.io.File(dir, "partition-000"); pdir.mkdirs()
+    def rawB(stamp: Long): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(pdir, f"segment-b$stamp%013d-x.jsonl").toPath,
+        s"""{"topic":"t","partition":0,"offset":$stamp,"key":"k","value":"v","event_time_ms":0,"publish_time_ms":0,"producer_name":"p","sequence_id":$stamp}"""
+          .getBytes("UTF-8"))
+    val s1 = new TopicMicroBatchStream(dir, checkpointLocation = Some(cp))
+    rawB(300)
+    val off1 = s1.latestOffset(TopicOffset.empty, ReadLimit.allAvailable())
+    assert(s1.planInputPartitions(TopicOffset.empty, off1).length == 1)
+    // the query stops; a foreign writer's late commit lands a LOWER name
+    // while no reader JVM is watching
+    rawB(200)
+    // restart: a fresh stream instance over the same checkpoint
+    val s2 = new TopicMicroBatchStream(dir, checkpointLocation = Some(cp))
+    val off2 = s2.latestOffset(off1, ReadLimit.allAvailable())
+    assert(s2.planInputPartitions(off1, off2).isEmpty,
+      "late name must park pending on the detection trigger")
+    val off3 = s2.latestOffset(off2, ReadLimit.allAvailable())
+    val batch = s2.planInputPartitions(off2, off3)
+      .map(_.asInstanceOf[graft.sources.v2.TopicInputPartition]
+        .file.split("/").last)
+    assert(batch.toSeq == Seq("segment-b0000000000200-x.jsonl"),
+      s"late name first observed across a restart was lost: $batch")
+    // no re-delivery afterwards
+    val off4 = s2.latestOffset(off3, ReadLimit.allAvailable())
+    assert(s2.planInputPartitions(off3, off4).isEmpty)
+    // a corrupt sidecar fails loudly instead of silently reopening the
+    // restart window as "no state"
+    java.nio.file.Files.write(
+      new java.io.File(cp, "graft-observations.json").toPath,
+      "not json".getBytes("UTF-8"))
+    intercept[Exception] {
+      new TopicMicroBatchStream(dir, checkpointLocation = Some(cp))
+    }
+  }
+
   test("batch segment names are driver-issued at job commit (no task clocks)") {
     val dir = tmpDir()
     // 3 tasks × up to 3 envelope partitions each stage invisibly; the job
