@@ -12,10 +12,15 @@ import org.apache.spark.sql.types._
   * deterministic pixel-derived embedding. AUDIO decode is REAL too:
   * `javax.sound.sampled` parses WAV/AIFF headers and 16-bit PCM frames,
   * yielding true sample-rate/channels/duration and a PCM-derived embedding.
-  * Only VIDEO stays behind the clearly-marked `stubDecode` (the JDK ships
-  * no video codec); a payload that fails image/audio decode also falls back
-  * there, so the pipeline never throws on corrupt blobs. Swapping in a
-  * richer codec = replacing one function, nothing else moves.
+  * MULTI-FRAME decode is real as well: ImageIO reads every frame of an
+  * animated GIF ([[decodeFrames]]), the closest thing to a video container
+  * the JDK can decode, so [[sampleFrames]] emits genuinely decoded
+  * per-frame pixels and embeddings for GIF payloads. Only true video
+  * containers (mp4/webm/...) stay behind the clearly-marked `stubDecode`
+  * (the JDK ships no video codec); a payload that fails every real decode
+  * falls back there too, so the pipeline never throws on corrupt blobs.
+  * Swapping in a richer codec = replacing one function, nothing else
+  * moves.
   */
 object Multimodal {
 
@@ -106,6 +111,96 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Real multi-frame decode via ImageIO's frame API
+    * (`ImageReader.getNumImages`/`read(i)`): every frame of an animated GIF
+    * — the video-analog container the JDK ships a codec for. None ⇒ the
+    * payload is not a frame-decodable image container. Frames written by
+    * [[encodeGif]] are full-size with no disposal tricks, so `read(i)` IS
+    * frame i (no composition step needed). */
+  private[ops] def decodeFrames(payload: Array[Byte])
+  : Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            if (n <= 0) None else Some((0 until n).map(r.read(_)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Exact integer pixel witness: Σ (299·R + 587·G + 114·B) over the frame
+    * — 1000× the Rec. 601 luminance [[stripEmbedding]] averages, kept
+    * divisionless so an oracle can recompute it bit-exactly from the
+    * encoding formula (a float embedding alone cannot be hash-compared). */
+  private[ops] def luminanceMilliSum(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val row = new Array[Int](w)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        sum += ((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+          (rgb & 0xff) * 114L
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Deterministic real animated GIF: frame f's pixel (x, y) = gray level
+    * `floorMod(seed·31 + x·7 + y·13 + f·101, 256)`, written through the JDK
+    * GIF sequence writer. Frames are TYPE_BYTE_INDEXED over an identity
+    * gray ramp palette (entry i = RGB(i,i,i)): GIF stores ≤256-color
+    * palettes verbatim, so the round-trip is BIT-EXACT — the decode side
+    * recovers the precise gray values and an oracle can hash-check
+    * per-frame luminance sums against this formula. (An RGB pattern would
+    * be quantized by the encoder and unverifiable.) */
+  def encodeGif(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0,
+              java.lang.Math.floorMod(seed * 31 + x * 7 + y * 13 + f * 101,
+                256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Real audio decode via the JDK's `javax.sound.sampled`: parses WAV/AIFF
     * containers and returns the format plus the raw interleaved 16-bit PCM
     * samples. None ⇒ not a decodable 16-bit PCM stream (wrong container,
@@ -154,9 +249,20 @@ object Multimodal {
   }
 
   /** Feature extraction for one record: real ImageIO decode for images,
-    * real `javax.sound.sampled` decode for audio, [[stubDecode]] fallback
-    * for video and undecodable payloads. */
+    * real `javax.sound.sampled` decode for audio, real per-frame decode for
+    * video payloads in a frame-decodable container (animated GIF);
+    * [[stubDecode]] remains only for true video containers and undecodable
+    * payloads. */
   private[ops] def decode(r: MediaRecord): MediaFeatures = r.media_type match {
+    case "video" =>
+      decodeFrames(r.payload) match {
+        case Some(frames) =>
+          val head = frames.head
+          MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+            head.getWidth, head.getHeight, n_frames = frames.size,
+            stripEmbedding(head))
+        case None => stubDecode(r)
+      }
     case "image" =>
       decodeImage(r.payload) match {
         case Some(img) =>
@@ -252,27 +358,44 @@ object Multimodal {
     df.repartitionByRange(partitions,
       octet_length(col("payload")), col("media_id"))
 
+  /** One sampled frame. `lum_milli_sum` is the exact integer pixel witness
+    * ([[luminanceMilliSum]]) for really-decoded frames — 0 on the stub
+    * path, where there are no real pixels to witness. */
   case class Frame(media_id: Long, frame_idx: Int, t_ms: Long,
-                   embedding: Array[Float])
+                   embedding: Array[Float], lum_milli_sum: Long = 0L)
 
   /** Frame sampling: one row per sampled frame at `everyMs` spacing — the
-    * 1→N explode shape a video pipeline needs (frame count from the stub
-    * decode; a real codec would seek/decode each timestamp; the per-batch
-    * iterator shape is identical to [[extractFeatures]]). */
+    * 1→N explode shape a video pipeline needs. A frame-decodable container
+    * (animated GIF, [[decodeFrames]]) yields REAL frames: the sample at
+    * time t is the decoded frame t/frameMs, embedded from its true pixels
+    * with its exact luminance witness. Payloads the JDK cannot
+    * frame-decode (true video containers) keep the stub path: frame count
+    * from [[stubDecode]], the media embedding perturbed per-frame. The
+    * per-batch iterator shape is identical to [[extractFeatures]]. */
   def sampleFrames(ds: Dataset[MediaRecord], everyMs: Long,
                    frameMs: Long = 40L): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        val f = decode(r)
-        val durationMs = f.n_frames * frameMs
-        (0L until durationMs by everyMs).zipWithIndex.map { case (t, i) =>
-          // STUB frame embedding: the media embedding perturbed per-frame;
-          // a real decoder seeks to t and embeds the decoded frame
-          Frame(r.media_id, i, t,
-            f.embedding.zipWithIndex.map { case (v, j) =>
-              v + (((t + j) % 7).toFloat / 100f)
-            })
+        decodeFrames(r.payload) match {
+          case Some(frames) =>
+            val durationMs = frames.size * frameMs
+            (0L until durationMs by everyMs).zipWithIndex.map { case (t, i) =>
+              val img = frames(math.min((t / frameMs).toInt, frames.size - 1))
+              Frame(r.media_id, i, t, stripEmbedding(img),
+                luminanceMilliSum(img))
+            }
+          case None =>
+            val f = decode(r)
+            val durationMs = f.n_frames * frameMs
+            (0L until durationMs by everyMs).zipWithIndex.map { case (t, i) =>
+              // STUB frame embedding: the media embedding perturbed
+              // per-frame; a real codec would seek to t and embed the frame
+              Frame(r.media_id, i, t,
+                f.embedding.zipWithIndex.map { case (v, j) =>
+                  v + (((t + j) % 7).toFloat / 100f)
+                })
+            }
         }
       }
     }

@@ -144,6 +144,29 @@ object TextQueries {
           col("n_frames").cast("long").as("n_frames"),
           col("duration_ms"),
           col("pcm_sum"))
+    }),
+
+    // Multimodal round-trip with REAL multi-frame decode: each document
+    // gets a genuine animated GIF (dimensions/frame count derived from
+    // doc_id, gray pixels from a seed formula over an identity palette)
+    // decoded frame-by-frame via ImageIO's frame API — the oracle
+    // hash-checks every frame's exact integer luminance sum against the
+    // encoding formula, so a fake or broken frame path cannot pass.
+    "q_multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val media = docs.as[(Long, String)].map { case (id, src) =>
+        graft.ops.Multimodal.MediaRecord(id, "video",
+          graft.ops.Multimodal.encodeGif(
+            8 + (id % 16).toInt, 8 + (id % 12).toInt, 2 + (id % 4).toInt, id),
+          Map("source" -> src))
+      }
+      graft.ops.Multimodal.sampleFrames(media, everyMs = 40L, frameMs = 40L)
+        .toDF()
+        .join(docs, col("media_id") === col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("t_ms"), col("lum_milli_sum"))
     })
   )
 
@@ -308,6 +331,27 @@ object TextQueries {
                 CAST(p.n AS BIGINT) AS n_frames,
                 (p.n * 1000) // p.rate AS duration_ms,
                 s.pcm_sum
-         FROM params p JOIN sums s ON s.doc_id = p.doc_id"""
+         FROM params p JOIN sums s ON s.doc_id = p.doc_id""",
+    // mirrors Multimodal.encodeGif's gray-pixel formula over the identity
+    // palette: gray v contributes (299+587+114)·v = 1000·v to the frame's
+    // luminance witness, so the Spark side must frame-decode the GIF
+    // bit-exactly to reproduce these sums
+    "q_multimodal_frames" ->
+      """WITH params AS (
+           SELECT doc_id, source,
+                  8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h,
+                  2 + doc_id % 4 AS nf
+           FROM documents),
+         frames AS (
+           SELECT p.doc_id, p.source, f.i AS frame_idx, f.i * 40 AS t_ms,
+                  CAST(sum(1000 * ((p.doc_id * 31 + x.i * 7 + y.i * 13 + f.i * 101) % 256)) AS BIGINT) AS lum_milli_sum
+           FROM params p,
+                LATERAL unnest(range(0, p.nf)) AS f(i),
+                LATERAL unnest(range(0, p.w)) AS x(i),
+                LATERAL unnest(range(0, p.h)) AS y(i)
+           GROUP BY p.doc_id, p.source, f.i)
+         SELECT doc_id, source, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(t_ms AS BIGINT) AS t_ms, lum_milli_sum
+         FROM frames"""
   )
 }

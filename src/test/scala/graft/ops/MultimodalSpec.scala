@@ -115,6 +115,31 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.map(_.embedding.toSeq).distinct.length > 1)
   }
 
+  test("a real animated GIF decodes frame-by-frame with bit-exact gray values") {
+    val gif = Multimodal.encodeGif(20, 14, nFrames = 3, seed = 9L)
+    // it is a genuine GIF container
+    assert(gif.take(3).toSeq == "GIF".getBytes("UTF-8").toSeq)
+    // extractFeatures: a video-typed GIF payload yields REAL features
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRecord(51L, "video", gif, Map.empty)).toDS()).collect().head
+    assert(f.width == 20 && f.height == 14 && f.n_frames == 3)
+    // sampleFrames decodes every frame; the integer luminance witness must
+    // match the encoding formula exactly — only a bit-exact palette
+    // round-trip can produce it
+    val frames = Multimodal.sampleFrames(
+      Seq(MediaRecord(51L, "video", gif, Map.empty)).toDS(),
+      everyMs = 40, frameMs = 40).collect().sortBy(_.frame_idx)
+    assert(frames.length == 3)
+    def expected(fi: Int): Long =
+      (for { x <- 0 until 20; y <- 0 until 14 }
+        yield 1000L * java.lang.Math.floorMod(9L * 31 + x * 7 + y * 13 + fi * 101,
+          256)).sum
+    assert(frames.map(_.lum_milli_sum).toSeq == (0 until 3).map(expected),
+      "per-frame luminance witness diverged from the encoding formula")
+    // embeddings come from the real per-frame pixels: all frames differ
+    assert(frames.map(_.embedding.toSeq).distinct.length == 3)
+  }
+
   test("resizeTo stamps target dimensions without touching the payload") {
     val out = Multimodal.resizeTo(Seq(rec(9, "image", 100)).toDS(), 224, 224)
       .collect().head
