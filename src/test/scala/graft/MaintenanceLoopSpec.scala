@@ -1,0 +1,108 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+import graft.ops.{BucketedKvStore, KvStore, MinHashIndex}
+import graft.sources.CronTriggerer
+import graft.streaming.{DelayedBuckets, DelayedRoute}
+import org.apache.spark.sql.functions._
+
+/** The "pipeline that runs forever" story in one loop: a single cron driver
+  * fires the three maintenance passes that bound disk and deliver parked
+  * work — [[BucketedKvStore.reapAll]] (cold-bucket TTL expiry + tombstone
+  * GC), [[DelayedBuckets.reingestDue]] (parked far-future rows re-enter
+  * ingest), [[MinHashIndex.compact]] (postings file counts back to O(1)) —
+  * under virtual time, the deployment shape every one of these components
+  * documents. */
+class MaintenanceLoopSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("one cron loop reaps stores, re-ingests due buckets, and compacts the index") {
+    // KV store with TTL + tombstone horizon: a live key, an expiring key,
+    // and a deleted key — only maintenance passes may touch them afterwards
+    val kvDir = Files.createTempDirectory("loop-kv").toFile.getAbsolutePath
+    val store = new BucketedKvStore(spark, kvDir, Seq("k"), col("ver"), "v",
+      expireAtCol = Some("expire_at"), numBuckets = 4,
+      tombstoneRetainMs = Some(0L))
+    val now = System.currentTimeMillis()
+    def batch(rows: Seq[(String, Long, String, java.lang.Long)]) =
+      rows.toDF("k", "ver", "v", "expire_at")
+        .select(col("k"), col("ver").cast("long"), col("v"),
+          col("expire_at").cast("long"))
+    KvStore.upsertBatch(batch(Seq(
+      ("live", 1L, "x", null),
+      ("cold", 1L, "y", java.lang.Long.valueOf(now + 800L)))),
+      Seq("k"), col("ver"), store)
+    KvStore.upsertBatch(batch(Seq(("dead", 2L, null, null))),
+      Seq("k"), col("ver"), store)
+
+    // a parked delayed bucket: deliverAt 70s lands in bucket 1 (60s buckets)
+    val parkRoot = Files.createTempDirectory("loop-park").toFile.getAbsolutePath
+    val ingest = Files.createTempDirectory("loop-in").toFile.getAbsolutePath + "/topic"
+    DelayedBuckets.park(Seq(DelayedRoute("pk", "pv", 1L,
+      new Timestamp(70000L), "defer", 70000L / 60000L)).toDS(), parkRoot)
+
+    // an LSH index with per-batch append files awaiting compaction
+    val idxDir = Files.createTempDirectory("loop-idx").toFile.getAbsolutePath
+    val idx = new MinHashIndex(spark, idxDir, "doc_id", "text")
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    idx.addAndFindPairs(Seq((1L, s"$boiler variant1")).toDF("doc_id", "text"))
+    idx.addAndFindPairs(Seq((2L, s"$boiler variant2")).toDF("doc_id", "text"))
+
+    Thread.sleep(1500) // "cold" expires; "dead"'s tombstone horizon passes
+
+    // ONE driver loop under virtual time: fire at minute m ⇒ nowMs = m·60s
+    val start = LocalDateTime.of(2024, 1, 1, 0, 0)
+    var clock = start
+    val delivered = Seq.newBuilder[Seq[Long]]
+    val n = CronTriggerer.runLoop(CronTriggerer.parse("* * * * *"),
+      runPass = at => {
+        val virtualMs = java.time.Duration.between(start, at).toMillis
+        store.reapAll()
+        delivered += DelayedBuckets.reingestDue(spark, parkRoot, ingest,
+          nowMs = virtualMs, bucketMs = 60000L, horizonMs = 60000L)
+        idx.compact()
+      },
+      now = () => clock,
+      sleepUntil = at => clock = at,
+      maxFires = 3)
+    assert(n == 3)
+
+    // the parked row re-ingested EXACTLY once (fire 1: bucket window ends
+    // 120s ≤ 60s now + 60s horizon), later fires are clean no-ops
+    assert(delivered.result() == Seq(Seq(1L), Seq.empty, Seq.empty))
+    assert(spark.read.format("graft-topic").option("path", ingest).load()
+      .select("key").as[String].collect().toSeq == Seq("pk"))
+
+    // cold-bucket disk is bounded: the expired entry AND the horizon-passed
+    // tombstone left the stored generations although no batch arrived
+    def storedKeys() = new File(kvDir).listFiles()
+      .filter(_.getName.startsWith("bucket-"))
+      .flatMap(b => b.listFiles().filter(_.getName.startsWith("gen-"))
+        .sortBy(_.getName).lastOption)
+      .map(g => spark.read.parquet(g.getAbsolutePath))
+      .reduce(_ unionByName _).select("k").as[String].collect().toSet
+    assert(storedKeys() == Set("live"),
+      "reapAll under the loop must retire expired entries and old tombstones")
+    assert(store.read().select("k").as[String].collect().toSeq == Seq("live"))
+
+    // postings compacted to one file per partition — measured BEFORE the
+    // next append — and probes against the compacted index still pair
+    val gen = new File(idx.currentGenerationPath.get)
+    val fileCounts = for {
+      band <- gen.listFiles().toSeq if band.getName.startsWith("band=")
+      bp <- band.listFiles().toSeq if bp.getName.startsWith("bp=")
+    } yield bp.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(fileCounts.nonEmpty && fileCounts.forall(_ == 1),
+      s"compaction under the loop left $fileCounts files per partition")
+    val pairs = idx.addAndFindPairs(
+      Seq((9L, s"$boiler variant1")).toDF("doc_id", "text"))
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 9L)) && pairs.forall(_._2 == 9L),
+      s"compacted index lost cross-batch pairs: $pairs")
+  }
+}

@@ -118,6 +118,50 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(pairSet(idx.addAndFindPairs(dup, batchOrd = 5000L)) == Set((2L, 100L)))
   }
 
+  test("a graft-topic stream drives the index via foreachBatch; epoch replay is idempotent") {
+    // the production wiring the class doc describes: documents arrive on a
+    // topic, each micro-batch probes + appends, pairs land in a result sink
+    import org.apache.spark.sql.DataFrame
+    val topic = Files.createTempDirectory("lsh-stream-topic").toFile.getAbsolutePath
+    val outDir = new java.io.File(
+      Files.createTempDirectory("lsh-stream-out").toFile, "pairs").getAbsolutePath
+    val cp = Files.createTempDirectory("lsh-stream-cp").toFile.getAbsolutePath
+    val idxDir = Files.createTempDirectory("lsh-stream-idx").toFile.getAbsolutePath
+    val idx = new MinHashIndex(spark, idxDir, "doc_id", "text")
+    val docs = corpus()
+    def writeDocs(pred: org.apache.spark.sql.Column): Unit =
+      docs.where(pred)
+        .select(col("doc_id").cast("string").as("key"), col("text").as("value"))
+        .write.format("graft-topic").mode("append").option("path", topic).save()
+    var lastEpoch = -1L
+    val q = spark.readStream.format("graft-topic").option("path", topic).load()
+      .select(col("key").cast("long").as("doc_id"), col("value").as("text"))
+      .writeStream
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        lastEpoch = epochId
+        idx.addAndFindPairs(b, batchOrd = epochId)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", cp)
+      .start()
+    writeDocs(col("doc_id") <= 5)
+    q.processAllAvailable()
+    writeDocs(col("doc_id") > 5)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = pairSet(spark.read.parquet(outDir))
+    assert(streamed == pairSet(MinHashLsh.candidatePairs(docs, "doc_id", "text")),
+      "streamed batches must accumulate to the one-shot pair set")
+    // crash replay: the engine re-invokes foreachBatch with the same epoch
+    // and data after its postings already landed — same pairs, no doc
+    // paired with itself
+    val lastBatch = docs.where(col("doc_id") > 5)
+    val replayed = pairSet(idx.addAndFindPairs(lastBatch, batchOrd = lastEpoch))
+    assert(replayed.forall { case (a, b) => a != b }, "replay produced self-pairs")
+    assert(replayed == streamed.filter { case (a, b) => a > 5 || b > 5 },
+      "replayed epoch must re-emit exactly its own pairs")
+  }
+
   test("compact ignores crash-orphan generations and a pre-generation layout fails loudly") {
     val docs = corpus()
     val dir = Files.createTempDirectory("lsh-idx-orphan").toFile
