@@ -38,11 +38,17 @@ object Offloader {
       }
       // provably cold only — unknown-age segments stay hot
       .filter { case (_, f) => SegmentStats.whollyOlderThan(f, olderThanMs) }
+    // destination dirs up front, then segments rewrite independently in
+    // parallel: each rewrite is a single-threaded parse+encode, and a
+    // backlog of cold segments is exactly the embarrassingly-parallel shape
     victims.foreach { case (pid, f) =>
+      (if (pid == TopicTable.FlatPartition) tier
+       else new File(tier, f.getParentFile.getName)).mkdirs()
+    }
+    inParallel(victims) { case (pid, f) =>
       val dst =
         if (pid == TopicTable.FlatPartition) tier
         else new File(tier, f.getParentFile.getName)
-      dst.mkdirs()
       val side = SegmentStats.sidecarFor(f)
       if (f.getName.endsWith(SegmentCodec.ColdExt)) {
         f.renameTo(new File(dst, f.getName))
@@ -60,6 +66,18 @@ object Offloader {
     }
     victims.length
   }
+
+  private def inParallel[A](work: Seq[A])(f: A => Unit): Unit =
+    if (work.nonEmpty) {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(16, work.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(work.map(a => Future(f(a)))), Duration.Inf)
+      finally pool.shutdown()
+    }
 
   /** Recall a partition's cold segments back to the hot tier (the inverse
     * transition; also metadata-only). Returns segments moved. */

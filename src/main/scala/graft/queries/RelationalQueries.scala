@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared shape of the hot/cold codec pair: filter on the pruned
+    * publish_time, group by key, aggregate offsets and payload bytes —
+    * touches 4 of the envelope's 9 columns so column pruning matters. */
+  private def scanAgg(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-topic").option("path", dir).load()
+      .where(col("publish_time") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("offset")).as("sum_off"),
+        sum(octet_length(col("value"))).as("payload_bytes"),
+        max(unix_millis(col("publish_time"))).as("max_pt_ms"))
+
   val queries: Map[String, Q] = Map(
     // §2.1 scan + §2.2 projection/filter: predicate + column pruning reach the
     // parquet scan (PushedFilters / 3-column ReadSchema).
@@ -47,6 +58,21 @@ object RelationalQueries {
           unix_millis(col("ts")).as("ts_ms"))
         .limit(10)
     }),
+
+    // §2.1 hot-tier topic scan (row-oriented JSONL segments) — the baseline
+    // half of the storage-codec pair. Projection keeps 4 of 9 envelope
+    // columns; the JSONL reader still parses every line in full, which is
+    // exactly the constant the cold twin eliminates.
+    "q_scan_hot" -> ((s, d) =>
+      scanAgg(s, TopicStage.eventsTopic(s, d, cold = false))),
+
+    // §2.1 cold-tier topic scan: the SAME rows offloaded to columnar
+    // parquet twins, read by the vectorized column-at-a-time reader
+    // (ParquetColumnarSegmentReader) — only the 4 requested columns are
+    // decompressed. Same oracle as q_scan_hot; the bench delta between the
+    // two is the measured value of tiered-storage offload.
+    "q_scan_cold" -> ((s, d) =>
+      scanAgg(s, TopicStage.eventsTopic(s, d, cold = true))),
 
     // §2.4 hash aggregation, TPC-H Q1 shape (partial+final agg from Catalyst).
     "q1_agg" -> ((s, d) => {
@@ -375,6 +401,22 @@ object RelationalQueries {
     "q_peek" ->
       """SELECT event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
          ORDER BY event_id LIMIT 10""",
+    "q_scan_hot" ->
+      """SELECT event_type AS key, count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_off,
+                CAST(sum(strlen(props)) AS BIGINT) AS payload_bytes,
+                max(epoch_ms(ts)) AS max_pt_ms
+         FROM events CROSS JOIN range(50) AS r
+         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY event_type""",
+    "q_scan_cold" ->
+      """SELECT event_type AS key, count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_off,
+                CAST(sum(strlen(props)) AS BIGINT) AS payload_bytes,
+                max(epoch_ms(ts)) AS max_pt_ms
+         FROM events CROSS JOIN range(50) AS r
+         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY event_type""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                 sum(l_extendedprice) AS sum_base_price,

@@ -1,0 +1,73 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.core.Tables
+import graft.ops.Offloader
+import graft.sources.v2.{SegmentCodec, TopicTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stages the `events` table as a graft topic, once per JVM per scale
+  * factor, so scan queries can measure the two storage codecs on identical
+  * data: `hot` leaves the segments as row-oriented JSONL; `cold` offloads
+  * every segment into its columnar parquet twin (the tiered-storage path,
+  * [[graft.ops.Offloader]]). The pair `q_scan_hot`/`q_scan_cold` share one
+  * DuckDB oracle — same rows either way — and their bench delta is the
+  * measured value of the offload rewrite + vectorized cold reader.
+  *
+  * 32 topic partitions (`event_id % 32`): one segment per partition after
+  * the partition-aligned repartition, so the scan parallelizes across the
+  * full local[32] without fragmenting into per-task × per-partition shards.
+  *
+  * The staged topic replays the table [[Amplify]]× (identical envelope
+  * rows, the consumer-replay shape): the sf0.1 events table alone is so
+  * small that both codecs sit on the two-stage job-overhead floor and the
+  * decode cost this pair exists to measure never surfaces. The oracle
+  * mirrors the replay with `CROSS JOIN range(Amplify)` — everything still
+  * derives from the driver's own table.
+  */
+object TopicStage {
+  private val staged = scala.collection.mutable.Map.empty[(String, Boolean), String]
+
+  /** Replay factor for the staged scan corpus (oracle SQL must match). */
+  val Amplify = 50
+
+  /** Far-future horizon: every staged segment is provably cold. */
+  private val Horizon =
+    java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli
+
+  def eventsTopic(s: SparkSession, d: String, cold: Boolean): String =
+    staged.synchronized {
+      staged.getOrElseUpdate((d, cold), {
+        val dir = Files
+          .createTempDirectory(if (cold) "graft-scan-cold" else "graft-scan-hot")
+          .toFile.getAbsolutePath
+        val env = Tables.events(s, d)
+          .crossJoin(s.range(Amplify).select(col("id").as("__replay")))
+          .drop("__replay")
+          .select(
+          lit("events").as("topic"),
+          pmod(col("event_id"), lit(32)).cast("int").as("partition"),
+          col("event_id").as("offset"),
+          col("event_type").as("key"),
+          col("props").as("value"),
+          col("ts").as("event_time"),
+          col("ts").as("publish_time"),
+          concat(lit("u"), col("user_id")).as("producer_name"),
+          col("event_id").as("sequence_id"))
+        env.repartition(32, col("partition"))
+          .write.format("graft-topic").option("path", dir)
+          .mode("append").save()
+        if (cold) {
+          Offloader.offload(dir, Horizon)
+          val leftHot = TopicTable.listPartitioned(dir).filterNot { case (_, f) =>
+            f.getName.endsWith(SegmentCodec.ColdExt)
+          }
+          require(leftHot.isEmpty,
+            s"cold staging left hot segments: ${leftHot.map(_._2).mkString(", ")}")
+        }
+        dir
+      })
+    }
+}

@@ -264,7 +264,7 @@ class TopicScan(path: String, filters: Array[Filter], required: StructType,
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TopicReaderFactory(required)
+    new TopicReaderFactory(required, columnar = true)
 }
 
 case class TopicInputPartition(file: String) extends InputPartition
@@ -386,13 +386,29 @@ object SegmentStats {
   }
 }
 
-class TopicReaderFactory(required: StructType) extends PartitionReaderFactory {
+class TopicReaderFactory(required: StructType, columnar: Boolean = false)
+  extends PartitionReaderFactory {
   /** Dispatch on the physical extension: hot segments are JSONL, offloaded
     * cold segments may be parquet twins ([[SegmentCodec]]). */
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val f = p.asInstanceOf[TopicInputPartition].file
     if (f.endsWith(SegmentCodec.ColdExt)) new ParquetSegmentReader(f, required)
     else new SegmentReader(f, required)
+  }
+
+  /** Batch scans run columnar (Spark requires all partitions agree, so the
+    * hot JSONL reader is batch-wrapped); cold parquet segments get the
+    * truly vectorized column-at-a-time reader. Streaming stays row-based:
+    * micro-batches read the hot tier, where batching buys nothing over the
+    * JSON parse. */
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val f = p.asInstanceOf[TopicInputPartition].file
+    if (f.endsWith(SegmentCodec.ColdExt))
+      new ParquetColumnarSegmentReader(f, required)
+    else new RowBatchingSegmentReader(new SegmentReader(f, required), required)
   }
 }
 
