@@ -401,20 +401,23 @@ object RelationalQueries {
     "q_peek" ->
       """SELECT event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
          ORDER BY event_id LIMIT 10""",
+    // one oracle for both storage codecs; the replay factor interpolates
+    // from TopicStage.Amplify so the staged corpus and the oracle can't
+    // drift apart
     "q_scan_hot" ->
-      """SELECT event_type AS key, count(*) AS n,
+      s"""SELECT event_type AS key, count(*) AS n,
                 CAST(sum(event_id) AS BIGINT) AS sum_off,
                 CAST(sum(strlen(props)) AS BIGINT) AS payload_bytes,
                 max(epoch_ms(ts)) AS max_pt_ms
-         FROM events CROSS JOIN range(50) AS r
+         FROM events CROSS JOIN range(${TopicStage.Amplify}) AS r
          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
          GROUP BY event_type""",
     "q_scan_cold" ->
-      """SELECT event_type AS key, count(*) AS n,
+      s"""SELECT event_type AS key, count(*) AS n,
                 CAST(sum(event_id) AS BIGINT) AS sum_off,
                 CAST(sum(strlen(props)) AS BIGINT) AS payload_bytes,
                 max(epoch_ms(ts)) AS max_pt_ms
-         FROM events CROSS JOIN range(50) AS r
+         FROM events CROSS JOIN range(${TopicStage.Amplify}) AS r
          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
          GROUP BY event_type""",
     "q1_agg" ->

@@ -37,12 +37,33 @@ object TopicStage {
   private val Horizon =
     java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli
 
+  /** Staging format version: bump when the staged layout changes so a
+    * stale on-disk corpus is restaged rather than silently reused. */
+  private val StageVersion = 2
+
   def eventsTopic(s: SparkSession, d: String, cold: Boolean): String =
     staged.synchronized {
       staged.getOrElseUpdate((d, cold), {
-        val dir = Files
-          .createTempDirectory(if (cold) "graft-scan-cold" else "graft-scan-hot")
-          .toFile.getAbsolutePath
+        // deterministic location + marker: Verify and Bench are separate
+        // JVMs and each corpus is hundreds of MB at sf0.1 — stage once per
+        // box, reuse across runs, restage on any layout change
+        val tag = java.lang.Integer.toHexString(d.hashCode)
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-scan-${if (cold) "cold" else "hot"}-$tag")
+        val marker = new java.io.File(root, "_STAGED_OK")
+        val want = s"v$StageVersion amplify=$Amplify sf=$d"
+        if (marker.exists() &&
+          new String(Files.readAllBytes(marker.toPath), "UTF-8") == want)
+          return root.getAbsolutePath
+        if (root.exists()) { // stale or torn staging: rebuild from scratch
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete()
+          }
+          rm(root)
+        }
+        root.mkdirs()
+        val dir = root.getAbsolutePath
         val env = Tables.events(s, d)
           .crossJoin(s.range(Amplify).select(col("id").as("__replay")))
           .drop("__replay")
@@ -67,6 +88,9 @@ object TopicStage {
           require(leftHot.isEmpty,
             s"cold staging left hot segments: ${leftHot.map(_._2).mkString(", ")}")
         }
+        // marker last: a crash mid-staging leaves no marker, so the next
+        // run rebuilds instead of trusting a torn corpus
+        Files.write(marker.toPath, want.getBytes("UTF-8"))
         dir
       })
     }

@@ -70,20 +70,26 @@ class ParquetColumnarSegmentReader(file: String, required: StructType)
   private val createdBy = reader.getFooter.getFileMetaData.getCreatedBy
 
   private val requestedSchema: MessageType = {
+    // intersect with the FILE's schema: a twin written before an envelope
+    // column existed (the JSONL reader's "legacy rows" case) null-fills
+    // that column instead of failing the projection
+    val fileFields = reader.getFooter.getFileMetaData.getSchema
+      .getFields.asScala.map(_.getName).toSet
     val wanted = required.fields.map(f => diskField(f.name)).toSet
     val projected = SegmentCodec.parquetSchema.getFields.asScala
-      .filter(f => wanted.contains(f.getName)).toList
+      .filter(f => wanted.contains(f.getName) && fileFields.contains(f.getName))
+      .toList
     new MessageType("graft_segment", projected.asJava)
   }
-  if (required.fields.nonEmpty) reader.setRequestedSchema(requestedSchema)
+  if (requestedSchema.getFieldCount > 0)
+    reader.setRequestedSchema(requestedSchema)
 
-  /** Descriptor per required field, in output order. */
-  private val descriptors: Array[ColumnDescriptor] =
+  /** Descriptor per required field, in output order; None → the column is
+    * absent from this file and its vector is all-null. */
+  private val descriptors: Array[Option[ColumnDescriptor]] =
     required.fields.map { f =>
       val dn = diskField(f.name)
       requestedSchema.getColumns.asScala.find(_.getPath()(0) == dn)
-        .getOrElse(throw new IllegalStateException(
-          s"segment column $dn missing from $file"))
     }
 
   private val vectors: Array[OnHeapColumnVector] =
@@ -93,17 +99,23 @@ class ParquetColumnarSegmentReader(file: String, required: StructType)
   private var colReaders: Array[ColumnReader] = _
   private var rowsLeftInGroup = 0L
 
-  // count-only scans never open a page: row counts come from the footer
-  private val countOnly = required.fields.isEmpty
-  private var countRowsLeft: Long =
-    if (countOnly) reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+  // pageless scans (count-only, or every required column absent from this
+  // file) never open a page: row counts come from the footer, vectors (if
+  // any) are all-null
+  private val pageless = requestedSchema.getFieldCount == 0
+  private var pagelessRowsLeft: Long =
+    if (pageless) reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
     else 0L
 
   override def next(): Boolean = {
-    if (countOnly) {
-      if (countRowsLeft <= 0L) return false
-      val n = math.min(BatchSize.toLong, countRowsLeft).toInt
-      countRowsLeft -= n
+    if (pageless) {
+      if (pagelessRowsLeft <= 0L) return false
+      val n = math.min(BatchSize.toLong, pagelessRowsLeft).toInt
+      pagelessRowsLeft -= n
+      var j = 0
+      while (j < vectors.length) {
+        vectors(j).reset(); vectors(j).putNulls(0, n); j += 1
+      }
       batch.setNumRows(n)
       return true
     }
@@ -114,7 +126,7 @@ class ParquetColumnarSegmentReader(file: String, required: StructType)
       if (rowsLeftInGroup > 0L) {
         val store =
           new ColumnReadStoreImpl(pages, NoopRoot, requestedSchema, createdBy)
-        colReaders = descriptors.map(store.getColumnReader)
+        colReaders = descriptors.map(_.map(store.getColumnReader).orNull)
       }
     }
     val n = math.min(BatchSize.toLong, rowsLeftInGroup).toInt
@@ -122,44 +134,48 @@ class ParquetColumnarSegmentReader(file: String, required: StructType)
     while (j < vectors.length) {
       val vec = vectors(j)
       vec.reset()
-      val cr = colReaders(j)
-      val maxDef = descriptors(j).getMaxDefinitionLevel
-      required.fields(j).dataType match {
-        case StringType =>
-          var i = 0
-          while (i < n) {
-            if (cr.getCurrentDefinitionLevel == maxDef)
-              vec.putByteArray(i, cr.getBinary.getBytes)
-            else vec.putNull(i)
-            cr.consume(); i += 1
-          }
-        case IntegerType =>
-          var i = 0
-          while (i < n) {
-            if (cr.getCurrentDefinitionLevel == maxDef)
-              vec.putInt(i, cr.getInteger)
-            else vec.putNull(i)
-            cr.consume(); i += 1
-          }
-        case LongType =>
-          var i = 0
-          while (i < n) {
-            if (cr.getCurrentDefinitionLevel == maxDef)
-              vec.putLong(i, cr.getLong)
-            else vec.putNull(i)
-            cr.consume(); i += 1
-          }
-        case TimestampType => // ms on disk → micros in the envelope
-          var i = 0
-          while (i < n) {
-            if (cr.getCurrentDefinitionLevel == maxDef)
-              vec.putLong(i, cr.getLong * 1000L)
-            else vec.putNull(i)
-            cr.consume(); i += 1
-          }
-        case dt =>
-          throw new UnsupportedOperationException(
-            s"segment envelope type $dt")
+      if (descriptors(j).isEmpty) { // column absent from this file
+        vec.putNulls(0, n)
+      } else {
+        val cr = colReaders(j)
+        val maxDef = descriptors(j).get.getMaxDefinitionLevel
+        required.fields(j).dataType match {
+          case StringType =>
+            var i = 0
+            while (i < n) {
+              if (cr.getCurrentDefinitionLevel == maxDef)
+                vec.putByteArray(i, cr.getBinary.getBytes)
+              else vec.putNull(i)
+              cr.consume(); i += 1
+            }
+          case IntegerType =>
+            var i = 0
+            while (i < n) {
+              if (cr.getCurrentDefinitionLevel == maxDef)
+                vec.putInt(i, cr.getInteger)
+              else vec.putNull(i)
+              cr.consume(); i += 1
+            }
+          case LongType =>
+            var i = 0
+            while (i < n) {
+              if (cr.getCurrentDefinitionLevel == maxDef)
+                vec.putLong(i, cr.getLong)
+              else vec.putNull(i)
+              cr.consume(); i += 1
+            }
+          case TimestampType => // ms on disk → micros in the envelope
+            var i = 0
+            while (i < n) {
+              if (cr.getCurrentDefinitionLevel == maxDef)
+                vec.putLong(i, cr.getLong * 1000L)
+              else vec.putNull(i)
+              cr.consume(); i += 1
+            }
+          case dt =>
+            throw new UnsupportedOperationException(
+              s"segment envelope type $dt")
+        }
       }
       j += 1
     }

@@ -61,8 +61,14 @@ object SegmentCodec {
     tmp.delete()
     val conf = new Configuration()
     GroupWriteSupport.setSchema(parquetSchema, conf)
+    // zstd: the cold tier is the 100 TB tier — storage footprint and read
+    // I/O dominate there, and the vectorized reader decompresses pages
+    // transparently either way
     val w = ExampleParquetWriter.builder(new Path(tmp.getAbsolutePath))
-      .withConf(conf).withType(parquetSchema).build()
+      .withConf(conf).withType(parquetSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.ZSTD)
+      .build()
     try {
       val in = scala.io.Source.fromFile(src, "UTF-8")
       try in.getLines().foreach { line =>

@@ -58,4 +58,50 @@ class ColumnarRowGroupSpec extends SparkSuite {
     assert(r.getString(0) == "k4097" && r.getString(1) == "v4097")
     assert(r.getTimestamp(2).getTime == baseMs + 4097)
   }
+
+  test("legacy twins without newer envelope columns null-fill them") {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.Types
+
+    val dir = Files.createTempDirectory("colscan-legacy").toFile
+    val part = new File(dir, "partition-000"); part.mkdirs()
+    val seg = new File(part, "segment-b0000000000001-test.jsonl.parquet")
+
+    // the envelope as it looked before replicated_from existed
+    val legacy = Types.buildMessage()
+      .optional(BINARY).as(stringType).named("topic")
+      .optional(INT32).named("partition")
+      .optional(INT64).named("offset")
+      .optional(BINARY).as(stringType).named("key")
+      .optional(BINARY).as(stringType).named("value")
+      .optional(INT64).named("event_time_ms")
+      .optional(INT64).named("publish_time_ms")
+      .optional(BINARY).as(stringType).named("producer_name")
+      .optional(INT64).named("sequence_id")
+      .named("graft_segment")
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(legacy, conf)
+    val gf = new SimpleGroupFactory(legacy)
+    val w = ExampleParquetWriter.builder(new Path(seg.getAbsolutePath))
+      .withConf(conf).withType(legacy).build()
+    val baseMs = ts("2024-01-01 00:00:00").getTime
+    try (0 until 100).foreach { i =>
+      val g = gf.newGroup()
+      g.append("topic", "t").append("partition", 0)
+        .append("offset", i.toLong).append("key", s"k$i")
+        .append("value", s"v$i").append("event_time_ms", baseMs)
+        .append("publish_time_ms", baseMs)
+        .append("producer_name", "p").append("sequence_id", i.toLong)
+      w.write(g)
+    } finally w.close()
+
+    val df = spark.read.format("graft-topic")
+      .option("path", dir.getAbsolutePath).load()
+    assert(df.count() == 100)
+    assert(df.where(col("replicated_from").isNull).count() == 100)
+    // a projection of ONLY the missing column still yields 100 null rows
+    assert(df.select("replicated_from").collect().forall(_.isNullAt(0)))
+    assert(df.agg(sum("offset")).as[Long].head() == (0L until 100L).sum)
+  }
 }
