@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation — the selection step a
+  * corpus pipeline runs after dedup and quality scoring (choose a fraction,
+  * balance strata, fit a token budget).
+  *
+  * Everything keys on `md5(key)` rather than an RNG:
+  *
+  *  - **reproducible**: the same corpus always selects the same rows, on any
+  *    cluster size, with no seed plumbing or partition-order sensitivity —
+  *    `sample()`'s per-partition RNG changes output when partitioning
+  *    changes, which poisons exactly-once pipelines that replay a batch;
+  *  - **stable under growth**: a row's keep/drop never flips because other
+  *    rows arrived (Bernoulli by hash), so incremental runs agree with
+  *    one-shot runs row-by-row;
+  *  - **oracle-checkable**: DuckDB computes the identical md5 hex string, so
+  *    the driver hash-gate verifies these operators exactly, not
+  *    statistically.
+  *
+  * Scale shape: `hashFraction` is a pure filter (no shuffle, fully pushed
+  * into the scan stage); the stratified variants are one hash-partitioned
+  * window per call — the same shuffle a groupBy would pay, with no driver
+  * state and no collect.
+  */
+object Sampling {
+
+  /** Lowercase-hex md5 of the key — the shared sort/threshold domain.
+    * Uniform in [0, 16^32) for distinct keys; fixed-width, so string order
+    * equals numeric order and Spark and DuckDB compare identically. */
+  private def hashOf(key: Column): Column = md5(key.cast("string"))
+
+  /** 32-hex-char threshold such that P[md5 < threshold] = frac. */
+  private[ops] def fracThreshold(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction $frac outside [0,1]")
+    val full = BigInt(1) << 128
+    val cut = (BigDecimal(full) * frac).toBigInt.min(full)
+    if (cut >= full) "g" // > any hex digit: keep everything
+    else {
+      val s = cut.toString(16)
+      ("0" * (32 - s.length)) + s
+    }
+  }
+
+  /** Deterministic Bernoulli sample: keep rows with md5(key) below the
+    * fraction threshold. A pure filter — survives any repartitioning and
+    * pushes to the scan. */
+  def hashFraction(df: DataFrame, key: Column, frac: Double): DataFrame =
+    df.where(hashOf(key) < lit(fracThreshold(frac)))
+
+  /** Per-stratum top-k in hash order (a deterministic k-reservoir per
+    * stratum): balances strata regardless of their raw sizes — the
+    * language/source-balancing step of corpus assembly. Ties in the hash
+    * are broken by the key itself, so selection is total-ordered. */
+  def stratifiedTopK(df: DataFrame, strata: Seq[String], key: Column,
+                     k: Int): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(hashOf(key), key)
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k).drop("__rank")
+  }
+
+  /** Per-stratum selection under a weight budget: admit rows in hash order
+    * until the running sum of `weight` exceeds the budget (the admitting
+    * row is kept — "fill until full", so a stratum whose first document
+    * exceeds the budget still contributes it). The token-budget cut of
+    * corpus assembly, with tokens as the weight. */
+  def weightBudget(df: DataFrame, strata: Seq[String], key: Column,
+                   weight: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(hashOf(key), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(weight).over(w))
+      .where(col("__cum") - weight < budget) // strictly-before sum fits
+      .drop("__cum")
+  }
+}

@@ -74,6 +74,21 @@ object RelationalQueries {
     "q_scan_cold" -> ((s, d) =>
       scanAgg(s, TopicStage.eventsTopic(s, d, cold = true))),
 
+    // §2.1 SQL surface (Pulsar SQL analog): the same cold topic addressed
+    // through the GraftCatalog from plain spark.sql — catalog resolution,
+    // pruning-eligible WHERE, aggregation, all via SQL text only.
+    "q_sql_topic" -> ((s, d) => {
+      val dir = new java.io.File(TopicStage.eventsTopic(s, d, cold = true))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.getParent)
+      s.sql(s"""SELECT key, count(*) AS n,
+                  count(DISTINCT producer_name) AS n_producers,
+                  min(offset) AS min_off, max(offset) AS max_off
+                FROM graft.`${dir.getName}`
+                WHERE offset >= 1000
+                GROUP BY key""")
+    }),
+
     // §2.4 hash aggregation, TPC-H Q1 shape (partial+final agg from Catalyst).
     "q1_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -419,6 +434,13 @@ object RelationalQueries {
                 max(epoch_ms(ts)) AS max_pt_ms
          FROM events CROSS JOIN range(${TopicStage.Amplify}) AS r
          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY event_type""",
+    "q_sql_topic" ->
+      s"""SELECT event_type AS key, count(*) AS n,
+                count(DISTINCT 'u' || CAST(user_id AS VARCHAR)) AS n_producers,
+                min(event_id) AS min_off, max(event_id) AS max_off
+         FROM events CROSS JOIN range(${TopicStage.Amplify}) AS r
+         WHERE event_id >= 1000
          GROUP BY event_type""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

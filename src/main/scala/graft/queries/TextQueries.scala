@@ -96,6 +96,28 @@ object TextQueries {
         "doc_id", "text", maxHamming = 1)
     }),
 
+    // Curation sampling (graft.ops.Sampling): all md5-keyed so the oracle
+    // verifies selection EXACTLY, not statistically, and a replayed batch
+    // selects identical rows.
+    // Deterministic 25% Bernoulli by hash — a pure filter, no shuffle.
+    "q_sample_hash" -> ((s, d) =>
+      graft.ops.Sampling.hashFraction(
+        Tables.events(s, d), col("event_id"), 0.25)
+        .select(col("event_id"), col("user_id"), col("event_type"))),
+
+    // Language-balanced corpus: deterministic 50-doc reservoir per lang.
+    "q_sample_stratified" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedTopK(
+        Tables.documents(s, d), Seq("lang"), col("doc_id"), 50)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // Token-budget cut: admit docs per lang in hash order until 20k chars.
+    "q_sample_budget" -> ((s, d) =>
+      graft.ops.Sampling.weightBudget(
+        Tables.documents(s, d), Seq("lang"), col("doc_id"),
+        col("n_chars"), 20000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
     // Multimodal plumbing: opaque binary payload + typed metadata columns —
     // the schema/partitioning shape for image/audio blobs (decode itself is
     // stubbed; see graft.ops.Multimodal for the batch-iterator plumbing).
@@ -308,6 +330,23 @@ object TextQueries {
                  bit_count(xor(a.simhash, b.simhash)) AS hamming
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""",
+    "q_sample_hash" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE md5(CAST(event_id AS VARCHAR))
+               < '40000000000000000000000000000000'""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents) WHERE rn <= 50""",
+    "q_sample_budget" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+                  sum(n_chars) OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM documents) WHERE cum - n_chars < 20000""",
     "q_multimodal_meta" ->
       """SELECT doc_id, source, 16 + doc_id % 32 AS width,
                 16 + doc_id % 24 AS height, 8 AS embedding_dim

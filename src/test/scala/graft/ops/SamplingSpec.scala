@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Deterministic curation sampling: hash-Bernoulli, stratified reservoir,
+  * weight budget. The load-bearing properties are determinism under
+  * repartitioning (replayed batches must re-select identical rows) and
+  * per-stratum bounds. */
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = (1 to 2000).map { i =>
+    (i.toLong, s"lang${i % 3}", 100L + i % 57)
+  }.toDF("id", "lang", "weight")
+
+  test("fracThreshold maps fractions to the md5 hex domain") {
+    assert(Sampling.fracThreshold(0.0) == "0" * 32)
+    assert(Sampling.fracThreshold(0.25) == "4" + "0" * 31)
+    assert(Sampling.fracThreshold(0.5) == "8" + "0" * 31)
+    assert(Sampling.fracThreshold(1.0) == "g") // above every hex digit
+    intercept[IllegalArgumentException](Sampling.fracThreshold(1.5))
+  }
+
+  test("hashFraction is deterministic, partition-independent, and unbiased-ish") {
+    val df = corpus
+    val a = Sampling.hashFraction(df, col("id"), 0.25)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashFraction(df.repartition(13), col("id"), 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(a == b) // replay on different partitioning selects the same rows
+    assert(math.abs(a.size - 500) < 120) // ~25% of 2000, md5-uniform
+    // monotone in frac: a smaller fraction selects a subset
+    val tenth = Sampling.hashFraction(df, col("id"), 0.1)
+      .select("id").as[Long].collect().toSet
+    assert(tenth.subsetOf(a))
+    assert(Sampling.hashFraction(df, col("id"), 1.0).count() == 2000)
+    assert(Sampling.hashFraction(df, col("id"), 0.0).count() == 0)
+  }
+
+  test("stratifiedTopK caps every stratum and is deterministic") {
+    val out = Sampling.stratifiedTopK(corpus, Seq("lang"), col("id"), 40)
+    val sizes = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ == 40) && sizes.size == 3)
+    val again = Sampling.stratifiedTopK(corpus.repartition(7), Seq("lang"),
+      col("id"), 40).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // a stratum smaller than k is kept whole
+    val tiny = Seq((1L, "only", 5L), (2L, "only", 6L))
+      .toDF("id", "lang", "weight")
+    assert(Sampling.stratifiedTopK(tiny, Seq("lang"), col("id"), 40)
+      .count() == 2)
+  }
+
+  test("weightBudget fills each stratum to the budget, first row always in") {
+    val out = Sampling.weightBudget(corpus, Seq("lang"), col("id"),
+      col("weight"), 1000L)
+    val byLang = out.groupBy("lang")
+      .agg(sum("weight").as[Long], count(lit(1)))
+      .as[(String, Long, Long)].collect()
+    byLang.foreach { case (lang, total, n) =>
+      // admitted set sums to < budget + one overshooting row's weight
+      assert(total - 1000L < 157L, s"$lang total $total")
+      assert(n >= 1)
+    }
+    // a single row heavier than the budget is still admitted
+    val heavy = Seq((1L, "x", 5000L)).toDF("id", "lang", "weight")
+    assert(Sampling.weightBudget(heavy, Seq("x").map(_ => "lang"), col("id"),
+      col("weight"), 100L).count() == 1)
+    // determinism under repartitioning
+    val again = Sampling.weightBudget(corpus.repartition(9), Seq("lang"),
+      col("id"), col("weight"), 1000L).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** SQL-catalog surface: topics addressable as `graft.ns.topic` from plain
+  * spark.sql — DDL, INSERT (producer path), SELECT (scan with pruning),
+  * listing, rename, drop. */
+class GraftCatalogSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val root = {
+    val r = Files.createTempDirectory("graft-catalog").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", r)
+    r
+  }
+
+  test("DDL + INSERT + SELECT round-trip through the catalog") {
+    spark.sql(s"CREATE NAMESPACE graft.tenant1; -- root=$root".takeWhile(_ != ';'))
+    spark.sql("CREATE TABLE graft.tenant1.clicks (topic STRING, partition INT, " +
+      "offset BIGINT, key STRING, value STRING, publish_time TIMESTAMP)")
+
+    // INSERT runs the real producer path (staged write + monotone reveal)
+    (0 until 100).map(i =>
+      ("t", i % 4, i.toLong, s"k${i % 10}", s"v$i", ts("2024-03-01 00:00:00")))
+      .toDF("topic", "partition", "offset", "key", "value", "publish_time")
+      .createOrReplaceTempView("src_rows")
+    spark.sql("""INSERT INTO graft.tenant1.clicks
+                 SELECT topic, partition, offset, key, value, publish_time
+                 FROM src_rows""")
+
+    val agg = spark.sql(
+      """SELECT key, count(*) AS n, sum(offset) AS so
+         FROM graft.tenant1.clicks GROUP BY key""").collect()
+    assert(agg.length == 10 && agg.map(_.getLong(1)).sum == 100)
+    // pruning-eligible predicate still answers correctly through SQL
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft.tenant1.clicks WHERE offset >= 90")
+      .as[Long].head() == 10)
+    // unset envelope columns (event_time, …) read back as null
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft.tenant1.clicks WHERE event_time IS NULL")
+      .as[Long].head() == 100)
+  }
+
+  test("listing, rename, drop, and schema policing") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tenant2")
+    spark.sql("CREATE TABLE graft.tenant2.a (key STRING)")
+    spark.sql("CREATE TABLE graft.tenant2.b (key STRING)")
+    val tables = spark.sql("SHOW TABLES IN graft.tenant2")
+      .select("tableName").as[String].collect().toSet
+    assert(tables == Set("a", "b"))
+
+    spark.sql("ALTER TABLE graft.tenant2.a RENAME TO tenant2.c")
+    val after = spark.sql("SHOW TABLES IN graft.tenant2")
+      .select("tableName").as[String].collect().toSet
+    assert(after == Set("b", "c"))
+
+    spark.sql("DROP TABLE graft.tenant2.b")
+    assert(spark.sql("SHOW TABLES IN graft.tenant2").count() == 1)
+
+    // non-envelope columns are rejected: the broker owns the schema
+    val err = intercept[Exception](
+      spark.sql("CREATE TABLE graft.tenant2.bad (wrong_col DOUBLE)"))
+    assert(err.getMessage.contains("non-envelope") ||
+      Option(err.getCause).exists(_.getMessage.contains("non-envelope")))
+  }
+
+  test("a topic written by the writer API is immediately SQL-visible") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tenant3")
+    val dir = new java.io.File(s"$root/tenant3/direct")
+    (0 until 50).map(i =>
+      ("t", 0, i.toLong, s"k$i", s"v$i", ts("2024-03-01 00:00:00"),
+        ts("2024-03-01 00:00:00"), "p", i.toLong))
+      .toDF("topic", "partition", "offset", "key", "value", "event_time",
+        "publish_time", "producer_name", "sequence_id")
+      .coalesce(1).write.format("graft-topic")
+      .option("path", dir.getAbsolutePath).mode("append").save()
+    assert(spark.sql("SELECT count(*) AS c FROM graft.tenant3.direct")
+      .as[Long].head() == 50)
+    assert(spark.sql("SHOW TABLES IN graft.tenant3")
+      .select("tableName").as[String].collect().toSet == Set("direct"))
+  }
+}
