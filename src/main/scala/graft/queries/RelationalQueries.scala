@@ -85,7 +85,7 @@ object RelationalQueries {
                   count(DISTINCT producer_name) AS n_producers,
                   min(offset) AS min_off, max(offset) AS max_off
                 FROM graft.`${dir.getName}`
-                WHERE offset >= 1000
+                WHERE offset >= 100
                 GROUP BY key""")
     }),
 
@@ -440,7 +440,7 @@ object RelationalQueries {
                 count(DISTINCT 'u' || CAST(user_id AS VARCHAR)) AS n_producers,
                 min(event_id) AS min_off, max(event_id) AS max_off
          FROM events CROSS JOIN range(${TopicStage.Amplify}) AS r
-         WHERE event_id >= 1000
+         WHERE event_id >= 100
          GROUP BY event_type""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

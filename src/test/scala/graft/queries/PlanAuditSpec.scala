@@ -165,4 +165,40 @@ class PlanAuditSpec extends SparkSuite {
     assert(partFilters.contains("band") && partFilters.contains("bp"),
       s"band/bp must prune partitions, got: $partFilters\n$scan")
   }
+
+  test("hash sampling is a pure filter: no exchange anywhere in the plan") {
+    val p = plan("q_sample_hash")
+    assert(!p.contains("Exchange"),
+      s"deterministic Bernoulli sampling must not shuffle:\n$p")
+    assert(p.contains("md5"), "selection must key on the md5 hash")
+  }
+
+  test("stratified sampling pays exactly its one window shuffle") {
+    for (q <- Seq("q_sample_stratified", "q_sample_budget")) {
+      val n = "Exchange hashpartitioning".r.findAllIn(plan(q)).length
+      assert(n == 1, s"$q: expected 1 exchange (stratum window), got $n")
+    }
+  }
+
+  /** AQE only materializes the columnar boundary in the FINAL plan, so run
+    * the query before auditing. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("cold topic scans run columnar (vectorized parquet decode)") {
+    val p = finalPlan("q_scan_cold")
+    assert(p.contains("ColumnarToRow"),
+      s"cold scan lost its columnar boundary:\n$p")
+    assert(p.contains("GraftTopicScan"), "must be the topic source's scan")
+  }
+
+  test("SQL catalog resolves to the native topic scan, not a fallback") {
+    val p = finalPlan("q_sql_topic")
+    assert(p.contains("GraftTopicScan"),
+      s"graft.<topic> SQL must plan the DSv2 topic scan:\n$p")
+    assert(p.contains("ColumnarToRow"), "catalog reads keep the columnar path")
+  }
 }
