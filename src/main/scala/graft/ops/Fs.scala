@@ -1,0 +1,38 @@
+package graft.ops
+
+import java.io.File
+
+/** Small filesystem/concurrency helpers shared by the store/offload/staging
+  * code paths. */
+object Fs {
+
+  /** Recursive delete (no symlink traversal protection — callers own the
+    * trees they delete). Missing files are fine. */
+  def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** Run independent work items on a bounded pool and wait for ALL of them
+    * before returning or rethrowing the first failure. `invokeAll` + `get`
+    * rather than scala Futures: a scala Future never completes on a fatal
+    * throwable (OutOfMemoryError in one parquet encode would wedge an
+    * `Await` forever and strand sibling tasks), while a java FutureTask
+    * captures every Throwable and `get` rethrows it wrapped. */
+  def inParallel[A](work: Seq[A], maxThreads: Int = 16)(f: A => Unit): Unit =
+    if (work.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(maxThreads, work.size))
+      try {
+        val tasks = work.map { a =>
+          new java.util.concurrent.Callable[Unit] { def call(): Unit = f(a) }
+        }
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      } finally pool.shutdown()
+    }
+}

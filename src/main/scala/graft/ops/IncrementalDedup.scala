@@ -269,8 +269,5 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
     }
   }
 
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-  }
+  private def deleteRecursively(f: File): Unit = Fs.deleteRecursively(f)
 }

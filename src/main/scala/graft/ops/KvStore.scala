@@ -297,18 +297,8 @@ class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
       new ParquetKvStore(spark, b.getAbsolutePath, keyCols, ord,
         valueCol, expireAtCol, tombstoneRetainMs).reap())
 
-  private def inParallel[A](work: Seq[A])(f: A => Unit): Unit = {
-    if (work.nonEmpty) {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(8, work.size))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(
-        Future.sequence(work.map(a => Future(f(a)))), Duration.Inf)
-      finally pool.shutdown()
-    }
-  }
+  private def inParallel[A](work: Seq[A])(f: A => Unit): Unit =
+    Fs.inParallel(work, maxThreads = 8)(f)
 
   private def bucketDirs(): Array[File] =
     Option(new File(path).listFiles()).getOrElse(Array.empty)
@@ -327,10 +317,7 @@ class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
       .drop("__reap_at")
   }
 
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-  }
+  private def deleteRecursively(f: File): Unit = Fs.deleteRecursively(f)
 }
 
 object KvStore {

@@ -45,7 +45,7 @@ object Offloader {
       (if (pid == TopicTable.FlatPartition) tier
        else new File(tier, f.getParentFile.getName)).mkdirs()
     }
-    inParallel(victims) { case (pid, f) =>
+    Fs.inParallel(victims) { case (pid, f) =>
       val dst =
         if (pid == TopicTable.FlatPartition) tier
         else new File(tier, f.getParentFile.getName)
@@ -67,17 +67,6 @@ object Offloader {
     victims.length
   }
 
-  private def inParallel[A](work: Seq[A])(f: A => Unit): Unit =
-    if (work.nonEmpty) {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(16, work.size))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(
-        Future.sequence(work.map(a => Future(f(a)))), Duration.Inf)
-      finally pool.shutdown()
-    }
 
   /** Recall a partition's cold segments back to the hot tier (the inverse
     * transition; also metadata-only). Returns segments moved. */

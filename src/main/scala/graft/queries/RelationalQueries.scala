@@ -79,12 +79,17 @@ object RelationalQueries {
     // pruning-eligible WHERE, aggregation, all via SQL text only.
     "q_sql_topic" -> ((s, d) => {
       val dir = new java.io.File(TopicStage.eventsTopic(s, d, cold = true))
-      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft.root", dir.getParent)
+      // a catalog name OF ITS OWN: Spark's CatalogManager caches the
+      // instance per name on first use, so re-pointing an already-used
+      // name's .root at a different directory is silently ignored — any
+      // other user of a "graft" catalog in the same session would collide
+      s.conf.set("spark.sql.catalog.graft_scan",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_scan.root", dir.getParent)
       s.sql(s"""SELECT key, count(*) AS n,
                   count(DISTINCT producer_name) AS n_producers,
                   min(offset) AS min_off, max(offset) AS max_off
-                FROM graft.`${dir.getName}`
+                FROM graft_scan.`${dir.getName}`
                 WHERE offset >= 100
                 GROUP BY key""")
     }),

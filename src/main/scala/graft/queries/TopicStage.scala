@@ -41,42 +41,50 @@ object TopicStage {
     * stale on-disk corpus is restaged rather than silently reused. */
   private val StageVersion = 2
 
+  private def valid(root: java.io.File, want: String): Boolean = {
+    val marker = new java.io.File(root, "_STAGED_OK")
+    marker.exists() &&
+      new String(Files.readAllBytes(marker.toPath), "UTF-8") == want
+  }
+
   def eventsTopic(s: SparkSession, d: String, cold: Boolean): String =
     staged.synchronized {
       staged.getOrElseUpdate((d, cold), {
         // deterministic location + marker: Verify and Bench are separate
         // JVMs and each corpus is hundreds of MB at sf0.1 — stage once per
-        // box, reuse across runs, restage on any layout change
+        // box, reuse across runs, restage on any layout change.
+        //
+        // Publication is stage-into-private-dir THEN one atomic rename: a
+        // concurrent JVM can never observe (or delete) a half-staged
+        // corpus at the canonical path, and a marker-bearing root is
+        // complete by construction (the marker is written before the
+        // rename makes anything visible). A markerless root is therefore
+        // always debris — an old-layout corpus or a crashed run — and
+        // safe to clear.
         val tag = java.lang.Integer.toHexString(d.hashCode)
         val root = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft-scan-${if (cold) "cold" else "hot"}-$tag")
-        val marker = new java.io.File(root, "_STAGED_OK")
         val want = s"v$StageVersion amplify=$Amplify sf=$d"
-        if (marker.exists() &&
-          new String(Files.readAllBytes(marker.toPath), "UTF-8") == want)
-          return root.getAbsolutePath
-        if (root.exists()) { // stale or torn staging: rebuild from scratch
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete()
-          }
-          rm(root)
-        }
-        root.mkdirs()
-        val dir = root.getAbsolutePath
+        if (valid(root, want)) return root.getAbsolutePath
+
+        val work = new java.io.File(root.getParent,
+          root.getName + s".staging-${ProcessHandle.current().pid()}")
+        graft.ops.Fs.deleteRecursively(work)
+        work.mkdirs()
+        val dir = work.getAbsolutePath
         val env = Tables.events(s, d)
           .crossJoin(s.range(Amplify).select(col("id").as("__replay")))
           .drop("__replay")
           .select(
-          lit("events").as("topic"),
-          pmod(col("event_id"), lit(32)).cast("int").as("partition"),
-          col("event_id").as("offset"),
-          col("event_type").as("key"),
-          col("props").as("value"),
-          col("ts").as("event_time"),
-          col("ts").as("publish_time"),
-          concat(lit("u"), col("user_id")).as("producer_name"),
-          col("event_id").as("sequence_id"))
+            lit("events").as("topic"),
+            pmod(col("event_id"), lit(32)).cast("int").as("partition"),
+            col("event_id").as("offset"),
+            col("event_type").as("key"),
+            col("props").as("value"),
+            col("ts").as("event_time"),
+            col("ts").as("publish_time"),
+            concat(lit("u"), col("user_id")).as("producer_name"),
+            col("event_id").as("sequence_id"))
         env.repartition(32, col("partition"))
           .write.format("graft-topic").option("path", dir)
           .mode("append").save()
@@ -88,10 +96,20 @@ object TopicStage {
           require(leftHot.isEmpty,
             s"cold staging left hot segments: ${leftHot.map(_._2).mkString(", ")}")
         }
-        // marker last: a crash mid-staging leaves no marker, so the next
-        // run rebuilds instead of trusting a torn corpus
-        Files.write(marker.toPath, want.getBytes("UTF-8"))
-        dir
+        Files.write(new java.io.File(work, "_STAGED_OK").toPath,
+          want.getBytes("UTF-8"))
+        // publish; on a lost race, prefer the winner's complete corpus
+        if (!work.renameTo(root)) {
+          if (!valid(root, want)) {
+            graft.ops.Fs.deleteRecursively(root)
+            if (!work.renameTo(root) && !valid(root, want))
+              throw new java.io.IOException(
+                s"could not publish staged corpus at $root")
+          }
+          if (valid(root, want) && work.exists())
+            graft.ops.Fs.deleteRecursively(work)
+        }
+        root.getAbsolutePath
       })
     }
 }

@@ -101,11 +101,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)
     if (!dir.isDirectory) return false
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(dir)
+    graft.ops.Fs.deleteRecursively(dir)
     true
   }
 
@@ -151,13 +147,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                              cascade: Boolean): Boolean = {
     val dir = dirFor(namespace)
     if (!dir.isDirectory) return false
-    if (!cascade && childDirs(dir).nonEmpty)
+    // emptiness means NO children at all — childDirs would hide topic
+    // internals (partition-NNN/, offloaded/, flat segment files), and a
+    // topic misaddressed as a namespace must not silently drop data
+    if (!cascade &&
+        Option(dir.listFiles()).getOrElse(Array.empty).nonEmpty)
       throw new IllegalStateException(s"namespace $dir is not empty")
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(dir)
+    graft.ops.Fs.deleteRecursively(dir)
     true
   }
 }

@@ -163,13 +163,10 @@ object SegmentCodec {
   * exists for. The columnar twin of [[SegmentReader]]. */
 class ParquetSegmentReader(file: String, required: StructType)
   extends PartitionReader[InternalRow] {
-  /** Envelope column name → on-disk parquet field (ms-epoch twins for the
-    * timestamp columns). */
-  private def diskField(name: String): String = name match {
-    case "event_time" => "event_time_ms"
-    case "publish_time" => "publish_time_ms"
-    case other => other
-  }
+  // envelope column name → on-disk parquet field: shared with the
+  // vectorized reader so the two cold readers can't drift
+  private def diskField(name: String): String =
+    ColumnarSegments.diskField(name)
 
   private val reader = {
     val conf = new Configuration()

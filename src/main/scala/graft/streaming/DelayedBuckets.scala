@@ -127,8 +127,5 @@ object DelayedBuckets {
     } finally unregisterRun(runToken)
   }
 
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-  }
+  private def deleteRecursively(f: File): Unit = graft.ops.Fs.deleteRecursively(f)
 }
