@@ -70,6 +70,26 @@ class GraftCatalogSpec extends SparkSuite {
       Option(err.getCause).exists(_.getMessage.contains("non-envelope")))
   }
 
+  test("catalog tables stream: readStream.table consumes a graft.ns.topic") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tenant4")
+    spark.sql("CREATE TABLE graft.tenant4.feed (topic STRING, partition INT, " +
+      "offset BIGINT, key STRING, value STRING, publish_time TIMESTAMP)")
+    (0 until 30).map(i =>
+      ("t", 0, i.toLong, s"k$i", s"v$i", ts("2024-03-01 00:00:00")))
+      .toDF("topic", "partition", "offset", "key", "value", "publish_time")
+      .createOrReplaceTempView("feed_rows")
+    spark.sql("INSERT INTO graft.tenant4.feed SELECT * FROM feed_rows")
+
+    val q = spark.readStream.table("graft.tenant4.feed")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("catalog_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("catalog_stream").as[Long].head() == 30)
+  }
+
   test("a topic written by the writer API is immediately SQL-visible") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tenant3")
     val dir = new java.io.File(s"$root/tenant3/direct")
