@@ -94,6 +94,22 @@ object RelationalQueries {
                 GROUP BY key""")
     }),
 
+    // §2.1 SQL time travel (seek-by-timestamp's batch face): the topic as a
+    // consumer at t had seen it — publish_time ≤ t in the ms domain, via
+    // the catalog's loadTable(ident, timestamp) + segment pruning + reader
+    // row filter.
+    "q_sql_time_travel" -> ((s, d) => {
+      val dir = new java.io.File(TopicStage.eventsTopic(s, d, cold = true))
+      s.conf.set("spark.sql.catalog.graft_scan",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_scan.root", dir.getParent)
+      s.sql(s"""SELECT key, count(*) AS n,
+                  max(unix_millis(publish_time)) AS max_pt_ms
+                FROM graft_scan.`${dir.getName}`
+                TIMESTAMP AS OF '2024-01-20 00:00:00'
+                GROUP BY key""")
+    }),
+
     // §2.4 hash aggregation, TPC-H Q1 shape (partial+final agg from Catalyst).
     "q1_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -446,6 +462,12 @@ object RelationalQueries {
                 min(event_id) AS min_off, max(event_id) AS max_off
          FROM events CROSS JOIN range(${TopicStage.Amplify}) AS r
          WHERE event_id >= 100
+         GROUP BY event_type""",
+    "q_sql_time_travel" ->
+      s"""SELECT event_type AS key, count(*) AS n,
+                max(epoch_ms(ts)) AS max_pt_ms
+         FROM events CROSS JOIN range(${TopicStage.Amplify}) AS r
+         WHERE epoch_ms(ts) <= 1705708800000
          GROUP BY event_type""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -75,6 +75,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new TopicTable(dir.getAbsolutePath)
   }
 
+  /** SQL time travel (`SELECT … FROM graft.ns.topic TIMESTAMP AS OF t`):
+    * the topic as a consumer reading at instant t had seen it — rows whose
+    * publish time is known and ≤ t, compared in the envelope's millisecond
+    * domain. Segments wholly newer than t prune on metadata; a row with no
+    * publish stamp cannot be proven published by t and is excluded. This is
+    * the batch face of seek-by-timestamp (PersistentMessageFinder); the
+    * streaming face is the source's `startingTime` option. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirFor(ident)
+    if (!dir.isDirectory) throw new NoSuchTableException(ident)
+    new TopicTable(dir.getAbsolutePath,
+      asOfMs = Some(Math.floorDiv(timestampMicros, 1000L)))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     dirFor(ident).isDirectory
 

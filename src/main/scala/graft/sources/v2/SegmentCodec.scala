@@ -161,7 +161,8 @@ object SegmentCodec {
   * the parquet reader as a requested projection, so unrequested columns are
   * never decompressed or assembled — the columnar read the offload rewrite
   * exists for. The columnar twin of [[SegmentReader]]. */
-class ParquetSegmentReader(file: String, required: StructType)
+class ParquetSegmentReader(file: String, required: StructType,
+                           asOfMs: Option[Long] = None)
   extends PartitionReader[InternalRow] {
   // envelope column name → on-disk parquet field: shared with the
   // vectorized reader so the two cold readers can't drift
@@ -170,7 +171,10 @@ class ParquetSegmentReader(file: String, required: StructType)
 
   private val reader = {
     val conf = new Configuration()
-    val wanted = required.fields.map(f => diskField(f.name)).toSet
+    // an AS OF read needs the publish stamp for visibility even when the
+    // query projected it away
+    val wanted = required.fields.map(f => diskField(f.name)).toSet ++
+      (if (asOfMs.isDefined) Set("publish_time_ms") else Set.empty)
     val projected = SegmentCodec.parquetSchema.getFields.asScala
       .filter(f => wanted.contains(f.getName)).toList
     // an empty projection (count-only scan) still needs one column to drive
@@ -209,8 +213,16 @@ class ParquetSegmentReader(file: String, required: StructType)
     }
   }
 
+  /** AS OF visibility (same contract as the JSONL reader): publish time
+    * known and ≤ t. */
+  private def visibleAt(g: Group): Boolean = asOfMs.forall { t =>
+    g.getFieldRepetitionCount("publish_time_ms") > 0 &&
+      g.getLong("publish_time_ms", 0) <= t
+  }
+
   override def next(): Boolean = {
-    val g = reader.read()
+    var g = reader.read()
+    while (g != null && !visibleAt(g)) g = reader.read()
     if (g == null) false
     else {
       row = InternalRow.fromSeq(required.fields.toIndexedSeq

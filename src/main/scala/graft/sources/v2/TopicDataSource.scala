@@ -185,9 +185,11 @@ object TopicTable {
     if (topic.isEmpty) pid.toString else s"$topic#$pid"
 }
 
-class TopicTable(path: String) extends Table with SupportsRead with SupportsWrite {
+class TopicTable(path: String, asOfMs: Option[Long] = None)
+  extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graft-topic requires .option(\"path\", dir)")
-  override def name(): String = s"graft-topic:$path"
+  override def name(): String =
+    s"graft-topic:$path${asOfMs.map(t => s"@asOf=$t").getOrElse("")}"
   override def schema(): StructType = TopicTable.schema
   /** ACCEPT_ANY_SCHEMA: writers resolve envelope fields BY NAME from the
     * incoming query schema (absent nullable fields persist as null), so a
@@ -203,7 +205,8 @@ class TopicTable(path: String) extends Table with SupportsRead with SupportsWrit
       Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
       Option(options.get("startingTime")).map(_.toLong),
       Option(options.get("subscribePattern")),
-      Option(options.get("frontierGraceMs")).map(_.toLong))
+      Option(options.get("frontierGraceMs")).map(_.toLong),
+      asOfMs)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TopicWriteBuilder(path, info.queryId(), info.schema())
@@ -214,7 +217,8 @@ class TopicTable(path: String) extends Table with SupportsRead with SupportsWrit
 class TopicScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None,
                        startingTimeMs: Option[Long] = None,
                        pattern: Option[String] = None,
-                       frontierGraceMs: Option[Long] = None) extends ScanBuilder
+                       frontierGraceMs: Option[Long] = None,
+                       asOfMs: Option[Long] = None) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TopicTable.schema
@@ -239,14 +243,15 @@ class TopicScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None,
 
   override def build(): Scan =
     new TopicScan(path, pushed, required, maxSegmentsPerTrigger,
-      startingTimeMs, pattern, frontierGraceMs)
+      startingTimeMs, pattern, frontierGraceMs, asOfMs)
 }
 
 class TopicScan(path: String, filters: Array[Filter], required: StructType,
                 maxSegmentsPerTrigger: Option[Int] = None,
                 startingTimeMs: Option[Long] = None,
                 pattern: Option[String] = None,
-                frontierGraceMs: Option[Long] = None)
+                frontierGraceMs: Option[Long] = None,
+                asOfMs: Option[Long] = None)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -254,17 +259,24 @@ class TopicScan(path: String, filters: Array[Filter], required: StructType,
     new TopicMicroBatchStream(path, maxSegmentsPerTrigger, startingTimeMs,
       pattern, frontierGraceMs, Some(checkpointLocation))
   override def description(): String =
-    s"GraftTopicScan(path=$path, prunedBy=${filters.mkString(",")})"
+    s"GraftTopicScan(path=$path, prunedBy=${filters.mkString(",")}" +
+      asOfMs.map(t => s", asOfMs=$t").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val segs = TopicTable.resolveTopics(path, pattern)
       .flatMap { case (_, dir) => TopicTable.listSegments(dir) }
     segs.filter(f => SegmentStats.mightMatch(f, filters))
+      // time travel prunes segments wholly newer than the as-of instant
+      // (metadata-only; rows inside mixed segments filter in the reader)
+      .filter(f => asOfMs.forall(t =>
+        SegmentStats.statsFor(f).forall(_.minPt <= t)))
       .map(f => TopicInputPartition(f.getAbsolutePath): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TopicReaderFactory(required, columnar = true)
+    // the as-of row filter lives in the row-based readers; AS OF scans are
+    // rare archaeology, so they trade the columnar path for simplicity
+    new TopicReaderFactory(required, columnar = asOfMs.isEmpty, asOfMs)
 }
 
 case class TopicInputPartition(file: String) extends InputPartition
@@ -386,14 +398,16 @@ object SegmentStats {
   }
 }
 
-class TopicReaderFactory(required: StructType, columnar: Boolean = false)
+class TopicReaderFactory(required: StructType, columnar: Boolean = false,
+                         asOfMs: Option[Long] = None)
   extends PartitionReaderFactory {
   /** Dispatch on the physical extension: hot segments are JSONL, offloaded
     * cold segments may be parquet twins ([[SegmentCodec]]). */
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val f = p.asInstanceOf[TopicInputPartition].file
-    if (f.endsWith(SegmentCodec.ColdExt)) new ParquetSegmentReader(f, required)
-    else new SegmentReader(f, required)
+    if (f.endsWith(SegmentCodec.ColdExt))
+      new ParquetSegmentReader(f, required, asOfMs)
+    else new SegmentReader(f, required, asOfMs)
   }
 
   /** Batch scans run columnar (Spark requires all partitions agree, so the
@@ -413,7 +427,8 @@ class TopicReaderFactory(required: StructType, columnar: Boolean = false)
 }
 
 /** Parses one segment; projects only the pruned columns into InternalRows. */
-class SegmentReader(file: String, required: StructType)
+class SegmentReader(file: String, required: StructType,
+                    asOfMs: Option[Long] = None)
   extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val src = scala.io.Source.fromFile(file, "UTF-8")
@@ -448,12 +463,25 @@ class SegmentReader(file: String, required: StructType)
     }
   }
 
+  /** Time-travel visibility: a row is part of the topic "as of t" iff its
+    * publish time is known and ≤ t — a message with no publish stamp can't
+    * be proven published by t, so AS OF reads exclude it (documented on
+    * [[GraftCatalog]]). */
+  private def visibleAt(node: JsonNode): Boolean = asOfMs.forall { t =>
+    val pt = node.get("publish_time_ms")
+    pt != null && !pt.isNull && pt.asLong <= t
+  }
+
   override def next(): Boolean = {
-    if (!lines.hasNext) return false
-    val node = mapper.readTree(lines.next())
-    row = InternalRow.fromSeq(required.fields.toIndexedSeq
-      .map(f => fieldValue(node, f.name)))
-    true
+    while (lines.hasNext) {
+      val node = mapper.readTree(lines.next())
+      if (visibleAt(node)) {
+        row = InternalRow.fromSeq(required.fields.toIndexedSeq
+          .map(f => fieldValue(node, f.name)))
+        return true
+      }
+    }
+    false
   }
   override def get(): InternalRow = row
   override def close(): Unit = src.close()

@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
 class GraftCatalogSpec extends SparkSuite {
   import spark.implicits._
 
+  /** Registers the catalog on first use; every test must call it BEFORE its
+    * first SQL statement — an unregistered `graft.x.y` falls through to the
+    * session catalog and fails with REQUIRES_SINGLE_PART_NAMESPACE. */
   private lazy val root = {
     val r = Files.createTempDirectory("graft-catalog").toFile.getAbsolutePath
     spark.conf.set("spark.sql.catalog.graft",
@@ -48,6 +51,7 @@ class GraftCatalogSpec extends SparkSuite {
   }
 
   test("listing, rename, drop, and schema policing") {
+    root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tenant2")
     spark.sql("CREATE TABLE graft.tenant2.a (key STRING)")
     spark.sql("CREATE TABLE graft.tenant2.b (key STRING)")
@@ -71,6 +75,7 @@ class GraftCatalogSpec extends SparkSuite {
   }
 
   test("catalog tables stream: readStream.table consumes a graft.ns.topic") {
+    root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tenant4")
     spark.sql("CREATE TABLE graft.tenant4.feed (topic STRING, partition INT, " +
       "offset BIGINT, key STRING, value STRING, publish_time TIMESTAMP)")
@@ -90,7 +95,49 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.table("catalog_stream").as[Long].head() == 30)
   }
 
+  test("TIMESTAMP AS OF reads the topic as a consumer at t saw it") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tenant5")
+    val dir = new java.io.File(s"$root/tenant5/log")
+    def append(offs: Range, t: java.sql.Timestamp): Unit =
+      offs.map(i => ("t", 0, i.toLong, s"k$i", s"v$i", t, t, "p", i.toLong))
+        .toDF("topic", "partition", "offset", "key", "value", "event_time",
+          "publish_time", "producer_name", "sequence_id")
+        .coalesce(1).write.format("graft-topic")
+        .option("path", dir.getAbsolutePath).mode("append").save()
+    append(0 until 40, ts("2024-01-01 00:00:00"))
+    append(40 until 70, ts("2024-02-01 00:00:00"))
+    // one row with NO publish stamp: unprovable at any t, excluded from
+    // AS OF reads but visible to plain reads
+    Seq(("t", 0, 70L, "k70", "v70", ts("2024-01-01 00:00:00"),
+        Option.empty[java.sql.Timestamp], "p", 70L))
+      .toDF("topic", "partition", "offset", "key", "value", "event_time",
+        "publish_time", "producer_name", "sequence_id")
+      .coalesce(1).write.format("graft-topic")
+      .option("path", dir.getAbsolutePath).mode("append").save()
+
+    def asOf(t: String): Long =
+      spark.sql(s"SELECT count(*) AS c FROM graft.tenant5.log " +
+        s"TIMESTAMP AS OF '$t'").as[Long].head()
+    assert(asOf("2024-01-15 00:00:00") == 40)  // second batch invisible
+    assert(asOf("2024-01-01 00:00:00") == 40)  // boundary inclusive
+    assert(asOf("2023-12-31 23:59:59") == 0)
+    assert(asOf("2024-06-01 00:00:00") == 70)  // unstamped row still excluded
+    assert(spark.sql("SELECT count(*) AS c FROM graft.tenant5.log")
+      .as[Long].head() == 71)
+    // and the same contract through the cold tier: offload, re-ask
+    assert(graft.ops.Offloader.offload(dir.getAbsolutePath,
+      ts("2030-01-01 00:00:00").getTime) >= 2)
+    assert(asOf("2024-01-15 00:00:00") == 40)
+    assert(asOf("2024-06-01 00:00:00") == 70)
+    // projection that drops publish_time still time-travels correctly
+    val keys = spark.sql("SELECT key FROM graft.tenant5.log " +
+      "TIMESTAMP AS OF '2024-01-15 00:00:00'").as[String].collect()
+    assert(keys.length == 40 && keys.toSet == (0 until 40).map(i => s"k$i").toSet)
+  }
+
   test("a topic written by the writer API is immediately SQL-visible") {
+    root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tenant3")
     val dir = new java.io.File(s"$root/tenant3/direct")
     (0 until 50).map(i =>
