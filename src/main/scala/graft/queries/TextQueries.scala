@@ -96,6 +96,27 @@ object TextQueries {
         "doc_id", "text", maxHamming = 1)
     }),
 
+    // Decontamination (graft.ops.Decontaminate): eval docs (doc_id % 10 = 0,
+    // a 10% held-out split) whose content also appears in the train split.
+    // Prefix-fingerprint exact matching (first 5 tokens) — the form that
+    // catches an eval prompt quoted at the head of a training document.
+    "q_decontaminate_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Decontaminate.exact(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", prefixTokens = 5)
+    }),
+
+    // Near-duplicate contamination: cross-split MinHash-LSH candidates.
+    "q_decontaminate_near" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Decontaminate.near(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+    }),
+
     // Curation sampling (graft.ops.Sampling): all md5-keyed so the oracle
     // verifies selection EXACTLY, not statistically, and a replayed batch
     // selects identical rows.
@@ -224,6 +245,27 @@ object TextQueries {
          FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
          WHERE len(w) >= 3)"""
 
+  /** Cross-split banded-minhash contamination — the same bucket structure
+    * as [[lshPairsSql]], pairs restricted to eval(doc_id%10=0) × train. */
+  private lazy val nearContaminationSql =
+    s"""WITH $shingleCte,
+        sigs AS (
+          SELECT doc_id,
+              ${minhashSqlExprs(16)}
+          FROM shingle_rows GROUP BY doc_id),
+        buckets AS (
+          SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket FROM sigs
+          UNION ALL
+          SELECT doc_id, 1, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) FROM sigs
+          UNION ALL
+          SELECT doc_id, 2, md5(mh8 || '|' || mh9 || '|' || mh10 || '|' || mh11) FROM sigs
+          UNION ALL
+          SELECT doc_id, 3, md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15) FROM sigs)
+        SELECT DISTINCT a.doc_id AS test_id, b.doc_id AS train_id
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0"""
+
   /** Banded-minhash candidate pairs — the oracle for BOTH the one-shot
     * `q_minhash_lsh` and the incremental-index `q_dedup_incremental`
     * (feeding the corpus through in batches must produce the same pairs). */
@@ -321,6 +363,16 @@ object TextQueries {
     "q_minhash_lsh" -> lshPairsSql,
     // the incremental index must land on EXACTLY the one-shot pair set
     "q_dedup_incremental" -> lshPairsSql,
+    "q_decontaminate_exact" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  md5(array_to_string(
+                    list_slice(string_split(text, ' '), 1, 5), ' ')) AS f
+           FROM documents)
+         SELECT a.doc_id AS test_id, b.doc_id AS train_id
+         FROM fp a JOIN fp b ON a.f = b.f
+         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0""",
+    "q_decontaminate_near" -> nearContaminationSql,
     "q_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM sh""",
