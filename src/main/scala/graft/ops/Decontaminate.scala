@@ -23,9 +23,13 @@ object Decontaminate {
   def exact(train: DataFrame, test: DataFrame, idCol: String,
             textCol: String, prefixTokens: Int = 0): DataFrame = {
     def fp(c: Column): Column =
-      if (prefixTokens > 0)
-        md5(array_join(slice(TextFunctions.tokens(c), 1, prefixTokens), " "))
-      else TextFunctions.fingerprint(c)
+      if (prefixTokens > 0) {
+        // same normalization as the whole-text fingerprint (lowercase,
+        // whitespace collapsed) so the two modes agree on what matches —
+        // a quoted head differing only in case must still collide
+        val norm = lower(regexp_replace(trim(c), "\\s+", " "))
+        md5(array_join(slice(TextFunctions.tokens(norm), 1, prefixTokens), " "))
+      } else TextFunctions.fingerprint(c)
     test.select(col(idCol).as("test_id"), fp(col(textCol)).as("__fp"))
       .join(train.select(col(idCol).as("train_id"),
         fp(col(textCol)).as("__fp")), "__fp")
@@ -64,8 +68,10 @@ object Decontaminate {
         element_at(col("tr"), 1)("id").as("train_id")))
     grouped
       .select(explode(
-        when(size(col("te")) * size(col("tr")) <= maxBucket, full)
-          .otherwise(star)).as("p"))
+        // long arithmetic: Int size() products wrap for giant degenerate
+        // buckets, which would disable the cap exactly when it matters
+        when(size(col("te")).cast("long") * size(col("tr")).cast("long")
+          <= maxBucket, full).otherwise(star)).as("p"))
       .select(col("p.test_id").as("test_id"), col("p.train_id").as("train_id"))
       .distinct()
   }

@@ -265,9 +265,8 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
       Option(new File(path).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
           !keep(f.getName))
-        .foreach(deleteRecursively)
+        .foreach(Fs.deleteRecursively)
     }
   }
 
-  private def deleteRecursively(f: File): Unit = Fs.deleteRecursively(f)
 }

@@ -282,7 +282,7 @@ class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
         // reading the partition dir directly omits the __b column
         bucketStore(b).merge(spark.read.parquet(slice.getAbsolutePath))
       }
-    } finally deleteRecursively(staging)
+    } finally Fs.deleteRecursively(staging)
   }
 
   /** Reap expired entries from EVERY bucket, including those no recent
@@ -317,7 +317,6 @@ class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
       .drop("__reap_at")
   }
 
-  private def deleteRecursively(f: File): Unit = Fs.deleteRecursively(f)
 }
 
 object KvStore {

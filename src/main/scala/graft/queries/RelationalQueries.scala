@@ -78,18 +78,11 @@ object RelationalQueries {
     // through the GraftCatalog from plain spark.sql — catalog resolution,
     // pruning-eligible WHERE, aggregation, all via SQL text only.
     "q_sql_topic" -> ((s, d) => {
-      val dir = new java.io.File(TopicStage.eventsTopic(s, d, cold = true))
-      // a catalog name OF ITS OWN: Spark's CatalogManager caches the
-      // instance per name on first use, so re-pointing an already-used
-      // name's .root at a different directory is silently ignored — any
-      // other user of a "graft" catalog in the same session would collide
-      s.conf.set("spark.sql.catalog.graft_scan",
-        "graft.sources.v2.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_scan.root", dir.getParent)
+      val (cat, tbl) = TopicStage.sqlCatalogFor(s, d)
       s.sql(s"""SELECT key, count(*) AS n,
                   count(DISTINCT producer_name) AS n_producers,
                   min(offset) AS min_off, max(offset) AS max_off
-                FROM graft_scan.`${dir.getName}`
+                FROM $cat.`$tbl`
                 WHERE offset >= 100
                 GROUP BY key""")
     }),
@@ -99,13 +92,10 @@ object RelationalQueries {
     // the catalog's loadTable(ident, timestamp) + segment pruning + reader
     // row filter.
     "q_sql_time_travel" -> ((s, d) => {
-      val dir = new java.io.File(TopicStage.eventsTopic(s, d, cold = true))
-      s.conf.set("spark.sql.catalog.graft_scan",
-        "graft.sources.v2.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_scan.root", dir.getParent)
+      val (cat, tbl) = TopicStage.sqlCatalogFor(s, d)
       s.sql(s"""SELECT key, count(*) AS n,
                   max(unix_millis(publish_time)) AS max_pt_ms
-                FROM graft_scan.`${dir.getName}`
+                FROM $cat.`$tbl`
                 TIMESTAMP AS OF '2024-01-20 00:00:00'
                 GROUP BY key""")
     }),

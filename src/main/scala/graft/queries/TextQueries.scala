@@ -367,7 +367,9 @@ object TextQueries {
       """WITH fp AS (
            SELECT doc_id,
                   md5(array_to_string(
-                    list_slice(string_split(text, ' '), 1, 5), ' ')) AS f
+                    list_slice(string_split(
+                      lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' '), 1, 5), ' ')) AS f
            FROM documents)
          SELECT a.doc_id AS test_id, b.doc_id AS train_id
          FROM fp a JOIN fp b ON a.f = b.f

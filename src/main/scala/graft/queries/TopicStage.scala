@@ -41,10 +41,29 @@ object TopicStage {
     * stale on-disk corpus is restaged rather than silently reused. */
   private val StageVersion = 2
 
-  private def valid(root: java.io.File, want: String): Boolean = {
-    val marker = new java.io.File(root, "_STAGED_OK")
-    marker.exists() &&
-      new String(Files.readAllBytes(marker.toPath), "UTF-8") == want
+  private def valid(root: java.io.File, want: String): Boolean =
+    try {
+      val marker = new java.io.File(root, "_STAGED_OK")
+      marker.exists() &&
+        new String(Files.readAllBytes(marker.toPath), "UTF-8") == want
+    } catch {
+      // a concurrent JVM may delete the root between exists() and the
+      // read — that's just "not valid (yet)", not a failure
+      case _: java.io.IOException => false
+    }
+
+  /** Register (once) a catalog pointing at the staged COLD corpus for
+    * dataset `d` and return (catalogName, tableName) for SQL text. The
+    * catalog name embeds the dataset tag: Spark's CatalogManager caches
+    * the instance per name on first use, so one name can never serve two
+    * roots — a second dataset in the same session would silently read the
+    * first one's corpus. */
+  def sqlCatalogFor(s: SparkSession, d: String): (String, String) = {
+    val dir = new java.io.File(eventsTopic(s, d, cold = true))
+    val cat = "graft_" + dir.getName.replaceAll("[^A-Za-z0-9_]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", dir.getParent)
+    (cat, dir.getName)
   }
 
   def eventsTopic(s: SparkSession, d: String, cold: Boolean): String =
@@ -67,6 +86,19 @@ object TopicStage {
         val want = s"v$StageVersion amplify=$Amplify sf=$d"
         if (valid(root, want)) return root.getAbsolutePath
 
+        // reap staging debris from DEAD processes first (a crashed run's
+        // pid-suffixed dir is otherwise never reclaimed); live runs keep
+        // theirs — they are about to publish or clean up themselves
+        Option(new java.io.File(root.getParent).listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.startsWith(root.getName + ".staging-"))
+          .foreach { d =>
+            val alive = d.getName.stripPrefix(root.getName + ".staging-")
+              .toLongOption
+              .exists(pid => ProcessHandle.of(pid)
+                .map[java.lang.Boolean](_.isAlive).orElse(false))
+            if (!alive) graft.ops.Fs.deleteRecursively(d)
+          }
         val work = new java.io.File(root.getParent,
           root.getName + s".staging-${ProcessHandle.current().pid()}")
         graft.ops.Fs.deleteRecursively(work)

@@ -169,20 +169,38 @@ class ParquetSegmentReader(file: String, required: StructType,
   private def diskField(name: String): String =
     ColumnarSegments.diskField(name)
 
-  private val reader = {
-    val conf = new Configuration()
+  /** Fields actually present in THIS file: a legacy twin predating an
+    * envelope column must null-fill it (the columnar reader's behavior),
+    * not fail parquet's requested-schema containment check. */
+  private val fileFields: Set[String] = {
+    val pf = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(file), new Configuration()))
+    try pf.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally pf.close()
+  }
+
+  /** Disk fields in the read projection — lookups outside it (missing from
+    * the file, or pruned) answer null / not-visible. */
+  private val projectedFields: Set[String] = {
     // an AS OF read needs the publish stamp for visibility even when the
     // query projected it away
     val wanted = required.fields.map(f => diskField(f.name)).toSet ++
       (if (asOfMs.isDefined) Set("publish_time_ms") else Set.empty)
+    wanted.intersect(fileFields)
+  }
+
+  private val reader = {
+    val conf = new Configuration()
     val projected = SegmentCodec.parquetSchema.getFields.asScala
-      .filter(f => wanted.contains(f.getName)).toList
-    // an empty projection (count-only scan) still needs one column to drive
-    // row iteration — partition is the narrowest
+      .filter(f => projectedFields.contains(f.getName)).toList
+    // an empty projection (count-only scan, or every wanted column absent
+    // from the file) still needs one column to drive row iteration — use
+    // the narrowest one the file has
     val fields =
       if (projected.nonEmpty) projected
       else SegmentCodec.parquetSchema.getFields.asScala
-        .filter(_.getName == "partition").toList
+        .filter(f => fileFields.contains(f.getName)).take(1).toList
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       new MessageType("graft_segment", fields.asJava).toString)
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
@@ -191,7 +209,8 @@ class ParquetSegmentReader(file: String, required: StructType,
   private var row: InternalRow = _
 
   private def fieldValue(g: Group, name: String): Any = {
-    def has(k: String) = g.getFieldRepetitionCount(k) > 0
+    def has(k: String) =
+      projectedFields.contains(k) && g.getFieldRepetitionCount(k) > 0
     def str(k: String) =
       if (has(k)) UTF8String.fromString(g.getString(k, 0)) else null
     name match {
@@ -214,9 +233,11 @@ class ParquetSegmentReader(file: String, required: StructType,
   }
 
   /** AS OF visibility (same contract as the JSONL reader): publish time
-    * known and ≤ t. */
+    * known and ≤ t — a file with no publish column at all has no provably
+    * published rows. */
   private def visibleAt(g: Group): Boolean = asOfMs.forall { t =>
-    g.getFieldRepetitionCount("publish_time_ms") > 0 &&
+    projectedFields.contains("publish_time_ms") &&
+      g.getFieldRepetitionCount("publish_time_ms") > 0 &&
       g.getLong("publish_time_ms", 0) <= t
   }
 

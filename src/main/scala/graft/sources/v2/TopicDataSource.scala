@@ -265,11 +265,14 @@ class TopicScan(path: String, filters: Array[Filter], required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val segs = TopicTable.resolveTopics(path, pattern)
       .flatMap { case (_, dir) => TopicTable.listSegments(dir) }
-    segs.filter(f => SegmentStats.mightMatch(f, filters))
-      // time travel prunes segments wholly newer than the as-of instant
-      // (metadata-only; rows inside mixed segments filter in the reader)
-      .filter(f => asOfMs.forall(t =>
-        SegmentStats.statsFor(f).forall(_.minPt <= t)))
+    segs.filter { f =>
+      // one stats read serves both the pushed filters and time travel's
+      // wholly-newer-than-t pruning (rows inside mixed segments filter in
+      // the reader)
+      val st = SegmentStats.statsFor(f)
+      SegmentStats.mightMatch(st, filters) &&
+        asOfMs.forall(t => st.forall(_.minPt <= t))
+    }
       .map(f => TopicInputPartition(f.getAbsolutePath): InputPartition)
       .toArray
   }
@@ -372,9 +375,16 @@ object SegmentStats {
     }
   }
 
-  def mightMatch(f: File, filters: Array[Filter]): Boolean = {
+  def mightMatch(f: File, filters: Array[Filter]): Boolean =
+    mightMatch(readStats(f), filters)
+
+  /** As [[mightMatch]], against stats the caller already read — AS OF
+    * planning checks both the pushed filters and the as-of horizon from ONE
+    * stats read (the sidecar-less fallback parses the whole segment on the
+    * driver; reading it twice per segment per plan doubles that I/O). */
+  def mightMatch(stats: Option[Stats], filters: Array[Filter]): Boolean = {
     if (filters.isEmpty) return true
-    readStats(f) match {
+    stats match {
       case None => false // empty segment matches nothing
       case Some(Stats(minOff, maxOff, minPt, maxPt, _)) =>
       def ms(v: Any): Long = v match {

@@ -97,7 +97,7 @@ object DelayedBuckets {
             col("event_time"))
           .write.format("graft-topic").mode("append")
           .option("path", targetTopic).save()
-        deleteRecursively(dir)
+        graft.ops.Fs.deleteRecursively(dir)
       }
       def listed() = Option(new File(root).listFiles()).getOrElse(Array.empty)
       // recover first: a crash between a previous run's target write and its
@@ -127,5 +127,4 @@ object DelayedBuckets {
     } finally unregisterRun(runToken)
   }
 
-  private def deleteRecursively(f: File): Unit = graft.ops.Fs.deleteRecursively(f)
 }

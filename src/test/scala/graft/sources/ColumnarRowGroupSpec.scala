@@ -103,5 +103,16 @@ class ColumnarRowGroupSpec extends SparkSuite {
     // a projection of ONLY the missing column still yields 100 null rows
     assert(df.select("replicated_from").collect().forall(_.isNullAt(0)))
     assert(df.agg(sum("offset")).as[Long].head() == (0L until 100L).sum)
+
+    // AS OF over the legacy twin: the row-based reader must also
+    // null-fill the missing column instead of failing the projection
+    spark.conf.set("spark.sql.catalog.graft_legacy",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_legacy.root",
+      dir.getParentFile.getAbsolutePath)
+    val tt = spark.sql(s"SELECT replicated_from, offset FROM " +
+      s"graft_legacy.`${dir.getName}` TIMESTAMP AS OF '2024-06-01 00:00:00'")
+    assert(tt.count() == 100)
+    assert(tt.where(col("replicated_from").isNull).count() == 100)
   }
 }

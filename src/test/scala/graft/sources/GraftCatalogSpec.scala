@@ -91,7 +91,7 @@ class GraftCatalogSpec extends SparkSuite {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "AvailableNow batch did not finish")
     assert(spark.table("catalog_stream").as[Long].head() == 30)
   }
 
