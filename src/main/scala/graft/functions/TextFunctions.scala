@@ -80,14 +80,58 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
-  /** Distinct k-word shingles. Empty array for docs shorter than k words
+  /** ALL k-word shingles, duplicates preserved — the domain of the
+    * repetition signals below. Empty array for docs shorter than k words
     * (guards Spark's descending `sequence` on negative ranges). */
-  def shingles(text: Column, k: Int): Column = {
+  def ngramsAll(text: Column, k: Int): Column = {
     val w = tokens(text)
     when(size(w) < k, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(transform(
+      .otherwise(transform(
         sequence(lit(0), size(w) - k),
-        i => array_join(slice(w, i + 1, lit(k)), " "))))
+        i => array_join(slice(w, i + 1, lit(k)), " ")))
+  }
+
+  /** Distinct k-word shingles (the MinHash/Jaccard domain). */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(ngramsAll(text, k))
+
+  /** Fraction of token occurrences that are repeats of an earlier token —
+    * the 1-gram repetition signal of MassiveText-style quality filtering. */
+  def dupTokenFraction(text: Column): Column = {
+    val w = tokens(text)
+    round(lit(1.0) -
+      size(array_distinct(w)).cast(DoubleType) / size(w).cast(DoubleType), 6)
+  }
+
+  /** Fraction of k-gram occurrences that are repeats; 0 for docs shorter
+    * than k words. */
+  def dupNgramFraction(text: Column, k: Int): Column = {
+    val g = ngramsAll(text, k)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) -
+        size(array_distinct(g)).cast(DoubleType) / size(g).cast(DoubleType),
+        6))
+  }
+
+  /** Share of k-gram occurrences held by the single most frequent k-gram —
+    * the "top n-gram" repetition signal. Computed as the longest equal run
+    * of the SORTED n-gram array via one `aggregate` fold over the array, so
+    * there is no explode (no row blow-up) and the whole signal stays a
+    * scalar expression in the scan stage. */
+  def topNgramFraction(text: Column, k: Int): Column = {
+    val g = sort_array(ngramsAll(text, k))
+    val best = aggregate(
+      g,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(g) === 0, lit(0.0))
+      .otherwise(round(best.cast(DoubleType) / size(g).cast(DoubleType), 6))
   }
 
   /** One MinHash value: min over shingles of md5(seed ‖ ':' ‖ shingle).

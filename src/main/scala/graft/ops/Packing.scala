@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concat-and-chunk sequence packing — the step that turns a curated corpus
+  * into fixed-length training sequences: documents are laid end-to-end in a
+  * deterministic shuffled order and the stream is cut every `ctxLen` tokens.
+  * A document whose token range crosses a cut boundary spans consecutive
+  * sequences, exactly as a real pretraining loader splits it.
+  *
+  * Scale shape: one hash-partitioned running-sum window per shard group —
+  * no global ordering, no driver state; shards (language, or any hash
+  * bucket column) pack independently and in parallel. Order within a shard
+  * is md5(key) (the [[Sampling]] convention), so the "shuffle" is
+  * reproducible on any cluster and replay-stable, and the assignment is
+  * pure integer arithmetic — a SQL oracle verifies it exactly.
+  */
+object Packing {
+
+  private def hashOf(key: Column): Column = md5(key.cast("string"))
+
+  /** Adds the packed position of each row to `df`:
+    *
+    *  - `start_tok`  — token offset of the row's first token in its shard's
+    *    concatenated stream;
+    *  - `seq_first` / `seq_last` — ids of the `ctxLen`-token training
+    *    sequences holding the row's first and last token (different when
+    *    the row crosses one or more cut boundaries).
+    *
+    * `tokens` must be positive for every row (a zero-token row has no
+    * position in the stream — filter such rows out first). */
+  def packChunks(df: DataFrame, shard: Seq[String], key: Column,
+                 tokens: Column, ctxLen: Long): DataFrame = {
+    require(ctxLen > 0, s"ctxLen $ctxLen must be positive")
+    val w = Window.partitionBy(shard.map(col): _*)
+      .orderBy(hashOf(key), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokens).over(w))
+      .withColumn("start_tok", (col("__cum") - tokens).cast("long"))
+      .withColumn("seq_first", floor(col("start_tok") / lit(ctxLen)))
+      .withColumn("seq_last", floor((col("__cum") - 1) / lit(ctxLen)))
+      .drop("__cum")
+  }
+}

@@ -85,6 +85,22 @@ object TextQueries {
       p1.unionByName(p2)
     }),
 
+    // Near-dup CLUSTERS: the LSH pair set chained transitively (A~B, B~C
+    // puts A and C in one cluster even when they never share a bucket) via
+    // alternating large-star/small-star connected components — the oracle
+    // recomputes the closure with a recursive CTE over the same pairs.
+    "q_dedup_clusters" -> ((s, d) =>
+      graft.ops.Components.clusters(Tables.documents(s, d), "doc_id", "text")),
+
+    // The dedup DECISION: one kept doc per near-dup cluster (highest char
+    // count, ties → smallest doc_id) and every unclustered doc keeping
+    // itself — a single map-side-combinable min_by aggregate.
+    "q_dedup_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cc = graft.ops.Components.clusters(docs, "doc_id", "text")
+      graft.ops.Components.keepBest(docs, "doc_id", cc, length(col("text")))
+    }),
+
     // SimHash-16 fingerprint per document.
     "q_simhash" -> ((s, d) => {
       graft.ops.SimHashDedup.simhash16(Tables.documents(s, d), "doc_id", "text")
@@ -138,6 +154,30 @@ object TextQueries {
         Tables.documents(s, d), Seq("lang"), col("doc_id"),
         col("n_chars"), 20000L)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // Repetition-based quality signals (MassiveText/Gopher-style): duplicate
+    // token fraction, duplicate 3-gram fraction, and the share of 3-gram
+    // occurrences held by the most frequent 3-gram — all scalar expressions
+    // in the scan stage (the top-gram share folds over the sorted n-gram
+    // array instead of exploding it).
+    "q_quality_repetition" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        dupTokenFraction(col("text")).as("dup_token_frac"),
+        dupNgramFraction(col("text"), 3).as("dup_3gram_frac"),
+        topNgramFraction(col("text"), 3).as("top_3gram_frac"))),
+
+    // Concat-and-chunk sequence packing (graft.ops.Packing): documents laid
+    // end-to-end per language in deterministic hash order, cut every 2048
+    // tokens; a doc crossing a cut spans consecutive sequences. Pure
+    // integer arithmetic — the oracle reproduces every assignment exactly.
+    "q_pack_chunks" -> ((s, d) =>
+      graft.ops.Packing.packChunks(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            tokenCount(col("text")).as("n_tokens")),
+        Seq("lang"), col("doc_id"), col("n_tokens"), 2048L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("start_tok"), col("seq_first"), col("seq_last"))),
 
     // Multimodal plumbing: opaque binary payload + typed metadata columns —
     // the schema/partitioning shape for image/audio blobs (decode itself is
@@ -247,8 +287,10 @@ object TextQueries {
 
   /** Cross-split banded-minhash contamination — the same bucket structure
     * as [[lshPairsSql]], pairs restricted to eval(doc_id%10=0) × train. */
-  private lazy val nearContaminationSql =
-    s"""WITH $shingleCte,
+  /** Shared CTE chain ending in `buckets(doc_id, band, bucket)` — the SQL
+    * mirror of MinHashLsh.bandBuckets (16 hashes, 4 bands of 4). */
+  private lazy val lshBucketsCtes =
+    s"""$shingleCte,
         sigs AS (
           SELECT doc_id,
               ${minhashSqlExprs(16)}
@@ -260,7 +302,10 @@ object TextQueries {
           UNION ALL
           SELECT doc_id, 2, md5(mh8 || '|' || mh9 || '|' || mh10 || '|' || mh11) FROM sigs
           UNION ALL
-          SELECT doc_id, 3, md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15) FROM sigs)
+          SELECT doc_id, 3, md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15) FROM sigs)"""
+
+  private lazy val nearContaminationSql =
+    s"""WITH $lshBucketsCtes
         SELECT DISTINCT a.doc_id AS test_id, b.doc_id AS train_id
         FROM buckets a
         JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
@@ -270,23 +315,34 @@ object TextQueries {
     * `q_minhash_lsh` and the incremental-index `q_dedup_incremental`
     * (feeding the corpus through in batches must produce the same pairs). */
   private lazy val lshPairsSql =
-    s"""WITH $shingleCte,
-        sigs AS (
-          SELECT doc_id,
-              ${minhashSqlExprs(16)}
-          FROM shingle_rows GROUP BY doc_id),
-        buckets AS (
-          SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket FROM sigs
-          UNION ALL
-          SELECT doc_id, 1, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) FROM sigs
-          UNION ALL
-          SELECT doc_id, 2, md5(mh8 || '|' || mh9 || '|' || mh10 || '|' || mh11) FROM sigs
-          UNION ALL
-          SELECT doc_id, 3, md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15) FROM sigs)
+    s"""WITH $lshBucketsCtes
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM buckets a
         JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
                       AND a.doc_id < b.doc_id"""
+
+  /** CTE chain ending in `cc(doc_id, component)`: the LSH pair set chained
+    * into connected components by a recursive reachability closure, each
+    * node labeled with its cluster minimum — ground truth for the
+    * alternating large-star/small-star algorithm in [[graft.ops.Components]].
+    * Note the oracle closes over the UNCAPPED all-pairs bucket expansion
+    * while Spark may star-cap degenerate buckets — the results still agree
+    * because a star keeps every member connected to the cluster. */
+  private lazy val ccCtes =
+    s"""$lshBucketsCtes,
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a
+          JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        cc AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)"""
 
   val oracleSql: Map[String, String] = Map(
     "q_wordcount" ->
@@ -363,6 +419,23 @@ object TextQueries {
     "q_minhash_lsh" -> lshPairsSql,
     // the incremental index must land on EXACTLY the one-shot pair set
     "q_dedup_incremental" -> lshPairsSql,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $ccCtes
+          SELECT doc_id, component FROM cc""",
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $ccCtes,
+          labeled AS (
+            SELECT coalesce(cc.component, d.doc_id) AS component, d.doc_id,
+                   length(d.text) AS score
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+          ranked AS (
+            SELECT component, doc_id,
+                   row_number() OVER (PARTITION BY component
+                     ORDER BY score DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY component) AS n_members
+            FROM labeled)
+          SELECT component, doc_id AS keeper_id, n_members
+          FROM ranked WHERE rn = 1""",
     "q_decontaminate_exact" ->
       """WITH fp AS (
            SELECT doc_id,
@@ -401,6 +474,42 @@ object TextQueries {
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM documents) WHERE cum - n_chars < 20000""",
+    "q_quality_repetition" ->
+      """WITH words AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         grams AS (
+           SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+           WHERE len(w) >= 3),
+         per AS (SELECT doc_id, g, count(*) AS c FROM grams
+                 GROUP BY doc_id, g),
+         gagg AS (SELECT doc_id, sum(c) AS total, count(*) AS dst,
+                         max(c) AS top
+                  FROM per GROUP BY doc_id)
+         SELECT w.doc_id,
+                round(1.0 - len(list_distinct(w.w)) * 1.0 / len(w.w), 6)
+                  AS dup_token_frac,
+                round(CASE WHEN total IS NULL THEN 0.0
+                      ELSE 1.0 - dst * 1.0 / total END, 6) AS dup_3gram_frac,
+                round(CASE WHEN total IS NULL THEN 0.0
+                      ELSE top * 1.0 / total END, 6) AS top_3gram_frac
+         FROM words w LEFT JOIN gagg ON w.doc_id = gagg.doc_id""",
+    "q_pack_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  length(text) - length(replace(text, ' ', '')) + 1
+                    AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT doc_id, lang, n_tokens, cum - n_tokens AS start_tok,
+                (cum - n_tokens) // 2048 AS seq_first,
+                (cum - 1) // 2048 AS seq_last
+         FROM c""",
     "q_multimodal_meta" ->
       """SELECT doc_id, source, 16 + doc_id % 32 AS width,
                 16 + doc_id % 24 AS height, 8 AS embedding_dim

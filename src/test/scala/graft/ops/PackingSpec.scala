@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("token ranges tile each shard's stream exactly and split across cuts") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 200L).map(i =>
+      (i, s"s${i % 3}", 1L + rnd.nextInt(900))).toDF("id", "shard", "n")
+    val packed = Packing.packChunks(docs, Seq("shard"), col("id"),
+      col("n"), 512L)
+      .select(col("id"), col("shard"), col("n"), col("start_tok"),
+        col("seq_first"), col("seq_last"))
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+
+    // per shard: ranges are disjoint, contiguous from 0, in hash order
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._3 == b._4, s"gap after $a")
+        case _ =>
+      }
+    }
+    // seq ids are the integer cut positions of the range
+    packed.foreach { case (_, _, n, start, sf, sl) =>
+      assert(sf == start / 512)
+      assert(sl == (start + n - 1) / 512)
+      assert(sl >= sf)
+    }
+    // some doc must straddle a cut for the test to mean anything
+    assert(packed.exists { case (_, _, _, _, sf, sl) => sl > sf })
+  }
+
+  test("assignment is invariant under input partitioning") {
+    val docs = (1L to 100L).map(i => (i, 1L + i % 7)).toDF("id", "n")
+    val a = Packing.packChunks(docs.repartition(1), Nil, col("id"),
+      col("n"), 64L)
+    val b = Packing.packChunks(docs.repartition(13), Nil, col("id"),
+      col("n"), 64L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}

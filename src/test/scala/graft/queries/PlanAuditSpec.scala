@@ -180,6 +180,31 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("sequence packing pays exactly its one window shuffle") {
+    val n = "Exchange hashpartitioning".r.findAllIn(plan("q_pack_chunks")).length
+    assert(n == 1, s"expected 1 exchange (shard window), got $n")
+  }
+
+  test("repetition signals stay in the scan stage: no exchange, no explode") {
+    val p = plan("q_quality_repetition")
+    assert(!p.contains("Exchange"),
+      s"repetition signals are scalar expressions, must not shuffle:\n$p")
+    assert(!p.contains("Generate"),
+      s"top-gram share must fold over the array, not explode it:\n$p")
+  }
+
+  test("keepBest is one partial+final min_by aggregate, no window sort") {
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = graft.core.Tables.documents(spark, sf)
+    val cc = graft.ops.Components.clusters(docs, "doc_id", "text")
+    val p = graft.ops.Components.keepBest(docs, "doc_id", cc,
+      length(col("text"))).queryExecution.executedPlan.toString
+    assert(p.contains("partial_min_by") || p.contains("partial"),
+      s"keeper selection must map-side combine:\n$p")
+    assert(!p.contains("Window"),
+      s"a degenerate cluster must not become a single-task window sort:\n$p")
+  }
+
   /** AQE only materializes the columnar boundary in the FINAL plan, so run
     * the query before auditing. */
   private def finalPlan(name: String): String = {
