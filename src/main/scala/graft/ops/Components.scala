@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.io.File
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-duplicate pair list — the step between
@@ -144,5 +146,133 @@ object Components {
         min_by(col(idCol), struct(negate(score), col(idCol)))
           .as("keeper_id"),
         count(lit(1)).as("n_members"))
+  }
+}
+
+/** Persisted, incrementally-maintained duplicate clusters — union-find as a
+  * table. Continuous ingest (e.g. [[MinHashIndex.addAndFindPairs]] under the
+  * cron loop) emits near-dup pairs batch by batch; this index accumulates
+  * them as a link forest and resolves transitive clusters on demand, so the
+  * corpus is never re-paired.
+  *
+  * LSM shape: [[addPairs]] appends O(batch) link rows and does nothing
+  * else — the cost of ingesting a batch tracks the batch. [[resolveAll]]
+  * pays the (alternating-star) closure over the accumulated links at READ
+  * time, and [[compact]] rewrites the links into flat member→root stars in
+  * a fresh generation (atomic pointer swap, the [[ParquetKvStore]] /
+  * [[MinHashIndex]] pattern), restoring O(nodes) state no matter how many
+  * batches appended. Run compact on the same maintenance cadence as the
+  * other stores ([[graft.sources.CronTriggerer]]).
+  *
+  * Crash contract: appends are plain parquet appends of DISTINCT pairs, so
+  * a replayed batch re-appends identical links — duplicate link rows never
+  * change the resolved clusters (idempotent replay). Appends/compacts are
+  * serialized by a single driver, like the other stores.
+  *
+  * Reference analog: compacted subscription state that outlives any run
+  * (`MessageDeduplication.takeSnapshot`,
+  * pulsar-broker/.../persistent/MessageDeduplication.java).
+  */
+class ComponentsIndex(spark: SparkSession, path: String) {
+
+  private def pointer = new File(path, "_current")
+
+  private def currentGen(): Option[File] =
+    if (!pointer.exists()) None
+    else {
+      val name = new String(
+        java.nio.file.Files.readAllBytes(pointer.toPath), "UTF-8").trim
+      Some(new File(path, name)).filter(_.exists())
+    }
+
+  private def nextGenIndex(): Int = {
+    val existing = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName.stripPrefix("gen-").toInt)
+    // crash orphans (written, never pointed at) count too: a retry must not
+    // write into a half-written directory
+    if (existing.isEmpty) 0 else existing.max + 1
+  }
+
+  private def swapPointer(genName: String): Unit = {
+    val tmp = new File(path, "._current.tmp")
+    java.nio.file.Files.write(tmp.toPath, genName.getBytes("UTF-8"))
+    if (!tmp.renameTo(pointer)) {
+      pointer.delete()
+      if (!tmp.renameTo(pointer))
+        throw new java.io.IOException(s"pointer swap failed at $path")
+    }
+  }
+
+  private def appendGen(): File = currentGen().getOrElse {
+    new File(path).mkdirs()
+    val gen = new File(path, s"gen-${nextGenIndex()}")
+    gen.mkdirs()
+    swapPointer(gen.getName)
+    gen
+  }
+
+  /** The accumulated links (a, b, ord), if any exist. A zero-row append
+    * leaves only a _SUCCESS marker — that still counts as "present" (an
+    * empty frame), and a read failure propagates rather than degrading
+    * into an empty index. */
+  private def links(): Option[DataFrame] =
+    currentGen().filter(g =>
+      Option(g.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.getName.endsWith(".parquet") || f.isDirectory))
+      .map(g => spark.read.parquet(g.getAbsolutePath))
+
+  /** Append one batch of pairs as links, stamped `ord` (epoch-ms or any
+    * monotone batch stamp — the age axis [[compact]]'s retention prunes
+    * on). O(batch) rows; no closure work happens here. */
+  def addPairs(pairs: DataFrame, aCol: String = "doc_a",
+               bCol: String = "doc_b",
+               ord: Long = System.currentTimeMillis()): Unit =
+    pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .withColumn("ord", lit(ord))
+      .write.mode("append").parquet(appendGen().getAbsolutePath)
+
+  /** (id, component) over every node linked so far — the transitive
+    * closure of ALL accumulated links, paid at read time. */
+  def resolveAll(): DataFrame = links() match {
+    case Some(e) => Components.connected(e, "a", "b")
+    case None =>
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("id", "component")
+  }
+
+  /** Rewrite the accumulated links as flat member→root stars in a fresh
+    * generation — state back to O(nodes) and resolution unchanged, no
+    * matter how many batches appended. `retainOrdGe` first EXPIRES links
+    * whose ord predates the horizon, so clusters held together only by
+    * expired evidence dissolve (the dedup-snapshot retention contract);
+    * surviving stars are stamped with their cluster's newest surviving ord
+    * (per-cluster granularity after compaction). The replaced generation
+    * is kept one cycle for lazy readers; older ones are deleted. */
+  def compact(retainOrdGe: Option[Long] = None): Unit = {
+    val prev = currentGen()
+    links().foreach { all =>
+      val kept = retainOrdGe.map(h => all.where(col("ord") >= h))
+        .getOrElse(all)
+      val cc = Components.connected(kept, "a", "b")
+      val ords = kept.select(col("a"), col("b"), col("ord"))
+      // newest surviving ord per component: resolve each link's a-side
+      val linkComp = ords.join(cc.withColumnRenamed("id", "a"), "a")
+        .groupBy("component").agg(max("ord").as("ord"))
+      val stars = cc.where(col("id") =!= col("component"))
+        .select(col("id").as("a"), col("component").as("b"), col("component"))
+        .join(linkComp, "component")
+        .select(col("a"), col("b"), col("ord"))
+      val next = new File(path, s"gen-${nextGenIndex()}")
+      stars.write.parquet(next.getAbsolutePath)
+      swapPointer(next.getName)
+      val keep = Set(next.getName) ++ prev.map(_.getName)
+      Option(new File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
+          !keep(f.getName))
+        .foreach(Fs.deleteRecursively)
+    }
   }
 }

@@ -92,6 +92,24 @@ object TextQueries {
     "q_dedup_clusters" -> ((s, d) =>
       graft.ops.Components.clusters(Tables.documents(s, d), "doc_id", "text")),
 
+    // Incremental clusters against a PERSISTED link index: the LSH pair set
+    // arrives in two batches (odd doc_a, then even), each an O(batch)
+    // append; a compact() flattens state to stars between resolution and
+    // the final read. Must land on EXACTLY the one-shot closure — same
+    // oracle SQL as q_dedup_clusters.
+    "q_cluster_incremental" -> ((s, d) => {
+      val pairs = MinHashLsh.candidatePairs(
+        Tables.documents(s, d), "doc_id", "text").persist()
+      val dir = java.nio.file.Files.createTempDirectory("graft-cc-inc")
+        .toFile.getAbsolutePath
+      val idx = new graft.ops.ComponentsIndex(s, dir)
+      idx.addPairs(pairs.where(col("doc_a") % 2 === 1), ord = 1)
+      idx.addPairs(pairs.where(col("doc_a") % 2 === 0), ord = 2)
+      pairs.unpersist()
+      idx.compact()
+      idx.resolveAll().withColumnRenamed("id", "doc_id")
+    }),
+
     // The dedup DECISION: one kept doc per near-dup cluster (highest char
     // count, ties → smallest doc_id) and every unclustered doc keeping
     // itself — a single map-side-combinable min_by aggregate.
@@ -178,6 +196,45 @@ object TextQueries {
         Seq("lang"), col("doc_id"), col("n_tokens"), 2048L)
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("start_tok"), col("seq_first"), col("seq_last"))),
+
+    // The document-filter DECISION (C4/Gopher-style): per-rule verdicts +
+    // the combined keep flag, composed from the token-count and repetition
+    // signals. Thresholds sit inside the corpus distributions so both
+    // outcomes occur; everything stays a scalar expression in the scan.
+    "q_quality_filter" -> ((s, d) => {
+      val t = col("text")
+      val lenOk = (tokenCount(t) >= 30).as("len_ok")
+      val tokRepOk = (dupTokenFraction(t) <= 0.6).as("tok_rep_ok")
+      val gramRepOk = (topNgramFraction(t, 3) <= 0.04).as("gram_rep_ok")
+      Tables.documents(s, d).select(col("doc_id"), lenOk, tokRepOk, gramRepOk)
+        .withColumn("keep",
+          col("len_ok") && col("tok_rep_ok") && col("gram_rep_ok"))
+    }),
+
+    // PII scrubbing (graft.ops.Redact): emails / phones / IPv4s replaced by
+    // typed placeholders + per-category counts. The corpus is clean, so the
+    // query plants deterministic PII derived from doc_id (which categories
+    // appear varies by doc) and the oracle rebuilds the identical text —
+    // the md5 of the redacted output proves byte-exact scrubbing.
+    "q_redact_pii" -> ((s, d) => {
+      val id = col("doc_id")
+      val pii = concat(
+        col("text"),
+        when(id % 2 === 0, concat(lit(" mail user"), id.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(id % 3 === 0, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" from 10.0."),
+          (id % 256).cast("string"), lit("."),
+          (id % 100).cast("string"))).otherwise(lit("")))
+      val cnt = graft.ops.Redact.counts(pii)
+      Tables.documents(s, d).select(id,
+        md5(graft.ops.Redact.redact(pii)).as("redacted_fp"),
+        cnt(0).cast("long").as("n_emails"),
+        cnt(1).cast("long").as("n_phones"),
+        cnt(2).cast("long").as("n_ips"))
+    }),
 
     // Multimodal plumbing: opaque binary payload + typed metadata columns —
     // the schema/partitioning shape for image/audio blobs (decode itself is
@@ -422,6 +479,10 @@ object TextQueries {
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $ccCtes
           SELECT doc_id, component FROM cc""",
+    // the incremental link index must land on EXACTLY the one-shot closure
+    "q_cluster_incremental" ->
+      s"""WITH RECURSIVE $ccCtes
+          SELECT doc_id, component FROM cc""",
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $ccCtes,
           labeled AS (
@@ -510,6 +571,51 @@ object TextQueries {
                 (cum - n_tokens) // 2048 AS seq_first,
                 (cum - 1) // 2048 AS seq_last
          FROM c""",
+    "q_quality_filter" ->
+      """WITH words AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         grams AS (
+           SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+           WHERE len(w) >= 3),
+         per AS (SELECT doc_id, g, count(*) AS c FROM grams
+                 GROUP BY doc_id, g),
+         gagg AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top
+                  FROM per GROUP BY doc_id)
+         SELECT w.doc_id,
+                len(w.w) >= 30 AS len_ok,
+                round(1.0 - len(list_distinct(w.w)) * 1.0 / len(w.w), 6)
+                  <= 0.6 AS tok_rep_ok,
+                coalesce(round(top, 6), 0.0) <= 0.04 AS gram_rep_ok,
+                len(w.w) >= 30
+                  AND round(1.0 - len(list_distinct(w.w)) * 1.0 / len(w.w), 6) <= 0.6
+                  AND coalesce(round(top, 6), 0.0) <= 0.04 AS keep
+         FROM words w LEFT JOIN gagg ON w.doc_id = gagg.doc_id""",
+    "q_redact_pii" ->
+      """WITH pii AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 2 = 0 THEN ' mail user' || doc_id || '@example.com' ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
+           FROM documents),
+         stages AS (
+           SELECT doc_id, t,
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM pii),
+         stages2 AS (
+           SELECT doc_id, t, t1,
+             regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t2
+           FROM stages)
+         SELECT doc_id,
+           md5(regexp_replace(t2,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_fp,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+           len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+         FROM stages2""",
     "q_multimodal_meta" ->
       """SELECT doc_id, source, 16 + doc_id % 32 AS width,
                 16 + doc_id % 24 AS height, 8 AS embedding_dim

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class ComponentsIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("graft-cc-idx").toFile.getAbsolutePath
+
+  private def resolve(idx: ComponentsIndex): Map[Long, Long] =
+    idx.resolveAll().as[(Long, Long)].collect().toMap
+
+  test("batched appends resolve to the one-shot closure") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (3L, 10L),
+      (20L, 21L))
+    val oneShot = Components.connected(
+      pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+
+    val idx = new ComponentsIndex(spark, tmp())
+    pairs.grouped(2).zipWithIndex.foreach { case (b, i) =>
+      idx.addPairs(b.toDF("doc_a", "doc_b"), ord = i.toLong)
+    }
+    assert(resolve(idx) == oneShot)
+  }
+
+  test("a later batch merges two existing clusters") {
+    val idx = new ComponentsIndex(spark, tmp())
+    idx.addPairs(Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b"), ord = 1)
+    assert(resolve(idx) == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    idx.addPairs(Seq((2L, 11L)).toDF("doc_a", "doc_b"), ord = 2)
+    assert(resolve(idx).values.toSet == Set(1L))
+  }
+
+  test("replayed batches are idempotent") {
+    val idx = new ComponentsIndex(spark, tmp())
+    val b = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    idx.addPairs(b, ord = 1)
+    val before = resolve(idx)
+    idx.addPairs(b, ord = 1) // crash-replay: same batch again
+    assert(resolve(idx) == before)
+  }
+
+  test("compact flattens state to O(nodes) stars without changing resolution") {
+    val path = tmp()
+    val idx = new ComponentsIndex(spark, path)
+    // a chain built one link per batch: links pile up across generations
+    (0L until 10L).foreach(i =>
+      idx.addPairs(Seq((i, i + 1)).toDF("doc_a", "doc_b"), ord = i))
+    val before = resolve(idx)
+    idx.compact()
+    assert(resolve(idx) == before)
+    // post-compact state is exactly the non-root members, one star each
+    val live = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_current")).trim
+    val stars = spark.read.parquet(new java.io.File(path, live).getAbsolutePath)
+    assert(stars.count() == before.count(kv => kv._1 != kv._2))
+    // appends keep working after a compact
+    idx.addPairs(Seq((100L, 0L)).toDF("doc_a", "doc_b"), ord = 99)
+    assert(resolve(idx)(100L) == 0L)
+  }
+
+  test("retention dissolves clusters held only by expired links") {
+    val idx = new ComponentsIndex(spark, tmp())
+    idx.addPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"), ord = 1)
+    idx.addPairs(Seq((2L, 3L)).toDF("doc_a", "doc_b"), ord = 5)
+    idx.compact(retainOrdGe = Some(3L))
+    // the 1~2 link expired: 1 drops out entirely, 2~3 survive
+    assert(resolve(idx) == Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("an empty index resolves to an empty mapping") {
+    val idx = new ComponentsIndex(spark, tmp())
+    assert(idx.resolveAll().isEmpty)
+  }
+
+}
