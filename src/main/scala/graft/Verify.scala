@@ -9,6 +9,9 @@ object Verify {
     // local iteration only; the driver always passes exactly two
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    // a typo'd name must fail loudly, not dump nothing and exit 0
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

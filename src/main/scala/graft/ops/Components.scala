@@ -152,17 +152,28 @@ object Components {
 /** Persisted, incrementally-maintained duplicate clusters — union-find as a
   * table. Continuous ingest (e.g. [[MinHashIndex.addAndFindPairs]] under the
   * cron loop) emits near-dup pairs batch by batch; this index accumulates
-  * them as a link forest and resolves transitive clusters on demand, so the
+  * them as a link table and resolves transitive clusters on demand, so the
   * corpus is never re-paired.
   *
   * LSM shape: [[addPairs]] appends O(batch) link rows and does nothing
   * else — the cost of ingesting a batch tracks the batch. [[resolveAll]]
   * pays the (alternating-star) closure over the accumulated links at READ
   * time, and [[compact]] rewrites the links into flat member→root stars in
-  * a fresh generation (atomic pointer swap, the [[ParquetKvStore]] /
-  * [[MinHashIndex]] pattern), restoring O(nodes) state no matter how many
-  * batches appended. Run compact on the same maintenance cadence as the
-  * other stores ([[graft.sources.CronTriggerer]]).
+  * a fresh generation (atomic pointer swap via the shared [[GenStore]]),
+  * restoring O(nodes) state no matter how many batches appended. Run
+  * compact on the same maintenance cadence as the other stores
+  * ([[graft.sources.CronTriggerer]]).
+  *
+  * Evidence model: every stored row is headed by the node it is evidence
+  * FOR. Raw pairs are appended in both directions, so each endpoint heads
+  * one copy; compaction writes each member's star (and each root's
+  * self-row) headed by that node, stamped with the node's own newest link
+  * ord. Retention ([[compact]]'s `retainOrdGe`) therefore expires NODES
+  * whose own evidence is stale — a fresh link elsewhere in the cluster can
+  * never launder an expired member back to life. Expiring a node through
+  * which a compacted cluster was contracted dissolves the paths that ran
+  * through it (conservative: post-compaction retention may split more than
+  * link-level retention would have — it never keeps more).
   *
   * Crash contract: appends are plain parquet appends of DISTINCT pairs, so
   * a replayed batch re-appends identical links — duplicate link rows never
@@ -175,67 +186,47 @@ object Components {
   */
 class ComponentsIndex(spark: SparkSession, path: String) {
 
-  private def pointer = new File(path, "_current")
+  private val gens = new GenStore(path)
 
-  private def currentGen(): Option[File] =
-    if (!pointer.exists()) None
-    else {
-      val name = new String(
-        java.nio.file.Files.readAllBytes(pointer.toPath), "UTF-8").trim
-      Some(new File(path, name)).filter(_.exists())
-    }
-
-  private def nextGenIndex(): Int = {
-    val existing = Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
-      .map(_.getName.stripPrefix("gen-").toInt)
-    // crash orphans (written, never pointed at) count too: a retry must not
-    // write into a half-written directory
-    if (existing.isEmpty) 0 else existing.max + 1
-  }
-
-  private def swapPointer(genName: String): Unit = {
-    val tmp = new File(path, "._current.tmp")
-    java.nio.file.Files.write(tmp.toPath, genName.getBytes("UTF-8"))
-    if (!tmp.renameTo(pointer)) {
-      pointer.delete()
-      if (!tmp.renameTo(pointer))
-        throw new java.io.IOException(s"pointer swap failed at $path")
-    }
-  }
-
-  private def appendGen(): File = currentGen().getOrElse {
+  private def appendGen(): File = gens.currentGen().getOrElse {
     new File(path).mkdirs()
-    val gen = new File(path, s"gen-${nextGenIndex()}")
+    val gen = gens.newGenDir()
     gen.mkdirs()
-    swapPointer(gen.getName)
+    gens.swapPointer(gen.getName)
     gen
   }
 
-  /** The accumulated links (a, b, ord), if any exist. A zero-row append
-    * leaves only a _SUCCESS marker — that still counts as "present" (an
-    * empty frame), and a read failure propagates rather than degrading
-    * into an empty index. */
+  /** The accumulated link rows (a, b, ord), if any were ever written. A
+    * generation holding only a _SUCCESS marker (zero-row append) maps to
+    * None — reading it would fail schema inference; an actual read failure
+    * (permissions, corrupt footer) propagates rather than degrading into
+    * an empty index. */
   private def links(): Option[DataFrame] =
-    currentGen().filter(g =>
+    gens.currentGen().filter(g =>
       Option(g.listFiles()).getOrElse(Array.empty)
         .exists(f => f.getName.endsWith(".parquet") || f.isDirectory))
       .map(g => spark.read.parquet(g.getAbsolutePath))
 
-  /** Append one batch of pairs as links, stamped `ord` (epoch-ms or any
-    * monotone batch stamp — the age axis [[compact]]'s retention prunes
-    * on). O(batch) rows; no closure work happens here. */
+  /** Append one batch of pairs, stamped `ord` (epoch-ms or any monotone
+    * batch stamp — the evidence-age axis [[compact]]'s retention prunes
+    * on). Each pair lands twice (once headed by each endpoint), so the
+    * append is O(2·batch) rows; no closure work happens here. */
   def addPairs(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b",
-               ord: Long = System.currentTimeMillis()): Unit =
-    pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+               ord: Long = System.currentTimeMillis()): Unit = {
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+    p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .withColumn("ord", lit(ord))
       .write.mode("append").parquet(appendGen().getAbsolutePath)
+  }
 
   /** (id, component) over every node linked so far — the transitive
-    * closure of ALL accumulated links, paid at read time. */
+    * closure of ALL accumulated links, paid at read time. Before the first
+    * append there is no stored schema, so the empty result types its
+    * columns as bigint; callers with non-numeric ids should treat the
+    * cold-start frame as shapeless. */
   def resolveAll(): DataFrame = links() match {
     case Some(e) => Components.connected(e, "a", "b")
     case None =>
@@ -243,36 +234,40 @@ class ComponentsIndex(spark: SparkSession, path: String) {
       Seq.empty[(Long, Long)].toDF("id", "component")
   }
 
-  /** Rewrite the accumulated links as flat member→root stars in a fresh
-    * generation — state back to O(nodes) and resolution unchanged, no
-    * matter how many batches appended. `retainOrdGe` first EXPIRES links
-    * whose ord predates the horizon, so clusters held together only by
-    * expired evidence dissolve (the dedup-snapshot retention contract);
-    * surviving stars are stamped with their cluster's newest surviving ord
-    * (per-cluster granularity after compaction). The replaced generation
-    * is kept one cycle for lazy readers; older ones are deleted. */
+  /** Rewrite the accumulated links as flat member→root stars (plus root
+    * self-rows) in a fresh generation — state back to O(nodes) and
+    * resolution unchanged, no matter how many batches appended. Each row
+    * is stamped with its head node's own newest link ord (see the class
+    * doc's evidence model). `retainOrdGe` first EXPIRES nodes whose
+    * newest evidence predates the horizon: links touching an expired node
+    * dissolve, and clusters held together only through it split (the
+    * dedup-snapshot retention contract). The replaced generation is kept
+    * one cycle for lazy readers; older ones are deleted. */
   def compact(retainOrdGe: Option[Long] = None): Unit = {
-    val prev = currentGen()
+    val prev = gens.currentGen()
     links().foreach { all =>
-      val kept = retainOrdGe.map(h => all.where(col("ord") >= h))
-        .getOrElse(all)
-      val cc = Components.connected(kept, "a", "b")
-      val ords = kept.select(col("a"), col("b"), col("ord"))
-      // newest surviving ord per component: resolve each link's a-side
-      val linkComp = ords.join(cc.withColumnRenamed("id", "a"), "a")
-        .groupBy("component").agg(max("ord").as("ord"))
-      val stars = cc.where(col("id") =!= col("component"))
-        .select(col("id").as("a"), col("component").as("b"), col("component"))
-        .join(linkComp, "component")
-        .select(col("a"), col("b"), col("ord"))
-      val next = new File(path, s"gen-${nextGenIndex()}")
+      // newest evidence per node: max ord over the rows it heads. Raw
+      // links are stored in both directions and stars/self-rows head
+      // their member, so the a-side max is exactly the node's own newest
+      // evidence — a star's b-side (the root) gains nothing from its
+      // members' freshness.
+      val nodeOrd = all.groupBy(col("a").as("id")).agg(max("ord").as("__no"))
+      val kept = retainOrdGe match {
+        case Some(h) =>
+          val fresh = nodeOrd.where(col("__no") >= h)
+          all.where(col("a") =!= col("b"))
+            .join(fresh.select(col("id").as("a")), Seq("a"), "left_semi")
+            .join(fresh.select(col("id").as("b")), Seq("b"), "left_semi")
+        case None => all.where(col("a") =!= col("b"))
+      }
+      val stars = Components.connected(kept, "a", "b")
+        .join(nodeOrd, "id")
+        .select(col("id").as("a"), col("component").as("b"),
+          col("__no").as("ord"))
+      val next = gens.newGenDir()
       stars.write.parquet(next.getAbsolutePath)
-      swapPointer(next.getName)
-      val keep = Set(next.getName) ++ prev.map(_.getName)
-      Option(new File(path).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
-          !keep(f.getName))
-        .foreach(Fs.deleteRecursively)
+      gens.swapPointer(next.getName)
+      gens.reapExcept(Set(next.getName) ++ prev.map(_.getName))
     }
   }
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import java.io.File
+
+/** Crash-safe generation-directory layout shared by the persisted indexes
+  * ([[ParquetKvStore]], [[MinHashIndex]], [[ComponentsIndex]]): state lives
+  * in `gen-N` directories under `path`, with a `_current` pointer file
+  * atomically renamed onto the live one.
+  *
+  * Contract: writers materialize a full new generation (or append into the
+  * live one, where the store's semantics make partial appends replayable),
+  * then [[swapPointer]]; a crash between write and swap leaves an orphan
+  * that [[nextGenIndex]] counts, so a retry never writes into a
+  * half-written directory. Readers bound to a replaced generation stay
+  * scannable until the owner calls [[reapExcept]] — each store keeps the
+  * replaced generation for one cycle (the documented staleness bound).
+  */
+private[ops] final class GenStore(path: String) {
+
+  def pointer = new File(path, "_current")
+
+  def currentGen(): Option[File] =
+    if (!pointer.exists()) None
+    else {
+      val name = new String(
+        java.nio.file.Files.readAllBytes(pointer.toPath), "UTF-8").trim
+      Some(new File(path, name)).filter(_.exists())
+    }
+
+  /** Next unused generation index — crash orphans (written, never pointed
+    * at) count too. */
+  def nextGenIndex(): Int = {
+    val existing = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName.stripPrefix("gen-").toInt)
+    if (existing.isEmpty) 0 else existing.max + 1
+  }
+
+  def newGenDir(): File = new File(path, s"gen-${nextGenIndex()}")
+
+  /** Atomically re-point `_current` at `genName` (rename, with one
+    * delete-and-retry for filesystems whose rename does not replace). */
+  def swapPointer(genName: String): Unit = {
+    val tmp = new File(path, "._current.tmp")
+    java.nio.file.Files.write(tmp.toPath, genName.getBytes("UTF-8"))
+    if (!tmp.renameTo(pointer)) {
+      pointer.delete()
+      if (!tmp.renameTo(pointer))
+        throw new java.io.IOException(s"pointer swap failed at $path")
+    }
+  }
+
+  /** Delete every generation directory not named in `keep` (the live one
+    * and, by convention, the one it just replaced). */
+  def reapExcept(keep: Set[String]): Unit =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
+        !keep(f.getName))
+      .foreach(Fs.deleteRecursively)
+}

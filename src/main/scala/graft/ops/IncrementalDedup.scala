@@ -52,39 +52,14 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
                    bands: Int = 4, maxBucket: Int = 1024,
                    prefixChars: Int = 1) {
 
-  private def pointer = new File(path, "_current")
-
-  private def currentGen(): Option[File] =
-    if (!pointer.exists()) None
-    else {
-      val name = new String(
-        java.nio.file.Files.readAllBytes(pointer.toPath), "UTF-8").trim
-      Some(new File(path, name)).filter(_.exists())
-    }
+  // generation-directory layout + crash-safe pointer: shared [[GenStore]]
+  private val gens = new GenStore(path)
+  private def currentGen(): Option[File] = gens.currentGen()
 
   /** Absolute path of the live postings generation, if any — for plan
     * audits and external scans of the raw postings. */
   def currentGenerationPath: Option[String] =
     currentGen().map(_.getAbsolutePath)
-
-  private def nextGenIndex(): Int = {
-    val existing = Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
-      .map(_.getName.stripPrefix("gen-").toInt)
-    // orphans from a crash between write and pointer swap count too, so a
-    // retry never writes into a half-written directory
-    if (existing.isEmpty) 0 else existing.max + 1
-  }
-
-  private def swapPointer(genName: String): Unit = {
-    val tmp = new File(path, "._current.tmp")
-    java.nio.file.Files.write(tmp.toPath, genName.getBytes("UTF-8"))
-    if (!tmp.renameTo(pointer)) {
-      pointer.delete()
-      if (!tmp.renameTo(pointer))
-        throw new java.io.IOException(s"index pointer swap failed at $path")
-    }
-  }
 
   /** The generation appends land in: the live one, or a freshly-created
     * `gen-0` on the first append (pointer swapped before the write, so a
@@ -100,9 +75,9 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
       throw new IllegalStateException(
         s"index at $path uses the pre-generation flat layout — rebuild it " +
           "(probing past it would silently drop every cross-batch pair)")
-    val gen = new File(path, s"gen-${nextGenIndex()}")
+    val gen = gens.newGenDir()
     gen.mkdirs()
-    swapPointer(gen.getName)
+    gens.swapPointer(gen.getName)
     gen
   }
 
@@ -257,15 +232,11 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
     val prev = currentGen()
     postings().foreach { p =>
       val kept = retainOrdGe.map(h => p.where(col("ord") >= h)).getOrElse(p)
-      val next = new File(path, s"gen-${nextGenIndex()}")
+      val next = gens.newGenDir()
       kept.repartition(col("band"), col("bp"))
         .write.partitionBy("band", "bp").parquet(next.getAbsolutePath)
-      swapPointer(next.getName)
-      val keep = Set(next.getName) ++ prev.map(_.getName)
-      Option(new File(path).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
-          !keep(f.getName))
-        .foreach(Fs.deleteRecursively)
+      gens.swapPointer(next.getName)
+      gens.reapExcept(Set(next.getName) ++ prev.map(_.getName))
     }
   }
 

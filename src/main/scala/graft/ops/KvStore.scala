@@ -87,29 +87,14 @@ class ParquetKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
   extends KvStore {
   new File(path).mkdirs()
 
-  private def pointer = new File(path, "_current")
+  // generation-directory layout + crash-safe pointer: shared [[GenStore]]
+  private val gens = new GenStore(path)
+  private def currentGen(): Option[File] = gens.currentGen()
 
   /** Absolute path of the live generation, if any — lets [[BucketedKvStore]]
     * read all buckets in ONE multi-path scan instead of a union of N. */
   private[ops] def currentGenPath: Option[String] =
     currentGen().map(_.getAbsolutePath)
-
-  private def currentGen(): Option[File] =
-    if (!pointer.exists()) None
-    else {
-      val name = new String(
-        java.nio.file.Files.readAllBytes(pointer.toPath), "UTF-8").trim
-      Some(new File(path, name)).filter(_.exists())
-    }
-
-  private def nextGenIndex(): Int = {
-    val existing = Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
-      .map(_.getName.stripPrefix("gen-").toInt)
-    // orphans from a crash between write and pointer swap are counted too,
-    // so a retry never writes into a half-written directory
-    if (existing.isEmpty) 0 else existing.max + 1
-  }
 
   private def notExpired(df: DataFrame): DataFrame =
     KvStoreExpiry.notExpired(df, expireAtCol)
@@ -167,30 +152,18 @@ class ParquetKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
           .otherwise(coalesce(col("__reap_at"), lit(now + h))))
       case None => compacted
     }
-    val gen = new File(path, s"gen-${nextGenIndex()}")
+    val gen = gens.newGenDir()
     merged.write.mode("overwrite").parquet(gen.getAbsolutePath)
     // atomic pointer swap: readers see the old complete generation until
     // the rename lands, the new one after
-    val tmp = new File(path, "._current.tmp")
-    java.nio.file.Files.write(tmp.toPath, gen.getName.getBytes("UTF-8"))
-    if (!tmp.renameTo(pointer)) {
-      pointer.delete()
-      if (!tmp.renameTo(pointer))
-        throw new java.io.IOException(s"KvStore pointer swap failed at $path")
-    }
+    gens.swapPointer(gen.getName)
     // keep the live generation AND the one it replaced: a lazy DataFrame
     // handed out by read() before this merge is still bound to the previous
     // generation's files and must stay scannable. Anything older (including
     // orphans from a crash between write and swap) is dead weight. A reader
     // that holds one read() result across MORE than one merge cycle must
     // re-resolve via read() — that is the documented staleness bound.
-    val keep = Set(gen.getName) ++ prevGen.map(_.getName)
-    Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
-        !keep(f.getName))
-      .foreach { old =>
-        old.listFiles().foreach(_.delete()); old.delete()
-      }
+    gens.reapExcept(Set(gen.getName) ++ prevGen.map(_.getName))
   }
 }
 

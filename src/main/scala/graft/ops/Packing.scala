@@ -39,8 +39,11 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(tokens).over(w))
       .withColumn("start_tok", (col("__cum") - tokens).cast("long"))
-      .withColumn("seq_first", floor(col("start_tok") / lit(ctxLen)))
-      .withColumn("seq_last", floor((col("__cum") - 1) / lit(ctxLen)))
+      // integer `div`, not floor(a / b): long/long division in Spark
+      // promotes to double, which loses ulps past 2^53 tokens — the oracle
+      // computes exact integer division, and so must we at any scale
+      .withColumn("seq_first", expr(s"start_tok div ${ctxLen}L"))
+      .withColumn("seq_last", expr(s"(__cum - 1) div ${ctxLen}L"))
       .drop("__cum")
   }
 }

@@ -52,11 +52,11 @@ class ComponentsIndexSpec extends SparkSuite {
     val before = resolve(idx)
     idx.compact()
     assert(resolve(idx) == before)
-    // post-compact state is exactly the non-root members, one star each
+    // post-compact state is one row per node: member stars + root self-rows
     val live = java.nio.file.Files.readString(
       java.nio.file.Paths.get(path, "_current")).trim
     val stars = spark.read.parquet(new java.io.File(path, live).getAbsolutePath)
-    assert(stars.count() == before.count(kv => kv._1 != kv._2))
+    assert(stars.count() == before.size)
     // appends keep working after a compact
     idx.addPairs(Seq((100L, 0L)).toDF("doc_a", "doc_b"), ord = 99)
     assert(resolve(idx)(100L) == 0L)
@@ -67,7 +67,32 @@ class ComponentsIndexSpec extends SparkSuite {
     idx.addPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"), ord = 1)
     idx.addPairs(Seq((2L, 3L)).toDF("doc_a", "doc_b"), ord = 5)
     idx.compact(retainOrdGe = Some(3L))
-    // the 1~2 link expired: 1 drops out entirely, 2~3 survive
+    // node 1's newest evidence (ord 1) predates the horizon: 1 drops out
+    // entirely, 2~3 survive on their own fresh link
+    assert(resolve(idx) == Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("a maintenance compact cannot launder expired evidence") {
+    val idx = new ComponentsIndex(spark, tmp())
+    idx.addPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"), ord = 1)
+    idx.addPairs(Seq((2L, 3L)).toDF("doc_a", "doc_b"), ord = 5)
+    // a plain compact between the appends and the retention pass must not
+    // refresh node 1's age to its cluster's newest ord: the same horizon
+    // still expires it (compaction contracts links through the root, so
+    // retention after it may dissolve MORE than link-level retention — the
+    // conservative direction — but never keeps a stale node alive)
+    idx.compact()
+    idx.compact(retainOrdGe = Some(3L))
+    assert(!resolve(idx).contains(1L))
+  }
+
+  test("a fresh link keeps only its own endpoints alive across retention") {
+    val idx = new ComponentsIndex(spark, tmp())
+    idx.addPairs(Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"), ord = 1)
+    idx.addPairs(Seq((2L, 3L)).toDF("doc_a", "doc_b"), ord = 9)
+    idx.compact(retainOrdGe = Some(5L))
+    // 2 and 3 were re-affirmed at ord 9; 1 was not and expires even though
+    // its cluster has fresh evidence elsewhere
     assert(resolve(idx) == Map(2L -> 2L, 3L -> 2L))
   }
 

@@ -199,7 +199,7 @@ class PlanAuditSpec extends SparkSuite {
     val cc = graft.ops.Components.clusters(docs, "doc_id", "text")
     val p = graft.ops.Components.keepBest(docs, "doc_id", cc,
       length(col("text"))).queryExecution.executedPlan.toString
-    assert(p.contains("partial_min_by") || p.contains("partial"),
+    assert(p.contains("partial_min_by"),
       s"keeper selection must map-side combine:\n$p")
     assert(!p.contains("Window"),
       s"a degenerate cluster must not become a single-task window sort:\n$p")
