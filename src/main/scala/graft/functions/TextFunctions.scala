@@ -134,6 +134,40 @@ object TextFunctions {
       .otherwise(round(best.cast(DoubleType) / size(g).cast(DoubleType), 6))
   }
 
+  /** BPE-ish subword token count: the GPT-2-style pre-tokenizer pattern
+    * (contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, whitespace runs) restricted to the lookaround-free
+    * regex subset, so Java regex (Spark) and RE2 (the SQL oracle) produce
+    * identical splits. Whitespace runs count as fragments here; callers
+    * wanting "text tokens only" subtract [[tokenCount]]−1 separators. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast(LongType)
+
+  /** Winnowing fingerprint (rolling-hash document fingerprinting, as in
+    * MOSS): hash every k-gram, slide a window of `w` hashes, keep each
+    * window's minimum — guaranteeing any shared run of w+k−1 tokens between
+    * two documents contributes a shared fingerprint hash. The selected set
+    * (distinct, sorted) is digested to one md5. Hashes are md5 strings so
+    * the oracle reproduces the selection bit-for-bit; everything is one
+    * scalar expression chain (no explode). Documents shorter than k+w−1
+    * tokens fingerprint their (possibly empty) full hash set. */
+  def winnowFingerprint(text: Column, k: Int = 3, w: Int = 4): Column =
+    md5(array_join(winnowSelected(text, k, w), "|"))
+
+  /** The selected window-minimum hashes behind [[winnowFingerprint]],
+    * distinct and sorted — exposed so tests can assert the containment
+    * guarantee (shared runs ⇒ shared hashes) on the sets themselves. */
+  def winnowSelected(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hs = transform(ngramsAll(text, k), g => md5(g))
+    val mins = when(size(hs) < w, hs).otherwise(
+      transform(sequence(lit(0), size(hs) - w),
+        i => array_min(slice(hs, i + 1, lit(w)))))
+    array_sort(array_distinct(mins))
+  }
+
   /** One MinHash value: min over shingles of md5(seed ‖ ':' ‖ shingle).
     * md5-keyed so DuckDB reproduces it exactly. */
   def minhash(shingleArr: Column, seed: Int): Column =

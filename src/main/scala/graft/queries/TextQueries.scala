@@ -197,6 +197,27 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("start_tok"), col("seq_first"), col("seq_last"))),
 
+    // BPE-ish subword token count (GPT-2-style pre-tokenizer regex, the
+    // lookaround-free subset both dialects parse identically). The corpus
+    // is plain lowercase words, so a doc_id-derived digit/punctuation/
+    // contraction tail is salted on to make every pattern branch fire.
+    "q_token_bpe" -> ((s, d) => {
+      val salted = concat(col("text"), lit(" v"),
+        col("doc_id").cast("string"), lit(".r"),
+        (col("doc_id") % 7).cast("string"), lit("!don't"))
+      Tables.documents(s, d).select(col("doc_id"),
+        bpeTokenCount(salted).as("n_bpe"),
+        bpeTokenCount(col("text")).as("n_bpe_plain"))
+    }),
+
+    // Rolling-hash document fingerprint (winnowing, as in MOSS): min hash
+    // per sliding window over the k-gram hash sequence; any shared run of
+    // w+k−1 tokens between two docs shares a selected hash. One scalar
+    // expression chain — no explode, no shuffle.
+    "q_fingerprint_winnow" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        winnowFingerprint(col("text")).as("winnow_fp"))),
+
     // The document-filter DECISION (C4/Gopher-style): per-rule verdicts +
     // the combined keep flag, composed from the token-count and repetition
     // signals. Thresholds sit inside the corpus distributions so both
@@ -571,6 +592,36 @@ object TextQueries {
                 (cum - n_tokens) // 2048 AS seq_first,
                 (cum - 1) // 2048 AS seq_last
          FROM c""",
+    "q_token_bpe" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(
+             text || ' v' || doc_id || '.r' || CAST(doc_id % 7 AS VARCHAR) || '!don''t',
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             AS n_bpe,
+           len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             AS n_bpe_plain
+         FROM documents""",
+    "q_fingerprint_winnow" ->
+      """WITH words AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (
+           SELECT doc_id, i, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+           FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+           WHERE len(w) >= 3),
+         hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g
+                GROUP BY doc_id),
+         mins AS (
+           SELECT doc_id,
+                  CASE WHEN len(hs) < 4 THEN hs
+                       ELSE [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
+                  END AS m
+           FROM hl)
+         SELECT d.doc_id,
+                md5(CASE WHEN m IS NULL THEN ''
+                    ELSE array_to_string(list_sort(list_distinct(m)), '|')
+                    END) AS winnow_fp
+         FROM documents d LEFT JOIN mins ON d.doc_id = mins.doc_id""",
     "q_quality_filter" ->
       """WITH words AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
