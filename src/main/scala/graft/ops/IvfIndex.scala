@@ -1,0 +1,103 @@
+package graft.ops
+
+import java.io.File
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF postings for continuous-ingest ANN — the vector twin of
+  * [[MinHashIndex]]: a pipeline that embeds documents batch by batch
+  * appends each batch's vectors into their coarse cells and searches
+  * against the accumulated index, never re-scanning (let alone
+  * re-shuffling) the whole corpus per query batch.
+  *
+  * Layout: one generation directory ([[GenStore]] pointer contract) holding
+  * parquet partitioned by `cell=` — [[add]] appends one file per TOUCHED
+  * cell per batch (repartitioned on the partition column first, so a wide
+  * batch cannot explode into tasks×cells tiny files), and [[search]] prunes
+  * the scan to the probed cells with a static partition filter collected on
+  * the driver (bounded by |queries| × nprobe — the query side is broadcast
+  * anyway). A periodic [[compact]] rewrites accumulated per-batch files to
+  * one per cell, the same maintenance cadence as the other stores.
+  *
+  * Cell assignment is the caller's expression — `label`-style precomputed
+  * cells for oracle-exact tests, [[KMeans.assignExpr]] against trained
+  * centroids for real use (probe with [[KMeans.probeExpr]]); the index
+  * stores whatever cell ids it is given.
+  *
+  * Crash contract: a replayed append re-lands the same (id, vector, cell)
+  * rows; [[search]] de-duplicates postings by id, so replay never changes
+  * results. Appends/compacts are serialized by a single driver.
+  *
+  * Reference analog: tiered index state that outlives any run — offloaded
+  * ledger indexes (`tiered-storage/.../OffloadIndexBlockImpl.java`).
+  */
+class IvfIndex(spark: SparkSession, path: String, idCol: String,
+               vecCol: String) {
+
+  private val gens = new GenStore(path)
+
+  private def appendGen(): File = gens.currentGen().getOrElse {
+    new File(path).mkdirs()
+    val gen = gens.newGenDir()
+    gen.mkdirs()
+    gens.swapPointer(gen.getName)
+    gen
+  }
+
+  private def postings(): Option[DataFrame] =
+    gens.currentGen().filter(g =>
+      Option(g.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+      .map(g => spark.read.parquet(g.getAbsolutePath))
+
+  /** Append one batch: each vector lands in the cell `cell` evaluates to.
+    * One file per touched cell. */
+  def add(batch: DataFrame, cell: Column): Unit =
+    batch.select(col(idCol), col(vecCol), cell.cast("int").as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(appendGen().getAbsolutePath)
+
+  /** Top-k cosine neighbors from the probed cells only. `queries` must be
+    * small (it is broadcast); `probeCells` is an array column of cell ids
+    * to search (a one-element array = classic single-probe IVF,
+    * [[KMeans.probeExpr]] = multi-probe). Returns (query_id, neighbor_id,
+    * sim, rank). */
+  def search(queries: DataFrame, probeCells: Column, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), probeCells.as("__cells"))
+      .withColumn("__cell", explode(col("__cells")))
+      .withColumn("__cell", col("__cell").cast("int"))
+      .drop("__cells")
+    val stored = postings().getOrElse(throw new IllegalStateException(
+      s"IVF index at $path has no postings yet (no add ran)"))
+    // static partition filter from the driver-collected probe set: the scan
+    // lists and reads ONLY the probed cell directories
+    val cells = q.select("__cell").distinct().collect().map(_.getInt(0)).toSeq
+    val c = stored.where(col("cell").isin(cells: _*))
+      // a crash-replayed append re-lands identical rows — id wins once
+      .dropDuplicates(idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col("cell").as("__cell"))
+    Similarity.topK(
+      Similarity.scoreAgainst(Par.spread(c), q, "__cell"),
+      k, Seq("query_id"))
+  }
+
+  /** Rewrite accumulated per-batch append files to ONE file per cell in a
+    * fresh generation — per-cell file counts back to O(1) no matter how
+    * many batches appended; search results unchanged. The replaced
+    * generation is kept one cycle for lazy readers. */
+  def compact(): Unit = {
+    val prev = gens.currentGen()
+    postings().foreach { p =>
+      val next = gens.newGenDir()
+      p.dropDuplicates(idCol)
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(next.getAbsolutePath)
+      gens.swapPointer(next.getName)
+      gens.reapExcept(Set(next.getName) ++ prev.map(_.getName))
+    }
+  }
+}

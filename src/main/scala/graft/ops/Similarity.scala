@@ -17,16 +17,17 @@ object Similarity {
 
   /** Shared scoring shape: corpus side joined to the BROADCAST prepared
     * query side on `key`, self-pairs dropped, cosine-scored. One place so
-    * the single-probe and probe-profile variants cannot drift. */
-  private def scoreAgainst(c: DataFrame, q: DataFrame, key: String): DataFrame =
+    * the single-probe and probe-profile variants (and [[IvfIndex]]) cannot
+    * drift. */
+  private[ops] def scoreAgainst(c: DataFrame, q: DataFrame, key: String): DataFrame =
     c.join(broadcast(q), key)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
 
   /** Shared top-k tail: rank per `groupCols` by (sim desc, neighbor asc) —
     * the deterministic tie-break every oracle reproduces — keep k, round. */
-  private def topK(scored: DataFrame, k: Int,
-                   groupCols: Seq[String]): DataFrame = {
+  private[ops] def topK(scored: DataFrame, k: Int,
+                        groupCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

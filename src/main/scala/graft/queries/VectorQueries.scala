@@ -40,6 +40,22 @@ object VectorQueries {
         emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", "label", 3)
     }),
 
+    // IVF against a PERSISTED postings index (graft.ops.IvfIndex): the
+    // corpus arrives in two batches, each appended into its cells; search
+    // prunes the postings scan to the probed cells via static partition
+    // filters. Must return EXACTLY the one-shot IVF result — same oracle
+    // SQL as q_ann_ivf.
+    "q_ann_ivf_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc")
+        .toFile.getAbsolutePath
+      val idx = new graft.ops.IvfIndex(s, dir, "vec_id", "embedding")
+      idx.add(emb.where(col("vec_id") % 2 === 0), col("label"))
+      idx.add(emb.where(col("vec_id") % 2 === 1), col("label"))
+      idx.compact()
+      idx.search(emb.where(col("vec_id") < 20), array(col("label")), k = 3)
+    }),
+
     // LSH-bucketed ANN over the whole corpus. The SRP planes are
     // deterministic md5-derived dyadic rationals (VectorFunctions.plane), so
     // the oracle embeds them as literal VALUES and reproduces buckets,
@@ -263,6 +279,16 @@ object VectorQueries {
             FROM sims)
           WHERE rn = 1""",
     "q_ann_ivf" ->
+      s"""WITH ${cosineCte("vec_id < 20")}
+          SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+            SELECT query_id, neighbor_id, dp / (sqrt(nq) * sqrt(nc)) AS sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC, neighbor_id ASC)
+                     AS rank
+            FROM dots WHERE q_label = c_label)
+          WHERE rank <= 3""",
+    // the persisted-index build must land on EXACTLY the one-shot result
+    "q_ann_ivf_incremental" ->
       s"""WITH ${cosineCte("vec_id < 20")}
           SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
             SELECT query_id, neighbor_id, dp / (sqrt(nq) * sqrt(nc)) AS sim,

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("graft-ivf-idx").toFile.getAbsolutePath
+
+  private val emb = graft.core.Tables
+    .embeddings(spark, "/root/testdata/sf0.001")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+  test("two-batch build searches identically to one-shot IVF") {
+    val idx = new IvfIndex(spark, tmp(), "vec_id", "embedding")
+    idx.add(emb.where(col("vec_id") % 2 === 0), col("label"))
+    idx.add(emb.where(col("vec_id") % 2 === 1), col("label"))
+    val queries = emb.where(col("vec_id") < 10)
+    val got = rows(idx.search(queries, array(col("label")), k = 3))
+    val oneShot = rows(Similarity.ivfTopK(
+      queries, emb, "vec_id", "embedding", "label", 3))
+    assert(got == oneShot)
+  }
+
+  test("replayed appends and compaction never change results") {
+    val idx = new IvfIndex(spark, tmp(), "vec_id", "embedding")
+    val b = emb.where(col("vec_id") % 3 === 0)
+    idx.add(b, col("label"))
+    idx.add(b, col("label")) // crash replay
+    idx.add(emb.where(col("vec_id") % 3 =!= 0), col("label"))
+    val queries = emb.where(col("vec_id") < 10)
+    val before = rows(idx.search(queries, array(col("label")), k = 3))
+    assert(before == rows(Similarity.ivfTopK(
+      queries, emb, "vec_id", "embedding", "label", 3)))
+    idx.compact()
+    assert(rows(idx.search(queries, array(col("label")), k = 3)) == before)
+  }
+
+  test("search prunes the postings scan to the probed cells") {
+    val path = tmp()
+    val idx = new IvfIndex(spark, path, "vec_id", "embedding")
+    idx.add(emb, col("label"))
+    val queries = emb.where(col("vec_id") === 0)
+    val result = idx.search(queries, array(col("label")), k = 3)
+    val plan = result.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+      .getOrElse("")
+    assert(pf.contains("cell"), s"probe must prune cell partitions:\n$plan")
+  }
+
+  test("compact leaves one file per cell") {
+    val path = tmp()
+    val idx = new IvfIndex(spark, path, "vec_id", "embedding")
+    (0 until 4).foreach(i => idx.add(emb.where(col("vec_id") % 4 === i),
+      col("label")))
+    idx.compact()
+    val live = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_current")).trim
+    val cellDirs = new java.io.File(path, live).listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+  }
+
+  test("multi-probe search against trained centroids reaches adjacent cells") {
+    val idx = new IvfIndex(spark, tmp(), "vec_id", "embedding")
+    val cents = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 3)
+    idx.add(emb, KMeans.assignExpr(col("embedding"), cents))
+    val queries = emb.where(col("vec_id") < 5)
+    val p1 = rows(idx.search(queries,
+      KMeans.probeExpr(col("embedding"), cents, 1), k = 3))
+    val p4 = rows(idx.search(queries,
+      KMeans.probeExpr(col("embedding"), cents, 4), k = 3))
+    // probing every cell must equal exact brute force; one probe is a subset
+    val exact = rows(Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", 3))
+    assert(p4 == exact)
+    assert(p1.map(_._1).subsetOf(p4.map(_._1)))
+  }
+}
