@@ -137,11 +137,14 @@ object TextFunctions {
   /** BPE-ish subword token count: the GPT-2-style pre-tokenizer pattern
     * (contraction suffixes, space-prefixed letter runs, digit runs,
     * punctuation runs, whitespace runs) restricted to the lookaround-free
-    * regex subset, so Java regex (Spark) and RE2 (the SQL oracle) produce
-    * identical splits. Whitespace runs count as fragments here; callers
-    * wanting "text tokens only" subtract [[tokenCount]]−1 separators. */
+    * regex subset. Whitespace is the EXPLICIT class [ \t\n\f\r], not \s —
+    * Java's \s additionally matches vertical tab where RE2's does not, so
+    * \s would silently desynchronize Spark from the SQL oracle on the
+    * first document containing one. A single space is absorbed into the
+    * following token (the ' ?' prefixes); only runs of 2+ whitespace
+    * produce separator fragments of their own. */
   val bpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast(LongType)

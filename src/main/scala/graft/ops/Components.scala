@@ -188,24 +188,13 @@ class ComponentsIndex(spark: SparkSession, path: String) {
 
   private val gens = new GenStore(path)
 
-  private def appendGen(): File = gens.currentGen().getOrElse {
-    new File(path).mkdirs()
-    val gen = gens.newGenDir()
-    gen.mkdirs()
-    gens.swapPointer(gen.getName)
-    gen
-  }
+  private def appendGen(): File = gens.liveOrCreate()
 
-  /** The accumulated link rows (a, b, ord), if any were ever written. A
-    * generation holding only a _SUCCESS marker (zero-row append) maps to
-    * None — reading it would fail schema inference; an actual read failure
-    * (permissions, corrupt footer) propagates rather than degrading into
-    * an empty index. */
+  /** The accumulated link rows (a, b, ord), if any were ever written
+    * ([[GenStore.readLive]] missing-vs-failure contract). */
   private def links(): Option[DataFrame] =
-    gens.currentGen().filter(g =>
-      Option(g.listFiles()).getOrElse(Array.empty)
-        .exists(f => f.getName.endsWith(".parquet") || f.isDirectory))
-      .map(g => spark.read.parquet(g.getAbsolutePath))
+    gens.readLive(spark,
+      f => f.getName.endsWith(".parquet") || f.isDirectory)
 
   /** Append one batch of pairs, stamped `ord` (epoch-ms or any monotone
     * batch stamp — the evidence-age axis [[compact]]'s retention prunes

@@ -57,4 +57,32 @@ private[ops] final class GenStore(path: String) {
       .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
         !keep(f.getName))
       .foreach(Fs.deleteRecursively)
+
+  /** The generation appends land in: the live one, or a freshly-created
+    * `gen-0` (pointer swapped before the first write, so a crash
+    * mid-append leaves a pointed-at generation with partial state — which
+    * each store's append semantics must make replayable). `beforeCreate`
+    * runs only on the first-ever creation, for store-specific layout
+    * guards. */
+  def liveOrCreate(beforeCreate: File => Unit = _ => ()): File =
+    currentGen().getOrElse {
+      val root = new File(path)
+      root.mkdirs()
+      beforeCreate(root)
+      val gen = newGenDir()
+      gen.mkdirs()
+      swapPointer(gen.getName)
+      gen
+    }
+
+  /** The live generation's data as a DataFrame, when `present` says it
+    * holds any (a zero-row append leaves only a _SUCCESS marker — reading
+    * that would fail schema inference). Only a MISSING store maps to None;
+    * an actual read failure (permissions, corrupt footer) propagates
+    * rather than degrading into "empty store". */
+  def readLive(spark: org.apache.spark.sql.SparkSession,
+               present: File => Boolean): Option[org.apache.spark.sql.DataFrame] =
+    currentGen().filter(g =>
+      Option(g.listFiles()).getOrElse(Array.empty).exists(present))
+      .map(g => spark.read.parquet(g.getAbsolutePath))
 }

@@ -61,13 +61,9 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
   def currentGenerationPath: Option[String] =
     currentGen().map(_.getAbsolutePath)
 
-  /** The generation appends land in: the live one, or a freshly-created
-    * `gen-0` on the first append (pointer swapped before the write, so a
-    * crash mid-append leaves a pointed-at generation with partial
-    * partitions — whose rows simply re-pair idempotently on replay). */
-  private def appendGen(): File = currentGen().getOrElse {
-    val d = new File(path)
-    d.mkdirs()
+  /** Mid-append crash contract: the pointer swaps before the first write,
+    * so a partial generation's rows simply re-pair idempotently on replay. */
+  private def appendGen(): File = gens.liveOrCreate { d =>
     // a pre-generation index (band= dirs at the top level) must fail loudly:
     // silently probing an empty generation would drop every cross-batch pair
     if (Option(d.listFiles()).getOrElse(Array.empty)
@@ -75,23 +71,13 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
       throw new IllegalStateException(
         s"index at $path uses the pre-generation flat layout — rebuild it " +
           "(probing past it would silently drop every cross-batch pair)")
-    val gen = gens.newGenDir()
-    gen.mkdirs()
-    gens.swapPointer(gen.getName)
-    gen
   }
 
   /** The stored postings, partitioned on (band, bucket-prefix) inside the
-    * live generation. Only a MISSING index maps to None — no generation
-    * yet, or one with no partition directories (a zero-row append leaves
-    * just a _SUCCESS marker). A read FAILURE (permissions, corrupt footer)
-    * must propagate, not silently degrade into "empty index" and drop
-    * every cross-batch pair while still reporting success. */
+    * live generation ([[GenStore.readLive]] missing-vs-failure contract). */
   private def postings(): Option[DataFrame] =
-    currentGen().filter { g =>
-      Option(g.listFiles()).getOrElse(Array.empty)
-        .exists(f => f.isDirectory && f.getName.startsWith("band="))
-    }.map(g => spark.read.parquet(g.getAbsolutePath))
+    gens.readLive(spark,
+      f => f.isDirectory && f.getName.startsWith("band="))
 
   /** The prefix width the index was CREATED with wins over the
     * constructor: probing p3a-style directories with p3-style filters (or

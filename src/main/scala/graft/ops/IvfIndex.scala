@@ -37,27 +37,26 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
 
   private val gens = new GenStore(path)
 
-  private def appendGen(): File = gens.currentGen().getOrElse {
-    new File(path).mkdirs()
-    val gen = gens.newGenDir()
-    gen.mkdirs()
-    gens.swapPointer(gen.getName)
-    gen
-  }
+  private def appendGen(): File = gens.liveOrCreate()
 
   private def postings(): Option[DataFrame] =
-    gens.currentGen().filter(g =>
-      Option(g.listFiles()).getOrElse(Array.empty)
-        .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
-      .map(g => spark.read.parquet(g.getAbsolutePath))
+    gens.readLive(spark,
+      f => f.isDirectory && f.getName.startsWith("cell="))
 
   /** Append one batch: each vector lands in the cell `cell` evaluates to.
-    * One file per touched cell. */
-  def add(batch: DataFrame, cell: Column): Unit =
-    batch.select(col(idCol), col(vecCol), cell.cast("int").as("cell"))
+    * One file per touched cell. A null cell fails the write loudly — Hive
+    * partitioning would otherwise bury the row in the default partition
+    * where search's cell filter can never find it (silent data loss). */
+  def add(batch: DataFrame, cell: Column): Unit = {
+    val c = cell.cast("int")
+    val guarded = when(c.isNull, raise_error(
+      lit("IvfIndex.add: null cell assignment — row would be unsearchable")))
+      .otherwise(c)
+    batch.select(col(idCol), col(vecCol), guarded.as("cell"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(appendGen().getAbsolutePath)
+  }
 
   /** Top-k cosine neighbors from the probed cells only. `queries` must be
     * small (it is broadcast); `probeCells` is an array column of cell ids
@@ -70,11 +69,18 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
       .withColumn("__cell", explode(col("__cells")))
       .withColumn("__cell", col("__cell").cast("int"))
       .drop("__cells")
+      // queries feed two consumers (the probe-cell collect and the scoring
+      // join) and are small by contract — materialize the plan once
+      .localCheckpoint(true)
     val stored = postings().getOrElse(throw new IllegalStateException(
       s"IVF index at $path has no postings yet (no add ran)"))
     // static partition filter from the driver-collected probe set: the scan
-    // lists and reads ONLY the probed cell directories
-    val cells = q.select("__cell").distinct().collect().map(_.getInt(0)).toSeq
+    // lists and reads ONLY the probed cell directories. Null probe cells
+    // fail here, loudly — isin(null) can never match a stored row.
+    val cells = q.select("__cell").distinct().collect().map { r =>
+      require(!r.isNullAt(0), "IvfIndex.search: null probe cell")
+      r.getInt(0)
+    }.toSeq
     val c = stored.where(col("cell").isin(cells: _*))
       // a crash-replayed append re-lands identical rows — id wins once
       .dropDuplicates(idCol)

@@ -596,10 +596,10 @@ object TextQueries {
       """SELECT doc_id,
            len(regexp_extract_all(
              text || ' v' || doc_id || '.r' || CAST(doc_id % 7 AS VARCHAR) || '!don''t',
-             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+'))
              AS n_bpe,
            len(regexp_extract_all(text,
-             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+'))
              AS n_bpe_plain
          FROM documents""",
     "q_fingerprint_winnow" ->

@@ -278,24 +278,21 @@ object VectorQueries {
                    row_number() OVER (PARTITION BY dup_id ORDER BY doc_a) AS rn
             FROM sims)
           WHERE rn = 1""",
-    "q_ann_ivf" ->
-      s"""WITH ${cosineCte("vec_id < 20")}
-          SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
-            SELECT query_id, neighbor_id, dp / (sqrt(nq) * sqrt(nc)) AS sim,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC, neighbor_id ASC)
-                     AS rank
-            FROM dots WHERE q_label = c_label)
-          WHERE rank <= 3""",
+    "q_ann_ivf" -> ivfTopKSql,
     // the persisted-index build must land on EXACTLY the one-shot result
-    "q_ann_ivf_incremental" ->
-      s"""WITH ${cosineCte("vec_id < 20")}
-          SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
-            SELECT query_id, neighbor_id, dp / (sqrt(nq) * sqrt(nc)) AS sim,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC, neighbor_id ASC)
-                     AS rank
-            FROM dots WHERE q_label = c_label)
-          WHERE rank <= 3"""
+    "q_ann_ivf_incremental" -> ivfTopKSql
   )
+
+  /** Single-probe IVF top-3 — the oracle for BOTH the one-shot `q_ann_ivf`
+    * and the persisted-index `q_ann_ivf_incremental` (building the index in
+    * batches must produce the identical result). */
+  private lazy val ivfTopKSql =
+    s"""WITH ${cosineCte("vec_id < 20")}
+        SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+          SELECT query_id, neighbor_id, dp / (sqrt(nq) * sqrt(nc)) AS sim,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC, neighbor_id ASC)
+                   AS rank
+          FROM dots WHERE q_label = c_label)
+        WHERE rank <= 3"""
 }

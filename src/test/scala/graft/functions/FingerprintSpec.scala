@@ -12,8 +12,7 @@ class FingerprintSpec extends SparkSuite {
       .as[Long].head()
 
   test("BPE-ish pattern splits contractions, digits, punctuation, spaces") {
-    // don | 't | ( ) |  stop | ... wait — count by branch:
-    // "don't stop 42 now!" → don, 't, ' stop', ' 42', ' now', '!' = 6
+    // fragments: don | 't | ' stop' | ' 42' | ' now' | '!' = 6
     assert(bpe("don't stop 42 now!") == 6L)
     // a lone word is one fragment; appended digits split off
     assert(bpe("abc123") == 2L)
