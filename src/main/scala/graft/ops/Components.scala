@@ -47,7 +47,6 @@ object Components {
       .distinct()
       .localCheckpoint()
     val empty = e.select(col("a").as("id"), col("a").as("component")).limit(0)
-    if (e.isEmpty) return (empty, 0)
 
     // Probabilistic edge-set signature: (count, sum of pair hashes, xor of
     // pair hashes). Two independent 64-bit digests alongside the count make
@@ -91,7 +90,10 @@ object Components {
     }
 
     var rounds = 0
+    // the first signature doubles as the emptiness check — no separate
+    // isEmpty job
     var prev = sig(e)
+    if (prev._1 == 0) return (empty, 0)
     var done = false
     while (!done) {
       rounds += 1
