@@ -140,9 +140,10 @@ object TextFunctions {
     * regex subset. Whitespace is the EXPLICIT class [ \t\n\f\r], not \s —
     * Java's \s additionally matches vertical tab where RE2's does not, so
     * \s would silently desynchronize Spark from the SQL oracle on the
-    * first document containing one. A single space is absorbed into the
-    * following token (the ' ?' prefixes); only runs of 2+ whitespace
-    * produce separator fragments of their own. */
+    * first document containing one. A single literal space directly before
+    * a token is absorbed into it (the ' ?' prefixes); every other
+    * whitespace occurrence — tabs/newlines, multi-space runs, a trailing
+    * space — forms a separator fragment of its own. */
   val bpePattern: String =
     "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 

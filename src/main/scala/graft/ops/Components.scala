@@ -195,8 +195,12 @@ class ComponentsIndex(spark: SparkSession, path: String) {
   /** The accumulated link rows (a, b, ord), if any were ever written
     * ([[GenStore.readLive]] missing-vs-failure contract). */
   private def links(): Option[DataFrame] =
-    gens.readLive(spark,
-      f => f.getName.endsWith(".parquet") || f.isDirectory)
+    gens.readLive(spark, f => f.getName.endsWith(".parquet") ||
+      // a bare _temporary/ left by a crashed first append holds no data —
+      // counting it would make readLive fail schema inference instead of
+      // mapping the store to "missing"
+      (f.isDirectory && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")))
 
   /** Append one batch of pairs, stamped `ord` (epoch-ms or any monotone
     * batch stamp — the evidence-age axis [[compact]]'s retention prunes

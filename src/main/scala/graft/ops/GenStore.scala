@@ -62,8 +62,9 @@ private[ops] final class GenStore(path: String) {
     * `gen-0` (pointer swapped before the first write, so a crash
     * mid-append leaves a pointed-at generation with partial state — which
     * each store's append semantics must make replayable). `beforeCreate`
-    * runs only on the first-ever creation, for store-specific layout
-    * guards. */
+    * runs whenever no live generation exists — the first creation, or
+    * recovery after a crashed pointer swap — so keep it idempotent
+    * (layout guards, not one-time initialization). */
   def liveOrCreate(beforeCreate: File => Unit = _ => ()): File =
     currentGen().getOrElse {
       val root = new File(path)

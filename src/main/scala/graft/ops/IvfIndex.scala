@@ -64,21 +64,26 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
     * [[KMeans.probeExpr]] = multi-probe). Returns (query_id, neighbor_id,
     * sim, rank). */
   def search(queries: DataFrame, probeCells: Column, k: Int): DataFrame = {
+    val stored = postings().getOrElse(throw new IllegalStateException(
+      s"IVF index at $path has no postings yet (no add ran)"))
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("__qv"), probeCells.as("__cells"))
-      .withColumn("__cell", explode(col("__cells")))
+      // explode_OUTER: a null/empty probe array must surface as a null cell
+      // for the loud check below — plain explode would silently drop the
+      // query from the results, indistinguishable from "no neighbors"
+      .withColumn("__cell", explode_outer(col("__cells")))
       .withColumn("__cell", col("__cell").cast("int"))
       .drop("__cells")
       // queries feed two consumers (the probe-cell collect and the scoring
       // join) and are small by contract — materialize the plan once
       .localCheckpoint(true)
-    val stored = postings().getOrElse(throw new IllegalStateException(
-      s"IVF index at $path has no postings yet (no add ran)"))
     // static partition filter from the driver-collected probe set: the scan
-    // lists and reads ONLY the probed cell directories. Null probe cells
-    // fail here, loudly — isin(null) can never match a stored row.
+    // lists and reads ONLY the probed cell directories. Null, empty, or
+    // null-element probe arrays fail here, loudly — isin(null) can never
+    // match a stored row.
     val cells = q.select("__cell").distinct().collect().map { r =>
-      require(!r.isNullAt(0), "IvfIndex.search: null probe cell")
+      require(!r.isNullAt(0),
+        "IvfIndex.search: null or empty probe-cell array")
       r.getInt(0)
     }.toSeq
     val c = stored.where(col("cell").isin(cells: _*))

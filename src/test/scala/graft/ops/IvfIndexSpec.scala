@@ -53,6 +53,16 @@ class IvfIndexSpec extends SparkSuite {
     assert(pf.contains("cell"), s"probe must prune cell partitions:\n$plan")
   }
 
+  test("null or empty probe arrays fail loudly instead of dropping the query") {
+    val idx = new IvfIndex(spark, tmp(), "vec_id", "embedding")
+    idx.add(emb, col("label"))
+    val queries = emb.where(col("vec_id") < 3)
+    val e = intercept[IllegalArgumentException] {
+      idx.search(queries, array().cast("array<int>"), k = 3).collect()
+    }
+    assert(e.getMessage.contains("probe-cell array"))
+  }
+
   test("compact leaves one file per cell") {
     val path = tmp()
     val idx = new IvfIndex(spark, path, "vec_id", "embedding")
