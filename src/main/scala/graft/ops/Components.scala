@@ -149,6 +149,15 @@ object Components {
           .as("keeper_id"),
         count(lit(1)).as("n_members"))
   }
+
+  /** The deduplicated corpus itself — every row whose id is its cluster's
+    * keeper ([[keepBest]] semantics) — the frame a pipeline feeds
+    * downstream. A semi-join against the keeper set: docs are scanned
+    * once, never widened. */
+  def dropDuplicates(docs: DataFrame, idCol: String, comps: DataFrame,
+                     score: Column): DataFrame =
+    docs.join(keepBest(docs, idCol, comps, score)
+      .select(col("keeper_id").as(idCol)), Seq(idCol), "left_semi")
 }
 
 /** Persisted, incrementally-maintained duplicate clusters — union-find as a

@@ -96,6 +96,20 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
       k, Seq("query_id"))
   }
 
+  /** The index's own quantizer, trained once and persisted BESIDE the
+    * postings (`_centroids/` under the index path): the first call trains
+    * on `train` and saves; every later call — including a restarted
+    * pipeline, or another consumer opening the same path — loads the saved
+    * artifact. This is the restart-safety contract: postings were written
+    * under these centroids' cell assignment, so re-fitting on restart
+    * (slightly different centroids → different cells) would silently probe
+    * cells that do not match the stored layout. Always assign adds with
+    * [[KMeans.assignExpr]] and probe with [[KMeans.probeExpr]] over THIS
+    * array. */
+  def centroids(train: DataFrame, k: Int, iters: Int): Array[Array[Double]] =
+    KMeans.fitOrLoad(train, idCol, vecCol, k, iters,
+      new File(path, "_centroids").getAbsolutePath)
+
   /** Rewrite accumulated per-batch append files to ONE file per cell in a
     * fresh generation — per-cell file counts back to O(1) no matter how
     * many batches appended; search results unchanged. The replaced

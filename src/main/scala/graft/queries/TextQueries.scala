@@ -119,6 +119,17 @@ object TextQueries {
       graft.ops.Components.keepBest(docs, "doc_id", cc, length(col("text")))
     }),
 
+    // The deduplicated corpus itself: rows surviving the keep-one decision
+    // (a semi-join against the keeper set) — what a pipeline feeds
+    // downstream after near-dup dedup.
+    "q_dedup_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cc = graft.ops.Components.clusters(docs, "doc_id", "text")
+      graft.ops.Components.dropDuplicates(docs, "doc_id", cc,
+        length(col("text")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // SimHash-16 fingerprint per document.
     "q_simhash" -> ((s, d) => {
       graft.ops.SimHashDedup.simhash16(Tables.documents(s, d), "doc_id", "text")
@@ -504,6 +515,19 @@ object TextQueries {
     "q_cluster_incremental" ->
       s"""WITH RECURSIVE $ccCtes
           SELECT doc_id, component FROM cc""",
+    "q_dedup_corpus" ->
+      s"""WITH RECURSIVE $ccCtes,
+          labeled AS (
+            SELECT coalesce(cc.component, d.doc_id) AS component, d.doc_id,
+                   length(d.text) AS score
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+          keepers AS (
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (PARTITION BY component
+                       ORDER BY score DESC, doc_id) AS rn
+              FROM labeled) WHERE rn = 1)
+          SELECT d.doc_id, d.lang, d.source, d.n_chars
+          FROM documents d JOIN keepers USING (doc_id)""",
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $ccCtes,
           labeled AS (

@@ -94,5 +94,12 @@ class ComponentsSpec extends SparkSuite {
     else { assert(keeper == 1L); assert(n == 2L) }
     // total membership covers every doc exactly once
     assert(kept.agg(sum("n_members")).as[Long].head() == 4L)
+
+    // dropDuplicates returns exactly the keeper rows, schema intact
+    val deduped = Components.dropDuplicates(docs, "doc_id", cc,
+      length(col("text")))
+    assert(deduped.columns.toSeq == docs.columns.toSeq)
+    assert(deduped.select("doc_id").as[Long].collect().toSet ==
+      byComp.values.map(_._1).toSet)
   }
 }

@@ -80,6 +80,25 @@ class IvfIndexSpec extends SparkSuite {
     }
   }
 
+  test("a restarted index reuses its persisted centroids, never refits") {
+    val path = tmp()
+    val idx = new IvfIndex(spark, path, "vec_id", "embedding")
+    val cents = idx.centroids(emb, k = 4, iters = 3)
+    idx.add(emb, KMeans.assignExpr(col("embedding"), cents))
+    val queries = emb.where(col("vec_id") < 5)
+    val before = rows(idx.search(queries,
+      KMeans.probeExpr(col("embedding"), cents, 2), k = 3))
+
+    // "restart": a fresh instance on the same path must load the SAME
+    // centroids (training on a subtly different frame must not refit —
+    // postings were laid out under the original assignment)
+    val reopened = new IvfIndex(spark, path, "vec_id", "embedding")
+    val cents2 = reopened.centroids(emb.limit(10), k = 4, iters = 1)
+    assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(rows(reopened.search(queries,
+      KMeans.probeExpr(col("embedding"), cents2, 2), k = 3)) == before)
+  }
+
   test("multi-probe search against trained centroids reaches adjacent cells") {
     val idx = new IvfIndex(spark, tmp(), "vec_id", "embedding")
     val cents = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 3)
