@@ -5,7 +5,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 import java.time.LocalDateTime
 
-import graft.ops.{BucketedKvStore, KvStore, MinHashIndex}
+import graft.ops.{BucketedKvStore, ComponentsIndex, IvfIndex, KvStore, MinHashIndex}
 import graft.sources.CronTriggerer
 import graft.streaming.{DelayedBuckets, DelayedRoute}
 import org.apache.spark.sql.functions._
@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * fires the three maintenance passes that bound disk and deliver parked
   * work — [[BucketedKvStore.reapAll]] (cold-bucket TTL expiry + tombstone
   * GC), [[DelayedBuckets.reingestDue]] (parked far-future rows re-enter
-  * ingest), [[MinHashIndex.compact]] (postings file counts back to O(1)) —
-  * under virtual time, the deployment shape every one of these components
-  * documents. */
+  * ingest), and the generation compactions of every persisted index
+  * ([[MinHashIndex]] postings, [[ComponentsIndex]] links,
+  * [[IvfIndex]] cells — file counts back to O(1)) — under virtual time,
+  * the deployment shape every one of these components documents. */
 class MaintenanceLoopSpec extends SparkSuite {
   import spark.implicits._
 
@@ -52,6 +53,20 @@ class MaintenanceLoopSpec extends SparkSuite {
     idx.addAndFindPairs(Seq((1L, s"$boiler variant1")).toDF("doc_id", "text"))
     idx.addAndFindPairs(Seq((2L, s"$boiler variant2")).toDF("doc_id", "text"))
 
+    // a cluster index with links accumulated across batches
+    val ccDir = Files.createTempDirectory("loop-cc").toFile.getAbsolutePath
+    val cc = new ComponentsIndex(spark, ccDir)
+    cc.addPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"), ord = 1)
+    cc.addPairs(Seq((2L, 3L)).toDF("doc_a", "doc_b"), ord = 2)
+    val ccBefore = cc.resolveAll().as[(Long, Long)].collect().toMap
+
+    // an IVF index with per-batch cell files awaiting compaction
+    val ivfDir = Files.createTempDirectory("loop-ivf").toFile.getAbsolutePath
+    val ivf = new IvfIndex(spark, ivfDir, "vec_id", "embedding")
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    ivf.add(emb.where(col("vec_id") % 2 === 0), col("label"))
+    ivf.add(emb.where(col("vec_id") % 2 === 1), col("label"))
+
     Thread.sleep(1500) // "cold" expires; "dead"'s tombstone horizon passes
 
     // ONE driver loop under virtual time: fire at minute m ⇒ nowMs = m·60s
@@ -65,6 +80,8 @@ class MaintenanceLoopSpec extends SparkSuite {
         delivered += DelayedBuckets.reingestDue(spark, parkRoot, ingest,
           nowMs = virtualMs, bucketMs = 60000L, horizonMs = 60000L)
         idx.compact()
+        cc.compact()
+        ivf.compact()
       },
       now = () => clock,
       sleepUntil = at => clock = at,
@@ -104,5 +121,24 @@ class MaintenanceLoopSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 9L)) && pairs.forall(_._2 == 9L),
       s"compacted index lost cross-batch pairs: $pairs")
+
+    // cluster index: resolution unchanged through repeated compaction, and
+    // the live generation is flat stars (one row per node)
+    assert(cc.resolveAll().as[(Long, Long)].collect().toMap == ccBefore)
+    val ccGen = new File(ccDir, Files.readString(
+      new File(ccDir, "_current").toPath).trim)
+    assert(spark.read.parquet(ccGen.getAbsolutePath).count() == ccBefore.size)
+
+    // IVF cells: one file per cell, search still matches one-shot
+    val ivfGen = new File(ivfDir, Files.readString(
+      new File(ivfDir, "_current").toPath).trim)
+    ivfGen.listFiles().filter(_.getName.startsWith("cell=")).foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName} not compacted under the loop")
+    }
+    val queries = emb.where(col("vec_id") < 5)
+    assert(ivf.search(queries, array(col("label")), k = 3).count() ==
+      graft.ops.Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        "label", 3).count())
   }
 }
