@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Streaming throughput benchmark (supplementary to Bench): replays the
   * events table through the graft-topic segment log and measures end-to-end
-  * rows/sec for three pipelines — pass-through produce, watermarked windowed
-  * aggregation, and stateful TableView. Prints one JSON line.
+  * rows/sec for four pipelines — pass-through produce, watermarked windowed
+  * aggregation, stateful TableView, and the continuous-dedup pipeline
+  * (documents → persisted LSH pair index → persisted cluster index).
+  * Prints one JSON line.
   *
   * The reference's perf posture is msg/s through a broker
   * (pulsar-perf, PerformanceProducer.java); the analog here is rows/s
@@ -40,12 +42,16 @@ object StreamBench {
       .repartition(16, col("seg")).drop("seg")
       .write.format("graft-topic").option("path", topic).mode("append").save()
 
-    def timed(name: String)(build: => org.apache.spark.sql.streaming.StreamingQuery): (String, Double) = {
+    def timedRows(name: String, rows: Long)(
+        build: => org.apache.spark.sql.streaming.StreamingQuery): (String, Double) = {
       val t0 = System.nanoTime()
       val q = build
       q.processAllAvailable(); q.stop()
-      name -> (n / ((System.nanoTime() - t0) / 1e9))
+      name -> (rows / ((System.nanoTime() - t0) / 1e9))
     }
+    def timed(name: String)(
+        build: => org.apache.spark.sql.streaming.StreamingQuery): (String, Double) =
+      timedRows(name, n)(build)
 
     val src = () => spark.readStream.format("graft-topic").option("path", topic).load()
 
@@ -70,6 +76,32 @@ object StreamBench {
           .writeStream.format("memory").queryName("sb_tv")
           .outputMode("update")
           .option("checkpointLocation", tmp.resolve("cp3").toString).start()
+      }, {
+        // the continuous-dedup flagship: docs stream through the persisted
+        // LSH pair index into the persisted cluster index (probe + append +
+        // link-append per micro-batch, checkpointing on)
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        val nd = docs.count()
+        val docsTopic = tmp.resolve("docs").toString
+        docs.select(col("doc_id").cast("string").as("key"),
+            col("text").as("value"))
+          .withColumn("seg", pmod(col("key").cast("long"), lit(16)).cast("int"))
+          .repartition(16, col("seg")).drop("seg")
+          .write.format("graft-topic").option("path", docsTopic)
+          .mode("append").save()
+        val lsh = new graft.ops.MinHashIndex(spark,
+          tmp.resolve("lsh").toString, "doc_id", "text")
+        val cc = new graft.ops.ComponentsIndex(spark, tmp.resolve("cc").toString)
+        timedRows("dedup_pipeline_docs_per_s", nd) {
+          spark.readStream.format("graft-topic").option("path", docsTopic).load()
+            .select(col("key").cast("long").as("doc_id"),
+              col("value").as("text"))
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
+              cc.addPairs(lsh.addAndFindPairs(b, batchOrd = e), ord = e)
+            }
+            .option("checkpointLocation", tmp.resolve("cp4").toString).start()
+        }
       })
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
