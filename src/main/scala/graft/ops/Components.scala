@@ -152,8 +152,9 @@ object Components {
 
   /** The deduplicated corpus itself — every row whose id is its cluster's
     * keeper ([[keepBest]] semantics) — the frame a pipeline feeds
-    * downstream. A semi-join against the keeper set: docs are scanned
-    * once, never widened. */
+    * downstream. Two scans of `docs` (the keeper aggregate and the
+    * semi-join probe side); the semi-join never widens docs with extra
+    * columns or duplicate rows. */
   def dropDuplicates(docs: DataFrame, idCol: String, comps: DataFrame,
                      score: Column): DataFrame =
     docs.join(keepBest(docs, idCol, comps, score)

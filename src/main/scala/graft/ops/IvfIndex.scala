@@ -106,9 +106,25 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
     * cells that do not match the stored layout. Always assign adds with
     * [[KMeans.assignExpr]] and probe with [[KMeans.probeExpr]] over THIS
     * array. */
-  def centroids(train: DataFrame, k: Int, iters: Int): Array[Array[Double]] =
-    KMeans.fitOrLoad(train, idCol, vecCol, k, iters,
-      new File(path, "_centroids").getAbsolutePath)
+  def centroids(train: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val artifact = new File(path, "_centroids")
+    // refuse to FIRST-train over existing postings: they were written under
+    // some other cell layout (caller-provided cells, or a lost artifact),
+    // and a fresh quantizer would silently probe cells the postings were
+    // not laid out under
+    if (!new File(artifact, "_SUCCESS").exists() && postings().isDefined)
+      throw new IllegalStateException(
+        s"IVF index at $path has postings but no persisted quantizer — " +
+          "training one now would not match the stored cell layout")
+    val cents = KMeans.fitOrLoad(train, idCol, vecCol, k, iters,
+      artifact.getAbsolutePath)
+    // the persisted artifact wins over the arguments — but silently
+    // returning a stale-k quantizer breaks callers sized to k
+    require(cents.length == k,
+      s"persisted quantizer at $artifact has ${cents.length} cells, " +
+        s"caller asked for $k — delete it to retrain")
+    cents
+  }
 
   /** Rewrite accumulated per-batch append files to ONE file per cell in a
     * fresh generation — per-cell file counts back to O(1) no matter how

@@ -433,6 +433,23 @@ object TextQueries {
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
         cc AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)"""
 
+  /** Keeper selection over `cc` — shared by `q_dedup_keep` and
+    * `q_dedup_corpus` so the score/tie-break can never diverge between
+    * them (mirror of [[graft.ops.Components.keepBest]]): highest char
+    * count wins, ties to the smallest doc_id; unclustered docs are their
+    * own component. */
+  private lazy val keeperCtes =
+    """labeled AS (
+         SELECT coalesce(cc.component, d.doc_id) AS component, d.doc_id,
+                length(d.text) AS score
+         FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+       ranked AS (
+         SELECT component, doc_id,
+                row_number() OVER (PARTITION BY component
+                  ORDER BY score DESC, doc_id) AS rn,
+                count(*) OVER (PARTITION BY component) AS n_members
+         FROM labeled)"""
+
   val oracleSql: Map[String, String] = Map(
     "q_wordcount" ->
       """SELECT word, count(*) AS n FROM (
@@ -516,30 +533,11 @@ object TextQueries {
       s"""WITH RECURSIVE $ccCtes
           SELECT doc_id, component FROM cc""",
     "q_dedup_corpus" ->
-      s"""WITH RECURSIVE $ccCtes,
-          labeled AS (
-            SELECT coalesce(cc.component, d.doc_id) AS component, d.doc_id,
-                   length(d.text) AS score
-            FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
-          keepers AS (
-            SELECT doc_id FROM (
-              SELECT doc_id, row_number() OVER (PARTITION BY component
-                       ORDER BY score DESC, doc_id) AS rn
-              FROM labeled) WHERE rn = 1)
+      s"""WITH RECURSIVE $ccCtes, $keeperCtes
           SELECT d.doc_id, d.lang, d.source, d.n_chars
-          FROM documents d JOIN keepers USING (doc_id)""",
+          FROM documents d JOIN ranked USING (doc_id) WHERE rn = 1""",
     "q_dedup_keep" ->
-      s"""WITH RECURSIVE $ccCtes,
-          labeled AS (
-            SELECT coalesce(cc.component, d.doc_id) AS component, d.doc_id,
-                   length(d.text) AS score
-            FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
-          ranked AS (
-            SELECT component, doc_id,
-                   row_number() OVER (PARTITION BY component
-                     ORDER BY score DESC, doc_id) AS rn,
-                   count(*) OVER (PARTITION BY component) AS n_members
-            FROM labeled)
+      s"""WITH RECURSIVE $ccCtes, $keeperCtes
           SELECT component, doc_id AS keeper_id, n_members
           FROM ranked WHERE rn = 1""",
     "q_decontaminate_exact" ->

@@ -132,7 +132,9 @@ class MaintenanceLoopSpec extends SparkSuite {
     // IVF cells: one file per cell, search still matches one-shot
     val ivfGen = new File(ivfDir, Files.readString(
       new File(ivfDir, "_current").toPath).trim)
-    ivfGen.listFiles().filter(_.getName.startsWith("cell=")).foreach { d =>
+    val cellDirs = ivfGen.listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "compacted IVF generation lost its cells")
+    cellDirs.foreach { d =>
       assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
         s"${d.getName} not compacted under the loop")
     }

@@ -99,6 +99,27 @@ class IvfIndexSpec extends SparkSuite {
       KMeans.probeExpr(col("embedding"), cents2, 2), k = 3)) == before)
   }
 
+  test("the quantizer refuses to first-train over foreign postings or lie about k") {
+    val path = tmp()
+    val idx = new IvfIndex(spark, path, "vec_id", "embedding")
+    // postings laid out under caller-provided cells: training a quantizer
+    // NOW could not match them — must refuse, not silently mis-probe
+    idx.add(emb, col("label"))
+    val e = intercept[IllegalStateException] {
+      idx.centroids(emb, k = 4, iters = 2)
+    }
+    assert(e.getMessage.contains("no persisted quantizer"))
+
+    // and a persisted artifact must not silently answer a different k
+    val p2 = tmp()
+    val idx2 = new IvfIndex(spark, p2, "vec_id", "embedding")
+    idx2.centroids(emb, k = 4, iters = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      idx2.centroids(emb, k = 8, iters = 2)
+    }
+    assert(e2.getMessage.contains("delete it to retrain"))
+  }
+
   test("multi-probe search against trained centroids reaches adjacent cells") {
     val idx = new IvfIndex(spark, tmp(), "vec_id", "embedding")
     val cents = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 3)
