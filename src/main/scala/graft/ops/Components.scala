@@ -38,14 +38,23 @@ object Components {
                 maxRounds: Int = 50): DataFrame =
     connectedWithRounds(pairs, aCol, bCol, maxRounds)._1
 
+  /** Truncate lineage between rounds: a RELIABLE checkpoint when the
+    * session has a checkpoint dir (survives executor loss — on a real
+    * cluster with dynamic allocation, localCheckpoint blocks die with
+    * their executor and fail the whole closure), else localCheckpoint
+    * (local mode, tests). */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** As [[connected]], also returning the number of alternating rounds the
     * algorithm took (exposed for tests asserting the O(log n) behavior). */
   def connectedWithRounds(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 50): (DataFrame, Int) = {
-    var e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    var e = materialize(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val empty = e.select(col("a").as("id"), col("a").as("component")).limit(0)
 
     // Probabilistic edge-set signature: (count, sum of pair hashes, xor of
@@ -99,8 +108,8 @@ object Components {
       rounds += 1
       require(rounds <= maxRounds,
         s"connected components did not converge in $maxRounds rounds")
-      val l = largeStar(e).localCheckpoint()
-      val s = smallStar(l).localCheckpoint()
+      val l = materialize(largeStar(e))
+      val s = materialize(smallStar(l))
       val (sl, ss) = (sig(l), sig(s))
       // converged only when BOTH operations fix the edge set — the paper's
       // fixed points (min-rooted disjoint stars) fix each individually, so
