@@ -38,20 +38,45 @@ object Components {
                 maxRounds: Int = 50): DataFrame =
     connectedWithRounds(pairs, aCol, bCol, maxRounds)._1
 
-  /** Truncate lineage between rounds: a RELIABLE checkpoint when the
-    * session has a checkpoint dir (survives executor loss — on a real
-    * cluster with dynamic allocation, localCheckpoint blocks die with
-    * their executor and fail the whole closure), else localCheckpoint
-    * (local mode, tests). */
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
-
   /** As [[connected]], also returning the number of alternating rounds the
-    * algorithm took (exposed for tests asserting the O(log n) behavior). */
+    * algorithm took (exposed for tests asserting the O(log n) behavior).
+    *
+    * Lineage truncation between rounds: with a session checkpoint dir
+    * configured (the real-cluster deployment shape), each round's edge set
+    * is written to `<checkpointDir>/graft-cc/<uuid>/rN` and read back —
+    * reliable (survives executor loss, where localCheckpoint blocks die
+    * with their executor), computed once (Dataset.checkpoint would run the
+    * plan twice), and BOUNDED: a round's file set is deleted as soon as no
+    * later round can read it, so a call holds at most two edge-set copies
+    * on disk and leaves exactly one (backing the returned frame). Clean
+    * the `graft-cc/` parent on the maintenance cadence once results are
+    * consumed. Without a checkpoint dir: localCheckpoint (local mode,
+    * tests). */
   def connectedWithRounds(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 50): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val ckptBase = spark.sparkContext.getCheckpointDir.map(d =>
+      s"$d/graft-cc/${java.util.UUID.randomUUID()}")
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
+    var written = List.empty[String] // newest first
+    var seq = 0
+    def materialize(df: DataFrame): DataFrame = ckptBase match {
+      case Some(base) =>
+        val p = s"$base/r$seq"; seq += 1
+        df.write.parquet(p)
+        // each round reads only the immediately previous materialization
+        // (and its signature) — anything older is unreachable
+        written = p :: written
+        written.drop(2).foreach(rm)
+        written = written.take(2)
+        spark.read.parquet(p)
+      case None => df.localCheckpoint()
+    }
+
     var e = materialize(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") =!= col("b"))
       .distinct())
@@ -98,11 +123,18 @@ object Components {
         .distinct()
     }
 
+    // once the loop (or an early return) settles on a final frame, only
+    // its own files remain on disk
+    def retainOnlyNewest(): Unit = {
+      written.drop(1).foreach(rm)
+      written = written.take(1)
+    }
+
     var rounds = 0
     // the first signature doubles as the emptiness check — no separate
     // isEmpty job
     var prev = sig(e)
-    if (prev._1 == 0) return (empty, 0)
+    if (prev._1 == 0) { retainOnlyNewest(); return (empty, 0) }
     var done = false
     while (!done) {
       rounds += 1
@@ -121,6 +153,7 @@ object Components {
 
     // fixed point = stars: every edge is (member, root); roots appear only
     // on the b side and label themselves.
+    retainOnlyNewest()
     val members = e.select(col("a").as("id"), col("b").as("component"))
     val roots = e.select(col("b").as("id"), col("b").as("component")).distinct()
     (members.unionByName(roots).distinct(), rounds)

@@ -76,6 +76,13 @@ private[ops] final class GenStore(path: String) {
       gen
     }
 
+  /** Whether the live generation holds any data per `present` — a pure
+    * directory listing, no Spark job (use for guards where [[readLive]]'s
+    * schema-inference read would be wasted work). */
+  def hasData(present: File => Boolean): Boolean =
+    currentGen().exists(g =>
+      Option(g.listFiles()).getOrElse(Array.empty).exists(present))
+
   /** The live generation's data as a DataFrame, when `present` says it
     * holds any (a zero-row append leaves only a _SUCCESS marker — reading
     * that would fail schema inference). Only a MISSING store maps to None;

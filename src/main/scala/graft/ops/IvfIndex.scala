@@ -108,22 +108,37 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
     * array. */
   def centroids(train: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     val artifact = new File(path, "_centroids")
-    // refuse to FIRST-train over existing postings: they were written under
-    // some other cell layout (caller-provided cells, or a lost artifact),
-    // and a fresh quantizer would silently probe cells the postings were
-    // not laid out under
-    if (!new File(artifact, "_SUCCESS").exists() && postings().isDefined)
-      throw new IllegalStateException(
-        s"IVF index at $path has postings but no persisted quantizer — " +
-          "training one now would not match the stored cell layout")
-    val cents = KMeans.fitOrLoad(train, idCol, vecCol, k, iters,
-      artifact.getAbsolutePath)
-    // the persisted artifact wins over the arguments — but silently
-    // returning a stale-k quantizer breaks callers sized to k
-    require(cents.length == k,
-      s"persisted quantizer at $artifact has ${cents.length} cells, " +
-        s"caller asked for $k — delete it to retrain")
-    cents
+    if (new File(artifact, "_SUCCESS").exists()) {
+      val cents = KMeans.loadCentroids(spark, artifact.getAbsolutePath)
+      // the persisted artifact wins over the arguments — but silently
+      // returning a different-k quantizer breaks callers sized to k. The
+      // postings were laid out under THIS artifact, so the remedy is to
+      // match it, never to delete it (that would strand the postings).
+      require(cents.length == k,
+        s"persisted quantizer at $artifact has ${cents.length} cells but " +
+          s"caller asked for $k — pass k=${cents.length} (the layout the " +
+          "postings were written under), or rebuild the index to change k")
+      cents
+    } else {
+      // refuse to FIRST-train over existing postings: they were written
+      // under some other cell layout (caller-provided cells, or a lost
+      // artifact) and a fresh quantizer would silently probe cells the
+      // postings were not laid out under. Listing-only check — no reason
+      // to pay a parquet schema-inference job for an existence question.
+      if (gens.hasData(f => f.isDirectory && f.getName.startsWith("cell=")))
+        throw new IllegalStateException(
+          s"IVF index at $path has postings but no persisted quantizer — " +
+            "training one now would not match the stored cell layout")
+      val cents = KMeans.fit(train, idCol, vecCol, k, iters)
+      // validate BEFORE persisting: a tiny training frame can yield < k
+      // centroids, and persisting that artifact first would wedge every
+      // retry behind a misleading "stale artifact" error
+      require(cents.length == k,
+        s"training produced ${cents.length} < $k centroids — too few " +
+          "distinct vectors in the training frame; lower k or train on more data")
+      KMeans.saveCentroids(spark, artifact.getAbsolutePath, cents)
+      cents
+    }
   }
 
   /** Rewrite accumulated per-batch append files to ONE file per cell in a

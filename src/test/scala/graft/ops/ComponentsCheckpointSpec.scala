@@ -20,12 +20,21 @@ class ComponentsCheckpointSpec extends SparkSuite {
       val got = Components.connected(pairs, "doc_a", "doc_b")
         .as[(Long, Long)].collect().toMap
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-      // reliable checkpoint data actually landed under the configured dir
-      def files(f: java.io.File): Seq[java.io.File] =
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .flatMap(c => if (c.isDirectory) files(c) else Seq(c)).toSeq
-      assert(files(new java.io.File(dir)).nonEmpty,
-        "no reliable checkpoint files written — closure stayed on localCheckpoint")
+      // reliable materializations landed under the configured dir, and the
+      // footprint is BOUNDED: after the call, exactly the final round's
+      // file set remains (earlier rounds deleted as they became unreachable)
+      // setCheckpointDir resolves to a UUID subdir — list the RESOLVED dir
+      val resolved = new java.io.File(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+      val calls = Option(new java.io.File(resolved, "graft-cc").listFiles())
+        .getOrElse(Array.empty)
+      assert(calls.nonEmpty,
+        "no reliable materializations written — closure stayed on localCheckpoint")
+      calls.foreach { u =>
+        val roundDirs = u.listFiles().filter(_.getName.startsWith("r"))
+        assert(roundDirs.length == 1,
+          s"leaked round materializations: ${roundDirs.map(_.getName).toSeq}")
+      }
     } finally {
       // the session is shared JVM-wide across suites and SparkContext has
       // no public unset — restore the previous value (usually None) via

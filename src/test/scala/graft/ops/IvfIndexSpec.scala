@@ -110,14 +110,25 @@ class IvfIndexSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("no persisted quantizer"))
 
-    // and a persisted artifact must not silently answer a different k
+    // and a persisted artifact must not silently answer a different k —
+    // with advice that matches the layout, never "delete it"
     val p2 = tmp()
     val idx2 = new IvfIndex(spark, p2, "vec_id", "embedding")
     idx2.centroids(emb, k = 4, iters = 2)
     val e2 = intercept[IllegalArgumentException] {
       idx2.centroids(emb, k = 8, iters = 2)
     }
-    assert(e2.getMessage.contains("delete it to retrain"))
+    assert(e2.getMessage.contains("rebuild the index to change k"))
+
+    // a too-small training frame fails BEFORE persisting, so a retry with
+    // real data trains cleanly instead of hitting a wedged artifact
+    val p3 = tmp()
+    val idx3 = new IvfIndex(spark, p3, "vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException] {
+      idx3.centroids(emb.limit(2), k = 8, iters = 2)
+    }
+    assert(e3.getMessage.contains("too few"))
+    assert(idx3.centroids(emb, k = 8, iters = 2).length == 8)
   }
 
   test("multi-probe search against trained centroids reaches adjacent cells") {
