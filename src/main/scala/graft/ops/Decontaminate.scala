@@ -75,4 +75,25 @@ object Decontaminate {
       .select(col("p.test_id").as("test_id"), col("p.train_id").as("train_id"))
       .distinct()
   }
+
+  /** Embedding-space contamination: (test_id, train_id, sim) pairs whose
+    * vectors' cosine clears `threshold` within a blocking key — the
+    * modality that catches PARAPHRASED eval content no text fingerprint
+    * or shingle overlap can see. The (small) eval side is broadcast, so
+    * the training corpus is only scanned; the block key bounds the
+    * per-row comparison fan-out exactly as [[Similarity.cosineDedup]]'s
+    * in-corpus variant does. */
+  def nearEmbeddings(train: DataFrame, test: DataFrame, idCol: String,
+                     vecCol: String, blockCol: String,
+                     threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val t = Par.spread(train.select(col(idCol).as("train_id"),
+      col(vecCol).as("__tv"), col(blockCol).as("__blk")))
+    val q = test.select(col(idCol).as("test_id"),
+      col(vecCol).as("__qv"), col(blockCol).as("__blk"))
+    t.join(broadcast(q), "__blk")
+      .withColumn("sim", cosine(col("__qv"), col("__tv")))
+      .where(col("sim") >= threshold)
+      .select(col("test_id"), col("train_id"), round(col("sim"), 6).as("sim"))
+  }
 }

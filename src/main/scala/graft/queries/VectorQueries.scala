@@ -56,6 +56,18 @@ object VectorQueries {
       idx.search(emb.where(col("vec_id") < 20), array(col("label")), k = 3)
     }),
 
+    // Embedding-space decontamination: eval vectors (vec_id % 10 = 0)
+    // whose cosine against any train vector clears the threshold within
+    // the label block — the modality that catches PARAPHRASED eval
+    // content no text fingerprint or shingle overlap can see.
+    "q_decontaminate_embed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Decontaminate.nearEmbeddings(
+        emb.where(col("vec_id") % 10 =!= 0),
+        emb.where(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", "label", threshold = 0.35)
+    }),
+
     // LSH-bucketed ANN over the whole corpus. The SRP planes are
     // deterministic md5-derived dyadic rationals (VectorFunctions.plane), so
     // the oracle embeds them as literal VALUES and reproduces buckets,
@@ -278,6 +290,21 @@ object VectorQueries {
                    row_number() OVER (PARTITION BY dup_id ORDER BY doc_a) AS rn
             FROM sims)
           WHERE rn = 1""",
+    "q_decontaminate_embed" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+          dots AS (
+            SELECT q.vec_id AS test_id, t.vec_id AS train_id,
+                   sum(CAST(q.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)) AS dp,
+                   sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) AS nq,
+                   sum(CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)) AS nt
+            FROM e q
+            JOIN e t ON q.label = t.label
+                    AND q.vec_id % 10 = 0 AND t.vec_id % 10 <> 0,
+            LATERAL unnest(range(1, 65)) AS s(i)
+            GROUP BY q.vec_id, t.vec_id)
+          SELECT test_id, train_id,
+                 round(dp / (sqrt(nq) * sqrt(nt)), 6) AS sim
+          FROM dots WHERE dp / (sqrt(nq) * sqrt(nt)) >= 0.35""",
     "q_ann_ivf" -> ivfTopKSql,
     // the persisted-index build must land on EXACTLY the one-shot result
     "q_ann_ivf_incremental" -> ivfTopKSql

@@ -63,4 +63,21 @@ class DecontaminateSpec extends SparkSuite {
     assert(pairs.forall(_._2 == 1L)) // hub = smallest train id
     assert(pairs.map(_._1) == (100L until 140L).toSet) // every test doc flagged
   }
+
+  test("embedding contamination flags cosine-close cross pairs only") {
+    def row(id: Long, blk: Int, v: Seq[Double]) = (id, blk, v.map(_.toFloat))
+    val train = Seq(
+      row(1L, 0, Seq(1.0, 0.0, 0.0)),
+      row(2L, 0, Seq(0.0, 1.0, 0.0)),
+      row(3L, 1, Seq(1.0, 0.0, 0.0))) // close to test 100 but other block
+      .toDF("vec_id", "label", "embedding")
+    val test = Seq(
+      row(100L, 0, Seq(0.9, 0.1, 0.0)), // ~train 1
+      row(101L, 0, Seq(0.0, 0.0, 1.0))) // orthogonal to everything
+      .toDF("vec_id", "label", "embedding")
+    val got = Decontaminate.nearEmbeddings(train, test,
+      "vec_id", "embedding", "label", threshold = 0.9)
+      .select("test_id", "train_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L)))
+  }
 }
