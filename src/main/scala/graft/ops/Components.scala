@@ -48,20 +48,42 @@ object Components {
     * with their executor), computed once (Dataset.checkpoint would run the
     * plan twice), and BOUNDED: a round's file set is deleted as soon as no
     * later round can read it, so a call holds at most two edge-set copies
-    * on disk and leaves exactly one (backing the returned frame). Clean
-    * the `graft-cc/` parent on the maintenance cadence once results are
-    * consumed. Without a checkpoint dir: localCheckpoint (local mode,
-    * tests). */
+    * on disk and leaves exactly one (backing the returned frame). Lazy
+    * consumers clean the `graft-cc/` parent once results are consumed;
+    * eager consumers use [[connectedThenClean]], which leaves nothing.
+    * Without a checkpoint dir: localCheckpoint (local mode, tests). */
   def connectedWithRounds(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 50): (DataFrame, Int) = {
+    val (df, rounds, _) = connectedImpl(pairs, aCol, bCol, maxRounds)
+    (df, rounds)
+  }
+
+  /** Run the closure, hand the result to `consume` (which must FULLY read
+    * it — write it out, collect it), then delete the call's reliable-
+    * materialization residue. The shape for eager consumers like
+    * [[ComponentsIndex.compact]]: under the cron maintenance loop nothing
+    * accumulates beneath the checkpoint dir at all. */
+  def connectedThenClean[T](pairs: DataFrame, aCol: String, bCol: String,
+                            maxRounds: Int = 50)(
+      consume: DataFrame => T): T = {
+    val (df, _, residue) = connectedImpl(pairs, aCol, bCol, maxRounds)
+    val out = consume(df)
+    residue.foreach(rmPath(pairs.sparkSession, _))
+    out
+  }
+
+  private def rmPath(spark: SparkSession, p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(hp, true)
+  }
+
+  private def connectedImpl(pairs: DataFrame, aCol: String, bCol: String,
+                            maxRounds: Int): (DataFrame, Int, Option[String]) = {
     val spark = pairs.sparkSession
     val ckptBase = spark.sparkContext.getCheckpointDir.map(d =>
       s"$d/graft-cc/${java.util.UUID.randomUUID()}")
-    def rm(p: String): Unit = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(hp, true)
-    }
+    def rm(p: String): Unit = rmPath(spark, p)
     var written = List.empty[String] // newest first
     var seq = 0
     def materialize(df: DataFrame): DataFrame = ckptBase match {
@@ -134,7 +156,7 @@ object Components {
     // the first signature doubles as the emptiness check — no separate
     // isEmpty job
     var prev = sig(e)
-    if (prev._1 == 0) { retainOnlyNewest(); return (empty, 0) }
+    if (prev._1 == 0) { retainOnlyNewest(); return (empty, 0, ckptBase) }
     var done = false
     while (!done) {
       rounds += 1
@@ -156,7 +178,7 @@ object Components {
     retainOnlyNewest()
     val members = e.select(col("a").as("id"), col("b").as("component"))
     val roots = e.select(col("b").as("id"), col("b").as("component")).distinct()
-    (members.unionByName(roots).distinct(), rounds)
+    (members.unionByName(roots).distinct(), rounds, ckptBase)
   }
 
   /** Near-duplicate clusters of `docs`: MinHash+LSH candidate pairs
@@ -307,14 +329,18 @@ class ComponentsIndex(spark: SparkSession, path: String) {
             .join(fresh.select(col("id").as("b")), Seq("b"), "left_semi")
         case None => all.where(col("a") =!= col("b"))
       }
-      val stars = Components.connected(kept, "a", "b")
-        .join(nodeOrd, "id")
-        .select(col("id").as("a"), col("component").as("b"),
-          col("__no").as("ord"))
-      val next = gens.newGenDir()
-      stars.write.parquet(next.getAbsolutePath)
-      gens.swapPointer(next.getName)
-      gens.reapExcept(Set(next.getName) ++ prev.map(_.getName))
+      // the eager-consumer shape: the closure's reliable-materialization
+      // residue is deleted as soon as the stars generation is written, so
+      // the cron loop accumulates nothing under the checkpoint dir
+      Components.connectedThenClean(kept, "a", "b") { cc =>
+        val stars = cc.join(nodeOrd, "id")
+          .select(col("id").as("a"), col("component").as("b"),
+            col("__no").as("ord"))
+        val next = gens.newGenDir()
+        stars.write.parquet(next.getAbsolutePath)
+        gens.swapPointer(next.getName)
+        gens.reapExcept(Set(next.getName) ++ prev.map(_.getName))
+      }
     }
   }
 }

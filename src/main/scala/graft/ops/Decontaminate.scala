@@ -86,14 +86,21 @@ object Decontaminate {
   def nearEmbeddings(train: DataFrame, test: DataFrame, idCol: String,
                      vecCol: String, blockCol: String,
                      threshold: Double): DataFrame = {
-    import graft.functions.VectorFunctions.cosine
-    val t = Par.spread(train.select(col(idCol).as("train_id"),
-      col(vecCol).as("__tv"), col(blockCol).as("__blk")))
-    val q = test.select(col(idCol).as("test_id"),
+    import graft.functions.VectorFunctions.norm
+    // zero-norm vectors (empty doc, embedding-service zero padding) make
+    // cosine NaN, and Spark orders NaN ABOVE every number — without this
+    // guard a single zero train vector would "contaminate" its whole block
+    def nonZero(df: DataFrame) = df.where(norm(col(vecCol)) > 0)
+    val t = Par.spread(nonZero(train).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(blockCol).as("__blk")))
+    val q = nonZero(test).select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), col(blockCol).as("__blk"))
-    t.join(broadcast(q), "__blk")
-      .withColumn("sim", cosine(col("__qv"), col("__tv")))
+    // the shared broadcast-scoring shape; its self-pair drop never fires
+    // here (the splits are disjoint by construction)
+    Similarity.scoreAgainst(t, q, "__blk")
       .where(col("sim") >= threshold)
-      .select(col("test_id"), col("train_id"), round(col("sim"), 6).as("sim"))
+      .select(col("query_id").as("test_id"),
+        col("neighbor_id").as("train_id"),
+        round(col("sim"), 6).as("sim"))
   }
 }

@@ -304,7 +304,9 @@ object VectorQueries {
             GROUP BY q.vec_id, t.vec_id)
           SELECT test_id, train_id,
                  round(dp / (sqrt(nq) * sqrt(nt)), 6) AS sim
-          FROM dots WHERE dp / (sqrt(nq) * sqrt(nt)) >= 0.35""",
+          FROM dots
+          WHERE nq > 0 AND nt > 0
+            AND dp / (sqrt(nq) * sqrt(nt)) >= 0.35""",
     "q_ann_ivf" -> ivfTopKSql,
     // the persisted-index build must land on EXACTLY the one-shot result
     "q_ann_ivf_incremental" -> ivfTopKSql

@@ -35,14 +35,37 @@ class ComponentsCheckpointSpec extends SparkSuite {
         assert(roundDirs.length == 1,
           s"leaked round materializations: ${roundDirs.map(_.getName).toSeq}")
       }
-    } finally {
-      // the session is shared JVM-wide across suites and SparkContext has
-      // no public unset — restore the previous value (usually None) via
-      // the generated setter so later suites keep their localCheckpoint
-      // behavior
-      spark.sparkContext.getClass.getMethods
-        .find(_.getName == "checkpointDir_$eq").get
-        .invoke(spark.sparkContext, before)
-    }
+    } finally restoreCheckpointDir(before)
   }
+
+  test("an eager consumer's compact leaves no residue under the checkpoint dir") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt2").toFile.getAbsolutePath
+    val before = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-cc-idx2").toFile.getAbsolutePath
+      val idx = new ComponentsIndex(spark, idxDir)
+      idx.addPairs(Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"), ord = 1)
+      idx.compact()
+      val resolved = new java.io.File(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+      val residue = Option(new java.io.File(resolved, "graft-cc").listFiles())
+        .getOrElse(Array.empty)
+      assert(residue.isEmpty,
+        s"compact left closure residue: ${residue.map(_.getName).toSeq}")
+      // and the compacted state still resolves
+      assert(idx.resolveAll().as[(Long, Long)].collect().toMap ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally restoreCheckpointDir(before)
+  }
+
+  /** The session is shared JVM-wide across suites and SparkContext has no
+    * public unset — restore the previous value (usually None) via the
+    * generated setter so later suites keep their localCheckpoint behavior. */
+  private def restoreCheckpointDir(before: Option[String]): Unit =
+    spark.sparkContext.getClass.getMethods
+      .find(_.getName == "checkpointDir_$eq").get
+      .invoke(spark.sparkContext, before)
 }
