@@ -67,9 +67,11 @@ object Components {
                             maxRounds: Int = 50)(
       consume: DataFrame => T): T = {
     val (df, _, residue) = connectedImpl(pairs, aCol, bCol, maxRounds)
-    val out = consume(df)
-    residue.foreach(rmPath(pairs.sparkSession, _))
-    out
+    // finally: a consumer that throws abandons the frame, so its backing
+    // files are garbage either way — without this, every failed cron
+    // compact would leak one residue dir forever
+    try consume(df)
+    finally residue.foreach(rmPath(pairs.sparkSession, _))
   }
 
   private def rmPath(spark: SparkSession, p: String): Unit = {

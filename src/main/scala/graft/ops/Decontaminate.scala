@@ -87,17 +87,24 @@ object Decontaminate {
                      vecCol: String, blockCol: String,
                      threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.norm
-    // zero-norm vectors (empty doc, embedding-service zero padding) make
-    // cosine NaN, and Spark orders NaN ABOVE every number — without this
-    // guard a single zero train vector would "contaminate" its whole block
-    def nonZero(df: DataFrame) = df.where(norm(col(vecCol)) > 0)
-    val t = Par.spread(nonZero(train).select(col(idCol).as("neighbor_id"),
+    // degenerate vectors make cosine NaN, and Spark evaluates NaN > x as
+    // true (total ordering) — without this guard ONE bad train vector
+    // would "contaminate" its whole block. Three cases, all excluded by
+    // requiring a positive FINITE norm: all-zero (norm 0), NaN elements
+    // (norm NaN — which passes a bare `> 0`!), and Inf elements (norm Inf,
+    // cosine Inf/Inf = NaN).
+    def wellFormed(df: DataFrame) = {
+      val n = norm(col(vecCol))
+      df.where(!isnan(n) && n > 0 && n < lit(Double.PositiveInfinity))
+    }
+    val t = Par.spread(wellFormed(train).select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), col(blockCol).as("__blk")))
-    val q = nonZero(test).select(col(idCol).as("query_id"),
+    val q = wellFormed(test).select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), col(blockCol).as("__blk"))
-    // the shared broadcast-scoring shape; its self-pair drop never fires
-    // here (the splits are disjoint by construction)
-    Similarity.scoreAgainst(t, q, "__blk")
+    // the shared broadcast-scoring shape, KEEPING equal-id pairs: the same
+    // id on both sides of two corpora (shared content-hash or doc-id
+    // scheme) is verbatim contamination, not a self-hit
+    Similarity.scoreAgainst(t, q, "__blk", dropSelf = false)
       .where(col("sim") >= threshold)
       .select(col("query_id").as("test_id"),
         col("neighbor_id").as("train_id"),

@@ -19,10 +19,17 @@ object Similarity {
     * query side on `key`, self-pairs dropped, cosine-scored. One place so
     * the single-probe and probe-profile variants (and [[IvfIndex]]) cannot
     * drift. */
-  private[ops] def scoreAgainst(c: DataFrame, q: DataFrame, key: String): DataFrame =
-    c.join(broadcast(q), key)
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+  private[ops] def scoreAgainst(c: DataFrame, q: DataFrame, key: String,
+                                dropSelf: Boolean = true): DataFrame = {
+    val joined = c.join(broadcast(q), key)
+    // in-corpus searches drop self-pairs; CROSS-corpus callers must keep
+    // them — equal ids across two corpora (shared content-hash or doc-id
+    // schemes) are real matches, not self-hits
+    val filtered =
+      if (dropSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    filtered.withColumn("sim", cosine(col("__qv"), col("__cv")))
+  }
 
   /** Shared top-k tail: rank per `groupCols` by (sim desc, neighbor asc) —
     * the deterministic tie-break every oracle reproduces — keep k, round. */

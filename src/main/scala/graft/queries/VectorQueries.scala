@@ -305,7 +305,7 @@ object VectorQueries {
           SELECT test_id, train_id,
                  round(dp / (sqrt(nq) * sqrt(nt)), 6) AS sim
           FROM dots
-          WHERE nq > 0 AND nt > 0
+          WHERE nq > 0 AND nt > 0 AND isfinite(nq) AND isfinite(nt)
             AND dp / (sqrt(nq) * sqrt(nt)) >= 0.35""",
     "q_ann_ivf" -> ivfTopKSql,
     // the persisted-index build must land on EXACTLY the one-shot result

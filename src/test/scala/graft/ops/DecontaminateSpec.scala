@@ -80,4 +80,33 @@ class DecontaminateSpec extends SparkSuite {
       .select("test_id", "train_id").as[(Long, Long)].collect().toSet
     assert(got == Set((100L, 1L)))
   }
+
+  test("equal ids across corpora are contamination, not self-pairs") {
+    // both corpora key doc 7 (shared content-hash id scheme): the verbatim
+    // overlap MUST be flagged, not dropped as a self-hit
+    def row(id: Long, v: Seq[Double]) = (id, 0, v.map(_.toFloat))
+    val train = Seq(row(7L, Seq(1.0, 0.0))).toDF("vec_id", "label", "embedding")
+    val test = Seq(row(7L, Seq(1.0, 0.0))).toDF("vec_id", "label", "embedding")
+    val got = Decontaminate.nearEmbeddings(train, test,
+      "vec_id", "embedding", "label", threshold = 0.9)
+      .select("test_id", "train_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((7L, 7L)))
+  }
+
+  test("degenerate vectors never contaminate their block") {
+    def row(id: Long, v: Seq[Double]) = (id, 0, v.map(_.toFloat))
+    val train = Seq(
+      row(1L, Seq(0.0, 0.0)),                      // zero norm
+      row(2L, Seq(Double.NaN, 1.0)),               // NaN element → NaN norm
+      row(3L, Seq(Double.PositiveInfinity, 1.0)),  // Inf element → Inf norm
+      row(4L, Seq(0.0, 1.0)))                      // the one real vector
+      .toDF("vec_id", "label", "embedding")
+    val test = Seq(row(100L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Decontaminate.nearEmbeddings(train, test,
+      "vec_id", "embedding", "label", threshold = 0.5)
+      .select("test_id", "train_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 4L)),
+      "zero/NaN/Inf train vectors must not flag (or mask) matches")
+  }
 }
