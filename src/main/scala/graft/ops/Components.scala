@@ -203,8 +203,17 @@ object Components {
   def keepBest(docs: DataFrame, idCol: String, comps: DataFrame,
                score: Column): DataFrame = {
     // comps is (node-id, component) whatever the id column was named —
-    // [[connected]] emits "id", [[clusters]] re-labels it to the doc column
-    val c = comps.select(col(comps.columns.head).as(idCol), col("component"))
+    // [[connected]] emits "id", [[clusters]] re-labels it to the doc
+    // column. Resolve the node-id column BY NAME (the one that is not
+    // "component"), not by position: a (component, id)-ordered frame would
+    // otherwise silently swap labels for ids and keep the wrong docs.
+    val idIn = comps.columns.filterNot(_ == "component") match {
+      case Array(one) => one
+      case other => throw new IllegalArgumentException(
+        s"comps must be (node-id, component); got ${other.mkString(",")} + component=" +
+          comps.columns.contains("component"))
+    }
+    val c = comps.select(col(idIn).as(idCol), col("component"))
     docs.join(c, Seq(idCol), "left")
       .withColumn("__c", coalesce(col("component"), col(idCol)))
       .groupBy(col("__c").as("component"))

@@ -18,13 +18,26 @@ import java.io.File
 private[ops] final class GenStore(path: String) {
 
   def pointer = new File(path, "_current")
+  private def prevPointer = new File(path, "_current.prev")
 
-  def currentGen(): Option[File] =
-    if (!pointer.exists()) None
+  private def readNamed(f: File): Option[File] =
+    if (!f.exists()) None
     else {
       val name = new String(
-        java.nio.file.Files.readAllBytes(pointer.toPath), "UTF-8").trim
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
       Some(new File(path, name)).filter(_.exists())
+    }
+
+  def currentGen(): Option[File] =
+    readNamed(pointer).orElse {
+      // A missing `_current` beside existing generations means a crash in
+      // swapPointer's non-atomic fallback window. Recover from the
+      // breadcrumb written before the delete, instead of letting
+      // liveOrCreate mint a fresh empty generation that silently orphans
+      // all accumulated state (dedup pairs, IVF postings, ...).
+      val recovered = readNamed(prevPointer)
+      recovered.foreach(g => swapPointer(g.getName))
+      recovered
     }
 
   /** Next unused generation index — crash orphans (written, never pointed
@@ -38,15 +51,24 @@ private[ops] final class GenStore(path: String) {
 
   def newGenDir(): File = new File(path, s"gen-${nextGenIndex()}")
 
-  /** Atomically re-point `_current` at `genName` (rename, with one
-    * delete-and-retry for filesystems whose rename does not replace). */
+  /** Atomically re-point `_current` at `genName`. POSIX rename replaces in
+    * one step (no window with no pointer); on filesystems where the atomic
+    * move fails, fall back to delete-and-retry — but first copy the old
+    * pointer to `_current.prev`, so a crash inside that window is
+    * recoverable by [[currentGen]] rather than reading as an empty store. */
   def swapPointer(genName: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption => O}
     val tmp = new File(path, "._current.tmp")
-    java.nio.file.Files.write(tmp.toPath, genName.getBytes("UTF-8"))
-    if (!tmp.renameTo(pointer)) {
-      pointer.delete()
-      if (!tmp.renameTo(pointer))
-        throw new java.io.IOException(s"pointer swap failed at $path")
+    Files.write(tmp.toPath, genName.getBytes("UTF-8"))
+    try Files.move(tmp.toPath, pointer.toPath,
+      O.ATOMIC_MOVE, O.REPLACE_EXISTING)
+    catch {
+      case _: java.io.IOException =>
+        if (pointer.exists())
+          Files.copy(pointer.toPath, prevPointer.toPath, O.REPLACE_EXISTING)
+        pointer.delete()
+        if (!tmp.renameTo(pointer))
+          throw new java.io.IOException(s"pointer swap failed at $path")
     }
   }
 

@@ -393,12 +393,32 @@ object TextQueries {
           UNION ALL
           SELECT doc_id, 3, md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15) FROM sigs)"""
 
+  /** Mirrors Decontaminate.near's degenerate-bucket star cap (maxBucket =
+    * 1024): a bucket whose test×train cross product exceeds the cap pairs
+    * each test member with only the SMALLEST train member. Without the
+    * mirror the oracle emits the uncapped product and the row would turn
+    * red the day corpus growth pushes any bucket past the cap. */
   private lazy val nearContaminationSql =
-    s"""WITH $lshBucketsCtes
-        SELECT DISTINCT a.doc_id AS test_id, b.doc_id AS train_id
-        FROM buckets a
-        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0"""
+    s"""WITH $lshBucketsCtes,
+        bc AS (
+          SELECT band, bucket,
+                 count(*) FILTER (WHERE doc_id % 10 = 0) AS te,
+                 count(*) FILTER (WHERE doc_id % 10 <> 0) AS tr,
+                 min(doc_id) FILTER (WHERE doc_id % 10 <> 0) AS min_tr
+          FROM buckets GROUP BY band, bucket)
+        SELECT DISTINCT test_id, train_id FROM (
+          SELECT a.doc_id AS test_id, b.doc_id AS train_id
+          FROM buckets a
+          JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+          JOIN bc c ON c.band = a.band AND c.bucket = a.bucket
+          WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+            AND c.te * c.tr <= 1024
+          UNION ALL
+          SELECT a.doc_id AS test_id, c.min_tr AS train_id
+          FROM buckets a
+          JOIN bc c ON c.band = a.band AND c.bucket = a.bucket
+          WHERE a.doc_id % 10 = 0 AND c.te * c.tr > 1024
+            AND c.min_tr IS NOT NULL)"""
 
   /** Banded-minhash candidate pairs — the oracle for BOTH the one-shot
     * `q_minhash_lsh` and the incremental-index `q_dedup_incremental`
@@ -610,9 +630,10 @@ object TextQueries {
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM t)
-         SELECT doc_id, lang, n_tokens, cum - n_tokens AS start_tok,
-                (cum - n_tokens) // 2048 AS seq_first,
-                (cum - 1) // 2048 AS seq_last
+         SELECT doc_id, lang, n_tokens,
+                CAST(cum - n_tokens AS BIGINT) AS start_tok,
+                CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
+                CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
          FROM c""",
     "q_token_bpe" ->
       """SELECT doc_id,

@@ -84,8 +84,17 @@ object TopicStage {
         val root = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft-scan-${if (cold) "cold" else "hot"}-$tag")
         val want = s"v$StageVersion amplify=$Amplify sf=$d"
-        if (valid(root, want)) return root.getAbsolutePath
+        // no early `return`: a non-local return would exit via
+        // NonLocalReturnControl, skipping getOrElseUpdate's memoization
+        // (every call would re-read the marker file) and risking being
+        // swallowed by a catch-all on the way out
+        if (!valid(root, want)) stage(s, d, cold, root, want)
+        root.getAbsolutePath
+      })
+    }
 
+  private def stage(s: SparkSession, d: String, cold: Boolean,
+                    root: java.io.File, want: String): Unit = {
         // reap staging debris from DEAD processes first (a crashed run's
         // pid-suffixed dir is otherwise never reclaimed); live runs keep
         // theirs — they are about to publish or clean up themselves
@@ -141,7 +150,5 @@ object TopicStage {
           if (valid(root, want) && work.exists())
             graft.ops.Fs.deleteRecursively(work)
         }
-        root.getAbsolutePath
-      })
-    }
+  }
 }

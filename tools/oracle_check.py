@@ -30,7 +30,11 @@ def normalize(df):
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif pd.api.types.is_integer_dtype(df[c]) or df[c].dtype == bool:
-            df[c] = df[c].astype("float64")  # unify int widths/hugeint
+            # Unify int widths to int64 WITHOUT losing integerness: the
+            # driver's exact hash distinguishes int from float/HUGEINT
+            # representations, so coercing to float64 here would mask
+            # oracle-typing bugs (it did, in round 5: q_pack_chunks).
+            df[c] = df[c].astype("int64")
         try:
             if str(df[c].dtype) in ("float32",):
                 df[c] = df[c].astype("float64")
@@ -49,6 +53,16 @@ def compare(name, a, b):
         return f"{name}: ROW COUNT spark={len(a)} oracle={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        ai, bi = pd.api.types.is_integer_dtype(av), pd.api.types.is_integer_dtype(bv)
+        if ai != bi:
+            # One side integral, the other not: the driver's exact hash WILL
+            # differ even if the values are numerically equal. The classic
+            # cause is DuckDB widening a windowed sum(BIGINT) to HUGEINT
+            # (arrives as float64/object) — fix with CAST(... AS BIGINT) in
+            # the oracle SQL.
+            return (f"{name}: DTYPE MISMATCH col={c} "
+                    f"spark={av.dtype} oracle={bv.dtype} "
+                    f"(HUGEINT widening? CAST the oracle column to BIGINT)")
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
             ana, bna = av.isna(), bv.isna()
             if not ana.equals(bna):
