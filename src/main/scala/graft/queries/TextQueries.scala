@@ -229,6 +229,28 @@ object TextQueries {
       Tables.documents(s, d).select(col("doc_id"),
         winnowFingerprint(col("text")).as("winnow_fp"))),
 
+    // Exact substring-span dedup (graft.ops.SpanDedup): the passage-level
+    // modality doc-level MinHash cannot see. The corpus plants a shared
+    // 12-token passage (a donor doc's prefix) into every 17th doc —
+    // prepended or appended by parity so span positions vary — and the
+    // operator must recover every shared run of ≥ 8 tokens EXACTLY,
+    // boundaries included. Oracle reproduces ground truth directly from
+    // 5-gram equality + gaps-and-islands, independent of the winnowing
+    // candidate machinery.
+    "q_span_dedup" -> ((s, d) =>
+      graft.ops.SpanDedup.sharedSpans(
+        plantedSpanCorpus(Tables.documents(s, d)), "doc_id", "text",
+        minTokens = 8, k = 5, w = 3)),
+
+    // The excision decision derived from the spans: every shared span is
+    // cut from the larger doc of its pair; per-doc cuts merge into
+    // disjoint intervals.
+    "q_span_excise" -> ((s, d) =>
+      graft.ops.SpanDedup.excisions(
+        graft.ops.SpanDedup.sharedSpans(
+          plantedSpanCorpus(Tables.documents(s, d)), "doc_id", "text",
+          minTokens = 8, k = 5, w = 3))),
+
     // The document-filter DECISION (C4/Gopher-style): per-rule verdicts +
     // the combined keep flag, composed from the token-count and repetition
     // signals. Thresholds sit inside the corpus distributions so both
@@ -392,6 +414,93 @@ object TextQueries {
           SELECT doc_id, 2, md5(mh8 || '|' || mh9 || '|' || mh10 || '|' || mh11) FROM sigs
           UNION ALL
           SELECT doc_id, 3, md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15) FROM sigs)"""
+
+  /** Span-dedup test corpus: every 17th doc gets a shared 12-token passage
+    * (the prefix of donor doc `(doc_id div 17) % 3`) planted at its head
+    * (even ids) or tail (odd ids); all other docs pass through unchanged.
+    * Derived deterministically from the driver's own table and mirrored in
+    * [[spanCorpusSql]], so the oracle sees the identical corpus. */
+  private def plantedSpanCorpus(docs: DataFrame): DataFrame = {
+    val pass = docs.where(col("doc_id") < 3)
+      .select(col("doc_id").as("g"),
+        array_join(slice(tokens(col("text")), 1, 12), " ").as("__p"))
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("g",
+        when(col("doc_id") % 17 === 0, expr("(doc_id div 17) % 3")))
+      .join(broadcast(pass), Seq("g"), "left")
+      .select(col("doc_id"),
+        when(col("__p").isNull, col("text"))
+          .when(col("doc_id") % 2 === 0, concat_ws(" ", col("__p"), col("text")))
+          .otherwise(concat_ws(" ", col("text"), col("__p"))).as("text"))
+  }
+
+  /** The oracle's span ground truth, computed WITHOUT the winnowing
+    * machinery: plant the same corpus, join on raw 5-gram equality, and
+    * collapse consecutive matches per (pair, diagonal) into maximal runs
+    * (gaps-and-islands). A maximal token run of L ≥ 8 is exactly a maximal
+    * run of L−4 consecutive 5-gram matches. */
+  private lazy val spanCtes =
+    """pass AS (
+         SELECT doc_id AS g,
+                array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS p
+         FROM documents WHERE doc_id < 3),
+       corpus AS (
+         SELECT d.doc_id,
+                CASE WHEN pass.p IS NULL THEN d.text
+                     WHEN d.doc_id % 2 = 0 THEN pass.p || ' ' || d.text
+                     ELSE d.text || ' ' || pass.p END AS text
+         FROM documents d
+         LEFT JOIN pass ON d.doc_id % 17 = 0 AND (d.doc_id // 17) % 3 = pass.g),
+       toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       grams AS (
+         SELECT doc_id, i,
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS g5
+         FROM toks, LATERAL unnest(range(1, len(w) - 3)) AS t(i)
+         WHERE len(w) >= 5),
+       mm AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia,
+                b.i - a.i AS d
+         FROM grams a JOIN grams b ON a.g5 = b.g5 AND a.doc_id < b.doc_id),
+       isl AS (
+         SELECT doc_a, doc_b, d, ia,
+                ia - row_number() OVER (PARTITION BY doc_a, doc_b, d
+                  ORDER BY ia) AS grp
+         FROM mm),
+       spans AS (
+         SELECT doc_a, doc_b, d, min(ia) AS a_start,
+                count(*) + 4 AS span_len
+         FROM isl GROUP BY doc_a, doc_b, d, grp
+         HAVING count(*) + 4 >= 8)"""
+
+  private lazy val spanDedupSql =
+    s"""WITH $spanCtes
+        SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
+               CAST(a_start + d AS BIGINT) AS b_start,
+               CAST(span_len AS BIGINT) AS span_len
+        FROM spans"""
+
+  private lazy val spanExciseSql =
+    s"""WITH $spanCtes,
+        cuts AS (
+          SELECT DISTINCT doc_b AS doc_id, a_start + d AS s,
+                 a_start + d + span_len - 1 AS e
+          FROM spans),
+        ord AS (
+          SELECT doc_id, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM cuts),
+        isl2 AS (
+          SELECT doc_id, s, e,
+                 sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+          FROM ord)
+        SELECT doc_id, CAST(min(s) AS BIGINT) AS cut_start,
+               CAST(max(e) AS BIGINT) AS cut_end,
+               CAST(max(e) - min(s) + 1 AS BIGINT) AS cut_tokens
+        FROM isl2 GROUP BY doc_id, g"""
 
   /** Mirrors Decontaminate.near's degenerate-bucket star cap (maxBucket =
     * 1024): a bucket whose test×train cross product exceeds the cap pairs
@@ -572,6 +681,8 @@ object TextQueries {
          FROM fp a JOIN fp b ON a.f = b.f
          WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0""",
     "q_decontaminate_near" -> nearContaminationSql,
+    "q_span_dedup" -> spanDedupSql,
+    "q_span_excise" -> spanExciseSql,
     "q_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM sh""",
