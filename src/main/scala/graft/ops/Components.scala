@@ -242,13 +242,21 @@ object Components {
   * them as a link table and resolves transitive clusters on demand, so the
   * corpus is never re-paired.
   *
-  * LSM shape: [[addPairs]] appends O(batch) link rows and does nothing
-  * else — the cost of ingesting a batch tracks the batch. [[resolveAll]]
-  * pays the (alternating-star) closure over the accumulated links at READ
-  * time, and [[compact]] rewrites the links into flat member→root stars in
-  * a fresh generation (atomic pointer swap via the shared [[GenStore]]),
-  * restoring O(nodes) state no matter how many batches appended. Run
-  * compact on the same maintenance cadence as the other stores
+  * LSM shape: [[addPairs]] appends O(batch) link rows into the live
+  * generation's `delta/` and does nothing else — the cost of ingesting a
+  * batch tracks the batch. [[compact]] rewrites everything into flat
+  * member→root stars under `stars/` in a fresh generation (atomic pointer
+  * swap via the shared [[GenStore]]), restoring O(nodes) state no matter
+  * how many batches appended. [[resolveAll]] is INCREMENTAL against that
+  * snapshot: delta links are contracted onto their stars' roots (each root
+  * is its component's minimum, so the contracted minimum is the true
+  * minimum), the alternating-star closure runs over the contracted graph
+  * only — O(delta) edges, rounds tracking the delta — and untouched stars
+  * pass through a single relabel join. The reference-analog shape: cursor
+  * recovery reads the last snapshot plus the tail, not the whole ledger
+  * (`MessageDeduplication.recoverSequenceIdsMap`,
+  * pulsar-broker/.../persistent/MessageDeduplication.java). Run compact on
+  * the same maintenance cadence as the other stores
   * ([[graft.sources.CronTriggerer]]).
   *
   * Evidence model: every stored row is headed by the node it is evidence
@@ -277,15 +285,44 @@ class ComponentsIndex(spark: SparkSession, path: String) {
 
   private def appendGen(): File = gens.liveOrCreate()
 
-  /** The accumulated link rows (a, b, ord), if any were ever written
-    * ([[GenStore.readLive]] missing-vs-failure contract). */
-  private def links(): Option[DataFrame] =
-    gens.readLive(spark, f => f.getName.endsWith(".parquet") ||
-      // a bare _temporary/ left by a crashed first append holds no data —
-      // counting it would make readLive fail schema inference instead of
-      // mapping the store to "missing"
-      (f.isDirectory && !f.getName.startsWith("_") &&
-        !f.getName.startsWith(".")))
+  private def parquetFilesIn(dir: File): Array[File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  private def readDir(dir: File): Option[DataFrame] =
+    if (parquetFilesIn(dir).isEmpty) None
+    else Some(spark.read.parquet(dir.getAbsolutePath))
+
+  /** Flat member→root stars (a, b=root, ord) from the last [[compact]];
+    * absent before the first one. One row per known node (roots label
+    * themselves). */
+  private def stars(): Option[DataFrame] =
+    gens.currentGen().flatMap(g => readDir(new File(g, "stars")))
+
+  /** Post-compact link appends. Legacy root-level files (the
+    * pre-subdirectory layout wrote both appends and stars flat into the
+    * generation) are read as plain links too — a star row IS a link of the
+    * same component, so treating it as one only forgoes the snapshot
+    * shortcut, never correctness. Listed explicitly so the read never
+    * trips over the subdirectories. */
+  private def delta(): Option[DataFrame] = gens.currentGen().flatMap { g =>
+    val legacy = parquetFilesIn(g)
+    val legacyDf =
+      if (legacy.isEmpty) None
+      else Some(spark.read.parquet(legacy.map(_.getAbsolutePath).toSeq: _*))
+    val d = readDir(new File(g, "delta"))
+    (legacyDf, d) match {
+      case (Some(l), Some(x)) => Some(l.unionByName(x))
+      case (l, x) => l.orElse(x)
+    }
+  }
+
+  /** Everything stored, viewed as link rows (a, b, ord) — the retention /
+    * evidence domain. */
+  private def allRows(): Option[DataFrame] = (stars(), delta()) match {
+    case (Some(s), Some(d)) => Some(s.unionByName(d))
+    case (s, d) => s.orElse(d)
+  }
 
   /** Append one batch of pairs, stamped `ord` (epoch-ms or any monotone
     * batch stamp — the evidence-age axis [[compact]]'s retention prunes
@@ -299,58 +336,105 @@ class ComponentsIndex(spark: SparkSession, path: String) {
       .distinct()
     p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .withColumn("ord", lit(ord))
-      .write.mode("append").parquet(appendGen().getAbsolutePath)
+      .write.mode("append")
+      .parquet(new File(appendGen(), "delta").getAbsolutePath)
   }
 
-  /** (id, component) over every node linked so far — the transitive
-    * closure of ALL accumulated links, paid at read time. Before the first
-    * append there is no stored schema, so the empty result types its
-    * columns as bigint; callers with non-numeric ids should treat the
-    * cold-start frame as shapeless. */
-  def resolveAll(): DataFrame = links() match {
-    case Some(e) => Components.connected(e, "a", "b")
-    case None =>
+  /** Delta links contracted onto their snapshot roots: each endpoint maps
+    * to its star root (itself when unknown), self-loops drop inside the
+    * closure. Each root is its component's MINIMUM id, so the minimum over
+    * contracted nodes equals the minimum over the merged components'
+    * members — contracted labels are the true labels. */
+  private def contracted(s: DataFrame, d: DataFrame): DataFrame = {
+    val m = s.select(col("a").as("__n"), col("b").as("__r"))
+    d.select(col("a"), col("b"))
+      .join(m.select(col("__n").as("a"), col("__r").as("__ra")), Seq("a"), "left")
+      .join(m.select(col("__n").as("b"), col("__r").as("__rb")), Seq("b"), "left")
+      .select(coalesce(col("__ra"), col("a")).as("ra"),
+        coalesce(col("__rb"), col("b")).as("rb"))
+  }
+
+  /** Untouched stars pass through; stars whose root was relabeled by the
+    * delta closure follow it; delta-closure nodes (touched roots + fresh
+    * nodes) appear directly. */
+  private def assemble(s: DataFrame, cc: DataFrame): DataFrame = {
+    val relabel = cc.select(col("id").as("__r"), col("component").as("__c"))
+    s.select(col("a").as("id"), col("b").as("__r"))
+      .join(relabel, Seq("__r"), "left")
+      .select(col("id"), coalesce(col("__c"), col("__r")).as("component"))
+      .unionByName(cc)
+      .distinct()
+  }
+
+  /** (id, component) over every node linked so far. Incremental: the
+    * closure runs only over the delta contracted onto the last compact's
+    * stars (rounds and edge-set size track links-since-compact, not
+    * history); the stars snapshot is touched by exactly two single-pass
+    * joins (root lookup + relabel). Before the first append there is no
+    * stored schema, so the empty result types its columns as bigint;
+    * callers with non-numeric ids should treat the cold-start frame as
+    * shapeless. `maxRounds` bounds the delta closure (exposed so tests can
+    * assert the rounds bound really does track the delta). */
+  def resolveAll(maxRounds: Int = 50): DataFrame = (stars(), delta()) match {
+    case (Some(s), Some(d)) =>
+      assemble(s, Components.connected(contracted(s, d), "ra", "rb", maxRounds))
+    case (Some(s), None) =>
+      s.select(col("a").as("id"), col("b").as("component"))
+    case (None, Some(d)) => Components.connected(d, "a", "b", maxRounds)
+    case (None, None) =>
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("id", "component")
   }
 
-  /** Rewrite the accumulated links as flat member→root stars (plus root
-    * self-rows) in a fresh generation — state back to O(nodes) and
-    * resolution unchanged, no matter how many batches appended. Each row
-    * is stamped with its head node's own newest link ord (see the class
+  /** Rewrite everything as flat member→root stars (plus root self-rows)
+    * under `stars/` in a fresh generation — state back to O(nodes) and
+    * resolution unchanged, no matter how many batches appended. The
+    * closure input is the INCREMENTAL contraction (delta onto stars), so
+    * steady-state compaction cost tracks the delta too. Each row is
+    * stamped with its head node's own newest link ord (see the class
     * doc's evidence model). `retainOrdGe` first EXPIRES nodes whose
     * newest evidence predates the horizon: links touching an expired node
     * dissolve, and clusters held together only through it split (the
-    * dedup-snapshot retention contract). The replaced generation is kept
-    * one cycle for lazy readers; older ones are deleted. */
+    * dedup-snapshot retention contract) — that path re-closes the full
+    * kept link set, since expiry can split compacted stars. The replaced
+    * generation is kept one cycle for lazy readers; older ones are
+    * deleted. */
   def compact(retainOrdGe: Option[Long] = None): Unit = {
     val prev = gens.currentGen()
-    links().foreach { all =>
+    allRows().foreach { all =>
       // newest evidence per node: max ord over the rows it heads. Raw
       // links are stored in both directions and stars/self-rows head
       // their member, so the a-side max is exactly the node's own newest
       // evidence — a star's b-side (the root) gains nothing from its
       // members' freshness.
       val nodeOrd = all.groupBy(col("a").as("id")).agg(max("ord").as("__no"))
-      val kept = retainOrdGe match {
-        case Some(h) =>
-          val fresh = nodeOrd.where(col("__no") >= h)
-          all.where(col("a") =!= col("b"))
-            .join(fresh.select(col("id").as("a")), Seq("a"), "left_semi")
-            .join(fresh.select(col("id").as("b")), Seq("b"), "left_semi")
-        case None => all.where(col("a") =!= col("b"))
+      def write(cc: DataFrame): Unit = {
+        val starRows = cc.join(nodeOrd, "id")
+          .select(col("id").as("a"), col("component").as("b"),
+            col("__no").as("ord"))
+        val next = gens.newGenDir()
+        starRows.write.parquet(new File(next, "stars").getAbsolutePath)
+        gens.swapPointer(next.getName)
+        gens.reapExcept(Set(next.getName) ++ prev.map(_.getName))
       }
       // the eager-consumer shape: the closure's reliable-materialization
       // residue is deleted as soon as the stars generation is written, so
       // the cron loop accumulates nothing under the checkpoint dir
-      Components.connectedThenClean(kept, "a", "b") { cc =>
-        val stars = cc.join(nodeOrd, "id")
-          .select(col("id").as("a"), col("component").as("b"),
-            col("__no").as("ord"))
-        val next = gens.newGenDir()
-        stars.write.parquet(next.getAbsolutePath)
-        gens.swapPointer(next.getName)
-        gens.reapExcept(Set(next.getName) ++ prev.map(_.getName))
+      (retainOrdGe, stars(), delta()) match {
+        case (Some(h), _, _) =>
+          val fresh = nodeOrd.where(col("__no") >= h)
+          val kept = all.where(col("a") =!= col("b"))
+            .join(fresh.select(col("id").as("a")), Seq("a"), "left_semi")
+            .join(fresh.select(col("id").as("b")), Seq("b"), "left_semi")
+          Components.connectedThenClean(kept, "a", "b")(write)
+        case (None, Some(s), Some(d)) =>
+          Components.connectedThenClean(contracted(s, d), "ra", "rb")(
+            cc => write(assemble(s, cc)))
+        case (None, Some(s), None) =>
+          write(s.select(col("a").as("id"), col("b").as("component")))
+        case (None, None, Some(d)) =>
+          Components.connectedThenClean(d, "a", "b")(write)
+        case (None, None, None) => ()
       }
     }
   }

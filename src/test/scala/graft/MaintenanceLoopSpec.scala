@@ -127,7 +127,8 @@ class MaintenanceLoopSpec extends SparkSuite {
     assert(cc.resolveAll().as[(Long, Long)].collect().toMap == ccBefore)
     val ccGen = new File(ccDir, Files.readString(
       new File(ccDir, "_current").toPath).trim)
-    assert(spark.read.parquet(ccGen.getAbsolutePath).count() == ccBefore.size)
+    assert(spark.read.parquet(new File(ccGen, "stars").getAbsolutePath)
+      .count() == ccBefore.size)
 
     // IVF cells: one file per cell, search still matches one-shot
     val ivfGen = new File(ivfDir, Files.readString(

@@ -55,7 +55,8 @@ class ComponentsIndexSpec extends SparkSuite {
     // post-compact state is one row per node: member stars + root self-rows
     val live = java.nio.file.Files.readString(
       java.nio.file.Paths.get(path, "_current")).trim
-    val stars = spark.read.parquet(new java.io.File(path, live).getAbsolutePath)
+    val stars = spark.read.parquet(new java.io.File(
+      new java.io.File(path, live), "stars").getAbsolutePath)
     assert(stars.count() == before.size)
     // appends keep working after a compact
     idx.addPairs(Seq((100L, 0L)).toDF("doc_a", "doc_b"), ord = 99)
@@ -94,6 +95,23 @@ class ComponentsIndexSpec extends SparkSuite {
     // 2 and 3 were re-affirmed at ord 9; 1 was not and expires even though
     // its cluster has fresh evidence elsewhere
     assert(resolve(idx) == Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("post-compact resolution closes only the contracted delta") {
+    val idx = new ComponentsIndex(spark, tmp())
+    // a 41-node chain needs several alternating-star rounds to close —
+    // a 2-round budget must blow up while the history IS the closure input
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    idx.addPairs(chain.toDF("doc_a", "doc_b"), ord = 1)
+    intercept[IllegalArgumentException](idx.resolveAll(maxRounds = 2))
+    idx.compact()
+    // one link appended after the compact: the closure input is now the
+    // single contracted (root, fresh-node) edge, which converges inside
+    // the same 2-round budget the full history overran — the rounds bound
+    // tracks the delta, not the accumulated links
+    idx.addPairs(Seq((41L, 40L)).toDF("doc_a", "doc_b"), ord = 2)
+    val r = idx.resolveAll(maxRounds = 2).as[(Long, Long)].collect().toMap
+    assert(r == (0L to 41L).map(_ -> 0L).toMap)
   }
 
   test("an empty index resolves to an empty mapping") {
