@@ -34,14 +34,30 @@ import org.apache.spark.sql.functions._
   */
 class IvfIndex(spark: SparkSession, path: String, idCol: String,
                vecCol: String) {
+  import IvfIndex.{CompactStats, RecallPolicy}
 
   private val gens = new GenStore(path)
 
   private def appendGen(): File = gens.liveOrCreate()
 
+  private def hasCells(g: File): Boolean =
+    Option(g.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("cell="))
+
+  private def postingsIn(g: File): Option[DataFrame] =
+    if (hasCells(g)) Some(spark.read.parquet(g.getAbsolutePath)) else None
+
   private def postings(): Option[DataFrame] =
-    gens.readLive(spark,
-      f => f.isDirectory && f.getName.startsWith("cell="))
+    gens.currentGen().flatMap(postingsIn)
+
+  /** The quantizer bound to generation `g`: the in-generation artifact
+    * (written by [[centroids]] and carried/retrained by [[compact]]), or
+    * the legacy root-level `_centroids` for stores created before the
+    * quantizer moved inside the generation. */
+  private def quantizerIn(g: Option[File]): Option[Array[Array[Double]]] =
+    (g.map(new File(_, "_quantizer")).toSeq :+ new File(path, "_centroids"))
+      .find(d => new File(d, "_SUCCESS").exists())
+      .map(d => KMeans.loadCentroids(spark, d.getAbsolutePath))
 
   /** Append one batch: each vector lands in the cell `cell` evaluates to.
     * One file per touched cell. A null cell fails the write loudly — Hive
@@ -63,9 +79,32 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
     * to search (a one-element array = classic single-probe IVF,
     * [[KMeans.probeExpr]] = multi-probe). Returns (query_id, neighbor_id,
     * sim, rank). */
-  def search(queries: DataFrame, probeCells: Column, k: Int): DataFrame = {
-    val stored = postings().getOrElse(throw new IllegalStateException(
+  def search(queries: DataFrame, probeCells: Column, k: Int): DataFrame =
+    searchStored(postings().getOrElse(throw new IllegalStateException(
+      s"IVF index at $path has no postings yet (no add ran)")),
+      queries, probeCells, k)
+
+  /** [[search]] with the index's OWN quantizer: probe cells come from the
+    * SAME generation as the postings — one pointer resolution covers both
+    * reads, so a concurrent retraining [[compact]] can never pair old
+    * centroids with a rebucketed layout (the replaced generation stays
+    * readable for one cycle, quantizer included). Use this form whenever
+    * the index owns its quantizer ([[centroids]]); the caller-supplied
+    * [[search]] remains for precomputed cell schemes. */
+  def searchOwn(queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val g = gens.currentGen().getOrElse(throw new IllegalStateException(
       s"IVF index at $path has no postings yet (no add ran)"))
+    val stored = postingsIn(g).getOrElse(throw new IllegalStateException(
+      s"IVF index at $path has no postings yet (no add ran)"))
+    val cents = quantizerIn(Some(g)).getOrElse(throw new IllegalStateException(
+      s"IVF index at $path has no persisted quantizer — searchOwn needs " +
+        "centroids(); use search() for caller-provided cell schemes"))
+    searchStored(stored, queries,
+      KMeans.probeExpr(col(vecCol), cents, nprobe), k)
+  }
+
+  private def searchStored(stored: DataFrame, queries: DataFrame,
+                           probeCells: Column, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("__qv"), probeCells.as("__cells"))
       // explode_OUTER: a null/empty probe array must surface as a null cell
@@ -96,8 +135,9 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
       k, Seq("query_id"))
   }
 
-  /** The index's own quantizer, trained once and persisted BESIDE the
-    * postings (`_centroids/` under the index path): the first call trains
+  /** The index's own quantizer, trained once and persisted INSIDE the live
+    * generation (`_quantizer/`, with a legacy root-level `_centroids/`
+    * fallback for older stores): the first call trains
     * on `train` and saves; every later call — including a restarted
     * pipeline, or another consumer opening the same path — loads the saved
     * artifact. This is the restart-safety contract: postings were written
@@ -107,19 +147,21 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
     * [[KMeans.assignExpr]] and probe with [[KMeans.probeExpr]] over THIS
     * array. */
   def centroids(train: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    val artifact = new File(path, "_centroids")
-    if (new File(artifact, "_SUCCESS").exists()) {
-      val cents = KMeans.loadCentroids(spark, artifact.getAbsolutePath)
-      // the persisted artifact wins over the arguments — but silently
-      // returning a different-k quantizer breaks callers sized to k. The
-      // postings were laid out under THIS artifact, so the remedy is to
-      // match it, never to delete it (that would strand the postings).
-      require(cents.length == k,
-        s"persisted quantizer at $artifact has ${cents.length} cells but " +
-          s"caller asked for $k — pass k=${cents.length} (the layout the " +
-          "postings were written under), or rebuild the index to change k")
-      cents
-    } else {
+    quantizerIn(gens.currentGen()) match {
+      case Some(cents) =>
+        // the persisted artifact wins over the arguments — but silently
+        // returning a different-k quantizer breaks callers sized to k. The
+        // postings were laid out under THIS artifact, so the remedy is to
+        // match it, never to delete it (that would strand the postings).
+        // (A retraining compact refreshes the artifact and the postings
+        // TOGETHER, so "the live artifact" is always the live layout.)
+        require(cents.length == k,
+          s"persisted quantizer at $path has ${cents.length} cells but " +
+            s"caller asked for $k — pass k=${cents.length} (the layout the " +
+            "postings were written under), or rebuild the index to change k")
+        cents
+      case None =>
+        locally {
       // refuse to FIRST-train over existing postings: they were written
       // under some other cell layout (caller-provided cells, or a lost
       // artifact) and a fresh quantizer would silently probe cells the
@@ -136,24 +178,92 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
       require(cents.length == k,
         s"training produced ${cents.length} < $k centroids — too few " +
           "distinct vectors in the training frame; lower k or train on more data")
-      KMeans.saveCentroids(spark, artifact.getAbsolutePath, cents)
+      // saved INSIDE the (possibly fresh) live generation, so quantizer and
+      // postings always travel — and swap — together
+      KMeans.saveCentroids(spark,
+        new File(gens.liveOrCreate(), "_quantizer").getAbsolutePath, cents)
       cents
+        }
     }
   }
 
   /** Rewrite accumulated per-batch append files to ONE file per cell in a
     * fresh generation — per-cell file counts back to O(1) no matter how
-    * many batches appended; search results unchanged. The replaced
-    * generation is kept one cycle for lazy readers. */
-  def compact(): Unit = {
+    * many batches appended; search results unchanged (unless a retrain
+    * triggers, below). The index's quantizer is carried into the new
+    * generation, so every generation is self-contained; the replaced one
+    * is kept one cycle for lazy readers.
+    *
+    * With a [[IvfIndex.RecallPolicy]] and an owned quantizer, compact is
+    * also the DRIFT monitor: it measures probe-recall@k of the live
+    * quantizer on a deterministic sample of the stored vectors against the
+    * brute-force answer (the [[Similarity.probeRecalls]] machinery — one
+    * extra corpus pass), and when recall has sagged below the target —
+    * the corpus drifted away from the centroids it was bucketed under —
+    * it re-fits the quantizer ON the stored corpus and rewrites every
+    * posting into its new cell. New centroids and rebucketed postings land
+    * in the SAME new generation before the one pointer swap, so a
+    * concurrent [[searchOwn]] reader sees either the old pair or the new
+    * pair, never a mix. Returns what the monitor saw (None when no policy
+    * ran: no postings, no policy, or no owned quantizer). */
+  def compact(recall: Option[RecallPolicy] = None): Option[CompactStats] = {
     val prev = gens.currentGen()
-    postings().foreach { p =>
-      val next = gens.newGenDir()
-      p.dropDuplicates(idCol)
-        .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(next.getAbsolutePath)
-      gens.swapPointer(next.getName)
-      gens.reapExcept(Set(next.getName) ++ prev.map(_.getName))
-    }
+    postings().map { pAll =>
+      val p = pAll.dropDuplicates(idCol).persist()
+      try {
+        val cents = quantizerIn(prev)
+        val stats = (recall, cents) match {
+          case (Some(pol), Some(c)) =>
+            // deterministic hash-ordered sample: orderBy+limit compiles to
+            // TakeOrderedAndProject (per-partition top-N, no global sort)
+            val sample = p
+              .orderBy(xxhash64(col(idCol)))
+              .limit(pol.sampleN)
+              .select(col(idCol), col(vecCol))
+              .localCheckpoint(true)
+            val profile = Similarity.ivfProbeProfile(sample, p, idCol,
+              vecCol, c, Seq(pol.nprobe), pol.k)
+            val exact = Similarity.bruteForceTopK(sample, p, idCol, vecCol,
+              pol.k)
+            val rec = Similarity.probeRecalls(profile, exact, Seq(pol.nprobe))
+              .select(col("recall").cast("double")).head().getDouble(0)
+            Some(CompactStats(rec, retrained = rec < pol.target))
+          case _ => None
+        }
+        val next = gens.newGenDir()
+        val retrainTo =
+          if (stats.exists(_.retrained))
+            Some(KMeans.fit(p, idCol, vecCol, cents.get.length,
+              recall.get.refitIters))
+          else None
+        val rebucketed = retrainTo match {
+          case Some(nc) =>
+            p.withColumn("cell", KMeans.assignExpr(col(vecCol), nc))
+          case None => p
+        }
+        rebucketed.repartition(col("cell"))
+          .write.partitionBy("cell").parquet(next.getAbsolutePath)
+        // quantizer travels with its layout — written BEFORE the swap
+        retrainTo.orElse(cents).foreach(cs => KMeans.saveCentroids(spark,
+          new File(next, "_quantizer").getAbsolutePath, cs))
+        gens.swapPointer(next.getName)
+        gens.reapExcept(Set(next.getName) ++ prev.map(_.getName))
+        stats
+      } finally { p.unpersist(); () }
+    }.flatten
   }
+}
+
+object IvfIndex {
+
+  /** Drift-monitor settings for [[IvfIndex.compact]]: measure
+    * recall@`k` at `nprobe` probes on a `sampleN`-vector deterministic
+    * sample; re-fit the quantizer (`refitIters` Lloyd iterations) and
+    * rebucket when measured recall drops below `target`. */
+  final case class RecallPolicy(target: Double, nprobe: Int = 2, k: Int = 10,
+                                sampleN: Int = 64, refitIters: Int = 5)
+
+  /** What [[IvfIndex.compact]]'s monitor observed: the measured recall and
+    * whether it triggered a retrain+rebucket. */
+  final case class CompactStats(recall: Double, retrained: Boolean)
 }

@@ -151,4 +151,82 @@ class IvfIndexSpec extends SparkSuite {
     best1.foreach { case (q, s) => assert(s <= best4(q), s"query $q") }
     assert(p1.nonEmpty)
   }
+  test("recall-policy compact: drift triggers retrain, recall recovers, " +
+    "each generation pairs its quantizer with its own layout") {
+    import graft.ops.IvfIndex.RecallPolicy
+    val path = tmp()
+    val idx = new IvfIndex(spark, path, "vec_id", "embedding")
+    def at(theta: Double, psi: Double, r: Double, id: Long) =
+      (id, Seq((r * math.cos(theta) * math.cos(psi)).toFloat,
+        (r * math.sin(theta) * math.cos(psi)).toFloat,
+        (r * math.sin(psi)).toFloat))
+    // initial corpus: 16 tight direction-clusters fanned across the
+    // equatorial quadrant; the quantizer learns one cell per direction
+    val initial = (for (j <- 0 until 16; i <- 0 until 3) yield
+      at(j * 0.0873 + i * 0.0005, 0.0, 10.0 + i, j * 100L + i))
+      .toDF("vec_id", "embedding")
+    val cents = idx.centroids(initial, k = 16, iters = 5)
+    idx.add(initial, graft.ops.KMeans.assignExpr(col("embedding"), cents))
+
+    // drift: seven 6-point blobs on elevation rings the quantizer never
+    // saw. Each blob sits over a cell boundary and is WIDE in azimuth
+    // (offsets to ±0.11 rad vs the 0.0873 cell width), so the old
+    // quantizer dices it across FOUR cells — a blob is its own entire
+    // top-5 neighborhood (rings and blobs are separated by ≥ 0.3 rad,
+    // more than the 0.22 blob diameter), so even two probes see at most
+    // half of it and recall sags for every blob query. Post-refit, a blob
+    // is a plain 6-point mass: k-means covers it with one (worst case
+    // two adjacent) centroids, and two probes see it whole.
+    val blobSpec = Seq((0, 0.3), (6, 0.3), (3, 0.6), (9, 0.6), (1, 0.9),
+      (7, 0.9), (4, 1.2))
+    val drifted = (for (((b, psi), bi) <- blobSpec.zipWithIndex;
+                        m <- 0 until 6) yield {
+      val sign = if (m % 2 == 0) 1 else -1
+      at((b + 0.5) * 0.0873 + sign * (0.02 + 0.045 * (m / 2)), psi, 4.0,
+        10000L + bi * 10 + m)
+    }).toDF("vec_id", "embedding")
+    idx.add(drifted, graft.ops.KMeans.assignExpr(col("embedding"), cents))
+
+    val pol = RecallPolicy(target = 0.85, nprobe = 2, k = 5, sampleN = 64,
+      refitIters = 8)
+    val first = idx.compact(Some(pol))
+    assert(first.exists(s => s.retrained && s.recall < 0.85),
+      s"drifted corpus should trip the monitor: $first")
+    // recall recovered under the refit quantizer: the next monitored
+    // compact measures healthy and does NOT retrain again
+    val second = idx.compact(Some(pol))
+    assert(second.exists(s => !s.retrained && s.recall >= 0.85),
+      s"recall should recover after rebucket: $second")
+
+    // no mixed layout, generation by generation: every retained generation
+    // carries its own quantizer, and every stored row's cell is exactly
+    // that quantizer's assignment
+    val gens = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("gen-")).sortBy(_.getName)
+    var audited = 0
+    gens.foreach { g =>
+      if (new java.io.File(g, "_quantizer/_SUCCESS").exists() &&
+          g.listFiles().exists(_.getName.startsWith("cell="))) {
+        val q = graft.ops.KMeans.loadCentroids(
+          spark, new java.io.File(g, "_quantizer").getAbsolutePath)
+        val mismatched = spark.read.parquet(g.getAbsolutePath)
+          .where(col("cell") =!=
+            graft.ops.KMeans.assignExpr(col("embedding"), q).cast("int"))
+          .count()
+        assert(mismatched == 0, s"${g.getName} mixes quantizer and layout")
+        audited += 1
+      }
+    }
+    assert(audited >= 2, "expected both retained generations audited")
+    // and searchOwn (one pointer resolution for quantizer + postings)
+    // agrees with the one-shot probed search over the same live quantizer
+    val live = idx.centroids(initial, k = 16, iters = 1) // loads, never refits
+    val queries = drifted.where(col("vec_id") < 10010)
+    val got = rows(idx.searchOwn(queries, nprobe = 2, k = 3))
+    val oneShot = rows(Similarity.ivfTopKProbed(queries,
+      initial.unionByName(drifted), "vec_id", "embedding", live,
+      nprobe = 2, k = 3))
+    assert(got == oneShot)
+  }
+
 }
