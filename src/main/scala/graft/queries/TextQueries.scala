@@ -221,6 +221,18 @@ object TextQueries {
         bpeTokenCount(col("text")).as("n_bpe_plain"))
     }),
 
+    // Subword token counts under merges LEARNED from this corpus
+    // (graft.ops.Bpe): 8 BPE merges trained on the word-type table, then
+    // one codegen'd replace-chain count per doc. The oracle replays the
+    // SAME training loop (unrolled CTE chain) and encoding — both sides
+    // deterministic via the (count desc, pair asc) tie-break.
+    "q_token_bpe_trained" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8)
+      docs.select(col("doc_id"),
+        graft.ops.Bpe.countTokens(col("text"), merges).as("n_bpe_trained"))
+    }),
+
     // Rolling-hash document fingerprint (winnowing, as in MOSS): min hash
     // per sliding window over the k-gram hash sequence; any shared run of
     // w+k−1 tokens between two docs shares a selected hash. One scalar
@@ -414,6 +426,45 @@ object TextQueries {
           SELECT doc_id, 2, md5(mh8 || '|' || mh9 || '|' || mh10 || '|' || mh11) FROM sigs
           UNION ALL
           SELECT doc_id, 3, md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15) FROM sigs)"""
+
+  /** The BPE oracle: replay graft.ops.Bpe's training loop as an UNROLLED
+    * CTE chain (one pair-count + argmax + merge-apply stage per merge),
+    * then encode every doc's words under the learned merges and count
+    * symbols. Identical semantics rest on plain `replace` being the same
+    * left-to-right non-overlapping pass in both engines, and on the
+    * deterministic (count desc, left, right) argmax tie-break. */
+  private lazy val bpeTrainedSql: String = {
+    val D = "\u0001"
+    val k = 8
+    val sb = new StringBuilder
+    sb ++= s"""WITH wc AS (
+         SELECT w, count(*) AS freq FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> '' GROUP BY w),
+       w0 AS (SELECT regexp_replace(w, '(.)', '$D\\1$D', 'g') AS s, freq
+              FROM wc)"""
+    (0 until k).foreach { i =>
+      sb ++= s""",
+       p$i AS (SELECT syms[j] AS l, syms[j + 1] AS r, sum(freq) AS c
+               FROM (SELECT freq, string_split(trim(s, '$D'), '$D$D') AS syms
+                     FROM w$i),
+                    LATERAL unnest(range(1, len(syms))) AS t(j)
+               GROUP BY l, r),
+       b$i AS (SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+       w${i + 1} AS (SELECT replace(s, '$D' || b.l || '$D$D' || b.r || '$D',
+                                    '$D' || b.l || b.r || '$D') AS s, freq
+                     FROM w$i, b$i b)"""
+    }
+    sb ++= s""",
+       wt AS (SELECT replace(s, '$D', '') AS w,
+                     length(s) - length(replace(s, '$D$D', '$D')) + 1 AS toks
+              FROM w$k),
+       docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+       SELECT docw.doc_id, CAST(sum(wt.toks) AS BIGINT) AS n_bpe_trained
+       FROM docw JOIN wt USING (w) GROUP BY docw.doc_id"""
+    sb.toString
+  }
 
   /** Span-dedup test corpus: every 17th doc gets a shared 12-token passage
     * (the prefix of donor doc `(doc_id div 17) % 3`) planted at its head
@@ -683,6 +734,7 @@ object TextQueries {
     "q_decontaminate_near" -> nearContaminationSql,
     "q_span_dedup" -> spanDedupSql,
     "q_span_excise" -> spanExciseSql,
+    "q_token_bpe_trained" -> bpeTrainedSql,
     "q_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM sh""",
