@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,7 +31,13 @@ object Packing {
     *    the row crosses one or more cut boundaries).
     *
     * `tokens` must be positive for every row (a zero-token row has no
-    * position in the stream — filter such rows out first). */
+    * position in the stream — filter such rows out first).
+    *
+    * SKEW WARNING: the whole shard group funnels through ONE task's
+    * running-sum sort. Sharding 100 TB by a handful of languages puts each
+    * language on a single task; callers whose shard cardinality is small
+    * relative to the cluster must add a salt — [[packChunksSalted]] does
+    * it deterministically and keeps sequence ids collision-free. */
   def packChunks(df: DataFrame, shard: Seq[String], key: Column,
                  tokens: Column, ctxLen: Long): DataFrame = {
     require(ctxLen > 0, s"ctxLen $ctxLen must be positive")
@@ -45,5 +52,36 @@ object Packing {
       .withColumn("seq_first", expr(s"start_tok div ${ctxLen}L"))
       .withColumn("seq_last", expr(s"(__cum - 1) div ${ctxLen}L"))
       .drop("__cum")
+  }
+
+  /** Deterministic salt in [0, n): the md5-nibble [[TextFunctions.hash16]]
+    * of the pack key, modulo n — ascii arithmetic only, so any SQL engine
+    * reproduces the assignment exactly (same convention as the pack
+    * order's md5 hash). */
+  def saltedShard(key: Column, n: Int): Column = {
+    require(n > 0, s"salt count $n must be positive")
+    pmod(TextFunctions.hash16(key.cast("string")), lit(n))
+  }
+
+  /** [[packChunks]] with the skew guard built in: each shard splits into
+    * `salts` deterministic hash streams that pack independently — the
+    * per-task sort is bounded at ~1/salts of the shard, so a
+    * handful-of-languages shard survives a 100 TB corpus. Sequence ids
+    * are namespaced per salt (`+ salt × seqSpan`) so streams never
+    * collide; `start_tok` stays stream-local. Emits the `salt` column so
+    * consumers (and oracles) see the stream id. `seqSpan` must exceed any
+    * stream's sequence count — i.e. stream tokens < seqSpan × ctxLen
+    * (defaults allow 2⁴⁰ sequences per stream). */
+  def packChunksSalted(df: DataFrame, shard: Seq[String], key: Column,
+                       tokens: Column, ctxLen: Long, salts: Int,
+                       seqSpan: Long = 1L << 40): DataFrame = {
+    require(seqSpan > 0, s"seqSpan $seqSpan must be positive")
+    val salted = df.withColumn("__salt", saltedShard(key, salts))
+    packChunks(salted, shard :+ "__salt", key, tokens, ctxLen)
+      .withColumn("seq_first",
+        col("seq_first") + col("__salt").cast("long") * seqSpan)
+      .withColumn("seq_last",
+        col("seq_last") + col("__salt").cast("long") * seqSpan)
+      .withColumnRenamed("__salt", "salt")
   }
 }

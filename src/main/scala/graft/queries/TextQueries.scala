@@ -208,6 +208,20 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("start_tok"), col("seq_first"), col("seq_last"))),
 
+    // The skew-guarded packing: each language splits into 4 deterministic
+    // hash streams that pack independently (bounding any one task's sort
+    // at ~1/4 of the language at any corpus size); sequence ids are
+    // namespaced per salt so streams never collide.
+    "q_pack_salted" -> ((s, d) =>
+      graft.ops.Packing.packChunksSalted(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            tokenCount(col("text")).as("n_tokens")),
+        Seq("lang"), col("doc_id"), col("n_tokens"), 2048L,
+        salts = 4, seqSpan = 1000000L)
+        .select(col("doc_id"), col("lang"), col("salt"), col("n_tokens"),
+          col("start_tok"), col("seq_first"), col("seq_last"))),
+
     // BPE-ish subword token count (GPT-2-style pre-tokenizer regex, the
     // lookaround-free subset both dialects parse identically). The corpus
     // is plain lowercase words, so a doc_id-derived digit/punctuation/
@@ -798,6 +812,35 @@ object TextQueries {
                 CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
                 CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
          FROM c""",
+    "q_pack_salted" -> {
+      // hash16 of md5(doc_id) via ascii nibble arithmetic, mod 4 — the
+      // same salt Packing.saltedShard computes
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)),$i,1)) <= 57" +
+          s" THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)),$i,1)) - 48" +
+          s" ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)),$i,1)) - 87 END)"
+      val salt =
+        s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 4"
+      s"""WITH t AS (
+           SELECT doc_id, lang,
+                  length(text) - length(replace(text, ' ', '')) + 1
+                    AS n_tokens,
+                  $salt AS salt
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, salt, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang, salt
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT doc_id, lang, salt, n_tokens,
+                CAST(cum - n_tokens AS BIGINT) AS start_tok,
+                CAST((cum - n_tokens) // 2048 + salt * 1000000 AS BIGINT)
+                  AS seq_first,
+                CAST((cum - 1) // 2048 + salt * 1000000 AS BIGINT)
+                  AS seq_last
+         FROM c"""
+    },
     "q_token_bpe" ->
       """SELECT doc_id,
            len(regexp_extract_all(

@@ -43,4 +43,46 @@ class PackingSpec extends SparkSuite {
       col("n"), 64L)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+  test("salted packing equals per-stream unsalted packing, with namespaced " +
+    "sequence ids and one window shuffle") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 300L).map(i =>
+      (i, s"s${i % 2}", 1L + rnd.nextInt(400))).toDF("id", "shard", "n")
+    val span = 100000L
+    val salted = Packing.packChunksSalted(docs, Seq("shard"), col("id"),
+      col("n"), 256L, salts = 4, seqSpan = span)
+      .select(col("id"), col("salt"), col("start_tok"), col("seq_first"),
+        col("seq_last"))
+      .as[(Long, Int, Long, Long, Long)].collect()
+
+    // every salt stream independently matches packChunks run on just that
+    // stream's rows (same boundaries, same stream-local start_tok), and
+    // namespacing is exactly + salt * seqSpan
+    val bySalt = salted.groupBy(_._2)
+    assert(bySalt.size > 1, "salt must actually split the corpus")
+    bySalt.foreach { case (s, rows) =>
+      val ids = rows.map(_._1).toSet
+      val solo = Packing.packChunks(
+        docs.where(Packing.saltedShard(col("id"), 4) === s),
+        Seq("shard"), col("id"), col("n"), 256L)
+        .select(col("id"), col("start_tok"), col("seq_first"),
+          col("seq_last"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(solo.keySet == ids)
+      rows.foreach { case (id, _, start, sf, sl) =>
+        val (s0, f0, l0) = solo(id)
+        assert(start == s0 && sf == f0 + s * span && sl == l0 + s * span,
+          s"stream $s doc $id diverged from solo packing")
+      }
+    }
+    // sequence ids never collide across salt streams
+    val bands = salted.map(r => r._4 / span).toSet
+    assert(bands == bySalt.keySet.map(_.toLong))
+
+    // plan shape: the salt adds no extra shuffle — still ONE hash exchange
+    val plan = Packing.packChunksSalted(docs, Seq("shard"), col("id"),
+      col("n"), 256L, salts = 4).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
 }
