@@ -102,6 +102,49 @@ object StreamBench {
             }
             .option("checkpointLocation", tmp.resolve("cp4").toString).start()
         }
+      }, {
+        // the FULL curate path at ingest: per micro-batch, drop eval
+        // contamination (exact-fingerprint anti-join against the held-out
+        // benchmark set), feed survivors through the persisted LSH pair
+        // index into the cluster index, and append their embeddings into
+        // the persisted IVF — the production wiring for "filter, dedup,
+        // and make searchable as data arrives"
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        val nd = docs.count()
+        val docsTopic = tmp.resolve("docs").toString // staged by the stage above
+        val evalFps = docs.where(col("doc_id") % 10 === 0)
+          .select(graft.functions.TextFunctions.fingerprint(col("text"))
+            .as("__fp"))
+          .distinct().localCheckpoint(true)
+        val emb = graft.core.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+          .localCheckpoint(true)
+        val lsh = new graft.ops.MinHashIndex(spark,
+          tmp.resolve("lsh2").toString, "doc_id", "text")
+        val cc = new graft.ops.ComponentsIndex(spark,
+          tmp.resolve("cc2").toString)
+        val ivf = new graft.ops.IvfIndex(spark,
+          tmp.resolve("ivf").toString, "doc_id", "embedding")
+        val cents = ivf.centroids(emb, k = 16, iters = 2)
+        timedRows("curate_pipeline_docs_per_s", nd) {
+          spark.readStream.format("graft-topic").option("path", docsTopic).load()
+            .select(col("key").cast("long").as("doc_id"),
+              col("value").as("text"))
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
+              val kept = b.join(evalFps,
+                graft.functions.TextFunctions.fingerprint(b("text"))
+                  === evalFps("__fp"), "left_anti")
+                .persist()
+              try {
+                cc.addPairs(lsh.addAndFindPairs(kept, batchOrd = e), ord = e)
+                ivf.add(kept.join(emb, "doc_id")
+                  .select(col("doc_id"), col("embedding")),
+                  graft.ops.KMeans.assignExpr(col("embedding"), cents))
+              } finally { kept.unpersist(); () }
+            }
+            .option("checkpointLocation", tmp.resolve("cp5").toString).start()
+        }
       })
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
