@@ -33,11 +33,19 @@ object Bench {
     // optional args = query-name subset (local iteration); driver passes
     // none. Unknown names fail loudly — a typo must not look like a fast
     // clean run.
-    val unknown = args.filterNot(SparkEntry.queries.contains)
+    // `--out <file>` redirects the full JSON record; remaining args are
+    // query names
+    val (outArg, nameArgs) = args.indexOf("--out") match {
+      case -1 => (None, args.toSeq)
+      case i =>
+        require(i + 1 < args.length, "--out needs a file argument")
+        (Some(args(i + 1)), args.toSeq.patch(i, Nil, 2))
+    }
+    val unknown = nameArgs.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      if (nameArgs.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => nameArgs.contains(n) }
     def loadavg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadavg
@@ -79,16 +87,20 @@ object Bench {
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"retimed_improved":$retimedJson,"sf":"$sfDir"}"""
-    println(line)
+    // stop BEFORE printing: Spark's shutdown chatter must not land after
+    // the record — the JSON line is the LAST thing this main writes to
+    // stdout (only sbt's own [success] trailer can follow it)
+    spark.stop()
     // the stdout capture keeps only a tail, which has truncated the head of
     // this (long) line in past runs — persist the full record to a file so
     // per-query timings are never lost from the round artifact
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val outFile = outArg.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       line + "\n")
     catch { case t: Throwable =>
       System.err.println(s"BENCH: could not write $outFile: ${t.getMessage}")
     }
-    spark.stop()
+    println(line)
   }
 }
