@@ -43,12 +43,15 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   /** Selected winnowing fingerprints WITH their k-gram start positions
-    * (1-based), as an array of (h, pos) structs: every window of `w`
-    * consecutive k-gram hashes contributes its minimum, positioned at that
-    * minimum's leftmost in-window occurrence (content-determined, so two
-    * docs sharing a run agree on it). Shorter docs select all hashes. */
-  def winnowPostings(text: Column, k: Int, w: Int): Column = {
-    val hs = transform(TextFunctions.ngramsAll(text, k), g => md5(g))
+    * (1-based), as an array of (h, pos) structs over a PRE-BOUND k-gram
+    * hash array column: every window of `w` consecutive hashes contributes
+    * its minimum, positioned at that minimum's leftmost in-window
+    * occurrence (content-determined, so two docs sharing a run agree on
+    * it). Shorter docs select all hashes. `hs` must be a bound attribute,
+    * not an inline subtree — higher-order-function lambdas re-evaluate
+    * their body per element, so an inline gram-hash subtree would redo
+    * every md5 once per window (measured 6× the whole pipeline's cost). */
+  private def winnowFromHashes(hs: Column, w: Int): Column = {
     val empty = array().cast("array<struct<h:string,pos:bigint>>")
     val all = transform(sequence(lit(1), size(hs)),
       i => struct(element_at(hs, i).as("h"), i.cast("long").as("pos")))
@@ -65,11 +68,17 @@ object SpanDedup {
 
   /** The exploded inverted index: one (idCol, h, pos) row per selected
     * fingerprint — the only row blow-up in the pipeline, ~|tokens|/w rows
-    * per document. */
+    * per document. The gram-hash array is materialized as its own
+    * projection column first (CollapseProject keeps a non-trivial,
+    * multiply-referenced alias staged), so the window lambdas see a bound
+    * attribute and each gram is hashed exactly once. */
   def postings(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 5, w: Int = 3): DataFrame =
     Par.spread(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(winnowPostings(col(textCol), k, w)).as("p"))
+      .select(col(idCol),
+        transform(TextFunctions.ngramsAll(col(textCol), k), g => md5(g))
+          .as("__hs"))
+      .select(col(idCol), explode(winnowFromHashes(col("__hs"), w)).as("p"))
       .select(col(idCol), col("p.h").as("h"), col("p.pos").as("pos"))
 
   /** Distinct candidate alignments (doc_a < doc_b, d = pos_b − pos_a):
