@@ -126,9 +126,19 @@ object SpanDedup {
       maxPostings)
     val toks = docs.select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("__t"))
-    val withToks = cand
-      .join(toks.select(col(idCol).as("doc_a"), col("__t").as("ta")), "doc_a")
-      .join(toks.select(col(idCol).as("doc_b"), col("__t").as("tb")), "doc_b")
+    extendDiagonals(cand,
+      toks.select(col(idCol).as("doc_a"), col("__t").as("ta")),
+      toks.select(col(idCol).as("doc_b"), col("__t").as("tb")), minTokens)
+  }
+
+  /** The verification/extension stage shared by [[sharedSpans]] and
+    * [[crossSpans]]: for each candidate alignment (doc_a, doc_b, d), fold
+    * once along the diagonal over the token overlap and emit every maximal
+    * true-run of the match predicate ≥ minTokens — exact spans from the
+    * actual tokens. */
+  private def extendDiagonals(cand: DataFrame, toksA: DataFrame,
+                              toksB: DataFrame, minTokens: Int): DataFrame = {
+    val withToks = cand.join(toksA, "doc_a").join(toksB, "doc_b")
 
     // fold once along the diagonal over the overlap [lo, hi]: token i of a
     // aligns with token i+d of b; maximal true-runs of the match predicate
@@ -167,6 +177,60 @@ object SpanDedup {
         col("s.a_start").as("a_start"),
         (col("s.a_start") + col("d")).as("b_start"),
         col("s.len").as("span_len"))
+  }
+
+  /** Cross-corpus shared spans — span-level DECONTAMINATION: evaluation
+    * passages quoted anywhere inside training documents (or vice versa),
+    * the modality prefix fingerprints miss when the quote is not at the
+    * head and doc-level LSH misses when the quote is small relative to the
+    * document. Same machinery as [[sharedSpans]], but candidate pairs are
+    * generated only ACROSS the two corpora (a fingerprint bucket pairs its
+    * test members with its train members, never within one side), and ids
+    * may coincide across corpora — two different corpora, so an equal id
+    * is contamination, not a self-hit ([[Decontaminate]] convention).
+    * Returns (test_id, train_id, test_start, train_start, span_len).
+    * `maxBucket` caps a degenerate bucket's te×tr product to a star around
+    * the first train member — every contaminated test doc still aligns,
+    * only the pair list thins. */
+  def crossSpans(train: DataFrame, test: DataFrame, idCol: String,
+                 textCol: String, minTokens: Int = 8, k: Int = 5, w: Int = 3,
+                 maxBucket: Int = 1024): DataFrame = {
+    require(minTokens >= k + w - 1,
+      s"minTokens must be >= k+w-1 = ${k + w - 1} for the winnowing " +
+        "guarantee to make span discovery complete")
+    val te = postings(test, idCol, textCol, k, w).withColumn("__t", lit(true))
+    val tr = postings(train, idCol, textCol, k, w).withColumn("__t", lit(false))
+    val grouped = te.unionByName(tr)
+      .groupBy("h")
+      .agg(sort_array(collect_list(struct(col(idCol).as("i"),
+        col("pos").as("p"), col("__t").as("t")))).as("ms"))
+      .withColumn("te", filter(col("ms"), m => m("t")))
+      .withColumn("tr", filter(col("ms"), m => !m("t")))
+      .where(size(col("te")) > 0 && size(col("tr")) > 0)
+    val full = flatten(transform(col("te"), e =>
+      transform(col("tr"), r => struct(e("i").as("a"), e("p").as("pa"),
+        r("i").as("b"), r("p").as("pb")))))
+    val hub = element_at(col("tr"), 1)
+    val star = transform(col("te"), e =>
+      struct(e("i").as("a"), e("p").as("pa"),
+        hub("i").as("b"), hub("p").as("pb")))
+    val cand = grouped
+      // long arithmetic: Int size() products wrap for giant degenerate
+      // buckets, which would disable the cap exactly when it matters
+      .select(explode(when(size(col("te")).cast("long") *
+        size(col("tr")).cast("long") <= maxBucket, full).otherwise(star))
+        .as("c"))
+      .select(col("c.a").as("doc_a"), col("c.b").as("doc_b"),
+        (col("c.pb") - col("c.pa")).as("d"))
+      .distinct()
+    extendDiagonals(cand,
+      test.select(col(idCol).as("doc_a"),
+        TextFunctions.tokens(col(textCol)).as("ta")),
+      train.select(col(idCol).as("doc_b"),
+        TextFunctions.tokens(col(textCol)).as("tb")), minTokens)
+      .select(col("doc_a").as("test_id"), col("doc_b").as("train_id"),
+        col("a_start").as("test_start"), col("b_start").as("train_start"),
+        col("span_len"))
   }
 
   /** Span-level excision decisions: each shared span is cut from the

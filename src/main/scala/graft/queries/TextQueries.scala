@@ -268,6 +268,22 @@ object TextQueries {
         plantedSpanCorpus(Tables.documents(s, d)), "doc_id", "text",
         minTokens = 8, k = 5, w = 3)),
 
+    // Span-level decontamination: eval passages quoted ANYWHERE inside
+    // training docs — what prefix fingerprints miss off-head and doc-level
+    // LSH misses when the quote is small relative to the page. Same
+    // planted corpus, split test (%10 = 0) vs train; pairs generated only
+    // across the split. maxBucket unbounded here so the oracle's uncapped
+    // cross product stays exact at any verify scale (production callers
+    // keep the star cap).
+    "q_decontaminate_span" -> ((s, d) => {
+      val corpus = plantedSpanCorpus(Tables.documents(s, d))
+      graft.ops.SpanDedup.crossSpans(
+        corpus.where(col("doc_id") % 10 =!= 0),
+        corpus.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", minTokens = 8, k = 5, w = 3,
+        maxBucket = Int.MaxValue)
+    }),
+
     // The excision decision derived from the spans: every shared span is
     // cut from the larger doc of its pair; per-doc cuts merge into
     // disjoint intervals.
@@ -504,7 +520,15 @@ object TextQueries {
     * collapse consecutive matches per (pair, diagonal) into maximal runs
     * (gaps-and-islands). A maximal token run of L ≥ 8 is exactly a maximal
     * run of L−4 consecutive 5-gram matches. */
-  private lazy val spanCtes =
+  /** CTE chain shared by the span oracles, parameterized by the pair
+    * predicate: in-corpus dedup pairs `doc_a < doc_b`; cross-corpus
+    * decontamination pairs test (%10 = 0) docs with train docs only. */
+  private def spanCtesWith(pairCond: String) =
+    spanCtesBase.replace("__PAIR_COND__", pairCond)
+
+  private lazy val spanCtes = spanCtesWith("a.doc_id < b.doc_id")
+
+  private lazy val spanCtesBase =
     """pass AS (
          SELECT doc_id AS g,
                 array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS p
@@ -526,7 +550,7 @@ object TextQueries {
        mm AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia,
                 b.i - a.i AS d
-         FROM grams a JOIN grams b ON a.g5 = b.g5 AND a.doc_id < b.doc_id),
+         FROM grams a JOIN grams b ON a.g5 = b.g5 AND __PAIR_COND__),
        isl AS (
          SELECT doc_a, doc_b, d, ia,
                 ia - row_number() OVER (PARTITION BY doc_a, doc_b, d
@@ -542,6 +566,14 @@ object TextQueries {
     s"""WITH $spanCtes
         SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
                CAST(a_start + d AS BIGINT) AS b_start,
+               CAST(span_len AS BIGINT) AS span_len
+        FROM spans"""
+
+  private lazy val spanDecontaminateSql =
+    s"""WITH ${spanCtesWith("a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0")}
+        SELECT doc_a AS test_id, doc_b AS train_id,
+               CAST(a_start AS BIGINT) AS test_start,
+               CAST(a_start + d AS BIGINT) AS train_start,
                CAST(span_len AS BIGINT) AS span_len
         FROM spans"""
 
@@ -748,6 +780,7 @@ object TextQueries {
     "q_decontaminate_near" -> nearContaminationSql,
     "q_span_dedup" -> spanDedupSql,
     "q_span_excise" -> spanExciseSql,
+    "q_decontaminate_span" -> spanDecontaminateSql,
     "q_token_bpe_trained" -> bpeTrainedSql,
     "q_simhash" ->
       s"""WITH $simhashCte

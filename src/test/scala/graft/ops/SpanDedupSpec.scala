@@ -91,4 +91,33 @@ class SpanDedupSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+  test("crossSpans finds an eval passage quoted mid-document and pairs " +
+    "only across corpora") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val test = Seq(1L -> s"prompt start $quote prompt end")
+    val train = Seq(
+      1L -> s"t1 t2 t3 t4 $quote t5 t6",  // equal id: different corpus, real hit
+      7L -> s"u1 $quote u2",
+      9L -> "unrelated text with nothing shared here at all ok")
+    val got = SpanDedup.crossSpans(train.toDF("doc_id", "text"),
+      test.toDF("doc_id", "text"), "doc_id", "text",
+      minTokens = 8, k = 5, w = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // 9-token quote at test pos 3..11; train 1 pos 5..13; train 7 pos 2..10
+    assert(got == Set((1L, 1L, 3L, 5L, 9L), (1L, 7L, 3L, 2L, 9L)))
+  }
+
+  test("crossSpans star cap keeps every contaminated test doc flagged") {
+    val boiler = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    val test = (1L to 6L).map(i => i -> s"q${i}a $boiler q${i}b")
+    val train = (100L to 120L).map(i => i -> s"w${i}a w${i}b $boiler")
+    val got = SpanDedup.crossSpans(train.toDF("doc_id", "text"),
+      test.toDF("doc_id", "text"), "doc_id", "text",
+      minTokens = 8, k = 5, w = 3, maxBucket = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // pair list is thinned to the hub train doc, but every test doc is
+    // still flagged with its exact span
+    assert(got.map(_._1).toSet == (1L to 6L).toSet)
+    assert(got.forall(r => r._3 == 2L && r._5 == 10L))
+  }
 }
