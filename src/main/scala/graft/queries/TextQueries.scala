@@ -247,6 +247,19 @@ object TextQueries {
         graft.ops.Bpe.countTokens(col("text"), merges).as("n_bpe_trained"))
     }),
 
+    // The token-budget cut re-based on TRAINED counts: admission in the
+    // same deterministic hash order as q_sample_budget, but weighted by
+    // the learned tokenizer — the unit a real pretraining mix budgets in.
+    "q_sample_budget_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8)
+      graft.ops.Sampling.weightBudget(
+        docs.withColumn("n_bpe",
+          graft.ops.Bpe.countTokens(col("text"), merges)),
+        Seq("lang"), col("doc_id"), col("n_bpe"), 5000L)
+        .select(col("doc_id"), col("lang"), col("n_bpe"))
+    }),
+
     // Rolling-hash document fingerprint (winnowing, as in MOSS): min hash
     // per sliding window over the k-gram hash sequence; any shared run of
     // w+k−1 tokens between two docs shares a selected hash. One scalar
@@ -463,11 +476,29 @@ object TextQueries {
     * symbols. Identical semantics rest on plain `replace` being the same
     * left-to-right non-overlapping pass in both engines, and on the
     * deterministic (count desc, left, right) argmax tie-break. */
-  private lazy val bpeTrainedSql: String = {
+  private lazy val bpeTrainedSql: String =
+    s"""WITH $bpeCtes
+       SELECT doc_id, n_bpe AS n_bpe_trained FROM nb"""
+
+  /** Token-budget cut re-based on the TRAINED counts: same deterministic
+    * hash-order admission as q_sample_budget, but weighted by the learned
+    * tokenizer instead of raw chars — the budget a real pretraining mix
+    * is actually specified in. */
+  private lazy val bpeBudgetSql: String =
+    s"""WITH $bpeCtes
+       SELECT doc_id, lang, n_bpe FROM (
+         SELECT d.doc_id, d.lang, nb.n_bpe,
+                sum(nb.n_bpe) OVER (PARTITION BY d.lang
+                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM documents d JOIN nb ON d.doc_id = nb.doc_id)
+       WHERE cum - n_bpe < 5000"""
+
+  private lazy val bpeCtes: String = {
     val D = "\u0001"
     val k = 8
     val sb = new StringBuilder
-    sb ++= s"""WITH wc AS (
+    sb ++= s"""wc AS (
          SELECT w, count(*) AS freq FROM (
            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          WHERE w <> '' GROUP BY w),
@@ -490,9 +521,9 @@ object TextQueries {
                      length(s) - length(replace(s, '$D$D', '$D')) + 1 AS toks
               FROM w$k),
        docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                FROM documents)
-       SELECT docw.doc_id, CAST(sum(wt.toks) AS BIGINT) AS n_bpe_trained
-       FROM docw JOIN wt USING (w) GROUP BY docw.doc_id"""
+                FROM documents),
+       nb AS (SELECT docw.doc_id, CAST(sum(wt.toks) AS BIGINT) AS n_bpe
+              FROM docw JOIN wt USING (w) GROUP BY docw.doc_id)"""
     sb.toString
   }
 
@@ -782,6 +813,7 @@ object TextQueries {
     "q_span_excise" -> spanExciseSql,
     "q_decontaminate_span" -> spanDecontaminateSql,
     "q_token_bpe_trained" -> bpeTrainedSql,
+    "q_sample_budget_bpe" -> bpeBudgetSql,
     "q_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM sh""",

@@ -81,7 +81,12 @@ class MaintenanceLoopSpec extends SparkSuite {
           nowMs = virtualMs, bucketMs = 60000L, horizonMs = 60000L)
         idx.compact()
         cc.compact()
-        ivf.compact()
+        // the production loop runs the monitored compact; this index has
+        // caller-provided cells and no owned quantizer, so the monitor
+        // must degrade to a plain compact (None), never measure against a
+        // quantizer the layout was not built under
+        assert(ivf.compact(
+          Some(graft.ops.IvfIndex.RecallPolicy(target = 0.9))).isEmpty)
       },
       now = () => clock,
       sleepUntil = at => clock = at,
