@@ -416,8 +416,57 @@ object TextQueries {
         .select(col("doc_id"), col("source"),
           col("frame_idx").cast("long").as("frame_idx"),
           col("t_ms"), col("lum_milli_sum"))
+    }),
+
+    // Collocation statistics: adjacent-bigram counts scored by fixed-point
+    // PMI — phrase mining over the corpus (two map-side-combined aggs +
+    // vocabulary-sized joins; the oracle replays the identical ln of
+    // integer-count ratios).
+    "q_pmi_bigrams" -> ((s, d) =>
+      graft.ops.Collocations.pmiBigrams(Tables.documents(s, d), "text")),
+
+    // Model-based classification: multinomial Naive Bayes trained on the
+    // even-doc_id split (label = lang), scoring the odd split. Fixed-point
+    // integer log-likelihoods make the distributed sum exact, so the
+    // argmax (max score, min class) is oracle-reproducible bit-for-bit.
+    "q_classify_nb" -> ((s, d) =>
+      graft.ops.NaiveBayes.classify(Tables.documents(s, d), "doc_id",
+        "text", "lang", col("doc_id") % 2 === 0)),
+
+    // DSIR importance selection: top-200 documents whose hashed-unigram
+    // distribution most resembles the lang='en' target slice.
+    "q_sample_importance" -> ((s, d) =>
+      graft.ops.Dsir.selectTopN(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en", 200)),
+
+    // BM25 top-10 relevance search for a fixed query set — integer-stat
+    // scoring snapped to fixed point, ranked (score DESC, doc_id).
+    "q_bm25_search" -> ((s, d) =>
+      graft.ops.Bm25.score(Tables.documents(s, d), "doc_id", "text",
+        bm25Queries, 10)),
+
+    // The same searches served from a PERSISTED postings index built in
+    // two batches (odd doc_ids, then even) and compacted — must be
+    // byte-identical to the one-shot q_bm25_search, so it shares that
+    // oracle SQL.
+    "q_bm25_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-idx")
+        .toFile.getAbsolutePath
+      val idx = new graft.ops.Bm25Index(s, dir, "doc_id", "text")
+      idx.add(docs.where(col("doc_id") % 2 === 1), 1L)
+      idx.add(docs.where(col("doc_id") % 2 === 0), 2L)
+      idx.compact()
+      idx.search(bm25Queries, 10)
     })
   )
+
+  /** Fixed query set for the BM25 operators — terms drawn from the corpus
+    * vocabulary; inlined identically into the oracle SQL. */
+  private val bm25Queries = Seq(
+    "qa" -> "spark hash join",
+    "qb" -> "window sort slow",
+    "qc" -> "batch merge value")
 
   private def minhashSqlExprs(n: Int): String =
     (0 until n).map(i => s"min(md5('$i:' || sh)) AS mh$i").mkString(",\n                ")
@@ -1025,6 +1074,165 @@ object TextQueries {
            GROUP BY p.doc_id, p.source, f.i)
          SELECT doc_id, source, CAST(frame_idx AS BIGINT) AS frame_idx,
                 CAST(t_ms AS BIGINT) AS t_ms, lum_milli_sum
-         FROM frames"""
+         FROM frames""",
+    // fixed-point PMI of integer count ratios — op order mirrors
+    // Collocations.pmiBigrams exactly
+    "q_pmi_bigrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         pairs AS (
+           SELECT w[i] AS w1, w[i+1] AS w2
+           FROM w, LATERAL unnest(range(1, len(w))) AS t(i)
+           WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''),
+         uni AS (
+           SELECT t AS w, count(*) AS n_w
+           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> '' GROUP BY t),
+         bi AS (SELECT w1, w2, count(*) AS n_ab FROM pairs
+                GROUP BY w1, w2 HAVING count(*) >= 5),
+         tot AS (SELECT (SELECT sum(n_w) FROM uni) AS u_total,
+                        (SELECT count(*) FROM pairs) AS b_total)
+         SELECT b.w1, b.w2, b.n_ab,
+           CAST(floor(ln(
+             (CAST(n_ab AS DOUBLE) / CAST(b_total AS DOUBLE)) /
+             ((CAST(a.n_w AS DOUBLE) / CAST(u_total AS DOUBLE))
+              * (CAST(c.n_w AS DOUBLE) / CAST(u_total AS DOUBLE))))
+             * 1000000.0 + 0.5) AS BIGINT) AS pmi_fp
+         FROM bi b
+         JOIN uni a ON a.w = b.w1
+         JOIN uni c ON c.w = b.w2
+         CROSS JOIN tot""",
+    // multinomial NB replay: same Laplace-smoothed fixed-point
+    // log-probabilities, same integer argmax (max score, min class)
+    "q_classify_nb" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, doc_id % 2 = 0 AS tr, t
+           FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+                 FROM documents)
+           WHERE t <> ''),
+         tc AS (SELECT lang AS c, t, count(*) AS tc FROM toks WHERE tr
+                GROUP BY lang, t),
+         ct AS (SELECT c, sum(tc) AS total_c FROM tc GROUP BY c),
+         v AS (SELECT count(DISTINCT t) AS v FROM tc),
+         nc AS (SELECT lang AS c, count(*) AS n_c FROM documents
+                WHERE doc_id % 2 = 0 GROUP BY lang),
+         ntot AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+         cls AS (
+           SELECT c,
+             CAST(floor(ln(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS prior_fp,
+             CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(total_c + v AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS default_fp
+           FROM nc JOIN ct USING (c) CROSS JOIN v CROSS JOIN ntot),
+         model AS (
+           SELECT c, t,
+             CAST(floor(ln(CAST(tc + 1 AS DOUBLE)
+               / CAST(total_c + v AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
+           FROM tc JOIN ct USING (c) CROSS JOIN v),
+         ttc AS (SELECT doc_id, t, count(*) AS cnt FROM toks WHERE NOT tr
+                 GROUP BY doc_id, t),
+         ll AS (
+           SELECT ttc.doc_id, cls.c,
+                  sum(cnt * coalesce(lp_fp, default_fp)) AS ll
+           FROM ttc CROSS JOIN cls
+           LEFT JOIN model ON model.t = ttc.t AND model.c = cls.c
+           GROUP BY ttc.doc_id, cls.c),
+         scored AS (
+           SELECT d.doc_id, cls.c, coalesce(ll, 0) + prior_fp AS score_fp
+           FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+           CROSS JOIN cls
+           LEFT JOIN ll ON ll.doc_id = d.doc_id AND ll.c = cls.c),
+         best AS (SELECT doc_id, max(score_fp) AS score_fp FROM scored
+                  GROUP BY doc_id),
+         pred AS (
+           SELECT s.doc_id, s.score_fp, min(s.c) AS pred
+           FROM scored s
+           JOIN best b ON b.doc_id = s.doc_id AND b.score_fp = s.score_fp
+           GROUP BY s.doc_id, s.score_fp)
+         SELECT d.doc_id, d.lang AS lang_meta, p.pred,
+                CAST(p.score_fp AS BIGINT) AS score_fp
+         FROM pred p JOIN documents d ON d.doc_id = p.doc_id""",
+    // DSIR replay: hash16 buckets (md5-nibble arithmetic), Laplace-smoothed
+    // bucket log-ratios as fixed point, integer weight sum, top-200
+    "q_sample_importance" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(md5(t),$i,1)) <= 57" +
+          s" THEN ascii(substr(md5(t),$i,1)) - 48" +
+          s" ELSE ascii(substr(md5(t),$i,1)) - 87 END)"
+      s"""WITH toks AS (
+           SELECT doc_id, lang = 'en' AS tgt, t
+           FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+                 FROM documents)
+           WHERE t <> ''),
+         hashed AS (
+           SELECT doc_id, tgt,
+             ${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS b
+           FROM toks),
+         tc AS (SELECT b, count(*) AS ct FROM hashed WHERE tgt GROUP BY b),
+         rc AS (SELECT b, count(*) AS cr FROM hashed GROUP BY b),
+         tot AS (SELECT (SELECT count(*) FROM hashed WHERE tgt) AS tt,
+                        (SELECT count(*) FROM hashed) AS tr),
+         lr AS (
+           SELECT rc.b,
+             CAST(floor(ln(
+               (CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+                / CAST(tt + 65536 AS DOUBLE))
+               / (CAST(cr + 1 AS DOUBLE) / CAST(tr + 65536 AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lr_fp
+           FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tot),
+         perdoc AS (SELECT doc_id, b, count(*) AS cnt FROM hashed
+                    GROUP BY doc_id, b),
+         wt AS (SELECT doc_id, sum(cnt * lr_fp) AS weight_fp
+                FROM perdoc JOIN lr USING (b) GROUP BY doc_id)
+         SELECT doc_id, CAST(weight_fp AS BIGINT) AS weight_fp
+         FROM wt ORDER BY weight_fp DESC, doc_id LIMIT 200"""
+    },
+    "q_bm25_search" -> bm25Sql,
+    // the persisted-index search must reproduce the one-shot result
+    // byte-for-byte over the same accumulated corpus
+    "q_bm25_index" -> bm25Sql
   )
+
+  /** Shared BM25 oracle: per-(term,doc) fixed-point contributions
+    * ([[graft.ops.Bm25.bm25ContribSql]] mirrors the Scala op order),
+    * integer score sum, rank by (score DESC, doc_id). */
+  private lazy val bm25Sql: String = {
+    val values = bm25Queries
+      .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    s"""WITH toks AS (
+         SELECT doc_id, t
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents)
+         WHERE t <> ''),
+       tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+       dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                        (SELECT count(*) FROM toks) AS n_toks),
+       dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       qt AS (
+         SELECT DISTINCT qid, t FROM (
+           SELECT qid, unnest(string_split(qtext, ' ')) AS t
+           FROM (VALUES $values) AS q(qid, qtext))
+         WHERE t <> ''),
+       contrib AS (
+         SELECT qt.qid, tf.doc_id,
+           ${graft.ops.Bm25.bm25ContribSql("tf.tf", "dl.dl", "dfreq.df",
+             "n_docs", "n_toks")} AS c_fp
+         FROM qt
+         JOIN tf ON tf.t = qt.t
+         JOIN dl ON dl.doc_id = tf.doc_id
+         JOIN dfreq ON dfreq.t = qt.t
+         CROSS JOIN stats),
+       scores AS (SELECT qid, doc_id, sum(c_fp) AS score_fp FROM contrib
+                  GROUP BY qid, doc_id),
+       ranked AS (
+         SELECT qid, doc_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY score_fp DESC, doc_id) AS "rank",
+                score_fp
+         FROM scores)
+       SELECT qid, doc_id, CAST("rank" AS BIGINT) AS "rank",
+              CAST(score_fp AS BIGINT) AS score_fp
+       FROM ranked WHERE "rank" <= 10"""
+  }
 }
