@@ -107,8 +107,9 @@ object StreamBench {
         // contamination (exact-fingerprint anti-join against the held-out
         // benchmark set), feed survivors through the persisted LSH pair
         // index into the cluster index, and append their embeddings into
-        // the persisted IVF — the production wiring for "filter, dedup,
-        // and make searchable as data arrives"
+        // the persisted IVF and their tokens into the persisted BM25
+        // postings — the production wiring for "filter, dedup, and make
+        // searchable (ANN + full-text) as data arrives"
         val docs = graft.core.Tables.documents(spark, sfDir)
         val nd = docs.count()
         val docsTopic = tmp.resolve("docs").toString // staged by the stage above
@@ -126,6 +127,8 @@ object StreamBench {
         val ivf = new graft.ops.IvfIndex(spark,
           tmp.resolve("ivf").toString, "doc_id", "embedding")
         val cents = ivf.centroids(emb, k = 16, iters = 2)
+        val bm25 = new graft.ops.Bm25Index(spark,
+          tmp.resolve("bm25").toString, "doc_id", "text")
         timedRows("curate_pipeline_docs_per_s", nd) {
           spark.readStream.format("graft-topic").option("path", docsTopic).load()
             .select(col("key").cast("long").as("doc_id"),
@@ -141,6 +144,7 @@ object StreamBench {
                 ivf.add(kept.join(emb, "doc_id")
                   .select(col("doc_id"), col("embedding")),
                   graft.ops.KMeans.assignExpr(col("embedding"), cents))
+                bm25.add(kept, ord = e)
               } finally { kept.unpersist(); () }
             }
             .option("checkpointLocation", tmp.resolve("cp5").toString).start()

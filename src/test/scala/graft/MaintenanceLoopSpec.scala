@@ -67,6 +67,16 @@ class MaintenanceLoopSpec extends SparkSuite {
     ivf.add(emb.where(col("vec_id") % 2 === 0), col("label"))
     ivf.add(emb.where(col("vec_id") % 2 === 1), col("label"))
 
+    // a BM25 postings index with per-batch term-partition files
+    val bmDir = Files.createTempDirectory("loop-bm25").toFile.getAbsolutePath
+    val bmDocs = Seq((1L, "spark join fast"), (2L, "spark scan slow"),
+      (3L, "join scan merge")).toDF("doc_id", "text")
+    val bm = new graft.ops.Bm25Index(spark, bmDir, "doc_id", "text")
+    bm.add(bmDocs.where(col("doc_id") <= 2), ord = 1L)
+    bm.add(bmDocs.where(col("doc_id") === 3), ord = 2L)
+    val bmQs = Seq("q" -> "spark join")
+    val bmBefore = bm.search(bmQs, 3).collect().toSet
+
     Thread.sleep(1500) // "cold" expires; "dead"'s tombstone horizon passes
 
     // ONE driver loop under virtual time: fire at minute m ⇒ nowMs = m·60s
@@ -81,6 +91,7 @@ class MaintenanceLoopSpec extends SparkSuite {
           nowMs = virtualMs, bucketMs = 60000L, horizonMs = 60000L)
         idx.compact()
         cc.compact()
+        bm.compact()
         // the production loop runs the monitored compact; this index has
         // caller-provided cells and no owned quantizer, so the monitor
         // must degrade to a plain compact (None), never measure against a
@@ -148,5 +159,16 @@ class MaintenanceLoopSpec extends SparkSuite {
     assert(ivf.search(queries, array(col("label")), k = 3).count() ==
       graft.ops.Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
         "label", 3).count())
+
+    // BM25 postings: one file per term partition, searches unchanged
+    val bmGen = new File(bmDir, Files.readString(
+      new File(bmDir, "_current").toPath).trim)
+    val bmParts = new File(bmGen, "postings").listFiles()
+      .filter(_.getName.startsWith("tp="))
+    assert(bmParts.nonEmpty && bmParts.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "BM25 postings not compacted under the loop")
+    assert(bm.search(bmQs, 3).collect().toSet == bmBefore,
+      "compaction under the loop changed BM25 scores")
   }
 }

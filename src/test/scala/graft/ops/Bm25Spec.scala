@@ -63,6 +63,36 @@ class Bm25Spec extends SparkSuite {
     assert(perPart.nonEmpty && perPart.forall(_ == 1))
   }
 
+  test("streamed ingest (foreachBatch, epoch = ord) equals one-shot search") {
+    val topic = java.nio.file.Files.createTempDirectory("bm25-topic")
+      .toFile.getAbsolutePath
+    val cp = java.nio.file.Files.createTempDirectory("bm25-cp")
+      .toFile.getAbsolutePath
+    val dir = java.nio.file.Files.createTempDirectory("bm25-sidx").toFile
+    val idx = new Bm25Index(spark, dir.getAbsolutePath, "id", "text")
+    def writeDocs(pred: org.apache.spark.sql.Column): Unit =
+      corpus.where(pred)
+        .select(col("id").cast("string").as("key"), col("text").as("value"))
+        .write.format("graft-topic").mode("append").option("path", topic)
+        .save()
+    val q = spark.readStream.format("graft-topic").option("path", topic)
+      .load()
+      .select(col("key").cast("long").as("id"), col("value").as("text"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, epochId: Long) =>
+        idx.add(b, ord = epochId)
+      }
+      .option("checkpointLocation", cp)
+      .start()
+    writeDocs(col("id") <= 3); q.processAllAvailable()
+    writeDocs(col("id") > 3); q.processAllAvailable()
+    q.stop()
+    val oneShot = Bm25.score(corpus, "id", "text", qs, 10).collect().toSet
+    assert(idx.search(qs, 10).collect().toSet == oneShot)
+    idx.compact()
+    assert(idx.search(qs, 10).collect().toSet == oneShot)
+  }
+
   test("empty-index search fails loudly instead of returning nothing") {
     val dir = java.nio.file.Files.createTempDirectory("bm25empty").toFile
     val idx = new Bm25Index(spark, dir.getAbsolutePath, "id", "text")

@@ -226,4 +226,36 @@ class PlanAuditSpec extends SparkSuite {
       s"graft.<topic> SQL must plan the DSv2 topic scan:\n$p")
     assert(p.contains("ColumnarToRow"), "catalog reads keep the columnar path")
   }
+
+  test("BM25 top-k runs as a group-limited window, never a full per-query sort") {
+    val p = plan("q_bm25_search")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must push a running top-k heap below the window:\n$p")
+    // corpus stats (one row) and the query terms ride in as broadcasts
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, "stats/query side must broadcast")
+  }
+
+  test("DSIR selection is TakeOrderedAndProject over a broadcast ratio table") {
+    val p = plan("q_sample_importance")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-n weights must never globally sort the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 65536-row bucket log-ratio table must broadcast onto the corpus")
+  }
+
+  test("PMI is pure hash aggregation: no window, no cartesian corpus join") {
+    val p = plan("q_pmi_bigrams")
+    assert(!p.contains("Window"), "PMI must not use window functions")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "bigram/unigram counts must map-side combine")
+    assert(!p.contains("CartesianProduct(condition"),
+      "only the one-row totals may cross join")
+  }
+
+  test("NB inference joins the model as a broadcast, corpus shuffled on keys only") {
+    val p = plan("q_classify_nb")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      "the vocabulary-sized model must broadcast onto the corpus tokens")
+  }
 }
