@@ -77,4 +77,25 @@ object Sampling {
       .where(col("__cum") - weight < budget) // strictly-before sum fits
       .drop("__cum")
   }
+
+  /** Corpus MIXING: per-stratum weight budgets (the DoReMi/Pile-style
+    * domain-reweighting step — "this training mix is 60% web, 20% code,
+    * 20% books" expressed as token budgets per domain). Same fill-until-
+    * full semantics as [[weightBudget]], with the budget looked up per
+    * stratum; a stratum absent from `budgets` contributes nothing (budget
+    * 0 still admits no row because the first row's strictly-before sum is
+    * 0 < 0 = false). One window shuffle, like every stratified variant. */
+  def mixtureBudget(df: DataFrame, stratum: String, key: Column,
+                    weight: Column, budgets: Map[String, Long]): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(hashOf(key), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (s, b)) =>
+        when(col(stratum) === s, lit(b)).otherwise(acc)
+      }
+    df.withColumn("__cum", sum(weight).over(w))
+      .where(col("__cum") - weight < budget)
+      .drop("__cum")
+  }
 }

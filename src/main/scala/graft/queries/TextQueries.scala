@@ -458,7 +458,32 @@ object TextQueries {
       idx.add(docs.where(col("doc_id") % 2 === 0), 2L)
       idx.compact()
       idx.search(bm25Queries, 10)
-    })
+    }),
+
+    // Incremental EXACT dedup against a persisted fingerprint index: the
+    // corpus arrives in two batches (odd doc_ids, then even); the keeper
+    // per distinct content is the first arrival (earliest batch, smallest
+    // id) — the oracle replays that total order with a window.
+    "q_dedup_exact_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-exact-idx")
+        .toFile.getAbsolutePath
+      val idx = new graft.ops.ExactDedupIndex(s, dir, "doc_id", "text")
+      idx.addAndDedup(docs.where(col("doc_id") % 2 === 1), ord = 1L)
+      idx.addAndDedup(docs.where(col("doc_id") % 2 === 0), ord = 2L)
+      idx.compact()
+      idx.keepers()
+    }),
+
+    // Corpus MIXING: per-language char budgets (the domain-reweighting
+    // step of training-mix assembly) — fill each language's quota in
+    // deterministic hash order.
+    "q_sample_mixture" -> ((s, d) =>
+      graft.ops.Sampling.mixtureBudget(Tables.documents(s, d), "lang",
+        col("doc_id"), col("n_chars"),
+        Map("en" -> 20000L, "de" -> 5000L, "es" -> 5000L, "fr" -> 5000L,
+          "zh" -> 5000L))
+        .select(col("doc_id"), col("lang"), col("n_chars")))
   )
 
   /** Fixed query set for the BM25 operators — terms drawn from the corpus
@@ -1190,7 +1215,32 @@ object TextQueries {
     "q_bm25_search" -> bm25Sql,
     // the persisted-index search must reproduce the one-shot result
     // byte-for-byte over the same accumulated corpus
-    "q_bm25_index" -> bm25Sql
+    "q_bm25_index" -> bm25Sql,
+    // first-arrival keeper order: batch 1 = odd doc_ids, batch 2 = even;
+    // fingerprint mirrors q_fingerprint's md5 normalization
+    "q_dedup_exact_incremental" ->
+      """WITH fps AS (
+           SELECT doc_id,
+                  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+                  CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS ord
+           FROM documents),
+         ranked AS (
+           SELECT fp, doc_id,
+                  row_number() OVER (PARTITION BY fp ORDER BY ord, doc_id)
+                    AS rn
+           FROM fps)
+         SELECT fp AS content_hash, doc_id AS keeper_id
+         FROM ranked WHERE rn = 1""",
+    "q_sample_mixture" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+                  sum(n_chars) OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM documents)
+         WHERE cum - n_chars < (CASE lang WHEN 'en' THEN 20000
+           WHEN 'de' THEN 5000 WHEN 'es' THEN 5000 WHEN 'fr' THEN 5000
+           WHEN 'zh' THEN 5000 ELSE 0 END)"""
   )
 
   /** Shared BM25 oracle: per-(term,doc) fixed-point contributions

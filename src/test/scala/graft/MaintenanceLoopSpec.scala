@@ -67,6 +67,15 @@ class MaintenanceLoopSpec extends SparkSuite {
     ivf.add(emb.where(col("vec_id") % 2 === 0), col("label"))
     ivf.add(emb.where(col("vec_id") % 2 === 1), col("label"))
 
+    // an exact-dedup fingerprint index with per-batch partition files
+    val exDir = Files.createTempDirectory("loop-exact").toFile.getAbsolutePath
+    val ex = new graft.ops.ExactDedupIndex(spark, exDir, "doc_id", "text")
+    ex.addAndDedup(Seq((1L, "same text"), (2L, "other")).toDF("doc_id", "text"),
+      ord = 1L)
+    ex.addAndDedup(Seq((3L, "same text"), (4L, "third")).toDF("doc_id", "text"),
+      ord = 2L)
+    val exBefore = ex.keepers().as[(String, Long)].collect().toSet
+
     // a BM25 postings index with per-batch term-partition files
     val bmDir = Files.createTempDirectory("loop-bm25").toFile.getAbsolutePath
     val bmDocs = Seq((1L, "spark join fast"), (2L, "spark scan slow"),
@@ -92,6 +101,7 @@ class MaintenanceLoopSpec extends SparkSuite {
         idx.compact()
         cc.compact()
         bm.compact()
+        ex.compact()
         // the production loop runs the monitored compact; this index has
         // caller-provided cells and no owned quantizer, so the monitor
         // must degrade to a plain compact (None), never measure against a
@@ -170,5 +180,15 @@ class MaintenanceLoopSpec extends SparkSuite {
       "BM25 postings not compacted under the loop")
     assert(bm.search(bmQs, 3).collect().toSet == bmBefore,
       "compaction under the loop changed BM25 scores")
+
+    // exact-dedup fingerprints: keepers unchanged, one file per partition
+    assert(ex.keepers().as[(String, Long)].collect().toSet == exBefore,
+      "compaction under the loop changed exact-dedup keepers")
+    assert(exBefore.map(_._2) == Set(1L, 2L, 4L)) // 3 deduped against 1
+    val exGen = new File(ex.currentGenerationPath.get)
+    val exParts = exGen.listFiles().filter(_.getName.startsWith("fpp="))
+    assert(exParts.nonEmpty && exParts.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "exact-dedup postings not compacted under the loop")
   }
 }

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Persisted exact-dedup fingerprint index: first-arrival keeper order,
+  * batch-split invariance of the keeper SET, replay convergence, and
+  * compaction. */
+class ExactDedupIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ids 1-3 share content "dup one", 4-5 share "dup two", 6-7 unique;
+  // fingerprint normalizes whitespace/case so 1 ≡ 2 ≡ 3 despite casing
+  private def corpus = Seq(
+    (1L, "dup one"), (2L, "Dup  One"), (3L, "dup one "),
+    (4L, "dup two"), (5L, "DUP TWO"),
+    (6L, "unique alpha"), (7L, "unique beta")
+  ).toDF("id", "text")
+
+  private def newIdx() = new ExactDedupIndex(spark,
+    java.nio.file.Files.createTempDirectory("exidx").toFile.getAbsolutePath,
+    "id", "text")
+
+  test("keeper is the first arrival: earliest batch, then smallest id") {
+    val idx = newIdx()
+    // batch 1 carries ids 2,4,6 — so content "dup one" is first seen as 2
+    val n1 = idx.addAndDedup(corpus.where(col("id").isin(2L, 4L, 6L)), 1L)
+    assert(n1.select("id").as[Long].collect().toSet == Set(2L, 4L, 6L))
+    val n2 = idx.addAndDedup(corpus.where(!col("id").isin(2L, 4L, 6L)), 2L)
+    // batch 2's 1,3 (dup of 2) and 5 (dup of 4) are NOT novel
+    assert(n2.select("id").as[Long].collect().toSet == Set(7L))
+    val keep = idx.keepers().select("keeper_id").as[Long].collect().toSet
+    assert(keep == Set(2L, 4L, 6L, 7L))
+  }
+
+  test("within a batch, duplicate content keeps the smallest id") {
+    val idx = newIdx()
+    idx.addAndDedup(corpus, 1L)
+    assert(idx.keepers().select("keeper_id").as[Long].collect().toSet ==
+      Set(1L, 4L, 6L, 7L))
+  }
+
+  test("replaying a batch under the same ord leaves the store unchanged") {
+    val idx = newIdx()
+    idx.addAndDedup(corpus.where(col("id") <= 4), 1L)
+    val before = idx.keepers().collect().toSet
+    // crashed-append replay: everything already stored drops out
+    val replay = idx.addAndDedup(corpus.where(col("id") <= 4), 1L)
+    assert(replay.isEmpty)
+    assert(idx.keepers().collect().toSet == before)
+  }
+
+  test("compact rewrites one file per partition, keepers unchanged") {
+    val idx = newIdx()
+    idx.addAndDedup(corpus.where(col("id") % 2 === 1), 1L)
+    idx.addAndDedup(corpus.where(col("id") % 2 === 0), 2L)
+    val before = idx.keepers().collect().toSet
+    idx.compact()
+    assert(idx.keepers().collect().toSet == before)
+    val gen = new java.io.File(idx.currentGenerationPath.get)
+    val parts = gen.listFiles().filter(_.getName.startsWith("fpp="))
+    assert(parts.nonEmpty && parts.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    // appends keep working against the compacted generation
+    val n = idx.addAndDedup(Seq((9L, "dup one"), (10L, "brand new"))
+      .toDF("id", "text"), 3L)
+    assert(n.select("id").as[Long].collect().toSet == Set(10L))
+  }
+
+  test("empty-index keepers fails loudly instead of returning nothing") {
+    intercept[IllegalStateException](newIdx().keepers())
+  }
+}

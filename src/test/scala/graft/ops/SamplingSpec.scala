@@ -72,4 +72,32 @@ class SamplingSpec extends SparkSuite {
       col("id"), col("weight"), 1000L).select("id").as[Long].collect().toSet
     assert(again == out.select("id").as[Long].collect().toSet)
   }
+
+  test("mixtureBudget fills each stratum to ITS budget; unlisted strata drop") {
+    val budgets = Map("lang0" -> 2000L, "lang1" -> 500L) // lang2 unlisted
+    val out = Sampling.mixtureBudget(corpus, "lang", col("id"),
+      col("weight"), budgets)
+    val byLang = out.groupBy("lang")
+      .agg(sum("weight").as[Long], count(lit(1)))
+      .as[(String, Long, Long)].collect()
+      .map { case (l, t, n) => l -> (t, n) }.toMap
+    assert(!byLang.contains("lang2"), "unlisted stratum must contribute 0")
+    assert(byLang("lang0")._1 - 1000L > byLang("lang1")._1,
+      "the 4x budget admits visibly more weight")
+    // fill-until-full: total < budget + one overshooting row (max w = 156)
+    assert(byLang("lang0")._1 - 2000L < 157L)
+    assert(byLang("lang1")._1 - 500L < 157L)
+    // per-stratum selection equals the single-budget op at that budget —
+    // mixing is exactly "weightBudget with a per-domain quota"
+    val lang1Only = Sampling.weightBudget(corpus.where(col("lang") === "lang1"),
+      Seq("lang"), col("id"), col("weight"), 500L)
+      .select("id").as[Long].collect().toSet
+    assert(out.where(col("lang") === "lang1")
+      .select("id").as[Long].collect().toSet == lang1Only)
+    // determinism under repartitioning
+    val again = Sampling.mixtureBudget(corpus.repartition(9), "lang",
+      col("id"), col("weight"), budgets)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
 }
