@@ -475,6 +475,13 @@ object TextQueries {
       idx.keepers()
     }),
 
+    // LM perplexity filtering (the CCNet/KenLM slot): a bigram LM trained
+    // on the lang='en' slice scores every document's token transitions;
+    // keep = integer cross-multiplied mean-log-prob threshold.
+    "q_perplexity_filter" -> ((s, d) =>
+      graft.ops.NgramLm.perplexityFilter(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en", thresholdMilliNat = -3400L)),
+
     // Corpus MIXING: per-language char budgets (the domain-reweighting
     // step of training-mix assembly) — fill each language's quota in
     // deterministic hash order.
@@ -1231,6 +1238,51 @@ object TextQueries {
            FROM fps)
          SELECT fp AS content_hash, doc_id AS keeper_id
          FROM ranked WHERE rn = 1""",
+    // bigram-LM replay: Laplace-smoothed fixed-point transition log-probs
+    // (seen bigram → ctx default → unseen-context 1/V), integer ll sum,
+    // integer cross-multiplied keep threshold (−3.4 nats/transition)
+    "q_perplexity_filter" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                    FROM documents),
+         pairs AS (
+           SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+           FROM w, LATERAL unnest(range(1, len(w))) AS t(i)
+           WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''),
+         bi AS (SELECT w1, w2, count(*) AS c_ab FROM pairs
+                WHERE lang = 'en' GROUP BY w1, w2),
+         uni AS (
+           SELECT t AS w, count(*) AS c_a
+           FROM (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents WHERE lang = 'en')
+           WHERE t <> '' GROUP BY t),
+         v AS (SELECT count(*) AS v FROM uni),
+         model AS (
+           SELECT w1, w2,
+             CAST(floor(ln(CAST(c_ab + 1 AS DOUBLE)
+               / CAST(c_a + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               AS lp_fp
+           FROM bi JOIN (SELECT w AS w1, c_a FROM uni) u USING (w1)
+           CROSS JOIN v),
+         ctxd AS (
+           SELECT w AS w1,
+             CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(c_a + v AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS ctx_fp
+           FROM uni CROSS JOIN v),
+         gd AS (
+           SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(v AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS glob_fp FROM v),
+         sc AS (
+           SELECT p.doc_id, count(*) AS n_trans,
+                  sum(coalesce(lp_fp, ctx_fp, glob_fp)) AS ll_fp
+           FROM pairs p
+           LEFT JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
+           LEFT JOIN ctxd c ON c.w1 = p.w1
+           CROSS JOIN gd
+           GROUP BY p.doc_id)
+         SELECT d.doc_id, CAST(coalesce(n_trans, 0) AS BIGINT) AS n_trans,
+                CAST(coalesce(ll_fp, 0) AS BIGINT) AS ll_fp,
+                coalesce(ll_fp, 0) >= -3400000 * coalesce(n_trans, 0) AS keep
+         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
     "q_sample_mixture" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars,

@@ -93,6 +93,52 @@ class CorpusModelsSpec extends SparkSuite {
     assert(top(10)._1 == 41L)
   }
 
+  test("NgramLm keeps fluent-under-the-model docs, drops unseen-transition docs") {
+    // target (ids 1-4): only "a b" transitions; vocab {a,b}
+    val docs = Seq(
+      (1L, true, "a b a b a b"), (2L, true, "a b a b"),
+      (3L, true, "a b"), (4L, true, "a b a b a b a b"),
+      (5L, false, "a b a b"),   // fluent probe: all seen bigrams
+      (6L, false, "b a b a"),   // "b a" seen (inside target runs)
+      (7L, false, "z z z z"),   // unseen vocab: every transition 1/V
+      (8L, false, "x")          // no transitions: kept by definition
+    ).toDF("id", "tgt", "text")
+    val out = NgramLm.perplexityFilter(docs, "id", "text", col("tgt"),
+      thresholdMilliNat = -1500L)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // target counts: c(a)=9? no — tokens: doc1 a,b ×3; doc2 ×2; doc3 ×1;
+    // doc4 ×4 → c(a)=10, c(b)=10, V=2; c(a,b)=10, c(b,a)=6
+    // P(b|a)=(10+1)/(10+2)=11/12 → ln≈-0.087 ⇒ doc 5 mean ≈ -0.5 > -1.5
+    assert(out(5L)._4, "fluent doc must pass")
+    assert(out(6L)._4, "seen reverse transitions must pass")
+    // doc 7: unseen context → ln(1/2)≈-0.693 per transition > -1.5: passes
+    // at this loose threshold; tighten to see it fail
+    val strict = NgramLm.perplexityFilter(docs, "id", "text", col("tgt"),
+      thresholdMilliNat = -400L)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(strict(5L)._4 && !strict(7L)._4,
+      "threshold must separate in-domain from unseen-vocab text")
+    assert(out(8L)._4 && out(8L)._2 == 0L && out(8L)._3 == 0L,
+      "transition-free doc is kept with zero stats")
+    // hand-check doc 5: 3 transitions a→b,b→a,a→b
+    val expected = 2 * fp(math.log(11.0 / 12.0)) + fp(math.log(7.0 / 12.0))
+    assert(out(5L)._3 == expected)
+  }
+
+  test("NgramLm scores are exact under repartitioning") {
+    val docs = (1 to 300).map { i =>
+      (i.toLong, i % 3 == 0, (0 to i % 11).map(j => s"w${(i + j) % 13}")
+        .mkString(" "))
+    }.toDF("id", "tgt", "text")
+    val a = NgramLm.perplexityFilter(docs, "id", "text", col("tgt"), -3000L)
+      .collect().toSet
+    val b = NgramLm.perplexityFilter(docs.repartition(17), "id", "text",
+      col("tgt"), -3000L).collect().toSet
+    assert(a == b && a.size == 300)
+  }
+
   test("Dsir weights are exact under repartitioning") {
     val docs = (1 to 300).map { i =>
       (i.toLong, i % 4 == 0, (0 to i % 9).map(j => s"w${(i * j) % 17}")

@@ -258,4 +258,12 @@ class PlanAuditSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
       "the vocabulary-sized model must broadcast onto the corpus tokens")
   }
+
+  test("LM scoring broadcasts the bigram model onto the corpus pair stream") {
+    val p = plan("q_perplexity_filter")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "bigram model AND context defaults must broadcast")
+    assert(!p.contains("CartesianProduct(condition"),
+      "only one-row scalars may cross join")
+  }
 }
