@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch term frequencies — bounded-memory frequency estimation
+  * for corpora whose vocabulary does not fit anywhere (URLs, n-grams,
+  * entity mentions at 100 TB): d×w integer cells replace an unbounded
+  * term dictionary, at the cost of one-sided overcounting.
+  *
+  * Reference analog: per-topic rate/stats aggregation keeps bounded
+  * counters instead of per-message state (pulsar-broker/.../stats/); HLL
+  * distinct-count parity already exists (`q_approx_distinct`) — this adds
+  * the frequency-sketch sibling.
+  *
+  * '''Determinism contract.''' Row hashes are md5-nibble arithmetic
+  * (seeded `md5(r ‖ ':' ‖ term)`, first two hex chars → bucket 0..w−1), so
+  * both engines place every token in identical cells; all cells and
+  * estimates are exact integer aggregations. The classic CMS guarantee is
+  * kept as data: `est ≥ exact` for every term (one-sided error), checkable
+  * row-by-row by the oracle.
+  *
+  * '''Scale shape.''' The sketch is a groupBy over (row, bucket) — d·w
+  * cells regardless of corpus size, map-side combined. Estimation joins
+  * the (broadcast, d·w-row) sketch back onto whatever terms are being
+  * queried; no unbounded state anywhere.
+  */
+object Sketches {
+
+  /** Bucket 0..255 for sketch row `r`: first two md5 hex nibbles of the
+    * seeded term — ascii arithmetic only, mirrored in SQL. */
+  private def bucket(r: Int, term: Column): Column = {
+    val h = md5(concat(lit(s"$r:"), term))
+    def nib(i: Int): Column = {
+      val a = ascii(substring(h, i, 1))
+      when(a <= 57, a - 48).otherwise(a - 87)
+    }
+    nib(1) * 16 + nib(2)
+  }
+
+  /** CMS estimate vs exact count for every distinct token in the corpus:
+    * (term, exact_n, cms_est, admissible). `admissible` must be true for
+    * every row — the one-sided CMS error bound as a hard invariant. */
+  def cmsTermCounts(docs: DataFrame, textCol: String,
+                    depth: Int = 4): DataFrame = {
+    val toks = docs.select(explode(tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+    // d hashed copies of the token stream → d·256 cells, map-side combined
+    val cells = toks
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("t")).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cell"))
+    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
+    // estimate = min over rows of the term's cell — join the broadcast
+    // sketch onto the queried terms
+    val est = exact.select(col("t"))
+      .select(col("t"), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("t")).as("b"))): _*)).as("rb"))
+      .select(col("t"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("t")).agg(min(col("cell")).as("cms_est"))
+    exact.join(est, "t")
+      .select(col("t").as("term"), col("exact_n"), col("cms_est"),
+        (col("cms_est") >= col("exact_n")).as("admissible"))
+  }
+}

@@ -475,6 +475,12 @@ object TextQueries {
       idx.keepers()
     }),
 
+    // Count-min sketch term frequencies: d×256 bounded cells estimate
+    // every term's count; the one-sided CMS guarantee (est ≥ exact) is
+    // emitted as data and hash-checked per term.
+    "q_cms_counts" -> ((s, d) =>
+      graft.ops.Sketches.cmsTermCounts(Tables.documents(s, d), "text")),
+
     // LM perplexity filtering (the CCNet/KenLM slot): a bigram LM trained
     // on the lang='en' slice scores every document's token transitions;
     // keep = integer cross-multiplied mean-log-prob threshold.
@@ -1238,6 +1244,31 @@ object TextQueries {
            FROM fps)
          SELECT fp AS content_hash, doc_id AS keeper_id
          FROM ranked WHERE rn = 1""",
+    // CMS replay: seeded md5-nibble buckets, d=4 rows × 256 cells, min
+    // over rows — all integer aggregation
+    "q_cms_counts" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+          s" THEN ascii(substr(h,$i,1)) - 48" +
+          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+      s"""WITH toks AS (
+           SELECT t
+           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> ''),
+         hashed AS (
+           SELECT t, r, ${nib(1)} * 16 + ${nib(2)} AS b
+           FROM (SELECT t, r, md5(CAST(r AS VARCHAR) || ':' || t) AS h
+                 FROM toks, LATERAL unnest([0, 1, 2, 3]) AS rr(r))),
+         cells AS (SELECT r, b, count(*) AS cell FROM hashed GROUP BY r, b),
+         exact AS (SELECT t, count(*) AS exact_n FROM toks GROUP BY t),
+         terms AS (SELECT DISTINCT t, r, b FROM hashed),
+         est AS (
+           SELECT t, min(cell) AS cms_est
+           FROM terms JOIN cells USING (r, b) GROUP BY t)
+         SELECT t AS term, exact_n, cms_est, cms_est >= exact_n AS admissible
+         FROM exact JOIN est USING (t)"""
+    },
+
     // bigram-LM replay: Laplace-smoothed fixed-point transition log-probs
     // (seen bigram → ctx default → unseen-context 1/V), integer ll sum,
     // integer cross-multiplied keep threshold (−3.4 nats/transition)

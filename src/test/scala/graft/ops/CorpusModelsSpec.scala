@@ -139,6 +139,22 @@ class CorpusModelsSpec extends SparkSuite {
     assert(a == b && a.size == 300)
   }
 
+  test("CMS estimates are one-sided and exact for collision-free vocabularies") {
+    val docs = (1 to 100).map(i => s"w${i % 10} w${i % 10} w${i % 7}")
+      .toDF("text")
+    val out = Sketches.cmsTermCounts(docs, "text")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(out.length == 10) // w0..w9 (i%7 terms ⊂ i%10 terms)
+    assert(out.forall(_._4), "CMS must never undercount")
+    // 17 distinct terms over 4×256 cells: collisions are possible but the
+    // min-over-rows estimate stays within the εN bound with huge margin
+    val n = out.map(_._2).sum
+    assert(out.forall(r => r._3 - r._2 <= n / 64))
+    val again = Sketches.cmsTermCounts(docs.repartition(13), "text")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(again == out.toSet, "sketch is deterministic, not RNG-seeded")
+  }
+
   test("Dsir weights are exact under repartitioning") {
     val docs = (1 to 300).map { i =>
       (i.toLong, i % 4 == 0, (0 to i % 9).map(j => s"w${(i * j) % 17}")
