@@ -78,6 +78,41 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** 52-bit integer from the first 13 md5 hex chars — per-nibble ascii
+    * arithmetic (no hex parse), so DuckDB reproduces it digit for digit. */
+  private def hex52(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    def nib(i: Int): Column = {
+      val a = ascii(substring(h, i, 1))
+      when(a <= 57, a - 48).otherwise(a - 87)
+    }
+    (1 to 13).map(i => nib(i).cast("long") * lit(1L << (4 * (13 - i))))
+      .reduce(_ + _)
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * per-stratum top-k by the key u^(1/w) — equivalently ln(u)/w — with u a
+    * deterministic md5-derived uniform instead of an RNG. Rows are selected
+    * with probability proportional to `weight` (e.g. quality score), yet
+    * the same corpus always selects the same rows ([[hashFraction]]'s
+    * reproducibility trade). The ES key is snapped to a fixed-point BIGINT
+    * (nano-nat resolution) so ordering is integer-exact on both engines;
+    * ties break by the key column. One window shuffle, WindowGroupLimit
+    * keeps per-partition heaps instead of full sorts. */
+  def weightedTopK(df: DataFrame, strata: Seq[String], key: Column,
+                   weight: Column, k: Int): DataFrame = {
+    // u = (hex52+1)/2^52 ∈ (0,1]; key_fp = floor(ln(u)/w · 1e9)
+    val u = (hex52(key) + lit(1L)).cast("double") /
+      lit(4503599627370496.0)
+    val esFp = floor(log(u) / weight.cast("double") * lit(1.0e9))
+      .cast("long")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(col("__es").desc, key)
+    df.withColumn("__es", esFp)
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k).drop("__es", "__rank")
+  }
+
   /** Corpus MIXING: per-stratum weight budgets (the DoReMi/Pile-style
     * domain-reweighting step — "this training mix is 60% web, 20% code,
     * 20% books" expressed as token budgets per domain). Same fill-until-

@@ -475,6 +475,14 @@ object TextQueries {
       idx.keepers()
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis with
+    // md5-derived uniforms): 50 docs per language, selection probability
+    // proportional to n_chars — deterministic, replay-stable.
+    "q_sample_weighted" -> ((s, d) =>
+      graft.ops.Sampling.weightedTopK(Tables.documents(s, d), Seq("lang"),
+        col("doc_id"), col("n_chars"), 50)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
     // Count-min sketch term frequencies: d×256 bounded cells estimate
     // every term's count; the one-sided CMS guarantee (est ≥ exact) is
     // emitted as data and hash-checked per term.
@@ -1244,6 +1252,33 @@ object TextQueries {
            FROM fps)
          SELECT fp AS content_hash, doc_id AS keeper_id
          FROM ranked WHERE rn = 1""",
+    // A-ES replay: 52-bit md5 uniform via nibble arithmetic, fixed-point
+    // ln(u)/w key, per-language top-50
+    "q_sample_weighted" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+          s" THEN ascii(substr(h,$i,1)) - 48" +
+          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+      val hv = (1 to 13)
+        .map(i => s"CAST(${nib(i)} AS BIGINT) * ${1L << (4 * (13 - i))}")
+        .mkString(" + ")
+      s"""WITH b AS (
+           SELECT doc_id, lang, n_chars,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         es AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(floor(ln(CAST(($hv) + 1 AS DOUBLE) / 4503599627370496.0)
+               / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT) AS es_fp
+           FROM b)
+         SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY es_fp DESC, doc_id) AS rn
+           FROM es)
+         WHERE rn <= 50"""
+    },
+
     // CMS replay: seeded md5-nibble buckets, d=4 rows × 256 cells, min
     // over rows — all integer aggregation
     "q_cms_counts" -> {

@@ -73,6 +73,29 @@ class SamplingSpec extends SparkSuite {
     assert(again == out.select("id").as[Long].collect().toSet)
   }
 
+  test("weightedTopK selects proportionally to weight, deterministically") {
+    // two weight classes: ids 1-200 weight 1, ids 201-400 weight 20 —
+    // A-ES must overrepresent the heavy class in a k=100 sample
+    val df = ((1 to 200).map(i => (i.toLong, "s", 1L)) ++
+      (201 to 400).map(i => (i.toLong, "s", 20L))).toDF("id", "lang", "w")
+    val out = Sampling.weightedTopK(df, Seq("lang"), col("id"), col("w"), 100)
+      .select("id").as[Long].collect().toSet
+    assert(out.size == 100)
+    val heavy = out.count(_ > 200)
+    assert(heavy > 75, s"weight-20 rows must dominate, got $heavy/100")
+    // determinism under repartitioning — no RNG anywhere
+    val again = Sampling.weightedTopK(df.repartition(9), Seq("lang"),
+      col("id"), col("w"), 100).select("id").as[Long].collect().toSet
+    assert(again == out)
+    // per-stratum cap holds and small strata are kept whole
+    val multi = ((1 to 50).map(i => (i.toLong, s"l${i % 2}", 5L)) ++
+      Seq((99L, "tiny", 1L))).toDF("id", "lang", "w")
+    val sizes = Sampling.weightedTopK(multi, Seq("lang"), col("id"),
+      col("w"), 10).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes("l0") == 10 && sizes("l1") == 10 && sizes("tiny") == 1)
+  }
+
   test("mixtureBudget fills each stratum to ITS budget; unlisted strata drop") {
     val budgets = Map("lang0" -> 2000L, "lang1" -> 500L) // lang2 unlisted
     val out = Sampling.mixtureBudget(corpus, "lang", col("id"),
