@@ -65,4 +65,28 @@ object Sketches {
       .select(col("t").as("term"), col("exact_n"), col("cms_est"),
         (col("cms_est") >= col("exact_n")).as("admissible"))
   }
+
+  /** Heavy hitters with the sketch's one-sided recall guarantee: every term
+    * whose CMS estimate reaches a 1/k share of the token stream. Because
+    * `est ≥ exact`, the candidate set PROVABLY contains every true heavy
+    * hitter (`is_heavy` marks them) — the sketch can only over-admit,
+    * never miss. All comparisons are integer cross-multiplies, so both
+    * engines agree bit-for-bit.
+    *
+    * Scale shape: the candidate filter runs over the d·256-cell sketch
+    * join, not the corpus — at 100 TB the only corpus-sized work is the
+    * same two map-side-combined aggregations `cmsTermCounts` already pays.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int,
+                   depth: Int = 4): DataFrame = {
+    val scored = cmsTermCounts(docs, textCol, depth)
+    val total = docs
+      .select(explode(tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .agg(count(lit(1)).as("n_total"))
+    scored.crossJoin(broadcast(total))
+      .where(col("cms_est") * k >= col("n_total"))
+      .select(col("term"), col("exact_n"), col("cms_est"), col("n_total"),
+        (col("exact_n") * k >= col("n_total")).as("is_heavy"))
+  }
 }

@@ -504,7 +504,42 @@ object TextQueries {
         col("doc_id"), col("n_chars"),
         Map("en" -> 20000L, "de" -> 5000L, "es" -> 5000L, "fr" -> 5000L,
           "zh" -> 5000L))
-        .select(col("doc_id"), col("lang"), col("n_chars")))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // Bloom membership prefilter in front of the exact-dedup index: a
+    // mixed ingest batch (re-ingested corpus docs + genuinely novel ones)
+    // probes a broadcast bits-only summary; bloom_hit itself is
+    // hash-checked, and the no-false-negative guarantee rides along as
+    // the per-row `admissible` invariant.
+    "q_bloom_prefilter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")))
+      graft.ops.Bloom.prefilterDedup(batch, docs, "doc_id", "text")
+    }),
+
+    // Deterministic epoch shuffle: deal the corpus into 8 shards with a
+    // dense in-shard position, entirely from md5(seed:id) — the
+    // reproducible-training-order step of corpus assembly.
+    "q_shard_epoch" -> ((s, d) =>
+      graft.ops.Shards.epochShuffle(Tables.documents(s, d), "doc_id",
+        seed = 42L, nShards = 8)),
+
+    // Deterministic train/val/test assignment: hash-bucket mod 100 split
+    // by cumulative percentage — a pure projection, growth-stable.
+    "q_split_assign" -> ((s, d) =>
+      graft.ops.Shards.splitAssign(Tables.documents(s, d), "doc_id",
+        seed = 7L, Seq(("train", 90), ("val", 5), ("test", 5)))),
+
+    // CMS heavy hitters: every term whose sketch estimate reaches a 1/50
+    // token share — one-sided recall (can over-admit, never miss), with
+    // ground truth emitted per row as `is_heavy`.
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
+        k = 50))
   )
 
   /** Fixed query set for the BM25 operators — terms drawn from the corpus
@@ -1358,7 +1393,119 @@ object TextQueries {
            FROM documents)
          WHERE cum - n_chars < (CASE lang WHEN 'en' THEN 20000
            WHEN 'de' THEN 5000 WHEN 'es' THEN 5000 WHEN 'fr' THEN 5000
-           WHEN 'zh' THEN 5000 ELSE 0 END)"""
+           WHEN 'zh' THEN 5000 ELSE 0 END)""",
+
+    // bloom replay: per-row md5-nibble bit indices (m=4096, k=2 rows),
+    // bloom_hit ⇔ all probed bits set; present = exact membership; the
+    // classic no-false-negative guarantee checked per row as `admissible`
+    "q_bloom_prefilter" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+          s" THEN ascii(substr(h,$i,1)) - 48" +
+          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+      val bit = s"${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)}"
+      s"""WITH idx AS (
+           SELECT DISTINCT
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         batch AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+           FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 100000,
+             md5(lower(regexp_replace(trim(text || ' v2'), '\\s+', ' ', 'g')))
+           FROM documents WHERE doc_id % 7 = 0),
+         ib AS (
+           SELECT DISTINCT r, $bit AS bit
+           FROM (SELECT r, md5(CAST(r AS VARCHAR) || ':' || fp) AS h
+                 FROM idx, LATERAL unnest([0, 1]) AS rr(r))),
+         pb AS (
+           SELECT doc_id, fp, r, $bit AS bit
+           FROM (SELECT doc_id, fp, r,
+                        md5(CAST(r AS VARCHAR) || ':' || fp) AS h
+                 FROM batch, LATERAL unnest([0, 1]) AS rr(r))),
+         hit AS (
+           SELECT p.doc_id, p.fp,
+             count(*) = sum(CASE WHEN i.r IS NOT NULL THEN 1 ELSE 0 END)
+               AS bloom_hit
+           FROM pb p LEFT JOIN ib i ON i.r = p.r AND i.bit = p.bit
+           GROUP BY p.doc_id, p.fp),
+         truth AS (
+           SELECT b.doc_id, b.fp, (i.fp IS NOT NULL) AS present
+           FROM batch b LEFT JOIN idx i ON i.fp = b.fp)
+         SELECT h.doc_id, h.fp, h.bloom_hit, t.present,
+                (h.bloom_hit OR NOT t.present) AS admissible
+         FROM hit h JOIN truth t ON t.doc_id = h.doc_id AND t.fp = h.fp"""
+    },
+
+    // epoch-shuffle replay: first-8-nibble md5 value, shard = mod 8, pos =
+    // rank of the full digest within the shard (total order via doc_id)
+    "q_shard_epoch" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+          s" THEN ascii(substr(h,$i,1)) - 48" +
+          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+      val hv = (1 to 8)
+        .map(i => s"CAST(${nib(i)} AS BIGINT) * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH b AS (
+           SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         v AS (SELECT doc_id, h, ($hv) % 8 AS shard FROM b)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                CAST(row_number() OVER (PARTITION BY shard
+                  ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         FROM v"""
+    },
+
+    // split replay: hash bucket mod 100, cumulative-percentage CASE
+    "q_split_assign" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+          s" THEN ascii(substr(h,$i,1)) - 48" +
+          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+      val hv = (1 to 8)
+        .map(i => s"CAST(${nib(i)} AS BIGINT) * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, ($hv) % 100 AS bucket
+               FROM (SELECT doc_id,
+                            md5('7:' || CAST(doc_id AS VARCHAR)) AS h
+                     FROM documents))"""
+    },
+
+    // heavy-hitter replay: the q_cms_counts sketch + stream total; the
+    // candidate filter is the sketch-side integer cross-multiply, ground
+    // truth emitted as is_heavy
+    "q_heavy_hitters" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+          s" THEN ascii(substr(h,$i,1)) - 48" +
+          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+      s"""WITH toks AS (
+           SELECT t
+           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> ''),
+         hashed AS (
+           SELECT t, r, ${nib(1)} * 16 + ${nib(2)} AS b
+           FROM (SELECT t, r, md5(CAST(r AS VARCHAR) || ':' || t) AS h
+                 FROM toks, LATERAL unnest([0, 1, 2, 3]) AS rr(r))),
+         cells AS (SELECT r, b, count(*) AS cell FROM hashed GROUP BY r, b),
+         exact AS (SELECT t, count(*) AS exact_n FROM toks GROUP BY t),
+         terms AS (SELECT DISTINCT t, r, b FROM hashed),
+         est AS (
+           SELECT t, min(cell) AS cms_est
+           FROM terms JOIN cells USING (r, b) GROUP BY t),
+         tot AS (SELECT count(*) AS n_total FROM toks)
+         SELECT t AS term, exact_n, cms_est, n_total,
+                exact_n * 50 >= n_total AS is_heavy
+         FROM exact JOIN est USING (t) CROSS JOIN tot
+         WHERE cms_est * 50 >= n_total"""
+    }
   )
 
   /** Shared BM25 oracle: per-(term,doc) fixed-point contributions
