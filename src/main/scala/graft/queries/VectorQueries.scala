@@ -185,7 +185,20 @@ object VectorQueries {
     "q_embed_dedup" -> ((s, d) => {
       Similarity.cosineDedup(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", threshold = 0.35)
-    })
+    }),
+
+    // SemDeDup ε-groups: members of each semantic near-dup cluster labeled
+    // with the group's smallest id (blocked by the coarse cluster column,
+    // closed with the alternating-star CC — never all-pairs global).
+    "q_semdedup_clusters" -> ((s, d) =>
+      graft.ops.SemDedup.clusters(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", tau = 0.33)),
+
+    // The semantically pruned corpus: one keeper per ε-group survives.
+    "q_semdedup_corpus" -> ((s, d) =>
+      graft.ops.SemDedup.prune(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", tau = 0.33)
+        .select(col("vec_id"), col("label")))
   )
 
   /** Dot products in the oracle are computed positionally in double via a
@@ -309,8 +322,48 @@ object VectorQueries {
             AND dp / (sqrt(nq) * sqrt(nt)) >= 0.35""",
     "q_ann_ivf" -> ivfTopKSql,
     // the persisted-index build must land on EXACTLY the one-shot result
-    "q_ann_ivf_incremental" -> ivfTopKSql
+    "q_ann_ivf_incremental" -> ivfTopKSql,
+    // SemDeDup replay: within-label cosine pairs at τ=0.33, transitive
+    // closure via recursive CTE, component = min reachable id
+    "q_semdedup_clusters" ->
+      s"""WITH RECURSIVE $semPairsCtes,
+          reach(a, b) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+          SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a""",
+    "q_semdedup_corpus" ->
+      s"""WITH RECURSIVE $semPairsCtes,
+          reach(a, b) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+          cc AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a)
+          SELECT v.vec_id, v.label
+          FROM embeddings v
+          LEFT JOIN cc ON cc.vec_id = v.vec_id
+          WHERE cc.vec_id IS NULL OR cc.component = v.vec_id"""
   )
+
+  /** Shared ε-pair CTEs for the SemDeDup oracles — same double-accumulation
+    * dot products as [[cosineCte]], within-label blocking, τ = 0.33. */
+  private lazy val semPairsCtes =
+    """e AS (SELECT vec_id, label, embedding FROM embeddings),
+       dots AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+                sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+                sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+         FROM e a
+         JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id,
+         LATERAL unnest(range(1, 65)) AS t(i)
+         GROUP BY a.vec_id, b.vec_id),
+       pairs AS (
+         SELECT id_a, id_b FROM dots
+         WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.33),
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM pairs
+         UNION SELECT id_b, id_a FROM pairs)"""
 
   /** Single-probe IVF top-3 — the oracle for BOTH the one-shot `q_ann_ivf`
     * and the persisted-index `q_ann_ivf_incremental` (building the index in
