@@ -133,4 +133,34 @@ object Sampling {
       .where(col("__cum") - weight < budget)
       .drop("__cum")
   }
+
+  /** Temperature-based domain reweighting (the multilingual-LM α-sampling
+    * rule, e.g. XLM-R's exponent: domain d gets share w_d^α / Σ w^α of the
+    * output, α < 1 up-sampling small domains). α is fixed at 1/2 — the
+    * common working point — because `sqrt` is IEEE-correctly-rounded on
+    * every engine, so the whole quota computation (fixed-point sqrt,
+    * integer sum, integer division) is bit-reproducible where a general
+    * `pow` is not. Selection within a domain is the deterministic hash
+    * order of [[stratifiedTopK]].
+    *
+    * Returns the selected rows with the domain's `quota` attached. Scale
+    * shape: the domain-weight frame is domains-sized (tiny — aggregated
+    * map-side, broadcast back), so the corpus pays one map-side-combined
+    * aggregate and the one stratified-window shuffle. */
+  def temperatureTopK(df: DataFrame, domainCol: String, key: Column,
+                      weight: Column, totalRows: Long): DataFrame = {
+    require(totalRows > 0, s"totalRows $totalRows must be positive")
+    val scaled = df.groupBy(col(domainCol)).agg(sum(weight).as("__w"))
+      .withColumn("__s",
+        floor(sqrt(col("__w").cast("double")) * 1.0e6).cast("long"))
+    val tot = scaled.agg(sum(col("__s")).as("__stot"))
+    val quota = scaled.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"($totalRows * __s) DIV __stot"))
+      .select(col(domainCol), col("quota"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(hashOf(key), key)
+    df.join(broadcast(quota), Seq(domainCol))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= col("quota"))
+      .drop("__rank")
+  }
 }

@@ -539,7 +539,36 @@ object TextQueries {
     // ground truth emitted per row as `is_heavy`.
     "q_heavy_hitters" -> ((s, d) =>
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
-        k = 50))
+        k = 50)),
+
+    // Gopher-rule battery: per-document booleans for word-count bounds,
+    // mean-word-length bounds, dup-token ceiling, stop-word presence —
+    // all integer cross-multiplies, thresholds tuned to discriminate on
+    // this corpus (30 ≤ words, mean len ≤ 5, dup ≤ 3/5, ≥ 2 stopwords).
+    "q_quality_gopher" -> ((s, d) =>
+      graft.ops.GopherQuality.battery(Tables.documents(s, d), "doc_id",
+        "text", minWords = 30L, maxMeanLen = 5L,
+        maxDupNum = 3L, maxDupDen = 5L)),
+
+    // Temperature-based domain reweighting (α = 1/2): each source's quota
+    // is its sqrt-share of a 100-doc output, selection in hash order.
+    "q_sample_temperature" -> ((s, d) =>
+      graft.ops.Sampling.temperatureTopK(Tables.documents(s, d), "source",
+        col("doc_id"), col("n_chars"), totalRows = 100L)
+        .select(col("doc_id"), col("source"), col("quota"))),
+
+    // Corpus snapshot diff: old = ids not divisible by 4, new = ids not
+    // divisible by 5 with every ninth document edited — every status
+    // (added/removed/modified/unchanged) is exercised.
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.where(col("doc_id") % 4 =!= 0)
+      val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 9 === 0, concat(col("text"), lit(" edit")))
+            .otherwise(col("text")))
+      graft.ops.CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
+    })
   )
 
   /** Fixed query set for the BM25 operators — terms drawn from the corpus
@@ -1505,7 +1534,77 @@ object TextQueries {
                 exact_n * 50 >= n_total AS is_heavy
          FROM exact JOIN est USING (t) CROSS JOIN tot
          WHERE cms_est * 50 >= n_total"""
-    }
+    },
+
+    // Gopher-battery replay: the same per-document token statistics via
+    // list folds, every ratio rule an integer cross-multiply
+    "q_quality_gopher" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_word_len,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len(list_intersect(list_distinct(toks),
+               ['the', 'a', 'of', 'to', 'and'])) AS BIGINT) AS stop_hits
+           FROM t)
+         SELECT doc_id, n_words, sum_word_len, n_distinct, stop_hits,
+                words_ok, wlen_ok, dup_ok, stop_ok,
+                words_ok AND wlen_ok AND dup_ok AND stop_ok AS keep
+         FROM (
+           SELECT *,
+             n_words >= 30 AND n_words <= 100000 AS words_ok,
+             3 * n_words <= sum_word_len AND sum_word_len <= 5 * n_words
+               AS wlen_ok,
+             (n_words - n_distinct) * 5 <= 3 * n_words AS dup_ok,
+             stop_hits >= 2 AS stop_ok
+           FROM m)""",
+
+    // temperature replay: fixed-point sqrt of per-source char mass,
+    // integer share of a 100-doc budget, hash-order selection
+    "q_sample_temperature" ->
+      """WITH w AS (SELECT source, sum(n_chars) AS wd FROM documents
+                    GROUP BY source),
+         sc AS (
+           SELECT source,
+             CAST(floor(sqrt(CAST(wd AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS sd
+           FROM w),
+         tot AS (SELECT CAST(sum(sd) AS BIGINT) AS stot FROM sc),
+         q AS (
+           SELECT source, CAST((100 * sd) // stot AS BIGINT) AS quota
+           FROM sc CROSS JOIN tot),
+         r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         SELECT r.doc_id, r.source, q.quota
+         FROM r JOIN q USING (source) WHERE r.rn <= q.quota""",
+
+    // diff replay: both snapshots reduced to (id, fingerprint), full outer
+    // join on id, four-way CASE
+    "q_corpus_diff" ->
+      """WITH olds AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents WHERE doc_id % 4 <> 0),
+         news AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(
+               CASE WHEN doc_id % 9 = 0 THEN text || ' edit' ELSE text END),
+               '\s+', ' ', 'g'))) AS fp
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.fp IS NULL THEN 'added'
+                     WHEN n.fp IS NULL THEN 'removed'
+                     WHEN o.fp = n.fp THEN 'unchanged'
+                     ELSE 'modified' END AS status
+         FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id"""
   )
 
   /** Shared BM25 oracle: per-(term,doc) fixed-point contributions
