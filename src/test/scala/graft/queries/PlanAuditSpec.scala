@@ -185,6 +185,50 @@ class PlanAuditSpec extends SparkSuite {
     assert(n == 1, s"expected 1 exchange (shard window), got $n")
   }
 
+  test("gopher battery stays in the scan stage: no exchange, no explode") {
+    val p = plan("q_quality_gopher")
+    assert(!p.contains("Exchange"),
+      s"rule battery is scalar array folds, must not shuffle:\n$p")
+    assert(!p.contains("Generate"),
+      s"token statistics must fold over the array, not explode it:\n$p")
+  }
+
+  test("split assignment is a pure projection: no exchange anywhere") {
+    val p = plan("q_split_assign")
+    assert(!p.contains("Exchange"),
+      s"hash-bucket split must not shuffle:\n$p")
+  }
+
+  test("epoch shuffle pays exactly its one window shuffle on 32-byte keys") {
+    val p = plan("q_shard_epoch")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 exchange (shard window), got $n:\n$p")
+    assert(!p.toLowerCase.contains("text"),
+      s"the sort key is the digest — document payloads must not be read:\n$p")
+  }
+
+  test("bloom prefilter joins only broadcasts; the batch is never shuffled for bits") {
+    val p = plan("q_bloom_prefilter")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"bits and truth joins must broadcast the index side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join in the prefilter path:\n$p")
+  }
+
+  test("temperature sampling broadcasts the quota table onto the corpus") {
+    val p = plan("q_sample_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the domains-sized quota frame must broadcast:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 3, s"corpus side should pay the domain agg + one window, got $n:\n$p")
+  }
+
+  test("corpus diff shuffles fingerprints, never document payloads") {
+    val p = plan("q_corpus_diff")
+    assert(!p.toLowerCase.contains("struct<text"),
+      s"only (id, fp) may cross the exchange:\n$p")
+  }
+
   test("repetition signals stay in the scan stage: no exchange, no explode") {
     val p = plan("q_quality_repetition")
     assert(!p.contains("Exchange"),
