@@ -80,10 +80,9 @@ object Sketches {
   def heavyHitters(docs: DataFrame, textCol: String, k: Int,
                    depth: Int = 4): DataFrame = {
     val scored = cmsTermCounts(docs, textCol, depth)
-    val total = docs
-      .select(explode(tokens(col(textCol))).as("t"))
-      .where(col("t") =!= "")
-      .agg(count(lit(1)).as("n_total"))
+    // the stream total is the sum of the per-term exact counts — derived
+    // from the terms-sized frame, NOT a third corpus scan
+    val total = scored.agg(sum(col("exact_n")).as("n_total"))
     scored.crossJoin(broadcast(total))
       .where(col("cms_est") * k >= col("n_total"))
       .select(col("term"), col("exact_n"), col("cms_est"), col("n_total"),
