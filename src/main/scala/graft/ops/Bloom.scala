@@ -50,6 +50,25 @@ object Bloom {
       .distinct()
   }
 
+  /** `probes` (must carry a `keyCol` column) extended with a `bloom_hit`
+    * boolean: true ⇔ every one of the key's k bits is set in `bloomBits`
+    * ((r, bit) rows, broadcast). Grouping keys = all probe columns, so the
+    * frame keeps its shape. */
+  def withHits(probes: DataFrame, keyCol: String, bloomBits: DataFrame,
+               k: Int): DataFrame = {
+    val keep = probes.columns.map(col)
+    probes
+      .select(keep :+ explode(array((0 until k).map(r =>
+        struct(lit(r).as("r"), bitIdx(r, col(keyCol)).as("bit"))): _*))
+        .as("rb"): _*)
+      .select(keep :+ col("rb.r").as("r") :+ col("rb.bit").as("bit"): _*)
+      .join(broadcast(bloomBits.select(col("r"), col("bit"))
+        .withColumn("set", lit(true))), Seq("r", "bit"), "left")
+      .groupBy(keep: _*)
+      .agg((count(lit(1)) === sum(when(col("set"), 1L).otherwise(0L)))
+        .as("bloom_hit"))
+  }
+
   /** Probe `batch` content fingerprints against a bloom built over
     * `index` fingerprints: one row per batch document with the filter's
     * verdict, the exact truth, and the no-false-negative invariant.
@@ -63,18 +82,8 @@ object Bloom {
     val idxFps = index.select(fingerprint(col(textCol)).as("fp")).distinct()
     val bloomBits = bits(idxFps, k)
     val probes = batch.select(col(idCol), fingerprint(col(textCol)).as("fp"))
-    val probeBits = probes
-      .select(col(idCol), col("fp"), explode(array((0 until k).map(r =>
-        struct(lit(r).as("r"), bitIdx(r, col("fp")).as("bit"))): _*)).as("rb"))
-      .select(col(idCol), col("fp"),
-        col("rb.r").as("r"), col("rb.bit").as("bit"))
     // bloom_hit ⇔ every one of the k probed bits is set
-    val hits = probeBits
-      .join(broadcast(bloomBits.withColumn("set", lit(true))),
-        Seq("r", "bit"), "left")
-      .groupBy(col(idCol), col("fp"))
-      .agg((count(lit(1)) === sum(when(col("set"), 1L).otherwise(0L)))
-        .as("bloom_hit"))
+    val hits = withHits(probes, "fp", bloomBits, k)
     // ground truth — at scale this join runs ONLY for bloom_hit rows; it is
     // computed for all rows here so the invariant is checkable per row
     val truth = probes

@@ -39,24 +39,65 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
 
   private def fpp = concat(lit("p"), substring(col("fp"), 1, 1))
 
+  /** Bloom rows per hash row — 2×4096 bits caps the summary at 8 KB of
+    * (r, bit) rows regardless of store size. */
+  private val BloomK = 2
+
+  private def bloomDir(gen: File) = new File(gen, "_bloom")
+
   /** Probe + append one batch. Returns the batch rows that were NEW
     * (first occurrence of their content across all batches so far) as
-    * (id, fp). Duplicate content within the batch keeps the smallest id. */
-  def addAndDedup(batch: DataFrame, ord: Long): DataFrame = {
+    * (id, fp). Duplicate content within the batch keeps the smallest id.
+    *
+    * With `bloom = true`, a persisted bits-only summary of the store
+    * (`_bloom/` beside the partitions — hidden from the main scan by the
+    * underscore) screens the batch first: bloom MISSES are proven novel
+    * and skip the store entirely; only hits pay the partition-pruned
+    * anti-join. Bits are appended BEFORE rows, so a crash between the two
+    * writes can only leave the filter over-admitting (safe — the exact
+    * join still runs for hits), never missing a stored fingerprint. The
+    * summary is bits-only: at 100 TB the common case (a mostly-novel
+    * batch) reads kilobytes instead of scanning postings. */
+  def addAndDedup(batch: DataFrame, ord: Long,
+                  bloom: Boolean = false): DataFrame = {
     val gen = gens.liveOrCreate()
     val fps = batch
       .select(col(idCol), fingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
-    val novel = gens.readLive(spark,
-      f => f.isDirectory && f.getName.startsWith("fpp=")) match {
-      case None => fps
-      case Some(stored) =>
-        // the batch's fingerprint prefixes, collected (bounded: ≤16 hex
+    val stored = gens.readLive(spark,
+      f => f.isDirectory && f.getName.startsWith("fpp="))
+    def antiJoin(probes: DataFrame): DataFrame = stored match {
+      case None => probes
+      case Some(st) =>
+        // the probes' fingerprint prefixes, collected (bounded: ≤16 hex
         // chars) to drive static partition pruning of the store scan
-        val touched = fps.select(substring(col("fp"), 1, 1))
+        val touched = probes.select(substring(col("fp"), 1, 1))
           .distinct().collect().map(r => "p" + r.getString(0))
-        fps.join(stored.where(col("fpp").isin(touched.toSeq: _*))
+        if (touched.isEmpty) probes
+        else probes.join(st.where(col("fpp").isin(touched.toSeq: _*))
           .select(col("fp")), Seq("fp"), "left_anti")
+    }
+    val haveBits = bloomDir(gen).exists()
+    // NOT persisted: caching would register the plan with the CacheManager,
+    // and this call's own appends then recacheByPath it with a REFRESHED
+    // file listing — the probe must keep its pre-append snapshot (an
+    // un-cached LogicalRelation pins the listing taken at read creation)
+    val novel = if (bloom && stored.isDefined && haveBits) {
+      val bits = spark.read.parquet(bloomDir(gen).getAbsolutePath).distinct()
+      val verdicts = Bloom.withHits(fps, "fp", bits, BloomK)
+      val proven = verdicts.where(!col("bloom_hit")).drop("bloom_hit")
+      proven.unionAll(antiJoin(
+        verdicts.where(col("bloom_hit")).drop("bloom_hit")))
+    } else antiJoin(fps)
+    if (bloom) {
+      // bits must cover EVERY stored fingerprint or false negatives
+      // would re-append stored content: a store populated before bloom
+      // was enabled gets a one-time full backfill
+      val bitsSrc =
+        if (haveBits || stored.isEmpty) novel.select(col("fp"))
+        else stored.get.select(col("fp")).unionAll(novel.select(col("fp")))
+      Bloom.bits(bitsSrc, BloomK)
+        .write.mode("append").parquet(bloomDir(gen).getAbsolutePath)
     }
     novel.withColumn("ord", lit(ord)).withColumn("fpp", fpp)
       .write.mode("append").partitionBy("fpp")
@@ -91,6 +132,12 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
       .repartition(col("fpp"))
       .write.mode("overwrite").partitionBy("fpp")
       .parquet(next.getAbsolutePath)
+    // a bloom-maintained store gets fresh (minimal) bits in the new
+    // generation, written before the pointer swap makes it live
+    if (bloomDir(cur).exists())
+      Bloom.bits(spark.read.parquet(next.getAbsolutePath).select(col("fp")),
+          BloomK)
+        .write.mode("overwrite").parquet(bloomDir(next).getAbsolutePath)
     gens.swapPointer(next.getName)
     gens.reapExcept(Set(next.getName, cur.getName))
   }

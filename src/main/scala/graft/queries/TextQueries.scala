@@ -469,8 +469,10 @@ object TextQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft-exact-idx")
         .toFile.getAbsolutePath
       val idx = new graft.ops.ExactDedupIndex(s, dir, "doc_id", "text")
-      idx.addAndDedup(docs.where(col("doc_id") % 2 === 1), ord = 1L)
-      idx.addAndDedup(docs.where(col("doc_id") % 2 === 0), ord = 2L)
+      idx.addAndDedup(docs.where(col("doc_id") % 2 === 1), ord = 1L,
+        bloom = true)
+      idx.addAndDedup(docs.where(col("doc_id") % 2 === 0), ord = 2L,
+        bloom = true)
       idx.compact()
       idx.keepers()
     }),

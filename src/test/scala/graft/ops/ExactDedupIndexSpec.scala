@@ -70,4 +70,41 @@ class ExactDedupIndexSpec extends SparkSuite {
   test("empty-index keepers fails loudly instead of returning nothing") {
     intercept[IllegalStateException](newIdx().keepers())
   }
+
+  test("bloom path returns exactly what the plain path returns") {
+    val plain = newIdx(); val fast = newIdx()
+    for ((idx, bloom) <- Seq((plain, false), (fast, true))) {
+      idx.addAndDedup(corpus.where(col("id").isin(2L, 4L, 6L)), 1L, bloom)
+      idx.addAndDedup(corpus.where(!col("id").isin(2L, 4L, 6L)), 2L, bloom)
+    }
+    assert(fast.keepers().collect().toSet == plain.keepers().collect().toSet)
+    // replay convergence holds on the bloom path too
+    val replay = fast.addAndDedup(corpus, 2L, bloom = true)
+    assert(replay.isEmpty)
+  }
+
+  test("bloom bits backfill when enabled on a store populated without them") {
+    val idx = newIdx()
+    idx.addAndDedup(corpus.where(col("id") <= 5), 1L) // no bloom: no bits
+    // first bloom call must backfill bits over the WHOLE store, or stored
+    // content would read as novel on the next call
+    idx.addAndDedup(corpus.where(col("id") === 6L), 2L, bloom = true)
+    val n = idx.addAndDedup(corpus, 3L, bloom = true)
+    assert(n.select("id").as[Long].collect().toSet == Set(7L))
+    assert(idx.keepers().select("keeper_id").as[Long].collect().toSet ==
+      Set(1L, 4L, 6L, 7L))
+  }
+
+  test("compact rewrites minimal bits; bloom appends keep working after") {
+    val idx = newIdx()
+    idx.addAndDedup(corpus.where(col("id") % 2 === 1), 1L, bloom = true)
+    idx.addAndDedup(corpus.where(col("id") % 2 === 0), 2L, bloom = true)
+    idx.compact()
+    val gen = new java.io.File(idx.currentGenerationPath.get)
+    assert(new java.io.File(gen, "_bloom").exists(),
+      "compact must carry bits into the new generation")
+    val n = idx.addAndDedup(Seq((9L, "dup one"), (10L, "brand new"))
+      .toDF("id", "text"), 3L, bloom = true)
+    assert(n.select("id").as[Long].collect().toSet == Set(10L))
+  }
 }
