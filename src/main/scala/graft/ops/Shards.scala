@@ -54,6 +54,20 @@ object Shards {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Materialize one epoch: `shard=NNN/` directories, each holding its
+    * documents physically ordered by [[epochShuffle]] position — a training
+    * reader streams each shard file sequentially and sees the dealt order,
+    * no shuffle buffer needed. One extra id-join puts payloads back on the
+    * (id, shard, pos) deal; `partitionBy` splits directories while
+    * `sortWithinPartitions` fixes the row order inside each file. Re-runs
+    * (any cluster size) produce identical shard contents and order. */
+  def writeEpoch(df: DataFrame, idCol: String, seed: Long, nShards: Int,
+                 outDir: String): Unit =
+    df.join(epochShuffle(df, idCol, seed, nShards), Seq(idCol))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Deterministic train/val/test assignment: bucket = first-8-nibble hash
     * mod 100, split by cumulative percentage. `splits` are (name, pct) in
     * bucket order; pcts must sum to 100. A pure projection — no shuffle, no

@@ -570,7 +570,14 @@ object TextQueries {
           when(col("doc_id") % 9 === 0, concat(col("text"), lit(" edit")))
             .otherwise(col("text")))
       graft.ops.CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
-    })
+    }),
+
+    // Corpus data card: per-source doc/token/char totals, size extremes,
+    // and the Gopher-battery pass count — one map-side-combined rollup.
+    "q_corpus_report" -> ((s, d) =>
+      graft.ops.CorpusReport.dataCard(Tables.documents(s, d), "doc_id",
+        "text", "n_chars", "source", minWords = 30L, maxMeanLen = 5L,
+        maxDupNum = 3L, maxDupDen = 5L))
   )
 
   /** Fixed query set for the BM25 operators — terms drawn from the corpus
@@ -1606,7 +1613,38 @@ object TextQueries {
                      WHEN n.fp IS NULL THEN 'removed'
                      WHEN o.fp = n.fp THEN 'unchanged'
                      ELSE 'modified' END AS status
-         FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id"""
+         FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id""",
+
+    // data-card replay: the gopher statistics via list folds, keep = the
+    // same four cross-multiplied rules, one integer rollup per source
+    "q_corpus_report" ->
+      """WITH t AS (
+           SELECT doc_id, source, n_chars,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, source, n_chars,
+             CAST(len(toks) AS BIGINT) AS ntok,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS swl,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+             CAST(len(list_intersect(list_distinct(toks),
+               ['the', 'a', 'of', 'to', 'and'])) AS BIGINT) AS sh
+           FROM t),
+         k AS (
+           SELECT doc_id, source, n_chars, ntok,
+             (ntok >= 30 AND ntok <= 100000)
+               AND (3 * ntok <= swl AND swl <= 5 * ntok)
+               AND ((ntok - nd) * 5 <= 3 * ntok)
+               AND (sh >= 2) AS keep
+           FROM m)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_quality_pass
+         FROM k GROUP BY source"""
   )
 
   /** Shared BM25 oracle: per-(term,doc) fixed-point contributions

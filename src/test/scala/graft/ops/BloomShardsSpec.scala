@@ -63,6 +63,24 @@ class BloomShardsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("writeEpoch materializes shard dirs with rows physically in deal order") {
+    val out = java.nio.file.Files.createTempDirectory("epoch").toFile
+      .getAbsolutePath
+    Shards.writeEpoch(docs, "doc_id", seed = 5L, nShards = 4, out)
+    val deal = Shards.epochShuffle(docs, "doc_id", 5L, 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._2).map { case (s, rows) =>
+        s -> rows.sortBy(_._3).map(_._1).toSeq }
+    for (s <- 0 until 4) {
+      // a shard dir holds ONE file whose physical row order IS the deal
+      val dir = new java.io.File(out, s"shard=$s")
+      assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+      val rows = spark.read.parquet(dir.getAbsolutePath)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(rows == deal(s.toLong), s"shard $s order mismatch")
+    }
+  }
+
   test("splitAssign: pure projection, growth-stable, percentages honored") {
     val out = Shards.splitAssign(docs, "doc_id", seed = 9L,
       Seq(("train", 90), ("val", 5), ("test", 5))).cache()

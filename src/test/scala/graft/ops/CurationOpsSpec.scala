@@ -53,6 +53,20 @@ class CurationOpsSpec extends SparkSuite {
     assert(again == out.select("id").as[Long].collect().toSet)
   }
 
+  test("dataCard rolls up counts, extremes, and quality passes per slice") {
+    val docs = Seq(
+      (1L, "s1", "the quick brown fox jumps over a lazy dog today", 48L),
+      (2L, "s1", "ok", 2L),                       // fails minWords
+      (3L, "s2", "a small dog and the old cat walk to town now", 44L)
+    ).toDF("doc_id", "source", "text", "n_chars")
+    val card = CorpusReport.dataCard(docs, "doc_id", "text", "n_chars",
+      "source", minWords = 5L, maxMeanLen = 10L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(card("s1") == (("s1", 2L, 11L, 50L, 2L, 48L, 1L)))
+    assert(card("s2") == (("s2", 1L, 11L, 44L, 44L, 44L, 1L)))
+  }
+
   test("corpus diff classifies added/removed/modified/unchanged") {
     val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
