@@ -82,6 +82,63 @@ class EndToEndPipelineSpec extends SparkSuite {
     assert(orphans.isEmpty)
   }
 
+  test("corpus assembly end-to-end: gopher → bloom dedup → semdedup → mix → split → shards → card") {
+    import graft.ops._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+    // 1. Gopher rule gate (thresholds loose enough to keep a majority)
+    val gated = docs.join(GopherQuality.battery(docs, "doc_id", "text",
+        minWords = 10L, maxMeanLen = 6L, maxDupNum = 4L, maxDupDen = 5L)
+      .where(col("keep")).select("doc_id"), Seq("doc_id"))
+    val gatedN = gated.count()
+    assert(gatedN > 0 && gatedN < docs.count())
+
+    // 2. incremental exact dedup through the bloom-screened index,
+    //    ingested as two batches
+    val idx = new ExactDedupIndex(spark, Files
+      .createTempDirectory("e2e-exidx").toFile.getAbsolutePath,
+      "doc_id", "text")
+    idx.addAndDedup(gated.where(col("doc_id") % 2 === 0), 1L, bloom = true)
+    idx.addAndDedup(gated.where(col("doc_id") % 2 === 1), 2L, bloom = true)
+    val deduped = gated.join(idx.keepers()
+      .select(col("keeper_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val dedupedN = deduped.count()
+    assert(dedupedN > 0 && dedupedN <= gatedN)
+
+    // 3. semantic prune: drop every non-keeper of an embedding ε-group
+    val semDropped = SemDedup.clusters(emb, "vec_id", "embedding", "label",
+      tau = 0.33).where(col("vec_id") =!= col("component"))
+      .select(col("vec_id").as("doc_id"))
+    val corpus = deduped.join(semDropped, Seq("doc_id"), "left_anti")
+    val corpusN = corpus.count()
+    assert(corpusN == dedupedN - semDropped.join(deduped, Seq("doc_id"),
+      "left_semi").count())
+
+    // 4. α=1/2 temperature mix across sources
+    val mixed = Sampling.temperatureTopK(corpus, "source", col("doc_id"),
+      col("n_chars"), totalRows = 40L)
+    val mixedN = mixed.count()
+    assert(mixedN > 0 && mixedN <= 40L)
+
+    // 5. split assignment + one epoch of the train slice, materialized
+    val withSplit = mixed.join(Shards.splitAssign(mixed, "doc_id", 3L,
+      Seq(("train", 90), ("val", 5), ("test", 5)))
+      .select("doc_id", "split"), Seq("doc_id"))
+    val train = withSplit.where(col("split") === "train")
+    val out = Files.createTempDirectory("e2e-epoch").toFile.getAbsolutePath
+    Shards.writeEpoch(train, "doc_id", seed = 1L, nShards = 4, out)
+    assert(spark.read.parquet(out).count() == train.count())
+
+    // 6. the data card totals reconcile with the final mix
+    val card = CorpusReport.dataCard(mixed, "doc_id", "text", "n_chars",
+      "source", minWords = 10L, maxMeanLen = 6L, maxDupNum = 4L,
+      maxDupDen = 5L)
+    assert(card.agg(sum("n_docs")).head().getLong(0) == mixedN)
+    // every mixed doc passed the gate in step 1, so the pass count is total
+    assert(card.agg(sum("n_quality_pass")).head().getLong(0) == mixedN)
+  }
+
   test("replayed topic: streaming windowed agg equals batch answer") {
     val dir = topicDir()
     val stream = spark.readStream.format("graft-topic").option("path", dir)
