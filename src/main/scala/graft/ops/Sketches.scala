@@ -46,13 +46,16 @@ object Sketches {
                     depth: Int = 4): DataFrame = {
     val toks = docs.select(explode(tokens(col(textCol))).as("t"))
       .where(col("t") =!= "")
-    // d hashed copies of the token stream → d·256 cells, map-side combined
-    val cells = toks
-      .select(explode(array((0 until depth).map(r =>
-        struct(lit(r).as("r"), bucket(r, col("t")).as("b"))): _*)).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("cell"))
     val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
+    // a cell's count = Σ exact_n over the terms hashing into it, so the
+    // d-way explode runs over the TERMS frame (vocabulary-sized, exchange
+    // reused from `exact`) — the corpus is tokenized and counted ONCE
+    val cells = exact
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("t")).as("b"),
+          col("exact_n").as("n"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("rb.n")).as("cell"))
     // estimate = min over rows of the term's cell — join the broadcast
     // sketch onto the queried terms
     val est = exact.select(col("t"))
