@@ -105,11 +105,13 @@ object StreamBench {
       }, {
         // the FULL curate path at ingest: per micro-batch, drop eval
         // contamination (exact-fingerprint anti-join against the held-out
-        // benchmark set), feed survivors through the persisted LSH pair
-        // index into the cluster index, and append their embeddings into
-        // the persisted IVF and their tokens into the persisted BM25
-        // postings — the production wiring for "filter, dedup, and make
-        // searchable (ANN + full-text) as data arrives"
+        // benchmark set), keep only exact-novel content (bloom-screened
+        // persisted fingerprint index — repeat content skips ALL further
+        // work), feed the novel docs through the persisted LSH pair index
+        // into the cluster index, and append their embeddings into the
+        // persisted IVF and their tokens into the persisted BM25 postings
+        // — the production wiring for "filter, dedup, and make searchable
+        // (ANN + full-text) as data arrives"
         val docs = graft.core.Tables.documents(spark, sfDir)
         val nd = docs.count()
         val docsTopic = tmp.resolve("docs").toString // staged by the stage above
@@ -129,6 +131,8 @@ object StreamBench {
         val cents = ivf.centroids(emb, k = 16, iters = 2)
         val bm25 = new graft.ops.Bm25Index(spark,
           tmp.resolve("bm25").toString, "doc_id", "text")
+        val exact = new graft.ops.ExactDedupIndex(spark,
+          tmp.resolve("exact").toString, "doc_id", "text")
         timedRows("curate_pipeline_docs_per_s", nd) {
           spark.readStream.format("graft-topic").option("path", docsTopic).load()
             .select(col("key").cast("long").as("doc_id"),
@@ -140,11 +144,17 @@ object StreamBench {
                   === evalFps("__fp"), "left_anti")
                 .persist()
               try {
-                cc.addPairs(lsh.addAndFindPairs(kept, batchOrd = e), ord = e)
-                ivf.add(kept.join(emb, "doc_id")
+                // localCheckpoint (NOT persist): the probe plan reads the
+                // store being appended to — path-registered caches would
+                // be recached post-append with a refreshed listing
+                val novelIds = exact.addAndDedup(kept, ord = e, bloom = true)
+                  .select(col("doc_id")).localCheckpoint(true)
+                val fresh = kept.join(novelIds, Seq("doc_id"))
+                cc.addPairs(lsh.addAndFindPairs(fresh, batchOrd = e), ord = e)
+                ivf.add(fresh.join(emb, "doc_id")
                   .select(col("doc_id"), col("embedding")),
                   graft.ops.KMeans.assignExpr(col("embedding"), cents))
-                bm25.add(kept, ord = e)
+                bm25.add(fresh, ord = e)
               } finally { kept.unpersist(); () }
             }
             .option("checkpointLocation", tmp.resolve("cp5").toString).start()
