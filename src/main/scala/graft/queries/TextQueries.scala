@@ -577,7 +577,16 @@ object TextQueries {
     "q_corpus_report" -> ((s, d) =>
       graft.ops.CorpusReport.dataCard(Tables.documents(s, d), "doc_id",
         "text", "n_chars", "source", minWords = 30L, maxMeanLen = 5L,
-        maxDupNum = 3L, maxDupDen = 5L))
+        maxDupNum = 3L, maxDupDen = 5L)),
+
+    // Data-card length quantiles: exact linear-interpolated percentiles of
+    // document size per source (both engines implement the same R-7
+    // definition; snapped to 6 decimals).
+    "q_length_quantiles" -> ((s, d) =>
+      Tables.documents(s, d).groupBy(col("source")).agg(
+        round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.75)"), 6).as("p75")))
   )
 
   /** Fixed query set for the BM25 operators — terms drawn from the corpus
@@ -1644,7 +1653,16 @@ object TextQueries {
                 min(n_chars) AS min_chars, max(n_chars) AS max_chars,
                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_quality_pass
-         FROM k GROUP BY source"""
+         FROM k GROUP BY source""",
+
+    // quantile replay: DuckDB quantile_cont shares Spark percentile's R-7
+    // linear interpolation; both snapped to 6 decimals
+    "q_length_quantiles" ->
+      """SELECT source,
+                round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                round(quantile_cont(n_chars, 0.75), 6) AS p75
+         FROM documents GROUP BY source"""
   )
 
   /** Shared BM25 oracle: per-(term,doc) fixed-point contributions
