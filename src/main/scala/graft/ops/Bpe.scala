@@ -105,6 +105,39 @@ object Bpe {
           lit(Delim)))).cast("long") + lit(1L)
       })
 
+  /** The tokenizer's vocabulary as (sym, id): every distinct final symbol
+    * of the corpus's word types under `merges`, ids assigned by binary
+    * string rank — deterministic, so two engines (or two builds over the
+    * same corpus) number identically. The frame is vocabulary-sized; the
+    * single-task rank window is over that tiny frame, never the corpus. */
+  def vocab(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "" && !col("w").contains(Delim))
+      .distinct()
+      .select(explode(split(regexp_replace(encodeWord(col("w"), merges),
+        s"^$Delim|$Delim$$", ""), s"$Delim$Delim")).as("sym"))
+      .distinct()
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("sym"))).cast("long") - 1L)
+  }
+
+  /** Documents as trainable records: (id, input_ids) with every subword
+    * mapped through [[vocab]] — the final artifact a training reader
+    * consumes. The vocabulary broadcast-joins onto the exploded subword
+    * stream; order is restored by (word, symbol) position, not by any
+    * partition accident. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[Merge]): DataFrame = {
+    val v = vocab(docs, textCol, merges)
+    docs.select(col(idCol),
+        posexplode(encode(col(textCol), merges)).as(Seq("pos", "sym")))
+      .join(broadcast(v), "sym")
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+        x => x.getField("id")).as("input_ids"))
+  }
+
   /** Persist a merges table (rank, left, right) as one tiny parquet — the
     * reusable tokenizer artifact, like a persisted quantizer. */
   def save(spark: SparkSession, path: String, merges: Seq[Merge]): Unit = {

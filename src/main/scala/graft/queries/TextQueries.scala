@@ -247,6 +247,16 @@ object TextQueries {
         graft.ops.Bpe.countTokens(col("text"), merges).as("n_bpe_trained"))
     }),
 
+    // Documents as TRAINING RECORDS: every subword of the trained
+    // tokenizer mapped to its vocabulary id, in order — the input_ids
+    // arrays a training reader actually consumes. The oracle replays
+    // training, encoding, AND the binary-rank vocabulary numbering.
+    "q_encode_ids" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8)
+      graft.ops.Bpe.encodeIds(docs, "doc_id", "text", merges)
+    }),
+
     // The token-budget cut re-based on TRAINED counts: admission in the
     // same deterministic hash order as q_sample_budget, but weighted by
     // the learned tokenizer — the unit a real pretraining mix budgets in.
@@ -671,6 +681,32 @@ object TextQueries {
          FROM documents d JOIN nb ON d.doc_id = nb.doc_id)
        WHERE cum - n_bpe < 5000"""
 
+  /** input_ids replay: the [[bpeCtes]] training chain, then per-word
+    * symbol lists, a binary-ranked vocabulary, and positional flattening
+    * ordered by (word, symbol) — the same order Spark's `posexplode`
+    * restores. */
+  private lazy val bpeEncodeIdsSql: String = {
+    val D = "\u0001"
+    s"""WITH $bpeCtes,
+       esym AS (SELECT replace(s, '$D', '') AS w,
+                       string_split(trim(s, '$D'), '$D$D') AS sl
+                FROM w8),
+       vocabt AS (SELECT DISTINCT unnest(sl) AS sym FROM esym),
+       vid AS (SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id
+               FROM vocabt),
+       dw AS (SELECT doc_id, j AS wpos, ws[j] AS w
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+                   LATERAL unnest(range(1, len(ws) + 1)) AS t(j)
+              WHERE ws[j] <> ''),
+       ds AS (SELECT doc_id, wpos, k AS spos, sl[k] AS sym
+              FROM (SELECT dw.doc_id, dw.wpos, e.sl
+                    FROM dw JOIN esym e USING (w)) q,
+                   LATERAL unnest(range(1, len(sl) + 1)) AS u(k))
+       SELECT doc_id, list(v.id ORDER BY wpos, spos) AS input_ids
+       FROM ds JOIN vid v USING (sym) GROUP BY doc_id"""
+  }
+
   private lazy val bpeCtes: String = {
     val D = "\u0001"
     val k = 8
@@ -991,6 +1027,7 @@ object TextQueries {
     "q_decontaminate_span" -> spanDecontaminateSql,
     "q_token_bpe_trained" -> bpeTrainedSql,
     "q_sample_budget_bpe" -> bpeBudgetSql,
+    "q_encode_ids" -> bpeEncodeIdsSql,
     "q_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM sh""",

@@ -67,4 +67,27 @@ class BpeSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Bpe.train(docs("a b c"), "text", numMerges = 3))
   }
+
+  test("encodeIds: ids decode back to the exact subword stream") {
+    val corpus = docs("the theme there then", "other theory breathe")
+    val merges = Bpe.train(corpus, "text", numMerges = 6)
+    val v = Bpe.vocab(corpus, "text", merges)
+      .as[(String, Long)].collect().toMap
+    // ids are dense 0..V-1 and the mapping is injective
+    assert(v.values.toSet == (0L until v.size).toSet)
+    val back = v.map(_.swap)
+    val ids = Bpe.encodeIds(corpus, "doc_id", "text", merges)
+      .as[(Long, Seq[Long])].collect().toMap
+    val syms = corpus.select(col("doc_id"),
+        Bpe.encode(col("text"), merges).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(ids.keySet == syms.keySet)
+    ids.foreach { case (d, arr) =>
+      assert(arr.map(back) == syms(d), s"doc $d id stream mismatch")
+    }
+    // deterministic under repartitioning
+    val again = Bpe.encodeIds(corpus.repartition(5), "doc_id", "text", merges)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(again == ids)
+  }
 }
