@@ -54,6 +54,41 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Pack ID ARRAYS into complete fixed-length training records: documents
+    * (as `input_ids` rows, e.g. [[Bpe.encodeIds]] output) are laid
+    * end-to-end per shard in the deterministic md5 order and re-cut into
+    * `ctxLen`-id rows — the final materialization a pretraining loader
+    * reads. A document crossing a cut boundary spans consecutive records;
+    * the partial tail record of each shard is dropped (standard loader
+    * behavior). Returns (shard..., chunk, input_ids).
+    *
+    * Scale shape: one running-offset window over per-document COUNTS (the
+    * arrays are not in the window), then one explode + one group-by-chunk
+    * — both corpus-token-linear, no driver state. The [[packChunks]] skew
+    * warning applies identically: salt small shard cardinalities. */
+  def packIds(records: DataFrame, shard: Seq[String], key: Column,
+              idsCol: String, ctxLen: Long): DataFrame = {
+    require(ctxLen > 0, s"ctxLen $ctxLen must be positive")
+    val w = Window.partitionBy(shard.map(col): _*)
+      .orderBy(hashOf(key), key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rec = records
+      .withColumn("__n", size(col(idsCol)).cast("long"))
+      .where(col("__n") > 0)
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+    rec
+      .select(shard.map(col) :+ col("__start") :+
+        posexplode(col(idsCol)).as(Seq("__p", "__id")): _*)
+      .withColumn("__gpos", col("__start") + col("__p"))
+      .withColumn("chunk", expr(s"__gpos div ${ctxLen}L"))
+      .groupBy(shard.map(col) :+ col("chunk"): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        transform(array_sort(collect_list(struct(col("__gpos"), col("__id")))),
+          x => x.getField("__id")).as("input_ids"))
+      .where(col("__cnt") === ctxLen)
+      .select(shard.map(col) :+ col("chunk") :+ col("input_ids"): _*)
+  }
+
   /** Deterministic salt in [0, n): the md5-nibble [[TextFunctions.hash16]]
     * of the pack key, modulo n — ascii arithmetic only, so any SQL engine
     * reproduces the assignment exactly (same convention as the pack

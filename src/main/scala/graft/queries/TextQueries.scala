@@ -257,6 +257,18 @@ object TextQueries {
       graft.ops.Bpe.encodeIds(docs, "doc_id", "text", merges)
     }),
 
+    // Packed TRAINING RECORDS: the encoded id arrays laid end-to-end per
+    // language in deterministic md5 order and re-cut into 128-id rows,
+    // partial tails dropped — the file a pretraining loader reads.
+    "q_pack_ids" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8)
+      val recs = graft.ops.Bpe.encodeIds(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.ops.Packing.packIds(recs, Seq("lang"), col("doc_id"),
+        "input_ids", ctxLen = 128L)
+    }),
+
     // The token-budget cut re-based on TRAINED counts: admission in the
     // same deterministic hash order as q_sample_budget, but weighted by
     // the learned tokenizer — the unit a real pretraining mix budgets in.
@@ -681,13 +693,13 @@ object TextQueries {
          FROM documents d JOIN nb ON d.doc_id = nb.doc_id)
        WHERE cum - n_bpe < 5000"""
 
-  /** input_ids replay: the [[bpeCtes]] training chain, then per-word
-    * symbol lists, a binary-ranked vocabulary, and positional flattening
-    * ordered by (word, symbol) — the same order Spark's `posexplode`
-    * restores. */
-  private lazy val bpeEncodeIdsSql: String = {
+  /** [[bpeCtes]] extended to per-document id arrays: per-word symbol
+    * lists, a binary-ranked vocabulary, positional flattening ordered by
+    * (word, symbol) — the same order Spark's `posexplode` restores. Ends
+    * in `docids(doc_id, input_ids)`. */
+  private lazy val bpeIdsCtes: String = {
     val D = "\u0001"
-    s"""WITH $bpeCtes,
+    s"""$bpeCtes,
        esym AS (SELECT replace(s, '$D', '') AS w,
                        string_split(trim(s, '$D'), '$D$D') AS sl
                 FROM w8),
@@ -702,10 +714,37 @@ object TextQueries {
        ds AS (SELECT doc_id, wpos, k AS spos, sl[k] AS sym
               FROM (SELECT dw.doc_id, dw.wpos, e.sl
                     FROM dw JOIN esym e USING (w)) q,
-                   LATERAL unnest(range(1, len(sl) + 1)) AS u(k))
-       SELECT doc_id, list(v.id ORDER BY wpos, spos) AS input_ids
-       FROM ds JOIN vid v USING (sym) GROUP BY doc_id"""
+                   LATERAL unnest(range(1, len(sl) + 1)) AS u(k)),
+       docids AS (SELECT doc_id, list(v.id ORDER BY wpos, spos) AS input_ids
+                  FROM ds JOIN vid v USING (sym) GROUP BY doc_id)"""
   }
+
+  /** input_ids replay: training, encoding, and vocabulary numbering. */
+  private lazy val bpeEncodeIdsSql: String =
+    s"""WITH $bpeIdsCtes
+       SELECT doc_id, input_ids FROM docids"""
+
+  /** Packed-record replay: per-language doc order by doc_id, running token
+    * offsets, global positions via positional unnest, chunk = gpos DIV
+    * ctxLen (128), partial tail dropped — mirrors
+    * [[graft.ops.Packing.packIds]] exactly. */
+  private lazy val bpePackIdsSql: String =
+    s"""WITH $bpeIdsCtes,
+       rec AS (
+         SELECT d.lang, di.doc_id, di.input_ids,
+                len(di.input_ids) AS n,
+                coalesce(sum(len(di.input_ids)) OVER (PARTITION BY d.lang
+                  ORDER BY md5(CAST(di.doc_id AS VARCHAR)), di.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS start
+         FROM docids di JOIN documents d USING (doc_id)),
+       toks AS (
+         SELECT lang, CAST((start + k - 1) // 128 AS BIGINT) AS chunk,
+                start + k - 1 AS gpos, input_ids[k] AS id
+         FROM rec, LATERAL unnest(range(1, n + 1)) AS t(k))
+       SELECT lang, chunk, list(id ORDER BY gpos) AS input_ids
+       FROM toks GROUP BY lang, chunk
+       HAVING count(*) = 128"""
 
   private lazy val bpeCtes: String = {
     val D = "\u0001"
@@ -1028,6 +1067,7 @@ object TextQueries {
     "q_token_bpe_trained" -> bpeTrainedSql,
     "q_sample_budget_bpe" -> bpeBudgetSql,
     "q_encode_ids" -> bpeEncodeIdsSql,
+    "q_pack_ids" -> bpePackIdsSql,
     "q_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM sh""",

@@ -85,4 +85,27 @@ class PackingSpec extends SparkSuite {
       col("n"), 256L, salts = 4).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
+
+  test("packIds re-cuts the concatenated id stream exactly, dropping the tail") {
+    val recs = (1 to 9).map { i =>
+      (i.toLong, "s", (1 to (i * 3)).map(j => (i * 100 + j).toLong))
+    }.toDF("id", "shard", "input_ids")
+    val ctx = 16L
+    val out = Packing.packIds(recs, Seq("shard"), col("id"), "input_ids", ctx)
+      .as[(String, Long, Seq[Long])].collect().sortBy(_._2)
+    // every record is exactly ctx ids; chunk ids are dense from 0
+    assert(out.forall(_._3.length == ctx))
+    assert(out.map(_._2).toSeq == out.indices.map(_.toLong))
+    // flattening the records reproduces the md5-ordered stream's prefix
+    val stream = recs
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .select("input_ids").as[Seq[Long]].collect().flatten.toSeq
+    assert(out.flatMap(_._3).toSeq == stream.take(out.length * ctx.toInt))
+    // total = floor(streamLen / ctx) full records
+    assert(out.length == stream.length / ctx.toInt)
+    // deterministic under repartitioning
+    val again = Packing.packIds(recs.repartition(7), Seq("shard"), col("id"),
+      "input_ids", ctx).as[(String, Long, Seq[Long])].collect().sortBy(_._2)
+    assert(again.toSeq == out.toSeq)
+  }
 }
