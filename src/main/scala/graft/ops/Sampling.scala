@@ -63,6 +63,31 @@ object Sampling {
       .where(col("__rank") <= k).drop("__rank")
   }
 
+  /** [[stratifiedTopK]] with the dominant-stratum skew removed: top-k is
+    * MERGEABLE, so phase one takes a local top-k inside each of `salts`
+    * deterministic sub-streams of a stratum (parallelism × salts), and
+    * phase two re-ranks only the ≤ salts·k survivors. The result is
+    * IDENTICAL row-for-row to the unsalted selection — each salt stream
+    * can contribute at most k of the stratum's true top-k, so no survivor
+    * set can miss one. At 100 TB a single dominant stratum (one language
+    * web corpus) no longer funnels through one task's sort; the second
+    * window sorts k·salts rows, not the corpus. */
+  def stratifiedTopKSalted(df: DataFrame, strata: Seq[String], key: Column,
+                           k: Int, salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts $salts must be positive")
+    val saltCol = pmod(hex52(key), lit(salts.toLong))
+    val w1 = Window.partitionBy((strata.map(col) :+ col("__salt")): _*)
+      .orderBy(hashOf(key), key)
+    val w2 = Window.partitionBy(strata.map(col): _*)
+      .orderBy(hashOf(key), key)
+    df.withColumn("__salt", saltCol)
+      .withColumn("__r1", row_number().over(w1))
+      .where(col("__r1") <= k)
+      .withColumn("__r2", row_number().over(w2))
+      .where(col("__r2") <= k)
+      .drop("__salt", "__r1", "__r2")
+  }
+
   /** Per-stratum selection under a weight budget: admit rows in hash order
     * until the running sum of `weight` exceeds the budget (the admitting
     * row is kept — "fill until full", so a stratum whose first document

@@ -177,6 +177,13 @@ object TextQueries {
         Tables.documents(s, d), Seq("lang"), col("doc_id"), 50)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // The skew-proof two-phase variant — must land on EXACTLY the
+    // unsalted selection (mergeable top-k), so it shares that oracle.
+    "q_sample_stratified_salted" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedTopKSalted(
+        Tables.documents(s, d), Seq("lang"), col("doc_id"), 50, salts = 8)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // Token-budget cut: admit docs per lang in hash order until 20k chars.
     "q_sample_budget" -> ((s, d) =>
       graft.ops.Sampling.weightBudget(
@@ -1082,6 +1089,13 @@ object TextQueries {
          WHERE md5(CAST(event_id AS VARCHAR))
                < '40000000000000000000000000000000'""",
     "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents) WHERE rn <= 50""",
+    // the salted two-phase selection must equal the one-shot top-k
+    "q_sample_stratified_salted" ->
       """SELECT doc_id, lang, source FROM (
            SELECT doc_id, lang, source,
                   row_number() OVER (PARTITION BY lang

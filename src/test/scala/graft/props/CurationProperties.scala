@@ -50,6 +50,21 @@ class CurationProperties extends SparkSuite {
     }
   }
 
+  test("salted stratified top-k equals the one-shot selection on skewed strata") {
+    // one dominant stratum (the 100 TB shape the salt exists for) + tiny ones
+    val docs = ((1 to 3000).map(i => (i.toLong, "big")) ++
+      (1 to 40).map(i => (10000L + i, "small")) ++
+      Seq((20001L, "solo")))
+      .toDF("id", "lang")
+    for (k <- Seq(1, 25, 100); salts <- Seq(2, 8, 32)) {
+      val plain = Sampling.stratifiedTopK(docs, Seq("lang"), $"id", k)
+        .select("id").as[Long].collect().toSet
+      val salted = Sampling.stratifiedTopKSalted(docs, Seq("lang"), $"id",
+        k, salts).select("id").as[Long].collect().toSet
+      assert(salted == plain, s"k=$k salts=$salts diverged")
+    }
+  }
+
   test("temperature quotas: sum ≤ budget, never exceed a domain's size, monotone") {
     val docs = ((1 to 900).map(i => (i.toLong, "big", 2L)) ++
       (1 to 64).map(i => (2000L + i, "mid", 2L)) ++

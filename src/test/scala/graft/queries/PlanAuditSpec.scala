@@ -229,6 +229,20 @@ class PlanAuditSpec extends SparkSuite {
       s"only (id, fp) may cross the exchange:\n$p")
   }
 
+  test("id encoding broadcasts the vocabulary onto the subword stream") {
+    val p = plan("q_encode_ids")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized id table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join in the encode path:\n$p")
+  }
+
+  test("salted stratified top-k group-limits BOTH windows (no full sorts survive)") {
+    val p = plan("q_sample_stratified_salted")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"phase-one and phase-two rank filters must push per-partition limits:\n$p")
+  }
+
   test("repetition signals stay in the scan stage: no exchange, no explode") {
     val p = plan("q_quality_repetition")
     assert(!p.contains("Exchange"),
