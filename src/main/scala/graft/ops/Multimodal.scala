@@ -159,6 +159,55 @@ object Multimodal {
     sum
   }
 
+  /** Perceptual average-hash (aHash) of a decoded image: sample an 8×8
+    * grid of pixels (integer-spaced corners-inclusive positions
+    * `x_i = i·(w−1) div 7`), take each sample's exact integer Rec. 601
+    * milli-luminance (299R+587G+114B), and set bit (j·8+i) iff the
+    * sample's luminance STRICTLY exceeds the grid mean (`lum·64 > Σ` —
+    * cross-multiplied, no division). Packed MSB-first into 16 lowercase
+    * hex chars. Every step is integer arithmetic over decoded pixels, so
+    * an oracle that knows the pixel formula can replay the hash without
+    * any image codec — which is what verifies the real ImageIO decode in
+    * front of it. None ⇒ the payload is not a decodable image.
+    *
+    * The perceptual property: any luminance-order-preserving global edit
+    * (brightness/contrast curves, format re-encode) keeps the bits, so
+    * re-encoded or tone-mapped copies collide — the image sibling of the
+    * text content fingerprint. */
+  def imageAHashOf(payload: Array[Byte]): Option[String] =
+    decodeImage(payload).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val lums = new Array[Long](64)
+      var j = 0
+      while (j < 8) {
+        val y = (j * (h - 1)) / 7
+        var i = 0
+        while (i < 8) {
+          val x = (i * (w - 1)) / 7
+          val rgb = img.getRGB(x, y)
+          lums(j * 8 + i) = ((rgb >> 16) & 0xff) * 299L +
+            ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+          i += 1
+        }
+        j += 1
+      }
+      val total = lums.sum
+      val sb = new StringBuilder(16)
+      var k = 0
+      while (k < 16) {
+        var nib = 0
+        var b = 0
+        while (b < 4) {
+          val idx = k * 4 + b
+          if (lums(idx) * 64L > total) nib |= 1 << (3 - b)
+          b += 1
+        }
+        sb.append(java.lang.Integer.toHexString(nib))
+        k += 1
+      }
+      sb.toString
+    }
+
   /** Deterministic real animated GIF: frame f's pixel (x, y) = gray level
     * `floorMod(seed·31 + x·7 + y·13 + f·101, 256)`, written through the JDK
     * GIF sequence writer. Frames are TYPE_BYTE_INDEXED over an identity

@@ -601,6 +601,24 @@ object TextQueries {
       graft.ops.CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
     }),
 
+    // Image perceptual dedup: REAL ImageIO decode → 8×8 grid aHash →
+    // group by hash. Every 5 consecutive doc_ids share generated image
+    // content; the oracle replays the hash from the pixel formula with no
+    // codec, so a broken decode path cannot pass.
+    "q_image_dedup" -> ((s, d) => {
+      import s.implicits._
+      val hashed = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id / 5
+          val payload = graft.ops.Multimodal.encodePng(
+            16 + (g % 13).toInt, 16 + (g % 11).toInt, g)
+          (id, graft.ops.Multimodal.imageAHashOf(payload).get)
+        }.toDF("doc_id", "ahash")
+      hashed.groupBy(col("ahash"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+    }),
+
     // Corpus data card: per-source doc/token/char totals, size extremes,
     // and the Gopher-battery pass count — one map-side-combined rollup.
     "q_corpus_report" -> ((s, d) =>
@@ -1714,6 +1732,44 @@ object TextQueries {
                      WHEN o.fp = n.fp THEN 'unchanged'
                      ELSE 'modified' END AS status
          FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id""",
+
+    // aHash replay from the PNG pixel formula (seed·31 + x·7 + y·13
+    // masked to 24 bits): grid positions, integer milli-luminance, mean
+    // threshold, MSB-first nibble packing — no image codec involved
+    "q_image_dedup" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  doc_id // 5 AS gid,
+                  16 + (doc_id // 5) % 13 AS w,
+                  16 + (doc_id // 5) % 11 AS h
+           FROM documents),
+         px AS (
+           SELECT doc_id, j * 8 + i AS idx,
+                  ((gid * 31 + ((i * (w - 1)) // 7) * 7
+                    + ((j * (h - 1)) // 7) * 13) & 16777215) AS p
+           FROM g, LATERAL unnest(range(0, 8)) AS a(i),
+                   LATERAL unnest(range(0, 8)) AS b(j)),
+         lums AS (
+           SELECT doc_id, idx,
+                  ((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587
+                    + (p & 255) * 114 AS lum
+           FROM px),
+         tot AS (SELECT doc_id, sum(lum) AS total FROM lums GROUP BY doc_id),
+         bits AS (
+           SELECT l.doc_id, idx,
+                  CASE WHEN l.lum * 64 > t.total THEN 1 ELSE 0 END AS bit
+           FROM lums l JOIN tot t USING (doc_id)),
+         nibs AS (
+           SELECT doc_id, idx // 4 AS k,
+                  CAST(sum(bit * (CASE idx % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                    WHEN 2 THEN 2 ELSE 1 END)) AS BIGINT) AS nib
+           FROM bits GROUP BY doc_id, idx // 4),
+         hashes AS (
+           SELECT doc_id, string_agg(lower(to_hex(nib)), '' ORDER BY k)
+                    AS ahash
+           FROM nibs GROUP BY doc_id)
+         SELECT ahash, min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM hashes GROUP BY ahash""",
 
     // data-card replay: the gopher statistics via list folds, keep = the
     // same four cross-multiplied rules, one integer rollup per source

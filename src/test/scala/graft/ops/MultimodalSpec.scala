@@ -156,4 +156,32 @@ class MultimodalSpec extends SparkSuite {
     assert(m.schema.fieldNames.toSeq ==
       Seq("media_id", "media_type", "payload", "meta"))
   }
+
+  private def grayPng(w: Int, h: Int, level: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = level(x, y)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash is a perceptual hash: brightness-shift invariant, content-sensitive") {
+    // horizontal gradient, channels capped at 200 so +50 cannot saturate
+    val base = grayPng(32, 24, (x, _) => x * 6)
+    val bright = grayPng(32, 24, (x, _) => x * 6 + 50)
+    val inverse = grayPng(32, 24, (x, _) => 200 - x * 6)
+    val hb = Multimodal.imageAHashOf(base).get
+    assert(hb.length == 16 && hb.matches("[0-9a-f]{16}"))
+    // a global brightness shift moves every sample AND the mean equally —
+    // bit-for-bit the same hash (what byte-level hashing can never give)
+    assert(Multimodal.imageAHashOf(bright).get == hb)
+    // mirrored content flips the bit pattern — not a constant function
+    assert(Multimodal.imageAHashOf(inverse).get != hb)
+    // not an image → None, never throws
+    assert(Multimodal.imageAHashOf("plain text".getBytes("UTF-8")).isEmpty)
+  }
 }
