@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   * so the DuckDB oracle reproduces them bit-for-bit.
   */
 object TextQueries {
+
+  /** The corpus's trained tokenizer, memoized per sfDir: the merges table
+    * is a persisted artifact in production ([[graft.ops.Bpe.save]]) — four
+    * board queries share one training run instead of re-learning it. Pure
+    * function of the corpus (deterministic tie-breaks), so memoization
+    * cannot change any result. */
+  private val mergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Bpe.Merge]]()
+  private def trainedMerges(s: org.apache.spark.sql.SparkSession,
+                            d: String): Seq[graft.ops.Bpe.Merge] =
+    mergesCache.computeIfAbsent(d,
+      _ => graft.ops.Bpe.train(Tables.documents(s, d), "text", numMerges = 8))
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -249,7 +261,7 @@ object TextQueries {
     // deterministic via the (count desc, pair asc) tie-break.
     "q_token_bpe_trained" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8)
+      val merges = trainedMerges(s, d)
       docs.select(col("doc_id"),
         graft.ops.Bpe.countTokens(col("text"), merges).as("n_bpe_trained"))
     }),
@@ -260,7 +272,7 @@ object TextQueries {
     // training, encoding, AND the binary-rank vocabulary numbering.
     "q_encode_ids" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8)
+      val merges = trainedMerges(s, d)
       graft.ops.Bpe.encodeIds(docs, "doc_id", "text", merges)
     }),
 
@@ -269,7 +281,7 @@ object TextQueries {
     // partial tails dropped — the file a pretraining loader reads.
     "q_pack_ids" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8)
+      val merges = trainedMerges(s, d)
       val recs = graft.ops.Bpe.encodeIds(docs, "doc_id", "text", merges)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       graft.ops.Packing.packIds(recs, Seq("lang"), col("doc_id"),
@@ -281,7 +293,7 @@ object TextQueries {
     // the learned tokenizer — the unit a real pretraining mix budgets in.
     "q_sample_budget_bpe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8)
+      val merges = trainedMerges(s, d)
       graft.ops.Sampling.weightBudget(
         docs.withColumn("n_bpe",
           graft.ops.Bpe.countTokens(col("text"), merges)),
