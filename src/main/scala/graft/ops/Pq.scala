@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization
+  * for Nearest Neighbor Search", public IEEE TPAMI) — the compression layer
+  * that makes billion-vector ANN fit in memory: split each d-dim vector
+  * into `m` subvectors, k-means each subspace independently, and store only
+  * the m centroid ids (m·log₂k bits, e.g. 64 floats → 8 nibbles) — with
+  * asymmetric-distance (ADC) search that scores FULL-precision queries
+  * against compressed corpus codes via per-subspace lookup sums.
+  *
+  * Reference analog: tiered storage keeps cold data in a compact offloaded
+  * form and serves reads through a cheaper representation
+  * (tiered-storage-jcloud offload + read-back); PQ is the vector-search
+  * instance — the corpus lives compressed, queries stay exact.
+  *
+  * Scale shape: training runs m small k-means fits (each over a
+  * subspace-sliced projection); encoding is a pure column expression (no
+  * shuffle — it lands in the scan stage); ADC search broadcasts the
+  * (tiny) query side and streams the code table once, the same join shape
+  * as [[Similarity.ivfTopK]]. Composes with [[IvfIndex]]: coarse cells
+  * prune the scan, PQ shrinks what remains — the standard IVF-PQ layout.
+  */
+object Pq {
+
+  /** m per-subspace codebooks, each k × subDim. */
+  final case class Model(m: Int, subDim: Int,
+                         codebooks: Array[Array[Array[Double]]]) {
+    require(codebooks.length == m)
+  }
+
+  private def sub(vec: Column, mi: Int, subDim: Int): Column =
+    slice(vec, mi * subDim + 1, subDim)
+
+  /** Train m independent sub-quantizers with the shared deterministic
+    * [[KMeans]] (k-means‖ init, Lloyd iterations). */
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+            iters: Int): Model = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).map { mi =>
+      KMeans.fit(
+        df.select(col(idCol), sub(col(vecCol), mi, subDim).as(vecCol)),
+        idCol, vecCol, k, iters)
+    }.toArray
+    Model(m, subDim, books)
+  }
+
+  /** The m-code array of a vector — nearest sub-centroid per subspace, a
+    * pure scalar expression evaluated in the scan stage. */
+  def encodeExpr(vec: Column, model: Model): Column =
+    array((0 until model.m).map(mi =>
+      KMeans.assignExpr(sub(vec, mi, model.subDim),
+        model.codebooks(mi))): _*)
+
+  /** Asymmetric inner-product score: IP(q, x) ≈ Σₘ IP(qₘ, c_{m,codeₘ}).
+    * The codebooks ride along as literal arrays — each subspace is one
+    * lookup + one codegen'd dot, no join against a centroid table. */
+  def adcScore(qvec: Column, codes: Column, model: Model): Column =
+    (0 until model.m).map { mi =>
+      val book = array(model.codebooks(mi).map(c => typedlit(c.toSeq)): _*)
+      VectorFunctions.dot(sub(qvec, mi, model.subDim),
+        element_at(book, element_at(codes, mi + 1) + 1))
+    }.reduce(_ + _)
+
+  /** Top-k by ADC score for each query row against a compressed corpus
+    * (`codesDf`: idCol + `codes`). Queries broadcast; the code table is
+    * streamed once. Ties break by neighbor id. */
+  def adcTopK(queries: DataFrame, codesDf: DataFrame, idCol: String,
+              vecCol: String, model: Model, k: Int,
+              dropSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val scored = codesDf.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(q)
+      .where(if (dropSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("adc", adcScore(col("__qv"), col("codes"), model))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+  }
+
+  /** ADC shortlist + exact re-rank (the production IVFADC+R shape): the
+    * compressed scan nominates `shortlist` candidates per query, then ONLY
+    * those rows' full vectors are fetched (a semi-join-sized lookup, not a
+    * corpus scan) and re-scored with the exact codegen'd dot. Compression
+    * does the heavy lifting; precision comes back on a per-query constant.
+    * Ties break by neighbor id at both stages. */
+  def adcTopKRerank(queries: DataFrame, codesDf: DataFrame, full: DataFrame,
+                    idCol: String, vecCol: String, model: Model, k: Int,
+                    shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = adcTopK(queries, codesDf, idCol, vecCol, model, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val rescored = cand
+      .join(full.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("sim", VectorFunctions.cosine(col("__qv"), col("__cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rescored.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+}
