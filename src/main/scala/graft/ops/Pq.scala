@@ -35,19 +35,59 @@ object Pq {
   private def sub(vec: Column, mi: Int, subDim: Int): Column =
     slice(vec, mi * subDim + 1, subDim)
 
-  /** Train m independent sub-quantizers with the shared deterministic
-    * [[KMeans]] (k-means‖ init, Lloyd iterations). */
+  /** Train all m sub-quantizers JOINTLY: one exploded (subspace,
+    * subvector) frame, deterministic hash-order seeding, and one
+    * distributed aggregation per Lloyd iteration covering every subspace
+    * at once — m separate [[KMeans.fit]] calls would pay m× the job-count
+    * overhead (init rounds + per-iteration collects) for identical math.
+    * Deterministic: seeds are the first k distinct subvectors per
+    * subspace in (xxhash64, value) order. */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
             iters: Int): Model = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val books = (0 until m).map { mi =>
-      KMeans.fit(
-        df.select(col(idCol), sub(col(vecCol), mi, subDim).as(vecCol)),
-        idCol, vecCol, k, iters)
-    }.toArray
-    Model(m, subDim, books)
+    val sliced = Par.spread(df.select(explode(array((0 until m).map(mi =>
+        struct(lit(mi).as("mi"), sub(col(vecCol), mi, subDim).as("sv"))): _*))
+      .as("x"))
+      .select(col("x.mi").as("mi"), col("x.sv").as("sv"))).persist()
+    try {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("mi"))
+        .orderBy(xxhash64(col("sv")), col("sv").cast("string"))
+      val seedRows = sliced.distinct()
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") <= k)
+        .select(col("mi"), col("__r"), col("sv"))
+        .collect()
+      val seedsBy = seedRows.groupBy(_.getInt(0)).map { case (mi, rs) =>
+        mi -> rs.sortBy(_.getInt(1)).map(
+          _.getSeq[Float](2).map(_.toDouble).toArray)
+      }
+      var books: Array[Array[Array[Double]]] = (0 until m).map { mi =>
+        val s = seedsBy.getOrElse(mi, Array.empty[Array[Double]])
+        require(s.nonEmpty, s"subspace $mi has no vectors to seed from")
+        // fewer than k distinct subvectors: cycle (duplicate centroids are
+        // harmless — argmin picks the lowest index, extras sit empty)
+        Array.tabulate(k)(i => s(i % s.length))
+      }.toArray
+      (0 until iters).foreach { _ =>
+        val cell = (0 until m).foldLeft(lit(-1)) { (acc, mi) =>
+          when(col("mi") === mi, KMeans.assignExpr(col("sv"), books(mi)))
+            .otherwise(acc)
+        }
+        val meanCols = (1 to subDim).map(i =>
+          avg(element_at(col("sv"), i).cast("double")).as(s"m$i"))
+        val means = sliced.withColumn("cell", cell)
+          .groupBy(col("mi"), col("cell"))
+          .agg(meanCols.head, meanCols.tail: _*)
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            (1 to subDim).map(i => r.getDouble(1 + i)).toArray).toMap
+        books = Array.tabulate(m)(mi => Array.tabulate(k)(c =>
+          means.getOrElse((mi, c), books(mi)(c))))
+      }
+      Model(m, subDim, books)
+    } finally { sliced.unpersist(); () }
   }
 
   /** The m-code array of a vector — nearest sub-centroid per subspace, a

@@ -229,6 +229,14 @@ class PlanAuditSpec extends SparkSuite {
       s"only (id, fp) may cross the exchange:\n$p")
   }
 
+  test("PQ search broadcasts queries; the code table is never shuffle-joined") {
+    val p = plan("q_ann_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the tiny query side must broadcast onto the code scan:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus-sized sides must not sort-merge for scoring:\n$p")
+  }
+
   test("id encoding broadcasts the vocabulary onto the subword stream") {
     val p = plan("q_encode_ids")
     assert(p.contains("BroadcastHashJoin"),
