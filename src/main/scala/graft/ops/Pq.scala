@@ -127,6 +127,39 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("adc"))
   }
 
+  /** The full IVF-PQ layout (coarse cells prune the scan, PQ codes score
+    * what remains, exact re-rank restores precision): each query probes
+    * its `nprobe` nearest coarse cells, ADC-scores ONLY those cells' code
+    * rows, shortlists `shortlist` candidates, and re-ranks them with the
+    * exact dot. `indexed` must carry `cell` ([[KMeans.assignExpr]]),
+    * `codes` ([[encodeExpr]]) and the full vector (for the re-rank
+    * lookup). At 100 TB the cell filter is a partition prune
+    * ([[IvfIndex]]'s cell-dir layout), the codes are the only thing the
+    * scan decodes, and full vectors are fetched for shortlist rows only. */
+  def ivfPqTopK(queries: DataFrame, indexed: DataFrame, idCol: String,
+                vecCol: String, coarse: Array[Array[Double]], model: Model,
+                k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val qp = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      explode(KMeans.probeExpr(col(vecCol), coarse, nprobe)).as("__probe")))
+    val cand = indexed
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("cell"),
+        col(vecCol).as("__cv"))
+      .join(qp, col("cell") === col("__probe") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adcScore(col("__qv"), col("codes"), model))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    val short = cand.withColumn("__r", row_number().over(w1))
+      .where(col("__r") <= shortlist)
+      .withColumn("sim", VectorFunctions.cosine(col("__qv"), col("__cv")))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    short.withColumn("__r2", row_number().over(w2)).where(col("__r2") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
   /** ADC shortlist + exact re-rank (the production IVFADC+R shape): the
     * compressed scan nominates `shortlist` candidates per query, then ONLY
     * those rows' full vectors are fetched (a semi-join-sized lookup, not a

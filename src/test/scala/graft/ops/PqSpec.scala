@@ -70,4 +70,34 @@ class PqSpec extends SparkSuite {
     val hitsWide = wider.join(exact, Seq("query_id", "neighbor_id")).count()
     assert(hitsWide >= hits)
   }
+
+  test("ivfPqTopK scores only probed cells and clears the board bound") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select($"vec_id", VectorFunctions.unit($"embedding").as("embedding"))
+      .localCheckpoint(true)
+    val cents = KMeans.fit(emb, "vec_id", "embedding", 8, 2)
+    val model = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val indexed = emb
+      .withColumn("cell", KMeans.assignExpr($"embedding", cents))
+      .withColumn("codes", Pq.encodeExpr($"embedding", model))
+      .localCheckpoint(true)
+    val q = emb.where($"vec_id" < 10)
+    val ann = Pq.ivfPqTopK(q, indexed, "vec_id", "embedding", cents, model,
+      k = 3, nprobe = 4, shortlist = 80)
+      .select($"query_id", $"neighbor_id").cache()
+    // every returned neighbor lives in one of its query's probed cells
+    val probed = q.select($"vec_id".as("query_id"),
+      explode(KMeans.probeExpr($"embedding", cents, 4)).as("cell"))
+    val cellsOf = indexed.select($"vec_id".as("neighbor_id"), $"cell")
+    val escaped = ann.join(cellsOf, Seq("neighbor_id"))
+      .join(probed, Seq("query_id", "cell"), "left_anti")
+    assert(escaped.count() == 0, "a neighbor came from an unprobed cell")
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id")
+    val recall = ann.join(exact, Seq("query_id", "neighbor_id")).count()
+      .toDouble / exact.count()
+    info(f"IVF-PQ recall@3 = $recall%.3f")
+    assert(recall >= 0.40)
+    ann.unpersist()
+  }
 }
