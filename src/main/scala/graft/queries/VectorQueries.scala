@@ -25,6 +25,29 @@ object VectorQueries {
     centroidCache.getOrElseUpdate((d, k, iters),
       graft.ops.KMeans.fit(Tables.embeddings(s, d), "vec_id", "embedding", k, iters))
 
+  /** Unit-normalized embeddings for the cosine-metric ANN family. */
+  private def unitEmb(s: SparkSession, d: String) =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      graft.functions.VectorFunctions.unit(col("embedding")).as("embedding"))
+
+  /** PQ codebooks are a persisted artifact like IVF centroids
+    * (deterministic training) — train once per (table, shape). */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), graft.ops.Pq.Model]
+  private def pqModelFor(s: SparkSession, d: String, m: Int, k: Int,
+                         iters: Int): graft.ops.Pq.Model =
+    pqCache.getOrElseUpdate((d, m, k, iters),
+      graft.ops.Pq.train(unitEmb(s, d), "vec_id", "embedding", m, k, iters))
+
+  /** Coarse quantizer over UNIT vectors (the cosine-metric face of
+    * [[centroidsFor]], which trains on raw vectors). */
+  private val unitCentroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[Array[Double]]]
+  private def unitCentroidsFor(s: SparkSession, d: String, k: Int,
+                               iters: Int): Array[Array[Double]] =
+    unitCentroidCache.getOrElseUpdate((d, k, iters),
+      graft.ops.KMeans.fit(unitEmb(s, d), "vec_id", "embedding", k, iters))
+
   val queries: Map[String, Q] = Map(
     // Exact cosine top-5 for a broadcast query set vs the whole corpus.
     "q_embed_topk" -> ((s, d) => {
@@ -205,11 +228,8 @@ object VectorQueries {
     // shape); recall@3 vs brute force asserted as data — bound 0.50
     // margined under the measured 0.90 on this corpus.
     "q_ann_pq" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"),
-        graft.functions.VectorFunctions.unit(col("embedding"))
-          .as("embedding"))
-      val model = graft.ops.Pq.train(emb, "vec_id", "embedding",
-        m = 8, k = 16, iters = 2)
+      val emb = unitEmb(s, d)
+      val model = pqModelFor(s, d, m = 8, k = 16, iters = 2)
       val codes = emb.select(col("vec_id"),
         graft.ops.Pq.encodeExpr(col("embedding"), model).as("codes"))
       val q = emb.where(col("vec_id") < 10)
@@ -231,12 +251,9 @@ object VectorQueries {
     // re-rank restores precision — nprobe 4 of 8 cells, shortlist 80;
     // bound 0.40 margined under the measured 0.73 on this corpus.
     "q_ann_ivfpq" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"),
-        graft.functions.VectorFunctions.unit(col("embedding"))
-          .as("embedding"))
-      val cents = graft.ops.KMeans.fit(emb, "vec_id", "embedding", 8, 2)
-      val model = graft.ops.Pq.train(emb, "vec_id", "embedding",
-        m = 8, k = 16, iters = 2)
+      val emb = unitEmb(s, d)
+      val cents = unitCentroidsFor(s, d, k = 8, iters = 2)
+      val model = pqModelFor(s, d, m = 8, k = 16, iters = 2)
       val indexed = emb
         .withColumn("cell",
           graft.ops.KMeans.assignExpr(col("embedding"), cents))
