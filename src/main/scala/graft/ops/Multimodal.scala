@@ -362,6 +362,46 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Gain-invariant audio fingerprint (the energy-delta-sign family used
+    * by Shazam-style matchers, reduced to its integer-exact core): split
+    * the decoded PCM stream into 32 equal frames, take each frame's exact
+    * integer energy Σs², and set bit f iff frame f's energy STRICTLY
+    * exceeds its successor's (cyclic) — volume scaling multiplies every
+    * energy by g², so the comparison pattern, and therefore the
+    * fingerprint, is untouched where a byte hash would change completely.
+    * Packed MSB-first into 8 lowercase hex chars. None ⇒ not decodable
+    * audio, or fewer than 32 samples (no stable frame structure). */
+  def audioFingerprintOf(payload: Array[Byte]): Option[String] =
+    decodeAudio(payload).flatMap { case (_, samples) =>
+      val n = samples.length
+      if (n < 32) None
+      else {
+        val fl = n / 32
+        val e = Array.tabulate(32) { f =>
+          var s = 0L
+          var i = f * fl
+          while (i < (f + 1) * fl) {
+            val v = samples(i).toLong; s += v * v; i += 1
+          }
+          s
+        }
+        val sb = new StringBuilder(8)
+        var k = 0
+        while (k < 8) {
+          var nib = 0
+          var b = 0
+          while (b < 4) {
+            val f = k * 4 + b
+            if (e(f) > e((f + 1) % 32)) nib |= 1 << (3 - b)
+            b += 1
+          }
+          sb.append(java.lang.Integer.toHexString(nib))
+          k += 1
+        }
+        Some(sb.toString)
+      }
+    }
+
   /** STUB decode: deterministic fake features derived from payload bytes —
     * the VIDEO fallback (the JDK ships no video codec) and the safety net
     * for undecodable image/audio payloads. */

@@ -631,6 +631,24 @@ object TextQueries {
           count(lit(1)).as("n_copies"))
     }),
 
+    // Audio perceptual dedup: REAL WAV decode → 32-frame energy-delta
+    // fingerprint → group by hash. Groups of 5 doc_ids share generated
+    // PCM content; the oracle replays the fingerprint from the sample
+    // formula with no codec, so a broken decode path cannot pass.
+    "q_audio_dedup" -> ((s, d) => {
+      import s.implicits._
+      val hashed = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id / 5
+          val payload = graft.ops.Multimodal.encodeWav(
+            800 + (g % 400).toInt, 8000, g)
+          (id, graft.ops.Multimodal.audioFingerprintOf(payload).get)
+        }.toDF("doc_id", "afp")
+      hashed.groupBy(col("afp"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+    }),
+
     // Corpus data card: per-source doc/token/char totals, size extremes,
     // and the Gopher-battery pass count — one map-side-combined rollup.
     "q_corpus_report" -> ((s, d) =>
@@ -1782,6 +1800,40 @@ object TextQueries {
            FROM nibs GROUP BY doc_id)
          SELECT ahash, min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM hashes GROUP BY ahash""",
+
+    // audio-fingerprint replay from the PCM formula
+    // ((gid·31 + i·7919) % 4096 − 2048): 32 frame energies, cyclic
+    // delta-sign bits, MSB-first nibble packing — no audio codec involved
+    "q_audio_dedup" ->
+      """WITH g AS (
+           SELECT doc_id, doc_id // 5 AS gid,
+                  800 + (doc_id // 5) % 400 AS n
+           FROM documents),
+         fr AS (
+           SELECT doc_id, gid, n, n // 32 AS fl, f
+           FROM g, LATERAL unnest(range(0, 32)) AS t(f)),
+         en AS (
+           SELECT doc_id, f,
+             sum(((gid * 31 + i * 7919) % 4096 - 2048)
+                 * ((gid * 31 + i * 7919) % 4096 - 2048)) AS e
+           FROM (SELECT doc_id, gid, f, i
+                 FROM fr, LATERAL unnest(range(f * fl, (f + 1) * fl)) AS u(i))
+           GROUP BY doc_id, f),
+         bits AS (
+           SELECT a.doc_id, a.f, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+           FROM en a JOIN en b
+             ON b.doc_id = a.doc_id AND b.f = (a.f + 1) % 32),
+         nibs AS (
+           SELECT doc_id, f // 4 AS k,
+                  CAST(sum(bit * (CASE f % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                    WHEN 2 THEN 2 ELSE 1 END)) AS BIGINT) AS nib
+           FROM bits GROUP BY doc_id, f // 4),
+         fp AS (
+           SELECT doc_id, string_agg(lower(to_hex(nib)), '' ORDER BY k)
+                    AS afp
+           FROM nibs GROUP BY doc_id)
+         SELECT afp, min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM fp GROUP BY afp""",
 
     // data-card replay: the gopher statistics via list folds, keep = the
     // same four cross-multiplied rules, one integer rollup per source

@@ -184,4 +184,37 @@ class MultimodalSpec extends SparkSuite {
     // not an image → None, never throws
     assert(Multimodal.imageAHashOf("plain text".getBytes("UTF-8")).isEmpty)
   }
+
+  private def wavOf(samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio fingerprint is gain-invariant and content-sensitive") {
+    val samples = Array.tabulate(640)(i =>
+      (((i * 7919 + 13) % 4096) - 2048).toShort)
+    val fp = Multimodal.audioFingerprintOf(wavOf(samples)).get
+    assert(fp.length == 8 && fp.matches("[0-9a-f]{8}"))
+    // doubling the volume scales every frame energy by 4 — the delta-sign
+    // pattern (and so the fingerprint) is untouched
+    val louder = samples.map(s => (s * 2).toShort)
+    assert(Multimodal.audioFingerprintOf(wavOf(louder)).get == fp)
+    // different content → different fingerprint
+    val other = Array.tabulate(640)(i =>
+      (((i * 104729 + 7) % 4096) - 2048).toShort)
+    assert(Multimodal.audioFingerprintOf(wavOf(other)).get != fp)
+    // too short for frame structure, or not audio at all → None
+    assert(Multimodal.audioFingerprintOf(wavOf(Array.fill(16)(1.toShort))).isEmpty)
+    assert(Multimodal.audioFingerprintOf("noise".getBytes("UTF-8")).isEmpty)
+  }
 }
