@@ -347,6 +347,24 @@ object TextQueries {
           plantedSpanCorpus(Tables.documents(s, d)), "doc_id", "text",
           minTokens = 8, k = 5, w = 3))),
 
+    // Paragraph-level corpus dedup (the C4/RefinedWeb unit discipline):
+    // structural units recurring corpus-wide, with the keep-one decision
+    // per unit. The planted corpus gives every doc three paragraphs;
+    // every 3rd doc's middle paragraph is one of three shared boilerplate
+    // blocks — mirrored exactly in the oracle CTE.
+    "q_paragraph_dedup" -> ((s, d) =>
+      graft.ops.ParagraphDedup.duplicated(
+        graft.ops.ParagraphDedup.explodeUnits(
+          plantedParagraphCorpus(Tables.documents(s, d)), "doc_id", "text"),
+        "doc_id")),
+
+    // The excision: boilerplate survives only at its corpus-wide first
+    // occurrence; docs that lose nothing pass through VERBATIM (no
+    // rebuild), fully-excised docs come back empty, not dropped.
+    "q_paragraph_excise" -> ((s, d) =>
+      graft.ops.ParagraphDedup.excise(
+        plantedParagraphCorpus(Tables.documents(s, d)), "doc_id", "text")),
+
     // The document-filter DECISION (C4/Gopher-style): per-rule verdicts +
     // the combined keep flag, composed from the token-count and repetition
     // signals. Thresholds sit inside the corpus distributions so both
@@ -834,6 +852,28 @@ object TextQueries {
     sb.toString
   }
 
+  /** Paragraph-dedup test corpus: every doc becomes three "\n\n"-separated
+    * paragraphs built from its own token slices; every 3rd doc's middle
+    * paragraph is replaced by one of three shared boilerplate blocks (the
+    * 8-token prefix of donor doc `(doc_id div 3) % 3`). Derived from the
+    * driver's own table and mirrored in [[paragraphCtes]], so the oracle
+    * sees the identical corpus. */
+  private def plantedParagraphCorpus(docs: DataFrame): DataFrame = {
+    val donors = docs.where(col("doc_id") < 3)
+      .select(col("doc_id").as("g"),
+        array_join(slice(tokens(col("text")), 1, 8), " ").as("__b"))
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("g",
+        when(col("doc_id") % 3 === 0, expr("(doc_id div 3) % 3")))
+      .join(broadcast(donors), Seq("g"), "left")
+      .select(col("doc_id"),
+        concat_ws("\n\n",
+          array_join(slice(tokens(col("text")), 1, 8), " "),
+          coalesce(col("__b"),
+            array_join(slice(tokens(col("text")), 9, 8), " ")),
+          array_join(slice(tokens(col("text")), 17, 8), " ")).as("text"))
+  }
+
   /** Span-dedup test corpus: every 17th doc gets a shared 12-token passage
     * (the prefix of donor doc `(doc_id div 17) % 3`) planted at its head
     * (even ids) or tail (odd ids); all other docs pass through unchanged.
@@ -936,6 +976,72 @@ object TextQueries {
                CAST(max(e) AS BIGINT) AS cut_end,
                CAST(max(e) - min(s) + 1 AS BIGINT) AS cut_tokens
         FROM isl2 GROUP BY doc_id, g"""
+
+  /** Shared CTEs for the paragraph-dedup oracles: the planted corpus
+    * (mirrors [[plantedParagraphCorpus]]) and its exploded non-blank units
+    * with original 0-based positions (mirrors
+    * [[graft.ops.ParagraphDedup.explodeUnits]]), plus the duplicated-unit
+    * groups and their per-occurrence rank. */
+  private lazy val paragraphCtes =
+    """pcorpus AS (
+         SELECT d.doc_id,
+                concat_ws(chr(10) || chr(10),
+                  coalesce(array_to_string(d.ws[1:8], ' '), ''),
+                  CASE WHEN d.doc_id % 3 = 0 THEN dn.b
+                       ELSE coalesce(array_to_string(d.ws[9:16], ' '), '')
+                       END,
+                  coalesce(array_to_string(d.ws[17:24], ' '), '')) AS text
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents) d
+         LEFT JOIN (SELECT doc_id AS g,
+                           array_to_string(list_slice(
+                             string_split(text, ' '), 1, 8), ' ') AS b
+                    FROM documents WHERE doc_id < 3) dn
+           ON d.doc_id % 3 = 0 AND dn.g = (d.doc_id // 3) % 3),
+       punits AS (
+         SELECT doc_id, i - 1 AS pos, p[i] AS para
+         FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS p
+               FROM pcorpus),
+              LATERAL unnest(range(1, len(p) + 1)) AS t(i)
+         WHERE trim(p[i]) <> ''),
+       pdup AS (
+         SELECT md5(para) AS ph, count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_copies
+         FROM punits GROUP BY md5(para) HAVING count(*) >= 2),
+       pk AS (
+         SELECT md5(para) AS ph, doc_id, pos,
+                row_number() OVER (PARTITION BY md5(para)
+                  ORDER BY doc_id, pos) AS rn
+         FROM punits)"""
+
+  private lazy val paragraphDedupSql =
+    s"""WITH $paragraphCtes
+        SELECT p.ph, p.n_docs, p.n_copies,
+               k.doc_id AS keeper_id, k.pos AS keeper_pos
+        FROM pdup p JOIN pk k ON k.ph = p.ph AND k.rn = 1"""
+
+  private lazy val paragraphExciseSql =
+    s"""WITH $paragraphCtes,
+        pdrop AS (
+          SELECT k.doc_id, k.pos
+          FROM pk k JOIN pdup p ON p.ph = k.ph
+          WHERE k.rn > 1),
+        paff AS (SELECT DISTINCT doc_id FROM pdrop),
+        prebuilt AS (
+          SELECT u.doc_id,
+                 string_agg(u.para, chr(10) || chr(10) ORDER BY u.pos)
+                   AS text
+          FROM punits u
+          JOIN paff a ON a.doc_id = u.doc_id
+          LEFT JOIN pdrop x ON x.doc_id = u.doc_id AND x.pos = u.pos
+          WHERE x.doc_id IS NULL
+          GROUP BY u.doc_id)
+        SELECT c.doc_id,
+               CASE WHEN a.doc_id IS NULL THEN c.text
+                    ELSE coalesce(r.text, '') END AS text
+        FROM pcorpus c
+        LEFT JOIN paff a ON a.doc_id = c.doc_id
+        LEFT JOIN prebuilt r ON r.doc_id = c.doc_id"""
 
   /** Mirrors Decontaminate.near's degenerate-bucket star cap (maxBucket =
     * 1024): a bucket whose test×train cross product exceeds the cap pairs
@@ -1118,6 +1224,8 @@ object TextQueries {
     "q_decontaminate_near" -> nearContaminationSql,
     "q_span_dedup" -> spanDedupSql,
     "q_span_excise" -> spanExciseSql,
+    "q_paragraph_dedup" -> paragraphDedupSql,
+    "q_paragraph_excise" -> paragraphExciseSql,
     "q_decontaminate_span" -> spanDecontaminateSql,
     "q_token_bpe_trained" -> bpeTrainedSql,
     "q_sample_budget_bpe" -> bpeBudgetSql,
