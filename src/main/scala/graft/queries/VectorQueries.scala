@@ -205,6 +205,28 @@ object VectorQueries {
     }),
 
     // Embedding-cosine near-dup dedup within the coarse cell.
+    // Cluster-balanced (coreset-style) sampling: assign every vector to
+    // its nearest anchor and keep a deterministic per-cluster quota — the
+    // diversity-preserving subset selection of corpus curation (dense
+    // regions can't crowd out sparse ones). Anchors here are the 8 lowest
+    // vec_ids (index i = vec_id i), so the oracle replays the argmin
+    // EXACTLY; production would swap in [[centroidsFor]]'s trained
+    // centroids under the same plan. Composition: one broadcast argmin in
+    // the scan + the skew-proof salted per-stratum top-k — no corpus
+    // shuffle beyond the quota windows.
+    "q_cluster_balance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val anchors = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      graft.ops.Sampling.stratifiedTopKSalted(
+        emb.withColumn("cluster",
+          graft.ops.KMeans.assignExpr(col("embedding"), anchors)
+            .cast("long")),
+        Seq("cluster"), col("vec_id"), k = 20)
+        .select(col("cluster"), col("vec_id"))
+    }),
+
     "q_embed_dedup" -> ((s, d) => {
       Similarity.cosineDedup(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", threshold = 0.35)
@@ -365,6 +387,32 @@ object VectorQueries {
                      AS rank
             FROM dots)
           WHERE rank <= 5""",
+    // anchors = vec_id 0..7; nearest by |c|²−2·v·c (row-constant |v|²
+    // dropped, as in KMeans.assignExpr); quota = md5-ordered top-20 per
+    // cluster (the salted Spark selection is row-identical to this
+    // unsalted one)
+    "q_cluster_balance" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce
+                    FROM embeddings WHERE vec_id < 8),
+          d AS (
+            SELECT e.vec_id, c.cid,
+                   sum(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
+                   - 2 * sum(CAST(e.embedding[i] AS DOUBLE)
+                             * CAST(c.ce[i] AS DOUBLE)) AS dist
+            FROM embeddings e, c, LATERAL unnest(range(1, 65)) AS t(i)
+            GROUP BY e.vec_id, c.cid),
+          a AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist ASC, cid ASC) AS rn
+            FROM d),
+          asg AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
+          sel AS (
+            SELECT cluster, vec_id,
+                   row_number() OVER (PARTITION BY cluster
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM asg)
+          SELECT cluster, vec_id FROM sel WHERE rn <= 20""",
     "q_embed_dedup" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
           dots AS (
