@@ -34,7 +34,7 @@ object Sampling {
   private def hashOf(key: Column): Column = md5(key.cast("string"))
 
   /** 32-hex-char threshold such that P[md5 < threshold] = frac. */
-  private[ops] def fracThreshold(frac: Double): String = {
+  private[graft] def fracThreshold(frac: Double): String = {
     require(frac >= 0.0 && frac <= 1.0, s"fraction $frac outside [0,1]")
     val full = BigInt(1) << 128
     val cut = (BigDecimal(full) * frac).toBigInt.min(full)
@@ -187,5 +187,35 @@ object Sampling {
       .withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= col("quota"))
       .drop("__rank")
+  }
+
+  /** Fractional epoch repetition — the mixture step that repeats a source
+    * a REAL number of times (a 1.7-epoch source: every doc twice? no —
+    * every doc once, and a deterministic 70% of docs a second time).
+    * Each row gets `floor(r)` full copies (`epoch` 0..⌊r⌋−1) plus one more
+    * iff its salted hash clears the fractional threshold; r < 1
+    * degenerates to plain deterministic downsampling, and a stratum absent
+    * from `factors` passes through at exactly one epoch. The fractional
+    * pick hashes `key || ":epoch"` so it is INDEPENDENT of any
+    * [[hashFraction]] decision already applied to the same key.
+    *
+    * Scale shape: a scan-stage when-chain and one `explode` — no shuffle,
+    * no driver state; output volume is the cost, which is the point. */
+  def epochMixture(df: DataFrame, key: Column, strataCol: String,
+                   factors: Map[String, Double]): DataFrame = {
+    factors.foreach { case (s, r) =>
+      require(r >= 0.0, s"factor $r for stratum $s must be >= 0") }
+    val neverHex = "0" * 32
+    val full = factors.foldLeft(lit(1L)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(math.floor(r).toLong)).otherwise(acc) }
+    val fracThresh = factors.foldLeft(lit(neverHex)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s,
+        lit(fracThreshold(r - math.floor(r)))).otherwise(acc) }
+    val extra = (md5(concat(key.cast("string"), lit(":epoch"))) < fracThresh)
+      .cast("long")
+    df.withColumn("__n", full + extra)
+      .where(col("__n") > 0L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1L)))
+      .drop("__n")
   }
 }

@@ -618,6 +618,16 @@ object TextQueries {
         col("doc_id"), col("n_chars"), totalRows = 100L)
         .select(col("doc_id"), col("source"), col("quota"))),
 
+    // Fractional epoch repetition: src0 ×2 (every doc twice), src1 ×1.6
+    // (once + a deterministic 60% twice), src2 ×0.3 (a 30% subset),
+    // src3 ×0 (dropped), every other source exactly once — the real-valued
+    // per-source repetition factors of corpus mixing, replay-stable.
+    "q_sample_epochs" -> ((s, d) =>
+      graft.ops.Sampling.epochMixture(
+        Tables.documents(s, d).select("doc_id", "source"),
+        col("doc_id"), "source",
+        Map("src0" -> 2.0, "src1" -> 1.6, "src2" -> 0.3, "src3" -> 0.0))),
+
     // Corpus snapshot diff: old = ids not divisible by 4, new = ids not
     // divisible by 5 with every ninth document edited — every status
     // (added/removed/modified/unchanged) is exercised.
@@ -1850,6 +1860,32 @@ object TextQueries {
            FROM documents)
          SELECT r.doc_id, r.source, q.quota
          FROM r JOIN q USING (source) WHERE r.rn <= q.quota""",
+
+    // epoch-mixture replay: ⌊r⌋ full copies + one more iff the ":epoch"-
+    // salted hash clears the fractional threshold (thresholds interpolated
+    // from the SAME fracThreshold the operator uses — they cannot drift)
+    "q_sample_epochs" ->
+      s"""WITH f AS (
+            SELECT * FROM (VALUES
+              ('src0', CAST(2 AS BIGINT),
+               '${graft.ops.Sampling.fracThreshold(0.0)}'),
+              ('src1', CAST(1 AS BIGINT),
+               '${graft.ops.Sampling.fracThreshold(1.6 - 1.0)}'),
+              ('src2', CAST(0 AS BIGINT),
+               '${graft.ops.Sampling.fracThreshold(0.3)}'),
+              ('src3', CAST(0 AS BIGINT),
+               '${graft.ops.Sampling.fracThreshold(0.0)}'))
+              AS t(src, nfull, th)),
+          n AS (
+            SELECT doc_id, source,
+                   coalesce(f.nfull, 1)
+                   + CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':epoch')
+                            < coalesce(f.th,
+                                       '${graft.ops.Sampling.fracThreshold(0.0)}')
+                          THEN 1 ELSE 0 END AS nc
+            FROM documents LEFT JOIN f ON f.src = source)
+          SELECT doc_id, source, i AS epoch
+          FROM n, LATERAL unnest(range(0, nc)) AS t(i)""",
 
     // diff replay: both snapshots reduced to (id, fingerprint), full outer
     // join on id, four-way CASE

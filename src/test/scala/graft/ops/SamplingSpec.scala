@@ -123,4 +123,35 @@ class SamplingSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet
     assert(again == out.select("id").as[Long].collect().toSet)
   }
+
+  test("epochMixture repeats fractionally, drops at 0, defaults to 1") {
+    val out = Sampling.epochMixture(corpus, col("id"), "lang",
+      Map("lang0" -> 2.0, "lang1" -> 1.5, "lang2" -> 0.0))
+      .select("id", "lang", "epoch").as[(Long, String, Long)].collect()
+    val byLang = out.groupBy(_._2)
+    // lang0 ×2.0: EVERY doc exactly twice (epochs 0 and 1)
+    val l0 = byLang("lang0")
+    assert(l0.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == Seq(0L, 1L) })
+    // lang1 ×1.5: every doc once, roughly half twice — and the extra copy
+    // is always epoch 1 on top of epoch 0
+    val l1 = byLang("lang1").groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq)
+    assert(l1.values.forall(e => e == Seq(0L) || e == Seq(0L, 1L)))
+    val twice = l1.values.count(_ == Seq(0L, 1L)).toDouble / l1.size
+    assert(twice > 0.38 && twice < 0.62, s"fractional share $twice")
+    // lang2 ×0.0: dropped entirely
+    assert(!byLang.contains("lang2"))
+
+    // unlisted stratum passes through at exactly one epoch
+    val dflt = Sampling.epochMixture(corpus, col("id"), "lang",
+      Map("lang0" -> 3.0))
+    assert(dflt.where(col("lang") =!= "lang0").groupBy("id").count()
+      .where(col("count") =!= 1).count() == 0)
+
+    // determinism under repartitioning (replay-stability)
+    val again = Sampling.epochMixture(corpus.repartition(11), col("id"),
+      "lang", Map("lang0" -> 2.0, "lang1" -> 1.5, "lang2" -> 0.0))
+      .select("id", "epoch").as[(Long, Long)].collect().toSet
+    assert(again == out.map(r => (r._1, r._3)).toSet)
+  }
 }
