@@ -332,4 +332,37 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct(condition"),
       "only one-row scalars may cross join")
   }
+
+  test("paragraph dedup is hash aggregation on the md5 key, no self-join") {
+    val p = plan("q_paragraph_dedup")
+    // distinct-count aggregates in the standard two-exchange shape; both
+    // shuffles carry (hash, id) — never the paragraph bodies as keys
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected <= 2 exchanges (two-phase distinct agg), got $n")
+    assert(p.contains("partial"), "unit counts must map-side combine")
+    assert(!p.contains("CartesianProduct"),
+      "duplicate discovery must never pair units by join")
+  }
+
+  test("paragraph excise: duplicate sets broadcast at runtime, no cartesian") {
+    val df = SparkEntry.queries("q_paragraph_excise")(spark, sf)
+    df.collect() // let AQE finalize — the dup/affected sets are tiny
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"AQE must broadcast the boilerplate-sized dup/affected sets:\n$p")
+  }
+
+  test("cluster-balanced sampling never joins or shuffles the corpus beyond quota windows") {
+    val p = plan("q_cluster_balance")
+    assert(!p.contains("Join"), "anchor argmin is a scan expression, not a join")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected <= 2 exchanges (salted + final quota window), got $n")
+  }
+
+  test("epoch mixture is shuffle-free: a scan-stage when-chain and one explode") {
+    val p = plan("q_sample_epochs")
+    assert(!p.contains("Exchange"), s"epoch repetition must not shuffle:\n$p")
+    assert(p.contains("Generate"), "the copies come from explode(sequence)")
+  }
 }
