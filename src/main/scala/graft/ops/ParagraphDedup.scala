@@ -76,12 +76,19 @@ object ParagraphDedup {
         col("pos") === col("keeper_pos")))
       .select(col(idCol), col("pos"))
 
-    val affected = drops.select(idCol).distinct()
+    exciseByDrops(docs, idCol, textCol, sep, u, drops)
+  }
 
-    // Rebuild ONLY the affected docs: surviving units regrouped in pos
-    // order. The left join keeps fully-excised docs alive (collect_list
-    // skips the null marker, array_join of [] is "").
-    val kept = u
+  /** The shared rebuild: given the exploded units and the (id, pos) drop
+    * set, rebuild ONLY documents that lose a unit; everything else passes
+    * through verbatim. Fully-excised docs survive as empty rows
+    * (collect_list skips the null marker, array_join of [] is ""). */
+  private[ops] def exciseByDrops(docs: DataFrame, idCol: String,
+                                 textCol: String, sep: String,
+                                 units: DataFrame,
+                                 drops: DataFrame): DataFrame = {
+    val affected = drops.select(idCol).distinct()
+    val kept = units
       .join(affected, Seq(idCol), "left_semi")
       .join(drops, Seq(idCol, "pos"), "left_anti")
     val rebuilt = affected

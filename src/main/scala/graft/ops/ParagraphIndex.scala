@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.ops.ParagraphDedup.{explodeUnits, exciseByDrops}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED paragraph-dedup index — the incremental face of
+  * [[ParagraphDedup]]: a corpus ingested batch-by-batch keeps each
+  * structural unit (paragraph/line) ONCE, at its first arrival, and
+  * excises every later occurrence — including occurrences arriving in the
+  * same batch (batch-internal keep-first) and in any later batch
+  * (cross-batch keep-first). Run over batches in corpus order this
+  * reproduces the one-shot [[ParagraphDedup.excise]] row-for-row; run over
+  * a live stream it is the boilerplate filter at ingest.
+  *
+  * '''Layout''' ([[GenStore]] generations): one keeper row
+  * (ph, id, pos, ord) per distinct unit hash, partitioned by `php` =
+  * letter-prefixed first md5 hex char (16 directories). A batch probe
+  * touches only the partitions its unit hashes land in — O(batch) work
+  * against a corpus-sized store — and appends only NOVEL units.
+  *
+  * '''Crash contract.''' A replayed [[addAndExcise]] sees its own partial
+  * append: the keeper row it wrote IS this batch's first occurrence, and
+  * the drop rule exempts the occurrence that equals the stored keeper, so
+  * the replay returns the same excision and the anti-join lands the
+  * remainder exactly once — the store converges to one keeper per unit
+  * (arbitrated by (ord, id, pos) at read). Appends are serialized by a
+  * single driver (the shared cron-loop contract); [[compact]] rewrites one
+  * file per partition under the atomic pointer swap.
+  */
+final class ParagraphIndex(spark: SparkSession, path: String,
+                           idCol: String, textCol: String,
+                           sep: String = "\n\n") {
+
+  private val gens = new GenStore(path)
+
+  private def php = concat(lit("p"), substring(col("ph"), 1, 1))
+
+  private def storedKeepers(): Option[DataFrame] =
+    gens.readLive(spark,
+        f => f.isDirectory && f.getName.startsWith("php="))
+      .map(_.groupBy(col("ph"))
+        .agg(min(struct(col("ord"), col(idCol), col("pos"))).as("__k"))
+        .select(col("ph"), col(s"__k.$idCol").as("__kid"),
+          col("__k.pos").as("__kpos")))
+
+  /** Probe + excise + append one batch; returns the batch's documents
+    * with every non-first unit occurrence excised (same contract as
+    * [[ParagraphDedup.excise]]: untouched docs verbatim, fully-excised
+    * docs as empty rows). */
+  def addAndExcise(batch: DataFrame, ord: Long): DataFrame = {
+    gens.liveOrCreate()
+    val u = explodeUnits(batch, idCol, textCol, sep)
+      .withColumn("ph", md5(col("para")))
+
+    // store keepers for ONLY the partitions this batch's hashes touch
+    val pruned = storedKeepers() match {
+      case None => None
+      case Some(st) =>
+        val touched = u.select(substring(col("ph"), 1, 1)).distinct()
+          .collect().map(r => "p" + r.getString(0))
+        if (touched.isEmpty) None
+        else Some(st.where(
+          concat(lit("p"), substring(col("ph"), 1, 1))
+            .isin(touched.toSeq: _*)))
+    }
+
+    // batch-first occurrence per unit (map-side combinable min)
+    val first = u.groupBy(col("ph"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__f"))
+      .select(col("ph"), col(s"__f.$idCol").as("__fid"),
+        col("__f.pos").as("__fpos"))
+
+    val annotated = pruned match {
+      case None => u.join(first, Seq("ph"))
+        .withColumn("__kid", lit(null).cast("long"))
+        .withColumn("__kpos", lit(null).cast("long"))
+      case Some(st) => u.join(first, Seq("ph")).join(st, Seq("ph"), "left")
+    }
+
+    // stored unit: drop every occurrence EXCEPT the stored keeper itself
+    // (the exemption is what makes a crash replay idempotent — fresh
+    // batches never contain their own keeper, so it changes nothing for
+    // them); novel unit: drop all but the batch-first
+    val drops = annotated.where(
+      when(col("__kid").isNotNull,
+        !(col(idCol) === col("__kid") && col("pos") === col("__kpos")))
+        .otherwise(
+          !(col(idCol) === col("__fid") && col("pos") === col("__fpos"))))
+      .select(col(idCol), col("pos"))
+
+    // novel units land with this batch's ord; the anti-join makes a
+    // replayed append a no-op
+    val novel = pruned match {
+      case None => first
+      case Some(st) => first.join(st, Seq("ph"), "left_anti")
+    }
+    novel.select(col("ph"), col("__fid").as(idCol),
+        col("__fpos").as("pos"))
+      .withColumn("ord", lit(ord)).withColumn("php", php)
+      .write.mode("append").partitionBy("php")
+      .parquet(gens.currentGen().get.getAbsolutePath)
+
+    exciseByDrops(batch, idCol, textCol, sep, u, drops)
+  }
+
+  /** One (ph, keeper_id, keeper_pos) row per distinct unit ever seen. */
+  def keepers(): DataFrame =
+    storedKeepers()
+      .getOrElse(throw new IllegalStateException(
+        s"empty paragraph index at $path"))
+      .select(col("ph"), col("__kid").as("keeper_id"),
+        col("__kpos").as("keeper_pos"))
+
+  /** Rewrite the live generation to one arbitrated keeper per unit, one
+    * file per partition; keeps the replaced generation for one cycle. */
+  def compact(): Unit = gens.currentGen().foreach { cur =>
+    val next = gens.newGenDir()
+    spark.read.parquet(cur.getAbsolutePath)
+      .groupBy(col("ph"))
+      .agg(min(struct(col("ord"), col(idCol), col("pos"))).as("__k"))
+      .select(col("ph"), col(s"__k.$idCol").as(idCol),
+        col("__k.pos").as("pos"), col("__k.ord").as("ord"), php.as("php"))
+      .repartition(col("php"))
+      .write.mode("overwrite").partitionBy("php")
+      .parquet(next.getAbsolutePath)
+    gens.swapPointer(next.getName)
+    gens.reapExcept(Set(next.getName, cur.getName))
+  }
+
+  /** Live generation path (plan audits / external scans). */
+  def currentGenerationPath: Option[String] =
+    gens.currentGen().map(_.getAbsolutePath)
+}

@@ -365,6 +365,21 @@ object TextQueries {
       graft.ops.ParagraphDedup.excise(
         plantedParagraphCorpus(Tables.documents(s, d)), "doc_id", "text")),
 
+    // The INCREMENTAL index fed the same corpus as two arrival-ordered
+    // batches (even ids, then odd ids): batch-internal and cross-batch
+    // occurrences excise against the persisted keeper store, and the
+    // union of the two excised batches must equal a one-shot excision
+    // under arrival order — exercised THROUGH the store's append path.
+    "q_paragraph_incremental" -> ((s, d) => {
+      val corpus = plantedParagraphCorpus(Tables.documents(s, d))
+      val dir = java.nio.file.Files.createTempDirectory("graft-para-inc")
+        .toFile.getAbsolutePath
+      val idx = new graft.ops.ParagraphIndex(s, dir, "doc_id", "text")
+      val out1 = idx.addAndExcise(corpus.where(col("doc_id") % 2 === 0), 0)
+      val out2 = idx.addAndExcise(corpus.where(col("doc_id") % 2 === 1), 1)
+      out1.unionByName(out2)
+    }),
+
     // The document-filter DECISION (C4/Gopher-style): per-rule verdicts +
     // the combined keep flag, composed from the token-count and repetition
     // signals. Thresholds sit inside the corpus distributions so both
@@ -992,8 +1007,13 @@ object TextQueries {
     * with original 0-based positions (mirrors
     * [[graft.ops.ParagraphDedup.explodeUnits]]), plus the duplicated-unit
     * groups and their per-occurrence rank. */
-  private lazy val paragraphCtes =
-    """pcorpus AS (
+  private lazy val paragraphCtes = paragraphCtesWith("doc_id, pos")
+
+  /** `order` is the keep-first arbitration order: corpus order for the
+    * one-shot queries, arrival order (batch parity first) for the
+    * incremental-index query. */
+  private def paragraphCtesWith(order: String) =
+    s"""pcorpus AS (
          SELECT d.doc_id,
                 concat_ws(chr(10) || chr(10),
                   coalesce(array_to_string(d.ws[1:8], ' '), ''),
@@ -1021,7 +1041,7 @@ object TextQueries {
        pk AS (
          SELECT md5(para) AS ph, doc_id, pos,
                 row_number() OVER (PARTITION BY md5(para)
-                  ORDER BY doc_id, pos) AS rn
+                  ORDER BY $order) AS rn
          FROM punits)"""
 
   private lazy val paragraphDedupSql =
@@ -1030,8 +1050,16 @@ object TextQueries {
                k.doc_id AS keeper_id, k.pos AS keeper_pos
         FROM pdup p JOIN pk k ON k.ph = p.ph AND k.rn = 1"""
 
-  private lazy val paragraphExciseSql =
-    s"""WITH $paragraphCtes,
+  private lazy val paragraphExciseSql = paragraphExciseSqlWith(paragraphCtes)
+
+  /** The incremental index processes the even-id batch then the odd-id
+    * batch, so keep-first arbitration is ARRIVAL order: parity first, then
+    * (id, pos) — the only line that differs from the one-shot oracle. */
+  private lazy val paragraphIncrementalSql =
+    paragraphExciseSqlWith(paragraphCtesWith("doc_id % 2, doc_id, pos"))
+
+  private def paragraphExciseSqlWith(ctes: String) =
+    s"""WITH $ctes,
         pdrop AS (
           SELECT k.doc_id, k.pos
           FROM pk k JOIN pdup p ON p.ph = k.ph
@@ -1236,6 +1264,7 @@ object TextQueries {
     "q_span_excise" -> spanExciseSql,
     "q_paragraph_dedup" -> paragraphDedupSql,
     "q_paragraph_excise" -> paragraphExciseSql,
+    "q_paragraph_incremental" -> paragraphIncrementalSql,
     "q_decontaminate_span" -> spanDecontaminateSql,
     "q_token_bpe_trained" -> bpeTrainedSql,
     "q_sample_budget_bpe" -> bpeBudgetSql,
