@@ -133,6 +133,8 @@ object StreamBench {
           tmp.resolve("bm25").toString, "doc_id", "text")
         val exact = new graft.ops.ExactDedupIndex(spark,
           tmp.resolve("exact").toString, "doc_id", "text")
+        val para = new graft.ops.ParagraphIndex(spark,
+          tmp.resolve("para").toString, "doc_id", "text")
         timedRows("curate_pipeline_docs_per_s", nd) {
           spark.readStream.format("graft-topic").option("path", docsTopic).load()
             .select(col("key").cast("long").as("doc_id"),
@@ -150,11 +152,16 @@ object StreamBench {
                 val novelIds = exact.addAndDedup(kept, ord = e, bloom = true)
                   .select(col("doc_id")).localCheckpoint(true)
                 val fresh = kept.join(novelIds, Seq("doc_id"))
-                cc.addPairs(lsh.addAndFindPairs(fresh, batchOrd = e), ord = e)
+                // strip corpus-recurring structural units before the
+                // text-side indexes (near-dup pairing + full-text) — the
+                // ingest-time boilerplate filter; embeddings keep the
+                // untouched doc ids
+                val excised = para.addAndExcise(fresh, ord = e)
+                cc.addPairs(lsh.addAndFindPairs(excised, batchOrd = e), ord = e)
                 ivf.add(fresh.join(emb, "doc_id")
                   .select(col("doc_id"), col("embedding")),
                   graft.ops.KMeans.assignExpr(col("embedding"), cents))
-                bm25.add(fresh, ord = e)
+                bm25.add(excised, ord = e)
               } finally { kept.unpersist(); () }
             }
             .option("checkpointLocation", tmp.resolve("cp5").toString).start()

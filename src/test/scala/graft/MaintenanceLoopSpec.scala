@@ -76,6 +76,15 @@ class MaintenanceLoopSpec extends SparkSuite {
       ord = 2L)
     val exBefore = ex.keepers().as[(String, Long)].collect().toSet
 
+    // a paragraph-dedup keeper index with per-batch partition files
+    val paDir = Files.createTempDirectory("loop-para").toFile.getAbsolutePath
+    val pa = new graft.ops.ParagraphIndex(spark, paDir, "doc_id", "text")
+    pa.addAndExcise(Seq((1L, "shared unit\n\nown one")).toDF("doc_id", "text"),
+      ord = 1L)
+    pa.addAndExcise(Seq((2L, "shared unit\n\nown two")).toDF("doc_id", "text"),
+      ord = 2L)
+    val paBefore = pa.keepers().as[(String, Long, Long)].collect().toSet
+
     // a BM25 postings index with per-batch term-partition files
     val bmDir = Files.createTempDirectory("loop-bm25").toFile.getAbsolutePath
     val bmDocs = Seq((1L, "spark join fast"), (2L, "spark scan slow"),
@@ -102,6 +111,7 @@ class MaintenanceLoopSpec extends SparkSuite {
         cc.compact()
         bm.compact()
         ex.compact()
+        pa.compact()
         // the production loop runs the monitored compact; this index has
         // caller-provided cells and no owned quantizer, so the monitor
         // must degrade to a plain compact (None), never measure against a
@@ -180,6 +190,20 @@ class MaintenanceLoopSpec extends SparkSuite {
       "BM25 postings not compacted under the loop")
     assert(bm.search(bmQs, 3).collect().toSet == bmBefore,
       "compaction under the loop changed BM25 scores")
+
+    // paragraph index: keepers unchanged, one file per partition, and a
+    // later batch still excises known boilerplate against the compacted
+    // store
+    assert(pa.keepers().as[(String, Long, Long)].collect().toSet == paBefore,
+      "compaction under the loop changed paragraph keepers")
+    val paGen = new File(pa.currentGenerationPath.get)
+    val paParts = paGen.listFiles().filter(_.getName.startsWith("php="))
+    assert(paParts.nonEmpty && paParts.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "paragraph keepers not compacted under the loop")
+    assert(pa.addAndExcise(
+        Seq((9L, "shared unit\n\nown nine")).toDF("doc_id", "text"), ord = 9L)
+      .select("text").as[String].collect().toSeq == Seq("own nine"))
 
     // exact-dedup fingerprints: keepers unchanged, one file per partition
     assert(ex.keepers().as[(String, Long)].collect().toSet == exBefore,
