@@ -633,6 +633,13 @@ object TextQueries {
         col("doc_id"), col("n_chars"), totalRows = 100L)
         .select(col("doc_id"), col("source"), col("quota"))),
 
+    // Phrase-blocklist screening (C4 bad-words rule): any listed word or
+    // multi-word phrase, word-boundary exact, drops the doc — the whole
+    // verdict a scan-stage scalar over a literal list (no join, no regex).
+    "q_blocklist" -> ((s, d) =>
+      graft.ops.Blocklist.screen(Tables.documents(s, d), "doc_id", "text",
+        Seq("slow fast", "table value", "hash"))),
+
     // Fractional epoch repetition: src0 ×2 (every doc twice), src1 ×1.6
     // (once + a deterministic 60% twice), src2 ×0.3 (a 30% subset),
     // src3 ×0 (dropped), every other source exactly once — the real-valued
@@ -1889,6 +1896,20 @@ object TextQueries {
            FROM documents)
          SELECT r.doc_id, r.source, q.quota
          FROM r JOIN q USING (source) WHERE r.rn <= q.quota""",
+
+    // blocklist replay: space-padded substring hits per phrase
+    "q_blocklist" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  CASE WHEN position(' slow fast ' IN ' ' || text || ' ') > 0
+                       THEN 1 ELSE 0 END
+                + CASE WHEN position(' table value ' IN ' ' || text || ' ') > 0
+                       THEN 1 ELSE 0 END
+                + CASE WHEN position(' hash ' IN ' ' || text || ' ') > 0
+                       THEN 1 ELSE 0 END AS nm
+           FROM documents)
+         SELECT doc_id, CAST(nm AS BIGINT) AS n_matches, nm = 0 AS keep
+         FROM h""",
 
     // epoch-mixture replay: ⌊r⌋ full copies + one more iff the ":epoch"-
     // salted hash clears the fractional threshold (thresholds interpolated

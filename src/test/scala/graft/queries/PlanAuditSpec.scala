@@ -360,6 +360,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(n <= 2, s"expected <= 2 exchanges (salted + final quota window), got $n")
   }
 
+  test("blocklist screening is a pure scan expression: no exchange, no join") {
+    val p = plan("q_blocklist")
+    assert(!p.contains("Exchange"), s"blocklist must ride the scan:\n$p")
+    assert(!p.contains("Join"), "the literal phrase list must not join")
+  }
+
   test("epoch mixture is shuffle-free: a scan-stage when-chain and one explode") {
     val p = plan("q_sample_epochs")
     assert(!p.contains("Exchange"), s"epoch repetition must not shuffle:\n$p")
