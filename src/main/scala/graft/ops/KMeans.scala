@@ -94,9 +94,29 @@ object KMeans {
 
   /** Train centroids: k-means‖ init + `iters` Lloyd iterations over one
     * cached pass-through projection. */
+  /** Deterministic bounded training sample. Quantizer training needs a
+    * REPRESENTATIVE sample, not the corpus — the FAISS working point is a
+    * few hundred vectors per centroid — so cap the training set by
+    * md5-hash Bernoulli selection: replay-stable, partition-independent
+    * (no `sample()` RNG), and at 100 TB the Lloyd iterations touch
+    * megabytes instead of re-scanning the corpus per iteration. Corpora at
+    * or under the cap train on everything (exact no-op, so small-scale
+    * results are byte-identical with or without this guard). */
+  private[ops] def trainSample(df: DataFrame, key: Column,
+                               maxRows: Long): DataFrame = {
+    val n = df.count()
+    if (n <= maxRows) df
+    else Sampling.hashFraction(df, key, maxRows.toDouble / n)
+  }
+
+  /** 256 training vectors per centroid, floored at 4096 — under any
+    * verify-scale corpus, dominant at cluster scale. */
+  private[ops] def trainCap(k: Int): Long = math.max(4096L, 256L * k)
+
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
   : Array[Array[Double]] = {
-    val data = Par.spread(df.select(col(idCol), col(vecCol))).persist()
+    val data = Par.spread(trainSample(df.select(col(idCol), col(vecCol)),
+      col(idCol), trainCap(k))).persist()
     try {
       val dim = data.select(size(col(vecCol))).head().getInt(0)
       var centroids = initParallel(data, idCol, vecCol, k)

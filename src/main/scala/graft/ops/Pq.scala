@@ -47,7 +47,10 @@ object Pq {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val sliced = Par.spread(df.select(explode(array((0 until m).map(mi =>
+    // codebooks train on a bounded deterministic sample (see
+    // KMeans.trainSample) — encode/search always run over the full corpus
+    val train = KMeans.trainSample(df, col(idCol), KMeans.trainCap(k))
+    val sliced = Par.spread(train.select(explode(array((0 until m).map(mi =>
         struct(lit(mi).as("mi"), sub(col(vecCol), mi, subDim).as("sv"))): _*))
       .as("x"))
       .select(col("x.mi").as("mi"), col("x.sv").as("sv"))).persist()
