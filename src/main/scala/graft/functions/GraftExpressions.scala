@@ -180,10 +180,286 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Asymmetric-distance (ADC) score of one product-quantized code row
+  * against a query vector: Σ_mi dot(qvec[mi·subDim ..], books[mi][code_mi]).
+  * One expression for the WHOLE sum — the compositional form (m slices +
+  * m literal-array lookups + m dots) is correct but collapses to
+  * interpreted per-row evaluation wherever the surrounding stage loses
+  * whole-stage codegen (the ADC scan sits behind a broadcast nested-loop
+  * join, which has no codegen), and its per-row constant is ~100× this
+  * tight loop. The codebooks ride along as one flattened double[]
+  * reference object ([[codebooksFlat]] layout: (mi·k + code)·subDim + j),
+  * never per-row literals. Arithmetic order matches the compositional
+  * form term-for-term, so results are bit-identical. */
+case class PqAdcScore(left: Expression, right: Expression,
+                      books: Array[Double], m: Int, k: Int, subDim: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  private def qGetter: String = left.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case other => throw new IllegalArgumentException(
+      s"pq_adc_score expects array<float|double> query, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(q: Any, c: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val cd = c.asInstanceOf[ArrayData]
+    val qDouble = qGetter == "getDouble"
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      val base = (mi * k + cd.getInt(mi)) * subDim
+      val qoff = mi * subDim
+      // per-subspace partial, summed into acc afterwards — the exact
+      // association order of dot-per-subspace + reduce(_ + _)
+      var part = 0.0
+      var j = 0
+      while (j < subDim) {
+        val x = if (qDouble) qv.getDouble(qoff + j)
+                else qv.getFloat(qoff + j).toDouble
+        part += x * books(base + j)
+        j += 1
+      }
+      acc += part
+      mi += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[]")
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val acc = ctx.freshName("acc")
+      val part = ctx.freshName("part")
+      val mi = ctx.freshName("mi")
+      val j = ctx.freshName("j")
+      val base = ctx.freshName("base")
+      val qoff = ctx.freshName("qoff")
+      s"""
+         |double $acc = 0.0;
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $base = ($mi * $k + $c.getInt($mi)) * $subDim;
+         |  int $qoff = $mi * $subDim;
+         |  double $part = 0.0;
+         |  for (int $j = 0; $j < $subDim; $j++) {
+         |    $part += (double) $q.$qGetter($qoff + $j) * $booksRef[$base + $j];
+         |  }
+         |  $acc += $part;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Nearest-centroid argmin over |c|² − 2·v·c — the fused form of
+  * [[graft.ops.KMeans.assignExpr]]'s k-struct + array_min tree. The
+  * compositional tree is fine under whole-stage codegen but costs ~ms/row
+  * interpreted (every stage behind a broadcast nested-loop join), and the
+  * assign lands in exactly those stages in ANN search paths. Bit-identical:
+  * same c² fold, same left-to-right dot, same (d, i) lexicographic argmin
+  * with Spark's NaN-is-largest ordering. `cents` flat at c·dim + j. */
+case class KMeansAssignArgmin(child: Expression, cents: Array[Double],
+                              c2: Array[Double], k: Int, dim: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "kmeans_assign"
+
+  private def vGetter: String = child.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case other => throw new IllegalArgumentException(
+      s"kmeans_assign expects array<float|double> vector, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val vv = v.asInstanceOf[ArrayData]
+    val vDouble = vGetter == "getDouble"
+    val n = math.min(dim, vv.numElements())
+    var best = Double.NaN; var bestI = 0
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (vDouble) vv.getDouble(j) else vv.getFloat(j).toDouble
+        dot += x * cents(c * dim + j)
+        j += 1
+      }
+      val d = c2(c) - 2.0 * dot
+      if (c == 0 || d < best ||
+          (java.lang.Double.isNaN(best) && !java.lang.Double.isNaN(d))) {
+        best = d; bestI = c
+      }
+      c += 1
+    }
+    bestI
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val centsRef = ctx.addReferenceObj("kmCents", cents, "double[]")
+    val c2Ref = ctx.addReferenceObj("kmC2", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val best = ctx.freshName("best")
+      val bestI = ctx.freshName("bestI"); val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |double $best = Double.NaN; int $bestI = 0;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += (double) $v.$vGetter($j) * $centsRef[$c * $dim + $j];
+         |  }
+         |  double $d = $c2Ref[$c] - 2.0 * $dot;
+         |  if ($c == 0 || $d < $best ||
+         |      (Double.isNaN($best) && !Double.isNaN($d))) {
+         |    $best = $d; $bestI = $c;
+         |  }
+         |}
+         |${ev.value} = $bestI;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** All m PQ sub-codes of one vector in one pass — the fused form of
+  * m × (slice + [[KMeansAssignArgmin]]). Same flat codebook layout as
+  * [[PqAdcScore]] ((mi·k + c)·subDim + j, c² at mi·k + c); identical
+  * arithmetic and argmin ordering, no per-subspace slice allocation. */
+case class PqEncode(child: Expression, books: Array[Double],
+                    c2: Array[Double], m: Int, k: Int, subDim: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private def vGetter: String = child.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case other => throw new IllegalArgumentException(
+      s"pq_encode expects array<float|double> vector, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val vv = v.asInstanceOf[ArrayData]
+    val vDouble = vGetter == "getDouble"
+    val total = vv.numElements()
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val qoff = mi * subDim
+      // slice-then-dot semantics: the slice clips at the vector end, the
+      // dot then runs over the common prefix
+      val n = math.max(0, math.min(subDim, total - qoff))
+      var best = Double.NaN; var bestI = 0
+      var c = 0
+      while (c < k) {
+        var dot = 0.0
+        var j = 0
+        while (j < n) {
+          val x = if (vDouble) vv.getDouble(qoff + j)
+                  else vv.getFloat(qoff + j).toDouble
+          dot += x * books((mi * k + c) * subDim + j)
+          j += 1
+        }
+        val d = c2(mi * k + c) - 2.0 * dot
+        if (c == 0 || d < best ||
+            (java.lang.Double.isNaN(best) && !java.lang.Double.isNaN(d))) {
+          best = d; bestI = c
+        }
+        c += 1
+      }
+      codes(mi) = bestI
+      mi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[]")
+    val c2Ref = ctx.addReferenceObj("pqC2", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val codes = ctx.freshName("codes"); val total = ctx.freshName("total")
+      val mi = ctx.freshName("mi"); val qoff = ctx.freshName("qoff")
+      val n = ctx.freshName("n"); val best = ctx.freshName("best")
+      val bestI = ctx.freshName("bestI"); val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      s"""
+         |int $total = $v.numElements();
+         |int[] $codes = new int[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $qoff = $mi * $subDim;
+         |  int $n = java.lang.Math.max(0, java.lang.Math.min($subDim, $total - $qoff));
+         |  double $best = Double.NaN; int $bestI = 0;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $dot = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $dot += (double) $v.$vGetter($qoff + $j)
+         |            * $booksRef[($mi * $k + $c) * $subDim + $j];
+         |    }
+         |    double $d = $c2Ref[$mi * $k + $c] - 2.0 * $dot;
+         |    if ($c == 0 || $d < $best ||
+         |        (Double.isNaN($best) && !Double.isNaN($d))) {
+         |      $best = $d; $bestI = $c;
+         |    }
+         |  }
+         |  $codes[$mi] = $bestI;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   def float_vector_dot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** See [[KMeansAssignArgmin]]; `cents` flat at c·dim + j. */
+  def kmeans_assign(vec: Column, cents: Array[Double], c2: Array[Double],
+                    k: Int, dim: Int): Column =
+    ExpressionUtils.column(KMeansAssignArgmin(
+      ExpressionUtils.expression(vec), cents, c2, k, dim))
+
+  /** See [[PqEncode]]; layout shared with [[PqAdcScore]]. */
+  def pq_encode(vec: Column, books: Array[Double], c2: Array[Double],
+                m: Int, k: Int, subDim: Int): Column =
+    ExpressionUtils.column(PqEncode(
+      ExpressionUtils.expression(vec), books, c2, m, k, subDim))
+
+  /** See [[PqAdcScore]]; `books` indexed (mi·k + code)·subDim + j. */
+  def pq_adc_score(qvec: Column, codes: Column, books: Array[Double],
+                   m: Int, k: Int, subDim: Int): Column =
+    ExpressionUtils.column(PqAdcScore(
+      ExpressionUtils.expression(qvec), ExpressionUtils.expression(codes),
+      books, m, k, subDim))
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedLongIntersectCount(

@@ -137,16 +137,20 @@ object KMeans {
   }
 
   /** Cell assignment as a pure Column: argmin over centroids of
-    * |c|² − 2·v·c (row-constant |v|² dropped). */
+    * |c|² − 2·v·c (row-constant |v|² dropped). One fused native expression
+    * ([[graft.functions.KMeansAssignArgmin]]) — the k-struct array_min tree
+    * it replaces collapses to ~ms/row interpreted evaluation in any stage
+    * without whole-stage codegen (every ANN scoring stage behind a
+    * broadcast nested-loop join); bit-identical results. */
   def assignExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct(
-        (lit(c2) - lit(2.0) * VectorFunctions.dot(vec, typedlit(c.toSeq)))
-          .as("d"),
-        lit(i).as("i"))
+    val k = centroids.length
+    val dim = centroids(0).length
+    val flat = new Array[Double](k * dim)
+    centroids.zipWithIndex.foreach { case (c, i) =>
+      System.arraycopy(c, 0, flat, i * dim, dim)
     }
-    array_min(array(scored.toIndexedSeq: _*)).getField("i")
+    val c2 = centroids.map(c => c.map(x => x * x).sum)
+    graft.functions.GraftExpressions.kmeans_assign(vec, flat, c2, k, dim)
   }
 
   /** Multi-probe list: indices of the `nprobe` nearest centroids, nearest

@@ -94,21 +94,52 @@ object Pq {
   }
 
   /** The m-code array of a vector — nearest sub-centroid per subspace, a
-    * pure scalar expression evaluated in the scan stage. */
-  def encodeExpr(vec: Column, model: Model): Column =
-    array((0 until model.m).map(mi =>
-      KMeans.assignExpr(sub(vec, mi, model.subDim),
-        model.codebooks(mi))): _*)
+    * pure scalar expression evaluated in the scan stage. Fused into one
+    * native expression ([[graft.functions.PqEncode]]) for the same reason
+    * as [[adcScore]]: the encode lands in codegen-less join stages where a
+    * compositional m×k tree runs interpreted at ~ms/row. */
+  def encodeExpr(vec: Column, model: Model): Column = {
+    val k = model.codebooks(0).length
+    val flat = new Array[Double](model.m * k * model.subDim)
+    val c2 = new Array[Double](model.m * k)
+    var mi = 0
+    while (mi < model.m) {
+      var c = 0
+      while (c < k) {
+        System.arraycopy(model.codebooks(mi)(c), 0, flat,
+          (mi * k + c) * model.subDim, model.subDim)
+        c2(mi * k + c) = model.codebooks(mi)(c).map(x => x * x).sum
+        c += 1
+      }
+      mi += 1
+    }
+    graft.functions.GraftExpressions.pq_encode(
+      vec, flat, c2, model.m, k, model.subDim)
+  }
 
   /** Asymmetric inner-product score: IP(q, x) ≈ Σₘ IP(qₘ, c_{m,codeₘ}).
-    * The codebooks ride along as literal arrays — each subspace is one
-    * lookup + one codegen'd dot, no join against a centroid table. */
-  def adcScore(qvec: Column, codes: Column, model: Model): Column =
-    (0 until model.m).map { mi =>
-      val book = array(model.codebooks(mi).map(c => typedlit(c.toSeq)): _*)
-      VectorFunctions.dot(sub(qvec, mi, model.subDim),
-        element_at(book, element_at(codes, mi + 1) + 1))
-    }.reduce(_ + _)
+    * One fused native expression ([[graft.functions.PqAdcScore]]): the
+    * ADC scan sits behind a broadcast join with no whole-stage codegen,
+    * where a compositional slice+lookup+dot tree falls back to interpreted
+    * per-row evaluation (~100× slower); the fused loop is fast in BOTH
+    * modes and carries the codebooks as one flattened reference array,
+    * never per-row literals. Bit-identical to the compositional form. */
+  def adcScore(qvec: Column, codes: Column, model: Model): Column = {
+    val k = model.codebooks(0).length
+    val flat = new Array[Double](model.m * k * model.subDim)
+    var mi = 0
+    while (mi < model.m) {
+      var c = 0
+      while (c < k) {
+        System.arraycopy(model.codebooks(mi)(c), 0, flat,
+          (mi * k + c) * model.subDim, model.subDim)
+        c += 1
+      }
+      mi += 1
+    }
+    graft.functions.GraftExpressions.pq_adc_score(
+      qvec, codes, flat, model.m, k, model.subDim)
+  }
 
   /** Top-k by ADC score for each query row against a compressed corpus
     * (`codesDf`: idCol + `codes`). Queries broadcast; the code table is
