@@ -270,10 +270,17 @@ object TextQueries {
     // tokenizer mapped to its vocabulary id, in order — the input_ids
     // arrays a training reader actually consumes. The oracle replays
     // training, encoding, AND the binary-rank vocabulary numbering.
+    // Board projection: the id array rendered as (length, comma-joined
+    // string) — the driver's sort-and-hash compare cannot order raw array
+    // columns, and the joined string is an exact, order-preserving image
+    // of the array. BpeSpec asserts the array form directly.
     "q_encode_ids" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = trainedMerges(s, d)
       graft.ops.Bpe.encodeIds(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("input_ids")).as("n_ids"),
+          array_join(col("input_ids").cast("array<string>"), ",")
+            .as("ids_str"))
     }),
 
     // Packed TRAINING RECORDS: the encoded id arrays laid end-to-end per
@@ -286,6 +293,9 @@ object TextQueries {
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       graft.ops.Packing.packIds(recs, Seq("lang"), col("doc_id"),
         "input_ids", ctxLen = 128L)
+        .select(col("lang"), col("chunk"),
+          array_join(col("input_ids").cast("array<string>"), ",")
+            .as("ids_str"))
     }),
 
     // The token-budget cut re-based on TRAINED counts: admission in the
@@ -824,10 +834,14 @@ object TextQueries {
                   FROM ds JOIN vid v USING (sym) GROUP BY doc_id)"""
   }
 
-  /** input_ids replay: training, encoding, and vocabulary numbering. */
+  /** input_ids replay: training, encoding, and vocabulary numbering.
+    * Arrays are emitted as (length, comma-joined string): the driver's
+    * compare sorts column values, which raw list columns break. */
   private lazy val bpeEncodeIdsSql: String =
     s"""WITH $bpeIdsCtes
-       SELECT doc_id, input_ids FROM docids"""
+       SELECT doc_id, CAST(len(input_ids) AS INT) AS n_ids,
+              array_to_string(input_ids, ',') AS ids_str
+       FROM docids"""
 
   /** Packed-record replay: per-language doc order by doc_id, running token
     * offsets, global positions via positional unnest, chunk = gpos DIV
@@ -847,7 +861,8 @@ object TextQueries {
          SELECT lang, CAST((start + k - 1) // 128 AS BIGINT) AS chunk,
                 start + k - 1 AS gpos, input_ids[k] AS id
          FROM rec, LATERAL unnest(range(1, n + 1)) AS t(k))
-       SELECT lang, chunk, list(id ORDER BY gpos) AS input_ids
+       SELECT lang, chunk,
+              array_to_string(list(id ORDER BY gpos), ',') AS ids_str
        FROM toks GROUP BY lang, chunk
        HAVING count(*) = 128"""
 

@@ -28,6 +28,15 @@ def normalize(df):
             df[c] = df[c].astype("datetime64[us]") if df[c].dt.tz is None \
                 else df[c].dt.tz_convert("UTC").dt.tz_localize(None).astype("datetime64[us]")
         elif df[c].dtype == object:
+            # The driver's compare sorts raw column values: a list/ndarray
+            # cell crashes its lexsort (unhashable ndarray, round 7:
+            # q_encode_ids/q_pack_ids). Stringifying here would hide that —
+            # fail the same way the driver does.
+            head = df[c].dropna().head(20)
+            if any(isinstance(v, (list, np.ndarray)) for v in head):
+                raise TypeError(
+                    f"column {c!r} holds arrays — the driver cannot sort "
+                    "these; project to a scalar (length + joined string)")
             df[c] = df[c].astype(str)
         elif pd.api.types.is_integer_dtype(df[c]) or df[c].dtype == bool:
             # Unify int widths to int64 WITHOUT losing integerness: the
@@ -99,7 +108,10 @@ def main():
             failed.append(f"{name}: ORACLE SQL ERROR {e}")
             continue
         a = load_spark(outdir, name)
-        err = compare(name, a, b)
+        try:
+            err = compare(name, a, b)
+        except TypeError as e:
+            err = f"{name}: UNSORTABLE COLUMN {e}"
         if err:
             failed.append(err)
         else:
