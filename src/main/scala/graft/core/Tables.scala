@@ -18,10 +18,11 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * truncate to microseconds — same truncation DuckDB's epoch_ms/epoch_us do,
-    * so oracle comparisons on unix_millis agree exactly. */
+  /** events.parquet has shipped `ts` as parquet TIMESTAMP(NANOS) in some
+    * generations (which Spark's vectorized reader rejects —
+    * PARQUET_TYPE_ILLEGAL — hence nanosAsLong) and TIMESTAMP(MICROS) in
+    * others. Read with nanosAsLong on: nanos arrive as LONG, micros as a
+    * timestamp; [[events]] normalizes either to TimestampType. */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
@@ -36,7 +37,18 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    eventsRaw(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = eventsRaw(s, d)
+    raw.schema("ts").dataType match {
+      // nanos generation (read as long): truncate to micros — the same
+      // truncation DuckDB's epoch_us does, so oracle hashes agree exactly
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // micros generation: NTZ wall-clock → TimestampType is the identity
+      // under the session's fixed UTC zone; keeps every downstream op and
+      // the oracle compare on the dtype the board was proven against
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
