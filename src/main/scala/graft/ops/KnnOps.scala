@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Label-aware neighbor operations over an embedding corpus — the
+  * classification and metric-learning faces of the ANN family in
+  * [[Similarity]]: kNN majority-vote classification, nearest-centroid
+  * (Rocchio) classification, and batch-hard triplet mining (Hermans et al.
+  * 2017, arXiv:1703.07737 — per anchor, the least-similar same-label
+  * positive and the most-similar other-label negative; the pairs a
+  * contrastive fine-tune actually trains on).
+  *
+  * Scale shapes (the 100 TB posture differs per op):
+  *  - kNN classify: anchor set broadcast, corpus scanned once; only the
+  *    anchors×k survivor rows reach the vote aggregate.
+  *  - centroid classify: per-label mean is ONE map-side-combinable
+  *    aggregate over the whole corpus (dim bounded avg columns — no
+  *    explode, no shuffle of vectors); prediction is then a broadcast
+  *    argmax with no window at all.
+  *  - triplet mine: one corpus scan, one aggregate keyed by the (small)
+  *    anchor set — hardest pos/neg are min/max of (sim, id) structs, so
+  *    ties break deterministically without a window sort.
+  *
+  * Reference analog: Key_Shared dispatch picks a consumer per key hash
+  * (pulsar-broker/.../persistent/PersistentStickyKeyDispatcherMultipleConsumers.java);
+  * these ops pick a LABEL per vector — same "route each record to its
+  * nearest owner" contract, with cosine geometry instead of a hash ring.
+  */
+object KnnOps {
+
+  /** kNN majority-vote classification of `test` against a labeled `train`
+    * corpus: each test vector takes the modal label among its k most
+    * cosine-similar train vectors (ties: higher vote count wins, then the
+    * smaller label — deterministic, oracle-replayable). Returns
+    * (vec_id, true_label, pred_label, correct). Test/train are disjoint
+    * splits, so no self-pair drop is needed or performed. */
+  def knnClassify(test: DataFrame, train: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = test.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("true_label"))
+    val c = Par.spread(train.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(labelCol).as("__nl")))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val votes = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("__nl"))
+      .agg(count(lit(1)).as("votes"))
+    // modal label, ties to the smallest: max of (votes, -label) — an
+    // aggregate, not a second window
+    votes.groupBy(col("query_id"), col("true_label"))
+      .agg(max(struct(col("votes"), (-col("__nl")).as("neg"))).as("m"))
+      .select(col("query_id").as(idCol), col("true_label"),
+        (-col("m.neg")).as("pred_label"),
+        (col("m.neg") === -col("true_label")).as("correct"))
+  }
+
+  /** Nearest-centroid (Rocchio) classification: per-label mean vectors from
+    * `train` (dim avg-aggregates in one corpus pass — map-side combined,
+    * nothing exploded), then each test vector takes the label of its most
+    * cosine-similar centroid (ties → smaller label). Returns
+    * (vec_id, true_label, pred_label, correct). `dim` is the fixed
+    * embedding width (the schema's contract, like [[Pq]] takes). */
+  def centroidClassify(test: DataFrame, train: DataFrame, idCol: String,
+                       vecCol: String, labelCol: String, dim: Int): DataFrame = {
+    val cent = train.groupBy(col(labelCol).as("__cl"))
+      .agg(array((1 to dim).map(i =>
+        avg(element_at(col(vecCol), i))): _*).as("__cent"))
+    val scored = test.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), col(labelCol).as("true_label"))
+      .crossJoin(broadcast(cent))
+      .withColumn("sim", cosine(col("__qv"), col("__cent")))
+    // argmax centroid per test row: again max of (sim, -label), no window
+    scored.groupBy(col("query_id"), col("true_label"))
+      .agg(max(struct(col("sim"), (-col("__cl")).as("neg"))).as("m"))
+      .select(col("query_id").as(idCol), col("true_label"),
+        (-col("m.neg")).as("pred_label"),
+        (col("m.neg") === -col("true_label")).as("correct"))
+  }
+
+  /** Batch-hard triplet mining: for each anchor, the HARDEST positive (the
+    * same-label vector with the LOWEST cosine similarity — the one the
+    * model must still pull in) and the HARDEST negative (the other-label
+    * vector with the HIGHEST similarity — the one it must push out), plus
+    * whether the pair violates `margin` (neg_sim + margin > pos_sim, the
+    * triplets worth training on). Self-pairs are excluded. Sim ties break
+    * to the smaller id. Returns (vec_id, anchor_label, pos_id, pos_sim,
+    * neg_id, neg_sim, violated). One corpus scan, one aggregate. */
+  def tripletMine(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String,
+                  margin: Double): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("__ql"))
+    val c = Par.spread(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(labelCol).as("__cl")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val same = col("__cl") === col("__ql")
+    scored.groupBy(col("query_id"), col("__ql"))
+      .agg(
+        // hardest positive: min (sim, id) among same-label rows
+        min(when(same, struct(col("sim"), col("neighbor_id").as("id"))))
+          .as("p"),
+        // hardest negative: max (sim, -id) — highest sim, ties to small id
+        max(when(!same, struct(col("sim"), (-col("neighbor_id")).as("nid"))))
+          .as("n"))
+      .where(col("p").isNotNull && col("n").isNotNull)
+      .select(col("query_id").as(idCol), col("__ql").as("anchor_label"),
+        col("p.id").as("pos_id"), round(col("p.sim"), 6).as("pos_sim"),
+        (-col("n.nid")).as("neg_id"), round(col("n.sim"), 6).as("neg_sim"),
+        (col("n.sim") + margin > col("p.sim")).as("violated"))
+  }
+}

@@ -298,6 +298,15 @@ object TextQueries {
             .as("ids_str"))
     }),
 
+    // RAG sliding-window chunking: each document cut into 32-token windows
+    // stepping by 24 (8-token overlap so facts straddling a cut survive
+    // whole in one chunk) — the retrieval-side counterpart of the packing
+    // family above. Pure scan-stage expression work: no shuffle at any
+    // corpus size; chunk ids deterministic under any partitioning.
+    "q_rag_chunks" -> ((s, d) =>
+      graft.ops.RagChunk.chunks(Tables.documents(s, d), "doc_id", "text",
+        window = 32, stride = 24)),
+
     // The token-budget cut re-based on TRAINED counts: admission in the
     // same deterministic hash order as q_sample_budget, but weighted by
     // the learned tokenizer — the unit a real pretraining mix budgets in.
@@ -1345,6 +1354,23 @@ object TextQueries {
                 round(CASE WHEN total IS NULL THEN 0.0
                       ELSE top * 1.0 / total END, 6) AS top_3gram_frac
          FROM words w LEFT JOIN gagg ON w.doc_id = gagg.doc_id""",
+    // chunk replay: starts step by 24 over the token list; a tail start
+    // survives only if it reaches past the previous chunk's end (adds
+    // > window - stride = 8 tokens of new content); slices are inclusive
+    // 1-based in DuckDB, (start+1, width) in Spark — same 32 tokens
+    "q_rag_chunks" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         ch AS (
+           SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+                  CAST(s AS BIGINT) AS start_tok,
+                  list_slice(toks, s + 1, s + 32) AS ctoks
+           FROM d, LATERAL unnest(range(0, len(toks), 24)) AS t(s)
+           WHERE s = 0 OR len(toks) - s > 8)
+         SELECT doc_id, chunk_idx, start_tok,
+                CAST(len(ctoks) AS INT) AS n_tok,
+                array_to_string(ctoks, ' ') AS chunk_text
+         FROM ch""",
     "q_pack_chunks" ->
       """WITH t AS (
            SELECT doc_id, lang,

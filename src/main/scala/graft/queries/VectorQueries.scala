@@ -293,6 +293,42 @@ object VectorQueries {
         .agg(count(lit(1)).as("__hits"))
       slots.crossJoin(hits).select(col("n_queries"),
         (col("__hits") / col("__slots") >= 0.40).as("recall_ok"))
+    }),
+
+    // kNN majority-vote classification: the held-out split (vec_id % 10 =
+    // 0) labeled by the modal label of its 5 most-similar train vectors —
+    // the label-propagation baseline a curation pipeline runs before
+    // training a real classifier. Ties: vote count desc, then smaller
+    // label; fully oracle-replayed including the vote.
+    "q_knn_classify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.KnnOps.knnClassify(
+        emb.where(col("vec_id") % 10 === 0),
+        emb.where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
+    // Nearest-centroid (Rocchio) classification: per-label TRAIN mean
+    // vectors (one map-side-combined aggregate — the shape that still
+    // works when the corpus is 100 TB), test rows take the most
+    // cosine-similar centroid's label.
+    "q_centroid_classify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.KnnOps.centroidClassify(
+        emb.where(col("vec_id") % 10 === 0),
+        emb.where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", "label", dim = 64)
+    }),
+
+    // Batch-hard triplet mining (arXiv:1703.07737): per anchor the
+    // least-similar same-label positive and most-similar other-label
+    // negative, with the margin-violation flag — the pairs a contrastive
+    // fine-tune trains on. One corpus scan, one aggregate, no window.
+    "q_triplet_mine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.KnnOps.tripletMine(
+        emb.where(col("vec_id") % 7 === 0), emb,
+        "vec_id", "embedding", "label", margin = 0.1)
     })
   )
 
@@ -471,7 +507,104 @@ object VectorQueries {
           SELECT v.vec_id, v.label
           FROM embeddings v
           LEFT JOIN cc ON cc.vec_id = v.vec_id
-          WHERE cc.vec_id IS NULL OR cc.component = v.vec_id"""
+          WHERE cc.vec_id IS NULL OR cc.component = v.vec_id""",
+    // kNN vote replay: rank train neighbors per test vector (sim desc, id
+    // asc), count labels in the top 5, pick (votes desc, label asc)
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                           label AS true_label
+                    FROM embeddings WHERE vec_id % 10 = 0),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS nl
+                FROM embeddings WHERE vec_id % 10 <> 0),
+          dots AS (
+            SELECT query_id, true_label, neighbor_id, nl,
+                   sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+                   sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+                   sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+            FROM q, c, LATERAL unnest(range(1, 65)) AS t(i)
+            GROUP BY query_id, true_label, neighbor_id, nl),
+          ranked AS (
+            SELECT query_id, true_label, nl,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC,
+                              neighbor_id ASC) AS rank
+            FROM dots),
+          votes AS (
+            SELECT query_id, true_label, nl, count(*) AS votes
+            FROM ranked WHERE rank <= 5
+            GROUP BY query_id, true_label, nl),
+          pick AS (
+            SELECT query_id, true_label, nl,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY votes DESC, nl ASC) AS rn
+            FROM votes)
+          SELECT query_id AS vec_id, true_label, nl AS pred_label,
+                 nl = true_label AS correct
+          FROM pick WHERE rn = 1""",
+    // Rocchio replay: per-label train means in double, test rows take the
+    // most-cosine-similar centroid (ties → smaller label)
+    "q_centroid_classify" ->
+      """WITH tr AS (SELECT label, embedding FROM embeddings
+                     WHERE vec_id % 10 <> 0),
+          cent AS (
+            SELECT label AS clabel, i, avg(CAST(embedding[i] AS DOUBLE)) AS cv
+            FROM tr, LATERAL unnest(range(1, 65)) AS t(i)
+            GROUP BY label, i),
+          te AS (SELECT vec_id, label AS true_label, embedding
+                 FROM embeddings WHERE vec_id % 10 = 0),
+          dots AS (
+            SELECT te.vec_id, te.true_label, c.clabel,
+                   sum(CAST(te.embedding[c.i] AS DOUBLE) * c.cv) AS dp,
+                   sum(CAST(te.embedding[c.i] AS DOUBLE)
+                       * CAST(te.embedding[c.i] AS DOUBLE)) AS nq,
+                   sum(c.cv * c.cv) AS nc
+            FROM te, cent c
+            GROUP BY te.vec_id, te.true_label, c.clabel),
+          pick AS (
+            SELECT vec_id, true_label, clabel,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC,
+                              clabel ASC) AS rn
+            FROM dots)
+          SELECT vec_id, true_label, clabel AS pred_label,
+                 clabel = true_label AS correct
+          FROM pick WHERE rn = 1""",
+    // batch-hard replay: hardest positive = (sim asc, id asc) rank 1 among
+    // same-label, hardest negative = (sim desc, id asc) rank 1 among
+    // other-label; violated computed on unrounded sims like the engine
+    "q_triplet_mine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+                    FROM embeddings WHERE vec_id % 7 = 0),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS cl
+                FROM embeddings),
+          dots AS (
+            SELECT query_id, ql, neighbor_id, cl,
+                   sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+                   sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+                   sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+            FROM q, c, LATERAL unnest(range(1, 65)) AS t(i)
+            WHERE query_id <> neighbor_id
+            GROUP BY query_id, ql, neighbor_id, cl),
+          sims AS (
+            SELECT query_id, ql, neighbor_id, cl,
+                   dp / (sqrt(nq) * sqrt(nc)) AS sim
+            FROM dots),
+          pos AS (
+            SELECT query_id, ql, neighbor_id AS pos_id, sim AS pos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim ASC, neighbor_id ASC) AS rn
+            FROM sims WHERE cl = ql),
+          neg AS (
+            SELECT query_id, neighbor_id AS neg_id, sim AS neg_sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM sims WHERE cl <> ql)
+          SELECT p.query_id AS vec_id, p.ql AS anchor_label, p.pos_id,
+                 round(p.pos_sim, 6) AS pos_sim, n.neg_id,
+                 round(n.neg_sim, 6) AS neg_sim,
+                 n.neg_sim + 0.1 > p.pos_sim AS violated
+          FROM pos p JOIN neg n USING (query_id)
+          WHERE p.rn = 1 AND n.rn = 1"""
   )
 
   /** Shared ε-pair CTEs for the SemDeDup oracles — same double-accumulation
