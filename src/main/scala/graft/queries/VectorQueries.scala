@@ -25,6 +25,13 @@ object VectorQueries {
     centroidCache.getOrElseUpdate((d, k, iters),
       graft.ops.KMeans.fit(Tables.embeddings(s, d), "vec_id", "embedding", k, iters))
 
+  /** SemDeDup's resolved ε-group map (vec_id, component) — a persisted
+    * corpus artifact like the trained quantizers below. */
+  private def semClusters(s: SparkSession, d: String) =
+    Artifacts.materialized(s, d, "sem-cc")(
+      graft.ops.SemDedup.clusters(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", tau = 0.33))
+
   /** Unit-normalized embeddings for the cosine-metric ANN family. */
   private def unitEmb(s: SparkSession, d: String) =
     Tables.embeddings(s, d).select(col("vec_id"),
@@ -234,16 +241,19 @@ object VectorQueries {
 
     // SemDeDup ε-groups: members of each semantic near-dup cluster labeled
     // with the group's smallest id (blocked by the coarse cluster column,
-    // closed with the alternating-star CC — never all-pairs global).
-    "q_semdedup_clusters" -> ((s, d) =>
-      graft.ops.SemDedup.clusters(Tables.embeddings(s, d), "vec_id",
-        "embedding", "label", tau = 0.33)),
+    // closed with the alternating-star CC — never all-pairs global). The
+    // resolved map is a persisted artifact ([[Artifacts.materialized]]):
+    // the pruning decision below reads it instead of re-closing the graph.
+    "q_semdedup_clusters" -> ((s, d) => semClusters(s, d)),
 
-    // The semantically pruned corpus: one keeper per ε-group survives.
-    "q_semdedup_corpus" -> ((s, d) =>
-      graft.ops.SemDedup.prune(Tables.embeddings(s, d), "vec_id",
-        "embedding", "label", tau = 0.33)
-        .select(col("vec_id"), col("label"))),
+    // The semantically pruned corpus: one keeper per ε-group survives —
+    // an anti-join of the corpus against the artifact's non-keeper rows.
+    "q_semdedup_corpus" -> ((s, d) => {
+      val dropped = semClusters(s, d)
+        .where(col("vec_id") =!= col("component")).select("vec_id")
+      Tables.embeddings(s, d).join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+    }),
 
     // Product-quantized ANN: 64 floats (256 B) → 8 sub-centroid nibble
     // codes (4 B, 64×), ADC shortlist of 60 + exact re-rank (the IVFADC+R
