@@ -40,6 +40,15 @@ object TextQueries {
     Artifacts.materialized(s, d, "lsh-cc")(
       graft.ops.Components.connected(lshPairs(s, d), "doc_a", "doc_b")
         .withColumnRenamed("id", "doc_id"))
+
+  /** Maximal shared spans over the planted corpus (doc_a, doc_b spans) —
+    * the alignment table both the span report and the excision decision
+    * consume. */
+  private def sharedSpansArtifact(s: SparkSession, d: String): DataFrame =
+    Artifacts.materialized(s, d, "spans")(
+      graft.ops.SpanDedup.sharedSpans(
+        plantedSpanCorpus(Tables.documents(s, d)), "doc_id", "text",
+        minTokens = 8, k = 5, w = 3))
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -348,10 +357,10 @@ object TextQueries {
     // boundaries included. Oracle reproduces ground truth directly from
     // 5-gram equality + gaps-and-islands, independent of the winnowing
     // candidate machinery.
-    "q_span_dedup" -> ((s, d) =>
-      graft.ops.SpanDedup.sharedSpans(
-        plantedSpanCorpus(Tables.documents(s, d)), "doc_id", "text",
-        minTokens = 8, k = 5, w = 3)),
+    // The maximal-shared-span table is a persisted artifact like the LSH
+    // pair set above: the excision decision reads it instead of re-running
+    // the winnow → candidate → extension pipeline.
+    "q_span_dedup" -> ((s, d) => sharedSpansArtifact(s, d)),
 
     // Span-level decontamination: eval passages quoted ANYWHERE inside
     // training docs — what prefix fingerprints miss off-head and doc-level
@@ -371,12 +380,9 @@ object TextQueries {
 
     // The excision decision derived from the spans: every shared span is
     // cut from the larger doc of its pair; per-doc cuts merge into
-    // disjoint intervals.
+    // disjoint intervals. Reads the persisted span artifact.
     "q_span_excise" -> ((s, d) =>
-      graft.ops.SpanDedup.excisions(
-        graft.ops.SpanDedup.sharedSpans(
-          plantedSpanCorpus(Tables.documents(s, d)), "doc_id", "text",
-          minTokens = 8, k = 5, w = 3))),
+      graft.ops.SpanDedup.excisions(sharedSpansArtifact(s, d))),
 
     // Paragraph-level corpus dedup (the C4/RefinedWeb unit discipline):
     // structural units recurring corpus-wide, with the keep-one decision
