@@ -371,4 +371,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange"), s"epoch repetition must not shuffle:\n$p")
     assert(p.contains("Generate"), "the copies come from explode(sequence)")
   }
+
+  test("RAG chunking is scan-stage only: no exchange, no join over the corpus") {
+    val p = plan("q_rag_chunks")
+    assert(!p.contains("Exchange"), s"chunking must ride the scan:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("kNN classify broadcasts the test split; train corpus joins without pre-shuffle") {
+    val p = plan("q_knn_classify")
+    assert(p.contains("BroadcastExchange"),
+      s"the test split must broadcast onto the train scan:\n$p")
+    assert(p.contains("partial"), "the vote must map-side combine")
+  }
+
+  test("centroid classify is aggregate-only: per-label means partial+final, no window") {
+    val p = plan("q_centroid_classify")
+    assert(!p.contains("Window"), s"Rocchio must not window-sort:\n$p")
+    assert(p.contains("partial_avg") || p.contains("partial"),
+      "per-label means must map-side combine")
+  }
+
+  test("triplet mining is one corpus scan and one hash shuffle") {
+    val p = plan("q_triplet_mine")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly 1 exchange (the anchor aggregate), got $n:\n$p")
+    assert(!p.contains("Window"), "hardest pos/neg are struct min/max aggregates")
+  }
 }
