@@ -131,21 +131,25 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
     // append) — materialize the (md5-heavy) signature subtree once
     newBB.persist()
     try {
-      val touched = newBB.select("band", "bucket").distinct()
       val oldTouched = postings() match {
         case Some(old) =>
           // two-stage pruning: STATIC partition filters on the touched
-          // bands and bucket-prefixes — collected on the driver, bounded
-          // by bands + 256 — cut the listing/scan to (a slight cartesian
+          // bands and bucket-prefixes — collected on the driver ONCE (one
+          // distinct job; the prefix projection and the semi-join build
+          // side both derive from the same collected rows, as a driver
+          // LocalRelation) — cut the listing/scan to (a slight cartesian
           // superset of) the touched slices; the broadcast semi-join then
           // narrows to the exact buckets. Two flat isin filters, NOT a
           // per-pair OR chain: a chain over bands × 256 pairs nests the
           // column tree deep enough to overflow the converter's stack.
-          val touchedParts = newBB
-            .select(col("band"), bp.as("bp")).distinct()
+          val touchedRows = newBB.select("band", "bucket").distinct()
             .collect().map(r => (r.getInt(0), r.getString(1)))
-          val bandsTouched = touchedParts.map(_._1).distinct.toSeq
-          val prefixesTouched = touchedParts.map(_._2).distinct.toSeq
+          val bandsTouched = touchedRows.map(_._1).distinct.toSeq
+          val prefixesTouched = touchedRows
+            .map(r => "p" + r._2.substring(0, effectivePrefixChars))
+            .distinct.toSeq
+          import spark.implicits._
+          val touched = touchedRows.toSeq.toDF("band", "bucket")
           old.where(col("band").isin(bandsTouched: _*) &&
               col("bp").isin(prefixesTouched: _*))
             .select(col(idCol), col("band"), col("bucket"))
