@@ -83,6 +83,49 @@ object KnnOps {
         (col("m.neg") === -col("true_label")).as("correct"))
   }
 
+  /** The IVF-blocked scale path of [[tripletMine]]: positives keep their
+    * natural complete block (the LABEL — every same-label candidate is
+    * scanned, so the hardest positive is EXACT), while the negative side is
+    * IVF-blocked like [[Similarity.ivfTopKProbed]]: the corpus is assigned
+    * its one nearest cell in the same scan, each anchor probes its `nprobe`
+    * nearest cells, and only probed-cell candidates are scored. The mined
+    * negative is therefore approximate-but-dominated — its sim can never
+    * exceed the exact hardest negative's (candidates are a subset), and
+    * recall rises monotonically with nprobe. At mining scale (every anchor
+    * × 100 TB corpus) this is the shape that survives: the all-pairs
+    * cross join brute force needs does not. */
+  def tripletMineIvf(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, labelCol: String,
+                     centroids: Array[Array[Double]], nprobe: Int,
+                     margin: Double): DataFrame = {
+    val qp = anchors.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("__ql"))
+    val cpos = Par.spread(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(labelCol).as("__ql")))
+    val pos = cpos.join(broadcast(qp), "__ql")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .groupBy(col("query_id"), col("__ql"))
+      .agg(min(struct(col("sim"), col("neighbor_id").as("id"))).as("p"))
+    val qn = anchors.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col(labelCol).as("__ql"))
+      .withColumn("__cell",
+        explode(KMeans.probeExpr(col("__qv"), centroids, nprobe)))
+    val cneg = Par.spread(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), col(labelCol).as("__cl")))
+      .withColumn("__cell", KMeans.assignExpr(col("__cv"), centroids))
+    val neg = cneg.join(broadcast(qn), "__cell")
+      .where(col("__cl") =!= col("__ql"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("sim"), (-col("neighbor_id")).as("nid"))).as("n"))
+    pos.join(neg, "query_id")
+      .select(col("query_id").as(idCol), col("__ql").as("anchor_label"),
+        col("p.id").as("pos_id"), round(col("p.sim"), 6).as("pos_sim"),
+        (-col("n.nid")).as("neg_id"), round(col("n.sim"), 6).as("neg_sim"),
+        (col("n.sim") + margin > col("p.sim")).as("violated"))
+  }
+
   /** Batch-hard triplet mining: for each anchor, the HARDEST positive (the
     * same-label vector with the LOWEST cosine similarity — the one the
     * model must still pull in) and the HARDEST negative (the other-label

@@ -330,6 +330,36 @@ object VectorQueries {
         "vec_id", "embedding", "label", dim = 64)
     }),
 
+    // The IVF-blocked mining scale path vs the exact miner, as checkable
+    // claims (the trained-quantizer query discipline): the label-blocked
+    // positive side must be EXACT (complete block), the IVF negative can
+    // never beat the exact hardest negative (subset dominance — exact
+    // inequality, rounding is monotone), and negative recall at nprobe 4
+    // of 8 cells must clear the margined bound.
+    "q_triplet_ivf" -> ((s, d) => {
+      val uemb = unitEmb(s, d)
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+          "vec_id")
+      val anchors = uemb.where(col("vec_id") % 7 === 0)
+      val cents = unitCentroidsFor(s, d, k = 8, iters = 2)
+      val exact = graft.ops.KnnOps.tripletMine(
+        anchors, uemb, "vec_id", "embedding", "label", margin = 0.1)
+      val ivf = graft.ops.KnnOps.tripletMineIvf(
+        anchors, uemb, "vec_id", "embedding", "label", cents,
+        nprobe = 4, margin = 0.1)
+      exact.select(col("vec_id"), col("pos_id").as("pe"),
+          col("neg_id").as("ne"), col("neg_sim").as("nse"))
+        .join(ivf.select(col("vec_id"), col("pos_id").as("pi"),
+          col("neg_id").as("ni"), col("neg_sim").as("nsi")), "vec_id")
+        .agg(count(lit(1)).as("n_anchors"),
+          (sum(when(col("pe") === col("pi"), 1).otherwise(0))
+            === count(lit(1))).as("pos_exact"),
+          (sum(when(col("nsi") <= col("nse"), 1).otherwise(0))
+            === count(lit(1))).as("neg_dominated"),
+          (sum(when(col("ne") === col("ni"), 1).otherwise(0))
+            / count(lit(1)) >= 0.55).as("recall_ok"))
+    }),
+
     // Batch-hard triplet mining (arXiv:1703.07737): per anchor the
     // least-similar same-label positive and most-similar other-label
     // negative, with the margin-violation flag — the pairs a contrastive
@@ -424,6 +454,13 @@ object VectorQueries {
     "q_ann_autotune" ->
       """SELECT true AS choice_minimal, true AS choice_in_budgets,
                 true AS choice_valid""",
+    // every %7 anchor must survive both miners: positives exist (every
+    // label has many members) and 4-of-8 probed cells always hold some
+    // other-label vector at this corpus shape
+    "q_triplet_ivf" ->
+      """SELECT count(*) AS n_anchors, true AS pos_exact,
+                true AS neg_dominated, true AS recall_ok
+         FROM embeddings WHERE vec_id % 7 = 0""",
     "q_embed_topk" ->
       s"""WITH ${cosineCte("vec_id < 20")}
           SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (

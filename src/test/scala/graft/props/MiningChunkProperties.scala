@@ -92,6 +92,35 @@ class MiningChunkProperties extends SparkSuite {
     }
   }
 
+  test("tripletMineIvf: positives exact, negatives dominated and monotone, full probe = exact") {
+    val rows = corpus(31L, 80)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = graft.ops.KMeans.fit(df, "vec_id", "embedding", 4, 2)
+    val anchors = df.where($"vec_id" % 3 === 0)
+    val exact = KnnOps.tripletMine(anchors, df, "vec_id", "embedding",
+        "label", margin = 0.1)
+      .select($"vec_id", $"pos_id".as("pe"), $"neg_sim".as("nse"),
+        $"neg_id".as("ne"))
+    var prev: Map[Long, Double] = Map.empty
+    for (np <- Seq(1, 2, 4)) {
+      val ivf = KnnOps.tripletMineIvf(anchors, df, "vec_id", "embedding",
+        "label", cents, nprobe = np, margin = 0.1)
+      val j = ivf.join(exact, "vec_id")
+        .select($"vec_id", $"pos_id", $"pe", $"neg_sim", $"nse", $"neg_id", $"ne")
+        .as[(Long, Long, Long, Double, Double, Long, Long)].collect()
+      assert(j.nonEmpty)
+      j.foreach { case (id, pi, pe, nsi, nse, ni, ne) =>
+        assert(pi == pe, s"nprobe=$np anchor $id: positive must be exact")
+        assert(nsi <= nse, s"nprobe=$np anchor $id: subset dominance broken")
+        prev.get(id).foreach(p => assert(nsi >= p,
+          s"anchor $id: mined negative regressed as nprobe grew"))
+        if (np == 4) assert(ni == ne && nsi == nse,
+          s"anchor $id: probing every cell must equal the exact miner")
+      }
+      prev = j.map(x => x._1 -> x._4).toMap
+    }
+  }
+
   test("centroidClassify is perfect on separable clusters and matches the reference") {
     // clustered generation: label ℓ = 3·axis(ℓ) + noise in [-1, 1] — the
     // class margins dwarf any float wobble, so the reference argmax is
