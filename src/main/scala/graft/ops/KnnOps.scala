@@ -60,6 +60,41 @@ object KnnOps {
         (col("m.neg") === -col("true_label")).as("correct"))
   }
 
+  /** The IVF-blocked scale path of [[knnClassify]] — the kNN-JOIN shape
+    * (every test row × huge train corpus) that survives 100 TB: train rows
+    * are assigned their one nearest coarse cell in the scan, each test
+    * vector probes its `nprobe` nearest cells, and the vote runs over
+    * probed-cell candidates only. Probing every cell reproduces
+    * [[knnClassify]] exactly (the candidate set is then complete);
+    * at partial probe the neighbor candidates are a subset, so votes are
+    * approximate — agreement with the exact vote is the quality claim the
+    * board query emits. */
+  def knnClassifyIvf(test: DataFrame, train: DataFrame, idCol: String,
+                     vecCol: String, labelCol: String,
+                     centroids: Array[Array[Double]], nprobe: Int,
+                     k: Int): DataFrame = {
+    val q = test.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col(labelCol).as("true_label"))
+      .withColumn("__cell",
+        explode(KMeans.probeExpr(col("__qv"), centroids, nprobe)))
+    val c = Par.spread(train.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), col(labelCol).as("__nl")))
+      .withColumn("__cell", KMeans.assignExpr(col("__cv"), centroids))
+    val scored = c.join(broadcast(q), "__cell")
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val votes = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("__nl"))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy(col("query_id"), col("true_label"))
+      .agg(max(struct(col("votes"), (-col("__nl")).as("neg"))).as("m"))
+      .select(col("query_id").as(idCol), col("true_label"),
+        (-col("m.neg")).as("pred_label"),
+        (col("m.neg") === -col("true_label")).as("correct"))
+  }
+
   /** Nearest-centroid (Rocchio) classification: per-label mean vectors from
     * `train` (dim avg-aggregates in one corpus pass — map-side combined,
     * nothing exploded), then each test vector takes the label of its most

@@ -330,6 +330,34 @@ object VectorQueries {
         "vec_id", "embedding", "label", dim = 64)
     }),
 
+    // The kNN-JOIN scale path (every test row × huge train corpus) as
+    // checkable claims: probing 4 of 8 cells must retrieve at least the
+    // margined fraction of the exact top-5 train neighbors (bound 0.55
+    // under the measured 0.756 at both sf0.01 and sf0.1). Neighbor recall
+    // is the lawful kNN-join metric — vote agreement is not, because on
+    // label-random data the modal label flips on any candidate change;
+    // the vote law (full probe = exact vote) is property-tested instead.
+    "q_knn_ivf" -> ((s, d) => {
+      val uemb = unitEmb(s, d)
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+          "vec_id")
+      val test = uemb.where(col("vec_id") % 10 === 0)
+      val train = uemb.where(col("vec_id") % 10 =!= 0)
+      val cents = unitCentroidsFor(s, d, k = 8, iters = 2)
+      val exact = Similarity.bruteForceTopK(
+        test, train, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = Similarity.ivfTopKProbed(
+        test, train, "vec_id", "embedding", cents, nprobe = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val slots = exact.agg(count(lit(1)).as("__slots"),
+        countDistinct(col("query_id")).as("n_test"))
+      val hits = ann.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("__hits"))
+      slots.crossJoin(hits).select(col("n_test"),
+        (col("__hits") / col("__slots") >= 0.55).as("recall_ok"))
+    }),
+
     // The IVF-blocked mining scale path vs the exact miner, as checkable
     // claims (the trained-quantizer query discipline): the label-blocked
     // positive side must be EXACT (complete block), the IVF negative can
@@ -461,6 +489,9 @@ object VectorQueries {
       """SELECT count(*) AS n_anchors, true AS pos_exact,
                 true AS neg_dominated, true AS recall_ok
          FROM embeddings WHERE vec_id % 7 = 0""",
+    "q_knn_ivf" ->
+      """SELECT count(*) AS n_test, true AS recall_ok
+         FROM embeddings WHERE vec_id % 10 = 0""",
     "q_embed_topk" ->
       s"""WITH ${cosineCte("vec_id < 20")}
           SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (

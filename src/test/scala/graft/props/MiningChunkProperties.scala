@@ -121,6 +121,21 @@ class MiningChunkProperties extends SparkSuite {
     }
   }
 
+  test("knnClassifyIvf probing every cell equals the exact vote") {
+    val rows = corpus(41L, 80)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = graft.ops.KMeans.fit(df, "vec_id", "embedding", 4, 2)
+    val test0 = df.where($"vec_id" % 5 === 0)
+    val train = df.where($"vec_id" % 5 =!= 0)
+    val exact = KnnOps.knnClassify(test0, train, "vec_id", "embedding",
+        "label", k = 5)
+      .orderBy("vec_id").collect().toSeq
+    val full = KnnOps.knnClassifyIvf(test0, train, "vec_id", "embedding",
+        "label", cents, nprobe = 4, k = 5)
+      .orderBy("vec_id").collect().toSeq
+    assert(full == exact, "complete candidate set must reproduce the exact vote")
+  }
+
   test("centroidClassify is perfect on separable clusters and matches the reference") {
     // clustered generation: label ℓ = 3·axis(ℓ) + noise in [-1, 1] — the
     // class margins dwarf any float wobble, so the reference argmax is
