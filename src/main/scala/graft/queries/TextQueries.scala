@@ -49,6 +49,14 @@ object TextQueries {
       graft.ops.SpanDedup.sharedSpans(
         plantedSpanCorpus(Tables.documents(s, d)), "doc_id", "text",
         minTokens = 8, k = 5, w = 3))
+
+  /** The BPE-encoded corpus (doc_id, input_ids) under the trained merges —
+    * what a tokenized-dataset directory holds on disk; the id report and
+    * the packed training records both read it. */
+  private def encodedIdsArtifact(s: SparkSession, d: String): DataFrame =
+    Artifacts.materialized(s, d, "bpe-ids")(
+      graft.ops.Bpe.encodeIds(Tables.documents(s, d), "doc_id", "text",
+        trainedMerges(s, d)))
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -295,22 +303,19 @@ object TextQueries {
     // string) — the driver's sort-and-hash compare cannot order raw array
     // columns, and the joined string is an exact, order-preserving image
     // of the array. BpeSpec asserts the array form directly.
-    "q_encode_ids" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val merges = trainedMerges(s, d)
-      graft.ops.Bpe.encodeIds(docs, "doc_id", "text", merges)
+    "q_encode_ids" -> ((s, d) =>
+      encodedIdsArtifact(s, d)
         .select(col("doc_id"), size(col("input_ids")).as("n_ids"),
           array_join(col("input_ids").cast("array<string>"), ",")
-            .as("ids_str"))
-    }),
+            .as("ids_str"))),
 
     // Packed TRAINING RECORDS: the encoded id arrays laid end-to-end per
     // language in deterministic md5 order and re-cut into 128-id rows,
-    // partial tails dropped — the file a pretraining loader reads.
+    // partial tails dropped — the file a pretraining loader reads. Reads
+    // the same persisted encoded-corpus artifact as q_encode_ids.
     "q_pack_ids" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = trainedMerges(s, d)
-      val recs = graft.ops.Bpe.encodeIds(docs, "doc_id", "text", merges)
+      val recs = encodedIdsArtifact(s, d)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       graft.ops.Packing.packIds(recs, Seq("lang"), col("doc_id"),
         "input_ids", ctxLen = 128L)
