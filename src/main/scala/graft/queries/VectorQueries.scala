@@ -330,6 +330,38 @@ object VectorQueries {
         "vec_id", "embedding", "label", dim = 64)
     }),
 
+    // The PERSISTED IVF-PQ code store (graft.ops.IvfPqIndex): two appends
+    // + compact, then IVFADC+R search over stored 4 B codes with the
+    // re-rank fetching full vectors from the base table — must equal the
+    // in-memory composed layout row-for-row (emitted as a claim).
+    "q_ann_ivfpq_store" -> ((s, d) => {
+      val emb = unitEmb(s, d)
+      val cents = unitCentroidsFor(s, d, k = 8, iters = 2)
+      val model = pqModelFor(s, d, m = 8, k = 16, iters = 2)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-store")
+        .toFile.getAbsolutePath
+      val idx = new graft.ops.IvfPqIndex(s, dir, "vec_id", "embedding",
+        model, cents)
+      idx.add(emb.where(col("vec_id") % 2 === 0))
+      idx.add(emb.where(col("vec_id") % 2 === 1))
+      idx.compact()
+      val q = emb.where(col("vec_id") < 10)
+      val store = idx.search(q, emb, nprobe = 4, k = 3, shortlist = 80)
+      val indexed = emb
+        .withColumn("cell",
+          graft.ops.KMeans.assignExpr(col("embedding"), cents))
+        .withColumn("codes", graft.ops.Pq.encodeExpr(col("embedding"), model))
+      val mem = graft.ops.Pq.ivfPqTopK(q, indexed, "vec_id", "embedding",
+        cents, model, k = 3, nprobe = 4, shortlist = 80)
+      store.select(col("query_id"), col("neighbor_id"), col("sim").as("ss"))
+        .join(mem.select(col("query_id"), col("neighbor_id"),
+          col("sim").as("ms")), Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          (sum(when(col("ss").isNull || col("ms").isNull ||
+            abs(col("ss") - col("ms")) > 1e-9, 1).otherwise(0)) === 0)
+            .as("store_matches_memory"))
+    }),
+
     // The kNN-JOIN scale path (every test row × huge train corpus) as
     // checkable claims: probing 4 of 8 cells must retrieve at least the
     // margined fraction of the exact top-5 train neighbors (bound 0.55
@@ -492,6 +524,9 @@ object VectorQueries {
     "q_knn_ivf" ->
       """SELECT count(*) AS n_test, true AS recall_ok
          FROM embeddings WHERE vec_id % 10 = 0""",
+    "q_ann_ivfpq_store" ->
+      """SELECT count(*) AS n_queries, true AS store_matches_memory
+         FROM embeddings WHERE vec_id < 10""",
     "q_embed_topk" ->
       s"""WITH ${cosineCte("vec_id < 20")}
           SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (

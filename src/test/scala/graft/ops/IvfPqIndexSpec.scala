@@ -1,0 +1,89 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** [[IvfPqIndex]] — the persisted code store must reproduce the in-memory
+  * composed IVF-PQ layout row-for-row through its whole lifecycle
+  * (append, second append, compact), while never storing a float vector. */
+class IvfPqIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus(seed: Long, n: Int, dim: Int = 8) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n)
+      .map(i => (i.toLong, Seq.fill(dim)((rnd.nextInt(7) - 3).toFloat)))
+      .filter(_._2.exists(_ != 0f))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def inMemory(df: org.apache.spark.sql.DataFrame,
+                       cents: Array[Array[Double]], model: Pq.Model,
+                       q: org.apache.spark.sql.DataFrame) = {
+    val indexed = df
+      .withColumn("cell", KMeans.assignExpr(col("embedding"), cents))
+      .withColumn("codes", Pq.encodeExpr(col("embedding"), model))
+    Pq.ivfPqTopK(q, indexed, "vec_id", "embedding", cents, model,
+        k = 3, nprobe = 2, shortlist = 20)
+      .orderBy("query_id", "neighbor_id")
+      .select($"query_id", $"neighbor_id", round($"sim", 9))
+      .collect().toSeq
+  }
+
+  test("store search equals the in-memory composed layout across the lifecycle") {
+    val df = corpus(3L, 120)
+    val cents = KMeans.fit(df, "vec_id", "embedding", 4, 2)
+    val model = Pq.train(df, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val dir = Files.createTempDirectory("ivfpq-idx").toFile.getAbsolutePath
+    val idx = new IvfPqIndex(spark, dir, "vec_id", "embedding", model, cents)
+    val q = df.where($"vec_id" < 8)
+    def fromStore() = idx.search(q, df, nprobe = 2, k = 3, shortlist = 20)
+      .orderBy("query_id", "neighbor_id")
+      .select($"query_id", $"neighbor_id", round($"sim", 9))
+      .collect().toSeq
+
+    idx.add(df.where($"vec_id" % 2 === 0))
+    idx.add(df.where($"vec_id" % 2 === 1))
+    val expected = inMemory(df, cents, model, q)
+    assert(fromStore() == expected, "post-append store diverged")
+    idx.compact()
+    assert(fromStore() == expected, "compaction changed the answer")
+  }
+
+  test("the store never holds a float vector — codes and cell only") {
+    val df = corpus(9L, 60)
+    val cents = KMeans.fit(df, "vec_id", "embedding", 4, 2)
+    val model = Pq.train(df, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val dir = Files.createTempDirectory("ivfpq-cols").toFile.getAbsolutePath
+    val idx = new IvfPqIndex(spark, dir, "vec_id", "embedding", model, cents)
+    idx.add(df)
+    val gen = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).maxBy(_.getName)
+    val schema = spark.read.parquet(gen.getAbsolutePath).schema
+    assert(schema.fieldNames.toSet == Set("vec_id", "codes", "cell"),
+      s"unexpected stored columns: ${schema.fieldNames.mkString(",")}")
+    assert(!schema.map(_.dataType.simpleString).exists(t =>
+      t.contains("float") || t.contains("double")),
+      s"a vector-typed column leaked into the code store: $schema")
+  }
+
+  test("replayed append is deduped by compact, answer unchanged") {
+    val df = corpus(17L, 80)
+    val cents = KMeans.fit(df, "vec_id", "embedding", 4, 2)
+    val model = Pq.train(df, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val dir = Files.createTempDirectory("ivfpq-replay").toFile.getAbsolutePath
+    val idx = new IvfPqIndex(spark, dir, "vec_id", "embedding", model, cents)
+    val q = df.where($"vec_id" < 5)
+    idx.add(df)
+    idx.add(df) // crash-replayed batch: identical rows land twice
+    idx.compact()
+    val got = idx.search(q, df, nprobe = 2, k = 3, shortlist = 20)
+      .orderBy("query_id", "neighbor_id")
+      .select($"query_id", $"neighbor_id", round($"sim", 9))
+      .collect().toSeq
+    assert(got == inMemory(df, cents, model, q),
+      "replayed rows changed the post-compact answer")
+  }
+}
