@@ -67,6 +67,19 @@ class MaintenanceLoopSpec extends SparkSuite {
     ivf.add(emb.where(col("vec_id") % 2 === 0), col("label"))
     ivf.add(emb.where(col("vec_id") % 2 === 1), col("label"))
 
+    // an IVF-PQ code store with per-batch cell files awaiting compaction
+    val ipqDir = Files.createTempDirectory("loop-ivfpq").toFile.getAbsolutePath
+    val ipqCents = graft.ops.KMeans.fit(emb, "vec_id", "embedding", 4, 2)
+    val ipqModel = graft.ops.Pq.train(emb, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2)
+    val ipq = new graft.ops.IvfPqIndex(spark, ipqDir, "vec_id", "embedding",
+      ipqModel, ipqCents)
+    ipq.add(emb.where(col("vec_id") % 2 === 0))
+    ipq.add(emb.where(col("vec_id") % 2 === 1))
+    val ipqQs = emb.where(col("vec_id") < 5)
+    val ipqBefore = ipq.search(ipqQs, emb, nprobe = 2, k = 3, shortlist = 12)
+      .collect().toSet
+
     // an exact-dedup fingerprint index with per-batch partition files
     val exDir = Files.createTempDirectory("loop-exact").toFile.getAbsolutePath
     val ex = new graft.ops.ExactDedupIndex(spark, exDir, "doc_id", "text")
@@ -112,6 +125,7 @@ class MaintenanceLoopSpec extends SparkSuite {
         bm.compact()
         ex.compact()
         pa.compact()
+        ipq.compact()
         // the production loop runs the monitored compact; this index has
         // caller-provided cells and no owned quantizer, so the monitor
         // must degrade to a plain compact (None), never measure against a
@@ -179,6 +193,19 @@ class MaintenanceLoopSpec extends SparkSuite {
     assert(ivf.search(queries, array(col("label")), k = 3).count() ==
       graft.ops.Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
         "label", 3).count())
+
+    // IVF-PQ code store: one file per cell, search answers unchanged
+    val ipqGen = new File(ipqDir, Files.readString(
+      new File(ipqDir, "_current").toPath).trim)
+    val ipqCells = ipqGen.listFiles().filter(_.getName.startsWith("cell="))
+    assert(ipqCells.nonEmpty, "compacted IVF-PQ generation lost its cells")
+    ipqCells.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName} not compacted under the loop")
+    }
+    assert(ipq.search(ipqQs, emb, nprobe = 2, k = 3, shortlist = 12)
+      .collect().toSet == ipqBefore,
+      "compaction under the loop changed IVF-PQ answers")
 
     // BM25 postings: one file per term partition, searches unchanged
     val bmGen = new File(bmDir, Files.readString(
