@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * work — [[BucketedKvStore.reapAll]] (cold-bucket TTL expiry + tombstone
   * GC), [[DelayedBuckets.reingestDue]] (parked far-future rows re-enter
   * ingest), and the generation compactions of every persisted index
-  * ([[MinHashIndex]] postings, [[ComponentsIndex]] links,
-  * [[IvfIndex]] cells — file counts back to O(1)) — under virtual time,
-  * the deployment shape every one of these components documents. */
+  * ([[MinHashIndex]] postings, [[ComponentsIndex]] links, [[IvfIndex]]
+  * cells, [[graft.ops.Bm25Index]] term postings,
+  * [[graft.ops.ExactDedupIndex]] fingerprints,
+  * [[graft.ops.ParagraphIndex]] keepers, [[graft.ops.IvfPqIndex]] code
+  * cells — file counts back to O(1)) — under virtual time, the deployment
+  * shape every one of these components documents. */
 class MaintenanceLoopSpec extends SparkSuite {
   import spark.implicits._
 

@@ -238,7 +238,14 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("id encoding broadcasts the vocabulary onto the subword stream") {
-    val p = plan("q_encode_ids")
+    // audit the BUILDING operator: the board query reads the materialized
+    // encoded-corpus artifact (a bare parquet scan by design), so the
+    // broadcast shape lives in the artifact build, not the query plan
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sf)
+    val merges = graft.ops.Bpe.train(docs, "text", numMerges = 4)
+    val p = graft.ops.Bpe.encodeIds(docs, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       s"the vocabulary-sized id table must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
