@@ -30,6 +30,28 @@ object GopherQuality {
     * function words; callers substitute per-language lists. */
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
 
+  /** The whole battery verdict as ONE scalar Column — for composing into a
+    * filter cascade ([[FilterCascade]]) without a join or a second scan.
+    * Identical to `battery(...)("keep")` for every document (spec-checked
+    * so the two formulations cannot drift). */
+  def keepExpr(text: org.apache.spark.sql.Column,
+               minWords: Long = 50L, maxWords: Long = 100000L,
+               minMeanLen: Long = 3L, maxMeanLen: Long = 10L,
+               maxDupNum: Long = 3L, maxDupDen: Long = 10L,
+               stopwords: Seq[String] = DefaultStopwords,
+               minStopHits: Long = 2L): org.apache.spark.sql.Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    val nW = size(toks).cast("long")
+    val sumL = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val nD = size(array_distinct(toks)).cast("long")
+    val hits = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast("long")
+    (nW >= minWords && nW <= maxWords) &&
+      (lit(minMeanLen) * nW <= sumL && sumL <= lit(maxMeanLen) * nW) &&
+      ((nW - nD) * maxDupDen <= lit(maxDupNum) * nW) &&
+      (hits >= minStopHits)
+  }
+
   /** Per-document rule battery. Ratio thresholds arrive as rationals
     * (`maxDupNum/maxDupDen` is the duplicate-token ceiling) so the
     * comparison stays in integers. Returns (id, n_words, sum_word_len,

@@ -57,6 +57,17 @@ object TextQueries {
     Artifacts.materialized(s, d, "bpe-ids")(
       graft.ops.Bpe.encodeIds(Tables.documents(s, d), "doc_id", "text",
         trainedMerges(s, d)))
+
+  /** The filter-cascade rule set (name → keep predicate, mask-bit order):
+    * the Gopher battery at the board's thresholds, the board's phrase
+    * blocklist, lang-id agreement with metadata, and a length floor. */
+  private def cascadeRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "gopher" -> graft.ops.GopherQuality.keepExpr(col("text"),
+      minWords = 30L, maxMeanLen = 5L, maxDupNum = 3L, maxDupDen = 5L),
+    "blocklist" -> (graft.ops.Blocklist.matchCount(col("text"),
+      Seq("slow fast", "table value", "hash")) === 0L),
+    "lang" -> (langId(col("text")) === col("lang")),
+    "length" -> (col("n_chars") >= 100L))
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -668,6 +679,22 @@ object TextQueries {
         "text", minWords = 30L, maxMeanLen = 5L,
         maxDupNum = 3L, maxDupDen = 5L)),
 
+    // The composed filter cascade: the four independent keep/drop rules a
+    // corpus build runs first (Gopher battery, phrase blocklist, lang-id
+    // agreement, length floor), one scan, per-document failure bitmask —
+    // bit i set iff rule i failed, keep = mask 0.
+    "q_filter_cascade" -> ((s, d) =>
+      graft.ops.FilterCascade.decide(Tables.documents(s, d), "doc_id",
+        cascadeRules)),
+
+    // The cascade's attrition report: per-rule failure counts (overlapping)
+    // and survivors — ONE map-side-combined aggregate over the verdicts.
+    "q_filter_attrition" -> ((s, d) =>
+      graft.ops.FilterCascade.attrition(
+        graft.ops.FilterCascade.decide(Tables.documents(s, d), "doc_id",
+          cascadeRules),
+        cascadeRules.map(_._1))),
+
     // Temperature-based domain reweighting (α = 1/2): each source's quota
     // is its sqrt-share of a 100-doc output, selection in hash order.
     "q_sample_temperature" -> ((s, d) =>
@@ -844,6 +871,67 @@ object TextQueries {
     * lists, a binary-ranked vocabulary, positional flattening ordered by
     * (word, symbol) — the same order Spark's `posexplode` restores. Ends
     * in `docids(doc_id, input_ids)`. */
+  /** Shared cascade-mask CTEs: each rule's existing oracle formulation
+    * (gopher list folds, blocklist position probes, lang-id marker sums)
+    * joined into the per-document fail bitmask `msk(doc_id, fail_mask)`. */
+  private lazy val cascadeMaskCtes: String =
+    """toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       lscores AS (
+         SELECT doc_id,
+           sum(CASE WHEN t IN ('der','die','und','nicht','das') THEN 1 ELSE 0 END) AS s_de,
+           sum(CASE WHEN t IN ('the','and','of','to','is') THEN 1 ELSE 0 END) AS s_en,
+           sum(CASE WHEN t IN ('el','la','de','que','los') THEN 1 ELSE 0 END) AS s_es,
+           sum(CASE WHEN t IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS s_fr,
+           sum(CASE WHEN t IN ('de5','shi4','le5','zai4','he2') THEN 1 ELSE 0 END) AS s_zh
+         FROM toks GROUP BY doc_id),
+       lng AS (
+         SELECT d.doc_id,
+           (CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh' END) = d.lang AS lang_ok
+         FROM documents d JOIN lscores USING (doc_id)),
+       gm AS (
+         SELECT doc_id,
+           CAST(len(gtoks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(gtoks, x -> length(x))) AS BIGINT)
+             AS sum_word_len,
+           CAST(len(list_distinct(gtoks)) AS BIGINT) AS n_distinct,
+           CAST(len(list_intersect(list_distinct(gtoks),
+             ['the', 'a', 'of', 'to', 'and'])) AS BIGINT) AS stop_hits
+         FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS gtoks
+               FROM documents)),
+       gk AS (
+         SELECT doc_id,
+           (n_words >= 30 AND n_words <= 100000
+            AND 3 * n_words <= sum_word_len AND sum_word_len <= 5 * n_words
+            AND (n_words - n_distinct) * 5 <= 3 * n_words
+            AND stop_hits >= 2) AS gopher_ok
+         FROM gm),
+       blk AS (
+         SELECT doc_id,
+           (CASE WHEN position(' slow fast ' IN ' ' || text || ' ') > 0
+                 THEN 1 ELSE 0 END
+          + CASE WHEN position(' table value ' IN ' ' || text || ' ') > 0
+                 THEN 1 ELSE 0 END
+          + CASE WHEN position(' hash ' IN ' ' || text || ' ') > 0
+                 THEN 1 ELSE 0 END) = 0 AS block_ok
+         FROM documents),
+       msk AS (
+         SELECT d.doc_id,
+           CAST(CASE WHEN gopher_ok THEN 0 ELSE 1 END
+              + CASE WHEN block_ok THEN 0 ELSE 2 END
+              + CASE WHEN lang_ok THEN 0 ELSE 4 END
+              + CASE WHEN d.n_chars >= 100 THEN 0 ELSE 8 END AS BIGINT)
+             AS fail_mask
+         FROM documents d
+         JOIN gk USING (doc_id) JOIN blk USING (doc_id)
+         JOIN lng USING (doc_id))"""
+
   private lazy val bpeIdsCtes: String = {
     val D = "\u0001"
     s"""$bpeCtes,
@@ -1911,6 +1999,25 @@ object TextQueries {
          WHERE cms_est * 50 >= n_total"""
     },
 
+    // cascade replay: each rule's existing oracle formulation composed
+    // into one mask — bit order (gopher, blocklist, lang, length)
+    "q_filter_cascade" ->
+      s"""WITH $cascadeMaskCtes
+         SELECT doc_id, fail_mask, fail_mask = 0 AS keep FROM msk""",
+    "q_filter_attrition" ->
+      s"""WITH $cascadeMaskCtes
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN fail_mask & 1 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_gopher,
+                CAST(sum(CASE WHEN fail_mask & 2 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_blocklist,
+                CAST(sum(CASE WHEN fail_mask & 4 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_lang,
+                CAST(sum(CASE WHEN fail_mask & 8 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_length,
+                CAST(sum(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_keep
+         FROM msk""",
     // Gopher-battery replay: the same per-document token statistics via
     // list folds, every ratio rule an integer cross-multiply
     "q_quality_gopher" ->
