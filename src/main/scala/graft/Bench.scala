@@ -91,9 +91,9 @@ object Bench {
     // the record — the JSON line is the LAST thing this main writes to
     // stdout (only sbt's own [success] trailer can follow it)
     spark.stop()
-    // the stdout capture keeps only a tail, which has truncated the head of
-    // this (long) line in past runs — persist the full record to a file so
-    // per-query timings are never lost from the round artifact
+    // persist the FULL record (all queries, full precision) to a file —
+    // the driver's stdout capture keeps only a 2000-char tail, so the full
+    // line (>4 KB at 149 queries) can never survive on stdout
     val outFile = outArg.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
@@ -101,6 +101,23 @@ object Bench {
     catch { case t: Throwable =>
       System.err.println(s"BENCH: could not write $outFile: ${t.getMessage}")
     }
-    println(line)
+    // stdout gets a COMPACT record sized to the driver's tail window: same
+    // shape, timings at ms precision, and only as many per-query entries
+    // (slowest first — the ones plan audits care about) as fit the budget;
+    // "omitted" + "full" say where the rest live
+    def fmt(v: Double): String = f"$v%.3f"
+    val budget = 1800
+    val sortedEntries = results.toSeq.sortBy { case (_, v) =>
+      if (v < 0) Double.MaxValue else -v } // failed (-1) last; failed[] names them
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def compactLine(entries: Seq[String], omitted: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
+        entries.mkString("{", ",", "}")},"failed":$failedJson,"n_queries":${
+        results.size},"omitted":$omitted,"full":"$outFile","loadavg_start":${
+        fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"retimed_improved":$retimedJson,"sf":"$sfDir"}"""
+    val keep = Iterator.range(sortedEntries.size, -1, -1).find(n =>
+      compactLine(sortedEntries.take(n), sortedEntries.size - n).length <= budget)
+      .getOrElse(0)
+    println(compactLine(sortedEntries.take(keep), sortedEntries.size - keep))
   }
 }

@@ -51,13 +51,15 @@ object KnnOps {
       .where(col("rank") <= k)
       .groupBy(col("query_id"), col("true_label"), col("__nl"))
       .agg(count(lit(1)).as("votes"))
-    // modal label, ties to the smallest: max of (votes, -label) — an
-    // aggregate, not a second window
+    // modal label, ties to the smallest: min_by over (-votes, label) — an
+    // aggregate, not a second window, and the label is never negated so any
+    // orderable label type (string, numeric) works
     votes.groupBy(col("query_id"), col("true_label"))
-      .agg(max(struct(col("votes"), (-col("__nl")).as("neg"))).as("m"))
+      .agg(min_by(col("__nl"),
+        struct((-col("votes")).as("nv"), col("__nl").as("l"))).as("pred"))
       .select(col("query_id").as(idCol), col("true_label"),
-        (-col("m.neg")).as("pred_label"),
-        (col("m.neg") === -col("true_label")).as("correct"))
+        col("pred").as("pred_label"),
+        (col("pred") === col("true_label")).as("correct"))
   }
 
   /** The IVF-blocked scale path of [[knnClassify]] — the kNN-JOIN shape
@@ -89,10 +91,11 @@ object KnnOps {
       .groupBy(col("query_id"), col("true_label"), col("__nl"))
       .agg(count(lit(1)).as("votes"))
     votes.groupBy(col("query_id"), col("true_label"))
-      .agg(max(struct(col("votes"), (-col("__nl")).as("neg"))).as("m"))
+      .agg(min_by(col("__nl"),
+        struct((-col("votes")).as("nv"), col("__nl").as("l"))).as("pred"))
       .select(col("query_id").as(idCol), col("true_label"),
-        (-col("m.neg")).as("pred_label"),
-        (col("m.neg") === -col("true_label")).as("correct"))
+        col("pred").as("pred_label"),
+        (col("pred") === col("true_label")).as("correct"))
   }
 
   /** Nearest-centroid (Rocchio) classification: per-label mean vectors from
@@ -110,12 +113,14 @@ object KnnOps {
         col(vecCol).as("__qv"), col(labelCol).as("true_label"))
       .crossJoin(broadcast(cent))
       .withColumn("sim", cosine(col("__qv"), col("__cent")))
-    // argmax centroid per test row: again max of (sim, -label), no window
+    // argmax centroid per test row: min_by over (-sim, label), no window,
+    // label-type-agnostic
     scored.groupBy(col("query_id"), col("true_label"))
-      .agg(max(struct(col("sim"), (-col("__cl")).as("neg"))).as("m"))
+      .agg(min_by(col("__cl"),
+        struct((-col("sim")).as("ns"), col("__cl").as("l"))).as("pred"))
       .select(col("query_id").as(idCol), col("true_label"),
-        (-col("m.neg")).as("pred_label"),
-        (col("m.neg") === -col("true_label")).as("correct"))
+        col("pred").as("pred_label"),
+        (col("pred") === col("true_label")).as("correct"))
   }
 
   /** The IVF-blocked scale path of [[tripletMine]]: positives keep their

@@ -46,6 +46,24 @@ class KnnOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq(Row(1L, 3, 3, true)))
   }
 
+  test("knnClassify + centroidClassify: string labels work, ties break lexicographically") {
+    // the tie-break must not assume numeric labels (it once negated the
+    // label column, which null-ified strings under non-ANSI casts)
+    val train = Seq(
+      (10L, near(0, 0.01f), "fr"), (11L, near(0, 0.02f), "fr"),
+      (12L, near(0, 0.03f), "en"), (13L, near(0, 0.04f), "en"),
+      (20L, axis(1), "de"))
+      .toDF("vec_id", "embedding", "label")
+    val test = Seq((1L, axis(0), "en")).toDF("vec_id", "embedding", "label")
+    // k=4: tie 2-2 between "fr" and "en" → lexicographically smaller "en"
+    val knn = KnnOps.knnClassify(test, train, "vec_id", "embedding", "label",
+      k = 4).collect()
+    assert(knn.toSeq == Seq(Row(1L, "en", "en", true)))
+    val cent = KnnOps.centroidClassify(test, train, "vec_id", "embedding",
+      "label", dim = 4).collect()
+    assert(cent.head.getString(2) != null, "string pred_label must not null out")
+  }
+
   test("centroidClassify: per-label train means, argmax cosine, tie → small label") {
     val train = Seq(
       (10L, axis(0), 0), (11L, axis(0), 0),       // centroid = axis 0
