@@ -111,35 +111,67 @@ class MaintenanceLoopSpec extends SparkSuite {
     val bmQs = Seq("q" -> "spark join")
     val bmBefore = bm.search(bmQs, 3).collect().toSet
 
+    // an artifact store holding one live snapshot, one superseded snapshot
+    // (regenerated corpus), and a crashed build's tmp orphan — the loop's
+    // reap must keep only the live fingerprint
+    val artBase = Files.createTempDirectory("loop-art").toFile
+    val prevArtProp = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = artBase.getAbsolutePath
+    val artCorpus = Files.createTempDirectory("loop-art-corpus").toFile
+    val artFile = new File(artCorpus, "t.parquet")
+    Files.writeString(artFile.toPath, "v1")
+    graft.queries.Artifacts.materialized(spark, artCorpus.getAbsolutePath,
+      "loop-kind")(Seq(1L).toDF("id"))
+    Files.writeString(artFile.toPath, "v2-regenerated")
+    artFile.setLastModified(artFile.lastModified() + 10000)
+    graft.queries.Artifacts.materialized(spark, artCorpus.getAbsolutePath,
+      "loop-kind")(Seq(2L).toDF("id"))
+    new File(new File(artBase, "loop-kind"), ".tmp-crashed").mkdirs()
+
     Thread.sleep(1500) // "cold" expires; "dead"'s tombstone horizon passes
 
     // ONE driver loop under virtual time: fire at minute m ⇒ nowMs = m·60s
     val start = LocalDateTime.of(2024, 1, 1, 0, 0)
     var clock = start
     val delivered = Seq.newBuilder[Seq[Long]]
-    val n = CronTriggerer.runLoop(CronTriggerer.parse("* * * * *"),
-      runPass = at => {
-        val virtualMs = java.time.Duration.between(start, at).toMillis
-        store.reapAll()
-        delivered += DelayedBuckets.reingestDue(spark, parkRoot, ingest,
-          nowMs = virtualMs, bucketMs = 60000L, horizonMs = 60000L)
-        idx.compact()
-        cc.compact()
-        bm.compact()
-        ex.compact()
-        pa.compact()
-        ipq.compact()
-        // the production loop runs the monitored compact; this index has
-        // caller-provided cells and no owned quantizer, so the monitor
-        // must degrade to a plain compact (None), never measure against a
-        // quantizer the layout was not built under
-        assert(ivf.compact(
-          Some(graft.ops.IvfIndex.RecallPolicy(target = 0.9))).isEmpty)
-      },
-      now = () => clock,
-      sleepUntil = at => clock = at,
-      maxFires = 3)
-    assert(n == 3)
+    try {
+      val n = CronTriggerer.runLoop(CronTriggerer.parse("* * * * *"),
+        runPass = at => {
+          val virtualMs = java.time.Duration.between(start, at).toMillis
+          store.reapAll()
+          delivered += DelayedBuckets.reingestDue(spark, parkRoot, ingest,
+            nowMs = virtualMs, bucketMs = 60000L, horizonMs = 60000L)
+          idx.compact()
+          cc.compact()
+          bm.compact()
+          ex.compact()
+          pa.compact()
+          ipq.compact()
+          graft.queries.Artifacts.reapExcept(Seq(artCorpus.getAbsolutePath))
+          // the production loop runs the monitored compact; this index has
+          // caller-provided cells and no owned quantizer, so the monitor
+          // must degrade to a plain compact (None), never measure against a
+          // quantizer the layout was not built under
+          assert(ivf.compact(
+            Some(graft.ops.IvfIndex.RecallPolicy(target = 0.9))).isEmpty)
+        },
+        now = () => clock,
+        sleepUntil = at => clock = at,
+        maxFires = 3)
+      assert(n == 3)
+
+      // artifact store bounded: only the live snapshot's artifact survives,
+      // and it still reads (repeated reaps were no-ops)
+      assert(new File(artBase, "loop-kind").listFiles().map(_.getName).toSet
+        == Set(graft.queries.Artifacts.corpusFingerprint(
+          artCorpus.getAbsolutePath)))
+      assert(graft.queries.Artifacts.materialized(spark,
+        artCorpus.getAbsolutePath, "loop-kind")(sys.error("must not rebuild"))
+        .as[Long].collect().toSeq == Seq(2L))
+    } finally prevArtProp match {
+      case Some(p) => sys.props("graft.artifacts.dir") = p
+      case None => sys.props -= "graft.artifacts.dir"
+    }
 
     // the parked row re-ingested EXACTLY once (fire 1: bucket window ends
     // 120s ≤ 60s now + 60s horizon), later fires are clean no-ops
