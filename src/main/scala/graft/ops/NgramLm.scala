@@ -45,6 +45,100 @@ object NgramLm {
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .where(col("w1") =!= "" && col("w2") =!= "")
 
+  /** Adjacent-token triples (id, w1, w2, w3) — same binding discipline as
+    * [[pairsOf]]. */
+  private def triplesOf(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__w")) - 2),
+        i => struct(element_at(col("__w"), i).as("w1"),
+                    element_at(col("__w"), i + 1).as("w2"),
+                    element_at(col("__w"), i + 2).as("w3")))).as("tg"))
+      .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .where(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
+
+  /** Trigram LM with Stupid Backoff (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the higher-order upgrade of
+    * [[perplexityFilter]]'s slot: score each document's token TRIPLES under
+    * the target slice's counts, backing off trigram → bigram → unigram with
+    * a fixed α = 0.4 penalty per level (relative frequencies, not
+    * normalized probabilities — Stupid Backoff's defining simplification,
+    * which at corpus scale ranks as well as Kneser–Ney at a fraction of the
+    * training cost):
+    *
+    *   S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)            if the trigram was seen
+    *              = α · c(w₂w₃)/c(w₂)            else if the bigram was
+    *              = α² · c(w₃)/N                 else if the unigram was
+    *              = α² · 1/N                     else (OOV)
+    *
+    * '''Determinism contract''' (same as the bigram face): every branch is
+    * fp(ln(integer-count ratio)) plus an integer multiple of fp(ln α) —
+    * per-triple BIGINTs, exact integer document sums, integer
+    * cross-multiplied keep threshold. The oracle replays the identical
+    * CASE cascade on the identical counts.
+    *
+    * '''Scale shape.''' Counts = three map-side-combined aggregations over
+    * the target slice (trigram, bigram, unigram — bounded by the IN-DOMAIN
+    * sample a fluency model is trained on, which is small by construction:
+    * CCNet trains on a Wikipedia-sized slice, not the corpus). Scoring =
+    * the corpus's triple stream against the broadcast count tables; the
+    * only corpus-sized shuffle keys on the document id.
+    *
+    * Returns (id, n_tri, ll_fp, keep); a document with fewer than three
+    * tokens has n_tri = 0 = ll and is kept. */
+  def stupidBackoffFilter(docs: DataFrame, idCol: String, textCol: String,
+                          isTarget: Column, thresholdMilliNat: Long,
+                          alpha: Double = 0.4): DataFrame = {
+    val target = docs.where(isTarget)
+    val tri = triplesOf(target, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c_abc"))
+    val bi = pairsOf(target, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val uni = target
+      .select(explode(tokens(col(textCol))).as("w")).where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val tot = uni.agg(sum(col("c_w")).as("n"))
+    val aFp = fp(log(lit(alpha))) // backoff penalty, one fixed-point constant
+
+    // a seen trigram implies its (w1,w2) prefix was counted in `bi` (same
+    // slice, same adjacency, same empty-token filter), so branch 1's
+    // denominator is never null
+    val scored = triplesOf(docs, idCol, textCol)
+      .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(bi.select(col("w1"), col("w2"),
+        col("c_ab").as("c_ctx"))), Seq("w1", "w2"), "left")
+      .join(broadcast(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c_ab").as("c_bc"))), Seq("w2", "w3"), "left")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_b"))),
+        Seq("w2"), "left")
+      .join(broadcast(uni.select(col("w").as("w3"), col("c_w").as("c_c"))),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_fp",
+        when(col("c_abc").isNotNull,
+          fp(log(col("c_abc").cast("double") / col("c_ctx").cast("double"))))
+        .when(col("c_bc").isNotNull,
+          aFp + fp(log(col("c_bc").cast("double") / col("c_b").cast("double"))))
+        .when(col("c_c").isNotNull,
+          lit(2L) * aFp +
+            fp(log(col("c_c").cast("double") / col("n").cast("double"))))
+        .otherwise(lit(2L) * aFp +
+          fp(log(lit(1.0) / col("n").cast("double")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"), sum(col("lp_fp")).as("ll_fp"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("ll_fp"), lit(0L)).as("ll_fp"))
+      .withColumn("keep",
+        col("ll_fp") >= lit(thresholdMilliNat * 1000L) * col("n_tri"))
+  }
+
   /** Score every document: (id, n_trans, ll_fp, keep). `thresholdMilliNat`
     * is the per-transition threshold in milli-nats (e.g. -3500 keeps docs
     * whose mean transition log-prob exceeds −3.5); a document with no

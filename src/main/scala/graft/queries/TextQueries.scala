@@ -625,6 +625,13 @@ object TextQueries {
       graft.ops.NgramLm.perplexityFilter(Tables.documents(s, d), "doc_id",
         "text", col("lang") === "en", thresholdMilliNat = -3400L)),
 
+    // Higher-order fluency filter: trigram LM with Stupid Backoff
+    // (α = 0.4, trigram → bigram → unigram cascade) trained on the same
+    // lang='en' slice — the 5-gram-KenLM-shaped upgrade of the bigram slot.
+    "q_perplexity_trigram" -> ((s, d) =>
+      graft.ops.NgramLm.stupidBackoffFilter(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en", thresholdMilliNat = -3000L)),
+
     // Corpus MIXING: per-language char budgets (the domain-reweighting
     // step of training-mix assembly) — fill each language's quota in
     // deterministic hash order.
@@ -1875,6 +1882,69 @@ object TextQueries {
          SELECT d.doc_id, CAST(coalesce(n_trans, 0) AS BIGINT) AS n_trans,
                 CAST(coalesce(ll_fp, 0) AS BIGINT) AS ll_fp,
                 coalesce(ll_fp, 0) >= -3400000 * coalesce(n_trans, 0) AS keep
+         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
+
+    // Stupid-Backoff trigram replay: the same CASE cascade on the same
+    // integer counts — seen trigram c_abc/c_ctx, else α·c_bc/c_b, else
+    // α²·c_c/N, else α²/N — each branch fp(ln ratio) + k·fp(ln 0.4),
+    // exact integer document sums, integer cross-multiplied threshold
+    // (−3.0 nats/triple)
+    "q_perplexity_trigram" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                    FROM documents),
+         tr AS (
+           SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+           FROM w, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+           WHERE len(w) >= 3 AND w[i] <> '' AND w[i+1] <> ''
+             AND w[i+2] <> ''),
+         pairs AS (
+           SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+           FROM w, LATERAL unnest(range(1, len(w))) AS t(i)
+           WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''),
+         tri AS (SELECT w1, w2, w3, count(*) AS c_abc FROM tr
+                 WHERE lang = 'en' GROUP BY w1, w2, w3),
+         bi AS (SELECT w1, w2, count(*) AS c_ab FROM pairs
+                WHERE lang = 'en' GROUP BY w1, w2),
+         uni AS (
+           SELECT t AS w, count(*) AS c_w
+           FROM (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents WHERE lang = 'en')
+           WHERE t <> '' GROUP BY t),
+         tot AS (SELECT sum(c_w) AS n FROM uni),
+         a AS (SELECT CAST(floor(ln(0.4) * 1000000.0 + 0.5) AS BIGINT)
+                 AS a_fp),
+         sc AS (
+           SELECT t.doc_id, count(*) AS n_tri,
+             sum(CASE
+               WHEN c_abc IS NOT NULL THEN
+                 CAST(floor(ln(CAST(c_abc AS DOUBLE)
+                   / CAST(c_ctx AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               WHEN c_bc IS NOT NULL THEN a_fp +
+                 CAST(floor(ln(CAST(c_bc AS DOUBLE)
+                   / CAST(c_b AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               WHEN c_c IS NOT NULL THEN 2 * a_fp +
+                 CAST(floor(ln(CAST(c_c AS DOUBLE)
+                   / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               ELSE 2 * a_fp +
+                 CAST(floor(ln(CAST(1 AS DOUBLE)
+                   / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               END) AS ll_fp
+           FROM tr t
+           LEFT JOIN tri ON tri.w1 = t.w1 AND tri.w2 = t.w2
+             AND tri.w3 = t.w3
+           LEFT JOIN (SELECT w1, w2, c_ab AS c_ctx FROM bi) b1
+             ON b1.w1 = t.w1 AND b1.w2 = t.w2
+           LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c_ab AS c_bc FROM bi) b2
+             ON b2.w2 = t.w2 AND b2.w3 = t.w3
+           LEFT JOIN (SELECT w AS w2, c_w AS c_b FROM uni) u1
+             ON u1.w2 = t.w2
+           LEFT JOIN (SELECT w AS w3, c_w AS c_c FROM uni) u2
+             ON u2.w3 = t.w3
+           CROSS JOIN tot CROSS JOIN a
+           GROUP BY t.doc_id)
+         SELECT d.doc_id, CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+                CAST(coalesce(ll_fp, 0) AS BIGINT) AS ll_fp,
+                coalesce(ll_fp, 0) >= -3000000 * coalesce(n_tri, 0) AS keep
          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
     "q_sample_mixture" ->
       """SELECT doc_id, lang, n_chars FROM (

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** [[NgramLm.stupidBackoffFilter]] — every backoff branch pinned to its
+  * hand-computed fixed-point value on a corpus small enough to count on
+  * paper. Target slice (lang=en): "a b c a b d d" →
+  * trigram counts {abc:1, bca:1, cab:1, abd:1, bdd:1},
+  * bigram counts {ab:2, bc:1, ca:1, bd:1, dd:1},
+  * unigram counts {a:2, b:2, c:1, d:2}, N=7. */
+class NgramLmSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fp(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+  private val a = fp(math.log(0.4))
+
+  test("stupid backoff: trigram hit, bigram backoff, unigram backoff, OOV") {
+    val docs = Seq(
+      (1L, "a b c a b d d", "en"), // the model slice, scored like the rest
+      (2L, "a b c", "xx"),  // seen trigram: ln(c_abc/c_ctx) = ln(1/2)
+      (3L, "b a b", "xx"),  // bigram backoff: α + ln(c_ab/c_a) = α + ln(2/2)
+      (4L, "a c d", "xx"),  // unigram backoff: 2α + ln(c_d/N) = 2α + ln(2/7)
+      (5L, "a b z", "xx"),  // OOV: 2α + ln(1/N)
+      (6L, "a b", "xx"))    // < 3 tokens → zero triples, kept
+      .toDF("doc_id", "text", "lang")
+    val out = NgramLm.stupidBackoffFilter(docs, "doc_id", "text",
+        col("lang") === "en", thresholdMilliNat = -1000L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+
+    val expected = Seq(
+      // doc 1: abc ln(1/2), bca 0, cab 0, abd ln(1/2), bdd 0
+      (1L, 5L, 2 * fp(math.log(0.5)), true),
+      (2L, 1L, fp(math.log(0.5)), true),
+      (3L, 1L, a + fp(math.log(1.0)), true),
+      (4L, 1L, 2 * a + fp(math.log(2.0 / 7.0)), false),
+      (5L, 1L, 2 * a + fp(math.log(1.0 / 7.0)), false),
+      (6L, 0L, 0L, true))
+    assert(out == expected)
+  }
+
+  test("bigram perplexityFilter unchanged: keeps in-domain, drops garbled") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat", "xx"),
+      (3L, "zq xv qqq zzz vvv kkk", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = NgramLm.perplexityFilter(docs, "doc_id", "text",
+        col("lang") === "en", thresholdMilliNat = -1400L)
+      .orderBy("doc_id").select("keep").as[Boolean].collect().toSeq
+    assert(out(1), "in-domain transitions must clear the threshold")
+    assert(!out(2), "all-unseen transitions must not")
+  }
+}

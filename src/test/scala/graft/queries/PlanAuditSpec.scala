@@ -405,4 +405,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(n == 1, s"expected exactly 1 exchange (the anchor aggregate), got $n:\n$p")
     assert(!p.contains("Window"), "hardest pos/neg are struct min/max aggregates")
   }
+
+  test("trigram backoff scoring broadcasts every count table onto the triple stream") {
+    // the corpus-sized side (the document triple stream) must meet all five
+    // model tables (tri, bi×2, uni×2) as broadcast joins — count tables are
+    // bounded by the in-domain training slice, never shuffled with the corpus
+    val p = plan("q_perplexity_trigram")
+    val b = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(b >= 5, s"expected >=5 broadcast model joins, got $b:\n$p")
+    assert(p.contains("partial"), "document log-likelihood must map-side combine")
+  }
 }
