@@ -58,6 +58,27 @@ object TextQueries {
       graft.ops.Bpe.encodeIds(Tables.documents(s, d), "doc_id", "text",
         trainedMerges(s, d)))
 
+  /** Deterministic page chrome planted around every document for the HTML
+    * main-content extraction fixture: a link-dense header + nav (one nav
+    * entry long enough to pass the length floor but fail link density),
+    * the document text as `<p>` content with an advertising block at every
+    * " merge " word boundary, and a short footer. Both engines build the
+    * IDENTICAL string, so the extraction oracle replays block-for-block. */
+  private val htmlPrefix =
+    "<header><a href=\"/\">Site</a> <a href=\"/login\">Login</a></header>" +
+      "<nav><ul><li><a href=\"/cat\">Extended category navigation with many" +
+      " long words</a></li><li><a href=\"/b\">Gamma Delta</a></li></ul>" +
+      "</nav><article><p>"
+  private val htmlAdBreak =
+    "</p><div class=\"ad\"><a href=\"/buy\">Buy now before midnight tonight" +
+      "</a></div><p>"
+  private val htmlSuffix =
+    "</p></article><footer>(c) 2026 example.com <a href=\"/tos\">Terms</a>" +
+      "</footer>"
+  private def htmlCorpus(docs: DataFrame): DataFrame =
+    docs.withColumn("html", concat(lit(htmlPrefix),
+      regexp_replace(col("text"), " merge ", htmlAdBreak), lit(htmlSuffix)))
+
   /** The filter-cascade rule set (name → keep predicate, mask-bit order):
     * the Gopher battery at the board's thresholds, the board's phrase
     * blocklist, lang-id agreement with metadata, and a length floor. */
@@ -701,6 +722,17 @@ object TextQueries {
         graft.ops.FilterCascade.decide(Tables.documents(s, d), "doc_id",
           cascadeRules),
         cascadeRules.map(_._1))),
+
+    // HTML main-content extraction (the trafilatura/jusText slot, rule
+    // zero UPSTREAM of the cascade): segment the chrome-planted page at
+    // block-tag boundaries, strip inline tags, keep blocks ≥ 40 chars
+    // whose link density ≤ 1/2 (integer cross-multiplied) — nav, ads and
+    // footer chrome drop; the article text survives in page order.
+    "q_html_extract" -> ((s, d) =>
+      graft.ops.Extract.mainContent(htmlCorpus(Tables.documents(s, d)),
+        "html", minTextLen = 40, linkNum = 1, linkDen = 2)
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          col("main_text"), col("main_len"))),
 
     // Temperature-based domain reweighting (α = 1/2): each source's quota
     // is its sqrt-share of a 100-doc output, selection in hash order.
@@ -2088,6 +2120,46 @@ object TextQueries {
                 CAST(sum(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_keep
          FROM msk""",
+    // extraction replay: the same chrome-planting expression, the same
+    // block segmentation / inline-strip / whitespace-collapse, the same
+    // integer cross-multiplied length + link-density keep rule, kept
+    // blocks re-joined in page order
+    "q_html_extract" ->
+      s"""WITH raw AS (
+           SELECT doc_id,
+             '$htmlPrefix' ||
+             regexp_replace(text, ' merge ', '$htmlAdBreak', 'g') ||
+             '$htmlSuffix' AS html
+           FROM documents),
+         bl AS (
+           SELECT doc_id, string_split_regex(html,
+             '</?(?:p|div|h[1-6]|li|ul|ol|br|nav|header|footer|aside' ||
+             '|article|section|main|blockquote|table|tr|td)(?: [^>]*)?/?>')
+             AS bs
+           FROM raw),
+         b AS (
+           SELECT doc_id, i,
+             trim(regexp_replace(regexp_replace(bs[i], '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS t,
+             CAST(coalesce(list_sum(list_transform(
+               regexp_extract_all(bs[i], '<a[^>]*>([^<]*)</a>', 1),
+               x -> length(x))), 0) AS BIGINT) AS l
+           FROM bl, LATERAL unnest(range(1, len(bs) + 1)) AS u(i)),
+         nb AS (
+           SELECT doc_id, i, t, l,
+                  length(t) >= 40 AND l * 2 <= length(t) * 1 AS keep
+           FROM b WHERE t <> ''),
+         agg AS (
+           SELECT doc_id, count(*) AS n_blocks,
+                  count(*) FILTER (WHERE keep) AS n_kept,
+                  coalesce(string_agg(t, chr(10) ORDER BY i)
+                    FILTER (WHERE keep), '') AS main_text
+           FROM nb GROUP BY doc_id)
+         SELECT d.doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+                CAST(n_kept AS BIGINT) AS n_kept, main_text,
+                CAST(length(main_text) AS BIGINT) AS main_len
+         FROM documents d JOIN agg USING (doc_id)""",
+
     // Gopher-battery replay: the same per-document token statistics via
     // list folds, every ratio rule an integer cross-multiply
     "q_quality_gopher" ->

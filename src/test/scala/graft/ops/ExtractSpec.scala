@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** [[Extract]] — jusText-style main-content extraction on a handcrafted
+  * page where every block's fate is checkable by eye. */
+class ExtractSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val page =
+    """<header><a href="/">Home</a> <a href="/x">More</a></header>""" +
+      """<nav><ul><li><a href="/l">A quite long navigation label with many words</a></li></ul></nav>""" +
+      """<article><p>This is the real article content, long enough to clear the forty character floor.</p>""" +
+      """<p>Short.</p>""" +
+      """<div class="ad"><a href="/buy">Buy</a></div>""" +
+      """<p>Second real paragraph with <b>inline bold</b> markup that also clears the length floor easily.</p></article>""" +
+      """<footer>(c) site</footer>"""
+
+  test("chrome drops, content survives, inline tags strip, order holds") {
+    val out = Extract.mainContent(Seq((1L, page)).toDF("doc_id", "html"),
+        "html", minTextLen = 40, linkNum = 1, linkDen = 2)
+      .select("n_blocks", "n_kept", "main_text")
+      .as[(Long, Long, String)].collect().head
+    assert(out._1 == 7, "seven non-empty blocks on the page")
+    assert(out._2 == 2, "exactly the two long low-link paragraphs survive")
+    assert(out._3 ==
+      "This is the real article content, long enough to clear the forty" +
+        " character floor.\n" +
+        "Second real paragraph with inline bold markup that also clears" +
+        " the length floor easily.")
+  }
+
+  test("long but link-dense nav fails density; short header fails length") {
+    val bs = Seq((1L, page)).toDF("doc_id", "html")
+      .select(explode(Extract.blocks(col("html"))).as("b"))
+      .select(col("b.t"), col("b.l")).as[(String, Long)].collect().toSeq
+    val nav = bs.find(_._1.startsWith("A quite long navigation")).get
+    assert(nav._1.length >= 40 && nav._2 * 2 > nav._1.length,
+      "the nav block must be dropped by link density, not by length")
+    val header = bs.find(_._1 == "Home More").get
+    assert(header._2 == 8, "anchor chars = len(Home)+len(More)")
+  }
+
+  test("pages with no qualifying block yield empty main text, not null") {
+    val out = Extract.mainContent(
+        Seq((1L, "<nav><a href=\"/\">x</a></nav>")).toDF("doc_id", "html"),
+        "html", minTextLen = 40, linkNum = 1, linkDen = 2)
+      .select("n_kept", "main_text", "main_len")
+      .as[(Long, String, Long)].collect().head
+    assert(out == ((0L, "", 0L)))
+  }
+}

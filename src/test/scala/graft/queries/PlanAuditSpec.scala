@@ -406,6 +406,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Window"), "hardest pos/neg are struct min/max aggregates")
   }
 
+  test("HTML extraction rides the scan: no exchange, no join, no window") {
+    // extraction is a payload decode — at 100 TB it must stay a map-only
+    // pass over each row's own string
+    val p = plan("q_html_extract")
+    assert(!p.contains("Exchange"), s"extraction must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("trigram backoff scoring broadcasts every count table onto the triple stream") {
     // the corpus-sized side (the document triple stream) must meet all five
     // model tables (tri, bi×2, uni×2) as broadcast joins — count tables are
