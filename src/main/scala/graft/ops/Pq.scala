@@ -220,4 +220,34 @@ object Pq {
       .where(col("__r") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"))
   }
+
+  /** Persist a trained model as (mi, ci, v) parquet — the codebook twin of
+    * [[KMeans.saveCentroids]], so a persisted index can bind its quantizers
+    * to the generation whose postings they encoded. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                model: Model): Unit = {
+    import spark.implicits._
+    val rows = for {
+      mi <- 0 until model.m
+      ci <- model.codebooks(mi).indices
+    } yield (mi, ci, model.codebooks(mi)(ci).toSeq)
+    rows.toDF("mi", "ci", "v")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[saveModel]] — parquet doubles round-trip
+    * exactly, so encode/ADC under the loaded model are bit-identical to
+    * the original. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("mi").cast("int"), col("ci").cast("int"), col("v"))
+      .as[(Int, Int, Seq[Double])].collect()
+    require(rows.nonEmpty, s"no PQ model rows at $path")
+    val m = rows.map(_._1).max + 1
+    val cbs = Array.tabulate(m)(mi =>
+      rows.filter(_._1 == mi).sortBy(_._2).map(_._3.toArray))
+    Model(m, cbs(0)(0).length, cbs)
+  }
 }

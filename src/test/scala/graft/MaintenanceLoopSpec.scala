@@ -146,7 +146,13 @@ class MaintenanceLoopSpec extends SparkSuite {
           bm.compact()
           ex.compact()
           pa.compact()
-          ipq.compact()
+          // the production loop runs the MONITORED compact: recall is
+          // measured every cycle against the base table; a healthy store
+          // (codebooks trained on this corpus) must never trip the retrain,
+          // or the bit-identity assertion below would catch the re-encode
+          assert(!ipq.compact(Some((emb,
+            graft.ops.IvfPqIndex.RecallPolicy(target = 0.05))))
+            .exists(_.retrained))
           graft.queries.Artifacts.reapExcept(Seq(artCorpus.getAbsolutePath))
           // the production loop runs the monitored compact; this index has
           // caller-provided cells and no owned quantizer, so the monitor

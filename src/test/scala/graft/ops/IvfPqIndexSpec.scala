@@ -69,6 +69,73 @@ class IvfPqIndexSpec extends SparkSuite {
       s"a vector-typed column leaked into the code store: $schema")
   }
 
+  test("drifted corpus triggers codebook retrain; store matches the NEW model") {
+    val df = corpus(21L, 120)
+    val cents = KMeans.fit(df, "vec_id", "embedding", 4, 2)
+    // a deliberately useless initial model: near-zero codebooks reconstruct
+    // every corpus vector as noise, so ADC cannot rank and recall tanks —
+    // the "corpus drifted away from its codebooks" state
+    val junk = Pq.Model(4, 2, Array.fill(4)(Array(
+      Array(0.0, 0.0), Array(0.01, 0.01), Array(-0.01, 0.01),
+      Array(0.02, 0.0))))
+    val dir = Files.createTempDirectory("ivfpq-drift").toFile.getAbsolutePath
+    val idx = new IvfPqIndex(spark, dir, "vec_id", "embedding", junk, cents)
+    idx.add(df.where($"vec_id" % 2 === 0))
+    idx.add(df.where($"vec_id" % 2 === 1))
+    val pol = IvfPqIndex.RecallPolicy(target = 0.9, nprobe = 2, k = 5,
+      sampleN = 16, refitIters = 3, shortlist = 8)
+    val stats = idx.compact(Some((df, pol))).get
+    assert(stats.recall < 0.9, s"junk codebooks should not reach ${stats.recall}")
+    assert(stats.retrained, "sagging recall must trigger the retrain")
+    val (newModel, newCents) = idx.currentPair
+    assert(newModel.codebooks.flatten.flatten.toSeq != junk.codebooks.flatten.flatten.toSeq,
+      "retrain must replace the codebooks")
+    // bit-identity against the NEW model: the swapped generation's codes
+    // were encoded under exactly the pair the store now searches with
+    val q = df.where($"vec_id" < 8)
+    val got = idx.search(q, df, nprobe = 2, k = 3, shortlist = 20)
+      .orderBy("query_id", "neighbor_id")
+      .select($"query_id", $"neighbor_id", round($"sim", 9))
+      .collect().toSeq
+    assert(got == inMemory(df, newCents, newModel, q),
+      "post-retrain store diverged from the in-memory layout under the new model")
+  }
+
+  test("healthy recall leaves model and answers untouched") {
+    val df = corpus(25L, 100)
+    val cents = KMeans.fit(df, "vec_id", "embedding", 4, 2)
+    val model = Pq.train(df, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val dir = Files.createTempDirectory("ivfpq-healthy").toFile.getAbsolutePath
+    val idx = new IvfPqIndex(spark, dir, "vec_id", "embedding", model, cents)
+    idx.add(df)
+    val q = df.where($"vec_id" < 5)
+    def answers() = idx.search(q, df, nprobe = 2, k = 3, shortlist = 20)
+      .orderBy("query_id", "neighbor_id")
+      .select($"query_id", $"neighbor_id", round($"sim", 9))
+      .collect().toSeq
+    val before = answers()
+    val stats = idx.compact(Some((df,
+      IvfPqIndex.RecallPolicy(target = 0.0)))).get
+    assert(!stats.retrained, "target 0 can never trigger a retrain")
+    assert(idx.currentPair._1.codebooks.flatten.flatten.toSeq == model.codebooks.flatten.flatten.toSeq,
+      "monitored compact without drift must carry the model unchanged")
+    assert(answers() == before, "monitored compact changed the answers")
+  }
+
+  test("a conflicting re-add (same id, different vector) fails compact loudly") {
+    val df = corpus(29L, 40)
+    val cents = KMeans.fit(df, "vec_id", "embedding", 4, 2)
+    val model = Pq.train(df, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val dir = Files.createTempDirectory("ivfpq-clash").toFile.getAbsolutePath
+    val idx = new IvfPqIndex(spark, dir, "vec_id", "embedding", model, cents)
+    idx.add(df)
+    // same ids, shuffled vectors: codes/cells disagree with the first add
+    idx.add(df.withColumn("embedding",
+      org.apache.spark.sql.functions.reverse($"embedding")))
+    val e = intercept[IllegalStateException](idx.compact())
+    assert(e.getMessage.contains("immutable"), e.getMessage)
+  }
+
   test("replayed append is deduped by compact, answer unchanged") {
     val df = corpus(17L, 80)
     val cents = KMeans.fit(df, "vec_id", "embedding", 4, 2)
