@@ -55,6 +55,13 @@ object StreamBench {
 
     val src = () => spark.readStream.format("graft-topic").option("path", topic).load()
 
+    // curate-stage audit state, reported in the final JSON record:
+    // cascade attrition totals across micro-batches + chunk-store size
+    val attTotals = scala.collection.mutable.LinkedHashMap(
+      "n_docs" -> 0L, "fail_gopher" -> 0L, "fail_length" -> 0L,
+      "n_keep" -> 0L)
+    val chunkDir = tmp.resolve("chunks").toString
+
     val results = Seq(
       timed("passthrough_rows_per_s") {
         src().writeStream.format("graft-topic")
@@ -103,15 +110,20 @@ object StreamBench {
             .option("checkpointLocation", tmp.resolve("cp4").toString).start()
         }
       }, {
-        // the FULL curate path at ingest: per micro-batch, drop eval
+        // the FULL curate path at ingest: per micro-batch, run the quality
+        // CASCADE first (cheapest rules drop documents before anything
+        // expensive runs, per-batch attrition emitted), drop eval
         // contamination (exact-fingerprint anti-join against the held-out
         // benchmark set), keep only exact-novel content (bloom-screened
         // persisted fingerprint index — repeat content skips ALL further
         // work), feed the novel docs through the persisted LSH pair index
-        // into the cluster index, and append their embeddings into the
-        // persisted IVF and their tokens into the persisted BM25 postings
-        // — the production wiring for "filter, dedup, and make searchable
-        // (ANN + full-text) as data arrives"
+        // into the cluster index, append their embeddings into the
+        // persisted IVF and their tokens into the persisted BM25 postings,
+        // and cut the excised text into overlapping RAG chunks appended to
+        // the retrieval chunk store (epoch-partitioned dynamic overwrite —
+        // a replayed micro-batch rewrites its own partition, so the sink
+        // is idempotent) — the production wiring for "filter, dedup, and
+        // make searchable (ANN + full-text + RAG) as data arrives"
         val docs = graft.core.Tables.documents(spark, sfDir)
         val nd = docs.count()
         val docsTopic = tmp.resolve("docs").toString // staged by the stage above
@@ -135,14 +147,30 @@ object StreamBench {
           tmp.resolve("exact").toString, "doc_id", "text")
         val para = new graft.ops.ParagraphIndex(spark,
           tmp.resolve("para").toString, "doc_id", "text")
+        val cascadeRules = Seq(
+          "gopher" -> graft.ops.GopherQuality.keepExpr(col("text"),
+            minWords = 30L, maxMeanLen = 5L, maxDupNum = 3L, maxDupDen = 5L),
+          "length" -> (length(col("text")) >= 100L))
         timedRows("curate_pipeline_docs_per_s", nd) {
           spark.readStream.format("graft-topic").option("path", docsTopic).load()
             .select(col("key").cast("long").as("doc_id"),
               col("value").as("text"))
             .writeStream
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
-              val kept = b.join(evalFps,
-                graft.functions.TextFunctions.fingerprint(b("text"))
+              // rule zero of the batch: the cascade verdict — only
+              // cascade-kept documents pay for anything downstream
+              val decided = graft.ops.FilterCascade
+                .decide(b, "doc_id", cascadeRules).localCheckpoint(true)
+              val att = graft.ops.FilterCascade
+                .attrition(decided, cascadeRules.map(_._1)).collect().head
+              attTotals.keys.foreach(k =>
+                attTotals(k) += att.getAs[Long](k))
+              System.err.println(s"curate batch=$e " + attTotals.keys
+                .map(k => s"$k=${att.getAs[Long](k)}").mkString(" "))
+              val quality = b.join(
+                decided.where(col("keep")).select("doc_id"), Seq("doc_id"))
+              val kept = quality.join(evalFps,
+                graft.functions.TextFunctions.fingerprint(quality("text"))
                   === evalFps("__fp"), "left_anti")
                 .persist()
               try {
@@ -162,15 +190,30 @@ object StreamBench {
                   .select(col("doc_id"), col("embedding")),
                   graft.ops.KMeans.assignExpr(col("embedding"), cents))
                 bm25.add(excised, ord = e)
+                // RAG chunk store: overlapping windows of the excised text,
+                // partitioned by epoch so a replayed batch overwrites only
+                // its own partition (idempotent sink)
+                graft.ops.RagChunk.chunks(excised, "doc_id", "text",
+                    window = 64, stride = 48)
+                  .withColumn("batch", lit(e))
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("batch").parquet(chunkDir)
               } finally { kept.unpersist(); () }
             }
             .option("checkpointLocation", tmp.resolve("cp5").toString).start()
         }
       })
 
+    val nChunks =
+      try spark.read.parquet(chunkDir).count()
+      catch { case _: Throwable => 0L }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"stream_rows_per_s","rows":$n,"queries":$qs,"sf":"$sfDir"}""")
+    val attJson = attTotals
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", s""","n_chunks":$nChunks}""")
+    println(s"""{"metric":"stream_rows_per_s","rows":$n,"queries":$qs,"curate_attrition":$attJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
