@@ -79,6 +79,42 @@ object TextQueries {
     docs.withColumn("html", concat(lit(htmlPrefix),
       regexp_replace(col("text"), " merge ", htmlAdBreak), lit(htmlSuffix)))
 
+  /** The extraction pipeline's oracle CTEs (chrome-planting → block split →
+    * inline strip → keep rule → page-order re-join), shared by the
+    * extraction row and the extract→cascade composition. Ends with `agg`
+    * = (doc_id, n_blocks, n_kept, main_text). */
+  private lazy val htmlExtractCtes: String =
+    s"""raw AS (
+           SELECT doc_id,
+             '$htmlPrefix' ||
+             regexp_replace(text, ' merge ', '$htmlAdBreak', 'g') ||
+             '$htmlSuffix' AS html
+           FROM documents),
+         bl AS (
+           SELECT doc_id, string_split_regex(html,
+             '</?(?:p|div|h[1-6]|li|ul|ol|br|nav|header|footer|aside' ||
+             '|article|section|main|blockquote|table|tr|td)(?: [^>]*)?/?>')
+             AS bs
+           FROM raw),
+         b AS (
+           SELECT doc_id, i,
+             trim(regexp_replace(regexp_replace(bs[i], '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS t,
+             CAST(coalesce(list_sum(list_transform(
+               regexp_extract_all(bs[i], '<a[^>]*>([^<]*)</a>', 1),
+               x -> length(x))), 0) AS BIGINT) AS l
+           FROM bl, LATERAL unnest(range(1, len(bs) + 1)) AS u(i)),
+         nb AS (
+           SELECT doc_id, i, t, l,
+                  length(t) >= 40 AND l * 2 <= length(t) * 1 AS keep
+           FROM b WHERE t <> ''),
+         agg AS (
+           SELECT doc_id, count(*) AS n_blocks,
+                  count(*) FILTER (WHERE keep) AS n_kept,
+                  coalesce(string_agg(t, chr(10) ORDER BY i)
+                    FILTER (WHERE keep), '') AS main_text
+           FROM nb GROUP BY doc_id)"""
+
   /** The filter-cascade rule set (name → keep predicate, mask-bit order):
     * the Gopher battery at the board's thresholds, the board's phrase
     * blocklist, lang-id agreement with metadata, and a length floor. */
@@ -733,6 +769,24 @@ object TextQueries {
         "html", minTextLen = 40, linkNum = 1, linkDen = 2)
         .select(col("doc_id"), col("n_blocks"), col("n_kept"),
           col("main_text"), col("main_len"))),
+
+    // Extraction feeding the cascade as rule zero: quality rules judge the
+    // EXTRACTED text (what a reader actually sees), plus a retention-ratio
+    // rule — a page whose chrome ate ≥ 70% of the raw text is itself
+    // suspect. One scan end to end, no shuffle before the verdict.
+    "q_extract_cascade" -> ((s, d) => {
+      val ex = graft.ops.Extract.mainContent(
+        htmlCorpus(Tables.documents(s, d)), "html",
+        minTextLen = 40, linkNum = 1, linkDen = 2)
+      val toks = filter(split(col("main_text"), " "), t => t =!= "")
+      val nWords = size(toks).cast("long")
+      val sumLen = aggregate(toks, lit(0L), (a, x) => a + length(x).cast("long"))
+      graft.ops.FilterCascade.decide(ex, "doc_id", Seq(
+        "words" -> (nWords >= 30L),
+        "wlen" -> (lit(3L) * nWords <= sumLen && sumLen <= lit(5L) * nWords),
+        "retention" ->
+          (col("main_len") * 10L >= length(col("text")).cast("long") * 3L)))
+    }),
 
     // Temperature-based domain reweighting (α = 1/2): each source's quota
     // is its sqrt-share of a 100-doc output, selection in hash order.
@@ -2125,40 +2179,42 @@ object TextQueries {
     // integer cross-multiplied length + link-density keep rule, kept
     // blocks re-joined in page order
     "q_html_extract" ->
-      s"""WITH raw AS (
-           SELECT doc_id,
-             '$htmlPrefix' ||
-             regexp_replace(text, ' merge ', '$htmlAdBreak', 'g') ||
-             '$htmlSuffix' AS html
-           FROM documents),
-         bl AS (
-           SELECT doc_id, string_split_regex(html,
-             '</?(?:p|div|h[1-6]|li|ul|ol|br|nav|header|footer|aside' ||
-             '|article|section|main|blockquote|table|tr|td)(?: [^>]*)?/?>')
-             AS bs
-           FROM raw),
-         b AS (
-           SELECT doc_id, i,
-             trim(regexp_replace(regexp_replace(bs[i], '<[^>]*>', ' ', 'g'),
-               '\\s+', ' ', 'g')) AS t,
-             CAST(coalesce(list_sum(list_transform(
-               regexp_extract_all(bs[i], '<a[^>]*>([^<]*)</a>', 1),
-               x -> length(x))), 0) AS BIGINT) AS l
-           FROM bl, LATERAL unnest(range(1, len(bs) + 1)) AS u(i)),
-         nb AS (
-           SELECT doc_id, i, t, l,
-                  length(t) >= 40 AND l * 2 <= length(t) * 1 AS keep
-           FROM b WHERE t <> ''),
-         agg AS (
-           SELECT doc_id, count(*) AS n_blocks,
-                  count(*) FILTER (WHERE keep) AS n_kept,
-                  coalesce(string_agg(t, chr(10) ORDER BY i)
-                    FILTER (WHERE keep), '') AS main_text
-           FROM nb GROUP BY doc_id)
+      s"""WITH $htmlExtractCtes
          SELECT d.doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
                 CAST(n_kept AS BIGINT) AS n_kept, main_text,
                 CAST(length(main_text) AS BIGINT) AS main_len
          FROM documents d JOIN agg USING (doc_id)""",
+
+    // extract→cascade replay: the cascade's three rules recomputed over
+    // the EXTRACTED text (space tokens, integer cross-multiplies) plus the
+    // extraction-specific retention-ratio rule against the raw length;
+    // same mask-bit order as the Spark rule list
+    "q_extract_cascade" ->
+      s"""WITH $htmlExtractCtes,
+         ex AS (
+           SELECT d.doc_id, d.text, main_text
+           FROM documents d JOIN agg USING (doc_id)),
+         st AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(main_text, ' '),
+               x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(
+               list_filter(string_split(main_text, ' '), x -> x <> ''),
+               x -> length(x))), 0) AS BIGINT) AS sum_len,
+             CAST(length(main_text) AS BIGINT) AS main_len,
+             CAST(length(text) AS BIGINT) AS raw_len
+           FROM ex),
+         msk AS (
+           SELECT doc_id,
+               (CASE WHEN n_words >= 30 THEN 0 ELSE 1 END)
+             + (CASE WHEN 3 * n_words <= sum_len
+                      AND sum_len <= 5 * n_words THEN 0 ELSE 2 END)
+             + (CASE WHEN main_len * 10 >= raw_len * 3 THEN 0 ELSE 4 END)
+               AS fail_mask
+           FROM st)
+         SELECT doc_id, CAST(fail_mask AS BIGINT) AS fail_mask,
+                fail_mask = 0 AS keep
+         FROM msk""",
 
     // Gopher-battery replay: the same per-document token statistics via
     // list folds, every ratio rule an integer cross-multiply

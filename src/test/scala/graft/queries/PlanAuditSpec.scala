@@ -406,6 +406,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Window"), "hardest pos/neg are struct min/max aggregates")
   }
 
+  test("extract→cascade verdict is still one scan: no exchange, no join") {
+    val p = plan("q_extract_cascade")
+    assert(!p.contains("Exchange"), s"the composed verdict must not shuffle:\n$p")
+    assert(!p.contains("Join"))
+  }
+
   test("HTML extraction rides the scan: no exchange, no join, no window") {
     // extraction is a payload decode — at 100 TB it must stay a map-only
     // pass over each row's own string
