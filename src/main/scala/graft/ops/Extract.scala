@@ -49,9 +49,29 @@ object Extract {
 
   private val anchorRe = "<a[^>]*>([^<]*)</a>"
 
-  /** A block's visible text: inline tags to spaces, whitespace collapsed. */
+  /** script/style elements vanish WHOLESALE — their character data is code,
+    * not content, and tag-stripping alone would keep it as "text". (?s) so
+    * the body may span lines; lazy so adjacent elements don't merge. Both
+    * constructs are RE2- and Java-regex-compatible. */
+  private def dropCodeElements(html: Column): Column =
+    regexp_replace(
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+
+  /** The named character references that actually occur in page text,
+    * decoded in the standard order (&amp; last, so `&amp;lt;` correctly
+    * yields the literal `&lt;`); &nbsp; becomes a plain space BEFORE the
+    * whitespace collapse so it merges with its neighbors. */
+  private def decodeEntities(t: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+        "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(t) { case (c, (e, r)) => regexp_replace(c, e, r) }
+
+  /** A block's visible text: inline tags to spaces, entities decoded,
+    * whitespace collapsed. */
   private def blockText(raw: Column): Column =
-    trim(regexp_replace(regexp_replace(raw, "<[^>]*>", " "), "\\s+", " "))
+    trim(regexp_replace(
+      decodeEntities(regexp_replace(raw, "<[^>]*>", " ")), "\\s+", " "))
 
   /** Total anchor-text characters of a block (its `<a>…</a>` contents). */
   private def anchorLen(raw: Column): Column =
@@ -59,10 +79,10 @@ object Extract {
       (acc, x) => acc + length(x).cast("long"))
 
   /** The page's non-empty blocks as (t = text, l = anchor chars), in page
-    * order. */
+    * order. script/style bodies are dropped before segmentation. */
   def blocks(html: Column): Column =
     filter(
-      transform(split(html, blockTagRe), b =>
+      transform(split(dropCodeElements(html), blockTagRe), b =>
         struct(blockText(b).as("t"), anchorLen(b).as("l"))),
       s => s.getField("t") =!= "")
 

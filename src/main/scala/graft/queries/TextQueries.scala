@@ -65,7 +65,8 @@ object TextQueries {
     * " merge " word boundary, and a short footer. Both engines build the
     * IDENTICAL string, so the extraction oracle replays block-for-block. */
   private val htmlPrefix =
-    "<header><a href=\"/\">Site</a> <a href=\"/login\">Login</a></header>" +
+    "<header><script>function nav(x){ if (x<9) { track(\"&amp;go\"); } }" +
+      "</script><a href=\"/\">Site</a> <a href=\"/login\">Login</a></header>" +
       "<nav><ul><li><a href=\"/cat\">Extended category navigation with many" +
       " long words</a></li><li><a href=\"/b\">Gamma Delta</a></li></ul>" +
       "</nav><article><p>"
@@ -73,8 +74,9 @@ object TextQueries {
     "</p><div class=\"ad\"><a href=\"/buy\">Buy now before midnight tonight" +
       "</a></div><p>"
   private val htmlSuffix =
-    "</p></article><footer>(c) 2026 example.com <a href=\"/tos\">Terms</a>" +
-      "</footer>"
+    "</p><p>Research &amp; development notes preserved here for the" +
+      " archive &lt;draft&gt; edition</p></article>" +
+      "<footer>(c) 2026 example.com <a href=\"/tos\">Terms</a></footer>"
   private def htmlCorpus(docs: DataFrame): DataFrame =
     docs.withColumn("html", concat(lit(htmlPrefix),
       regexp_replace(col("text"), " merge ", htmlAdBreak), lit(htmlSuffix)))
@@ -91,14 +93,21 @@ object TextQueries {
              '$htmlSuffix' AS html
            FROM documents),
          bl AS (
-           SELECT doc_id, string_split_regex(html,
+           SELECT doc_id, string_split_regex(
+             regexp_replace(regexp_replace(html,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
              '</?(?:p|div|h[1-6]|li|ul|ol|br|nav|header|footer|aside' ||
              '|article|section|main|blockquote|table|tr|td)(?: [^>]*)?/?>')
              AS bs
            FROM raw),
          b AS (
            SELECT doc_id, i,
-             trim(regexp_replace(regexp_replace(bs[i], '<[^>]*>', ' ', 'g'),
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(bs[i], '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
                '\\s+', ' ', 'g')) AS t,
              CAST(coalesce(list_sum(list_transform(
                regexp_extract_all(bs[i], '<a[^>]*>([^<]*)</a>', 1),

@@ -42,6 +42,19 @@ class ExtractSpec extends SparkSuite {
     assert(header._2 == 8, "anchor chars = len(Home)+len(More)")
   }
 
+  test("script/style bodies vanish wholesale; entities decode in kept text") {
+    val page =
+      """<script>var tracker = "id"; if (x<2) { emit("&amp;"); }</script>""" +
+        """<style>.nav { display: none; }</style>""" +
+        """<p>Research &amp; development notes &lt;draft&gt; padded to clear the length floor.</p>"""
+    val out = Extract.mainContent(Seq((1L, page)).toDF("doc_id", "html"),
+        "html", minTextLen = 40, linkNum = 1, linkDen = 2)
+      .select("n_blocks", "main_text").as[(Long, String)].collect().head
+    assert(out._1 == 1, "script and style must not surface as blocks")
+    assert(out._2 ==
+      "Research & development notes <draft> padded to clear the length floor.")
+  }
+
   test("pages with no qualifying block yield empty main text, not null") {
     val out = Extract.mainContent(
         Seq((1L, "<nav><a href=\"/\">x</a></nav>")).toDF("doc_id", "html"),

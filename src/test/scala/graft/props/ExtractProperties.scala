@@ -17,9 +17,16 @@ class ExtractProperties extends SparkSuite {
 
   private def refExtract(html: String): (Long, Long, String) = {
     val anchorRe = "<a[^>]*>([^<]*)</a>".r
-    val items = html.split(Extract.blockTagRe, -1).toSeq
+    val cleaned = html
+      .replaceAll("(?s)<script[^>]*>.*?</script>", " ")
+      .replaceAll("(?s)<style[^>]*>.*?</style>", " ")
+    def decode(s: String): String = s
+      .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+    val items = cleaned.split(Extract.blockTagRe, -1).toSeq
       .map { raw =>
-        val t = raw.replaceAll("<[^>]*>", " ").replaceAll("\\s+", " ").trim
+        val t = decode(raw.replaceAll("<[^>]*>", " "))
+          .replaceAll("\\s+", " ").trim
         (t, anchorRe.findAllMatchIn(raw).map(_.group(1).length).sum)
       }
       .filter(_._1.nonEmpty)
@@ -33,13 +40,16 @@ class ExtractProperties extends SparkSuite {
     def word() = (1 to (2 + r.nextInt(7)))
       .map(_ => ('a' + r.nextInt(26)).toChar).mkString
     def sentence(k: Int) = (1 to k).map(_ => word()).mkString(" ")
-    def block(): String = r.nextInt(5) match {
+    def block(): String = r.nextInt(7) match {
       case 0 => s"<p>${sentence(5 + r.nextInt(40))}</p>"
-      case 1 => // content with inline markup
-        s"<p>${sentence(3 + r.nextInt(20))} <b>${word()}</b> " +
-          s"${sentence(2 + r.nextInt(20))}</p>"
+      case 1 => // content with inline markup and entities
+        s"<p>${sentence(3 + r.nextInt(20))} &amp; <b>${word()}</b> " +
+          s"&lt;${word()}&gt; ${sentence(2 + r.nextInt(20))}</p>"
       case 2 => s"""<li><a href="/${word()}">${sentence(1 + r.nextInt(8))}</a></li>"""
       case 3 => s"""<div class="ad"><a href="/buy">${sentence(2 + r.nextInt(4))}</a></div>"""
+      case 4 => // code elements: character data is NOT content
+        s"""<script>var ${word()} = "${word()}"; if (1<2) { ${word()}(); }</script>"""
+      case 5 => s"<style>.${word()} { color: red; }</style>"
       case _ => s"<h2>${sentence(1 + r.nextInt(5))}</h2>"
     }
     (0 until n).map { i =>
@@ -82,12 +92,18 @@ class ExtractProperties extends SparkSuite {
     }
   }
 
-  test("extraction is a fixpoint: re-extracting the main text returns it") {
+  test("extraction is a fixpoint: re-embedding the main text returns it") {
+    // extracted text is PLAIN text (entities decoded), so embedding it back
+    // into HTML requires the inverse escaping — &amp; first, then the angle
+    // brackets the decode may have introduced
+    def escape(s: String): String = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
     val rows = pages(31L, 25)
     val extracted = run(rows)
     val nonEmpty = rows.collect {
       case (id, _) if extracted(id)._3.nonEmpty =>
-        (id, "<p>" + extracted(id)._3.split("\n").mkString("</p><p>") + "</p>")
+        (id, "<p>" + extracted(id)._3.split("\n").map(escape)
+          .mkString("</p><p>") + "</p>")
     }
     assert(nonEmpty.nonEmpty, "generator produced no kept content at all")
     val again = run(nonEmpty)
