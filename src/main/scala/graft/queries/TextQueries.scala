@@ -797,6 +797,23 @@ object TextQueries {
           (col("main_len") * 10L >= length(col("text")).cast("long") * 3L)))
     }),
 
+    // WITHIN-document repeated-line removal (the C4/FineWeb intra-page
+    // rule; cross-doc recurrence is q_paragraph_dedup's job): lines are
+    // the document's 8-token groups with the first group re-planted at the
+    // end — keep-first must excise exactly the planted repeat (plus any
+    // natural in-page repetition), order preserved, one scan.
+    "q_line_dedup" -> ((s, d) => {
+      val toks = filter(tokens(col("text")), t => t =!= "")
+      val ng = expr("size(filter(split(text, ' '), t -> t != '')) div 8")
+      val groups = transform(sequence(lit(0), ng - 1),
+        g => array_join(slice(toks, g * 8 + 1, lit(8)), " "))
+      val planted = when(ng > 0,
+        concat(groups, array(element_at(groups, 1))))
+        .otherwise(array().cast("array<string>"))
+      graft.ops.LineDedup.dedupLines(Tables.documents(s, d), "doc_id",
+        planted)
+    }),
+
     // Temperature-based domain reweighting (α = 1/2): each source's quota
     // is its sqrt-share of a 100-doc output, selection in hash order.
     "q_sample_temperature" -> ((s, d) =>
@@ -2224,6 +2241,37 @@ object TextQueries {
          SELECT doc_id, CAST(fail_mask AS BIGINT) AS fail_mask,
                 fail_mask = 0 AS keep
          FROM msk""",
+
+    // line-dedup replay: the same 8-token grouping + planted repeat, the
+    // same keep-first first-occurrence test (DuckDB's lambda index is
+    // 1-based where Spark's is 0-based — both compare against
+    // list_position/array_position's 1-based first hit)
+    "q_line_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, list_transform(range(0, len(toks) // 8),
+                    g -> array_to_string(toks[g*8+1:g*8+8], ' ')) AS grp
+           FROM t),
+         p AS (
+           SELECT doc_id,
+                  CASE WHEN len(grp) > 0
+                       THEN list_concat(grp, [grp[1]])
+                       ELSE []::VARCHAR[] END AS lines
+           FROM g),
+         k AS (
+           SELECT doc_id, lines,
+                  list_filter(lines,
+                    (x, i) -> list_position(lines, x) = i) AS kept
+           FROM p)
+         SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(len(kept) AS BIGINT) AS n_kept,
+                array_to_string(kept, chr(10)) AS text_clean,
+                CAST(length(array_to_string(kept, chr(10))) AS BIGINT)
+                  AS clean_len
+         FROM k""",
 
     // Gopher-battery replay: the same per-document token statistics via
     // list folds, every ratio rule an integer cross-multiply

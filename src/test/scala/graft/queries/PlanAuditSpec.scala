@@ -406,6 +406,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Window"), "hardest pos/neg are struct min/max aggregates")
   }
 
+  test("intra-document line dedup rides the scan: no exchange, no join") {
+    val p = plan("q_line_dedup")
+    assert(!p.contains("Exchange"), s"line dedup must not shuffle:\n$p")
+    assert(!p.contains("Join"))
+  }
+
   test("extract→cascade verdict is still one scan: no exchange, no join") {
     val p = plan("q_extract_cascade")
     assert(!p.contains("Exchange"), s"the composed verdict must not shuffle:\n$p")
