@@ -157,18 +157,19 @@ object StreamBench {
               col("value").as("text"))
             .writeStream
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
-              // rule zero of the batch: the cascade verdict — only
-              // cascade-kept documents pay for anything downstream
+              // rule zero of the batch: the cascade verdict appended in
+              // place (no batch self-join) — only cascade-kept documents
+              // pay for anything downstream
               val decided = graft.ops.FilterCascade
-                .decide(b, "doc_id", cascadeRules).localCheckpoint(true)
+                .withVerdict(b, cascadeRules).localCheckpoint(true)
               val att = graft.ops.FilterCascade
                 .attrition(decided, cascadeRules.map(_._1)).collect().head
               attTotals.keys.foreach(k =>
                 attTotals(k) += att.getAs[Long](k))
               System.err.println(s"curate batch=$e " + attTotals.keys
                 .map(k => s"$k=${att.getAs[Long](k)}").mkString(" "))
-              val quality = b.join(
-                decided.where(col("keep")).select("doc_id"), Seq("doc_id"))
+              val quality = decided.where(col("keep"))
+                .drop("fail_mask", "keep")
               val kept = quality.join(evalFps,
                 graft.functions.TextFunctions.fingerprint(quality("text"))
                   === evalFps("__fp"), "left_anti")

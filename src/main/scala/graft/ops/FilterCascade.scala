@@ -23,20 +23,29 @@ import org.apache.spark.sql.functions._
   * each can reject); the bitmask is that chain's per-rule audit trail. */
 object FilterCascade {
 
+  /** [[decide]]'s mask appended IN PLACE (`fail_mask`, `keep` columns on
+    * the full frame): the form a pipeline stage composes with — filtering
+    * on `keep` right here costs nothing, where decide-then-join-back would
+    * shuffle the corpus against its own verdicts. */
+  def withVerdict(docs: DataFrame,
+                  rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty && rules.size <= 62, s"bad rule count ${rules.size}")
+    val mask = rules.zipWithIndex.map { case ((_, pred), i) =>
+      when(pred, 0L).otherwise(lit(1L << i))
+    }.reduce(_ + _) // bits are disjoint, so + is |
+    docs.withColumn("fail_mask", mask)
+      .withColumn("keep", col("fail_mask") === 0L)
+  }
+
   /** Per-document verdict: (id, fail_mask, keep). Bit i of `fail_mask` is
     * set iff rule i FAILED (rules are (name, keep-predicate) pairs in
     * mask-bit order); `keep` = no bit set. A null predicate (undefined
     * stat) counts as a failure — a rule that cannot evaluate must not
     * silently admit the document. */
   def decide(docs: DataFrame, idCol: String,
-             rules: Seq[(String, Column)]): DataFrame = {
-    require(rules.nonEmpty && rules.size <= 62, s"bad rule count ${rules.size}")
-    val mask = rules.zipWithIndex.map { case ((_, pred), i) =>
-      when(pred, 0L).otherwise(lit(1L << i))
-    }.reduce(_ + _) // bits are disjoint, so + is |
-    docs.select(col(idCol), mask.as("fail_mask"))
-      .withColumn("keep", col("fail_mask") === 0L)
-  }
+             rules: Seq[(String, Column)]): DataFrame =
+    withVerdict(docs, rules)
+      .select(col(idCol), col("fail_mask"), col("keep"))
 
   /** The attrition report: one row — total docs, per-rule failure counts
     * (overlapping: a doc failing two rules counts in both), and survivors.

@@ -814,6 +814,43 @@ object TextQueries {
         planted)
     }),
 
+    // The end-to-end curate chain as ONE query — extract main content from
+    // the chrome-planted page, judge quality on the extraction, elect one
+    // keeper per exact-duplicate fingerprint among the survivors, report
+    // per language: what a corpus build's summary line actually says.
+    // Every stage is the board-audited operator, composed.
+    "q_curate_e2e" -> ((s, d) => {
+      val ex = graft.ops.Extract.mainContent(
+        htmlCorpus(Tables.documents(s, d)), "html",
+        minTextLen = 40, linkNum = 1, linkDen = 2)
+      val toks = filter(split(col("main_text"), " "), t => t =!= "")
+      val nWords = size(toks).cast("long")
+      val sumLen = aggregate(toks, lit(0L), (a, x) => a + length(x).cast("long"))
+      // verdict appended in place: NO corpus self-join against the mask
+      val kept = graft.ops.FilterCascade.withVerdict(ex, Seq(
+          "words" -> (nWords >= 30L),
+          "wlen" -> (lit(3L) * nWords <= sumLen && sumLen <= lit(5L) * nWords),
+          "retention" ->
+            (col("main_len") * 10L >= length(col("text")).cast("long") * 3L)))
+        .where(col("keep"))
+        .withColumn("__fp", fingerprint(col("main_text")))
+      // keeper election is ONE min_by aggregate keyed on the fingerprint —
+      // no corpus-sized join side, the q_dedup_keep shape
+      val unique = kept.groupBy(col("__fp")).agg(
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("main_len"), col("doc_id")).as("main_len"))
+      ex.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_quality")),
+          Seq("lang"), "left")
+        .join(unique.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_unique"),
+          sum(col("main_len")).as("clean_chars")), Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          coalesce(col("clean_chars"), lit(0L)).as("clean_chars"))
+    }),
+
     // Temperature-based domain reweighting (α = 1/2): each source's quota
     // is its sqrt-share of a 100-doc output, selection in hash order.
     "q_sample_temperature" -> ((s, d) =>
@@ -2241,6 +2278,50 @@ object TextQueries {
          SELECT doc_id, CAST(fail_mask AS BIGINT) AS fail_mask,
                 fail_mask = 0 AS keep
          FROM msk""",
+
+    // end-to-end curate replay: the extraction CTEs + the extract-cascade
+    // verdict + the established fingerprint formula + a min_by keeper
+    // election + the per-language rollup — each stage the same replay its
+    // own board row uses, composed
+    "q_curate_e2e" ->
+      s"""WITH $htmlExtractCtes,
+         ex AS (
+           SELECT d.doc_id, d.lang, d.text, main_text,
+                  CAST(length(main_text) AS BIGINT) AS main_len
+           FROM documents d JOIN agg USING (doc_id)),
+         st AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(main_text, ' '),
+               x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(
+               list_filter(string_split(main_text, ' '), x -> x <> ''),
+               x -> length(x))), 0) AS BIGINT) AS sum_len
+           FROM ex),
+         verdict AS (
+           SELECT ex.doc_id, ex.lang, ex.main_text, ex.main_len,
+                  (n_words >= 30
+                   AND 3 * n_words <= sum_len AND sum_len <= 5 * n_words
+                   AND main_len * 10 >= length(text) * 3) AS keep
+           FROM ex JOIN st USING (doc_id)),
+         kept AS (
+           SELECT doc_id, lang, main_len,
+                  md5(lower(regexp_replace(trim(main_text), '\\s+', ' ',
+                    'g'))) AS fp
+           FROM verdict WHERE keep),
+         uniq AS (
+           SELECT min_by(lang, doc_id) AS lang,
+                  min_by(main_len, doc_id) AS main_len
+           FROM kept GROUP BY fp),
+         base AS (SELECT lang, count(*) AS n_docs FROM ex GROUP BY lang),
+         q AS (SELECT lang, count(*) AS n_quality FROM kept GROUP BY lang),
+         u AS (SELECT lang, count(*) AS n_unique,
+                      sum(main_len) AS clean_chars
+               FROM uniq GROUP BY lang)
+         SELECT base.lang, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(coalesce(n_quality, 0) AS BIGINT) AS n_quality,
+                CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique,
+                CAST(coalesce(clean_chars, 0) AS BIGINT) AS clean_chars
+         FROM base LEFT JOIN q USING (lang) LEFT JOIN u USING (lang)""",
 
     // line-dedup replay: the same 8-token grouping + planted repeat, the
     // same keep-first first-occurrence test (DuckDB's lambda index is

@@ -406,6 +406,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Window"), "hardest pos/neg are struct min/max aggregates")
   }
 
+  test("e2e curate chain: corpus reaches the keeper aggregate without a self-join") {
+    // extract + verdict + fingerprint are all scan-stage; the only
+    // corpus-sized shuffles key on the fingerprint and on lang — a
+    // decide-then-join-back shape would show a corpus SortMergeJoin here
+    val p = plan("q_curate_e2e")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus self-join crept into the curate chain:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
   test("intra-document line dedup rides the scan: no exchange, no join") {
     val p = plan("q_line_dedup")
     assert(!p.contains("Exchange"), s"line dedup must not shuffle:\n$p")
