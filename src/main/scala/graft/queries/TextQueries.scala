@@ -814,6 +814,24 @@ object TextQueries {
         planted)
     }),
 
+    // RAG retrieval closed end to end: the chunk corpus is embedded with a
+    // deterministic hash16 feature vector (8 dims — a stand-in both
+    // engines derive identically; production swaps in a model via the
+    // Array[Float] column contract) and the first two documents' chunks
+    // retrieve their cosine top-5 over the WHOLE chunk corpus — the
+    // brute-force baseline shape with broadcast queries.
+    "q_rag_retrieve" -> ((s, d) => {
+      val chunks = graft.ops.RagChunk.chunks(Tables.documents(s, d),
+          "doc_id", "text", window = 32, stride = 24)
+        .withColumn("cid", col("doc_id") * 1000L + col("chunk_idx"))
+        .withColumn("vec", transform(sequence(lit(1), lit(8)), i =>
+          hash16(concat(i.cast("string"), lit(":"), col("chunk_text")))
+            .cast("double")))
+        .select(col("cid"), col("vec"))
+      graft.ops.Similarity.bruteForceTopK(
+        chunks.where(col("cid") < 2000L), chunks, "cid", "vec", 5)
+    }),
+
     // The end-to-end curate chain as ONE query — extract main content from
     // the chrome-planted page, judge quality on the extraction, elect one
     // keeper per exact-duplicate fingerprint among the survivors, report
@@ -2278,6 +2296,49 @@ object TextQueries {
          SELECT doc_id, CAST(fail_mask AS BIGINT) AS fail_mask,
                 fail_mask = 0 AS keep
          FROM msk""",
+
+    // RAG retrieval replay: the q_rag_chunks CTEs + the hash16 nibble
+    // formula per (dim, chunk) + exact integer-valued cosine (hash
+    // components ≤ 65535, so every dot product is exact in double) +
+    // the standard (sim desc, id) top-5
+    "q_rag_retrieve" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+          s" THEN ascii(substr(h,$i,1)) - 48" +
+          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+      s"""WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         ch AS (
+           SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+                  array_to_string(list_slice(toks, s + 1, s + 32), ' ')
+                    AS chunk_text
+           FROM d, LATERAL unnest(range(0, len(toks), 24)) AS t(s)
+           WHERE s = 0 OR len(toks) - s > 8),
+         ev AS (
+           SELECT doc_id * 1000 + chunk_idx AS cid, i,
+                  md5(CAST(i AS VARCHAR) || ':' || chunk_text) AS h
+           FROM ch, LATERAL unnest(range(1, 9)) AS t(i)),
+         comp AS (
+           SELECT cid, i,
+                  CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16
+                    + ${nib(4)} AS DOUBLE) AS x
+           FROM ev),
+         dots AS (
+           SELECT q.cid AS query_id, c.cid AS neighbor_id,
+                  sum(q.x * c.x) AS dp, sum(q.x * q.x) AS nq,
+                  sum(c.x * c.x) AS nc
+           FROM (SELECT * FROM comp WHERE cid < 2000) q
+           JOIN comp c USING (i)
+           WHERE c.cid <> q.cid
+           GROUP BY q.cid, c.cid)
+         SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+           SELECT query_id, neighbor_id, dp / (sqrt(nq) * sqrt(nc)) AS sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC,
+                             neighbor_id ASC) AS rank
+           FROM dots)
+         WHERE rank <= 5"""
+    },
 
     // end-to-end curate replay: the extraction CTEs + the extract-cascade
     // verdict + the established fingerprint formula + a min_by keeper
