@@ -25,6 +25,14 @@ object Bench {
       graft.core.Tables.load(spark, sfDir, t).count())
     SparkEntry.queries("q_join_broadcast")(spark, sfDir).count()
 
+    // artifact-store hygiene: testdata regenerates between rounds, so
+    // superseded corpus fingerprints (and crashed-build tmp orphans) would
+    // otherwise accumulate in the shared store forever — reap everything
+    // not belonging to a live testdata snapshot before timing starts
+    graft.queries.Artifacts.reapExcept(
+      (Seq(sfDir) ++ Seq("sf0.001", "sf0.01", "sf0.1")
+        .map(s => s"/root/testdata/$s")).distinct)
+
     // best-of-2 per query: one-off scheduler/GC hiccups on a shared box
     // otherwise masquerade as operator cost. A FAILING query records -1 and
     // is listed in "failed" — a swallowed exception must not read as a fast

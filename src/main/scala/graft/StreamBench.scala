@@ -156,10 +156,25 @@ object StreamBench {
             .select(col("key").cast("long").as("doc_id"),
               col("value").as("text"))
             .writeStream
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
-              // rule zero of the batch: the cascade verdict appended in
-              // place (no batch self-join) — only cascade-kept documents
-              // pay for anything downstream
+            .foreachBatch { (b0: org.apache.spark.sql.DataFrame, e: Long) =>
+              // rule zero: main-content extraction — the wire carries full
+              // pages (chrome planted here to simulate that), and every
+              // downstream stage sees only what a reader would. text is
+              // REPLACED by the extraction, so dedup/index/chunk stages
+              // run on clean content.
+              val b = graft.ops.Extract.mainContent(
+                  b0.withColumn("html", concat(
+                    lit("<header><a href=\"/\">Site</a> " +
+                      "<a href=\"/login\">Login</a></header><article><p>"),
+                    col("text"),
+                    lit("</p></article><footer>(c) example " +
+                      "<a href=\"/tos\">Terms</a></footer>"))),
+                  "html", minTextLen = 40, linkNum = 1, linkDen = 2)
+                .drop("text", "html", "n_blocks", "n_kept", "main_len")
+                .withColumnRenamed("main_text", "text")
+              // then the cascade verdict appended in place (no batch
+              // self-join) — only cascade-kept documents pay for anything
+              // downstream
               val decided = graft.ops.FilterCascade
                 .withVerdict(b, cascadeRules).localCheckpoint(true)
               val att = graft.ops.FilterCascade
