@@ -55,12 +55,29 @@ object VectorQueries {
     unitCentroidCache.getOrElseUpdate((d, k, iters),
       graft.ops.KMeans.fit(unitEmb(s, d), "vec_id", "embedding", k, iters))
 
+  /** Per-dim SQ8 bounds — one min/max aggregate, cached like the other
+    * trained artifacts. */
+  private val sqCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.Sq.Model]
+  private def sqModelFor(s: SparkSession, d: String): graft.ops.Sq.Model =
+    sqCache.getOrElseUpdate(d,
+      graft.ops.Sq.train(Tables.embeddings(s, d), "embedding", 64))
+
   val queries: Map[String, Q] = Map(
     // Exact cosine top-5 for a broadcast query set vs the whole corpus.
     "q_embed_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(
         emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", 5)
+    }),
+
+    // Scalar-quantized (int8) ANN: per-dim affine codes, asymmetric
+    // approximate scoring against reconstructions, exact re-rank of the
+    // shortlist — the 4× compression point between raw floats and PQ.
+    "q_ann_sq8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Sq.topKRerank(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", sqModelFor(s, d), k = 3, shortlist = 10)
     }),
 
     // IVF-style ANN: search only the query's coarse cell (label).
@@ -527,6 +544,62 @@ object VectorQueries {
     "q_ann_ivfpq_store" ->
       """SELECT count(*) AS n_queries, true AS store_matches_memory
          FROM embeddings WHERE vec_id < 10""",
+    // SQ8 replay: per-dim min/max bounds from the same corpus, the same
+    // floor(+0.5) codes, the same reconstruction, approximate shortlist by
+    // reconstructed cosine (ties by id), exact re-rank of the shortlist
+    "q_ann_sq8" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         dims AS (
+           SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+                  max(CAST(embedding[i] AS DOUBLE)) AS hi
+           FROM e, LATERAL unnest(range(1, 65)) AS t(i) GROUP BY i),
+         rec AS (
+           SELECT vec_id, i,
+                  lo + (CASE WHEN hi = lo THEN 0
+                        ELSE floor((CAST(embedding[i] AS DOUBLE) - lo)
+                               * 255.0 / (hi - lo) + 0.5) END)
+                    * (hi - lo) / 255.0 AS rx
+           FROM e, LATERAL unnest(range(1, 65)) AS t(i) JOIN dims USING (i)),
+         q AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS qx
+           FROM e, LATERAL unnest(range(1, 65)) AS t(i)
+           WHERE vec_id < 10),
+         approx AS (
+           SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                  sum(qx * rx) AS dp, sum(qx * qx) AS nq, sum(rx * rx) AS nr
+           FROM q JOIN rec r USING (i)
+           WHERE r.vec_id <> q.vec_id
+           GROUP BY q.vec_id, r.vec_id),
+         cand AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY dp / (sqrt(nq) * sqrt(nr)) DESC,
+                               neighbor_id ASC) AS arank
+             FROM approx)
+           WHERE arank <= 10),
+         exact AS (
+           SELECT c.query_id, c.neighbor_id,
+                  sum(CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+                  sum(CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(a.embedding[i] AS DOUBLE)) AS nq,
+                  sum(CAST(b.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)) AS nb
+           FROM cand c
+           JOIN e a ON a.vec_id = c.query_id
+           JOIN e b ON b.vec_id = c.neighbor_id,
+           LATERAL unnest(range(1, 65)) AS t(i)
+           GROUP BY c.query_id, c.neighbor_id)
+         SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+           SELECT query_id, neighbor_id,
+                  dp / (sqrt(nq) * sqrt(nb)) AS sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dp / (sqrt(nq) * sqrt(nb)) DESC,
+                             neighbor_id ASC) AS rank
+           FROM exact)
+         WHERE rank <= 3""",
+
     "q_embed_topk" ->
       s"""WITH ${cosineCte("vec_id < 20")}
           SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
