@@ -814,6 +814,39 @@ object TextQueries {
         planted)
     }),
 
+    // Hybrid retrieval (the production RAG search pattern): BM25 top-10
+    // and embedding-cosine top-10 fused by reciprocal-rank fusion
+    // (1/(60+rank), Cormack et al. 2009) — lexical and semantic evidence
+    // combine without score calibration; a document absent from one list
+    // simply contributes nothing there. Anchors qa/qb/qc pair the BM25
+    // query strings with vec_id 0/1/2's embeddings.
+    "q_hybrid_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d); val emb = Tables.embeddings(s, d)
+      val text = graft.ops.Bm25.score(docs, "doc_id", "text", bm25Queries, 10)
+        .select(col("qid"), col("doc_id"), col("rank").as("trank"))
+      val vec = graft.ops.Similarity.bruteForceTopK(
+          emb.where(col("vec_id") < 3), emb, "vec_id", "embedding", 10)
+        .select(element_at(typedlit(Seq("qa", "qb", "qc")),
+            col("query_id").cast("int") + 1).as("qid"),
+          col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("vrank"))
+      val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"),
+          coalesce(col("trank"), lit(0L)).as("text_rank"),
+          coalesce(col("vrank"), lit(0L)).as("vec_rank"))
+        .withColumn("rrf",
+          when(col("text_rank") > 0,
+            lit(1.0) / (lit(60L) + col("text_rank"))).otherwise(lit(0.0)) +
+          when(col("vec_rank") > 0,
+            lit(1.0) / (lit(60L) + col("vec_rank"))).otherwise(lit(0.0)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+        .where(col("fused_rank") <= 5)
+        .select(col("qid"), col("doc_id"), round(col("rrf"), 9).as("rrf"),
+          col("fused_rank"), col("text_rank"), col("vec_rank"))
+    }),
+
     // RAG retrieval closed end to end: the chunk corpus is embedded with a
     // deterministic hash16 feature vector (8 dims — a stand-in both
     // engines derive identically; production swaps in a model via the
@@ -2297,6 +2330,54 @@ object TextQueries {
                 fail_mask = 0 AS keep
          FROM msk""",
 
+    // hybrid replay: the BM25 ranked CTEs + exact cosine top-10 anchored
+    // at vec_id 0/1/2 + the identical 1/(60+rank) fusion and (rrf desc,
+    // doc_id) top-5
+    "q_hybrid_search" ->
+      s"""WITH $bm25RankedCtes,
+         e AS (SELECT vec_id, embedding FROM embeddings),
+         vdots AS (
+           SELECT a.vec_id AS qv, b.vec_id AS doc_id,
+                  sum(CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+                  sum(CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(a.embedding[i] AS DOUBLE)) AS na,
+                  sum(CAST(b.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)) AS nb
+           FROM e a JOIN e b ON a.vec_id < 3 AND b.vec_id <> a.vec_id,
+           LATERAL unnest(range(1, 65)) AS t(i)
+           GROUP BY a.vec_id, b.vec_id),
+         vranked AS (
+           SELECT CASE qv WHEN 0 THEN 'qa' WHEN 1 THEN 'qb'
+                  ELSE 'qc' END AS qid, doc_id,
+                  row_number() OVER (PARTITION BY qv
+                    ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, doc_id)
+                    AS vrank
+           FROM vdots),
+         vtop AS (SELECT qid, doc_id, CAST(vrank AS BIGINT) AS vrank
+                  FROM vranked WHERE vrank <= 10),
+         ttop AS (SELECT qid, doc_id, CAST("rank" AS BIGINT) AS trank
+                  FROM ranked WHERE "rank" <= 10),
+         fused AS (
+           SELECT coalesce(t.qid, v.qid) AS qid,
+                  coalesce(t.doc_id, v.doc_id) AS doc_id,
+                  coalesce(trank, 0) AS text_rank,
+                  coalesce(vrank, 0) AS vec_rank
+           FROM ttop t FULL OUTER JOIN vtop v
+             ON t.qid = v.qid AND t.doc_id = v.doc_id),
+         r AS (
+           SELECT qid, doc_id, text_rank, vec_rank,
+                  (CASE WHEN text_rank > 0
+                        THEN 1.0 / (60 + text_rank) ELSE 0.0 END)
+                + (CASE WHEN vec_rank > 0
+                        THEN 1.0 / (60 + vec_rank) ELSE 0.0 END) AS rrf
+           FROM fused)
+         SELECT qid, doc_id, round(rrf, 9) AS rrf,
+                CAST(fr AS BIGINT) AS fused_rank, text_rank, vec_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY rrf DESC, doc_id) AS fr FROM r)
+         WHERE fr <= 5""",
+
     // RAG retrieval replay: the q_rag_chunks CTEs + the hash16 nibble
     // formula per (dim, chunk) + exact integer-valued cosine (hash
     // components ≤ 65535, so every dot product is exact in double) +
@@ -2641,10 +2722,12 @@ object TextQueries {
   /** Shared BM25 oracle: per-(term,doc) fixed-point contributions
     * ([[graft.ops.Bm25.bm25ContribSql]] mirrors the Scala op order),
     * integer score sum, rank by (score DESC, doc_id). */
-  private lazy val bm25Sql: String = {
+  /** BM25 oracle CTE chain ending in `ranked(qid, doc_id, rank, score_fp)`
+    * — shared by the search rows and the hybrid-fusion replay. */
+  private lazy val bm25RankedCtes: String = {
     val values = bm25Queries
       .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
          SELECT doc_id, t
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
                FROM documents)
@@ -2675,9 +2758,12 @@ object TextQueries {
                 row_number() OVER (PARTITION BY qid
                   ORDER BY score_fp DESC, doc_id) AS "rank",
                 score_fp
-         FROM scores)
+         FROM scores)"""
+  }
+
+  private lazy val bm25Sql: String =
+    s"""WITH $bm25RankedCtes
        SELECT qid, doc_id, CAST("rank" AS BIGINT) AS "rank",
               CAST(score_fp AS BIGINT) AS score_fp
        FROM ranked WHERE "rank" <= 10"""
-  }
 }
