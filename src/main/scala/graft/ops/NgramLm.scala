@@ -139,6 +139,96 @@ object NgramLm {
         col("ll_fp") >= lit(thresholdMilliNat * 1000L) * col("n_tri"))
   }
 
+  /** Interpolated Kneser–Ney trigram filter (Kneser & Ney 1995; Chen &
+    * Goodman 1998) — the CONVENTIONAL fluency-filter LM, upgrading
+    * [[stupidBackoffFilter]]'s relative frequencies with absolute
+    * discounting (D = 0.75) and continuation-count lower orders:
+    *
+    *   P(w₃|w₁w₂) = max(c(w₁w₂w₃)−D, 0)/c(w₁w₂) + λ(w₁w₂)·P(w₃|w₂)
+    *   λ(w₁w₂)    = D·N₁₊(w₁w₂•)/c(w₁w₂)
+    *   P(w₃|w₂)   = max(N₁₊(•w₂w₃)−D, 0)/N₁₊(•w₂•) + λ(w₂)·P(w₃)
+    *   λ(w₂)      = D·N₁₊(w₂•)/N₁₊(•w₂•)
+    *   P(w₃)      = (N₁₊(•w₃) + 1)/(B + V)   (add-one continuation
+    *                unigram — keeps OOV strictly positive; B = bigram
+    *                types, V = vocabulary)
+    *
+    * A level whose type count is zero (context never seen as a trigram
+    * prefix / w₂ never medial) falls through to the next level whole —
+    * and every reachable probability is strictly positive, so ln never
+    * sees zero.
+    *
+    * '''Determinism contract''': all counts are integers from exact
+    * aggregations; each per-triple probability is ONE fixed IEEE
+    * expression tree over those integers, evaluated identically by both
+    * engines, then fixed-pointed (fp∘ln) and integer-summed per document
+    * with the integer cross-multiplied keep threshold.
+    *
+    * Scale shape identical to [[stupidBackoffFilter]]: count tables
+    * bounded by the in-domain slice, broadcast; one doc-id shuffle. */
+  def kneserNeyFilter(docs: DataFrame, idCol: String, textCol: String,
+                      isTarget: Column, thresholdMilliNat: Long): DataFrame = {
+    val target = docs.where(isTarget)
+    val tri = triplesOf(target, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c_abc"))
+    val bi = pairsOf(target, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    // type counts — tri/bi rows ARE the distinct types
+    val follow2 = tri.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_f2"))
+    val cont2 = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n_c2"))
+    val mid = tri.groupBy(col("w2")).agg(count(lit(1)).as("n_mid"))
+    val follow1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_f1"))
+      .withColumnRenamed("w1", "w2")
+    val cont1 = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_c1"))
+      .withColumnRenamed("w2", "w3")
+    val btypes = bi.agg(count(lit(1)).as("b"))
+    val vocab = target
+      .select(explode(tokens(col(textCol))).as("w")).where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .agg(count(lit(1)).as("v"))
+
+    val d = lit(0.75)
+    val scored = triplesOf(docs, idCol, textCol)
+      .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(bi.select(col("w1"), col("w2"),
+        col("c_ab").as("c_ctx"))), Seq("w1", "w2"), "left")
+      .join(broadcast(follow2), Seq("w1", "w2"), "left")
+      .join(broadcast(cont2), Seq("w2", "w3"), "left")
+      .join(broadcast(mid), Seq("w2"), "left")
+      .join(broadcast(follow1), Seq("w2"), "left")
+      .join(broadcast(cont1), Seq("w3"), "left")
+      .crossJoin(broadcast(btypes)).crossJoin(broadcast(vocab))
+      .withColumn("p3",
+        (coalesce(col("n_c1"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("b") + col("v")).cast("double"))
+      .withColumn("p2",
+        when(coalesce(col("n_mid"), lit(0L)) > 0L,
+          greatest(coalesce(col("n_c2"), lit(0L)).cast("double") - d,
+            lit(0.0)) / col("n_mid").cast("double") +
+          (d * coalesce(col("n_f1"), lit(0L)).cast("double") /
+            col("n_mid").cast("double")) * col("p3"))
+        .otherwise(col("p3")))
+      .withColumn("p1",
+        when(coalesce(col("n_f2"), lit(0L)) > 0L,
+          greatest(coalesce(col("c_abc"), lit(0L)).cast("double") - d,
+            lit(0.0)) / col("c_ctx").cast("double") +
+          (d * col("n_f2").cast("double") /
+            col("c_ctx").cast("double")) * col("p2"))
+        .otherwise(col("p2")))
+      .withColumn("lp_fp", fp(log(col("p1"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"), sum(col("lp_fp")).as("ll_fp"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("ll_fp"), lit(0L)).as("ll_fp"))
+      .withColumn("keep",
+        col("ll_fp") >= lit(thresholdMilliNat * 1000L) * col("n_tri"))
+  }
+
   /** Score every document: (id, n_trans, ll_fp, keep). `thresholdMilliNat`
     * is the per-transition threshold in milli-nats (e.g. -3500 keeps docs
     * whose mean transition log-prob exceeds −3.5); a document with no

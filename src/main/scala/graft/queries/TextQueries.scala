@@ -698,6 +698,13 @@ object TextQueries {
       graft.ops.NgramLm.stupidBackoffFilter(Tables.documents(s, d), "doc_id",
         "text", col("lang") === "en", thresholdMilliNat = -3000L)),
 
+    // The conventional fluency filter: interpolated Kneser–Ney trigram
+    // (absolute discount D=0.75, continuation-count lower orders, add-one
+    // continuation unigram for strictly-positive OOV).
+    "q_perplexity_kn" -> ((s, d) =>
+      graft.ops.NgramLm.kneserNeyFilter(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en", thresholdMilliNat = -4500L)),
+
     // Corpus MIXING: per-language char budgets (the domain-reweighting
     // step of training-mix assembly) — fill each language's quota in
     // deterministic hash order.
@@ -2082,6 +2089,81 @@ object TextQueries {
          SELECT d.doc_id, CAST(coalesce(n_trans, 0) AS BIGINT) AS n_trans,
                 CAST(coalesce(ll_fp, 0) AS BIGINT) AS ll_fp,
                 coalesce(ll_fp, 0) >= -3400000 * coalesce(n_trans, 0) AS keep
+         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
+
+    // Kneser–Ney replay: the same integer count/type tables, the same
+    // fixed IEEE probability tree (chained CTEs bind p3 → p2 → p1 exactly
+    // as the engine's column chain does), fp(ln p) integer sums
+    "q_perplexity_kn" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                    FROM documents),
+         tr AS (
+           SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+           FROM w, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+           WHERE len(w) >= 3 AND w[i] <> '' AND w[i+1] <> ''
+             AND w[i+2] <> ''),
+         pairs AS (
+           SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+           FROM w, LATERAL unnest(range(1, len(w))) AS t(i)
+           WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''),
+         tri AS (SELECT w1, w2, w3, count(*) AS c_abc FROM tr
+                 WHERE lang = 'en' GROUP BY w1, w2, w3),
+         bi AS (SELECT w1, w2, count(*) AS c_ab FROM pairs
+                WHERE lang = 'en' GROUP BY w1, w2),
+         f2 AS (SELECT w1, w2, count(*) AS n_f2 FROM tri GROUP BY w1, w2),
+         c2 AS (SELECT w2, w3, count(*) AS n_c2 FROM tri GROUP BY w2, w3),
+         md AS (SELECT w2, count(*) AS n_mid FROM tri GROUP BY w2),
+         f1 AS (SELECT w1 AS w2, count(*) AS n_f1 FROM bi GROUP BY w1),
+         c1 AS (SELECT w2 AS w3, count(*) AS n_c1 FROM bi GROUP BY w2),
+         bt AS (SELECT count(*) AS b FROM bi),
+         uni AS (
+           SELECT t AS wd, count(*) AS c_w
+           FROM (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents WHERE lang = 'en')
+           WHERE t <> '' GROUP BY t),
+         vv AS (SELECT count(*) AS v FROM uni),
+         j AS (
+           SELECT t.doc_id, c_abc, c_ctx, n_f2, n_c2, n_mid, n_f1, n_c1,
+                  b, v
+           FROM tr t
+           LEFT JOIN tri ON tri.w1 = t.w1 AND tri.w2 = t.w2
+             AND tri.w3 = t.w3
+           LEFT JOIN (SELECT w1, w2, c_ab AS c_ctx FROM bi) bx
+             ON bx.w1 = t.w1 AND bx.w2 = t.w2
+           LEFT JOIN f2 ON f2.w1 = t.w1 AND f2.w2 = t.w2
+           LEFT JOIN c2 ON c2.w2 = t.w2 AND c2.w3 = t.w3
+           LEFT JOIN md ON md.w2 = t.w2
+           LEFT JOIN f1 ON f1.w2 = t.w2
+           LEFT JOIN c1 ON c1.w3 = t.w3
+           CROSS JOIN bt CROSS JOIN vv),
+         p3t AS (
+           SELECT *, (CAST(coalesce(n_c1, 0) AS DOUBLE) + 1.0)
+                       / CAST(b + v AS DOUBLE) AS p3
+           FROM j),
+         p2t AS (
+           SELECT *, CASE WHEN coalesce(n_mid, 0) > 0 THEN
+                  greatest(CAST(coalesce(n_c2, 0) AS DOUBLE) - 0.75, 0.0)
+                    / CAST(n_mid AS DOUBLE)
+                  + (0.75 * CAST(coalesce(n_f1, 0) AS DOUBLE)
+                      / CAST(n_mid AS DOUBLE)) * p3
+                ELSE p3 END AS p2
+           FROM p3t),
+         p1t AS (
+           SELECT doc_id, CASE WHEN coalesce(n_f2, 0) > 0 THEN
+                  greatest(CAST(coalesce(c_abc, 0) AS DOUBLE) - 0.75, 0.0)
+                    / CAST(c_ctx AS DOUBLE)
+                  + (0.75 * CAST(n_f2 AS DOUBLE)
+                      / CAST(c_ctx AS DOUBLE)) * p2
+                ELSE p2 END AS p1
+           FROM p2t),
+         sc AS (
+           SELECT doc_id, count(*) AS n_tri,
+                  sum(CAST(floor(ln(p1) * 1000000.0 + 0.5) AS BIGINT))
+                    AS ll_fp
+           FROM p1t GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+                CAST(coalesce(ll_fp, 0) AS BIGINT) AS ll_fp,
+                coalesce(ll_fp, 0) >= -4500000 * coalesce(n_tri, 0) AS keep
          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
 
     // Stupid-Backoff trigram replay: the same CASE cascade on the same

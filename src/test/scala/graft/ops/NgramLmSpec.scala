@@ -40,6 +40,29 @@ class NgramLmSpec extends SparkSuite {
     assert(out == expected)
   }
 
+  test("Kneser–Ney: seen text outscores OOV, probabilities strictly positive") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran", "en"),
+      (2L, "the cat sat", "xx"),       // all-seen trigram
+      (3L, "zq xv qqq", "xx"),         // all-OOV: add-one continuation floor
+      (4L, "a b", "xx"))               // < 3 tokens → kept with zero triples
+      .toDF("doc_id", "text", "lang")
+    val out = NgramLm.kneserNeyFilter(docs, "doc_id", "text",
+        col("lang") === "en", thresholdMilliNat = -2000L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // every scored triple is a probability < 1 → strictly negative ll
+    assert(out.filter(_._2 > 0).forall(_._3 < 0L))
+    // per-triple mean: the seen trigram must beat the OOV floor
+    def mean(r: (Long, Long, Long, Boolean)) = r._3.toDouble / r._2
+    assert(mean(byId(2L)) > mean(byId(3L)),
+      "a seen trigram must outscore the add-one continuation floor")
+    assert(byId(2L)._4 && !byId(3L)._4,
+      "threshold separates in-domain from OOV at -2 nats/triple")
+    assert(byId(4L) == ((4L, 0L, 0L, true)))
+  }
+
   test("bigram perplexityFilter unchanged: keeps in-domain, drops garbled") {
     val docs = Seq(
       (1L, "the cat sat on the mat", "en"),

@@ -444,5 +444,9 @@ class PlanAuditSpec extends SparkSuite {
     val b = "BroadcastHashJoin".r.findAllIn(p).length
     assert(b >= 5, s"expected >=5 broadcast model joins, got $b:\n$p")
     assert(p.contains("partial"), "document log-likelihood must map-side combine")
+    // the Kneser–Ney face joins seven count/type tables — all broadcast
+    val kn = plan("q_perplexity_kn")
+    val kb = "BroadcastHashJoin".r.findAllIn(kn).length
+    assert(kb >= 7, s"expected >=7 broadcast model joins, got $kb:\n$kn")
   }
 }
