@@ -187,6 +187,26 @@ object TextQueries {
         .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
     }),
 
+    // LSH dedup QUALITY as data (the ANN-recall discipline applied to the
+    // near-dup pipeline): for every candidate pair the index admitted, the
+    // 16-hash MinHash agreement count and the exact shingle-set Jaccard —
+    // per-pair precision is auditable, and the estimator (n_agree/16 ≈ J)
+    // is visible against ground truth.
+    "q_lsh_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = MinHashLsh.signatures(docs, "doc_id", "text")
+      val a = sigs.select(col("doc_id").as("doc_a") +:
+        (0 until 16).map(i => col(s"mh$i").as(s"__a$i")): _*)
+      val b = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until 16).map(i => col(s"mh$i").as(s"__b$i")): _*)
+      val agree = (0 until 16).map(i =>
+        when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L)).reduce(_ + _)
+      MinHashLsh.jaccardOfPairs(lshPairs(s, d), docs, "doc_id", "text")
+        .join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"), agree.as("n_agree"),
+          col("jaccard"), (col("jaccard") >= 0.5).as("is_near_dup"))
+    }),
+
     // LSH candidate pairs via banded minhash signatures.
     "q_minhash_lsh" -> ((s, d) => {
       MinHashLsh.candidatePairs(Tables.documents(s, d), "doc_id", "text")
@@ -1587,6 +1607,43 @@ object TextQueries {
           SELECT doc_id, ${(0 until 4).map(i => s"min(md5('$i:' || sh)) AS mh$i").mkString(", ")}
           FROM shingle_rows GROUP BY doc_id""",
     "q_minhash_lsh" -> lshPairsSql,
+    // eval replay: the bucket CTEs' own pair set, per-pair 16-hash
+    // agreement from the same sigs table, exact set-Jaccard from the same
+    // DISTINCT shingle rows
+    "q_lsh_eval" ->
+      s"""WITH $lshBucketsCtes,
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                          AND a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM shingle_rows
+                    GROUP BY doc_id),
+          shared AS (
+            SELECT p.doc_a, p.doc_b, CAST(count(*) AS DOUBLE) AS inter
+            FROM pairs p
+            JOIN shingle_rows a ON a.doc_id = p.doc_a
+            JOIN shingle_rows b ON b.doc_id = p.doc_b AND b.sh = a.sh
+            GROUP BY p.doc_a, p.doc_b),
+          agr AS (
+            SELECT p.doc_a, p.doc_b,
+                   ${(0 until 16).map(i =>
+                      s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+                      .mkString(" + ")} AS n_agree
+            FROM pairs p
+            JOIN sigs sa ON sa.doc_id = p.doc_a
+            JOIN sigs sb ON sb.doc_id = p.doc_b)
+          SELECT p.doc_a, p.doc_b, CAST(n_agree AS BIGINT) AS n_agree,
+                 round(coalesce(inter, 0)
+                   / (za.sz + zb.sz - coalesce(inter, 0)), 6) AS jaccard,
+                 round(coalesce(inter, 0)
+                   / (za.sz + zb.sz - coalesce(inter, 0)), 6) >= 0.5
+                   AS is_near_dup
+          FROM pairs p
+          JOIN agr USING (doc_a, doc_b)
+          LEFT JOIN shared USING (doc_a, doc_b)
+          JOIN sizes za ON za.doc_id = p.doc_a
+          JOIN sizes zb ON zb.doc_id = p.doc_b""",
     // the incremental index must land on EXACTLY the one-shot pair set
     "q_dedup_incremental" -> lshPairsSql,
     "q_dedup_clusters" ->
