@@ -34,7 +34,8 @@ object SparkEntry {
     val all = RelationalQueries.queries ++
       StreamingSemanticsQueries.queries ++
       TextQueries.queries ++
-      VectorQueries.queries
+      VectorQueries.queries ++
+      WebQueries.queries
     all.map { case (name, fn) =>
       name -> ((s: SparkSession, d: String) => fn(tuned(s), d))
     }
@@ -47,5 +48,6 @@ object SparkEntry {
     RelationalQueries.oracleSql ++
       StreamingSemanticsQueries.oracleSql ++
       TextQueries.oracleSql ++
-      VectorQueries.oracleSql
+      VectorQueries.oracleSql ++
+      WebQueries.oracleSql
 }

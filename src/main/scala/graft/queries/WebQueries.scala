@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.UrlOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation queries over the `documents` table: URL
+  * canonicalization / dedup / per-domain caps and the domain link-graph
+  * centrality signal. URLs are planted deterministically from
+  * (doc_id, source) — both engines build the IDENTICAL string, so every
+  * canonicalization decision replays bit-for-bit in the DuckDB oracle
+  * (the [[TextQueries]] HTML-chrome fixture pattern).
+  */
+object WebQueries {
+
+  /** Host pool: seven hosts over four registered domains, two of them
+    * under a mandatory two-level public suffix. */
+  private val urlHosts = Seq("example.com", "news.example.com",
+    "sample.co.uk", "blog.sample.co.uk", "example.org", "data.example.org",
+    "sample.net")
+
+  /** Deterministic messy URL per document. Docs pair up on `p = doc_id
+    * div 2`: both members of a pair canonicalize to the SAME URL but
+    * differ in every canonicalization-invariant way — scheme/host case,
+    * `www.` prefix, explicit default port, duplicate path slashes,
+    * trailing slash, tracking params, fragment. Every 11th pair sits on a
+    * non-default port that canonicalization must KEEP. */
+  private[queries] def urlCorpus(docs: DataFrame): DataFrame = {
+    val p    = expr("doc_id div 2")
+    val even = col("doc_id") % 2 === 0
+    val sch  = when(p % 2 === 0, lit("http")).otherwise(lit("https"))
+    val h    = element_at(typedlit(urlHosts), (p % 7).cast("int") + 1)
+    val port = when(p % 11 === 0, lit(":8080"))
+      .otherwise(when(even && p % 2 === 0, lit(":80"))
+        .when(even, lit(":443")).otherwise(lit("")))
+    val qs = when(even,
+        concat(lit("?utm_source=feed&id="), (p % 5).cast("string")))
+      .otherwise(concat(lit("?id="), (p % 5).cast("string"),
+        lit("&utm_campaign=x&gclid=Z")))
+    val url = concat(
+      when(even, upper(sch)).otherwise(sch), lit("://"),
+      when(even, concat(lit("WWW."), upper(h))).otherwise(h),
+      port, lit("/a//"), col("source"), lit("/item-"), p.cast("string"),
+      when(even, lit("")).otherwise(lit("/")),
+      qs,
+      when(even, lit("")).otherwise(lit("#sec2")))
+    docs.withColumn("url", url)
+  }
+
+  /** Oracle CTEs planting the same URLs; ends with table `u` =
+    * documents + `url`. */
+  private val urlCorpusCtes: String =
+    """u0 AS (
+         SELECT doc_id, source, n_chars, doc_id // 2 AS p,
+                doc_id % 2 = 0 AS ev
+         FROM documents),
+       u1 AS (
+         SELECT doc_id, source, n_chars, p, ev,
+           CASE WHEN p % 2 = 0 THEN 'http' ELSE 'https' END AS sch,
+           ['example.com','news.example.com','sample.co.uk',
+            'blog.sample.co.uk','example.org','data.example.org',
+            'sample.net'][CAST(p % 7 AS INT) + 1] AS h,
+           CASE WHEN p % 11 = 0 THEN ':8080'
+                WHEN ev AND p % 2 = 0 THEN ':80'
+                WHEN ev THEN ':443'
+                ELSE '' END AS port
+         FROM u0),
+       u AS (
+         SELECT doc_id, source, n_chars,
+           (CASE WHEN ev THEN upper(sch) ELSE sch END) || '://' ||
+           (CASE WHEN ev THEN 'WWW.' || upper(h) ELSE h END) || port ||
+           '/a//' || source || '/item-' || p ||
+           (CASE WHEN ev THEN '' ELSE '/' END) ||
+           (CASE WHEN ev THEN '?utm_source=feed&id=' || (p % 5)
+                 ELSE '?id=' || (p % 5) || '&utm_campaign=x&gclid=Z'
+            END) ||
+           (CASE WHEN ev THEN '' ELSE '#sec2' END) AS url
+         FROM u1)"""
+
+  /** Oracle CTEs replaying [[UrlOps.canonicalize]] / [[UrlOps.host]] /
+    * [[UrlOps.registeredDomain]] over `u`; ends with table `rd` =
+    * (doc_id, source, n_chars, url, canon_url, host, registered_domain). */
+  private val urlCanonCtes: String = urlCorpusCtes +
+    """,
+       c2 AS (
+         SELECT *, lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                  '^([^/]*://[^/?#]*)', 1)) AS sa0,
+                regexp_replace(regexp_replace(url, '#.*', ''),
+                  '^[^/]*://[^/?#]*', '') AS rest
+         FROM u),
+       c3 AS (SELECT *, regexp_replace(sa0, '://www\.', '://') AS sa1
+              FROM c2),
+       c4 AS (
+         SELECT *,
+           CASE WHEN sa1 LIKE 'https://%'
+                  THEN regexp_replace(sa1, ':443$', '')
+                WHEN sa1 LIKE 'http://%'
+                  THEN regexp_replace(sa1, ':80$', '')
+                ELSE sa1 END AS auth,
+           regexp_replace(regexp_replace(
+             regexp_extract(rest, '^([^?]*)', 1), '/{2,}', '/', 'g'),
+             '^(.+)/$', '\1') AS cpath,
+           regexp_extract(rest, '\?(.*)$', 1) AS qs
+         FROM c3),
+       c5 AS (
+         SELECT *, array_to_string(list_filter(string_split(qs, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)=')), '&') AS kq
+         FROM c4),
+       canon AS (
+         SELECT doc_id, source, n_chars, url,
+           auth || cpath ||
+             CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canon_url,
+           regexp_replace(regexp_replace(lower(
+             regexp_extract(url, '^[^/]*://([^/?#]*)', 1)),
+             '^www\.', ''), ':[0-9]+$', '') AS host
+         FROM c5),
+       pp AS (SELECT *, string_split(host, '.') AS parts FROM canon),
+       rd AS (
+         SELECT doc_id, source, n_chars, url, canon_url, host,
+           CASE WHEN len(parts) >= 3 AND
+                     (parts[-2] || '.' || parts[-1]) IN
+                     ('co.uk','ac.uk','org.uk','com.au','co.jp','com.br')
+                  THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+                WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
+                ELSE host END AS registered_domain
+         FROM pp)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL canonicalization + registered-domain extraction: pure
+    // scan-stage expressions (plan-audited zero Exchange) — the messy
+    // planted URL, its canonical form, and the domain key every
+    // quota/blocklist decision uses downstream.
+    "q_url_canonicalize" -> ((s, d) =>
+      UrlOps.withUrlColumns(urlCorpus(Tables.documents(s, d)), "url")
+        .select(col("doc_id"), col("url"), col("canon_url"), col("host"),
+          col("registered_domain"))
+        .orderBy(col("doc_id"))),
+
+    // Exact URL dedup: syntactic variants collapse onto one canonical
+    // URL; keeper = min doc_id (order-independent ⇒ map-side combine).
+    "q_url_dedup" -> ((s, d) =>
+      UrlOps.dedupByUrl(urlCorpus(Tables.documents(s, d)), "doc_id", "url")
+        .orderBy(col("canon_url"))),
+
+    // FineWeb-style per-registered-domain cap: keep the `cap` largest
+    // docs per domain (n_chars desc, doc_id asc), report attrition per
+    // domain. One hash shuffle on the domain key.
+    "q_domain_cap" -> ((s, d) =>
+      UrlOps.domainCapReport(
+          UrlOps.domainCap(urlCorpus(Tables.documents(s, d)), "doc_id",
+            "url", "n_chars", cap = 40))
+        .orderBy(col("registered_domain")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_url_canonicalize" ->
+      s"""WITH $urlCanonCtes
+         SELECT doc_id, url, canon_url, host, registered_domain
+         FROM rd ORDER BY doc_id""",
+
+    "q_url_dedup" ->
+      s"""WITH $urlCanonCtes
+         SELECT canon_url, min(registered_domain) AS registered_domain,
+                min(doc_id) AS keeper, count(*) AS n_dups
+         FROM rd GROUP BY canon_url ORDER BY canon_url""",
+
+    "q_domain_cap" ->
+      s"""WITH $urlCanonCtes,
+         rk AS (
+           SELECT registered_domain,
+                  row_number() OVER (PARTITION BY registered_domain
+                    ORDER BY n_chars DESC, doc_id) AS rk
+           FROM rd)
+         SELECT registered_domain, count(*) AS n_docs,
+                CAST(sum(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept
+         FROM rk GROUP BY registered_domain ORDER BY registered_domain"""
+  )
+}
