@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank over a link graph (Brin & Page 1998) — the host-level
+  * reputation signal web-corpus curation uses alongside quality rules
+  * (Common Crawl publishes exactly this as its host-level ranking): a few
+  * fixed power-iteration rounds over (src, dst) edges.
+  *
+  * '''Integer-exact discipline.''' Ranks live in FIXED POINT (`scale`
+  * units, longs). Every step — uniform init, per-edge contribution
+  * `rank div outdeg`, damping `(85·x) div 100`, dangling-mass
+  * redistribution `dang div n` — is integer arithmetic, so distributed
+  * sums are order-independent and the DuckDB oracle replays the
+  * iteration bit-for-bit (a float PageRank would hash-diverge on
+  * partition-order addition alone). Floor losses are deterministic and
+  * identical in both engines.
+  *
+  * '''Scale shape.''' The rank table is NODE-sized (hosts, not
+  * documents — orders of magnitude smaller than the corpus). Each
+  * iteration costs one join of ranks onto edges (both keyed by `src` —
+  * co-partitionable, and outdeg is a node-sized broadcast candidate) and
+  * one map-side-combined sum by `dst`; the dangling mass is a one-row
+  * aggregate broadcast back. Nothing in the loop touches document
+  * payloads, and iteration count is a fixed constant.
+  *
+  * Reference analog: the broker's load manager ranks brokers/bundles by
+  * iteratively-updated load scores to steer placement
+  * (pulsar-broker/.../loadbalance/impl/ModularLoadManagerImpl.java) —
+  * a small-table iterative scoring pass beside the data path.
+  */
+object PageRank {
+
+  /** Fixed-point rank per node after `iters` damped iterations.
+    * Returns (node, rank) with rank in `scale` units; d = 0.85 as the
+    * exact rational 85/100. Edges are dedup'd; nodes = src ∪ dst;
+    * dangling nodes (no out-edges) redistribute their mass uniformly. */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+            scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0 && iters <= 50, s"bad iteration count $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // n is a scalar COUNT over the node table — the one bounded driver
+    // value the algorithm needs (it parameterizes the integer formulas)
+    val n = nodes.count()
+    require(n > 0, "PageRank: empty graph")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val base = 15L * scale / (100L * n)
+    var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+      val inSum = contrib.groupBy("node").agg(sum(col("c")).as("in_sum"))
+      val dang = rank.join(outdeg, rank("node") === outdeg("src"),
+          "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dang"))
+      rank = nodes.join(inSum, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) +
+            expr(s"(85 * (coalesce(in_sum, 0) + (dang div $n))) div 100"))
+            .as("rank"))
+    }
+    rank
+  }
+
+  /** Top-k nodes by rank (rank desc, node asc — deterministic): the
+    * reputation head a curation run whitelists or weights by. */
+  def topRanks(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, k: Int): DataFrame =
+    ranks(edges, srcCol, dstCol, iters)
+      .orderBy(col("rank").desc, col("node")).limit(k)
+}

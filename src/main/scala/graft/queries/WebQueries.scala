@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ops.UrlOps
+import graft.ops.{PageRank, UrlOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -127,6 +127,57 @@ object WebQueries {
                 ELSE host END AS registered_domain
          FROM pp)"""
 
+  /** Deterministic site-level link graph planted from doc_ids: every
+    * document emits two host→host edges; sites 50–59 appear only as
+    * targets, so the dangling-mass path is exercised. Residue
+    * arithmetic — both engines derive the identical edge set. */
+  private[queries] def linkEdges(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") % 50).as("src"),
+        expr("(doc_id * 7 + 3) % 60").as("dst"))
+      .union(docs.select((col("doc_id") % 50).as("src"),
+        expr("(doc_id * 13 + 11) % 60").as("dst")))
+
+  /** Unrolled integer-exact PageRank oracle: `iters` chained CTE rounds
+    * replaying [[PageRank.ranks]]'s fixed-point formula — contribution
+    * `rank // outdeg`, damping `(85·x) // 100`, dangling `dang // n` —
+    * over the same planted edge set. */
+  private def pagerankSql(iters: Int, k: Int): String = {
+    val S = "1000000000000"
+    val sb = new StringBuilder
+    sb.append(s"""WITH e AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT doc_id % 50 AS src, (doc_id*7+3) % 60 AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 50 AS src, (doc_id*13+11) % 60 AS dst
+          FROM documents)),
+      nodes AS (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+      meta AS (SELECT count(*) AS n FROM nodes),
+      od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT node, $S // n AS rank FROM nodes CROSS JOIN meta)""")
+    for (i <- 1 to iters) {
+      val p = s"r${i - 1}"
+      sb.append(s""",
+      c$i AS (SELECT e.dst AS node, sum(r.rank // od.outdeg) AS in_sum
+              FROM e JOIN $p r ON e.src = r.node
+              JOIN od ON e.src = od.src
+              GROUP BY e.dst),
+      d$i AS (SELECT coalesce(sum(r.rank), 0) AS dang
+              FROM $p r LEFT JOIN od ON r.node = od.src
+              WHERE od.src IS NULL),
+      r$i AS (SELECT nodes.node,
+                CAST((15 * $S) // (100 * n)
+                  + (85 * (coalesce(c$i.in_sum, 0) + dang // n)) // 100
+                  AS BIGINT) AS rank
+              FROM nodes CROSS JOIN meta CROSS JOIN d$i
+              LEFT JOIN c$i ON nodes.node = c$i.node)""")
+    }
+    sb.append(s"""
+      SELECT node, rank FROM r$iters ORDER BY rank DESC, node LIMIT $k""")
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // URL canonicalization + registered-domain extraction: pure
     // scan-stage expressions (plan-audited zero Exchange) — the messy
@@ -151,7 +202,14 @@ object WebQueries {
       UrlOps.domainCapReport(
           UrlOps.domainCap(urlCorpus(Tables.documents(s, d)), "doc_id",
             "url", "n_chars", cap = 40))
-        .orderBy(col("registered_domain")))
+        .orderBy(col("registered_domain"))),
+
+    // Site-reputation head: 5 damped power-iteration rounds in integer
+    // fixed point over the planted link graph, top-15 by rank — the
+    // Common-Crawl-style host ranking a curation run weights by.
+    "q_pagerank" -> ((s, d) =>
+      PageRank.topRanks(linkEdges(Tables.documents(s, d)), "src", "dst",
+        iters = 5, k = 15))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -176,6 +234,8 @@ object WebQueries {
          SELECT registered_domain, count(*) AS n_docs,
                 CAST(sum(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_kept
-         FROM rk GROUP BY registered_domain ORDER BY registered_domain"""
+         FROM rk GROUP BY registered_domain ORDER BY registered_domain""",
+
+    "q_pagerank" -> pagerankSql(iters = 5, k = 15)
   )
 }
