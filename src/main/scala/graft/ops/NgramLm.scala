@@ -276,4 +276,38 @@ object NgramLm {
         // τ in milli-nats → fixed-point: ×1000; integer cross-multiply
         col("ll_fp") >= lit(thresholdMilliNat * 1000L) * col("n_trans"))
   }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020, arXiv:1911.00359):
+    * per language, rank documents by mean negative log-likelihood under
+    * the target LM and cut into `buckets` equal tertiles — head = most
+    * fluent; the conventional policy keeps head+middle and drops the
+    * tail. Returns one row per (lang, bucket): doc count, the bucket's
+    * mnll range, and the keep verdict.
+    *
+    * Determinism: the ranking key is `(−ll_fp)·1000 div n_trans` — an
+    * integer division of NON-NEGATIVE operands (ll_fp ≤ 0 always), so
+    * truncation equals floor and both engines agree; scoreless documents
+    * (no transitions) sort to the far tail via a sentinel. The ntile
+    * ordering is total (key, then id). One window shuffle on the language
+    * key + one aggregate — at 100 TB the per-language rank is the same
+    * shape CCNet runs per shard. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, isTarget: Column,
+                        buckets: Int = 3, keepUpTo: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = perplexityFilter(docs, idCol, textCol, isTarget, 0L)
+      .select(col(idCol), col("n_trans"), col("ll_fp"))
+    val keyed = docs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol))
+      .withColumn("mnll", when(col("n_trans") > 0,
+        expr("((-ll_fp) * 1000) div n_trans"))
+        .otherwise(lit(1000000000000000L)))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("mnll"), col(idCol))
+    keyed.withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(col(langCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("mnll")).as("min_mnll"), max(col("mnll")).as("max_mnll"))
+      .withColumn("keep", col("bucket") <= keepUpTo)
+  }
 }

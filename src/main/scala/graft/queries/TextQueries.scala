@@ -718,6 +718,14 @@ object TextQueries {
       graft.ops.NgramLm.stupidBackoffFilter(Tables.documents(s, d), "doc_id",
         "text", col("lang") === "en", thresholdMilliNat = -3000L)),
 
+    // CCNet's head/middle/tail split: per language, rank documents by
+    // mean negative log-likelihood under the en-trained LM and cut into
+    // tertiles — keep head+middle, drop the tail (arXiv:1911.00359).
+    "q_ppl_buckets" -> ((s, d) =>
+      graft.ops.NgramLm.perplexityBuckets(Tables.documents(s, d), "doc_id",
+          "text", "lang", col("lang") === "en")
+        .orderBy(col("lang"), col("bucket"))),
+
     // The conventional fluency filter: interpolated Kneser–Ney trigram
     // (absolute discount D=0.75, continuation-count lower orders, add-one
     // continuation unigram for strictly-positive OOV).
@@ -1534,6 +1542,49 @@ object TextQueries {
                 count(*) OVER (PARTITION BY component) AS n_members
          FROM labeled)"""
 
+  /** The bigram-LM scoring CTEs (train on lang='en', fixed-point
+    * transition log-probs, per-doc integer ll sums), shared by the
+    * perplexity filter and the CCNet bucket split. Ends with `sc` =
+    * (doc_id, n_trans, ll_fp). */
+  private val bigramScoreCtes: String =
+    """w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+            FROM documents),
+         pairs AS (
+           SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+           FROM w, LATERAL unnest(range(1, len(w))) AS t(i)
+           WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''),
+         bi AS (SELECT w1, w2, count(*) AS c_ab FROM pairs
+                WHERE lang = 'en' GROUP BY w1, w2),
+         uni AS (
+           SELECT t AS w, count(*) AS c_a
+           FROM (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents WHERE lang = 'en')
+           WHERE t <> '' GROUP BY t),
+         v AS (SELECT count(*) AS v FROM uni),
+         model AS (
+           SELECT w1, w2,
+             CAST(floor(ln(CAST(c_ab + 1 AS DOUBLE)
+               / CAST(c_a + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               AS lp_fp
+           FROM bi JOIN (SELECT w AS w1, c_a FROM uni) u USING (w1)
+           CROSS JOIN v),
+         ctxd AS (
+           SELECT w AS w1,
+             CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(c_a + v AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS ctx_fp
+           FROM uni CROSS JOIN v),
+         gd AS (
+           SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(v AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS glob_fp FROM v),
+         sc AS (
+           SELECT p.doc_id, count(*) AS n_trans,
+                  sum(coalesce(lp_fp, ctx_fp, glob_fp)) AS ll_fp
+           FROM pairs p
+           LEFT JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
+           LEFT JOIN ctxd c ON c.w1 = p.w1
+           CROSS JOIN gd
+           GROUP BY p.doc_id)"""
+
   val oracleSql: Map[String, String] = Map(
     "q_wordcount" ->
       """SELECT word, count(*) AS n FROM (
@@ -2106,47 +2157,33 @@ object TextQueries {
     // (seen bigram → ctx default → unseen-context 1/V), integer ll sum,
     // integer cross-multiplied keep threshold (−3.4 nats/transition)
     "q_perplexity_filter" ->
-      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
-                    FROM documents),
-         pairs AS (
-           SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
-           FROM w, LATERAL unnest(range(1, len(w))) AS t(i)
-           WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''),
-         bi AS (SELECT w1, w2, count(*) AS c_ab FROM pairs
-                WHERE lang = 'en' GROUP BY w1, w2),
-         uni AS (
-           SELECT t AS w, count(*) AS c_a
-           FROM (SELECT unnest(string_split(text, ' ')) AS t
-                 FROM documents WHERE lang = 'en')
-           WHERE t <> '' GROUP BY t),
-         v AS (SELECT count(*) AS v FROM uni),
-         model AS (
-           SELECT w1, w2,
-             CAST(floor(ln(CAST(c_ab + 1 AS DOUBLE)
-               / CAST(c_a + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-               AS lp_fp
-           FROM bi JOIN (SELECT w AS w1, c_a FROM uni) u USING (w1)
-           CROSS JOIN v),
-         ctxd AS (
-           SELECT w AS w1,
-             CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(c_a + v AS DOUBLE))
-               * 1000000.0 + 0.5) AS BIGINT) AS ctx_fp
-           FROM uni CROSS JOIN v),
-         gd AS (
-           SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(v AS DOUBLE))
-             * 1000000.0 + 0.5) AS BIGINT) AS glob_fp FROM v),
-         sc AS (
-           SELECT p.doc_id, count(*) AS n_trans,
-                  sum(coalesce(lp_fp, ctx_fp, glob_fp)) AS ll_fp
-           FROM pairs p
-           LEFT JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
-           LEFT JOIN ctxd c ON c.w1 = p.w1
-           CROSS JOIN gd
-           GROUP BY p.doc_id)
+      s"""WITH $bigramScoreCtes
          SELECT d.doc_id, CAST(coalesce(n_trans, 0) AS BIGINT) AS n_trans,
                 CAST(coalesce(ll_fp, 0) AS BIGINT) AS ll_fp,
                 coalesce(ll_fp, 0) >= -3400000 * coalesce(n_trans, 0) AS keep
          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
+
+    // CCNet head/middle/tail replay: the same per-doc integer scores, the
+    // same non-negative integer ranking key, ntile(3) per language with
+    // the (key, doc_id) total order, keep = bucket ≤ 2
+    "q_ppl_buckets" ->
+      s"""WITH $bigramScoreCtes,
+         b AS (
+           SELECT d.doc_id, d.lang,
+             CASE WHEN coalesce(n_trans, 0) > 0
+                  THEN ((-coalesce(ll_fp, 0)) * 1000) // n_trans
+                  ELSE 1000000000000000 END AS mnll
+           FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         nt AS (
+           SELECT lang, mnll,
+                  ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY mnll, doc_id) AS bucket
+           FROM b)
+         SELECT lang, bucket, count(*) AS n_docs,
+                CAST(min(mnll) AS BIGINT) AS min_mnll,
+                CAST(max(mnll) AS BIGINT) AS max_mnll,
+                bucket <= 2 AS keep
+         FROM nt GROUP BY lang, bucket ORDER BY lang, bucket""",
 
     // Kneser–Ney replay: the same integer count/type tables, the same
     // fixed IEEE probability tree (chained CTEs bind p3 → p2 → p1 exactly

@@ -75,4 +75,38 @@ class NgramLmSpec extends SparkSuite {
     assert(out(1), "in-domain transitions must clear the threshold")
     assert(!out(2), "all-unseen transitions must not")
   }
+
+  test("perplexityBuckets: fluent docs land in the head, garbled in the tail") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat on the mat and the cat sat", "en"),
+      (3L, "the dog sat on the mat", "en"),
+      (4L, "zq xv qqq zzz vvv kkk", "en"),
+      (5L, "mm nn oo pp qq rr", "en"),
+      (6L, "the cat sat", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = NgramLm.perplexityBuckets(docs, "doc_id", "text", "lang",
+        col("lang") === "en")
+      .orderBy("bucket")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 2L, 3L), "three buckets")
+    assert(out.map(_._3) == Seq(2L, 2L, 2L), "even tertile fill")
+    // bucket ranges are ordered and non-overlapping
+    assert(out(0)._5 <= out(1)._4 && out(1)._5 <= out(2)._4)
+    assert(out.map(_._6) == Seq(true, true, false), "keep head+middle only")
+  }
+
+  test("perplexityBuckets sentinels scoreless docs into the tail") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat on a mat", "en"),
+      (3L, "solo", "en")) // no transitions → sentinel key
+      .toDF("doc_id", "text", "lang")
+    val out = NgramLm.perplexityBuckets(docs, "doc_id", "text", "lang",
+        col("lang") === "en")
+      .orderBy("bucket")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.last._4 == 1000000000000000L,
+      "the scoreless doc is alone in the last bucket at the sentinel key")
+  }
 }
