@@ -86,6 +86,20 @@ object MinHashLsh {
       .distinct()
   }
 
+  /** Corpus-level MinHash signature: the columnwise MIN of per-document
+    * signatures. Because each doc signature is already the min over that
+    * doc's shingles, the corpus min equals the min over the UNION of all
+    * shingles — the signature of the corpus as one giant set. `min` is
+    * associative/commutative, so this is one map-side-combined aggregate,
+    * sketches of shards merge by taking mins again, and an incremental
+    * pipeline can fold new batches in without revisiting old ones.
+    * Agreement between two corpus signatures estimates the JACCARD of the
+    * corpora's shingle sets — the cheap cross-corpus overlap probe that
+    * decides whether a full cross-dedup pass is worth scheduling. */
+  def corpusSignature(sigs: DataFrame, numHashes: Int = 16): DataFrame =
+    sigs.agg(min(col("mh0")).as("mh0"),
+      (1 until numHashes).map(i => min(col(s"mh$i")).as(s"mh$i")): _*)
+
   /** Shingle sets as 64-bit hashes: xxhash64 is injective w.h.p. (collision
     * odds ~n²/2⁶⁵), so set intersections/Jaccard over the hashes equal those
     * over the strings — while the per-pair intersection cost drops from

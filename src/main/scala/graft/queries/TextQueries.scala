@@ -187,6 +187,45 @@ object TextQueries {
         .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
     }),
 
+    // Cross-corpus overlap estimation: two corpus halves sketched as
+    // columnwise-min MinHash signatures (mergeable — the 100 TB path
+    // never joins shingle sets), signature agreement ≈ shingle-set
+    // Jaccard, with the exact intersection/union emitted beside the
+    // estimate so the estimator is auditable as data.
+    "q_corpus_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val even = docs.where(col("doc_id") % 2 === 0)
+      val odd  = docs.where(col("doc_id") % 2 === 1)
+      val sigA = MinHashLsh.corpusSignature(
+        MinHashLsh.signatures(even, "doc_id", "text"))
+      val sigB = MinHashLsh.corpusSignature(
+        MinHashLsh.signatures(odd, "doc_id", "text"))
+      val agree = sigA.crossJoin(
+          sigB.select((0 until 16).map(i => col(s"mh$i").as(s"nb$i")): _*))
+        .select((0 until 16).map(i =>
+            when(col(s"mh$i") === col(s"nb$i"), 1L).otherwise(0L)
+              .as(s"eq$i")): _*)
+        .select((0 until 16).map(i => col(s"eq$i")).reduce(_ + _)
+          .as("sig_agree"))
+      def shingleSet(part: org.apache.spark.sql.DataFrame) = part
+        .where(graft.functions.TextFunctions.tokenCount(col("text")) >= 3)
+        .select(explode(
+          graft.functions.TextFunctions.shingles(col("text"), 3)).as("sh"))
+        .distinct()
+      val sa = shingleSet(even); val sb = shingleSet(odd)
+      val na = sa.agg(count(lit(1)).as("n_a"))
+      val nb = sb.agg(count(lit(1)).as("n_b"))
+      val iv = sa.join(sb, "sh").agg(count(lit(1)).as("n_inter"))
+      na.crossJoin(nb).crossJoin(iv).crossJoin(agree)
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+        .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+          round(col("n_inter").cast("double") /
+            col("n_union").cast("double"), 6).as("jaccard_exact"),
+          col("sig_agree"),
+          round(col("sig_agree").cast("double") / lit(16.0), 6)
+            .as("jaccard_est"))
+    }),
+
     // LSH dedup QUALITY as data (the ANN-recall discipline applied to the
     // near-dup pipeline): for every candidate pair the index admitted, the
     // 16-hash MinHash agreement count and the exact shingle-set Jaccard —
@@ -1658,6 +1697,32 @@ object TextQueries {
           SELECT doc_id, ${(0 until 4).map(i => s"min(md5('$i:' || sh)) AS mh$i").mkString(", ")}
           FROM shingle_rows GROUP BY doc_id""",
     "q_minhash_lsh" -> lshPairsSql,
+
+    // corpus-overlap replay: distinct shingles per half, exact
+    // intersection/union, and the same 16 corpus-min md5 slots — the
+    // min over each half's distinct shingles equals the engine's
+    // min-over-docs-of-doc-mins
+    "q_corpus_overlap" -> {
+      val slots = (0 until 16)
+      s"""WITH $shingleCte,
+         sa AS (SELECT DISTINCT sh FROM shingle_rows WHERE doc_id % 2 = 0),
+         sb AS (SELECT DISTINCT sh FROM shingle_rows WHERE doc_id % 2 = 1),
+         na AS (SELECT count(*) AS n_a FROM sa),
+         nb AS (SELECT count(*) AS n_b FROM sb),
+         iv AS (SELECT count(*) AS n_inter FROM sa JOIN sb USING (sh)),
+         siga AS (SELECT ${slots.map(i =>
+            s"min(md5('$i:' || sh)) AS a$i").mkString(", ")} FROM sa),
+         sigb AS (SELECT ${slots.map(i =>
+            s"min(md5('$i:' || sh)) AS b$i").mkString(", ")} FROM sb),
+         agr AS (SELECT CAST(${slots.map(i =>
+            s"(CASE WHEN a$i = b$i THEN 1 ELSE 0 END)").mkString(" + ")}
+           AS BIGINT) AS sig_agree FROM siga CROSS JOIN sigb)
+         SELECT n_a, n_b, n_inter, n_a + n_b - n_inter AS n_union,
+                round(CAST(n_inter AS DOUBLE)
+                  / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS jaccard_exact,
+                sig_agree,
+                round(CAST(sig_agree AS DOUBLE) / 16.0, 6) AS jaccard_est
+         FROM na CROSS JOIN nb CROSS JOIN iv CROSS JOIN agr""" },
     // eval replay: the bucket CTEs' own pair set, per-pair 16-hash
     // agreement from the same sigs table, exact set-Jaccard from the same
     // DISTINCT shingle rows

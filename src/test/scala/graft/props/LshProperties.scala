@@ -162,4 +162,24 @@ class LshProperties extends SparkSuite {
       .as[(Long, Long)].collect()
     assert(pairs.length == 40 * 39 / 2)
   }
+
+  test("corpus signature is mergeable: sketch of union = min of sketches") {
+    val mk = (ids: Seq[Long], t: String) => ids.map(i => (i, t + " " + i))
+    val docs = (mk(Seq(1L, 2L), "the quick brown fox jumps over dogs") ++
+      mk(Seq(3L, 4L), "an entirely different shingle universe here"))
+      .toDF("doc_id", "text")
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val row = MinHashLsh.corpusSignature(
+        MinHashLsh.signatures(df, "doc_id", "text")).collect().head
+      (0 until 16).map(i => row.getString(row.fieldIndex(s"mh$i")))
+    }
+    val whole = sig(docs)
+    val a = sig(docs.where($"doc_id" <= 2))
+    val b = sig(docs.where($"doc_id" > 2))
+    val merged = a.zip(b).map { case (x, y) => if (x <= y) x else y }
+    assert(merged == whole,
+      "columnwise min of shard sketches equals the whole-corpus sketch")
+    // identical corpora agree on every slot; disjoint ones on almost none
+    assert(sig(docs) == sig(docs))
+  }
 }
