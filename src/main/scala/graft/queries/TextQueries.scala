@@ -548,6 +548,19 @@ object TextQueries {
     // occurrences excise against the persisted keeper store, and the
     // union of the two excised batches must equal a one-shot excision
     // under arrival order — exercised THROUGH the store's append path.
+    // Persisted SimHash index lifecycle: even-id batch then odd-id batch;
+    // every doc flagged iff an EARLIER doc (earlier batch, or smaller id
+    // within the batch) sits within hamming 1, keeper = the smallest such.
+    "q_simhash_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-simhash-inc")
+        .toFile.getAbsolutePath
+      val idx = new graft.ops.SimHashIndex(s, dir, "doc_id")
+      val v1 = idx.addAndDedup(docs.where(col("doc_id") % 2 === 0), "text", 0)
+      val v2 = idx.addAndDedup(docs.where(col("doc_id") % 2 === 1), "text", 1)
+      v1.unionByName(v2).orderBy(col("doc_id"))
+    }),
+
     "q_paragraph_incremental" -> ((s, d) => {
       val corpus = plantedParagraphCorpus(Tables.documents(s, d))
       val dir = java.nio.file.Files.createTempDirectory("graft-para-inc")
@@ -1808,6 +1821,19 @@ object TextQueries {
                  bit_count(xor(a.simhash, b.simhash)) AS hamming
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""",
+    // incremental replay: exists-earlier under the batch order (parity,
+    // then id) — the same fingerprints, all-pairs in the oracle where the
+    // engine probes bucketed postings
+    "q_simhash_incremental" ->
+      s"""WITH $simhashCte
+          SELECT s.doc_id, s.simhash,
+                 count(e.doc_id) > 0 AS is_dup,
+                 min(e.doc_id) AS keeper
+          FROM sh s LEFT JOIN sh e
+            ON bit_count(xor(s.simhash, e.simhash)) <= 1
+           AND ((e.doc_id % 2 < s.doc_id % 2)
+             OR (e.doc_id % 2 = s.doc_id % 2 AND e.doc_id < s.doc_id))
+          GROUP BY s.doc_id, s.simhash ORDER BY s.doc_id""",
     "q_sample_hash" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE md5(CAST(event_id AS VARCHAR))

@@ -83,6 +83,14 @@ class MaintenanceLoopSpec extends SparkSuite {
     val ipqBefore = ipq.search(ipqQs, emb, nprobe = 2, k = 3, shortlist = 12)
       .collect().toSet
 
+    // a simhash posting index with per-batch partition files
+    val shDir = Files.createTempDirectory("loop-simhash").toFile.getAbsolutePath
+    val shIdx = new graft.ops.SimHashIndex(spark, shDir, "doc_id")
+    shIdx.addAndDedup(Seq((1L, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text"), "text", ord = 1L)
+    shIdx.addAndDedup(Seq((2L, "unrelated maintenance loop content"))
+      .toDF("doc_id", "text"), "text", ord = 2L)
+
     // an exact-dedup fingerprint index with per-batch partition files
     val exDir = Files.createTempDirectory("loop-exact").toFile.getAbsolutePath
     val ex = new graft.ops.ExactDedupIndex(spark, exDir, "doc_id", "text")
@@ -146,6 +154,7 @@ class MaintenanceLoopSpec extends SparkSuite {
           bm.compact()
           ex.compact()
           pa.compact()
+          shIdx.compact()
           // the production loop runs the MONITORED compact: recall is
           // measured every cycle against the base table; a healthy store
           // (codebooks trained on this corpus) must never trip the retrain,
@@ -212,6 +221,19 @@ class MaintenanceLoopSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 9L)) && pairs.forall(_._2 == 9L),
       s"compacted index lost cross-batch pairs: $pairs")
+
+    // simhash postings compacted to one file per block partition; a probe
+    // against the compacted store still flags a near-dup of batch 1
+    val shGen = new File(shIdx.currentGenerationPath.get)
+    shGen.listFiles().filter(_.getName.startsWith("pb=")).foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"simhash compaction left multiple files in ${d.getName}")
+    }
+    val shProbe = shIdx.addAndDedup(
+      Seq((9L, "the quick brown fox jumps high")).toDF("doc_id", "text"),
+      "text", ord = 3L)
+    assert(shProbe.select("is_dup").as[Boolean].head(),
+      "compacted simhash index lost its postings")
 
     // cluster index: resolution unchanged through repeated compaction, and
     // the live generation is flat stars (one row per node)
