@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR'98)
+  * — the diversity pass a RAG retriever runs on its top-k shortlist:
+  * greedily pick the candidate maximizing
+  * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`, so near-duplicate
+  * passages don't crowd the context window.
+  *
+  * '''Scale shape.''' MMR is inherently sequential in the SELECTION
+  * dimension (n picks) but embarrassingly parallel in the QUERY
+  * dimension: each round is one bounded join (shortlist × selected-so-far,
+  * both ≤ shortlist-size per query) plus one max_by per query — n rounds
+  * of node-small DataFrame ops over however many million queries ride the
+  * batch. The corpus is never touched: re-ranking consumes the ANN/BM25
+  * shortlist, which is where the 100 TB went.
+  *
+  * '''Determinism.''' Pairwise cosines are fixed expression trees; the
+  * penalty is a MAX over selected (order-independent, exact for
+  * doubles); ties break to the smaller candidate id. `lam`/`lamComp` are
+  * taken as two explicit literals rather than computing `1−λ` (whose IEEE
+  * value can differ from the SQL literal the oracle writes).
+  */
+object Mmr {
+
+  /** Greedy-select `n` rows per query from a candidate shortlist.
+    * `cands`: one row per (query, candidate) with a relevance score and
+    * the candidate's embedding; candidate ids must be numeric (the
+    * tie-break negates them). Returns (queryCol, step, candCol, relCol,
+    * mmr_score). */
+  def rerank(cands: DataFrame, queryCol: String, candCol: String,
+             relCol: String, vecCol: String, n: Int,
+             lam: Double, lamComp: Double): DataFrame = {
+    require(n >= 1 && n <= 64, s"bad selection count $n")
+    var selected: Option[DataFrame] = None
+    var remaining = cands
+    for (step <- 1 to n) {
+      val pen = selected match {
+        case None => remaining
+          .select(col(queryCol), col(candCol), lit(0.0).as("__pen"))
+        case Some(sel) =>
+          remaining.join(sel.select(col(queryCol), col(vecCol).as("__sv")),
+              Seq(queryCol))
+            .select(col(queryCol), col(candCol),
+              VectorFunctions.cosine(col(vecCol), col("__sv")).as("__s"))
+            .groupBy(col(queryCol), col(candCol))
+            .agg(max(col("__s")).as("__pen"))
+      }
+      val scored = remaining.join(pen, Seq(queryCol, candCol))
+        .withColumn("__score",
+          lit(lam) * col(relCol) - lit(lamComp) * col("__pen"))
+      val pick = scored.groupBy(col(queryCol))
+        .agg(max_by(
+          struct(col(candCol), col(relCol), col(vecCol), col("__score")),
+          struct(col("__score"), (lit(0L) - col(candCol)).as("__t")))
+          .as("__p"))
+        .select(col(queryCol), col(s"__p.$candCol").as(candCol),
+          col(s"__p.$relCol").as(relCol), col(s"__p.$vecCol").as(vecCol),
+          col("__p.__score").as("__score"))
+        .withColumn("step", lit(step.toLong))
+      selected = Some(selected.map(_.unionByName(pick)).getOrElse(pick))
+      remaining = remaining.join(
+        pick.select(col(queryCol), col(candCol)), Seq(queryCol, candCol),
+        "left_anti")
+    }
+    selected.get.select(col(queryCol), col("step"), col(candCol),
+      col(relCol), round(col("__score"), 6).as("mmr_score"))
+  }
+}

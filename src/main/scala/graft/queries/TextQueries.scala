@@ -50,6 +50,18 @@ object TextQueries {
         plantedSpanCorpus(Tables.documents(s, d)), "doc_id", "text",
         minTokens = 8, k = 5, w = 3))
 
+  /** The RAG chunk corpus embedded with the deterministic hash16 feature
+    * vector — the retrieval substrate shared by the brute-force baseline
+    * and the MMR diversity re-rank. */
+  private def ragChunkVecs(s: SparkSession, d: String): DataFrame =
+    graft.ops.RagChunk.chunks(Tables.documents(s, d),
+        "doc_id", "text", window = 32, stride = 24)
+      .withColumn("cid", col("doc_id") * 1000L + col("chunk_idx"))
+      .withColumn("vec", transform(sequence(lit(1), lit(8)), i =>
+        hash16(concat(i.cast("string"), lit(":"), col("chunk_text")))
+          .cast("double")))
+      .select(col("cid"), col("vec"))
+
   /** The BPE-encoded corpus (doc_id, input_ids) under the trained merges —
     * what a tokenized-dataset directory holds on disk; the id report and
     * the packed training records both read it. */
@@ -940,16 +952,27 @@ object TextQueries {
     // Array[Float] column contract) and the first two documents' chunks
     // retrieve their cosine top-5 over the WHOLE chunk corpus — the
     // brute-force baseline shape with broadcast queries.
-    "q_rag_retrieve" -> ((s, d) => {
-      val chunks = graft.ops.RagChunk.chunks(Tables.documents(s, d),
-          "doc_id", "text", window = 32, stride = 24)
-        .withColumn("cid", col("doc_id") * 1000L + col("chunk_idx"))
-        .withColumn("vec", transform(sequence(lit(1), lit(8)), i =>
-          hash16(concat(i.cast("string"), lit(":"), col("chunk_text")))
-            .cast("double")))
-        .select(col("cid"), col("vec"))
+    "q_rag_retrieve" -> ((s, d) =>
       graft.ops.Similarity.bruteForceTopK(
-        chunks.where(col("cid") < 2000L), chunks, "cid", "vec", 5)
+        ragChunkVecs(s, d).where(col("cid") < 2000L),
+        ragChunkVecs(s, d), "cid", "vec", 5)),
+
+    // Diverse retrieval: the top-10 cosine shortlist re-ranked by greedy
+    // MMR (λ=0.7) so near-duplicate chunks don't crowd the context
+    // window — 3 picks per query, penalty = max cosine to the already
+    // selected, ties to the smaller chunk id.
+    "q_rag_mmr" -> ((s, d) => {
+      val chunks = ragChunkVecs(s, d)
+      val top10 = graft.ops.Similarity.bruteForceTopK(
+        chunks.where(col("cid") < 2000L), chunks, "cid", "vec", 10)
+      val cands = top10
+        .join(chunks.select(col("cid").as("neighbor_id"), col("vec")),
+          Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("sim").as("rel"), col("vec"))
+      graft.ops.Mmr.rerank(cands, "query_id", "cand_id", "rel", "vec",
+          n = 3, lam = 0.7, lamComp = 0.3)
+        .orderBy(col("query_id"), col("step"))
     }),
 
     // The end-to-end curate chain as ONE query — extract main content from
@@ -1636,6 +1659,42 @@ object TextQueries {
            LEFT JOIN ctxd c ON c.w1 = p.w1
            CROSS JOIN gd
            GROUP BY p.doc_id)"""
+
+  /** RAG chunk-embedding CTEs (chunking → hash16 feature components →
+    * query-candidate dot products), shared by the retrieval baseline and
+    * the MMR re-rank. Ends with `comp`(cid, i, x) and `dots`(query_id,
+    * neighbor_id, dp, nq, nc). */
+  private lazy val ragVecCtes: String = {
+    def nib(i: Int) =
+      s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+        s" THEN ascii(substr(h,$i,1)) - 48" +
+        s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+    s"""d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         ch AS (
+           SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+                  array_to_string(list_slice(toks, s + 1, s + 32), ' ')
+                    AS chunk_text
+           FROM d, LATERAL unnest(range(0, len(toks), 24)) AS t(s)
+           WHERE s = 0 OR len(toks) - s > 8),
+         ev AS (
+           SELECT doc_id * 1000 + chunk_idx AS cid, i,
+                  md5(CAST(i AS VARCHAR) || ':' || chunk_text) AS h
+           FROM ch, LATERAL unnest(range(1, 9)) AS t(i)),
+         comp AS (
+           SELECT cid, i,
+                  CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16
+                    + ${nib(4)} AS DOUBLE) AS x
+           FROM ev),
+         dots AS (
+           SELECT q.cid AS query_id, c.cid AS neighbor_id,
+                  sum(q.x * c.x) AS dp, sum(q.x * q.x) AS nq,
+                  sum(c.x * c.x) AS nc
+           FROM (SELECT * FROM comp WHERE cid < 2000) q
+           JOIN comp c USING (i)
+           WHERE c.cid <> q.cid
+           GROUP BY q.cid, c.cid)"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_wordcount" ->
@@ -2649,44 +2708,75 @@ object TextQueries {
     // formula per (dim, chunk) + exact integer-valued cosine (hash
     // components ≤ 65535, so every dot product is exact in double) +
     // the standard (sim desc, id) top-5
-    "q_rag_retrieve" -> {
-      def nib(i: Int) =
-        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
-          s" THEN ascii(substr(h,$i,1)) - 48" +
-          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
-      s"""WITH d AS (
-           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         ch AS (
-           SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
-                  array_to_string(list_slice(toks, s + 1, s + 32), ' ')
-                    AS chunk_text
-           FROM d, LATERAL unnest(range(0, len(toks), 24)) AS t(s)
-           WHERE s = 0 OR len(toks) - s > 8),
-         ev AS (
-           SELECT doc_id * 1000 + chunk_idx AS cid, i,
-                  md5(CAST(i AS VARCHAR) || ':' || chunk_text) AS h
-           FROM ch, LATERAL unnest(range(1, 9)) AS t(i)),
-         comp AS (
-           SELECT cid, i,
-                  CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16
-                    + ${nib(4)} AS DOUBLE) AS x
-           FROM ev),
-         dots AS (
-           SELECT q.cid AS query_id, c.cid AS neighbor_id,
-                  sum(q.x * c.x) AS dp, sum(q.x * q.x) AS nq,
-                  sum(c.x * c.x) AS nc
-           FROM (SELECT * FROM comp WHERE cid < 2000) q
-           JOIN comp c USING (i)
-           WHERE c.cid <> q.cid
-           GROUP BY q.cid, c.cid)
+    "q_rag_retrieve" ->
+      s"""WITH $ragVecCtes
          SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
            SELECT query_id, neighbor_id, dp / (sqrt(nq) * sqrt(nc)) AS sim,
                   row_number() OVER (PARTITION BY query_id
                     ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC,
                              neighbor_id ASC) AS rank
            FROM dots)
-         WHERE rank <= 5"""
-    },
+         WHERE rank <= 5""",
+
+    // MMR replay: the same shortlist (rounded rel, the engine's topK
+    // contract), pairwise cosines among shortlist members, three greedy
+    // steps unrolled — step k's penalty is the max cosine to the k−1
+    // already-selected, ties to the smaller chunk id
+    "q_rag_mmr" ->
+      s"""WITH $ragVecCtes,
+         cand AS (
+           SELECT query_id, neighbor_id AS cid, round(sim, 6) AS rel FROM (
+             SELECT query_id, neighbor_id,
+                    dp / (sqrt(nq) * sqrt(nc)) AS sim,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC,
+                               neighbor_id ASC) AS rank
+             FROM dots)
+           WHERE rank <= 10),
+         psim AS (
+           SELECT a.cid AS c1, b.cid AS c2,
+                  sum(a.x * b.x)
+                    / (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))) AS s
+           FROM comp a JOIN comp b USING (i)
+           WHERE a.cid IN (SELECT cid FROM cand)
+             AND b.cid IN (SELECT cid FROM cand) AND a.cid <> b.cid
+           GROUP BY a.cid, b.cid),
+         s1 AS (
+           SELECT query_id, cid, rel, 0.7 * rel AS score FROM (
+             SELECT query_id, cid, rel,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY 0.7 * rel DESC, cid ASC) AS rn
+             FROM cand) WHERE rn = 1),
+         p2 AS (
+           SELECT c.query_id, c.cid, c.rel,
+                  0.7 * c.rel - 0.3 * p.s AS score
+           FROM cand c
+           JOIN s1 ON s1.query_id = c.query_id AND c.cid <> s1.cid
+           JOIN psim p ON p.c1 = c.cid AND p.c2 = s1.cid),
+         s2 AS (
+           SELECT query_id, cid, rel, score FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, cid ASC) AS rn
+             FROM p2) WHERE rn = 1),
+         p3 AS (
+           SELECT c.query_id, c.cid, c.rel,
+                  0.7 * c.rel - 0.3 * greatest(pa.s, pb.s) AS score
+           FROM cand c
+           JOIN s1 ON s1.query_id = c.query_id
+           JOIN s2 ON s2.query_id = c.query_id
+           JOIN psim pa ON pa.c1 = c.cid AND pa.c2 = s1.cid
+           JOIN psim pb ON pb.c1 = c.cid AND pb.c2 = s2.cid
+           WHERE c.cid <> s1.cid AND c.cid <> s2.cid),
+         s3 AS (
+           SELECT query_id, cid, rel, score FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, cid ASC) AS rn
+             FROM p3) WHERE rn = 1)
+         SELECT query_id, CAST(1 AS BIGINT) AS step, cid AS cand_id, rel,
+                round(score, 6) AS mmr_score FROM s1
+         UNION ALL SELECT query_id, 2, cid, rel, round(score, 6) FROM s2
+         UNION ALL SELECT query_id, 3, cid, rel, round(score, 6) FROM s3
+         ORDER BY query_id, step""",
 
     // end-to-end curate replay: the extraction CTEs + the extract-cascade
     // verdict + the established fingerprint formula + a min_by keeper
