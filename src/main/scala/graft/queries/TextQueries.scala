@@ -782,6 +782,23 @@ object TextQueries {
       graft.ops.NgramLm.stupidBackoffFilter(Tables.documents(s, d), "doc_id",
         "text", col("lang") === "en", thresholdMilliNat = -3000L)),
 
+    // Trained tree classifier (the distributed-GBDT split-finding shape):
+    // depth-2 decision tree over hashed token counts — each node's best
+    // (bucket, threshold) found by ONE histogram aggregation with an
+    // integer-exact argmax — on a planted OR-of-two-rules label the
+    // root alone cannot express (the lt-child must discover the second
+    // rule), so the emitted per-doc verdicts demonstrate real
+    // hierarchical learning as data.
+    "q_classifier_tree" -> ((s, d) => {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val label = when(
+        size(filter(toks, t => t === "customer")) >= 2 ||
+          size(filter(toks, t => t === "vector")) >= 3, 1L).otherwise(-1L)
+      graft.ops.DecisionTree.trainPredict(Tables.documents(s, d), "doc_id",
+          "text", label, buckets = 64, maxThr = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet's head/middle/tail split: per language, rank documents by
     // mean negative log-likelihood under the en-trained LM and cut into
     // tertiles — keep head+middle, drop the tail (arXiv:1911.00359).
@@ -1660,6 +1677,98 @@ object TextQueries {
            CROSS JOIN gd
            GROUP BY p.doc_id)"""
 
+  /** Depth-2 decision-tree oracle: the same hashed-count features, the
+    * same sparse (bucket, threshold) candidate cells, the same
+    * integer-accuracy argmax per node — root over all docs, then one
+    * split per side, then the four-leaf prediction. Mirrors
+    * [[graft.ops.DecisionTree.trainPredict]] cell for cell. */
+  private def treeSql(buckets: Int, maxThr: Int): String = {
+    def nib(i: Int) =
+      s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+        s" THEN ascii(substr(h,$i,1)) - 48" +
+        s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+    // one node's split election over member table M: cells → argmax
+    def node(nm: String, members: String) =
+      s"""tot$nm AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS pos, count(*) AS n FROM $members),
+         cell$nm AS (
+           SELECT b, t,
+                  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS pos_ge,
+                  count(*) AS n_ge
+           FROM fc JOIN $members m USING (doc_id),
+                LATERAL unnest(range(1, least(c, $maxThr) + 1)) AS u(t)
+           GROUP BY b, t),
+         sc$nm AS (
+           SELECT b, t,
+                  pos_ge + (tot$nm.n - tot$nm.pos) - (n_ge - pos_ge)
+                    AS acc_pos,
+                  (n_ge - pos_ge) + tot$nm.pos - pos_ge AS acc_neg
+           FROM cell$nm CROSS JOIN tot$nm),
+         pick$nm AS (
+           SELECT b, t,
+                  CAST(CASE WHEN acc_pos >= acc_neg THEN 1 ELSE -1 END
+                    AS BIGINT) AS lab_ge,
+                  CAST(CASE WHEN acc_pos >= acc_neg THEN -1 ELSE 1 END
+                    AS BIGINT) AS lab_lt
+           FROM (SELECT *, row_number() OVER (
+                   ORDER BY greatest(acc_pos, acc_neg) DESC, b ASC, t ASC)
+                   AS rn FROM sc$nm)
+           WHERE rn = 1)"""
+    s"""WITH tk AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+       y AS (SELECT doc_id,
+               CAST(CASE WHEN
+                 len(list_filter(toks, x -> x = 'customer')) >= 2
+                 OR len(list_filter(toks, x -> x = 'vector')) >= 3
+               THEN 1 ELSE -1 END AS BIGINT) AS y
+             FROM tk),
+       f0 AS (SELECT doc_id, md5(t) AS h FROM
+                (SELECT doc_id, unnest(toks) AS t FROM tk)),
+       fc AS (SELECT doc_id,
+                CAST((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16
+                  + ${nib(4)}) % $buckets AS BIGINT) AS b,
+                count(*) AS c
+              FROM f0 GROUP BY doc_id, b),
+       ${node("R", "y")},
+       cr AS (
+         SELECT y.doc_id, y.y, pickR.t AS rt,
+                CAST(coalesce(sum(fc.c), 0) AS BIGINT) AS c_root
+         FROM y CROSS JOIN pickR
+         LEFT JOIN fc ON fc.doc_id = y.doc_id AND fc.b = pickR.b
+         GROUP BY y.doc_id, y.y, pickR.t),
+       mg AS (SELECT doc_id, y FROM cr WHERE c_root >= rt),
+       ml AS (SELECT doc_id, y FROM cr WHERE c_root < rt),
+       ${node("G", "mg")},
+       ${node("L", "ml")},
+       cg AS (
+         SELECT y.doc_id, CAST(coalesce(sum(fc.c), 0) AS BIGINT) AS c
+         FROM y CROSS JOIN pickG
+         LEFT JOIN fc ON fc.doc_id = y.doc_id AND fc.b = pickG.b
+         GROUP BY y.doc_id),
+       cl AS (
+         SELECT y.doc_id, CAST(coalesce(sum(fc.c), 0) AS BIGINT) AS c
+         FROM y CROSS JOIN pickL
+         LEFT JOIN fc ON fc.doc_id = y.doc_id AND fc.b = pickL.b
+         GROUP BY y.doc_id)
+       SELECT cr.doc_id, cr.y, cr.c_root,
+              CASE WHEN cr.c_root >= cr.rt
+                   THEN CASE WHEN cg.c >= pickG.t THEN pickG.lab_ge
+                             ELSE pickG.lab_lt END
+                   ELSE CASE WHEN cl.c >= pickL.t THEN pickL.lab_ge
+                             ELSE pickL.lab_lt END END AS pred,
+              (CASE WHEN cr.c_root >= cr.rt
+                    THEN CASE WHEN cg.c >= pickG.t THEN pickG.lab_ge
+                              ELSE pickG.lab_lt END
+                    ELSE CASE WHEN cl.c >= pickL.t THEN pickL.lab_ge
+                              ELSE pickL.lab_lt END END) = cr.y AS correct
+       FROM cr JOIN cg ON cg.doc_id = cr.doc_id
+       JOIN cl ON cl.doc_id = cr.doc_id
+       CROSS JOIN pickG CROSS JOIN pickL
+       ORDER BY cr.doc_id"""
+  }
+
   /** RAG chunk-embedding CTEs (chunking → hash16 feature components →
     * query-candidate dot products), shared by the retrieval baseline and
     * the MMR re-rank. Ends with `comp`(cid, i, x) and `dots`(query_id,
@@ -2312,6 +2421,8 @@ object TextQueries {
                 CAST(coalesce(ll_fp, 0) AS BIGINT) AS ll_fp,
                 coalesce(ll_fp, 0) >= -3400000 * coalesce(n_trans, 0) AS keep
          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
+
+    "q_classifier_tree" -> treeSql(buckets = 64, maxThr = 3),
 
     // CCNet head/middle/tail replay: the same per-doc integer scores, the
     // same non-negative integer ranking key, ntile(3) per language with
