@@ -80,6 +80,18 @@ object VectorQueries {
         "vec_id", "embedding", sqModelFor(s, d), k = 3, shortlist = 10)
     }),
 
+    // Sign-random-projection ANN (Charikar '02): 48 md5-derived integer
+    // hyperplanes over the CENTERED int8 codes pack into one BIGINT
+    // sketch; candidates nominated by bit_count(xor) hamming on 8-byte
+    // sketches, then exact-cosine re-rank — the bit-sketch compression
+    // point beside PQ and SQ8.
+    "q_ann_srp" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Srp.topKRerank(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", sqModelFor(s, d), nBits = 48, k = 3,
+        shortlist = 10)
+    }),
+
     // IVF-style ANN: search only the query's coarse cell (label).
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -599,6 +611,76 @@ object VectorQueries {
                              neighbor_id ASC) AS rank
            FROM exact)
          WHERE rank <= 3""",
+
+    // SRP replay: the same SQ8 code formula centered at 128, planes from
+    // md5(j:i) nibbles, integer dot signs packed via <<, hamming
+    // shortlist, exact re-rank — every bit derived in SQL
+    "q_ann_srp" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+          s" THEN ascii(substr(h,$i,1)) - 48" +
+          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         dims AS (
+           SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+                  max(CAST(embedding[i] AS DOUBLE)) AS hi
+           FROM e, LATERAL unnest(range(1, 65)) AS t(i) GROUP BY i),
+         cc AS (
+           SELECT vec_id, i,
+                  (CASE WHEN hi = lo THEN 0
+                   ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - lo)
+                          * 255.0 / (hi - lo) + 0.5) AS BIGINT) END) - 128
+                    AS cx
+           FROM e, LATERAL unnest(range(1, 65)) AS t(i) JOIN dims USING (i)),
+         pln AS (
+           SELECT j, i,
+                  CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16
+                    + ${nib(4)} AS BIGINT) - 32768 AS p
+           FROM (SELECT j, i, md5(CAST(j AS VARCHAR) || ':' ||
+                   CAST(i AS VARCHAR)) AS h
+                 FROM range(0, 48) t1(j), range(1, 65) t2(i))),
+         sb AS (
+           SELECT vec_id, j, CAST(sum(p * cx) AS BIGINT) AS s
+           FROM cc JOIN pln USING (i) GROUP BY vec_id, j),
+         code AS (
+           SELECT vec_id,
+                  CAST(sum(CASE WHEN s > 0
+                    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+                    AS sk
+           FROM sb GROUP BY vec_id),
+         hm AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  bit_count(xor(q.sk, c.sk)) AS hm
+           FROM (SELECT * FROM code WHERE vec_id < 10) q
+           JOIN code c ON c.vec_id <> q.vec_id),
+         cand AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY hm ASC, neighbor_id ASC) AS ar
+             FROM hm) WHERE ar <= 10),
+         exact AS (
+           SELECT c.query_id, c.neighbor_id,
+                  sum(CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+                  sum(CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(a.embedding[i] AS DOUBLE)) AS nq,
+                  sum(CAST(b.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)) AS nb
+           FROM cand c
+           JOIN e a ON a.vec_id = c.query_id
+           JOIN e b ON b.vec_id = c.neighbor_id,
+           LATERAL unnest(range(1, 65)) AS t(i)
+           GROUP BY c.query_id, c.neighbor_id)
+         SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+           SELECT query_id, neighbor_id,
+                  dp / (sqrt(nq) * sqrt(nb)) AS sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dp / (sqrt(nq) * sqrt(nb)) DESC,
+                             neighbor_id ASC) AS rank
+           FROM exact)
+         WHERE rank <= 3"""
+    },
 
     "q_embed_topk" ->
       s"""WITH ${cosineCte("vec_id < 20")}
