@@ -60,6 +60,7 @@ object StreamBench {
     val attTotals = scala.collection.mutable.LinkedHashMap(
       "n_docs" -> 0L, "fail_gopher" -> 0L, "fail_length" -> 0L,
       "n_keep" -> 0L)
+    var simhashDups = 0L
     val chunkDir = tmp.resolve("chunks").toString
 
     val results = Seq(
@@ -147,6 +148,8 @@ object StreamBench {
           tmp.resolve("exact").toString, "doc_id", "text")
         val para = new graft.ops.ParagraphIndex(spark,
           tmp.resolve("para").toString, "doc_id", "text")
+        val simhash = new graft.ops.SimHashIndex(spark,
+          tmp.resolve("simhash").toString, "doc_id")
         val cascadeRules = Seq(
           "gopher" -> graft.ops.GopherQuality.keepExpr(col("text"),
             minWords = 30L, maxMeanLen = 5L, maxDupNum = 3L, maxDupDen = 5L),
@@ -201,6 +204,12 @@ object StreamBench {
                 // ingest-time boilerplate filter; embeddings keep the
                 // untouched doc ids
                 val excised = para.addAndExcise(fresh, ord = e)
+                // cheap near-dup FLAG at ingest: the persisted simhash
+                // index marks docs within hamming 1 of any earlier
+                // arrival (exists-earlier detection) before the heavier
+                // LSH pairing + cluster resolution refine the clusters
+                simhashDups += simhash.addAndDedup(excised, "text", ord = e)
+                  .where(col("is_dup")).count()
                 cc.addPairs(lsh.addAndFindPairs(excised, batchOrd = e), ord = e)
                 ivf.add(fresh.join(emb, "doc_id")
                   .select(col("doc_id"), col("embedding")),
@@ -228,7 +237,8 @@ object StreamBench {
       .mkString("{", ",", "}")
     val attJson = attTotals
       .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", s""","n_chunks":$nChunks}""")
+      .mkString("{", ",",
+        s""","simhash_dups":$simhashDups,"n_chunks":$nChunks}""")
     println(s"""{"metric":"stream_rows_per_s","rows":$n,"queries":$qs,"curate_attrition":$attJson,"sf":"$sfDir"}""")
     spark.stop()
   }
