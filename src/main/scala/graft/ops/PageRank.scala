@@ -39,15 +39,18 @@ object PageRank {
   def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
             scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0 && iters <= 50, s"bad iteration count $iters")
+    // edges/nodes/outdeg are reused every round — materialize once, or
+    // the iterative lineage re-derives them per reference and the final
+    // plan grows exponentially with the iteration count
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+      col(dstCol).cast("long").as("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().persist()
     // n is a scalar COUNT over the node table — the one bounded driver
     // value the algorithm needs (it parameterizes the integer formulas)
     val n = nodes.count()
     require(n > 0, "PageRank: empty graph")
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     val base = 15L * scale / (100L * n)
     var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
     for (_ <- 1 to iters) {
@@ -58,13 +61,19 @@ object PageRank {
       val dang = rank.join(outdeg, rank("node") === outdeg("src"),
           "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dang"))
+      // node-sized: eagerly materialized per round, truncating the
+      // lineage so the job graph stays O(1) per iteration (the classic
+      // iterative-algorithm discipline; content is integer-deterministic,
+      // so checkpointing cannot change any value)
       rank = nodes.join(inSum, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(base) +
             expr(s"(85 * (coalesce(in_sum, 0) + (dang div $n))) div 100"))
             .as("rank"))
+        .localCheckpoint(true)
     }
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     rank
   }
 

@@ -449,4 +449,41 @@ class PlanAuditSpec extends SparkSuite {
     val kb = "BroadcastHashJoin".r.findAllIn(kn).length
     assert(kb >= 7, s"expected >=7 broadcast model joins, got $kb:\n$kn")
   }
+
+  test("URL dedup is one map-side-combined aggregate on the canonical key") {
+    val p = plan("q_url_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly 1 exchange:\n$p")
+    assert(p.contains("partial"), "keeper election must map-side combine")
+  }
+
+  test("domain cap's window and report share ONE domain-key shuffle") {
+    val p = plan("q_domain_cap")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"rank-within-domain and the rollup must reuse the partitioning:\n$p")
+  }
+
+  test("pagerank's final plan is O(1): per-iteration lineage truncated") {
+    // each round materializes a node-sized rank table; without that the
+    // plan re-derives every prior round per reference and exchange count
+    // grows exponentially with iterations (392 at 5 rounds, measured)
+    val p = plan("q_pagerank")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"final pass must read the checkpointed ranks:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("SRP search never shuffles the corpus before the broadcast join") {
+    val p = plan("q_ann_srp")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"only the shortlist window may shuffle (query-id keyed):\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      "queries broadcast onto one corpus scan")
+  }
+
+  test("tree training histograms map-side combine; corpus joins broadcast") {
+    val p = plan("q_classifier_tree")
+    assert(p.contains("partial"), "histogram cells must partial-aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
