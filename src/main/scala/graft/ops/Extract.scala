@@ -106,6 +106,20 @@ object Extract {
       .withColumn("main_len", length(col("main_text")).cast("long"))
   }
 
+  /** Outlink tags of a page: each `<a … href="…" …>text</a>` as a
+    * (href, anchor) struct, in page order — the link-graph feed
+    * ([[UrlOps.canonicalize]] → registered domain → [[PageRank]]): the
+    * crawl-side step that turns pages into edges. Tag-scoped regexes
+    * (extract whole tags first, then pull the attribute/text from each)
+    * so both engines parse identically. */
+  def links(html: Column): Column =
+    transform(
+      regexp_extract_all(html,
+        lit("<a [^>]*href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0)),
+      tag => struct(
+        regexp_extract(tag, "href=\"([^\"]*)\"", 1).as("href"),
+        trim(regexp_extract(tag, ">([^<]*)</a>", 1)).as("anchor")))
+
   /** The extracted main text as a single column expression — the form the
     * [[FilterCascade]] consumes as rule zero (extract, then judge quality
     * on what a reader actually sees). */

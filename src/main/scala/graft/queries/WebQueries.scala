@@ -78,47 +78,54 @@ object WebQueries {
            (CASE WHEN ev THEN '' ELSE '#sec2' END) AS url
          FROM u1)"""
 
-  /** Oracle CTEs replaying [[UrlOps.canonicalize]] / [[UrlOps.host]] /
-    * [[UrlOps.registeredDomain]] over `u`; ends with table `rd` =
-    * (doc_id, source, n_chars, url, canon_url, host, registered_domain). */
-  private val urlCanonCtes: String = urlCorpusCtes +
-    """,
+  /** Canonicalization replay chain ([[UrlOps.canonicalize]] /
+    * [[UrlOps.host]] / [[UrlOps.registeredDomain]]) over any source
+    * table with a `url` column; `keep` columns pass through. Ends with
+    * `rd` = ($keep, url, canon_url, host, registered_domain). */
+  private def canonCtes(srcTable: String, keep: String): String =
+    s""",
        c2 AS (
-         SELECT *, lower(regexp_extract(regexp_replace(url, '#.*', ''),
+         SELECT $keep, url,
+                lower(regexp_extract(regexp_replace(url, '#.*', ''),
                   '^([^/]*://[^/?#]*)', 1)) AS sa0,
                 regexp_replace(regexp_replace(url, '#.*', ''),
                   '^[^/]*://[^/?#]*', '') AS rest
-         FROM u),
-       c3 AS (SELECT *, regexp_replace(sa0, '://www\.', '://') AS sa1
+         FROM $srcTable),""" + canonTail(keep)
+
+  private def canonTail(keep: String): String =
+    s"""
+       c3x AS (SELECT *, regexp_replace(sa0, '://www\\.', '://') AS sa1
               FROM c2),
-       c4 AS (
+       c4x AS (
          SELECT *,
            CASE WHEN sa1 LIKE 'https://%'
-                  THEN regexp_replace(sa1, ':443$', '')
+                  THEN regexp_replace(sa1, ':443$$', '')
                 WHEN sa1 LIKE 'http://%'
-                  THEN regexp_replace(sa1, ':80$', '')
+                  THEN regexp_replace(sa1, ':80$$', '')
                 ELSE sa1 END AS auth,
            regexp_replace(regexp_replace(
              regexp_extract(rest, '^([^?]*)', 1), '/{2,}', '/', 'g'),
-             '^(.+)/$', '\1') AS cpath,
-           regexp_extract(rest, '\?(.*)$', 1) AS qs
-         FROM c3),
-       c5 AS (
-         SELECT *, array_to_string(list_filter(string_split(qs, '&'),
-             x -> x <> '' AND NOT regexp_matches(x,
-               '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)=')), '&') AS kq
-         FROM c4),
+             '^(.+)/$$', '\\1') AS cpath,
+           coalesce(regexp_extract(rest, '\\?(.*)$$', 1), '') AS qs
+         FROM c3x),
+       c5x AS (
+         SELECT *, coalesce(
+             array_to_string(list_filter(string_split(qs, '&'),
+               x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)=')), '&'),
+             '') AS kq
+         FROM c4x),
        canon AS (
-         SELECT doc_id, source, n_chars, url,
+         SELECT $keep, url,
            auth || cpath ||
              CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canon_url,
            regexp_replace(regexp_replace(lower(
              regexp_extract(url, '^[^/]*://([^/?#]*)', 1)),
-             '^www\.', ''), ':[0-9]+$', '') AS host
-         FROM c5),
+             '^www\\.', ''), ':[0-9]+$$', '') AS host
+         FROM c5x),
        pp AS (SELECT *, string_split(host, '.') AS parts FROM canon),
        rd AS (
-         SELECT doc_id, source, n_chars, url, canon_url, host,
+         SELECT $keep, url, canon_url, host,
            CASE WHEN len(parts) >= 3 AND
                      (parts[-2] || '.' || parts[-1]) IN
                      ('co.uk','ac.uk','org.uk','com.au','co.jp','com.br')
@@ -126,6 +133,57 @@ object WebQueries {
                 WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
                 ELSE host END AS registered_domain
          FROM pp)"""
+
+  /** The URL-fixture oracle chain: planted messy URLs + the shared
+    * canonicalization replay. */
+  private val urlCanonCtes: String =
+    urlCorpusCtes + canonCtes("u", "doc_id, source, n_chars")
+
+  /** Pages with two planted outlinks each (one clean https href, one
+    * messy uppercase-www-tracking-params href) — the link-extraction
+    * fixture. */
+  private[queries] def linkedHtmlCorpus(docs: DataFrame): DataFrame = {
+    val hostsLit = typedlit(urlHosts)
+    val h1 = concat(lit("https://"),
+      element_at(hostsLit, (col("doc_id") % 7).cast("int") + 1),
+      lit("/p/"), (col("doc_id") % 97).cast("string"))
+    val h2 = concat(lit("HTTP://WWW."),
+      upper(element_at(hostsLit,
+        ((col("doc_id") * 5 + 2) % 7).cast("int") + 1)),
+      lit("/q/?utm_source=x&id="), (col("doc_id") % 13).cast("string"))
+    docs.withColumn("html", concat(
+      lit("<p>intro</p><a class=\"x\" href=\""), h1,
+      lit("\">ref one</a><p>"), col("text"),
+      lit("</p><a href=\""), h2, lit("\"> two </a>")))
+  }
+
+  /** Oracle CTEs planting the same pages and extracting the same link
+    * tags; ends with `lk` = (doc_id, anchor, url). */
+  private val linkCorpusCtes: String =
+    """lk0 AS (
+         SELECT doc_id,
+           '<p>intro</p><a class="x" href="' ||
+             'https://' || ['example.com','news.example.com',
+               'sample.co.uk','blog.sample.co.uk','example.org',
+               'data.example.org','sample.net'][CAST(doc_id % 7 AS INT) + 1]
+             || '/p/' || (doc_id % 97) ||
+           '">ref one</a><p>' || text || '</p><a href="' ||
+             'HTTP://WWW.' || upper(['example.com','news.example.com',
+               'sample.co.uk','blog.sample.co.uk','example.org',
+               'data.example.org','sample.net']
+               [CAST((doc_id * 5 + 2) % 7 AS INT) + 1])
+             || '/q/?utm_source=x&id=' || (doc_id % 13) ||
+           '"> two </a>' AS html
+         FROM documents),
+       lk1 AS (
+         SELECT doc_id, unnest(regexp_extract_all(html,
+           '<a [^>]*href="[^"]*"[^>]*>[^<]*</a>')) AS tag
+         FROM lk0),
+       lk AS (
+         SELECT doc_id,
+                trim(regexp_extract(tag, '>([^<]*)</a>', 1)) AS anchor,
+                regexp_extract(tag, 'href="([^"]*)"', 1) AS url
+         FROM lk1)"""
 
   /** Deterministic site-level link graph planted from doc_ids: every
     * document emits two host→host edges; sites 50–59 appear only as
@@ -209,7 +267,25 @@ object WebQueries {
     // Common-Crawl-style host ranking a curation run weights by.
     "q_pagerank" -> ((s, d) =>
       PageRank.topRanks(linkEdges(Tables.documents(s, d)), "src", "dst",
-        iters = 5, k = 15))
+        iters = 5, k = 15)),
+
+    // Pages → edges: outlink tags extracted from the HTML
+    // (Extract.links), hrefs canonicalized and resolved to registered
+    // domains (UrlOps) — the crawl-side feed of the PageRank host graph,
+    // four operators composed, all scan-stage until the final sort.
+    "q_link_extract" -> ((s, d) => {
+      val lk = linkedHtmlCorpus(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(graft.ops.Extract.links(col("html"))).as("lk"))
+        .select(col("doc_id"), col("lk.href").as("url"),
+          col("lk.anchor").as("anchor"))
+      lk.withColumn("canon_url", UrlOps.canonicalize(col("url")))
+        .withColumn("registered_domain",
+          UrlOps.registeredDomain(UrlOps.host(col("url"))))
+        .select(col("doc_id"), col("url"), col("canon_url"),
+          col("registered_domain"), col("anchor"))
+        .orderBy(col("doc_id"), col("canon_url"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -236,6 +312,11 @@ object WebQueries {
                   AS n_kept
          FROM rk GROUP BY registered_domain ORDER BY registered_domain""",
 
-    "q_pagerank" -> pagerankSql(iters = 5, k = 15)
+    "q_pagerank" -> pagerankSql(iters = 5, k = 15),
+
+    "q_link_extract" ->
+      s"""WITH $linkCorpusCtes${canonCtes("lk", "doc_id, anchor")}
+         SELECT doc_id, url, canon_url, registered_domain, anchor
+         FROM rd ORDER BY doc_id, canon_url"""
   )
 }

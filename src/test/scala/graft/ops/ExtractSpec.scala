@@ -55,6 +55,20 @@ class ExtractSpec extends SparkSuite {
       "Research & development notes <draft> padded to clear the length floor.")
   }
 
+  test("links: every href/anchor pair extracted in page order") {
+    val html = "<p>x</p><a class=\"n\" href=\"https://a.example/p\">One</a>" +
+      "<div><a href=\"/rel?q=1\"> two words </a></div>" +
+      "<a rel=\"nofollow\" href=\"HTTP://B.example/\">B</a>" +
+      "<a name=\"no-href\">skip</a>"
+    val out = Seq((1L, html)).toDF("doc_id", "html")
+      .select(explode(Extract.links(col("html"))).as("l"))
+      .select("l.href", "l.anchor").as[(String, String)].collect().toSeq
+    assert(out == Seq(
+      ("https://a.example/p", "One"),
+      ("/rel?q=1", "two words"),
+      ("HTTP://B.example/", "B")))
+  }
+
   test("pages with no qualifying block yield empty main text, not null") {
     val out = Extract.mainContent(
         Seq((1L, "<nav><a href=\"/\">x</a></nav>")).toDF("doc_id", "html"),
