@@ -92,6 +92,28 @@ object UrlOps {
       .withColumn("host", host(col(urlCol)))
       .withColumn("registered_domain", registeredDomain(host(col(urlCol))))
 
+  /** URL-level filtering (the UT1-blocklist/path-pattern slot of
+    * FineWeb-style curation): appends `url_block_reason`
+    * (null | 'domain' | 'path' — domain wins) and `url_keep`. Scan-stage
+    * expressions only: the domain set is a literal IN-list (a real
+    * deployment broadcasts it), path rules are RE2-safe regexes
+    * evaluated against the canonical URL so syntactic variants of a
+    * blocked page cannot slip through. */
+  def urlFilter(docs: DataFrame, urlCol: String,
+                blockedDomains: Seq[String],
+                pathPatterns: Seq[String]): DataFrame = {
+    val base = withUrlColumns(docs, urlCol)
+    val domBlocked =
+      if (blockedDomains.isEmpty) lit(false)
+      else col("registered_domain").isInCollection(blockedDomains)
+    val pathBlocked = pathPatterns.map(p => col("canon_url").rlike(p))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    base.withColumn("url_block_reason",
+        when(domBlocked, "domain").when(pathBlocked, "path")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("url_keep", col("url_block_reason").isNull)
+  }
+
   /** Exact dedup by canonical URL: one map-side-combined aggregate.
     * Returns (canon_url, registered_domain, keeper = min id, n_dups).
     * The keeper election is `min` — order-independent, so partial

@@ -269,6 +269,17 @@ object WebQueries {
       PageRank.topRanks(linkEdges(Tables.documents(s, d)), "src", "dst",
         iters = 5, k = 15)),
 
+    // URL-level filtering before anything reads a byte of text: two
+    // blocked registered domains (the UT1-blocklist slot) + two path
+    // rules evaluated on the CANONICAL url, reason-coded per doc.
+    "q_url_filter" -> ((s, d) =>
+      UrlOps.urlFilter(urlCorpus(Tables.documents(s, d)), "url",
+          blockedDomains = Seq("sample.net", "sample.co.uk"),
+          pathPatterns = Seq("id=3$", "/a/src1[0-9]/"))
+        .select(col("doc_id"), col("registered_domain"),
+          col("url_block_reason"), col("url_keep"))
+        .orderBy(col("doc_id"))),
+
     // Pages → edges: outlink tags extracted from the HTML
     // (Extract.links), hrefs canonicalized and resolved to registered
     // domains (UrlOps) — the crawl-side feed of the PageRank host graph,
@@ -313,6 +324,23 @@ object WebQueries {
          FROM rk GROUP BY registered_domain ORDER BY registered_domain""",
 
     "q_pagerank" -> pagerankSql(iters = 5, k = 15),
+
+    "q_url_filter" ->
+      s"""WITH $urlCanonCtes
+         SELECT doc_id, registered_domain,
+           CASE WHEN registered_domain IN ('sample.net','sample.co.uk')
+                  THEN 'domain'
+                WHEN regexp_matches(canon_url, 'id=3$$')
+                  OR regexp_matches(canon_url, '/a/src1[0-9]/')
+                  THEN 'path'
+                ELSE NULL END AS url_block_reason,
+           (CASE WHEN registered_domain IN ('sample.net','sample.co.uk')
+                  THEN 'domain'
+                WHEN regexp_matches(canon_url, 'id=3$$')
+                  OR regexp_matches(canon_url, '/a/src1[0-9]/')
+                  THEN 'path'
+                ELSE NULL END) IS NULL AS url_keep
+         FROM rd ORDER BY doc_id""",
 
     "q_link_extract" ->
       s"""WITH $linkCorpusCtes${canonCtes("lk", "doc_id, anchor")}

@@ -86,6 +86,23 @@ class UrlOpsSpec extends SparkSuite {
     assert(rep == Seq(("example.com", 4L, 2L), ("other.net", 1L, 1L)))
   }
 
+  test("urlFilter: domain block wins over path rules; canon variants can't dodge") {
+    val docs = Seq(
+      (1L, "http://bad.example.net/fine"),
+      (2L, "https://ok.example.org/tag/x"),          // path rule
+      (3L, "HTTPS://WWW.OK.example.org/tag//x/"),    // same page, messy
+      (4L, "https://ok.example.org/article"),
+      (5L, "http://bad.example.net/tag/x"))          // both → domain
+      .toDF("doc_id", "url")
+    val out = UrlOps.urlFilter(docs, "url",
+        blockedDomains = Seq("example.net"),
+        pathPatterns = Seq("/tag/"))
+      .orderBy("doc_id").select("url_block_reason", "url_keep")
+      .as[(String, Boolean)].collect().toSeq
+    assert(out == Seq(("domain", false), ("path", false), ("path", false),
+      (null, true), ("domain", false)))
+  }
+
   test("canonicalization is scan-stage only: zero exchanges in the plan") {
     val docs = Seq((1L, "http://example.com/x")).toDF("doc_id", "url")
     val p = UrlOps.withUrlColumns(docs, "url")
