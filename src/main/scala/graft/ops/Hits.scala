@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs-and-authorities (Kleinberg, JACM 1999) over a link graph —
+  * the complement of [[PageRank]] in web-corpus curation: PageRank ranks
+  * global reputation, HITS separates DIRECTORY pages (hubs: pages whose
+  * outlinks point at good content) from CONTENT pages (authorities: pages
+  * good hubs point at). Curation weights authorities and discounts
+  * link-farm hubs.
+  *
+  * '''Integer-exact discipline''' (the [[PageRank]] contract): scores
+  * live in fixed point (`scale` units, longs); each half-round is an
+  * integer edge-sum followed by an integer L1 normalization
+  * `(x · scale) div sum(x)`, so distributed addition is
+  * order-independent and the DuckDB oracle replays every round
+  * bit-for-bit. Overflow bound: the normalization multiply needs
+  * `maxInDegree · scale² < 2⁶³`, so the default scale is 10⁶ (micro
+  * units) — safe to in-degrees of ~9·10⁶, far beyond any host graph's
+  * per-node degree after the [[UrlOps.domainCap]] stage.
+  *
+  * '''Scale shape.''' Score tables are NODE-sized (hosts). One round =
+  * two joins of node scores onto the edge list (each keyed by one edge
+  * endpoint — co-partitionable with the edge list) + two map-side-combined
+  * sums + two one-row total aggregates broadcast back into the
+  * normalization. Iteration count is a fixed constant; per-round lineage
+  * is truncated the same way [[PageRank.ranks]] does it.
+  *
+  * Reference analog: the load manager's two-sided ranking of brokers vs
+  * bundles — each side scored by the other side's scores
+  * (pulsar-broker/.../loadbalance/impl/ModularLoadManagerImpl.java).
+  */
+object Hits {
+
+  /** Fixed-point (hub, auth) per node after `iters` mutual-reinforcement
+    * rounds. Returns (node, hub, auth), scores in `scale` units summing
+    * to ~`scale` per side (floor losses excepted). Edges are dedup'd;
+    * nodes = src ∪ dst; sink nodes get hub 0, source nodes auth 0. */
+  def scores(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+             scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"bad iteration count $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    // every hub starts at full scale; the first normalization rescales,
+    // so only the RATIOS of the init matter (uniform ⇒ any positive unit)
+    var hub = nodes.select(col("node"), lit(scale).as("hub"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      // auth update: sum incoming hub mass, L1-normalize in fixed point
+      val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
+      val aTot = aRaw.agg(sum(col("raw")).as("tot"))
+      auth = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          coalesce(expr(s"(raw * $scale) div tot"), lit(0L)).as("auth"))
+        .localCheckpoint(true)
+      // hub update: sum outgoing authority mass, normalize likewise
+      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
+      val hTot = hRaw.agg(sum(col("raw")).as("tot"))
+      hub = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          coalesce(expr(s"(raw * $scale) div tot"), lit(0L)).as("hub"))
+        .localCheckpoint(true)
+    }
+    // both sides are node-sized checkpoints (no stats ⇒ SMJ by default);
+    // broadcasting one keeps the final pass shuffle-free
+    val out = hub.join(broadcast(auth), "node")
+      .select(col("node"), col("hub"), col("auth"))
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** Top-k authorities (auth desc, node asc — deterministic), hub score
+    * carried: the content-page head a curation run up-weights. */
+  def topAuthorities(edges: DataFrame, srcCol: String, dstCol: String,
+                     iters: Int, k: Int): DataFrame =
+    scores(edges, srcCol, dstCol, iters)
+      .orderBy(col("auth").desc, col("node")).limit(k)
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ops.{PageRank, UrlOps}
+import graft.ops.{Hits, PageRank, UrlOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -236,6 +236,48 @@ object WebQueries {
     sb.toString
   }
 
+  /** Unrolled integer-exact HITS oracle: `iters` chained CTE round pairs
+    * replaying [[Hits.scores]] — edge-sum then L1 normalization
+    * `(raw · S) // tot` per side — over the same planted edge set. */
+  private def hitsSql(iters: Int, k: Int): String = {
+    val S = "1000000"
+    val sb = new StringBuilder
+    sb.append(s"""WITH e AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT doc_id % 50 AS src, (doc_id*7+3) % 60 AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 50 AS src, (doc_id*13+11) % 60 AS dst
+          FROM documents)),
+      nodes AS (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+      h0 AS (SELECT node, CAST($S AS BIGINT) AS hub FROM nodes)""")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+      ar$i AS (SELECT e.dst AS node, sum(h.hub) AS raw
+               FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+      at$i AS (SELECT sum(raw) AS tot FROM ar$i),
+      a$i AS (SELECT nodes.node,
+                CAST(coalesce((ar$i.raw * $S) // at$i.tot, 0) AS BIGINT)
+                  AS auth
+              FROM nodes CROSS JOIN at$i
+              LEFT JOIN ar$i ON nodes.node = ar$i.node),
+      hr$i AS (SELECT e.src AS node, sum(a.auth) AS raw
+               FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+      ht$i AS (SELECT sum(raw) AS tot FROM hr$i),
+      h$i AS (SELECT nodes.node,
+                CAST(coalesce((hr$i.raw * $S) // ht$i.tot, 0) AS BIGINT)
+                  AS hub
+              FROM nodes CROSS JOIN ht$i
+              LEFT JOIN hr$i ON nodes.node = hr$i.node)""")
+    }
+    sb.append(s"""
+      SELECT h$iters.node, hub, auth FROM h$iters
+      JOIN a$iters ON h$iters.node = a$iters.node
+      ORDER BY auth DESC, h$iters.node LIMIT $k""")
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // URL canonicalization + registered-domain extraction: pure
     // scan-stage expressions (plan-audited zero Exchange) — the messy
@@ -268,6 +310,14 @@ object WebQueries {
     "q_pagerank" -> ((s, d) =>
       PageRank.topRanks(linkEdges(Tables.documents(s, d)), "src", "dst",
         iters = 5, k = 15)),
+
+    // Hubs vs authorities over the same planted link graph: 4
+    // mutual-reinforcement rounds in integer fixed point, top-15 content
+    // pages by authority — the directory-vs-content split PageRank alone
+    // cannot make.
+    "q_hits" -> ((s, d) =>
+      Hits.topAuthorities(linkEdges(Tables.documents(s, d)), "src", "dst",
+        iters = 4, k = 15)),
 
     // URL-level filtering before anything reads a byte of text: two
     // blocked registered domains (the UT1-blocklist slot) + two path
@@ -324,6 +374,8 @@ object WebQueries {
          FROM rk GROUP BY registered_domain ORDER BY registered_domain""",
 
     "q_pagerank" -> pagerankSql(iters = 5, k = 15),
+
+    "q_hits" -> hitsSql(iters = 4, k = 15),
 
     "q_url_filter" ->
       s"""WITH $urlCanonCtes

@@ -473,6 +473,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("HITS final plan is O(1): per-round lineage truncated") {
+    // same discipline as pagerank: each half-round materializes a
+    // node-sized score table, so the final pass reads two checkpoints
+    // and performs only the top-k — no re-derivation of prior rounds
+    val p = plan("q_hits")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"final pass must read the checkpointed scores:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("SRP search never shuffles the corpus before the broadcast join") {
     val p = plan("q_ann_srp")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
