@@ -144,4 +144,38 @@ object UrlOps {
     capped.groupBy(col("registered_domain"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+
+  /** Anchor-text aggregation per canonical TARGET url — the inverted
+    * link signal (how the web describes a page) used for target-side
+    * quality scoring and retrieval labels. Input is an extracted-link
+    * table (doc, raw href, anchor text); output per canonical target:
+    * `n_links` (total in-links), `n_docs` (distinct linking documents),
+    * `n_anchors` (distinct anchor strings), `top_anchor` (most frequent,
+    * ties to the lexically smallest — deterministic, no window).
+    *
+    * Scale shape: two aggregates and a join, ALL keyed by the canonical
+    * target (the (canon,anchor) pre-aggregation collapses the edge table
+    * before the per-target election); anchor payloads are short strings
+    * and the output is target-sized, orders below the edge count. The
+    * election is `min_by` over a (−count, anchor) struct — an ordinary
+    * map-side-combinable aggregate, not a window sort. */
+  def anchorStats(links: DataFrame, docCol: String, urlCol: String,
+                  anchorCol: String): DataFrame = {
+    val base = links.select(col(docCol).as("__doc"),
+      canonicalize(col(urlCol)).as("canon_url"),
+      col(anchorCol).as("__anchor"))
+    val perAnchor = base.groupBy(col("canon_url"), col("__anchor"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = perAnchor.groupBy(col("canon_url"))
+      .agg(sum(col("cnt")).as("n_links"),
+        count(lit(1)).as("n_anchors"),
+        min_by(col("__anchor"),
+          struct((-col("cnt")).as("nc"), col("__anchor").as("a")))
+          .as("top_anchor"))
+    val docs = base.groupBy(col("canon_url"))
+      .agg(countDistinct(col("__doc")).as("n_docs"))
+    top.join(docs, "canon_url")
+      .select(col("canon_url"), col("n_links"), col("n_docs"),
+        col("n_anchors"), col("top_anchor"))
+  }
 }

@@ -346,6 +346,19 @@ object WebQueries {
         .select(col("doc_id"), col("url"), col("canon_url"),
           col("registered_domain"), col("anchor"))
         .orderBy(col("doc_id"), col("canon_url"))
+    }),
+
+    // The inverted link signal: anchor text aggregated per canonical
+    // TARGET — in-link count, distinct linking docs, and the modal anchor
+    // (deterministic min_by election, no window) per target page.
+    "q_anchor_text" -> ((s, d) => {
+      val lk = linkedHtmlCorpus(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(graft.ops.Extract.links(col("html"))).as("lk"))
+        .select(col("doc_id"), col("lk.href").as("url"),
+          col("lk.anchor").as("anchor"))
+      UrlOps.anchorStats(lk, "doc_id", "url", "anchor")
+        .orderBy(col("canon_url"))
     })
   )
 
@@ -397,6 +410,26 @@ object WebQueries {
     "q_link_extract" ->
       s"""WITH $linkCorpusCtes${canonCtes("lk", "doc_id, anchor")}
          SELECT doc_id, url, canon_url, registered_domain, anchor
-         FROM rd ORDER BY doc_id, canon_url"""
+         FROM rd ORDER BY doc_id, canon_url""",
+
+    "q_anchor_text" ->
+      s"""WITH $linkCorpusCtes${canonCtes("lk", "doc_id, anchor")},
+         pa AS (SELECT canon_url, anchor, count(*) AS cnt
+                FROM rd GROUP BY canon_url, anchor),
+         tp AS (SELECT canon_url, anchor,
+                       row_number() OVER (PARTITION BY canon_url
+                         ORDER BY cnt DESC, anchor) AS rn
+                FROM pa),
+         agg AS (SELECT canon_url, CAST(sum(cnt) AS BIGINT) AS n_links,
+                        count(*) AS n_anchors
+                 FROM pa GROUP BY canon_url),
+         dc AS (SELECT canon_url, count(DISTINCT doc_id) AS n_docs
+                FROM rd GROUP BY canon_url)
+         SELECT agg.canon_url, n_links, n_docs, n_anchors,
+                tp.anchor AS top_anchor
+         FROM agg
+         JOIN tp ON agg.canon_url = tp.canon_url AND tp.rn = 1
+         JOIN dc ON agg.canon_url = dc.canon_url
+         ORDER BY agg.canon_url"""
   )
 }

@@ -103,6 +103,29 @@ class UrlOpsSpec extends SparkSuite {
       (null, true), ("domain", false)))
   }
 
+  test("anchorStats: canonical variants merge; modal anchor ties break lexically") {
+    val links = Seq(
+      (1L, "https://t.example.com/p", "Home"),
+      (2L, "HTTPS://WWW.T.EXAMPLE.COM/p/?utm_source=x", "Docs"), // same page
+      (3L, "https://t.example.com/p", "Docs"),
+      (3L, "https://t.example.com/p", "Home"),  // 2-2 tie → 'Docs' (lex)
+      (4L, "https://other.net/q", "Other"))
+      .toDF("doc_id", "url", "anchor")
+    val out = UrlOps.anchorStats(links, "doc_id", "url", "anchor")
+      .orderBy("canon_url")
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      ("https://other.net/q", 1L, 1L, 1L, "Other"),
+      ("https://t.example.com/p", 4L, 3L, 2L, "Docs")))
+  }
+
+  test("anchorStats elections are aggregates, not windows") {
+    val links = Seq((1L, "https://a.com/x", "a")).toDF("doc_id", "url", "anchor")
+    val p = UrlOps.anchorStats(links, "doc_id", "url", "anchor")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no window sort expected:\n$p")
+  }
+
   test("canonicalization is scan-stage only: zero exchanges in the plan") {
     val docs = Seq((1L, "http://example.com/x")).toDF("doc_id", "url")
     val p = UrlOps.withUrlColumns(docs, "url")
