@@ -73,15 +73,27 @@ object Shards {
     * bucket order; pcts must sum to 100. A pure projection — no shuffle, no
     * state; a document's split never changes as the corpus grows. */
   def splitAssign(df: DataFrame, idCol: String, seed: Long,
-                  splits: Seq[(String, Int)]): DataFrame = {
+                  splits: Seq[(String, Int)]): DataFrame =
+    splitAssignByKey(df, idCol, idCol, seed, splits)
+      .drop("split_key")
+
+  /** [[splitAssign]] hashed on `keyCol` instead of the row id: every row
+    * sharing a key lands in the SAME split by construction. The
+    * leakage-free variant — key on the near-dup cluster id
+    * ([[Components.connected]] output) and no near-duplicate pair can
+    * straddle train/test, the held-out contamination mode a per-doc hash
+    * split cannot rule out. Still a pure projection over (id, key). */
+  def splitAssignByKey(df: DataFrame, idCol: String, keyCol: String,
+                       seed: Long, splits: Seq[(String, Int)]): DataFrame = {
     require(splits.map(_._2).sum == 100,
       s"split percentages ${splits.map(_._2)} must sum to 100")
-    val h = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val h = md5(concat(lit(s"$seed:"), col(keyCol).cast("string")))
     val bucket = pmod(hex32(h), lit(100L))
     val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
     val expr = splits.zip(cuts).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cut), acc) => when(bucket < cut, name).otherwise(acc)
     }
-    df.select(col(idCol), bucket.as("bucket"), expr.as("split"))
+    df.select(col(idCol), col(keyCol).as("split_key"), bucket.as("bucket"),
+      expr.as("split"))
   }
 }

@@ -852,6 +852,22 @@ object TextQueries {
       graft.ops.Shards.splitAssign(Tables.documents(s, d), "doc_id",
         seed = 7L, Seq(("train", 90), ("val", 5), ("test", 5)))),
 
+    // Leakage-free split: hash the near-dup CLUSTER id (persisted lsh-cc
+    // artifact), not the doc id — every member of a cluster shares a
+    // split, so no near-duplicate pair can straddle train/test. The
+    // cluster map is a broadcast-sized join; the split itself stays a
+    // pure projection.
+    "q_split_cluster_safe" -> ((s, d) => {
+      val labeled = Tables.documents(s, d)
+        .join(nearDupClusters(s, d), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      graft.ops.Shards.splitAssignByKey(labeled, "doc_id", "component",
+          seed = 7L, Seq(("train", 90), ("val", 5), ("test", 5)))
+        .withColumnRenamed("split_key", "component")
+        .orderBy(col("doc_id"))
+    }),
+
     // CMS heavy hitters: every term whose sketch estimate reaches a 1/50
     // token share — one-sided recall (can over-admit, never miss), with
     // ground truth emitted per row as `is_heavy`.
@@ -2675,6 +2691,32 @@ object TextQueries {
                FROM (SELECT doc_id,
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
+    },
+
+    // cluster-safe split replay: the recursive-closure cluster map, then
+    // the same md5 bucket arithmetic keyed on the component id
+    "q_split_cluster_safe" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+          s" THEN ascii(substr(h,$i,1)) - 48" +
+          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+      val hv = (1 to 8)
+        .map(i => s"CAST(${nib(i)} AS BIGINT) * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $ccCtes,
+         lab AS (
+           SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component
+           FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+         hb AS (
+           SELECT doc_id, component,
+                  md5('7:' || CAST(component AS VARCHAR)) AS h
+           FROM lab)
+         SELECT doc_id, component, CAST(bucket AS BIGINT) AS bucket,
+                CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, component, ($hv) % 100 AS bucket FROM hb)
+         ORDER BY doc_id"""
     },
 
     // heavy-hitter replay: the q_cms_counts sketch + stream total; the

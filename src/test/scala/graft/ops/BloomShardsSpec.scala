@@ -101,6 +101,27 @@ class BloomShardsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("splitAssignByKey: all rows sharing a key share a split; agrees with splitAssign on id keys") {
+    // 400 docs in 40 ten-member clusters — the near-dup-cluster shape
+    val clustered = docs.withColumn("cluster", $"doc_id" % 40)
+    val out = Shards.splitAssignByKey(clustered, "doc_id", "cluster",
+      seed = 9L, Seq(("train", 90), ("val", 5), ("test", 5))).cache()
+    assert(out.count() == 400)
+    // THE invariant: zero clusters straddle two splits
+    val straddlers = out.groupBy("split_key")
+      .agg(countDistinct($"split").as("n"))
+      .where($"n" > 1)
+    assert(straddlers.count() == 0, "a cluster straddled splits")
+    // keying on the id column reduces to the per-doc split exactly
+    val byId = Shards.splitAssignByKey(docs, "doc_id", "doc_id", 9L,
+      Seq(("train", 90), ("val", 5), ("test", 5)))
+      .drop("split_key")
+    val plain = Shards.splitAssign(docs, "doc_id", 9L,
+      Seq(("train", 90), ("val", 5), ("test", 5)))
+    assert(byId.exceptAll(plain).count() == 0)
+    out.unpersist()
+  }
+
   test("heavyHitters: one-sided recall — every true heavy hitter is admitted") {
     val skewed = (1 to 50).map(i => (i.toLong, "alpha " * 20 + s"rare$i"))
       .toDF("doc_id", "text")
