@@ -875,6 +875,17 @@ object TextQueries {
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
         k = 50)),
 
+    // ftfy/NFKC-slot text normalization: mojibake repair, width folds,
+    // punctuation normalization, control strip, whitespace collapse —
+    // byte-exact vs the oracle's generated replay of the same rule
+    // tables, over deterministically corrupted text.
+    "q_text_normalize" -> ((s, d) =>
+      messyTextCorpus(Tables.documents(s, d))
+        .select(col("doc_id"),
+          graft.ops.Normalize.normalize(col("messy")).as("clean"))
+        .withColumn("n_chars_clean", length(col("clean")).cast("long"))
+        .orderBy(col("doc_id"))),
+
     // Gopher-rule battery: per-document booleans for word-count bounds,
     // mean-word-length bounds, dup-token ceiling, stop-word presence —
     // all integer cross-multiplies, thresholds tuned to discriminate on
@@ -1396,6 +1407,44 @@ object TextQueries {
     * (even ids) or tail (odd ids); all other docs pass through unchanged.
     * Derived deterministically from the driver's own table and mirrored in
     * [[spanCorpusSql]], so the oracle sees the identical corpus. */
+  /** Deterministically corrupted text for [[graft.ops.Normalize]]: four
+    * per-residue planted prefixes (mojibake quotes + accents, full-width
+    * ASCII, C0+C1 controls, exotic-space runs) and a typographic suffix
+    * per parity (mojibake em dash / real ellipsis). The constants are
+    * shared with the oracle fixture, rendered chr()-exact by
+    * [[graft.ops.Normalize.sqlLit]]. */
+  private val messyPrefixes: Seq[String] = Seq(
+    "CafÃ© â€œQâ€ ",
+    "Ｈｉ！ ",
+    "badctl ",
+    "a b　c  d ")
+  private val messySuffixEven = " â€” end"
+  private val messySuffixOdd  = " …fin"
+
+  private[queries] def messyTextCorpus(docs: DataFrame): DataFrame = {
+    val r = col("doc_id") % 5
+    val prefix = messyPrefixes.zipWithIndex
+      .foldRight(lit(""): org.apache.spark.sql.Column) {
+      case ((p, i), acc) => when(r === i, lit(p)).otherwise(acc) }
+    val suffix = when(col("doc_id") % 2 === 0, lit(messySuffixEven))
+      .otherwise(lit(messySuffixOdd))
+    docs.select(col("doc_id"),
+      concat(prefix, col("text"), suffix).as("messy"))
+  }
+
+  private def messyCtes: String = {
+    import graft.ops.Normalize.sqlLit
+    val pre = messyPrefixes.zipWithIndex
+      .map { case (p, i) => s"WHEN doc_id % 5 = $i THEN ${sqlLit(p)}" }
+      .mkString("\n                ")
+    s"""m AS (
+         SELECT doc_id,
+           (CASE $pre ELSE '' END) || text ||
+           (CASE WHEN doc_id % 2 = 0 THEN ${sqlLit(messySuffixEven)}
+                 ELSE ${sqlLit(messySuffixOdd)} END) AS messy
+         FROM documents)"""
+  }
+
   private def plantedSpanCorpus(docs: DataFrame): DataFrame = {
     val pass = docs.where(col("doc_id") < 3)
       .select(col("doc_id").as("g"),
@@ -2692,6 +2741,17 @@ object TextQueries {
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
     },
+
+    // normalization replay: the chr()-exact corrupted fixture + the SQL
+    // chain GENERATED from Normalize's own rule tables
+    "q_text_normalize" ->
+      s"""WITH $messyCtes,
+         n AS (SELECT doc_id,
+                      ${graft.ops.Normalize.normalizeSql("messy")} AS clean
+               FROM m)
+         SELECT doc_id, clean, CAST(length(clean) AS BIGINT)
+                  AS n_chars_clean
+         FROM n ORDER BY doc_id""",
 
     // cluster-safe split replay: the recursive-closure cluster map, then
     // the same md5 bucket arithmetic keyed on the component id
