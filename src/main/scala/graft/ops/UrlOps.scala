@@ -145,6 +145,27 @@ object UrlOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
 
+  /** Domain-level quality gating (the RefinedWeb/FineWeb escalation of
+    * per-doc rules): aggregate a per-document integer quality signal to
+    * its registered domain, keep domains whose MEAN clears a threshold —
+    * integer cross-multiplied (`sum ≥ thr·n`), no division — and return
+    * the domain verdict table (registered_domain, n_docs, signal_sum,
+    * domain_keep). Per-doc filtering is then a broadcast semi-join of
+    * the verdict onto the corpus: a spam domain is dropped WHOLE, even
+    * for its few plausible-looking pages — the call a per-doc rule
+    * cannot make.
+    *
+    * Scale shape: the signal is computed in the scan stage; the rollup
+    * is ONE map-side-combined aggregate on the domain key; the verdict
+    * table is domain-sized (broadcast side of any downstream join). */
+  def domainQuality(docs: DataFrame, urlCol: String,
+                    signal: Column, thrNum: Long, thrDen: Long): DataFrame =
+    withUrlColumns(docs, urlCol)
+      .groupBy(col("registered_domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(signal).as("signal_sum"))
+      .withColumn("domain_keep",
+        col("signal_sum") * thrDen >= col("n_docs") * thrNum)
+
   /** Anchor-text aggregation per canonical TARGET url — the inverted
     * link signal (how the web describes a page) used for target-side
     * quality scoring and retrieval labels. Input is an extracted-link

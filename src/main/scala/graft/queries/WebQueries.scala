@@ -348,6 +348,15 @@ object WebQueries {
         .orderBy(col("doc_id"), col("canon_url"))
     }),
 
+    // RefinedWeb-style domain-level gating: per-registered-domain doc
+    // counts + summed quality signal (n_chars here), keep verdict by
+    // integer cross-multiplied mean threshold — the whole-domain call a
+    // per-doc rule cannot make. One map-side-combined aggregate.
+    "q_domain_quality" -> ((s, d) =>
+      UrlOps.domainQuality(urlCorpus(Tables.documents(s, d)), "url",
+          col("n_chars").cast("long"), thrNum = 296L, thrDen = 1L)
+        .orderBy(col("registered_domain"))),
+
     // The inverted link signal: anchor text aggregated per canonical
     // TARGET — in-link count, distinct linking docs, and the modal anchor
     // (deterministic min_by election, no window) per target page.
@@ -411,6 +420,14 @@ object WebQueries {
       s"""WITH $linkCorpusCtes${canonCtes("lk", "doc_id, anchor")}
          SELECT doc_id, url, canon_url, registered_domain, anchor
          FROM rd ORDER BY doc_id, canon_url""",
+
+    "q_domain_quality" ->
+      s"""WITH $urlCanonCtes
+         SELECT registered_domain, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS signal_sum,
+                CAST(sum(n_chars) AS BIGINT) >= count(*) * 296
+                  AS domain_keep
+         FROM rd GROUP BY registered_domain ORDER BY registered_domain""",
 
     "q_anchor_text" ->
       s"""WITH $linkCorpusCtes${canonCtes("lk", "doc_id, anchor")},

@@ -103,6 +103,26 @@ class UrlOpsSpec extends SparkSuite {
       (null, true), ("domain", false)))
   }
 
+  test("domainQuality: whole-domain verdict by integer mean threshold") {
+    val docs = Seq(
+      (1L, "http://good.example.com/a", 400L),
+      (2L, "http://good.example.com/b", 200L),   // mean 300 ≥ 250 → keep
+      (3L, "http://spam.example.net/a", 240L),
+      (4L, "http://spam.example.net/b", 200L))   // mean 220 < 250 → drop
+      .toDF("doc_id", "url", "sig")
+    val out = UrlOps.domainQuality(docs, "url", $"sig",
+        thrNum = 250L, thrDen = 1L)
+      .orderBy("registered_domain")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(("example.com", 2L, 600L, true),
+      ("example.net", 2L, 440L, false)))
+    // the rollup is one map-side-combined aggregate
+    val p = UrlOps.domainQuality(docs, "url", $"sig", 250L, 1L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial"), "signal sum must map-side combine")
+  }
+
   test("anchorStats: canonical variants merge; modal anchor ties break lexically") {
     val links = Seq(
       (1L, "https://t.example.com/p", "Home"),
