@@ -457,6 +457,25 @@ object TextQueries {
           array_join(col("input_ids").cast("array<string>"), ",")
             .as("ids_str"))),
 
+    // Tokenizer fertility per language: chars-per-100-tokens under the
+    // trained BPE — THE tokenizer-quality metric a multilingual corpus
+    // report carries (high fertility = the vocab under-serves that
+    // language). Reads the persisted encoded-corpus artifact; one
+    // map-side-combined rollup; ratio integer-exact via div.
+    "q_token_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("nc"))
+      encodedIdsArtifact(s, d)
+        .join(docs, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("input_ids")).cast("long")).as("n_tokens"),
+          sum(col("nc")).as("n_chars"))
+        .withColumn("chars_per_100tok",
+          expr("(100 * n_chars) div n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // Packed TRAINING RECORDS: the encoded id arrays laid end-to-end per
     // language in deterministic md5 order and re-cut into 128-id rows,
     // partial tails dropped — the file a pretraining loader reads. Reads
@@ -2044,6 +2063,17 @@ object TextQueries {
     "q_token_bpe_trained" -> bpeTrainedSql,
     "q_sample_budget_bpe" -> bpeBudgetSql,
     "q_encode_ids" -> bpeEncodeIdsSql,
+    // fertility replay: same trained encoding, per-language rollup
+    "q_token_fertility" ->
+      s"""WITH $bpeIdsCtes,
+         f AS (SELECT d.lang, len(i.input_ids) AS nt, length(d.text) AS nc
+               FROM docids i JOIN documents d USING (doc_id))
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                CAST(sum(nc) AS BIGINT) AS n_chars,
+                (100 * CAST(sum(nc) AS BIGINT))
+                  // CAST(sum(nt) AS BIGINT) AS chars_per_100tok
+         FROM f GROUP BY lang ORDER BY lang""",
     "q_pack_ids" -> bpePackIdsSql,
     "q_simhash" ->
       s"""WITH $simhashCte
