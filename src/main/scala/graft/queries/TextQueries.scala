@@ -457,6 +457,28 @@ object TextQueries {
           array_join(col("input_ids").cast("array<string>"), ",")
             .as("ids_str"))),
 
+    // Distinct-n diversity per (lang, n≤3): total vs distinct n-grams
+    // and the ppm ratio — the template/repetition tell a corpus card
+    // reports (low distinct-2 = boilerplate or synthetic text). The
+    // n-gram stream is scan-stage (guarded transform, no join); the
+    // rollup is one aggregate with two-phase distinct.
+    "q_ngram_diversity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      def grams(n: Int) = docs.select(col("lang"), lit(n).as("n"),
+        explode(when(size(toks) >= n,
+            transform(sequence(lit(1), size(toks) - lit(n - 1)),
+              i => array_join(slice(toks, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      grams(1).union(grams(2)).union(grams(3))
+        .groupBy(col("lang"), col("n"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("gram")).as("distinct_ngrams"))
+        .withColumn("distinct_ratio_ppm",
+          expr("(1000000 * distinct_ngrams) div total_ngrams"))
+        .orderBy(col("lang"), col("n"))
+    }),
+
     // Tokenizer fertility per language: chars-per-100-tokens under the
     // trained BPE — THE tokenizer-quality metric a multilingual corpus
     // report carries (high fertility = the vocab under-serves that
@@ -2063,6 +2085,21 @@ object TextQueries {
     "q_token_bpe_trained" -> bpeTrainedSql,
     "q_sample_budget_bpe" -> bpeBudgetSql,
     "q_encode_ids" -> bpeEncodeIdsSql,
+    // diversity replay: the same guarded n-gram stream and rollup
+    "q_ngram_diversity" ->
+      """WITH t AS (SELECT lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         g AS (SELECT lang, n, array_to_string(toks[i:i+n-1], ' ') AS gram
+               FROM t, (SELECT unnest([1,2,3]) AS n) tn,
+                    LATERAL unnest(range(1, len(toks) - n + 2)) AS u(i)
+               WHERE len(toks) >= n)
+         SELECT lang, n, count(*) AS total_ngrams,
+                count(DISTINCT gram) AS distinct_ngrams,
+                (1000000 * count(DISTINCT gram)) // count(*)
+                  AS distinct_ratio_ppm
+         FROM g GROUP BY lang, n ORDER BY lang, n""",
+
     // fertility replay: same trained encoding, per-language rollup
     "q_token_fertility" ->
       s"""WITH $bpeIdsCtes,
