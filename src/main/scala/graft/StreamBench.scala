@@ -165,16 +165,24 @@ object StreamBench {
               // downstream stage sees only what a reader would. text is
               // REPLACED by the extraction, so dedup/index/chunk stages
               // run on clean content.
+              // the wire also carries the usual encoding damage: a
+              // mojibake dash + NBSP planted in-article so the normalize
+              // stage has real work every batch
               val b = graft.ops.Extract.mainContent(
                   b0.withColumn("html", concat(
                     lit("<header><a href=\"/\">Site</a> " +
                       "<a href=\"/login\">Login</a></header><article><p>"),
                     col("text"),
-                    lit("</p></article><footer>(c) example " +
+                    lit(" â€” fin" +
+                      "</p></article><footer>(c) example " +
                       "<a href=\"/tos\">Terms</a></footer>"))),
                   "html", minTextLen = 40, linkNum = 1, linkDen = 2)
                 .drop("text", "html", "n_blocks", "n_kept", "main_len")
                 .withColumnRenamed("main_text", "text")
+                // ftfy/NFKC slot: canonical bytes BEFORE any fingerprint,
+                // dedup, or index sees the text — un-normalized variants
+                // would register as distinct documents
+                .withColumn("text", graft.ops.Normalize.normalize(col("text")))
               // then the cascade verdict appended in place (no batch
               // self-join) — only cascade-kept documents pay for anything
               // downstream

@@ -49,6 +49,20 @@ class NormalizeSpec extends SparkSuite {
     assert(twice == once, "a second pass must be a no-op")
   }
 
+  test("mojibake and clean variants collapse to one string (dedup precondition)") {
+    // the same sentence arriving once cp1252-damaged and once clean must
+    // normalize identically, or dedup registers two documents. Mojibake
+    // built from code points (the right-quote tail is C1 0x9D — invisible
+    // and easily mangled as a raw literal).
+    def moji(tail: Int) = "" + 0xe2.toChar + 0x20ac.toChar + tail.toChar
+    val damaged = s"smart ${moji(0x153)}quotes${moji(0x9d)} and ${moji(0x201d)} dash"
+    val clean =
+      s"smart ${0x201c.toChar}quotes${0x201d.toChar} and ${0x2014.toChar} dash"
+    val out = norm(damaged, clean)
+    assert(out.head == out(1), s"variants diverged: $out")
+    assert(out.head == "smart \"quotes\" and - dash")
+  }
+
   test("normalization is scan-stage only: zero exchanges") {
     val p = Seq("x").toDF("t").select(Normalize.normalize($"t"))
       .queryExecution.executedPlan.toString
