@@ -357,6 +357,36 @@ object WebQueries {
           col("n_chars").cast("long"), thrNum = 296L, thrDen = 1L)
         .orderBy(col("registered_domain"))),
 
+    // End-to-end web curation funnel, one query: URL filter (domain +
+    // path rules) → exact canonical-URL dedup (min-id keeper) → domain
+    // quality gate (integer mean threshold) → per-domain attrition
+    // report (raw → url-kept → unique → final). The audit table every
+    // crawl-curation run logs per snapshot; all stages key on
+    // canon_url/domain — two aggregates and a broadcast-sized join.
+    "q_web_curate" -> ((s, d) => {
+      val flt = UrlOps.urlFilter(urlCorpus(Tables.documents(s, d)), "url",
+        blockedDomains = Seq("sample.net"), pathPatterns = Seq("id=3$"))
+      val kept = flt.where(col("url_keep"))
+      val keepers = kept.groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val uniq = kept.join(keepers, Seq("canon_url", "doc_id"))
+      val verdict = uniq.groupBy(col("registered_domain"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n_chars").cast("long")).as("chars_sum"))
+        .withColumn("domain_keep",
+          col("chars_sum") >= col("n_unique") * 296L)
+      val rawc = flt.groupBy(col("registered_domain"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("url_keep"), 1L).otherwise(0L)).as("n_url_kept"))
+      rawc.join(broadcast(verdict), Seq("registered_domain"), "left")
+        .select(col("registered_domain"), col("n_raw"), col("n_url_kept"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          coalesce(col("domain_keep"), lit(false)).as("domain_keep"),
+          when(coalesce(col("domain_keep"), lit(false)), col("n_unique"))
+            .otherwise(lit(0L)).as("n_final"))
+        .orderBy(col("registered_domain"))
+    }),
+
     // The inverted link signal: anchor text aggregated per canonical
     // TARGET — in-link count, distinct linking docs, and the modal anchor
     // (deterministic min_by election, no window) per target page.
@@ -420,6 +450,36 @@ object WebQueries {
       s"""WITH $linkCorpusCtes${canonCtes("lk", "doc_id, anchor")}
          SELECT doc_id, url, canon_url, registered_domain, anchor
          FROM rd ORDER BY doc_id, canon_url""",
+
+    "q_web_curate" ->
+      s"""WITH $urlCanonCtes,
+         flt AS (SELECT *,
+                   CASE WHEN registered_domain IN ('sample.net')
+                          THEN 'domain'
+                        WHEN regexp_matches(canon_url, 'id=3$$')
+                          THEN 'path'
+                        ELSE NULL END AS reason
+                 FROM rd),
+         kept AS (SELECT * FROM flt WHERE reason IS NULL),
+         keepers AS (SELECT canon_url, min(doc_id) AS doc_id
+                     FROM kept GROUP BY canon_url),
+         uniq AS (SELECT k.* FROM kept k
+                  JOIN keepers USING (canon_url, doc_id)),
+         verdict AS (SELECT registered_domain, count(*) AS n_unique,
+                            CAST(sum(n_chars) AS BIGINT) AS chars_sum
+                     FROM uniq GROUP BY registered_domain),
+         rawc AS (SELECT registered_domain, count(*) AS n_raw,
+                         CAST(sum(CASE WHEN reason IS NULL THEN 1 ELSE 0
+                           END) AS BIGINT) AS n_url_kept
+                  FROM flt GROUP BY registered_domain)
+         SELECT r.registered_domain, r.n_raw, r.n_url_kept,
+                coalesce(v.n_unique, 0) AS n_unique,
+                coalesce(v.chars_sum >= v.n_unique * 296, false)
+                  AS domain_keep,
+                CASE WHEN coalesce(v.chars_sum >= v.n_unique * 296, false)
+                     THEN v.n_unique ELSE 0 END AS n_final
+         FROM rawc r LEFT JOIN verdict v USING (registered_domain)
+         ORDER BY r.registered_domain""",
 
     "q_domain_quality" ->
       s"""WITH $urlCanonCtes
