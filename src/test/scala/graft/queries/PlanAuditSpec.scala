@@ -483,6 +483,42 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("normalization is pure scan work: no hash shuffle before the sort") {
+    val p = plan("q_text_normalize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"normalize chain must stay in the scan stage:\n$p")
+    assert(!p.contains("Window"))
+  }
+
+  test("cluster-safe split broadcasts the cluster map onto the corpus") {
+    // the lsh-cc artifact is cluster-member-sized (≪ corpus); the split
+    // itself is a projection — corpus rows must never hash-shuffle
+    val p = plan("q_split_cluster_safe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster map should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus SMJ expected:\n$p")
+  }
+
+  test("fertility rollup map-side combines after one id-keyed join") {
+    val p = plan("q_token_fertility")
+    assert(p.contains("partial"), "per-language sums must partial-aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("n-gram diversity aggregates partially before the lang/n shuffle") {
+    val p = plan("q_ngram_diversity")
+    assert(p.contains("partial"), "distinct pre-aggregation must map-side combine")
+    assert(!p.contains("Window"))
+  }
+
+  test("web-curate funnel: domain verdict broadcasts, no window sorts") {
+    val p = plan("q_web_curate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the domain-sized verdict must broadcast:\n$p")
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("SRP search never shuffles the corpus before the broadcast join") {
     val p = plan("q_ann_srp")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
