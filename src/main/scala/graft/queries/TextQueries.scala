@@ -457,6 +457,35 @@ object TextQueries {
           array_join(col("input_ids").cast("array<string>"), ",")
             .as("ids_str"))),
 
+    // Template/boilerplate concentration: the share of all trigram
+    // occurrences captured by each language's top-10 trigrams (ppm) — a
+    // spiking share is the tell of machine-generated or template text
+    // that per-doc repetition rules miss. rk ≤ 10 is a WHERE before the
+    // rollup, so Spark's WindowGroupLimit keeps per-partition top-k
+    // heaps instead of sorting the full distinct-gram table.
+    "q_ngram_concentration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val grams = docs.select(col("lang"),
+        explode(when(size(toks) >= 3,
+            transform(sequence(lit(1), size(toks) - lit(2)),
+              i => array_join(slice(toks, i, lit(3)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      val counts = grams.groupBy(col("lang"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))
+      val top = counts.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 10)
+        .groupBy(col("lang")).agg(sum(col("cnt")).as("top10_mass"))
+      counts.groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("total_trigrams"))
+        .join(broadcast(top), "lang")
+        .withColumn("top10_share_ppm",
+          expr("(1000000 * top10_mass) div total_trigrams"))
+        .orderBy(col("lang"))
+    }),
+
     // Distinct-n diversity per (lang, n≤3): total vs distinct n-grams
     // and the ppm ratio — the template/repetition tell a corpus card
     // reports (low distinct-2 = boilerplate or synthetic text). The
@@ -2085,6 +2114,27 @@ object TextQueries {
     "q_token_bpe_trained" -> bpeTrainedSql,
     "q_sample_budget_bpe" -> bpeBudgetSql,
     "q_encode_ids" -> bpeEncodeIdsSql,
+    // concentration replay: same trigram stream, rank, and rollup
+    "q_ngram_concentration" ->
+      """WITH t AS (SELECT lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         g AS (SELECT lang, array_to_string(toks[i:i+2], ' ') AS gram
+               FROM t, LATERAL unnest(range(1, len(toks) - 1)) AS u(i)
+               WHERE len(toks) >= 3),
+         c AS (SELECT lang, gram, count(*) AS cnt
+               FROM g GROUP BY lang, gram),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                 ORDER BY cnt DESC, gram) AS rk FROM c),
+         tp AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS top10_mass
+                FROM r WHERE rk <= 10 GROUP BY lang),
+         tt AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total_trigrams
+                FROM c GROUP BY lang)
+         SELECT tt.lang, total_trigrams, top10_mass,
+                (1000000 * top10_mass) // total_trigrams
+                  AS top10_share_ppm
+         FROM tt JOIN tp ON tt.lang = tp.lang ORDER BY tt.lang""",
+
     // diversity replay: the same guarded n-gram stream and rollup
     "q_ngram_diversity" ->
       """WITH t AS (SELECT lang,

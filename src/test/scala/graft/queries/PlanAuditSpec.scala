@@ -505,6 +505,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("trigram concentration's top-10 runs under WindowGroupLimit heaps") {
+    // rk ≤ 10 as a filter (not a conditional sum) lets Spark keep
+    // per-partition top-k heaps instead of sorting the distinct-gram
+    // table — the shape that survives a 100 TB trigram stream
+    val p = plan("q_ngram_concentration")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown:\n$p")
+    assert(p.contains("partial"))
+  }
+
   test("n-gram diversity aggregates partially before the lang/n shuffle") {
     val p = plan("q_ngram_diversity")
     assert(p.contains("partial"), "distinct pre-aggregation must map-side combine")
