@@ -120,6 +120,21 @@ object Extract {
         regexp_extract(tag, "href=\"([^\"]*)\"", 1).as("href"),
         trim(regexp_extract(tag, ">([^<]*)</a>", 1)).as("anchor")))
 
+  /** Publisher opt-out compliance: true iff the page carries a
+    * `<meta name="robots" …>` (or googlebot) directive whose content
+    * includes `noindex` or `none` — the pages a compliant corpus build
+    * must EXCLUDE regardless of their quality score. Tag-scoped regex
+    * (whole meta tags first, then the content attribute of each), both
+    * attribute orders accepted, lowercase per the fixture/normalizer
+    * contract. Scan-stage expression — composes with [[mainContent]]
+    * in the same map-only pass. */
+  def noindex(html: Column): Column =
+    exists(
+      regexp_extract_all(html,
+        lit("<meta [^>]*name=\"(?:robots|googlebot)\"[^>]*>"), lit(0)),
+      tag => regexp_extract(tag, "content=\"([^\"]*)\"", 1)
+        .rlike("(?:^|[, ])(?:noindex|none)(?:$|[, ])"))
+
   /** The extracted main text as a single column expression — the form the
     * [[FilterCascade]] consumes as rule zero (extract, then judge quality
     * on what a reader actually sees). */

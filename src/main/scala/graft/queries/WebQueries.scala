@@ -185,6 +185,25 @@ object WebQueries {
                 regexp_extract(tag, 'href="([^"]*)"', 1) AS url
          FROM lk1)"""
 
+  /** Pages with planted `<meta>` directives cycling through blocked and
+    * benign variants — the robots-compliance fixture: two true opt-outs
+    * (robots noindex, googlebot none), one explicit index, one noindex
+    * under a NON-robots name (must not block), one nofollow-only (must
+    * not block), and bare pages. */
+  private[queries] def metaHtmlCorpus(docs: DataFrame): DataFrame = {
+    val r = col("doc_id") % 7
+    val meta = when(r === 0,
+        lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+      .when(r === 1, lit("<meta name=\"googlebot\" content=\"none\">"))
+      .when(r === 2, lit("<meta name=\"robots\" content=\"index, follow\">"))
+      .when(r === 3, lit("<meta name=\"keywords\" content=\"noindex\">"))
+      .when(r === 4, lit("<meta name=\"robots\" content=\"nofollow\">"))
+      .otherwise(lit(""))
+    docs.select(col("doc_id"),
+      concat(lit("<head>"), meta, lit("</head><p>"), col("text"),
+        lit("</p>")).as("html"))
+  }
+
   /** Deterministic site-level link graph planted from doc_ids: every
     * document emits two host→host edges; sites 50–59 appear only as
     * targets, so the dangling-mass path is exercised. Residue
@@ -357,6 +376,16 @@ object WebQueries {
           col("n_chars").cast("long"), thrNum = 296L, thrDen = 1L)
         .orderBy(col("registered_domain"))),
 
+    // Publisher opt-out compliance: meta-robots noindex/none detection
+    // over planted directive variants — the pages a compliant corpus
+    // build excludes before quality ever runs. Scan-stage only.
+    "q_noindex_filter" -> ((s, d) =>
+      metaHtmlCorpus(Tables.documents(s, d))
+        .select(col("doc_id"),
+          graft.ops.Extract.noindex(col("html")).as("noindex"))
+        .withColumn("keep", !col("noindex"))
+        .orderBy(col("doc_id"))),
+
     // End-to-end web curation funnel, one query: URL filter (domain +
     // path rules) → exact canonical-URL dedup (min-id keeper) → domain
     // quality gate (integer mean threshold) → per-domain attrition
@@ -450,6 +479,35 @@ object WebQueries {
       s"""WITH $linkCorpusCtes${canonCtes("lk", "doc_id, anchor")}
          SELECT doc_id, url, canon_url, registered_domain, anchor
          FROM rd ORDER BY doc_id, canon_url""",
+
+    "q_noindex_filter" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<head>' ||
+             (CASE WHEN doc_id % 7 = 0
+                     THEN '<meta name="robots" content="noindex, follow">'
+                   WHEN doc_id % 7 = 1
+                     THEN '<meta name="googlebot" content="none">'
+                   WHEN doc_id % 7 = 2
+                     THEN '<meta name="robots" content="index, follow">'
+                   WHEN doc_id % 7 = 3
+                     THEN '<meta name="keywords" content="noindex">'
+                   WHEN doc_id % 7 = 4
+                     THEN '<meta name="robots" content="nofollow">'
+                   ELSE '' END) ||
+             '</head><p>' || text || '</p>' AS html
+           FROM documents),
+         v AS (
+           SELECT doc_id,
+             len(list_filter(
+               regexp_extract_all(html,
+                 '<meta [^>]*name="(?:robots|googlebot)"[^>]*>'),
+               t -> regexp_matches(
+                 regexp_extract(t, 'content="([^"]*)"', 1),
+                 '(?:^|[, ])(?:noindex|none)(?:$|[, ])'))) > 0 AS noindex
+           FROM h)
+         SELECT doc_id, noindex, NOT noindex AS keep
+         FROM v ORDER BY doc_id""",
 
     "q_web_curate" ->
       s"""WITH $urlCanonCtes,

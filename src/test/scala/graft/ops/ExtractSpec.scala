@@ -77,4 +77,19 @@ class ExtractSpec extends SparkSuite {
       .as[(Long, String, Long)].collect().head
     assert(out == ((0L, "", 0L)))
   }
+
+  test("noindex: robots/googlebot opt-outs detected, benign metas pass") {
+    val pages = Seq(
+      "<head><meta name=\"robots\" content=\"noindex\"></head>",
+      "<head><meta content=\"none\" name=\"googlebot\"></head>", // attr order
+      "<head><meta name=\"robots\" content=\"all, noindex\"></head>",
+      "<head><meta name=\"robots\" content=\"index, follow\"></head>",
+      "<head><meta name=\"keywords\" content=\"noindex\"></head>", // wrong name
+      "<head><meta name=\"robots\" content=\"nofollow\"></head>",  // not noindex
+      "<head><meta name=\"robots\" content=\"noindexing\"></head>", // word bound
+      "<p>no meta at all</p>")
+    val got = pages.toDF("html").select(Extract.noindex($"html"))
+      .as[Boolean].collect().toSeq
+    assert(got == Seq(true, true, true, false, false, false, false, false))
+  }
 }
