@@ -179,6 +179,17 @@ object TextQueries {
         fingerprint(col("text")).as("fp"))
     }),
 
+    // The language-router audit: confusion matrix of labeled vs
+    // predicted language — the table that decides whether the lang-id
+    // heuristic is safe to route training data by. One map-side rollup.
+    "q_langid_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang").as("lang_meta"),
+          langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_meta"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_meta"), col("lang_pred"))),
+
     "q_dedup_exact" -> ((s, d) => {
       Dedup.exactSummary(Tables.documents(s, d), Seq("text"), "doc_id")
     }),
@@ -1982,6 +1993,30 @@ object TextQueries {
                 WHEN s_fr >= s_zh THEN 'fr'
                 ELSE 'zh' END AS lang_pred
          FROM documents d JOIN scores USING (doc_id)""",
+    "q_langid_confusion" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         scores AS (
+           SELECT doc_id,
+             sum(CASE WHEN t IN ('der','die','und','nicht','das') THEN 1 ELSE 0 END) AS s_de,
+             sum(CASE WHEN t IN ('the','and','of','to','is') THEN 1 ELSE 0 END) AS s_en,
+             sum(CASE WHEN t IN ('el','la','de','que','los') THEN 1 ELSE 0 END) AS s_es,
+             sum(CASE WHEN t IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS s_fr,
+             sum(CASE WHEN t IN ('de5','shi4','le5','zai4','he2') THEN 1 ELSE 0 END) AS s_zh
+           FROM toks GROUP BY doc_id),
+         pred AS (
+           SELECT d.doc_id, d.lang AS lang_meta,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+           FROM documents d JOIN scores USING (doc_id))
+         SELECT lang_meta, lang_pred, count(*) AS n_docs
+         FROM pred GROUP BY lang_meta, lang_pred
+         ORDER BY lang_meta, lang_pred""",
+
     "q_fingerprint" ->
       """SELECT doc_id,
                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
