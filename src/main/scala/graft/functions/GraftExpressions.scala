@@ -437,6 +437,65 @@ case class PqEncode(child: Expression, books: Array[Double],
     copy(child = newChild)
 }
 
+/** Sign-random-projection sketch — the fused form of
+  * [[graft.ops.Srp.sketchExpr]]'s nBits×dim nested-aggregate tree. The
+  * compositional HOF tree evaluates interpreted (~3k element_at calls per
+  * row at 48×64), which made the sketch projection the whole cost of the
+  * SRP search; this is the same integer arithmetic as one flat loop.
+  * Bit-identical: bit j set iff Σ_i planes[j·dim+i]·(code_i − 128) > 0,
+  * packed little-endian into one long. `planes` flat at j·dim + i. */
+case class SrpSketchBits(child: Expression, planes: Array[Long],
+                         nBits: Int, dim: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_sketch_bits"
+
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, codes.numElements())
+    var sk = 0L
+    var j = 0
+    while (j < nBits) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += planes(j * dim + i) * (codes.getLong(i) - 128L)
+        i += 1
+      }
+      if (s > 0L) sk |= (1L << j)
+      j += 1
+    }
+    sk
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val plRef = ctx.addReferenceObj("srpPlanes", planes, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val sk = ctx.freshName("sk")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |long $sk = 0L;
+         |for (int $j = 0; $j < $nBits; $j++) {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $plRef[$j * $dim + $i] * ($v.getLong($i) - 128L);
+         |  }
+         |  if ($s > 0L) $sk |= (1L << $j);
+         |}
+         |${ev.value} = $sk;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   def float_vector_dot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(
@@ -460,6 +519,12 @@ object GraftExpressions {
     ExpressionUtils.column(PqAdcScore(
       ExpressionUtils.expression(qvec), ExpressionUtils.expression(codes),
       books, m, k, subDim))
+
+  /** See [[SrpSketchBits]]; `planes` flat at j·dim + i. */
+  def srp_sketch_bits(codes: Column, planes: Array[Long], nBits: Int,
+                      dim: Int): Column =
+    ExpressionUtils.column(SrpSketchBits(
+      ExpressionUtils.expression(codes), planes, nBits, dim))
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedLongIntersectCount(

@@ -42,8 +42,22 @@ object Srp {
   }
 
   /** Packed `nBits`-bit sketch of an int8 code array (the [[Sq]]
-    * encoding): bit j set iff Σ_i p(j,i)·(code_i − 128) > 0. */
+    * encoding): bit j set iff Σ_i p(j,i)·(code_i − 128) > 0. Fused
+    * native expression ([[graft.functions.SrpSketchBits]]) — the
+    * compositional HOF tree below costs ~3k interpreted element_at
+    * calls per row at 48×64 and made the sketch projection dominate the
+    * whole search (113 s of a 232 s board at sf0.1, measured r9). */
   def sketchExpr(codes: Column, pl: Array[Array[Long]]): Column = {
+    val nBits = pl.length; val dim = pl(0).length
+    require(nBits >= 1 && nBits <= 62, s"bad bit count $nBits")
+    graft.functions.GraftExpressions.srp_sketch_bits(
+      codes, pl.flatten, nBits, dim)
+  }
+
+  /** The compositional built-ins-only form — kept as the differential
+    * reference for the fused expression's bit-identity spec. */
+  private[graft] def sketchExprCompositional(
+      codes: Column, pl: Array[Array[Long]]): Column = {
     val nBits = pl.length; val dim = pl(0).length
     require(nBits >= 1 && nBits <= 62, s"bad bit count $nBits")
     val plLit = typedlit(pl.map(_.toSeq).toSeq)

@@ -956,6 +956,23 @@ object TextQueries {
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
         k = 50)),
 
+    // Code-vs-prose routing: symbol + keyword density verdict over a
+    // corpus with planted code snippets (every 9th doc) — the router
+    // that sends documents to the code or text pipeline. Integer
+    // cross-multiplies only; pure projection.
+    "q_code_detect" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+            concat(lit("def f(x): { return x + 1; } " +
+              "def g(y): { return y * 2; } "), col("text")))
+          .otherwise(col("text")).as("t"))
+      graft.ops.CodeDetect.withVerdict(planted, "t",
+          charPct = 2L, tokPct = 5L)
+        .select(col("doc_id"), col("n_code_chars"),
+          col("n_code_tokens"), col("is_code"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ftfy/NFKC-slot text normalization: mojibake repair, width folds,
     // punctuation normalization, control strip, whitespace collapse —
     // byte-exact vs the oracle's generated replay of the same rule
@@ -2893,6 +2910,33 @@ object TextQueries {
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
     },
+
+    // code-router replay: same planted snippets, translate-based symbol
+    // count, whole-token keyword count, OR of cross-multiplies
+    "q_code_detect" ->
+      """WITH c AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+               THEN 'def f(x): { return x + 1; } def g(y): { return y * 2; } '
+                    || text
+               ELSE text END AS t
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(length(t) - length(translate(t, '{}();=<>[]', ''))
+               AS BIGINT) AS n_code_chars,
+             CAST(length(t) - length(replace(t, ' ', '')) + 1
+               AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(t, ' '),
+               x -> list_contains(['def','return','class','import',
+                 'function','var','const','void','elif'], x)))
+               AS BIGINT) AS n_code_tokens
+           FROM c)
+         SELECT doc_id, n_code_chars, n_code_tokens,
+                (n_code_chars * 100 >= n_chars * 2)
+                  OR (n_code_tokens * 100 >= n_tokens * 5) AS is_code
+         FROM s ORDER BY doc_id""",
 
     // normalization replay: the chr()-exact corrupted fixture + the SQL
     // chain GENERATED from Normalize's own rule tables

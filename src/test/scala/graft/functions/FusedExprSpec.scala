@@ -103,6 +103,27 @@ class FusedExprSpec extends SparkSuite {
     assert(both.where($"fused" =!= $"composed").count() == 0)
   }
 
+  test("srp_sketch_bits equals the compositional HOF sketch bit-for-bit") {
+    val nBits = 48; val d = 12
+    val pl = graft.ops.Srp.planes(nBits, d)
+    // int8 code arrays incl. all-128 (every plane sum exactly 0 → bit
+    // clear: the s > 0 strict inequality), extremes, and a short array
+    // (fused clips to its length; compositional would index past — pad)
+    val codes = (0 until 40).map(i =>
+      (i.toLong, Array.fill(d)(rnd.nextInt(256).toLong))) :+
+      (40L, Array.fill(d)(128L)) :+
+      (41L, Array.fill(d)(0L)) :+ (42L, Array.fill(d)(255L))
+    val df = codes.toDF("id", "codes")
+    val both = df.select($"id",
+      graft.ops.Srp.sketchExpr($"codes", pl).as("fused"),
+      graft.ops.Srp.sketchExprCompositional($"codes", pl).as("composed"))
+    assert(both.where($"fused" =!= $"composed").count() == 0)
+    // the all-128 row has zero dot on every plane: strictly-positive test
+    // keeps all bits clear
+    assert(both.where($"id" === 40L).select($"fused").as[Long]
+      .collect().head == 0L)
+  }
+
   test("fused forms survive both codegen and interpreted evaluation") {
     // force the interpreted path by putting the expressions behind a
     // broadcast nested-loop join (no whole-stage codegen), and compare
