@@ -53,6 +53,9 @@ object Hits {
       val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
       val aTot = aRaw.agg(sum(col("raw")).as("tot"))
+      // both sides checkpoint per round: leaving auth lazy re-derives it
+      // in the hTot broadcast build AND the hub checkpoint job (2–3
+      // edge passes per round — measured slower than the extra eager job)
       auth = nodes.join(aRaw, Seq("node"), "left")
         .crossJoin(broadcast(aTot))
         .select(col("node"),
