@@ -330,6 +330,21 @@ object WebQueries {
       PageRank.topRanks(linkEdges(Tables.documents(s, d)), "src", "dst",
         iters = 5, k = 15)),
 
+    // Degree-distribution histogram of the link graph: nodes per
+    // log2-bucket of out-degree (bucket = binary digit count, an exact
+    // integer in both engines via conv/bin string length) — the
+    // power-law sanity check a crawl-graph report leads with. Two
+    // map-side-combined aggregates, node-sized intermediates.
+    "q_degree_dist" -> ((s, d) => {
+      val e = linkEdges(Tables.documents(s, d)).distinct()
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .withColumn("bucket",
+          length(conv(col("outdeg").cast("string"), 10, 2)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("outdeg")).as("n_edges"))
+        .orderBy(col("bucket"))
+    }),
+
     // Hubs vs authorities over the same planted link graph: 4
     // mutual-reinforcement rounds in integer fixed point, top-15 content
     // pages by authority — the directory-vs-content split PageRank alone
@@ -457,6 +472,20 @@ object WebQueries {
     "q_pagerank" -> pagerankSql(iters = 5, k = 15),
 
     "q_hits" -> hitsSql(iters = 4, k = 15),
+
+    "q_degree_dist" ->
+      """WITH e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 50 AS src, (doc_id*7+3) % 60 AS dst
+             FROM documents
+             UNION ALL
+             SELECT doc_id % 50 AS src, (doc_id*13+11) % 60 AS dst
+             FROM documents)),
+         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)
+         SELECT CAST(length(bin(outdeg)) AS BIGINT) AS bucket,
+                count(*) AS n_nodes,
+                CAST(sum(outdeg) AS BIGINT) AS n_edges
+         FROM od GROUP BY bucket ORDER BY bucket""",
 
     "q_url_filter" ->
       s"""WITH $urlCanonCtes
