@@ -137,6 +137,39 @@ object VectorQueries {
         dim = 64, numPlanes = 8, k = 3)
     }),
 
+    // Matryoshka-style truncated-head search (Kusupati arXiv:2205.13147
+    // shape): nominate by cosine over the first 16 dims only (4× less
+    // arithmetic and memory traffic per candidate at scan time), then
+    // exact full-dim re-rank of the top-10 shortlist. Truncation is
+    // deterministic, so unlike the trained-model ANN faces this one
+    // hash-checks per ROW against the oracle's replay.
+    "q_ann_matryoshka" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val headDim = 16
+      def head(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), slice(col("embedding"), 1, headDim)
+          .as("embedding"))
+      val shortlist = Similarity.bruteForceTopK(
+          head(emb.where(col("vec_id") < 10)), head(emb),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val full = emb.select(col("vec_id"), col("embedding"))
+      val rer = shortlist
+        .join(full.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv")), Seq("query_id"))
+        .join(full.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("__cv")), Seq("neighbor_id"))
+        .withColumn("sim", graft.functions.VectorFunctions
+          .cosine(col("__qv"), col("__cv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      rer.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
     // IVF with TRAINED coarse cells (k-means). The learned centroids have no
     // SQL twin, so the hard check is recall@3 against the EXACT brute-force
     // top-3 computed in the same query: the driver oracle asserts the recall
@@ -489,6 +522,48 @@ object VectorQueries {
     }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_ann_matryoshka" ->
+      s"""WITH hd AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  sum(CAST(q.embedding[t.i] AS DOUBLE) *
+                      CAST(c.embedding[t.i] AS DOUBLE)) AS dp,
+                  sum(CAST(q.embedding[t.i] AS DOUBLE) *
+                      CAST(q.embedding[t.i] AS DOUBLE)) AS nq,
+                  sum(CAST(c.embedding[t.i] AS DOUBLE) *
+                      CAST(c.embedding[t.i] AS DOUBLE)) AS nc
+           FROM embeddings q, embeddings c,
+                LATERAL unnest(range(1, 17)) AS t(i)
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+           GROUP BY q.vec_id, c.vec_id),
+         short AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC,
+                               neighbor_id ASC) AS rk
+             FROM hd) WHERE rk <= 10),
+         dots AS (
+           SELECT s.query_id, s.neighbor_id,
+                  sum(CAST(q.embedding[t.i] AS DOUBLE) *
+                      CAST(n.embedding[t.i] AS DOUBLE)) AS dp,
+                  sum(CAST(q.embedding[t.i] AS DOUBLE) *
+                      CAST(q.embedding[t.i] AS DOUBLE)) AS nq,
+                  sum(CAST(n.embedding[t.i] AS DOUBLE) *
+                      CAST(n.embedding[t.i] AS DOUBLE)) AS nc
+           FROM short s
+           JOIN embeddings q ON q.vec_id = s.query_id
+           JOIN embeddings n ON n.vec_id = s.neighbor_id,
+           LATERAL unnest(range(1, 65)) AS t(i)
+           GROUP BY s.query_id, s.neighbor_id)
+         SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+           SELECT query_id, neighbor_id,
+                  dp / (sqrt(nq) * sqrt(nc)) AS sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC,
+                             neighbor_id ASC) AS rank
+           FROM dots)
+         WHERE rank <= 3""",
+
     "q_ann_lsh" ->
       s"""WITH planes(p, i, v) AS (SELECT * FROM (VALUES ${planeValues(8, 64)}) t(p, i, v)),
           b AS (
