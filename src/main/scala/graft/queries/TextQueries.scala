@@ -956,6 +956,15 @@ object TextQueries {
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
         k = 50)),
 
+    // Within-doc word entropy in n-scaled fixed point (micro-nats × n):
+    // the gibberish/template signal between the dup-token ceiling and a
+    // full LM — low entropy = repeated-phrase spam. NgramLm's lnfp snap,
+    // integer arithmetic after.
+    "q_word_entropy" -> ((s, d) =>
+      graft.ops.Entropy.wordEntropy(Tables.documents(s, d), "doc_id",
+          "text")
+        .orderBy(col("doc_id"))),
+
     // Code-vs-prose routing: symbol + keyword density verdict over a
     // corpus with planted code snippets (every 9th doc) — the router
     // that sends documents to the code or text pipeline. Integer
@@ -2910,6 +2919,24 @@ object TextQueries {
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
     },
+
+    // entropy replay: same token counts, same lnfp snap, same integers
+    "q_word_entropy" ->
+      """WITH w AS (
+           SELECT doc_id, t FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents) WHERE t <> ''),
+         c AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY doc_id, t),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_distinct,
+                  CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0
+                    + 0.5) AS BIGINT)) AS BIGINT) AS clnc
+           FROM c GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_distinct,
+                n_tokens * CAST(floor(ln(CAST(n_tokens AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) - clnc AS ent_n_fp
+         FROM agg ORDER BY doc_id""",
 
     // code-router replay: same planted snippets, translate-based symbol
     // count, whole-token keyword count, OR of cross-multiplies
