@@ -956,6 +956,38 @@ object TextQueries {
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
         k = 50)),
 
+    // The PII audit a corpus release ships: per-source affected-doc
+    // counts, per-category totals (attribution order mirrors the redact
+    // chain), and hits-per-megachar density. Same planted PII as
+    // q_redact_pii; one map-side-combined rollup.
+    "q_pii_report" -> ((s, d) => {
+      val id = col("doc_id")
+      val pii = concat(
+        col("text"),
+        when(id % 2 === 0, concat(lit(" mail user"), id.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(id % 3 === 0, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" from 10.0."),
+          (id % 256).cast("string"), lit("."),
+          (id % 100).cast("string"))).otherwise(lit(""))) // q_redact_pii plant
+      val cnt = graft.ops.Redact.counts(pii)
+      Tables.documents(s, d)
+        .select(col("source"), length(pii).cast("long").as("nc"),
+          cnt(0).cast("long").as("ne"), cnt(1).cast("long").as("np"),
+          cnt(2).cast("long").as("ni"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ne") + col("np") + col("ni") > 0, 1L)
+            .otherwise(0L)).as("n_docs_with_pii"),
+          sum(col("ne")).as("n_emails"), sum(col("np")).as("n_phones"),
+          sum(col("ni")).as("n_ips"), sum(col("nc")).as("n_chars"))
+        .withColumn("pii_per_mchar",
+          expr("(1000000 * (n_emails + n_phones + n_ips)) div n_chars"))
+        .orderBy(col("source"))
+    }),
+
     // Within-doc word entropy in n-scaled fixed point (micro-nats × n):
     // the gibberish/template signal between the dup-token ceiling and a
     // full LM — low entropy = repeated-phrase spam. NgramLm's lnfp snap,
@@ -2919,6 +2951,49 @@ object TextQueries {
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
     },
+
+    // PII-report replay: same plant, same staged attribution counts,
+    // per-source rollup
+    "q_pii_report" ->
+      """WITH pii AS (
+           SELECT doc_id, source, text ||
+             CASE WHEN doc_id % 2 = 0 THEN ' mail user' || doc_id || '@example.com' ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
+           FROM documents),
+         st AS (
+           SELECT doc_id, source, t,
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+           FROM pii),
+         st2 AS (
+           SELECT *, regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b',
+             '<PHONE>', 'g') AS t2
+           FROM st),
+         per AS (
+           SELECT doc_id, source, CAST(length(t) AS BIGINT) AS nc,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS ne,
+             CAST(len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b'))
+               AS BIGINT) AS np,
+             CAST(len(regexp_extract_all(t2,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ni
+           FROM st2)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_docs_with_pii,
+                CAST(sum(ne) AS BIGINT) AS n_emails,
+                CAST(sum(np) AS BIGINT) AS n_phones,
+                CAST(sum(ni) AS BIGINT) AS n_ips,
+                CAST(sum(nc) AS BIGINT) AS n_chars,
+                (1000000 * (CAST(sum(ne) AS BIGINT)
+                  + CAST(sum(np) AS BIGINT) + CAST(sum(ni) AS BIGINT)))
+                  // CAST(sum(nc) AS BIGINT) AS pii_per_mchar
+         FROM per GROUP BY source ORDER BY source""",
 
     // entropy replay: same token counts, same lnfp snap, same integers
     "q_word_entropy" ->
