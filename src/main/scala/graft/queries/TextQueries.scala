@@ -956,6 +956,26 @@ object TextQueries {
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
         k = 50)),
 
+    // Mixed-language detection (the CCNet drop rule a doc-level lang-id
+    // cannot make): per-paragraph language votes, doc flagged when
+    // paragraphs disagree — planted Spanish blocks on every 4th doc.
+    // One explode + one rollup; the vote is the board's lang-id heuristic.
+    "q_mixed_lang" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit("\n\nel la de que los el la de")))
+          .otherwise(col("text")).as("t"))
+      planted.select(col("doc_id"),
+          explode(split(col("t"), "\n\n")).as("para"))
+        .select(col("doc_id"), langId(col("para")).as("pl"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_paras"),
+          countDistinct(when(col("pl") =!= "und", col("pl")))
+            .as("n_langs"))
+        .withColumn("is_mixed", col("n_langs") > 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // The PII audit a corpus release ships: per-source affected-doc
     // counts, per-category totals (attribution order mirrors the redact
     // chain), and hits-per-megachar density. Same planted PII as
@@ -2951,6 +2971,43 @@ object TextQueries {
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
     },
+
+    // mixed-language replay: same plant, per-paragraph argmax, rollup
+    "q_mixed_lang" ->
+      """WITH pl AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+               THEN text || chr(10) || chr(10) || 'el la de que los el la de'
+               ELSE text END AS t
+           FROM documents),
+         paras AS (
+           SELECT doc_id, unnest(string_split(t, chr(10) || chr(10))) AS para
+           FROM pl),
+         toks AS (
+           SELECT doc_id, para, unnest(string_split(para, ' ')) AS w
+           FROM paras),
+         sc AS (
+           SELECT doc_id, para,
+             sum(CASE WHEN w IN ('der','die','und','nicht','das') THEN 1 ELSE 0 END) AS s_de,
+             sum(CASE WHEN w IN ('the','and','of','to','is') THEN 1 ELSE 0 END) AS s_en,
+             sum(CASE WHEN w IN ('el','la','de','que','los') THEN 1 ELSE 0 END) AS s_es,
+             sum(CASE WHEN w IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS s_fr,
+             sum(CASE WHEN w IN ('de5','shi4','le5','zai4','he2') THEN 1 ELSE 0 END) AS s_zh
+           FROM toks GROUP BY doc_id, para),
+         pred AS (
+           SELECT doc_id,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS pl
+           FROM sc)
+         SELECT doc_id, count(*) AS n_paras,
+                count(DISTINCT CASE WHEN pl <> 'und' THEN pl END) AS n_langs,
+                count(DISTINCT CASE WHEN pl <> 'und' THEN pl END) > 1
+                  AS is_mixed
+         FROM pred GROUP BY doc_id ORDER BY doc_id""",
 
     // PII-report replay: same plant, same staged attribution counts,
     // per-source rollup
