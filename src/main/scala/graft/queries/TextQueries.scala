@@ -505,6 +505,11 @@ object TextQueries {
     "q_ngram_diversity" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val toks = filter(split(col("text"), " "), t => t =!= "")
+      // three explodes unioned, NOT one fused struct-array explode: the
+      // fused form materializes every (n, gram) struct per row before
+      // exploding and measured 2× slower (4.9 s vs 2.4 s at sf0.1) —
+      // re-scanning one columnar text column is cheaper than tripling
+      // the per-row allocation
       def grams(n: Int) = docs.select(col("lang"), lit(n).as("n"),
         explode(when(size(toks) >= n,
             transform(sequence(lit(1), size(toks) - lit(n - 1)),
