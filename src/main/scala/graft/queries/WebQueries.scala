@@ -330,6 +330,24 @@ object WebQueries {
       PageRank.topRanks(linkEdges(Tables.documents(s, d)), "src", "dst",
         iters = 5, k = 15)),
 
+    // Reciprocal-link fraction per source node — the link-exchange spam
+    // signal (organic linking is mostly one-way; mutual-link rings are
+    // manufactured). One self-join on the reversed edge key + one
+    // rollup, both node/edge-sized.
+    "q_reciprocal_links" -> ((s, d) => {
+      val e = linkEdges(Tables.documents(s, d)).distinct()
+      val rec = e.as("a").join(e.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"))
+      e.groupBy(col("src")).agg(count(lit(1)).as("n_out"))
+        .join(rec.groupBy(col("src")).agg(count(lit(1)).as("n_recip")),
+          Seq("src"), "left")
+        .select(col("src"), col("n_out"),
+          coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+        .withColumn("recip_ppm", expr("(1000000 * n_recip) div n_out"))
+        .orderBy(col("src"))
+    }),
+
     // Degree-distribution histogram of the link graph: nodes per
     // log2-bucket of out-degree (bucket = binary digit count, an exact
     // integer in both engines via conv/bin string length) — the
@@ -472,6 +490,26 @@ object WebQueries {
     "q_pagerank" -> pagerankSql(iters = 5, k = 15),
 
     "q_hits" -> hitsSql(iters = 4, k = 15),
+
+    "q_reciprocal_links" ->
+      """WITH e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 50 AS src, (doc_id*7+3) % 60 AS dst
+             FROM documents
+             UNION ALL
+             SELECT doc_id % 50 AS src, (doc_id*13+11) % 60 AS dst
+             FROM documents)),
+         rec AS (
+           SELECT a.src, count(*) AS n_recip
+           FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+           GROUP BY a.src),
+         od AS (SELECT src, count(*) AS n_out FROM e GROUP BY src)
+         SELECT od.src, od.n_out,
+                CAST(coalesce(rec.n_recip, 0) AS BIGINT) AS n_recip,
+                (1000000 * CAST(coalesce(rec.n_recip, 0) AS BIGINT))
+                  // od.n_out AS recip_ppm
+         FROM od LEFT JOIN rec ON od.src = rec.src
+         ORDER BY od.src""",
 
     "q_degree_dist" ->
       """WITH e AS (
