@@ -961,6 +961,15 @@ object TextQueries {
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
         k = 50)),
 
+    // Content-defined chunking: token-hash boundaries (hash16 % 16 == 0,
+    // ~16-token expected chunks) — the shift-resistant chunk table that
+    // keeps chunk hashes stable across document edits, enabling
+    // chunk-level dedup/delta storage. One window per doc, one rollup.
+    "q_content_chunks" -> ((s, d) =>
+      graft.ops.ContentChunk.chunks(Tables.documents(s, d), "doc_id",
+          "text", div = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Mixed-language detection (the CCNet drop rule a doc-level lang-id
     // cannot make): per-paragraph language votes, doc flagged when
     // paragraphs disagree — planted Spanish blocks on every 4th doc.
@@ -2975,6 +2984,39 @@ object TextQueries {
                FROM (SELECT doc_id,
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
+    },
+
+    // content-chunk replay: same nibble hash, same running boundary
+    // count, same per-chunk rollup and hash
+    "q_content_chunks" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+          s" THEN ascii(substr(h,$i,1)) - 48" +
+          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+      s"""WITH toks AS (
+           SELECT doc_id, i - 1 AS pos, w[i] AS tok
+           FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+                 FROM documents),
+                LATERAL unnest(range(1, len(w) + 1)) AS t(i)),
+         hv AS (
+           SELECT doc_id, pos, tok,
+             CASE WHEN ((${nib(1)}) * 4096 + (${nib(2)}) * 256
+                      + (${nib(3)}) * 16 + (${nib(4)})) % 16 = 0
+                  THEN 1 ELSE 0 END AS b
+           FROM (SELECT doc_id, pos, tok, md5(tok) AS h FROM toks)),
+         cid AS (
+           SELECT doc_id, pos, tok,
+             CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS chunk_idx
+           FROM hv)
+         SELECT doc_id, chunk_idx,
+                CAST(min(pos) AS BIGINT) AS start_tok,
+                count(*) AS n_toks,
+                md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+         FROM cid GROUP BY doc_id, chunk_idx
+         ORDER BY doc_id, chunk_idx"""
     },
 
     // mixed-language replay: same plant, per-paragraph argmax, rollup
