@@ -194,6 +194,27 @@ object StreamingSemanticsQueries {
       graft.sources.Cdc.materialize(changes, Seq("user_id"))
     }),
 
+    // §2.1 CDC changelog → SCD Type-2 history: every change version per
+    // user with [valid_from, valid_to) ranges and the is_current flag —
+    // the warehouse-standard versioned dimension built from the same
+    // Debezium envelope as q_cdc_materialize (whose result must equal
+    // the is_current slice, spec'd). One lead-window per key.
+    "q_cdc_history" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"))
+      val changes = graft.sources.Cdc.envelopeMixed(ev,
+        when(col("event_type") === "error", graft.sources.Cdc.Deletes)
+          .otherwise(graft.sources.Cdc.Updates),
+        col("event_id"))
+      graft.sources.Cdc.history(changes, Seq("user_id"))
+        .select(col("user_id"), col("op"),
+          col("after.event_type").as("event_type"),
+          col("after.value").as("value"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // §2.1 KV/doc-store sink family (the Redis/HBase/Mongo sink analog):
     // the events changelog merges into an embedded compacted key→value
     // store in TWO out-of-order generation merges (odd event ids, then
@@ -376,6 +397,21 @@ object StreamingSemanticsQueries {
          FROM (SELECT user_id, event_type, value, event_id, row_number() OVER (
                  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
          WHERE rn = 1 AND event_type <> 'error'""",
+    "q_cdc_history" ->
+      """SELECT user_id,
+                CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+                CASE WHEN event_type = 'error' THEN NULL
+                     ELSE event_type END AS event_type,
+                CASE WHEN event_type = 'error' THEN NULL
+                     ELSE value END AS value,
+                event_id AS valid_from,
+                lead(event_id) OVER (PARTITION BY user_id
+                  ORDER BY event_id) AS valid_to,
+                lead(event_id) OVER (PARTITION BY user_id
+                  ORDER BY event_id) IS NULL
+                  AND event_type <> 'error' AS is_current
+         FROM events ORDER BY user_id, valid_from""",
+
     "q_kv_store" ->
       """SELECT user_id, event_type AS state, value AS last_value, event_id
          FROM (SELECT user_id, event_type, value, event_id, row_number() OVER (

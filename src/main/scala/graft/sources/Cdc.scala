@@ -88,4 +88,27 @@ object Cdc {
       .select(keyCols.map(k => col(s"__k_$k").as(k)) ++ Seq(
         col("__last.after").as("after"),
         (col("__last.op") === Deletes).as("__deleted")): _*)
+
+  /** Changelog → SCD Type-2 HISTORY table: every change version per key
+    * with `valid_from` = its changelog position, `valid_to` = the next
+    * change's position (null while open), `is_current` for the one open
+    * non-deleted version. Deletes appear as tombstone rows that close
+    * validity and can never be current — so `materialize` ≡ the
+    * `is_current` slice of `history` (spec'd). One `lead` window
+    * partitioned by key: per-key state never crosses keys, the shuffle
+    * key is the natural dimension key. */
+  def history(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keyExprs = keyCols.map(k =>
+      coalesce(col(s"after.$k"), col(s"before.$k")).as(k))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("valid_from"),
+        when(col("op") === Deletes, 1).otherwise(0))
+    changes
+      .select(keyExprs ++ Seq(col("op"), col("after"),
+        col("ts_ms").as("valid_from")): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current",
+        col("valid_to").isNull && col("op") =!= Deletes)
+  }
 }

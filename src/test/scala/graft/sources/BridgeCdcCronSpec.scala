@@ -78,6 +78,33 @@ class BridgeCdcCronSpec extends SparkSuite {
     assert(ups.toSeq == Seq((1L, false), (2L, true), (3L, false)))
   }
 
+  test("CDC history: abutting validity ranges; is_current slice equals materialize") {
+    val t0 = 1000L
+    def rows(xs: (Long, String)*) = xs.toSeq.toDF("id", "name")
+    val changes =
+      Cdc.envelope(rows(1L -> "alice", 2L -> "bob"), Cdc.Creates, lit(t0))
+        .union(Cdc.envelope(rows(1L -> "alicia"), Cdc.Updates, lit(t0 + 10)))
+        .union(Cdc.envelope(rows(1L -> "alix"), Cdc.Updates, lit(t0 + 20)))
+        .union(Cdc.envelope(rows(2L -> "bob"), Cdc.Deletes, lit(t0 + 20)))
+    val h = Cdc.history(changes, Seq("id"))
+      .select(col("id"), col("op"), col("after.name").as("name"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .as[(Long, String, String, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(h == Seq(
+      (1L, "c", "alice", 1000L, Some(1010L), false),
+      (1L, "u", "alicia", 1010L, Some(1020L), false),
+      (1L, "u", "alix", 1020L, None, true),
+      (2L, "c", "bob", 1000L, Some(1020L), false),
+      (2L, "d", null, 1020L, None, false))) // tombstone is never current
+    // ranges abut per key; exactly the open non-deleted version is current
+    val current = h.filter(_._6).map(r => r._1 -> r._3)
+    val mat = Cdc.materialize(changes, Seq("id"))
+      .as[(Long, String)].collect().toSeq
+    assert(current.sorted == mat.sorted,
+      "materialize must equal the is_current slice of history")
+  }
+
   test("CDC delete wins a same-timestamp tie (emission order)") {
     val changes =
       Cdc.envelope(Seq(1L -> "x").toDF("id", "name"), Cdc.Creates, lit(5L))
