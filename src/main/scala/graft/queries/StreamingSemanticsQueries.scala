@@ -194,6 +194,16 @@ object StreamingSemanticsQueries {
       graft.sources.Cdc.materialize(changes, Seq("user_id"))
     }),
 
+    // Skew-proof two-phase aggregation: hot user keys spread over 8 salt
+    // buckets in phase 1, merged per key in phase 2 — must equal the
+    // plain rollup exactly (algebraic aggregates commute with the salt
+    // split). The shape that keeps one viral key from pinning a reducer
+    // at 100 TB.
+    "q_salted_agg" -> ((s, d) =>
+      graft.ops.Skew.saltedSumCount(Tables.events(s, d), Seq("user_id"),
+          "value", saltBuckets = 8)
+        .orderBy(col("user_id"))),
+
     // §2.1 CDC changelog → SCD Type-2 history: every change version per
     // user with [valid_from, valid_to) ranges and the is_current flag —
     // the warehouse-standard versioned dimension built from the same
@@ -397,6 +407,10 @@ object StreamingSemanticsQueries {
          FROM (SELECT user_id, event_type, value, event_id, row_number() OVER (
                  PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
          WHERE rn = 1 AND event_type <> 'error'""",
+    "q_salted_agg" ->
+      """SELECT user_id, sum(value) AS sum_value, count(*) AS count
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
     "q_cdc_history" ->
       """SELECT user_id,
                 CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
