@@ -17,6 +17,22 @@ class BpeSpec extends SparkSuite {
     docs(text).select(Bpe.encode(col("text"), merges).as("e"))
       .as[Seq[String]].head()
 
+  test("lossless: concatenated subword tokens reconstruct every document") {
+    // the tokenizer invariant training data depends on — encoding loses
+    // nothing, whatever merges were learned
+    val rnd = new scala.util.Random(13)
+    val corpus = (1 to 30).map(_ =>
+      Seq.fill(8)("abcde".substring(0, 1 + rnd.nextInt(4)) * (1 + rnd.nextInt(3)))
+        .mkString(" "))
+    val merges = Bpe.train(docs(corpus: _*), "text", numMerges = 6)
+    val out = docs(corpus: _*)
+      .select(col("text"),
+        array_join(Bpe.encode(col("text"), merges), "").as("cat"),
+        regexp_replace(col("text"), " ", "").as("nospace"))
+      .where(col("cat") =!= col("nospace"))
+    assert(out.count() == 0, "a document failed the round trip")
+  }
+
   test("training learns the most frequent pair first") {
     // "aa" ×2 and "ab" ×1: pair (a,a) has count 2, (a,b) count 1
     val merges = Bpe.train(docs("aa aa ab"), "text", numMerges = 2)
