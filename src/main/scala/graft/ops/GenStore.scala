@@ -105,6 +105,28 @@ private[ops] final class GenStore(path: String) {
     currentGen().exists(g =>
       Option(g.listFiles()).getOrElse(Array.empty).exists(present))
 
+  /** All retained generation names, oldest index first — the live one
+    * plus any not-yet-reaped predecessors/orphans. */
+  def generations(): Seq[String] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName)
+      .sortBy(_.stripPrefix("gen-").toInt).toSeq
+
+  /** A RETAINED generation's data by name — the store's time-travel /
+    * rollback read face (the reference's seek-to-earlier-position,
+    * `Reader#seek`, applied to index state): a replaced generation stays
+    * scannable until reaped, so "what did the index hold before this
+    * compaction" is one read away. None only when the generation is
+    * missing or empty; read failures propagate. */
+  def readGeneration(spark: org.apache.spark.sql.SparkSession,
+                     genName: String,
+                     present: File => Boolean): Option[org.apache.spark.sql.DataFrame] =
+    Some(new File(path, genName))
+      .filter(g => g.isDirectory &&
+        Option(g.listFiles()).getOrElse(Array.empty).exists(present))
+      .map(g => spark.read.parquet(g.getAbsolutePath))
+
   /** The live generation's data as a DataFrame, when `present` says it
     * holds any (a zero-row append leaves only a _SUCCESS marker — reading
     * that would fail schema inference). Only a MISSING store maps to None;
