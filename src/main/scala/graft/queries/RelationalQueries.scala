@@ -151,6 +151,32 @@ object RelationalQueries {
                GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
     }),
 
+    // Referential-integrity audit across the FK chain (lineitem→orders,
+    // orders→customer, lineitem→part/supplier) — the post-ingest load
+    // check every warehouse runs. Orphan counts via broadcast-able
+    // left-anti joins on the key tables; one row per relationship.
+    "q_fk_integrity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      def orphans(name: String, child: org.apache.spark.sql.DataFrame,
+                  ck: String, parent: org.apache.spark.sql.DataFrame,
+                  pk: String) = {
+        val n = child.count()
+        child.join(parent.select(col(pk)), col(ck) === col(pk),
+            "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("relationship"),
+            lit(n).as("n_child_rows"), col("n_orphans"))
+      }
+      orphans("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(orphans("orders->customer", o, "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .unionByName(orphans("lineitem->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionByName(orphans("lineitem->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .orderBy(col("relationship"))
+    }),
+
     // §2.4 rate/stats aggregation (PulsarStats analog).
     "q_rate_stats" -> ((s, d) => {
       Tables.events(s, d).groupBy(col("event_type"))
@@ -411,6 +437,33 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_fk_integrity" ->
+      """SELECT * FROM (
+           SELECT 'lineitem->orders' AS relationship,
+                  (SELECT count(*) FROM lineitem) AS n_child_rows,
+                  (SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+           UNION ALL
+           SELECT 'orders->customer',
+                  (SELECT count(*) FROM orders),
+                  (SELECT count(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey))
+           UNION ALL
+           SELECT 'lineitem->part',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM part p
+                     WHERE p.p_partkey = l.l_partkey))
+           UNION ALL
+           SELECT 'lineitem->supplier',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                     WHERE s.s_suppkey = l.l_suppkey)))
+         ORDER BY relationship""",
+
     "q_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50_exact,
                 count(*) AS n, true AS approx_within_1pct

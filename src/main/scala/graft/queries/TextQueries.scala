@@ -961,6 +961,26 @@ object TextQueries {
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
         k = 50)),
 
+    // Vocabulary coverage: eval-split OOV rate against the train-split
+    // vocabulary, per language — the tokenizer/LM prep metric that
+    // decides whether a vocab generalizes. Train vocab = distinct
+    // train tokens (per lang); eval tokens probe it with a left join;
+    // rate in ppm. The split is the board's %10 eval convention.
+    "q_vocab_oov" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      val vocab = toks.where(col("doc_id") % 10 =!= 0)
+        .select(col("lang"), col("tok")).distinct()
+        .withColumn("__known", lit(1))
+      toks.where(col("doc_id") % 10 === 0)
+        .join(vocab, Seq("lang", "tok"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_eval_tokens"),
+          sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm", expr("(1000000 * n_oov) div n_eval_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // Content-defined chunking: token-hash boundaries (hash16 % 16 == 0,
     // ~16-token expected chunks) — the shift-resistant chunk table that
     // keeps chunk hashes stable across document edits, enabling
@@ -2985,6 +3005,24 @@ object TextQueries {
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
     },
+
+    // OOV replay: same split, same distinct vocab, same probe
+    "q_vocab_oov" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, t FROM (
+             SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+             FROM documents) WHERE t <> ''),
+         vocab AS (
+           SELECT DISTINCT lang, t FROM toks WHERE doc_id % 10 <> 0),
+         ev AS (SELECT lang, t FROM toks WHERE doc_id % 10 = 0)
+         SELECT ev.lang, count(*) AS n_eval_tokens,
+                CAST(sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov,
+                (1000000 * CAST(sum(CASE WHEN vocab.t IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS oov_ppm
+         FROM ev LEFT JOIN vocab
+           ON ev.lang = vocab.lang AND ev.t = vocab.t
+         GROUP BY ev.lang ORDER BY ev.lang""",
 
     // content-chunk replay: same nibble hash, same running boundary
     // count, same per-chunk rollup and hash
