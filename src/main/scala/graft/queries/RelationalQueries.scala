@@ -157,16 +157,19 @@ object RelationalQueries {
     // left-anti joins on the key tables; one row per relationship.
     "q_fk_integrity" -> ((s, d) => {
       val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      // one left join + one aggregate per relationship — total rows and
+      // orphan rows counted in the SAME child scan (an anti-join would
+      // need a separate count() pass over the child)
       def orphans(name: String, child: org.apache.spark.sql.DataFrame,
                   ck: String, parent: org.apache.spark.sql.DataFrame,
-                  pk: String) = {
-        val n = child.count()
-        child.join(parent.select(col(pk)), col(ck) === col(pk),
-            "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-          .select(lit(name).as("relationship"),
-            lit(n).as("n_child_rows"), col("n_orphans"))
-      }
+                  pk: String) =
+        child.select(col(ck))
+          .join(parent.select(col(pk).as("__pk")), col(ck) === col("__pk"),
+            "left")
+          .agg(count(lit(1)).as("n_child_rows"),
+            sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("relationship"), col("n_child_rows"),
+            col("n_orphans"))
       orphans("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
         .unionByName(orphans("orders->customer", o, "o_custkey",
           Tables.customer(s, d), "c_custkey"))
