@@ -194,6 +194,24 @@ object StreamingSemanticsQueries {
       graft.sources.Cdc.materialize(changes, Seq("user_id"))
     }),
 
+    // Hourly trending top-3 event types — the "hot topics" analytics
+    // shape: tumbling count per (window, type), rank WITHIN each window
+    // (rk ≤ 3 as a filter ⇒ WindowGroupLimit heaps per hour), never a
+    // global sort.
+    "q_trending" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("wstart_ms"),
+          col("event_type"), col("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("wstart_ms"))
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .orderBy(col("wstart_ms"), col("rk"))
+    }),
+
     // Skew-proof two-phase aggregation: hot user keys spread over 8 salt
     // buckets in phase 1, merged per key in phase 2 — must equal the
     // plain rollup exactly (algebraic aggregates commute with the salt
@@ -410,6 +428,16 @@ object StreamingSemanticsQueries {
     "q_salted_agg" ->
       """SELECT user_id, sum(value) AS sum_value, count(*) AS count
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_trending" ->
+      """WITH c AS (
+           SELECT (epoch_ms(ts) // 3600000) * 3600000 AS wstart_ms,
+                  event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY wstart_ms
+                 ORDER BY n DESC, event_type) AS rk FROM c)
+         SELECT wstart_ms, event_type, n, CAST(rk AS INT) AS rk
+         FROM r WHERE rk <= 3 ORDER BY wstart_ms, rk""",
 
     "q_cdc_history" ->
       """SELECT user_id,

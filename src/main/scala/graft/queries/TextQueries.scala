@@ -961,6 +961,28 @@ object TextQueries {
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
         k = 50)),
 
+    // Planning-time corpus estimation: total token count projected from
+    // a deterministic 1/8 hash sample (first md5 nibble < 2) with the
+    // exact total and the error emitted beside it — the honest
+    // estimate-then-verify shape a 100 TB run uses to size budgets
+    // before paying for the full scan. Integer ×8 scaling, no floats.
+    "q_token_estimate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tc = tokenCount(col("text"))
+      val h = md5(col("doc_id").cast("string"))
+      val a = ascii(substring(h, 1, 1))
+      val nib = when(a <= 57, a - 48).otherwise(a - 87)
+      docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(tc).as("exact_tokens"),
+          sum(when(nib < 2, tc).otherwise(0L)).as("__s"),
+          sum(when(nib < 2, 1L).otherwise(0L)).as("n_sampled"))
+        .select(col("n_docs"), col("n_sampled"), col("exact_tokens"),
+          (col("__s") * 8L).as("est_tokens"),
+          expr("(1000000 * abs(__s * 8 - exact_tokens)) div exact_tokens")
+            .as("err_ppm"))
+    }),
+
     // Vocabulary coverage: eval-split OOV rate against the train-split
     // vocabulary, per language — the tokenizer/LM prep metric that
     // decides whether a vocab generalizes. Train vocab = distinct
@@ -3005,6 +3027,30 @@ object TextQueries {
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
     },
+
+    // estimate replay: same nibble gate, same ×8 scaling
+    "q_token_estimate" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+               AS BIGINT) AS tc,
+             (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                     <= 57
+                   THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                     - 48
+                   ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                     - 87 END) AS nib
+           FROM documents)
+         SELECT count(*) AS n_docs,
+                CAST(sum(CASE WHEN nib < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_sampled,
+                CAST(sum(tc) AS BIGINT) AS exact_tokens,
+                CAST(sum(CASE WHEN nib < 2 THEN tc ELSE 0 END) * 8
+                  AS BIGINT) AS est_tokens,
+                (1000000 * abs(CAST(sum(CASE WHEN nib < 2 THEN tc ELSE 0
+                  END) * 8 AS BIGINT) - CAST(sum(tc) AS BIGINT)))
+                  // CAST(sum(tc) AS BIGINT) AS err_ppm
+         FROM t""",
 
     // OOV replay: same split, same distinct vocab, same probe
     "q_vocab_oov" ->
