@@ -521,6 +521,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Window"))
   }
 
+  test("trending top-3 ranks under WindowGroupLimit, no global sort") {
+    val p = plan("q_trending")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-hour rank must keep top-k heaps:\n$p")
+  }
+
+  test("salted aggregation is exactly two exchanges, both partial-combined") {
+    val p = plan("q_salted_agg")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"phase-1 (key,salt) + phase-2 (key):\n$p")
+    assert(p.contains("partial"))
+  }
+
+  test("content chunking: one doc-keyed window, no self-joins") {
+    val p = plan("q_content_chunks")
+    assert(!p.contains("Join"), s"no joins expected:\n$p")
+    assert("Window".r.findAllIn(p).nonEmpty)
+  }
+
   test("web-curate funnel: domain verdict broadcasts, no window sorts") {
     val p = plan("q_web_curate")
     assert(p.contains("BroadcastHashJoin"),
