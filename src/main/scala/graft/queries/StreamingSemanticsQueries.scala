@@ -194,6 +194,27 @@ object StreamingSemanticsQueries {
       graft.sources.Cdc.materialize(changes, Seq("user_id"))
     }),
 
+    // Ordered funnel (view → click-after → purchase-after): per step the
+    // count of users whose FIRST qualifying event strictly follows their
+    // previous step's first event — the conversion table every event
+    // pipeline reports. Three user-keyed aggregates chained by joins on
+    // the same key; no windows, no per-user event lists.
+    "q_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
     // Hourly trending top-3 event types — the "hot topics" analytics
     // shape: tumbling count per (window, type), rank WITHIN each window
     // (rk ≤ 3 as a filter ⇒ WindowGroupLimit heaps per hour), never a
@@ -428,6 +449,21 @@ object StreamingSemanticsQueries {
     "q_salted_agg" ->
       """SELECT user_id, sum(value) AS sum_value, count(*) AS count
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t2
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t1
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t3
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t2
+               GROUP BY e.user_id)
+         SELECT (SELECT count(*) FROM v) AS n_view,
+                (SELECT count(*) FROM c) AS n_click_after,
+                (SELECT count(*) FROM p) AS n_purchase_after""",
 
     "q_trending" ->
       """WITH c AS (
