@@ -194,6 +194,26 @@ object StreamingSemanticsQueries {
       graft.sources.Cdc.materialize(changes, Seq("user_id"))
     }),
 
+    // Cohort retention: users grouped by signup week, activity counted
+    // per whole-week offset from THEIR signup — the retention matrix.
+    // Week arithmetic in integer epoch-days (epoch_ms div 86400000 div 7)
+    // so both engines bucket identically; distinct users per cell.
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val wk = (unix_millis(col("ts")) / lit(86400000L) / lit(7L))
+        .cast("long")
+      val signup = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(wk).as("cohort_wk"))
+      ev.where(col("event_type") =!= "signup")
+        .select(col("user_id"), wk.as("act_wk"))
+        .join(signup, "user_id")
+        .where(col("act_wk") >= col("cohort_wk"))
+        .groupBy(col("cohort_wk"),
+          (col("act_wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
     // Ordered funnel (view → click-after → purchase-after): per step the
     // count of users whose FIRST qualifying event strictly follows their
     // previous step's first event — the conversion table every event
@@ -449,6 +469,20 @@ object StreamingSemanticsQueries {
     "q_salted_agg" ->
       """SELECT user_id, sum(value) AS sum_value, count(*) AS count
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_cohort_retention" ->
+      """WITH s AS (
+           SELECT user_id, min(epoch_ms(ts) // 86400000 // 7) AS cohort_wk
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         a AS (
+           SELECT user_id, epoch_ms(ts) // 86400000 // 7 AS act_wk
+           FROM events WHERE event_type <> 'signup')
+         SELECT s.cohort_wk, a.act_wk - s.cohort_wk AS week_offset,
+                count(DISTINCT a.user_id) AS n_active
+         FROM a JOIN s ON a.user_id = s.user_id
+         WHERE a.act_wk >= s.cohort_wk
+         GROUP BY s.cohort_wk, week_offset
+         ORDER BY s.cohort_wk, week_offset""",
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
