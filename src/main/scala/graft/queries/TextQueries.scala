@@ -961,6 +961,22 @@ object TextQueries {
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
         k = 50)),
 
+    // Hapax-legomena rate per language: the share of vocabulary seen
+    // exactly once — the vocab-health stat (high hapax share = noisy or
+    // under-sampled text; near-zero = template text). Two map-side
+    // rollups on the same token stream.
+    "q_hapax_rate" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("lang"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+          sum(col("c")).as("n_tokens"))
+        .withColumn("hapax_ppm", expr("(1000000 * n_hapax) div n_vocab"))
+        .orderBy(col("lang"))
+    }),
+
     // Planning-time corpus estimation: total token count projected from
     // a deterministic 1/8 hash sample (first md5 nibble < 2) with the
     // exact total and the error emitted beside it — the honest
@@ -3027,6 +3043,21 @@ object TextQueries {
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
     },
+
+    // hapax replay: same token stream, same two rollups
+    "q_hapax_rate" ->
+      """WITH t AS (
+           SELECT lang, t FROM (
+             SELECT lang, unnest(string_split(text, ' ')) AS t
+             FROM documents) WHERE t <> ''),
+         c AS (SELECT lang, t, count(*) AS c FROM t GROUP BY lang, t)
+         SELECT lang, count(*) AS n_vocab,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+                CAST(sum(c) AS BIGINT) AS n_tokens,
+                (1000000 * CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT)) // count(*) AS hapax_ppm
+         FROM c GROUP BY lang ORDER BY lang""",
 
     // estimate replay: same nibble gate, same ×8 scaling
     "q_token_estimate" ->
