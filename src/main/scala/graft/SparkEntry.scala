@@ -15,7 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     minhash-LSH/simhash/ngram-jaccard, language ID, quality, fingerprint,
   *     token count, multimodal metadata)
   *   - [[graft.queries.VectorQueries]] — similarity search (brute-force
-  *     cosine top-k, IVF, LSH ANN)
+  *     cosine top-k, IVF/IVF-PQ/SQ8/SRP/LSH/Matryoshka ANN,
+  *     classification, mining)
+  *   - [[graft.queries.WebQueries]] — web-corpus curation (URL
+  *     canonicalization/dedup/filtering, domain caps and quality gates,
+  *     link graph: PageRank/HITS/degree/reciprocity, anchor text,
+  *     noindex compliance, the composed curation funnel)
   */
 object SparkEntry {
 

@@ -194,6 +194,22 @@ object StreamingSemanticsQueries {
       graft.sources.Cdc.materialize(changes, Seq("user_id"))
     }),
 
+    // Ingest-freshness lag: per event type, newest event vs the global
+    // high-water mark in ms — the staleness panel a pipeline monitor
+    // alerts on. Two tiny aggregates, one broadcast.
+    "q_freshness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val per = ev.groupBy(col("event_type"))
+        .agg(max(unix_millis(col("ts"))).as("newest_ms"),
+          count(lit(1)).as("n_events"))
+      val hwm = ev.agg(max(unix_millis(col("ts"))).as("hwm_ms"))
+      per.crossJoin(broadcast(hwm))
+        .withColumn("lag_ms", col("hwm_ms") - col("newest_ms"))
+        .select(col("event_type"), col("n_events"), col("newest_ms"),
+          col("lag_ms"))
+        .orderBy(col("event_type"))
+    }),
+
     // Cohort retention: users grouped by signup week, activity counted
     // per whole-week offset from THEIR signup — the retention matrix.
     // Week arithmetic in integer epoch-days (epoch_ms div 86400000 div 7)
@@ -469,6 +485,13 @@ object StreamingSemanticsQueries {
     "q_salted_agg" ->
       """SELECT user_id, sum(value) AS sum_value, count(*) AS count
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_freshness" ->
+      """WITH hwm AS (SELECT max(epoch_ms(ts)) AS hwm_ms FROM events)
+         SELECT event_type, count(*) AS n_events,
+                max(epoch_ms(ts)) AS newest_ms,
+                (SELECT hwm_ms FROM hwm) - max(epoch_ms(ts)) AS lag_ms
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_cohort_retention" ->
       """WITH s AS (

@@ -961,6 +961,19 @@ object TextQueries {
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
         k = 50)),
 
+    // Document-length histogram per language: docs and chars per log2
+    // length bucket (binary digit count — the q_degree_dist discipline)
+    // — the length-distribution panel of every corpus card.
+    "q_doclen_dist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          length(conv(length(col("text")).cast("string"), 10, 2))
+            .cast("long").as("bucket"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"))
+        .orderBy(col("lang"), col("bucket"))),
+
     // Hapax-legomena rate per language: the share of vocabulary seen
     // exactly once — the vocab-health stat (high hapax share = noisy or
     // under-sampled text; near-zero = template text). Two map-side
@@ -3043,6 +3056,13 @@ object TextQueries {
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
     },
+
+    // doclen replay: same binary-digit buckets
+    "q_doclen_dist" ->
+      """SELECT lang, CAST(length(bin(length(text))) AS BIGINT) AS bucket,
+                count(*) AS n_docs,
+                CAST(sum(length(text)) AS BIGINT) AS n_chars
+         FROM documents GROUP BY lang, bucket ORDER BY lang, bucket""",
 
     // hapax replay: same token stream, same two rollups
     "q_hapax_rate" ->
