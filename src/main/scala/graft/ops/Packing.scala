@@ -89,6 +89,44 @@ object Packing {
       .select(shard.map(col) :+ col("chunk") :+ col("input_ids"): _*)
   }
 
+  /** The packed layout's DOCUMENT-SEGMENT table: for every full chunk of
+    * [[packIds]], which documents occupy it and where —
+    * (shard..., chunk, key, seg_start, seg_len), `seg_start` the offset
+    * inside the chunk. This is the attention-mask/boundary metadata a
+    * packed-pretraining loader needs beside `input_ids` (mask cross-doc
+    * attention, reset position ids) and the provenance map back from a
+    * chunk to its source documents.
+    *
+    * Computed WITHOUT exploding ids: the same running-offset window as
+    * [[packIds]] (plus the shard total, same partitioning, to drop the
+    * partial tail chunk), then each document emits only its overlapped
+    * chunk range — output is segment-sized, not token-sized. */
+  def packSegments(records: DataFrame, shard: Seq[String], keyCol: String,
+                   idsCol: String, ctxLen: Long): DataFrame = {
+    require(ctxLen > 0, s"ctxLen $ctxLen must be positive")
+    val w = Window.partitionBy(shard.map(col): _*)
+      .orderBy(hashOf(col(keyCol)), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(shard.map(col): _*)
+    val rec = records
+      .withColumn("__n", size(col(idsCol)).cast("long"))
+      .where(col("__n") > 0)
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__total", sum(col("__n")).over(wAll))
+    rec
+      .withColumn("chunk", explode(sequence(
+        expr(s"__start div ${ctxLen}L"),
+        expr(s"(__start + __n - 1) div ${ctxLen}L"))))
+      .where(col("chunk") < expr(s"__total div ${ctxLen}L"))
+      .withColumn("seg_start",
+        greatest(lit(0L), col("__start") - col("chunk") * ctxLen))
+      .withColumn("seg_len",
+        least((col("chunk") + 1) * ctxLen, col("__start") + col("__n")) -
+          greatest(col("chunk") * ctxLen, col("__start")))
+      .select(shard.map(col) ++ Seq(col("chunk"), col(keyCol),
+        col("seg_start"), col("seg_len")): _*)
+  }
+
   /** Deterministic salt in [0, n): the md5-nibble [[TextFunctions.hash16]]
     * of the pack key, modulo n — ascii arithmetic only, so any SQL engine
     * reproduces the assignment exactly (same convention as the pack

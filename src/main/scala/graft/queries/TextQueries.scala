@@ -543,6 +543,19 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // The packed layout's document-boundary table: which docs occupy
+    // each full 128-id chunk and at what offsets — the attention-mask /
+    // provenance metadata beside q_pack_ids' input_ids, derived from the
+    // same running offsets WITHOUT exploding a single token id.
+    "q_pack_segments" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val recs = encodedIdsArtifact(s, d)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.ops.Packing.packSegments(recs, Seq("lang"), "doc_id",
+          "input_ids", ctxLen = 128L)
+        .orderBy(col("lang"), col("chunk"), col("seg_start"))
+    }),
+
     // Packed TRAINING RECORDS: the encoded id arrays laid end-to-end per
     // language in deterministic md5 order and re-cut into 128-id rows,
     // partial tails dropped — the file a pretraining loader reads. Reads
@@ -2360,6 +2373,34 @@ object TextQueries {
                   // CAST(sum(nt) AS BIGINT) AS chars_per_100tok
          FROM f GROUP BY lang ORDER BY lang""",
     "q_pack_ids" -> bpePackIdsSql,
+    // segment replay: the same running offsets, overlapped chunk ranges
+    // per doc, tail chunk dropped by the shard total
+    "q_pack_segments" ->
+      s"""WITH $bpeIdsCtes,
+         rec AS (
+           SELECT d.lang, di.doc_id, len(di.input_ids) AS n,
+                  coalesce(sum(len(di.input_ids)) OVER (PARTITION BY d.lang
+                    ORDER BY md5(CAST(di.doc_id AS VARCHAR)), di.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS start
+           FROM docids di JOIN documents d USING (doc_id)),
+         tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total
+                 FROM rec GROUP BY lang),
+         seg AS (
+           SELECT r.lang, r.doc_id, u.c AS chunk,
+                  greatest(0, r.start - u.c * 128) AS seg_start,
+                  least((u.c + 1) * 128, r.start + r.n)
+                    - greatest(u.c * 128, r.start) AS seg_len
+           FROM rec r,
+                LATERAL unnest(range(CAST(r.start // 128 AS BIGINT),
+                  CAST((r.start + r.n - 1) // 128 + 1 AS BIGINT)))
+                  AS u(c))
+         SELECT s.lang, CAST(s.chunk AS BIGINT) AS chunk, s.doc_id,
+                CAST(s.seg_start AS BIGINT) AS seg_start,
+                CAST(s.seg_len AS BIGINT) AS seg_len
+         FROM seg s JOIN tot ON s.lang = tot.lang
+         WHERE s.chunk < tot.total // 128
+         ORDER BY s.lang, chunk, seg_start""",
     "q_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM sh""",

@@ -108,4 +108,45 @@ class PackingSpec extends SparkSuite {
       "input_ids", ctx).as[(String, Long, Seq[Long])].collect().sortBy(_._2)
     assert(again.toSeq == out.toSeq)
   }
+
+  test("packSegments tiles every full chunk and reconstructs packIds exactly") {
+    val recs = (1 to 9).map { i =>
+      (i.toLong, "s", (1 to (i * 3)).map(j => (i * 100 + j).toLong))
+    }.toDF("id", "shard", "input_ids")
+    val ctx = 16L
+    val chunks = Packing.packIds(recs, Seq("shard"), col("id"),
+        "input_ids", ctx)
+      .as[(String, Long, Seq[Long])].collect().map(r => r._2 -> r._3).toMap
+    val segs = Packing.packSegments(recs, Seq("shard"), "id",
+        "input_ids", ctx)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3, r._4, r._5)).toSeq // (chunk, id, start, len)
+    // per chunk the segments tile [0, ctx) exactly
+    segs.groupBy(_._1).foreach { case (ck, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.map(_._4).sum == ctx, s"chunk $ck seg lens")
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, s1, l1), (_, _, s2, _)) => assert(s1 + l1 == s2)
+        case _ =>
+      }
+      assert(chunks.contains(ck), s"chunk $ck must be a full packIds chunk")
+    }
+    assert(segs.map(_._1).distinct.size == chunks.size,
+      "every full chunk has segments; the dropped tail has none")
+    // reconstruction: slicing each doc's ids by its segments reproduces
+    // the packed chunk streams
+    val ids = recs.as[(Long, String, Seq[Long])].collect()
+      .map(r => r._1 -> r._3).toMap
+    // a doc's segment consumes its ids in order across its chunks
+    val consumed = scala.collection.mutable.Map.empty[Long, Int]
+      .withDefaultValue(0)
+    segs.sortBy(s => (s._1, s._3)).foreach { case (ck, id, st, ln) =>
+      val off = consumed(id)
+      val slice = ids(id).slice(off, off + ln.toInt)
+      consumed(id) = off + ln.toInt
+      val expect = chunks(ck).slice(st.toInt, (st + ln).toInt)
+      assert(slice == expect, s"chunk $ck doc $id slice mismatch")
+    }
+  }
 }
