@@ -974,6 +974,37 @@ object TextQueries {
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
         k = 50)),
 
+    // JSONL ingest-validity audit: per source, how many records parse as
+    // JSON OBJECTS (the from_json struct contract) — planted mix of
+    // valid objects, truncated objects, arrays, and plain text. The
+    // check every JSONL loader runs before trusting a drop.
+    "q_json_validity" -> ((s, d) => {
+      val r = col("doc_id") % 4
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        when(r === 0, concat(lit("{\"a\": "), (col("doc_id") % 100)
+            .cast("string"), lit(", \"b\": \"x\"}")))
+          .when(r === 1, lit("{\"a\": "))
+          .when(r === 2, lit("[1, 2, 3]"))
+          .otherwise(col("text")).as("line"))
+      // PERMISSIVE from_json yields a null-filled struct for malformed
+      // input — route parse failures to a corrupt-record column so
+      // "parsed" genuinely means well-formed
+      val parsed = from_json(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "a INT, b STRING, _corrupt STRING"),
+        Map("columnNameOfCorruptRecord" -> "_corrupt"))
+      planted
+        .withColumn("valid",
+          parsed.isNotNull && parsed.getField("_corrupt").isNull &&
+            col("line").startsWith("{"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"))
+        .withColumn("valid_ppm", expr("(1000000 * n_valid) div n_lines"))
+        .orderBy(col("source"))
+    }),
+
     // Document-length histogram per language: docs and chars per log2
     // length bucket (binary digit count — the q_degree_dist discipline)
     // — the length-distribution panel of every corpus card.
@@ -3097,6 +3128,28 @@ object TextQueries {
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
     },
+
+    // json-validity replay: same plant; validity = well-formed AND an
+    // object root (mirrors the from_json struct contract)
+    "q_json_validity" ->
+      """WITH p AS (
+           SELECT doc_id, source,
+             CASE WHEN doc_id % 4 = 0
+                    THEN '{"a": ' || (doc_id % 100) || ', "b": "x"}'
+                  WHEN doc_id % 4 = 1 THEN '{"a": '
+                  WHEN doc_id % 4 = 2 THEN '[1, 2, 3]'
+                  ELSE text END AS line
+           FROM documents),
+         v AS (
+           SELECT source,
+             (json_valid(line) AND substr(line, 1, 1) = '{') AS valid
+           FROM p)
+         SELECT source, count(*) AS n_lines,
+                CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_valid,
+                (1000000 * CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END)
+                  AS BIGINT)) // count(*) AS valid_ppm
+         FROM v GROUP BY source ORDER BY source""",
 
     // doclen replay: same binary-digit buckets
     "q_doclen_dist" ->
