@@ -974,6 +974,30 @@ object TextQueries {
       graft.ops.Sketches.heavyHitters(Tables.documents(s, d), "text",
         k = 50)),
 
+    // Length-bucketed inference batching: docs sorted by token count
+    // within each language, cut into batches of 32 — the dynamic-batching
+    // layout that minimizes padding waste. Report per batch: size, max
+    // length, and padding ppm (batch_slots·max − actual, integer-exact).
+    // One per-language window (the epochShuffle shard discipline), never
+    // a global sort.
+    "q_length_batches" -> ((s, d) => {
+      val tc = tokenCount(col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("tc"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), tc.as("tc"))
+        .withColumn("batch",
+          expr("(row_number() OVER (PARTITION BY lang ORDER BY tc, doc_id)"
+            + " - 1) div 32"))
+        .groupBy(col("lang"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"), max(col("tc")).as("max_tokens"),
+          sum(col("tc")).as("sum_tokens"))
+        .withColumn("padding_ppm",
+          expr("(1000000 * (n_docs * max_tokens - sum_tokens))"
+            + " div (n_docs * max_tokens)"))
+        .orderBy(col("lang"), col("batch"))
+    }),
+
     // JSONL ingest-validity audit: per source, how many records parse as
     // JSON OBJECTS (the from_json struct contract) — planted mix of
     // valid objects, truncated objects, arrays, and plain text. The
@@ -3128,6 +3152,26 @@ object TextQueries {
                             md5('7:' || CAST(doc_id AS VARCHAR)) AS h
                      FROM documents))"""
     },
+
+    // batching replay: same per-lang order, same 32-cut, same ppm
+    "q_length_batches" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+               AS BIGINT) AS tc
+           FROM documents),
+         b AS (
+           SELECT lang, tc,
+             CAST((row_number() OVER (PARTITION BY lang
+               ORDER BY tc, doc_id) - 1) // 32 AS BIGINT) AS batch
+           FROM t)
+         SELECT lang, batch, count(*) AS n_docs,
+                CAST(max(tc) AS BIGINT) AS max_tokens,
+                CAST(sum(tc) AS BIGINT) AS sum_tokens,
+                (1000000 * (count(*) * CAST(max(tc) AS BIGINT)
+                  - CAST(sum(tc) AS BIGINT)))
+                  // (count(*) * CAST(max(tc) AS BIGINT)) AS padding_ppm
+         FROM b GROUP BY lang, batch ORDER BY lang, batch""",
 
     // json-validity replay: same plant; validity = well-formed AND an
     // object root (mirrors the from_json struct contract)
