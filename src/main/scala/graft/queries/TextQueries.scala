@@ -1100,6 +1100,52 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // The chunking-strategy stability experiment, run as ONE query: every
+    // doc gets an edited twin (one token inserted after position 3), both
+    // are chunked by fixed 16-token windows AND by content-defined
+    // boundaries, and each method reports how many of the original's
+    // chunk hashes survive the edit. Fixed windows shift every chunk
+    // after the insertion; content-defined boundaries realign — this is
+    // the measured justification for ContentChunk in a dedup/delta
+    // pipeline, emitted as data and replayed by the oracle.
+    "q_chunk_stability" -> ((s, d) => {
+      val base = Tables.documents(s, d).where(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val edited = base.select(col("doc_id"),
+        array_join(concat(slice(toks, 1, 3), array(lit("INSERTED")),
+          slice(toks, 4, 1000000)), " ").as("text"))
+      val both = base.select((col("doc_id") * 2).as("vid"), col("doc_id"),
+          col("text"))
+        .union(edited.select((col("doc_id") * 2 + 1).as("vid"),
+          col("doc_id"), col("text")))
+      // content-defined hashes per (doc, variant)
+      val cd = graft.ops.ContentChunk.chunks(both, "vid", "text", div = 16)
+        .select((col("vid") % 2 === 0).as("orig"),
+          expr("vid div 2").as("doc_id"), col("chunk_hash").as("h"))
+      // fixed non-overlapping 16-token windows, hashed the same way
+      val fx = graft.ops.RagChunk.chunks(both, "vid", "text",
+          window = 16, stride = 16)
+        .select((col("vid") % 2 === 0).as("orig"),
+          expr("vid div 2").as("doc_id"), md5(col("chunk_text")).as("h"))
+      def survival(chunks: org.apache.spark.sql.DataFrame, name: String) = {
+        val o = chunks.where(col("orig")).select(col("doc_id"), col("h"))
+          .distinct()
+        val e = chunks.where(!col("orig")).select(col("doc_id"), col("h"))
+          .distinct().withColumn("__hit", lit(1))
+        o.join(e, Seq("doc_id", "h"), "left")
+          .agg(count(lit(1)).as("n_orig_chunks"),
+            sum(coalesce(col("__hit"), lit(0))).cast("long")
+              .as("n_survived"))
+          .select(lit(name).as("method"), col("n_orig_chunks"),
+            col("n_survived"),
+            expr("(1000000 * n_survived) div n_orig_chunks")
+              .as("survival_ppm"))
+      }
+      survival(cd, "content_defined").unionByName(survival(fx, "fixed"))
+        .orderBy(col("method"))
+    }),
+
     // Content-defined chunking: token-hash boundaries (hash16 % 16 == 0,
     // ~16-token expected chunks) — the shift-resistant chunk table that
     // keeps chunk hashes stable across document edits, enabling
@@ -3258,6 +3304,76 @@ object TextQueries {
          FROM ev LEFT JOIN vocab
            ON ev.lang = vocab.lang AND ev.t = vocab.t
          GROUP BY ev.lang ORDER BY ev.lang""",
+
+    // stability replay: the same twin plant, both chunkers, both
+    // survival rollups
+    "q_chunk_stability" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+          s" THEN ascii(substr(h,$i,1)) - 48" +
+          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+      s"""WITH base AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 60),
+         ed AS (
+           SELECT doc_id,
+             array_to_string(list_concat(list_concat(w[1:3],
+               ['INSERTED']), w[4:]), ' ') AS text
+           FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+                 FROM base)),
+         pair AS (
+           SELECT doc_id * 2 AS vid, doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id * 2 + 1, doc_id, text FROM ed),
+         toksc AS (
+           SELECT vid, doc_id, i - 1 AS pos, w[i] AS tok
+           FROM (SELECT vid, doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+                 FROM pair),
+                LATERAL unnest(range(1, len(w) + 1)) AS t(i)),
+         hvs AS (
+           SELECT vid, doc_id, pos, tok,
+             CASE WHEN ((${nib(1)}) * 4096 + (${nib(2)}) * 256
+                      + (${nib(3)}) * 16 + (${nib(4)})) % 16 = 0
+                  THEN 1 ELSE 0 END AS b
+           FROM (SELECT vid, doc_id, pos, tok, md5(tok) AS h FROM toksc)),
+         cids AS (
+           SELECT vid, doc_id, pos, tok,
+             coalesce(sum(b) OVER (PARTITION BY vid ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_idx
+           FROM hvs),
+         cdh AS (
+           SELECT vid % 2 = 0 AS orig, doc_id,
+                  md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+           FROM cids GROUP BY vid, doc_id, chunk_idx),
+         fxh AS (
+           SELECT vid % 2 = 0 AS orig, doc_id,
+                  md5(array_to_string(w[s.v + 1 : s.v + 16], ' ')) AS h
+           FROM (SELECT vid, doc_id, string_split(text, ' ') AS w,
+                        len(string_split(text, ' ')) AS n
+                 FROM pair),
+                LATERAL unnest(range(0, n, 16)) AS s(v)),
+         cdo AS (SELECT DISTINCT doc_id, h FROM cdh WHERE orig),
+         cde AS (SELECT DISTINCT doc_id, h FROM cdh WHERE NOT orig),
+         fxo AS (SELECT DISTINCT doc_id, h FROM fxh WHERE orig),
+         fxe AS (SELECT DISTINCT doc_id, h FROM fxh WHERE NOT orig),
+         sv AS (
+           SELECT 'content_defined' AS method, count(*) AS n_orig_chunks,
+                  CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_survived
+           FROM cdo o LEFT JOIN cde e
+             ON o.doc_id = e.doc_id AND o.h = e.h
+           UNION ALL
+           SELECT 'fixed', count(*),
+                  CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+           FROM fxo o LEFT JOIN fxe e
+             ON o.doc_id = e.doc_id AND o.h = e.h)
+         SELECT method, n_orig_chunks, n_survived,
+                (1000000 * n_survived) // n_orig_chunks AS survival_ppm
+         FROM sv ORDER BY method"""
+    },
 
     // content-chunk replay: same nibble hash, same running boundary
     // count, same per-chunk rollup and hash
