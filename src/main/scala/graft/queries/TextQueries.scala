@@ -1155,6 +1155,23 @@ object TextQueries {
           "text", div = 16)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Gazetteer entity tagging (dictionary NER-lite): whole-token hits
+    // against a broadcast term list, rolled up per (source, entity) —
+    // the annotation pass that feeds entity-balance reports and targeted
+    // filtering. The gazetteer is drawn from the corpus's own frequent
+    // tokens so every scale has hits; scan-stage matching, one rollup.
+    "q_entity_tags" -> ((s, d) => {
+      val gazetteer = Seq("data", "system", "network", "model", "user")
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val g = array(gazetteer.map(lit): _*)
+      Tables.documents(s, d)
+        .select(col("source"),
+          explode(filter(toks, t => array_contains(g, t))).as("entity"))
+        .groupBy(col("source"), col("entity"))
+        .agg(count(lit(1)).as("n_mentions"))
+        .orderBy(col("source"), col("entity"))
+    }),
+
     // Mixed-language detection (the CCNet drop rule a doc-level lang-id
     // cannot make): per-paragraph language votes, doc flagged when
     // paragraphs disagree — planted Spanish blocks on every 4th doc.
@@ -3407,6 +3424,14 @@ object TextQueries {
          FROM cid GROUP BY doc_id, chunk_idx
          ORDER BY doc_id, chunk_idx"""
     },
+
+    // entity-tag replay: same whole-token gazetteer, same rollup
+    "q_entity_tags" ->
+      """SELECT source, t AS entity, count(*) AS n_mentions
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+               FROM documents)
+         WHERE t IN ('data', 'system', 'network', 'model', 'user')
+         GROUP BY source, t ORDER BY source, t""",
 
     // mixed-language replay: same plant, per-paragraph argmax, rollup
     "q_mixed_lang" ->
