@@ -1155,6 +1155,33 @@ object TextQueries {
           "text", div = 16)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Deterministic negative sampling: 4 pseudo-random non-self
+    // partners per anchor from md5 arithmetic (the RNG-free discipline
+    // of Sampling) — the contrastive-training feed beside the hard
+    // triplets of KnnOps. Corpus size enters as one broadcast scalar;
+    // self-collisions re-roll by +1 mod n.
+    "q_negative_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val h = md5(concat(col("k").cast("string"), lit(":"),
+        col("doc_id").cast("string")))
+      def nib(i: Int) = {
+        val a = ascii(substring(h, i, 1))
+        when(a <= 57, a - 48).otherwise(a - 87)
+      }
+      val hv = (1 to 8).map(i =>
+        nib(i).cast("long") * (1L << (4 * (8 - i)))).reduce(_ + _)
+      docs.select(col("doc_id"))
+        .crossJoin(broadcast(n))
+        .withColumn("k", explode(sequence(lit(1), lit(4))))
+        .withColumn("__base", pmod(hv, col("n")))
+        .withColumn("neg_id",
+          when(col("__base") === col("doc_id"),
+            pmod(col("__base") + 1, col("n"))).otherwise(col("__base")))
+        .select(col("doc_id"), col("k"), col("neg_id"))
+        .orderBy(col("doc_id"), col("k"))
+    }),
+
     // Gazetteer entity tagging (dictionary NER-lite): whole-token hits
     // against a broadcast term list, rolled up per (source, entity) —
     // the annotation pass that feeds entity-balance reports and targeted
@@ -3423,6 +3450,29 @@ object TextQueries {
                 md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
          FROM cid GROUP BY doc_id, chunk_idx
          ORDER BY doc_id, chunk_idx"""
+    },
+
+    // negative-sample replay: same md5 nibble arithmetic, same re-roll
+    "q_negative_sample" -> {
+      def nib(i: Int) =
+        s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+          s" THEN ascii(substr(h,$i,1)) - 48" +
+          s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+      val hv = (1 to 8)
+        .map(i => s"CAST(${nib(i)} AS BIGINT) * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+         e AS (
+           SELECT doc_id, k,
+                  md5(CAST(k AS VARCHAR) || ':' ||
+                    CAST(doc_id AS VARCHAR)) AS h
+           FROM documents, (SELECT unnest([1,2,3,4]) AS k)),
+         b AS (SELECT doc_id, k, ($hv) % (SELECT n FROM n) AS base FROM e)
+         SELECT doc_id, CAST(k AS INT) AS k,
+                CASE WHEN base = doc_id
+                     THEN (base + 1) % (SELECT n FROM n)
+                     ELSE base END AS neg_id
+         FROM b ORDER BY doc_id, k"""
     },
 
     // entity-tag replay: same whole-token gazetteer, same rollup
