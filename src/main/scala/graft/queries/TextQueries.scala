@@ -1029,6 +1029,37 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Population-stability-index drift between the train and eval splits
+    // over the doc-length distribution — THE production drift monitor:
+    // per log2 bucket, both splits' shares in ppm (clamped ≥ 1 ppm) and
+    // the PSI contribution (p−q)·(lnfp(p)−lnfp(q)) under the NgramLm
+    // fixed-point ln snap. Integer-exact end to end.
+    "q_psi_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bucket = length(conv(length(col("text")).cast("string"), 10, 2))
+        .cast("long")
+      val isEval = col("doc_id") % 10 === 0
+      val agg = docs.select(bucket.as("bucket"), isEval.as("ev"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(!col("ev"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("ev"), 1L).otherwise(0L)).as("n_eval"))
+      val tot = agg.agg(sum(col("n_train")).as("t_train"),
+        sum(col("n_eval")).as("t_eval"))
+      def lnFp(x: org.apache.spark.sql.Column) =
+        floor(log(x.cast("double")) * 1000000.0 + 0.5).cast("long")
+      agg.crossJoin(broadcast(tot))
+        .withColumn("p_ppm",
+          greatest(expr("(1000000 * n_train) div t_train"), lit(1L)))
+        .withColumn("q_ppm",
+          greatest(expr("(1000000 * n_eval) div t_eval"), lit(1L)))
+        .withColumn("psi_contrib_fp",
+          (col("p_ppm") - col("q_ppm")) *
+            (lnFp(col("p_ppm")) - lnFp(col("q_ppm"))))
+        .select(col("bucket"), col("n_train"), col("n_eval"),
+          col("p_ppm"), col("q_ppm"), col("psi_contrib_fp"))
+        .orderBy(col("bucket"))
+    }),
+
     // Document-length histogram per language: docs and chars per log2
     // length bucket (binary digit count — the q_degree_dist discipline)
     // — the length-distribution panel of every corpus card.
@@ -3284,6 +3315,30 @@ object TextQueries {
                 (1000000 * CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END)
                   AS BIGINT)) // count(*) AS valid_ppm
          FROM v GROUP BY source ORDER BY source""",
+
+    // PSI replay: same buckets, same ppm clamp, same lnfp snap
+    "q_psi_drift" ->
+      """WITH a AS (
+           SELECT CAST(length(bin(length(text))) AS BIGINT) AS bucket,
+                  CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+                  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_eval
+           FROM documents GROUP BY bucket),
+         t AS (SELECT CAST(sum(n_train) AS BIGINT) AS t_train,
+                      CAST(sum(n_eval) AS BIGINT) AS t_eval FROM a),
+         pq AS (
+           SELECT bucket, n_train, n_eval,
+                  greatest((1000000 * n_train) // t_train, 1) AS p_ppm,
+                  greatest((1000000 * n_eval) // t_eval, 1) AS q_ppm
+           FROM a CROSS JOIN t)
+         SELECT bucket, n_train, n_eval, p_ppm, q_ppm,
+                (p_ppm - q_ppm) *
+                (CAST(floor(ln(CAST(p_ppm AS DOUBLE)) * 1000000.0 + 0.5)
+                   AS BIGINT)
+                 - CAST(floor(ln(CAST(q_ppm AS DOUBLE)) * 1000000.0 + 0.5)
+                   AS BIGINT)) AS psi_contrib_fp
+         FROM pq ORDER BY bucket""",
 
     // doclen replay: same binary-digit buckets
     "q_doclen_dist" ->
