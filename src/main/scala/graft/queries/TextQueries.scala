@@ -1186,6 +1186,32 @@ object TextQueries {
           "text", div = 16)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Source-pair overlap matrix: each source's mergeable corpus MinHash
+    // sketch (min over its docs' signatures), all pairs compared by slot
+    // agreement — the cross-corpus contamination screen at O(sources²)
+    // sketch compares instead of a shingle join. Per-doc signatures
+    // computed once; rollup is 16 min aggregates per source.
+    "q_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = MinHashLsh.signatures(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val per = sigs.groupBy(col("source"))
+        .agg(min(col("mh0")).as("mh0"),
+          (1 until 16).map(i => min(col(s"mh$i")).as(s"mh$i")): _*)
+      val a = per.select(col("source").as("source_a") +:
+        (0 until 16).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val b = per.select(col("source").as("source_b") +:
+        (0 until 16).map(i => col(s"mh$i").as(s"b$i")): _*)
+      a.join(broadcast(b), col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          (0 until 16).map(i =>
+              when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+            .reduce(_ + _).as("agree_slots"))
+        .withColumn("est_jaccard_ppm",
+          expr("(1000000 * agree_slots) div 16"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Deterministic negative sampling: 4 pseudo-random non-self
     // partners per anchor from md5 arithmetic (the RNG-free discipline
     // of Sampling) — the contrastive-training feed beside the hard
@@ -3505,6 +3531,28 @@ object TextQueries {
                 md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
          FROM cid GROUP BY doc_id, chunk_idx
          ORDER BY doc_id, chunk_idx"""
+    },
+
+    // source-overlap replay: source-level min over the shingle union
+    // equals min-of-doc-mins; same slot agreement
+    "q_source_overlap" -> {
+      val mins = (0 until 16)
+        .map(i => s"min(md5('$i:' || sh)) AS mh$i").mkString(",\n            ")
+      val eqs = (0 until 16)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shingleCte,
+         ss AS (SELECT d.source, sr.sh
+                FROM shingle_rows sr JOIN documents d USING (doc_id)),
+         sigs AS (
+           SELECT source,
+            $mins
+           FROM ss GROUP BY source)
+         SELECT a.source AS source_a, b.source AS source_b,
+                CAST($eqs AS BIGINT) AS agree_slots,
+                (1000000 * CAST($eqs AS BIGINT)) // 16 AS est_jaccard_ppm
+         FROM sigs a JOIN sigs b ON a.source < b.source
+         ORDER BY source_a, source_b"""
     },
 
     // negative-sample replay: same md5 nibble arithmetic, same re-roll
