@@ -214,6 +214,18 @@ object WebQueries {
       .union(docs.select((col("doc_id") % 50).as("src"),
         expr("(doc_id * 13 + 11) % 60").as("dst")))
 
+  /** The planted link-graph edge CTE (`e(src, dst)`, deduped) shared by
+    * every graph oracle — one definition so the four graph queries can
+    * never drift onto different edge sets. */
+  private val edgesSqlCte: String =
+    """e AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT doc_id % 50 AS src, (doc_id*7+3) % 60 AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 50 AS src, (doc_id*13+11) % 60 AS dst
+          FROM documents))"""
+
   /** Unrolled integer-exact PageRank oracle: `iters` chained CTE rounds
     * replaying [[PageRank.ranks]]'s fixed-point formula — contribution
     * `rank // outdeg`, damping `(85·x) // 100`, dangling `dang // n` —
@@ -221,13 +233,7 @@ object WebQueries {
   private def pagerankSql(iters: Int, k: Int): String = {
     val S = "1000000000000"
     val sb = new StringBuilder
-    sb.append(s"""WITH e AS (
-        SELECT DISTINCT src, dst FROM (
-          SELECT doc_id % 50 AS src, (doc_id*7+3) % 60 AS dst
-          FROM documents
-          UNION ALL
-          SELECT doc_id % 50 AS src, (doc_id*13+11) % 60 AS dst
-          FROM documents)),
+    sb.append(s"""WITH $edgesSqlCte,
       nodes AS (SELECT DISTINCT node FROM (
           SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
       meta AS (SELECT count(*) AS n FROM nodes),
@@ -261,13 +267,7 @@ object WebQueries {
   private def hitsSql(iters: Int, k: Int): String = {
     val S = "1000000"
     val sb = new StringBuilder
-    sb.append(s"""WITH e AS (
-        SELECT DISTINCT src, dst FROM (
-          SELECT doc_id % 50 AS src, (doc_id*7+3) % 60 AS dst
-          FROM documents
-          UNION ALL
-          SELECT doc_id % 50 AS src, (doc_id*13+11) % 60 AS dst
-          FROM documents)),
+    sb.append(s"""WITH $edgesSqlCte,
       nodes AS (SELECT DISTINCT node FROM (
           SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
       h0 AS (SELECT node, CAST($S AS BIGINT) AS hub FROM nodes)""")
@@ -492,13 +492,7 @@ object WebQueries {
     "q_hits" -> hitsSql(iters = 4, k = 15),
 
     "q_reciprocal_links" ->
-      """WITH e AS (
-           SELECT DISTINCT src, dst FROM (
-             SELECT doc_id % 50 AS src, (doc_id*7+3) % 60 AS dst
-             FROM documents
-             UNION ALL
-             SELECT doc_id % 50 AS src, (doc_id*13+11) % 60 AS dst
-             FROM documents)),
+      s"""WITH $edgesSqlCte,
          rec AS (
            SELECT a.src, count(*) AS n_recip
            FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
@@ -512,13 +506,7 @@ object WebQueries {
          ORDER BY od.src""",
 
     "q_degree_dist" ->
-      """WITH e AS (
-           SELECT DISTINCT src, dst FROM (
-             SELECT doc_id % 50 AS src, (doc_id*7+3) % 60 AS dst
-             FROM documents
-             UNION ALL
-             SELECT doc_id % 50 AS src, (doc_id*13+11) % 60 AS dst
-             FROM documents)),
+      s"""WITH $edgesSqlCte,
          od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)
          SELECT CAST(length(bin(outdeg)) AS BIGINT) AS bucket,
                 count(*) AS n_nodes,
