@@ -194,6 +194,22 @@ object StreamingSemanticsQueries {
       graft.sources.Cdc.materialize(changes, Seq("user_id"))
     }),
 
+    // Rolling 7-day active users per day (WAU) — the sliding-DISTINCT
+    // workload a tumbling window cannot express: daily (day, user) pairs
+    // deduped once, then each day's window sums distinct users over its
+    // trailing week via a broadcast day-grid range join.
+    "q_rolling_active" -> ((s, d) => {
+      val day = (unix_millis(col("ts")) / lit(86400000L)).cast("long")
+      val du = Tables.events(s, d)
+        .select(day.as("day"), col("user_id")).distinct()
+      val days = du.select(col("day").as("d")).distinct()
+      du.join(broadcast(days),
+          col("day").between(col("d") - 6, col("d")))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy(col("d"))
+    }),
+
     // Ingest-freshness lag: per event type, newest event vs the global
     // high-water mark in ms — the staleness panel a pipeline monitor
     // alerts on. Two tiny aggregates, one broadcast.
@@ -485,6 +501,15 @@ object StreamingSemanticsQueries {
     "q_salted_agg" ->
       """SELECT user_id, sum(value) AS sum_value, count(*) AS count
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_rolling_active" ->
+      """WITH du AS (
+           SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+           FROM events),
+         dg AS (SELECT DISTINCT day AS d FROM du)
+         SELECT d, count(DISTINCT user_id) AS wau
+         FROM dg JOIN du ON du.day BETWEEN d - 6 AND d
+         GROUP BY d ORDER BY d""",
 
     "q_freshness" ->
       """WITH hwm AS (SELECT max(epoch_ms(ts)) AS hwm_ms FROM events)
