@@ -521,6 +521,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Window"))
   }
 
+  test("rolling actives: day grid broadcasts onto the deduped pair stream") {
+    val p = plan("q_rolling_active")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the day-sized grid must broadcast into the range join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("trending top-3 ranks under WindowGroupLimit, no global sort") {
     val p = plan("q_trending")
     assert(p.contains("WindowGroupLimit"),
