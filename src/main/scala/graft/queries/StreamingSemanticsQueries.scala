@@ -194,6 +194,19 @@ object StreamingSemanticsQueries {
       graft.sources.Cdc.materialize(changes, Seq("user_id"))
     }),
 
+    // First-touch attribution: each user's FIRST event type (ties by
+    // event_id — deterministic), rolled up into the acquisition mix.
+    // One min_by aggregate per user (map-side combinable), one rollup —
+    // never a per-user sort.
+    "q_first_touch" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min_by(col("event_type"),
+          struct(col("ts"), col("event_id"))).as("first_event"))
+        .groupBy(col("first_event"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("first_event"))),
+
     // Rolling 7-day active users per day (WAU) — the sliding-DISTINCT
     // workload a tumbling window cannot express: daily (day, user) pairs
     // deduped once, then each day's window sums distinct users over its
@@ -501,6 +514,14 @@ object StreamingSemanticsQueries {
     "q_salted_agg" ->
       """SELECT user_id, sum(value) AS sum_value, count(*) AS count
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_first_touch" ->
+      """SELECT first_event, count(*) AS n_users FROM (
+           SELECT user_id, event_type AS first_event,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+           FROM events)
+         WHERE rn = 1 GROUP BY first_event ORDER BY first_event""",
 
     "q_rolling_active" ->
       """WITH du AS (
