@@ -330,6 +330,23 @@ object WebQueries {
       PageRank.topRanks(linkEdges(Tables.documents(s, d)), "src", "dst",
         iters = 5, k = 15)),
 
+    // Query-parameter prevalence: every URL's parameter names counted
+    // and flagged against the canonicalizer's tracking list — the audit
+    // that justifies (and extends) the strip rules: a high-count
+    // unflagged parameter is the next candidate. Scan-stage split, one
+    // rollup.
+    "q_url_params" -> ((s, d) => {
+      val qs = regexp_extract(col("url"), "\\?([^#]*)", 1)
+      urlCorpus(Tables.documents(s, d))
+        .select(explode(filter(split(qs, "&"), p => p =!= "")).as("kv"))
+        .select(regexp_extract(col("kv"), "^([^=]*)", 1).as("param"))
+        .groupBy(col("param"))
+        .agg(count(lit(1)).as("n_urls"))
+        .withColumn("is_tracking",
+          col("param").rlike("^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)$"))
+        .orderBy(col("param"))
+    }),
+
     // Reciprocal-link fraction per source node — the link-exchange spam
     // signal (organic linking is mostly one-way; mutual-link rings are
     // manufactured). One self-join on the reversed edge key + one
@@ -490,6 +507,20 @@ object WebQueries {
     "q_pagerank" -> pagerankSql(iters = 5, k = 15),
 
     "q_hits" -> hitsSql(iters = 4, k = 15),
+
+    "q_url_params" ->
+      s"""WITH $urlCorpusCtes,
+         kv AS (
+           SELECT unnest(list_filter(string_split(
+             coalesce(regexp_extract(url, '\\?([^#]*)', 1), ''), '&'),
+             x -> x <> '')) AS kv
+           FROM u),
+         p AS (SELECT regexp_extract(kv, '^([^=]*)', 1) AS param FROM kv)
+         SELECT param, count(*) AS n_urls,
+                regexp_matches(param,
+                  '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)$$')
+                  AS is_tracking
+         FROM p GROUP BY param ORDER BY param""",
 
     "q_reciprocal_links" ->
       s"""WITH $edgesSqlCte,
