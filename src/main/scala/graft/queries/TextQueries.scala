@@ -320,6 +320,16 @@ object TextQueries {
         nearDupClusters(s, d), length(col("text")))
     }),
 
+    // Keeper election under the QUALITY score instead of raw length —
+    // the policy a curation run actually wants (keep the best-written
+    // duplicate, not the longest); same one-aggregate election, same
+    // cluster artifact, different score column.
+    "q_dedup_keep_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Components.keepBest(docs, "doc_id",
+        nearDupClusters(s, d), qualityScore(col("text")))
+    }),
+
     // The deduplicated corpus itself: rows surviving the keep-one decision
     // (a semi-join against the keeper set) — what a pipeline feeds
     // downstream after near-dup dedup.
@@ -2506,6 +2516,36 @@ object TextQueries {
       s"""WITH RECURSIVE $ccCtes, $keeperCtes
           SELECT component, doc_id AS keeper_id, n_members
           FROM ranked WHERE rn = 1""",
+    // the same closure, keeper elected by the replayed quality score
+    "q_dedup_keep_quality" ->
+      s"""WITH RECURSIVE $ccCtes,
+         qm AS (
+           SELECT doc_id, CAST(length(text) AS DOUBLE) AS chars,
+                  CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS DOUBLE) AS toks,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    x -> x = 'the')) AS DOUBLE) AS the_n
+           FROM documents),
+         qsq AS (
+           SELECT doc_id,
+               0.4 * least(chars / 500.0, 1.0)
+             + 0.3 * (1.0 - least(abs((chars - (toks - 1)) / toks - 5.0)
+                 / 5.0, 1.0))
+             + 0.3 * least((the_n / toks) * 10.0, 1.0) AS q
+           FROM qm),
+         labq AS (
+           SELECT coalesce(cc.component, d.doc_id) AS component, d.doc_id,
+                  qsq.q AS score
+           FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+           JOIN qsq ON qsq.doc_id = d.doc_id),
+         rkq AS (
+           SELECT component, doc_id,
+                  row_number() OVER (PARTITION BY component
+                    ORDER BY score DESC, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY component) AS n_members
+           FROM labq)
+         SELECT component, doc_id AS keeper_id, n_members
+         FROM rkq WHERE rn = 1""",
     "q_decontaminate_exact" ->
       """WITH fp AS (
            SELECT doc_id,
