@@ -126,6 +126,12 @@ object Bench {
     val keep = Iterator.range(sortedEntries.size, -1, -1).find(n =>
       compactLine(sortedEntries.take(n), sortedEntries.size - n).length <= budget)
       .getOrElse(0)
-    println(compactLine(sortedEntries.take(keep), sortedEntries.size - keep))
+    val compact = compactLine(sortedEntries.take(keep), sortedEntries.size - keep)
+    // sbt appends its own "[success] Total time..." trailer after our last
+    // line, so a last-line parse of raw stdout misses the record. Emit it
+    // twice: once behind a grep-able sentinel, once as our final line for
+    // tail-window capture.
+    println(s"GRAFT_BENCH_JSON: $compact")
+    println(compact)
   }
 }

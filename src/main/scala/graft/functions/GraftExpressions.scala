@@ -450,6 +450,20 @@ case class SrpSketchBits(child: Expression, planes: Array[Long],
   override def dataType: DataType = LongType
   override def prettyName: String = "srp_sketch_bits"
 
+  // getLong reads 8-byte strides; an array<int>/array<byte> input would
+  // silently evaluate garbage under UnsafeArrayData instead of failing
+  // analysis, so pin the element type here.
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> input (non-null elements), " +
+            s"got ${other.catalogString}")
+    }
+
   override def nullSafeEval(v: Any): Any = {
     val codes = v.asInstanceOf[ArrayData]
     val n = math.min(dim, codes.numElements())

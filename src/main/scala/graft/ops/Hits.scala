@@ -40,10 +40,25 @@ object Hits {
   def scores(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
              scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"bad iteration count $iters")
+    // scale² must not overflow before the degree bound below can apply
+    require(scale >= 1L && scale <= 1000000000L, s"bad scale $scale")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
+    // ENFORCE the scaladoc's overflow bound instead of trusting it: the
+    // normalization multiplies a raw edge-sum (≤ maxDegree·scale) by
+    // `scale`, so maxDegree·scale² must stay under 2⁶³ or a pathological
+    // pre-domainCap graph silently wraps. One map-side-combined degree
+    // aggregate + one-row max — cheap next to `iters` join rounds.
+    val degBound = Long.MaxValue / scale / scale
+    val maxDeg = e.select(col("dst").as("n"))
+      .union(e.select(col("src").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .agg(coalesce(max(col("deg")), lit(0L)).as("m")).head.getLong(0)
+    require(maxDeg < degBound,
+      s"HITS overflow: max node degree $maxDeg * scale^2 ($scale^2) would " +
+        s"exceed 2^63; lower `scale` or cap degrees (UrlOps.domainCap) first")
     // every hub starts at full scale; the first normalization rescales,
     // so only the RATIOS of the init matter (uniform ⇒ any positive unit)
     var hub = nodes.select(col("node"), lit(scale).as("hub"))

@@ -28,9 +28,9 @@ object Mmr {
 
   /** Greedy-select `n` rows per query from a candidate shortlist.
     * `cands`: one row per (query, candidate) with a relevance score and
-    * the candidate's embedding; candidate ids must be numeric (the
-    * tie-break negates them). Returns (queryCol, step, candCol, relCol,
-    * mmr_score). */
+    * the candidate's embedding; candidate ids may be any orderable type
+    * (numeric doc ids or string chunk keys — the tie-break never negates
+    * them). Returns (queryCol, step, candCol, relCol, mmr_score). */
   def rerank(cands: DataFrame, queryCol: String, candCol: String,
              relCol: String, vecCol: String, n: Int,
              lam: Double, lamComp: Double): DataFrame = {
@@ -52,10 +52,14 @@ object Mmr {
       val scored = remaining.join(pen, Seq(queryCol, candCol))
         .withColumn("__score",
           lit(lam) * col(relCol) - lit(lamComp) * col("__pen"))
+      // min_by over (−score, id): largest score, then SMALLEST candidate id
+      // — negating the score (always numeric) instead of the id lets string
+      // chunk keys (the realistic RAG store) work unchanged (same shape as
+      // KnnOps' vote tie-break).
       val pick = scored.groupBy(col(queryCol))
-        .agg(max_by(
+        .agg(min_by(
           struct(col(candCol), col(relCol), col(vecCol), col("__score")),
-          struct(col("__score"), (lit(0L) - col(candCol)).as("__t")))
+          struct((lit(0.0) - col("__score")).as("__ns"), col(candCol)))
           .as("__p"))
         .select(col(queryCol), col(s"__p.$candCol").as(candCol),
           col(s"__p.$relCol").as(relCol), col(s"__p.$vecCol").as(vecCol),

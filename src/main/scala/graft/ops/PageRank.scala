@@ -39,6 +39,11 @@ object PageRank {
   def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
             scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0 && iters <= 50, s"bad iteration count $iters")
+    // total rank mass is conserved at ~scale, so the damping multiply sees
+    // at most 85·(in_sum + dang/n) ≤ 85·2·scale — enforce the headroom
+    // instead of documenting it (the HITS discipline)
+    require(scale >= 1L && scale <= Long.MaxValue / 170L,
+      s"PageRank overflow: 85*2*scale must stay under 2^63, got $scale")
     // edges/nodes/outdeg are reused every round — materialize once, or
     // the iterative lineage re-derives them per reference and the final
     // plan grows exponentially with the iteration count

@@ -212,7 +212,7 @@ object StreamingSemanticsQueries {
     // deduped once, then each day's window sums distinct users over its
     // trailing week via a broadcast day-grid range join.
     "q_rolling_active" -> ((s, d) => {
-      val day = (unix_millis(col("ts")) / lit(86400000L)).cast("long")
+      val day = expr("unix_millis(ts) div 86400000")
       val du = Tables.events(s, d)
         .select(day.as("day"), col("user_id")).distinct()
       val days = du.select(col("day").as("d")).distinct()
@@ -245,8 +245,7 @@ object StreamingSemanticsQueries {
     // so both engines bucket identically; distinct users per cell.
     "q_cohort_retention" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val wk = (unix_millis(col("ts")) / lit(86400000L) / lit(7L))
-        .cast("long")
+      val wk = expr("unix_millis(ts) div 86400000 div 7")
       val signup = ev.where(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(wk).as("cohort_wk"))
       ev.where(col("event_type") =!= "signup")

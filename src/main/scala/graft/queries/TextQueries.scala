@@ -2528,10 +2528,10 @@ object TextQueries {
            FROM documents),
          qsq AS (
            SELECT doc_id,
-               0.4 * least(chars / 500.0, 1.0)
+               round(0.4 * least(chars / 500.0, 1.0)
              + 0.3 * (1.0 - least(abs((chars - (toks - 1)) / toks - 5.0)
                  / 5.0, 1.0))
-             + 0.3 * least((the_n / toks) * 10.0, 1.0) AS q
+             + 0.3 * least((the_n / toks) * 10.0, 1.0), 6) AS q
            FROM qm),
          labq AS (
            SELECT coalesce(cc.component, d.doc_id) AS component, d.doc_id,
@@ -2625,7 +2625,8 @@ object TextQueries {
                     ORDER BY md5(CAST(di.doc_id AS VARCHAR)), di.doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS start
-           FROM docids di JOIN documents d USING (doc_id)),
+           FROM docids di JOIN documents d USING (doc_id)
+           WHERE len(di.input_ids) > 0),
          tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total
                  FROM rec GROUP BY lang),
          seg AS (

@@ -60,18 +60,31 @@ object Cdc {
       lit(null).cast(MapType(StringType, StringType)).as("source"))
   }
 
+  /** Deterministic last-resort ordering for changes that tie on
+    * (ts_ms, delete-flag): a content hash of (op, after). Two same-ts
+    * updates with identical content are interchangeable; with different
+    * content this picks an arbitrary but RUN-STABLE winner, so
+    * materialize/history never flip between runs or partitionings.
+    * Callers with a real changelog position (Debezium source offset,
+    * topic sequence-id) should pass it as `seqCol` instead. */
+  private def contentTiebreak: Column =
+    xxhash64(col("op"), to_json(col("after")))
+
   /** Latest change per key (by ts_ms, then op as the in-tie ordering:
     * deletes after upserts at the same ts, Debezium's emission order). */
-  private def latest(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+  private def latest(changes: DataFrame, keyCols: Seq[String],
+                     seqCol: Option[Column] = None): DataFrame = {
     val keyExprs = keyCols.map(k =>
       coalesce(col(s"after.$k"), col(s"before.$k")).as(s"__k_$k"))
     changes
-      .select(keyExprs ++ Seq(struct(col("ts_ms"), col("op"), col("after")).as("__c")): _*)
+      .select(keyExprs ++ Seq(struct(col("ts_ms"), col("op"), col("after")).as("__c"),
+        seqCol.getOrElse(contentTiebreak).as("__seq")): _*)
       .groupBy(keyCols.map(k => col(s"__k_$k")): _*)
       .agg(max_by(col("__c"), struct(col("__c.ts_ms"),
         // d orders after c/r/u at equal ts: 'd' > 'c','r','u' is false for
         // 'u'... use an explicit rank so the tombstone wins ties
-        when(col("__c.op") === Deletes, 1).otherwise(0))).as("__last"))
+        when(col("__c.op") === Deletes, 1).otherwise(0),
+        col("__seq"))).as("__last"))
   }
 
   /** Apply a changelog to produce the CURRENT table: the newest surviving
@@ -96,19 +109,27 @@ object Cdc {
     * validity and can never be current — so `materialize` ≡ the
     * `is_current` slice of `history` (spec'd). One `lead` window
     * partitioned by key: per-key state never crosses keys, the shuffle
-    * key is the natural dimension key. */
-  def history(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    * key is the natural dimension key.
+    *
+    * Ordering within a key is (ts_ms, delete-after-update, seq): `seqCol`
+    * is the changelog position when the feed carries one (Debezium source
+    * offset); absent that, a content hash breaks same-ts update ties
+    * deterministically so valid_to/is_current never flip across runs. */
+  def history(changes: DataFrame, keyCols: Seq[String],
+              seqCol: Option[Column] = None): DataFrame = {
     val keyExprs = keyCols.map(k =>
       coalesce(col(s"after.$k"), col(s"before.$k")).as(k))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("valid_from"),
-        when(col("op") === Deletes, 1).otherwise(0))
+        when(col("op") === Deletes, 1).otherwise(0), col("__seq"))
     changes
       .select(keyExprs ++ Seq(col("op"), col("after"),
-        col("ts_ms").as("valid_from")): _*)
+        col("ts_ms").as("valid_from"),
+        seqCol.getOrElse(contentTiebreak).as("__seq")): _*)
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
       .withColumn("is_current",
         col("valid_to").isNull && col("op") =!= Deletes)
+      .drop("__seq")
   }
 }

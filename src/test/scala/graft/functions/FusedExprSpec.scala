@@ -124,6 +124,21 @@ class FusedExprSpec extends SparkSuite {
       .collect().head == 0L)
   }
 
+  test("srp_sketch_bits rejects non-long code arrays at analysis time") {
+    // getLong reads 8-byte strides: an array<int> input would silently
+    // evaluate garbage under UnsafeArrayData — must fail analysis instead
+    val pl = graft.ops.Srp.planes(8, 4)
+    val intCodes = Seq((1L, Array(1, 2, 3, 4))).toDF("id", "codes")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      intCodes.select(graft.ops.Srp.sketchExpr($"codes", pl)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<bigint>"))
+    // and array<bigint> still passes
+    val longCodes = Seq((1L, Array(1L, 2L, 3L, 4L))).toDF("id", "codes")
+    assert(longCodes.select(graft.ops.Srp.sketchExpr($"codes", pl))
+      .collect().length == 1)
+  }
+
   test("fused forms survive both codegen and interpreted evaluation") {
     // force the interpreted path by putting the expressions behind a
     // broadcast nested-loop join (no whole-stage codegen), and compare

@@ -61,6 +61,19 @@ class HitsSpec extends SparkSuite {
     assert(one == many, "integer sums are partition-order-independent")
   }
 
+  test("overflow bound is enforced, not just documented") {
+    // at scale = 10⁹ the degree bound is 2⁶³/10¹⁸ ≈ 9: a 10-leaf star
+    // would wrap the normalization multiply — must fail LOUDLY
+    val star = (1L to 10L).map(i => (i, 99L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Hits.scores(star, "src", "dst", iters = 1, scale = 1000000000L)
+    }
+    assert(ex.getMessage.contains("overflow"))
+    // the default micro-unit scale has ~9·10⁶ degrees of headroom and
+    // accepts the same graph
+    assert(Hits.scores(star, "src", "dst", iters = 1).count() == 11)
+  }
+
   test("topAuthorities ordering is (auth desc, node asc)") {
     val e = Seq((1L, 9L), (2L, 9L), (3L, 8L), (9L, 1L)).toDF("src", "dst")
     val top = Hits.topAuthorities(e, "src", "dst", iters = 3, k = 3)

@@ -46,6 +46,26 @@ class MmrSpec extends SparkSuite {
       "equal scores break to the smaller candidate id, per query")
   }
 
+  test("string candidate ids: tie-break never negates the id") {
+    // the realistic RAG case — chunk-store keys are strings; pre-r10 the
+    // tie-break computed 0L - cand_id and threw at analysis time
+    val sc = Seq(
+      (0L, "chunk-a", 0.99, Seq(1.0, 0.0)),
+      (0L, "chunk-b", 0.98, Seq(1.0, 0.001)),
+      (0L, "chunk-c", 0.50, Seq(0.0, 1.0)),
+      (1L, "k2", 0.9, Seq(0.5, 0.5)),
+      (1L, "k10", 0.9, Seq(0.5, 0.5)))
+      .toDF("query_id", "cand_id", "rel", "vec")
+    val out = Mmr.rerank(sc, "query_id", "cand_id", "rel", "vec",
+        n = 2, lam = 0.3, lamComp = 0.7)
+      .orderBy("query_id", "step").select("query_id", "cand_id")
+      .as[(Long, String)].collect().toSeq
+    assert(out.take(2) == Seq((0L, "chunk-a"), (0L, "chunk-c")),
+      "diversity pass works unchanged over string keys")
+    assert(out(2) == ((1L, "k10")),
+      "equal scores break to the lexicographically smaller string id")
+  }
+
   test("selection stops cleanly when candidates run out") {
     val one = Seq((0L, 5L, 0.8, Seq(1.0, 0.0)))
       .toDF("query_id", "cand_id", "rel", "vec")
