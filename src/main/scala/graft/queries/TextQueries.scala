@@ -146,6 +146,28 @@ object TextQueries {
       Seq("slow fast", "table value", "hash")) === 0L),
     "lang" -> (langId(col("text")) === col("lang")),
     "length" -> (col("n_chars") >= 100L))
+
+  /** Documents + `model_score` from the [[graft.ops.ModelGate.LinearStub]]
+    * classifier over quantized embeddings (features floor(1024·e) — exact
+    * power-of-two float scaling). One id-keyed join of two corpus-sized
+    * tables (co-partitionable/bucketable at scale), then scan-stage
+    * batched inference. */
+  private def modelScored(s: SparkSession, d: String): DataFrame = {
+    val feats = transform(col("embedding"),
+      e => floor(e.cast("double") * lit(1024.0)).cast("long"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), feats.as("__f"))
+    graft.ops.ModelGate.withScores(
+      Tables.documents(s, d).join(emb, "doc_id"),
+      "__f", "model_score", graft.ops.ModelGate.LinearStub(64))
+      .drop("__f")
+  }
+
+  /** The classifier-threshold cascade rule (mask bit 16 when appended to
+    * [[cascadeRules]]): the stub's ± weights make Σ w·f roughly symmetric
+    * around zero, so ≥ 0 gates about half the corpus. */
+  private def modelRule: (String, org.apache.spark.sql.Column) =
+    "model" -> (col("model_score") >= 0L)
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -1380,6 +1402,27 @@ object TextQueries {
           cascadeRules),
         cascadeRules.map(_._1))),
 
+    // The model-inference gate (FineWeb-Edu shape): a broadcast classifier
+    // scores each document's embedding via per-partition batched
+    // mapPartitions inference, and the thresholded score joins the cascade
+    // as rule 5 (mask bit 16). The deterministic LinearStub stands in for
+    // the trained head; features are floor(1024·e) — ×2¹⁰ is exact float
+    // scaling, so the oracle replays the quantization bit-for-bit.
+    "q_model_gate" -> ((s, d) =>
+      graft.ops.FilterCascade.withVerdict(modelScored(s, d),
+          cascadeRules :+ modelRule)
+        .select(col("doc_id"), col("model_score"), col("fail_mask"),
+          col("keep"))),
+
+    // The attrition report EXTENDED with the model gate: per-rule failure
+    // counts now answer "how much did the classifier eat" next to the
+    // heuristic rules — one map-side-combined aggregate, as ever.
+    "q_model_attrition" -> ((s, d) =>
+      graft.ops.FilterCascade.attrition(
+        graft.ops.FilterCascade.decide(modelScored(s, d), "doc_id",
+          cascadeRules :+ modelRule),
+        cascadeRules.map(_._1) :+ "model")),
+
     // HTML main-content extraction (the trafilatura/jusText slot, rule
     // zero UPSTREAM of the cascade): segment the chrome-planted page at
     // block-tag boundaries, strip inline tags, keep blocks ≥ 40 chars
@@ -1761,6 +1804,29 @@ object TextQueries {
          FROM documents d
          JOIN gk USING (doc_id) JOIN blk USING (doc_id)
          JOIN lng USING (doc_id))"""
+
+  /** LinearStub score replay: weights = hash16(md5("w:i")) − 32768 (the
+    * SRP-plane derivation), features = floor(1024·embedding[i]) — both
+    * bit-exact — then an integer dot product per doc. */
+  private lazy val modelScoreCtes: String = {
+    def nib(i: Int) =
+      s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+        s" THEN ascii(substr(h,$i,1)) - 48" +
+        s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+    s"""wt AS (
+         SELECT i, CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16
+                  + ${nib(4)} AS BIGINT) - 32768 AS w
+         FROM (SELECT i, md5('w:' || CAST(i AS VARCHAR)) AS h
+               FROM range(1, 65) t(i))),
+       ft AS (
+         SELECT vec_id AS doc_id, i,
+                CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT)
+                  AS f
+         FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+       ms AS (
+         SELECT doc_id, CAST(sum(w * f) AS BIGINT) AS model_score
+         FROM ft JOIN wt USING (i) GROUP BY doc_id)"""
+  }
 
   private lazy val bpeIdsCtes: String = {
     val D = "\u0001"
@@ -3837,6 +3903,38 @@ object TextQueries {
                 CAST(sum(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_keep
          FROM msk""",
+    // model-gate replay: md5-derived stub weights rebuilt in SQL (the SRP
+    // plane derivation), features floor(1024·e) exactly, integer dot
+    // product, thresholded score as mask bit 16 on the standard cascade
+    "q_model_gate" ->
+      s"""WITH $cascadeMaskCtes, $modelScoreCtes
+         SELECT m.doc_id, ms.model_score,
+                CAST(m.fail_mask + CASE WHEN ms.model_score >= 0
+                  THEN 0 ELSE 16 END AS BIGINT) AS fail_mask,
+                (m.fail_mask + CASE WHEN ms.model_score >= 0
+                  THEN 0 ELSE 16 END) = 0 AS keep
+         FROM msk m JOIN ms ON ms.doc_id = m.doc_id""",
+    "q_model_attrition" ->
+      s"""WITH $cascadeMaskCtes, $modelScoreCtes,
+         fm AS (
+           SELECT m.doc_id,
+                  m.fail_mask + CASE WHEN ms.model_score >= 0
+                    THEN 0 ELSE 16 END AS fail_mask
+           FROM msk m JOIN ms ON ms.doc_id = m.doc_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN fail_mask & 1 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_gopher,
+                CAST(sum(CASE WHEN fail_mask & 2 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_blocklist,
+                CAST(sum(CASE WHEN fail_mask & 4 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_lang,
+                CAST(sum(CASE WHEN fail_mask & 8 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_length,
+                CAST(sum(CASE WHEN fail_mask & 16 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_model,
+                CAST(sum(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_keep
+         FROM fm""",
     // extraction replay: the same chrome-planting expression, the same
     // block segmentation / inline-strip / whitespace-collapse, the same
     // integer cross-multiplied length + link-density keep rule, kept
