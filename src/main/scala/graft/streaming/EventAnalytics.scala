@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** One event on the analytics stream (timestamps in MICROSECONDS — ms
+  * granularity can collapse distinct instants and flip the funnel's
+  * strict-after comparisons). */
+case class UserEvent(user_id: Long, event_type: String, ts_us: Long)
+
+/** A user's funnel progress: first view, first click strictly after it,
+  * first purchase strictly after that (the batch `q_funnel` definition). */
+case class FunnelProgress(user_id: Long, t1: Option[Long],
+                          t2: Option[Long], t3: Option[Long])
+
+/** A (day, user) contribution to the rolling-active count. */
+case class DayUser(day: Long, user_id: Long)
+
+/** Streaming faces of the event-analytics battery — the batch queries
+  * (`q_funnel`, `q_rolling_active`) as incremental keyed state machines,
+  * the same incremental/batch duality every persisted index in this repo
+  * has.
+  *
+  * '''Ordering contract.''' Both operators assume per-key in-order
+  * delivery across micro-batches — the reference's Key_Shared guarantee
+  * (same-key messages reach one consumer in order) that the topic source
+  * honors; events WITHIN a batch are sorted before folding, so any
+  * intra-batch shuffle disorder is absorbed. An event arriving out of
+  * order across batches is LATE in the
+  * WindowFunctionExecutor sense (pulsar-functions/instance/.../windowing/
+  * WindowFunctionExecutor.java:109-118: tuples behind the watermark are
+  * dropped or routed, never retro-processed) — route it through
+  * [[LateDataRouter]] upstream; these state machines never rewind.
+  *
+  * '''Scale shape.''' State is user-keyed and bounded: the funnel stores
+  * three optional timestamps per user; rolling-active stores at most
+  * `window` contributed days per active day per user, with days older
+  * than the horizon evictable on watermark timeout. Both shard across
+  * executors on the user key in the state store — the per-key sharding
+  * Key_Shared dispatch gives the reference. */
+object EventAnalytics {
+
+  /** Streaming funnel: per-user first-qualifying-event state, emitted in
+    * Update mode whenever a user's progress advances. The latest row per
+    * user equals the batch fold; [[funnelCounts]] rolls the table up to
+    * `q_funnel`'s one-row report. */
+  def funnelProgress(ds: Dataset[UserEvent]): Dataset[FunnelProgress] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user, evs, state) =>
+          val prev = state.getOption.getOrElse(
+            FunnelProgress(user, None, None, None))
+          var (t1, t2, t3) = (prev.t1, prev.t2, prev.t3)
+          // value-based conditions make same-ts order irrelevant; the sort
+          // only guarantees the FIRST qualifying event is the MIN one
+          evs.toSeq.sortBy(_.ts_us).foreach { e =>
+            e.event_type match {
+              case "view" if t1.isEmpty => t1 = Some(e.ts_us)
+              case "click" if t1.exists(e.ts_us > _) && t2.isEmpty =>
+                t2 = Some(e.ts_us)
+              case "purchase" if t2.exists(e.ts_us > _) && t3.isEmpty =>
+                t3 = Some(e.ts_us)
+              case _ => ()
+            }
+          }
+          val cur = FunnelProgress(user, t1, t2, t3)
+          if (cur != prev) { state.update(cur); Iterator.single(cur) }
+          else Iterator.empty // no progress → no emission
+      }
+  }
+
+  /** The one-row conversion report over the (latest-per-user) progress
+    * table — the same column names as `q_funnel`, so replay parity is a
+    * frame compare. */
+  def funnelCounts(progress: DataFrame): DataFrame =
+    progress.agg(
+      sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_click_after"),
+      sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_purchase_after"))
+
+  /** Streaming rolling-active: per-user day-bucket distinct state. An
+    * activity on day `a` makes the user count toward every window day in
+    * [a, a+window−1]; each NEW (window-day, user) contribution is emitted
+    * exactly once (Append mode — contributions never retract), so a
+    * downstream per-day count over the emitted pairs equals
+    * `q_rolling_active`'s trailing-window distinct count. State per user =
+    * the contributed-day set (≤ window × active-days, horizon-evictable). */
+  def rollingActiveIncrements(ds: Dataset[UserEvent], window: Int = 7)
+  : Dataset[DayUser] = {
+    require(window >= 1 && window <= 370, s"bad window $window")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], DayUser](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, evs, state) =>
+          var contributed = state.getOption.getOrElse(Array.empty[Long]).toSet
+          val out = Seq.newBuilder[DayUser]
+          evs.map(e => Math.floorDiv(e.ts_us, 86400000000L))
+            .toSeq.distinct.sorted.foreach { a =>
+              val fresh = (a until a + window).filterNot(contributed)
+              fresh.foreach(d => out += DayUser(d, user))
+              contributed ++= fresh
+            }
+          state.update(contributed.toArray.sorted)
+          out.result().iterator
+      }
+  }
+
+  /** Per-day rolling actives from the emitted increments, restricted to
+    * days that saw any activity (the batch query's observed day grid).
+    * Column names match `q_rolling_active` (d, wau). */
+  def wau(increments: DataFrame, activeDays: DataFrame): DataFrame =
+    increments.groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      .join(activeDays.select(col("d")), col("day") === col("d"))
+      .select(col("d"), col("wau"))
+}

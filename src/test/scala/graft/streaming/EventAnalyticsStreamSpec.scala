@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.queries.StreamingSemanticsQueries
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming faces of the event-analytics battery replay the REAL events
+  * table (in per-user ts order, arbitrary micro-batch boundaries) and must
+  * land exactly on the batch queries' answers. */
+class EventAnalyticsStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // the whole events table in global ts order (⇒ per-user in-order, the
+  // Key_Shared delivery contract), as micros
+  private def orderedEvents: Seq[UserEvent] =
+    graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+      .as[(Long, String, Long)].collect().toSeq
+      .map { case (u, e, t) => UserEvent(u, e, t) }
+
+  private def replay[T](evs: Seq[UserEvent], nBatches: Int,
+                        mode: String = "update")(
+      wire: org.apache.spark.sql.Dataset[UserEvent] => org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[UserEvent]
+    val out = Files.createTempDirectory("ea-out").toFile.getAbsolutePath
+    val cp = Files.createTempDirectory("ea-cp").toFile.getAbsolutePath
+    val q = wire(source.toDS())
+      .writeStream.outputMode(mode)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.withColumn("__batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", cp)
+      .start()
+    val size = math.max(1, evs.size / nBatches)
+    evs.grouped(size).foreach { chunk =>
+      source.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    spark.read.parquet(out)
+  }
+
+  test("streamed funnel equals q_funnel on ordered replay") {
+    val updates = replay(orderedEvents, nBatches = 5)(ds =>
+      EventAnalytics.funnelProgress(ds).toDF())
+    // latest emission per user = final state (≤ one row per user per batch)
+    val latest = updates
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("t1"), col("t2"), col("t3")), col("__batch"))
+        .as("p"))
+      .select(col("user_id"), col("p.t1").as("t1"), col("p.t2").as("t2"),
+        col("p.t3").as("t3"))
+    val got = EventAnalytics.funnelCounts(latest)
+      .as[(Long, Long, Long)].collect().head
+    val want = StreamingSemanticsQueries.queries("q_funnel")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == want, s"streamed $got vs batch $want")
+    assert(want._1 > 0, "fixture has views — the parity is not vacuous")
+  }
+
+  test("streamed rolling-active increments equal q_rolling_active") {
+    val incs = replay(orderedEvents, nBatches = 4, mode = "append")(ds =>
+      EventAnalytics.rollingActiveIncrements(ds, window = 7).toDF())
+    // increments are append-once: re-emission of a (day, user) pair would
+    // double-count — assert uniqueness before the rollup
+    assert(incs.groupBy("day", "user_id").count().where(col("count") > 1)
+      .isEmpty, "a (day,user) contribution must be emitted exactly once")
+    val activeDays = graft.core.Tables.events(spark, sfDir)
+      .select(expr("unix_millis(ts) div 86400000").as("d")).distinct()
+    val got = EventAnalytics.wau(incs, activeDays)
+      .orderBy("d").as[(Long, Long)].collect().toSeq
+    val want = StreamingSemanticsQueries
+      .queries("q_rolling_active")(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want, s"streamed $got vs batch $want")
+    assert(want.nonEmpty)
+  }
+
+  test("batch boundaries are irrelevant: 1 batch equals many") {
+    val evs = orderedEvents.take(400)
+    def counts(n: Int) = {
+      val updates = replay(evs, nBatches = n)(ds =>
+        EventAnalytics.funnelProgress(ds).toDF())
+      val latest = updates.groupBy(col("user_id"))
+        .agg(max_by(struct(col("t1"), col("t2"), col("t3")), col("__batch"))
+          .as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"),
+          col("p.t3").as("t3"))
+      EventAnalytics.funnelCounts(latest)
+        .as[(Long, Long, Long)].collect().head
+    }
+    assert(counts(1) == counts(7))
+  }
+}
