@@ -13,14 +13,15 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled` parses WAV/AIFF headers and 16-bit PCM frames,
   * yielding true sample-rate/channels/duration and a PCM-derived embedding.
   * MULTI-FRAME decode is real as well: ImageIO reads every frame of an
-  * animated GIF ([[decodeFrames]]), the closest thing to a video container
-  * the JDK can decode, so [[sampleFrames]] emits genuinely decoded
-  * per-frame pixels and embeddings for GIF payloads. Only true video
-  * containers (mp4/webm/...) stay behind the clearly-marked `stubDecode`
-  * (the JDK ships no video codec); a payload that fails every real decode
-  * falls back there too, so the pipeline never throws on corrupt blobs.
-  * Swapping in a richer codec = replacing one function, nothing else
-  * moves.
+  * animated GIF ([[decodeFrames]]), and [[AviMjpeg]] decodes MJPEG/AVI —
+  * a true video container whose frames are JPEGs — with its own frame
+  * clock, so [[sampleFrames]] emits genuinely decoded per-frame pixels,
+  * embeddings, and timing for GIF and AVI payloads. Only bitstream-coded
+  * containers (mp4/H.264, webm/VP9 — the JDK ships no entropy codec)
+  * stay behind the clearly-marked `stubDecode`; a payload that fails
+  * every real decode falls back there too, so the pipeline never throws
+  * on corrupt blobs. Swapping in a richer codec = replacing one function,
+  * nothing else moves.
   */
 object Multimodal {
 
@@ -304,7 +305,8 @@ object Multimodal {
     * payloads. */
   private[ops] def decode(r: MediaRecord): MediaFeatures = r.media_type match {
     case "video" =>
-      decodeFrames(r.payload) match {
+      decodeFrames(r.payload)
+        .orElse(AviMjpeg.decode(r.payload).map(_._2.toIndexedSeq)) match {
         case Some(frames) =>
           val head = frames.head
           MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
@@ -403,8 +405,9 @@ object Multimodal {
     }
 
   /** STUB decode: deterministic fake features derived from payload bytes —
-    * the VIDEO fallback (the JDK ships no video codec) and the safety net
-    * for undecodable image/audio payloads. */
+    * the fallback for BITSTREAM-coded video (mp4/H.264, webm/VP9: no JDK
+    * entropy codec; GIF and MJPEG/AVI decode for real above) and the
+    * safety net for undecodable image/audio payloads. */
   private[ops] def stubDecode(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length
     val checksum = r.payload.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
@@ -466,11 +469,16 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        decodeFrames(r.payload) match {
-          case Some(frames) =>
-            val durationMs = frames.size * frameMs
+        // GIF frames tick at the caller's frameMs; an MJPEG/AVI carries its
+        // OWN frame clock (avih µs-per-frame), which overrides it
+        decodeFrames(r.payload).map(fs => (frameMs, fs))
+          .orElse(AviMjpeg.decode(r.payload).map { case (us, fs) =>
+            (math.max(us / 1000L, 1L), fs.toIndexedSeq)
+          }) match {
+          case Some((fMs, frames)) =>
+            val durationMs = frames.size * fMs
             (0L until durationMs by everyMs).zipWithIndex.map { case (t, i) =>
-              val img = frames(math.min((t / frameMs).toInt, frames.size - 1))
+              val img = frames(math.min((t / fMs).toInt, frames.size - 1))
               Frame(r.media_id, i, t, stripEmbedding(img),
                 luminanceMilliSum(img))
             }
