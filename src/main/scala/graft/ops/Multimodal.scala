@@ -257,6 +257,62 @@ object Multimodal {
     * corrupt, or a compressed encoding the JDK doesn't ship a codec for). */
   private[ops] def decodeAudio(payload: Array[Byte])
   : Option[(javax.sound.sampled.AudioFormat, Array[Short])] =
+    // canonical WAV/PCM16 rides the lock-free direct parser; everything
+    // else (AIFF, AU, float WAV...) falls through to the JDK registry
+    decodeWavPcm16(payload).orElse(decodeAudioViaRegistry(payload))
+
+  /** Direct RIFF/WAVE parser for the canonical 16-bit PCM case. The JDK
+    * path (`AudioSystem.getAudioInputStream`) walks a SYNCHRONIZED
+    * provider registry per call — measured 3–4× per-record slowdown once
+    * 8+ executor threads decode concurrently (the sf0.1→sf1 scale run
+    * flagged q_audio_dedup at 37×; ImageIO, which keeps per-call reader
+    * instances, scaled linearly). Pure local code, no shared state. */
+  private[ops] def decodeWavPcm16(payload: Array[Byte])
+  : Option[(javax.sound.sampled.AudioFormat, Array[Short])] =
+    try {
+      if (payload.length < 44) return None
+      val b = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+      }
+      if (fourcc() != "RIFF") return None
+      b.getInt // riff size
+      if (fourcc() != "WAVE") return None
+      var fmtOk = false
+      var rate = 0; var channels = 0
+      while (b.remaining() >= 8) {
+        val id = fourcc()
+        val size = b.getInt
+        val body = b.position()
+        if (size < 0 || body + size > payload.length) return None
+        id match {
+          case "fmt " if size >= 16 =>
+            val audioFormat = b.getShort() & 0xffff // 1 = PCM
+            channels = b.getShort() & 0xffff
+            rate = b.getInt
+            b.getInt; b.getShort() // byte rate, block align
+            val bits = b.getShort() & 0xffff
+            if (audioFormat != 1 || bits != 16 || rate <= 0 ||
+              channels <= 0) return None // not canonical PCM16 → registry
+            fmtOk = true
+          case "data" if fmtOk =>
+            val n = size / 2
+            val samples = new Array[Short](n)
+            var i = 0
+            while (i < n) { samples(i) = b.getShort(body + 2 * i); i += 1 }
+            val fmt = new javax.sound.sampled.AudioFormat(
+              rate.toFloat, 16, channels, true, false)
+            return Some((fmt, samples))
+          case _ => ()
+        }
+        b.position(body + size + (size % 2))
+      }
+      None
+    } catch { case _: Exception => None }
+
+  private[ops] def decodeAudioViaRegistry(payload: Array[Byte])
+  : Option[(javax.sound.sampled.AudioFormat, Array[Short])] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -346,22 +402,28 @@ object Multimodal {
     * oracle can hash-check decoded metadata AND the PCM sum against this
     * formula — a broken codec path cannot pass. */
   def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, 1, true, false)
-    val pcm = new Array[Byte](nSamples * 2)
+    // direct RIFF/WAVE emit — byte-identical to the JDK writer's canonical
+    // 44-byte-header mono PCM16 output (spec'd), minus its synchronized
+    // per-call provider lookup (see [[decodeWavPcm16]])
+    val dataLen = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < nSamples) {
-      val s = ((seed * 31 + i.toLong * 7919) % 4096 - 2048).toInt
-      pcm(2 * i) = (s & 0xff).toByte
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      b.putShort(((seed * 31 + i.toLong * 7919) % 4096 - 2048).toShort)
       i += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    b.array()
   }
 
   /** Gain-invariant audio fingerprint (the energy-delta-sign family used

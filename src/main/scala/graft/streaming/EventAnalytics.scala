@@ -17,6 +17,20 @@ case class FunnelProgress(user_id: Long, t1: Option[Long],
 /** A (day, user) contribution to the rolling-active count. */
 case class DayUser(day: Long, user_id: Long)
 
+/** One user's first activity at a (cohort-week, week-offset) cell. */
+case class CohortCell(cohort_wk: Long, week_offset: Long, user_id: Long)
+
+/** Per-user cohort state: signup week (None until the signup event
+  * arrives), activity weeks seen BEFORE signup (buffered — a same-week
+  * activity that precedes the signup event still counts in the batch
+  * definition), and offsets already emitted. */
+case class CohortState(cohortWk: Option[Long], preSignupWeeks: Array[Long],
+                       emitted: Array[Long])
+
+/** One rank row of an hour's current top-k event types. */
+case class TrendingRank(wstart_ms: Long, rk: Int, event_type: String,
+                        n: Long)
+
 /** Streaming faces of the event-analytics battery — the batch queries
   * (`q_funnel`, `q_rolling_active`) as incremental keyed state machines,
   * the same incremental/batch duality every persisted index in this repo
@@ -116,4 +130,84 @@ object EventAnalytics {
     increments.groupBy(col("day")).agg(count(lit(1)).as("wau"))
       .join(activeDays.select(col("d")), col("day") === col("d"))
       .select(col("d"), col("wau"))
+
+  /** Streaming cohort retention: emits each user's FIRST activity in every
+    * (cohort-week, week-offset) cell exactly once (Append — cells never
+    * retract); a downstream count per cell equals `q_cohort_retention`.
+    *
+    * The batch definition cohorts a user by their first `signup` event's
+    * week and counts non-signup activity at `act_wk ≥ cohort_wk` — which
+    * includes same-week activity whose TIMESTAMP precedes the signup
+    * event. In-order streaming would drop those (no cohort assigned yet),
+    * so pre-signup activity weeks are BUFFERED in state and replayed the
+    * moment the signup lands; users who never sign up hold only that
+    * bounded week set. */
+  def cohortIncrements(ds: Dataset[UserEvent]): Dataset[CohortCell] = {
+    import ds.sparkSession.implicits._
+    val usPerWeek = 86400000000L * 7L
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortCell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, evs, state) =>
+          val st = state.getOption.getOrElse(
+            CohortState(None, Array.empty, Array.empty))
+          var cohort = st.cohortWk
+          var pre = st.preSignupWeeks.toSet
+          var emitted = st.emitted.toSet
+          val out = Seq.newBuilder[CohortCell]
+          def emit(actWk: Long): Unit = cohort.foreach { cw =>
+            val off = actWk - cw
+            if (off >= 0 && !emitted(off)) {
+              emitted += off; out += CohortCell(cw, off, user)
+            }
+          }
+          evs.toSeq.sortBy(_.ts_us).foreach { e =>
+            val wk = Math.floorDiv(e.ts_us, usPerWeek)
+            if (e.event_type == "signup") {
+              if (cohort.isEmpty) {
+                cohort = Some(wk)
+                pre.foreach(emit); pre = Set.empty
+              }
+            } else if (cohort.isEmpty) pre += wk
+            else emit(wk)
+          }
+          state.update(CohortState(cohort, pre.toArray.sorted,
+            emitted.toArray.sorted))
+          out.result().iterator
+      }
+  }
+
+  /** The retention matrix from the emitted cells — column names match
+    * `q_cohort_retention` (cohort_wk, week_offset, n_active). */
+  def retentionMatrix(cells: DataFrame): DataFrame =
+    cells.groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+
+  /** Streaming hourly trending top-k: state per tumbling hour = the
+    * per-type count map (bounded by event-type cardinality), re-emitting
+    * that hour's CURRENT top-k whenever a batch touches it (Update mode —
+    * latest emission per (window, rank) is the answer, `q_trending`'s
+    * (n desc, type asc) ordering). Hours older than the watermark horizon
+    * would be evicted via state timeout in a deployment; the fixture
+    * replay keeps them all. */
+  def trendingTop(ds: Dataset[UserEvent], k: Int = 3)
+  : Dataset[TrendingRank] = {
+    require(k >= 1 && k <= 100, s"bad k $k")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => Math.floorDiv(e.ts_us, 3600000000L))
+      .flatMapGroupsWithState[Map[String, Long], TrendingRank](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (hour, evs, state) =>
+          var counts = state.getOption.getOrElse(Map.empty[String, Long])
+          evs.foreach { e =>
+            counts = counts.updated(e.event_type,
+              counts.getOrElse(e.event_type, 0L) + 1L)
+          }
+          state.update(counts)
+          counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+            .zipWithIndex.iterator.map { case ((t, n), i) =>
+              TrendingRank(hour * 3600000L, i + 1, t, n)
+            }
+      }
+  }
 }

@@ -54,6 +54,29 @@ class MultimodalSpec extends SparkSuite {
     assert(f.embedding.toSeq != f3.embedding.toSeq)
   }
 
+  test("direct WAV encode/parse match the JDK registry path exactly") {
+    // encode: byte-identical to AudioSystem.write's canonical WAV
+    val wav = Multimodal.encodeWav(500, 8000, 42L)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(wav.drop(44)), fmt, 500L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(java.util.Arrays.equals(bos.toByteArray, wav),
+      "direct RIFF emit must be byte-identical to the JDK writer")
+    // decode: direct parser and registry agree on format and samples
+    val (f1, s1) = Multimodal.decodeWavPcm16(wav).get
+    val (f2, s2) = Multimodal.decodeAudioViaRegistry(wav).get
+    assert(s1.toSeq == s2.toSeq)
+    assert(f1.getSampleRate == f2.getSampleRate &&
+      f1.getChannels == f2.getChannels &&
+      f1.getSampleSizeInBits == f2.getSampleSizeInBits)
+    // non-WAV payloads are declined by the direct parser (registry's job)
+    assert(Multimodal.decodeWavPcm16("RIFFxxxxAVI ".getBytes).isEmpty)
+    assert(Multimodal.decodeWavPcm16(Array.empty[Byte]).isEmpty)
+  }
+
   test("a real WAV payload decodes to its true format, frames, and PCM sum") {
     val wav = Multimodal.encodeWav(nSamples = 1000, sampleRate = 16000,
       seed = 5L)

@@ -83,6 +83,57 @@ class EventAnalyticsStreamSpec extends SparkSuite {
     assert(want.nonEmpty)
   }
 
+  test("streamed cohort cells equal q_cohort_retention") {
+    val cells = replay(orderedEvents, nBatches = 5, mode = "append")(ds =>
+      EventAnalytics.cohortIncrements(ds).toDF())
+    assert(cells.groupBy("cohort_wk", "week_offset", "user_id").count()
+      .where(col("count") > 1).isEmpty, "cells are append-once")
+    val got = EventAnalytics.retentionMatrix(cells)
+      .orderBy("cohort_wk", "week_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = StreamingSemanticsQueries
+      .queries("q_cohort_retention")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, s"streamed ${got.take(5)}… vs batch ${want.take(5)}…")
+    assert(want.nonEmpty)
+  }
+
+  test("same-week activity BEFORE the signup event still lands in week 0") {
+    // week = floor(us / 7 days); plant activity then signup inside one
+    // week, delivered in separate batches — the buffered-replay path
+    val wk = 86400000000L * 7L
+    val evs = Seq(
+      UserEvent(1L, "view", 40L * wk + 100L),
+      UserEvent(1L, "signup", 40L * wk + 200L),
+      UserEvent(1L, "click", 41L * wk + 5L))
+    val cells = replay(evs, nBatches = 3, mode = "append")(ds =>
+      EventAnalytics.cohortIncrements(ds).toDF())
+      .select("cohort_wk", "week_offset", "user_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(cells == Seq((40L, 0L, 1L), (40L, 1L, 1L)),
+      "the pre-signup same-week view counts at offset 0, like the batch join")
+  }
+
+  test("streamed trending top-3 equals q_trending") {
+    val ranks = replay(orderedEvents, nBatches = 6)(ds =>
+      EventAnalytics.trendingTop(ds, k = 3).toDF())
+    // latest emission per (window, rank) = the hour's final top-3
+    val latest = ranks.groupBy(col("wstart_ms"), col("rk"))
+      .agg(max_by(struct(col("event_type"), col("n")), col("__batch"))
+        .as("p"))
+      .select(col("wstart_ms"), col("p.event_type").as("event_type"),
+        col("p.n").as("n"), col("rk"))
+    val got = latest.orderBy("wstart_ms", "rk")
+      .as[(Long, String, Long, Int)].collect().toSeq
+      .map { case (w, t, n, r) => (w, t, n, r.toLong) }
+    val want = StreamingSemanticsQueries.queries("q_trending")(spark, sfDir)
+      .select(col("wstart_ms"), col("event_type"), col("n"), col("rk"))
+      .as[(Long, String, Long, Int)].collect().toSeq
+      .map { case (w, t, n, r) => (w, t, n, r.toLong) }
+    assert(got == want, s"streamed ${got.take(4)}… vs batch ${want.take(4)}…")
+    assert(want.nonEmpty)
+  }
+
   test("batch boundaries are irrelevant: 1 batch equals many") {
     val evs = orderedEvents.take(400)
     def counts(n: Int) = {
