@@ -568,4 +568,35 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial"), "histogram cells must partial-aggregate")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("model gate: batched scoring adds no exchange beyond the id join") {
+    // the only shuffles are the documents⋈embeddings equi-join (both
+    // corpus-sized, co-partitionable/bucketable at scale); the
+    // mapPartitions inference and the cascade mask ride the scan
+    val p = plan("q_model_gate")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"id-join exchanges only, got $n:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions"),
+      "the inference hook is a mapPartitions stage")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("prefix-filtered Jaccard shuffles on shingle values, never block²") {
+    val p = plan("q_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "no block cross-product anywhere in the candidate path")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "candidates come from an EQUI-join on (block, shingle value) — " +
+        "hash-shuffleable at any scale (broadcast at this tiny sf)")
+  }
+
+  test("graph queries read the persisted edge artifact, not the corpus") {
+    // after the artifact build, the executed plan's scan is the
+    // node/edge-sized parquet — the documents table never appears
+    val p = plan("q_degree_dist")
+    assert(p.contains("link-edges"), s"scan must hit the artifact:\n$p")
+    assert(!p.contains("documents.parquet"),
+      "the corpus is only touched by the one-time artifact build")
+  }
 }
