@@ -59,7 +59,7 @@ object StreamBench {
     // cascade attrition totals across micro-batches + chunk-store size
     val attTotals = scala.collection.mutable.LinkedHashMap(
       "n_docs" -> 0L, "fail_gopher" -> 0L, "fail_length" -> 0L,
-      "n_keep" -> 0L)
+      "fail_model" -> 0L, "n_keep" -> 0L)
     var simhashDups = 0L
     val chunkDir = tmp.resolve("chunks").toString
 
@@ -183,19 +183,32 @@ object StreamBench {
                 // dedup, or index sees the text — un-normalized variants
                 // would register as distinct documents
                 .withColumn("text", graft.ops.Normalize.normalize(col("text")))
+              // model-inference gate (the FineWeb-Edu classifier stage,
+              // streaming face): broadcast LinearStub scores the batch's
+              // embeddings in per-partition batches; docs without an
+              // embedding score null and FAIL CLOSED under the cascade
+              val feats = transform(col("embedding"),
+                v => floor(v.cast("double") * lit(1024.0)).cast("long"))
+              val scored = graft.ops.ModelGate.withScores(
+                b.join(emb.select(col("doc_id"), feats.as("__f")),
+                  Seq("doc_id"), "left"),
+                "__f", "model_score", graft.ops.ModelGate.LinearStub(64))
+                .drop("__f")
               // then the cascade verdict appended in place (no batch
               // self-join) — only cascade-kept documents pay for anything
               // downstream
+              val allRules = cascadeRules :+
+                ("model" -> (col("model_score") >= 0L))
               val decided = graft.ops.FilterCascade
-                .withVerdict(b, cascadeRules).localCheckpoint(true)
+                .withVerdict(scored, allRules).localCheckpoint(true)
               val att = graft.ops.FilterCascade
-                .attrition(decided, cascadeRules.map(_._1)).collect().head
+                .attrition(decided, allRules.map(_._1)).collect().head
               attTotals.keys.foreach(k =>
                 attTotals(k) += att.getAs[Long](k))
               System.err.println(s"curate batch=$e " + attTotals.keys
                 .map(k => s"$k=${att.getAs[Long](k)}").mkString(" "))
               val quality = decided.where(col("keep"))
-                .drop("fail_mask", "keep")
+                .drop("fail_mask", "keep", "model_score")
               val kept = quality.join(evalFps,
                 graft.functions.TextFunctions.fingerprint(quality("text"))
                   === evalFps("__fp"), "left_anti")
