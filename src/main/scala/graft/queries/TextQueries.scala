@@ -1531,6 +1531,36 @@ object TextQueries {
         .orderBy(col("query_id"), col("step"))
     }),
 
+    // Learned reranker slot (the cross-encoder stage of retrieve→rerank):
+    // the cosine top-10 shortlist re-scored by the broadcast stub model
+    // over PAIR features (elementwise query×candidate products — exact
+    // integers at hash16 magnitudes), top-3 per query by model score.
+    // Same ModelGate plumbing as the cascade gate; the corpus is never
+    // touched past the shortlist.
+    "q_rag_rerank_model" -> ((s, d) => {
+      val chunks = ragChunkVecs(s, d)
+      val top10 = graft.ops.Similarity.bruteForceTopK(
+        chunks.where(col("cid") < 2000L), chunks, "cid", "vec", 10)
+      val pairs = top10.select(col("query_id"), col("neighbor_id"))
+        .join(chunks.select(col("cid").as("query_id"),
+          col("vec").as("__qv")), "query_id")
+        .join(chunks.select(col("cid").as("neighbor_id"),
+          col("vec").as("__cv")), "neighbor_id")
+      val feats = zip_with(col("__qv"), col("__cv"),
+        (a, b) => (a * b).cast("long"))
+      val scored = graft.ops.ModelGate.withScores(
+        pairs.withColumn("__f", feats).drop("__qv", "__cv"),
+        "__f", "model_score", graft.ops.ModelGate.LinearStub(8))
+        .drop("__f")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("model_score").desc, col("neighbor_id"))
+      scored.withColumn("rerank", row_number().over(w).cast("long"))
+        .where(col("rerank") <= 3)
+        .select(col("query_id"), col("rerank"),
+          col("neighbor_id").as("cand_id"), col("model_score"))
+    }),
+
     // The end-to-end curate chain as ONE query — extract main content from
     // the chrome-planted page, judge quality on the extraction, elect one
     // keeper per exact-duplicate fingerprint among the survivors, report
@@ -1805,10 +1835,9 @@ object TextQueries {
          JOIN gk USING (doc_id) JOIN blk USING (doc_id)
          JOIN lng USING (doc_id))"""
 
-  /** LinearStub score replay: weights = hash16(md5("w:i")) − 32768 (the
-    * SRP-plane derivation), features = floor(1024·embedding[i]) — both
-    * bit-exact — then an integer dot product per doc. */
-  private lazy val modelScoreCtes: String = {
+  /** [[graft.ops.ModelGate.LinearStub]] weight replay for any dim:
+    * w(i) = hash16(md5("w:i")) − 32768 (the SRP-plane derivation). */
+  private def stubWeightsCte(dim: Int): String = {
     def nib(i: Int) =
       s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
         s" THEN ascii(substr(h,$i,1)) - 48" +
@@ -1817,7 +1846,14 @@ object TextQueries {
          SELECT i, CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16
                   + ${nib(4)} AS BIGINT) - 32768 AS w
          FROM (SELECT i, md5('w:' || CAST(i AS VARCHAR)) AS h
-               FROM range(1, 65) t(i))),
+               FROM range(1, ${dim + 1}) t(i)))"""
+  }
+
+  /** LinearStub score replay: weights = hash16(md5("w:i")) − 32768 (the
+    * SRP-plane derivation), features = floor(1024·embedding[i]) — both
+    * bit-exact — then an integer dot product per doc. */
+  private lazy val modelScoreCtes: String = {
+    s"""${stubWeightsCte(64)},
        ft AS (
          SELECT vec_id AS doc_id, i,
                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT)
@@ -4038,6 +4074,35 @@ object TextQueries {
                              neighbor_id ASC) AS rank
            FROM dots)
          WHERE rank <= 5""",
+
+    // learned-reranker replay: same shortlist, pair features as exact
+    // integer q×c products, stub weights rebuilt in SQL, top-3 by score
+    "q_rag_rerank_model" ->
+      s"""WITH $ragVecCtes,
+         cand AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC,
+                               neighbor_id ASC) AS rank
+             FROM dots) WHERE rank <= 10),
+         ${stubWeightsCte(8)},
+         pf AS (
+           SELECT c.query_id, c.neighbor_id, q.i,
+                  CAST(q.x * d.x AS BIGINT) AS f
+           FROM cand c
+           JOIN comp q ON q.cid = c.query_id
+           JOIN comp d ON d.cid = c.neighbor_id AND d.i = q.i),
+         ms AS (
+           SELECT query_id, neighbor_id,
+                  CAST(sum(w * f) AS BIGINT) AS model_score
+           FROM pf JOIN wt USING (i) GROUP BY query_id, neighbor_id)
+         SELECT query_id, CAST(rr AS BIGINT) AS rerank,
+                neighbor_id AS cand_id, model_score
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY model_score DESC, neighbor_id ASC) AS rr
+               FROM ms)
+         WHERE rr <= 3""",
 
     // MMR replay: the same shortlist (rounded rel, the engine's topK
     // contract), pairwise cosines among shortlist members, three greedy
