@@ -591,6 +591,16 @@ class PlanAuditSpec extends SparkSuite {
         "hash-shuffleable at any scale (broadcast at this tiny sf)")
   }
 
+  test("learned reranker: corpus untouched past the shortlist, no products") {
+    val p = plan("q_rag_rerank_model")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions"),
+      "pair scoring is the batched model-inference hook")
+    // one BNLJ is the bruteForceTopK query-broadcast; everything after the
+    // shortlist is equi-joins + one per-query WindowGroupLimit-able rank
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1)
+  }
+
   test("graph queries read the persisted edge artifact, not the corpus") {
     // after the artifact build, the executed plan's scan is the
     // node/edge-sized parquet — the documents table never appears
