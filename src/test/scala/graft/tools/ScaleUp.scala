@@ -24,9 +24,6 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS, embFactorS) = args.take(4)
-    val factor = factorS.toInt
-    val embFactor = embFactorS.toInt
-    require(factor >= 2 && factor <= 100 && embFactor >= 1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,6 +33,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, outDir, factorS.toInt, embFactorS.toInt)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, srcDir: String, outDir: String,
+          factor: Int, embFactor: Int): Unit = {
+    require(factor >= 2 && factor <= 100 && embFactor >= 1)
 
     def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     def write(df: DataFrame, t: String, parts: Int): Unit =
@@ -111,6 +115,5 @@ object ScaleUp {
       "orders", "lineitem", "events", "documents", "embeddings")
       .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}")
     println(s"SCALEUP_DONE ${counts.mkString(" ")}")
-    spark.stop()
   }
 }
