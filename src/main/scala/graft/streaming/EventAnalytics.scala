@@ -112,12 +112,21 @@ object EventAnalytics {
         (user, evs, state) =>
           var contributed = state.getOption.getOrElse(Array.empty[Long]).toSet
           val out = Seq.newBuilder[DayUser]
+          var last = Long.MinValue
           evs.map(e => Math.floorDiv(e.ts_us, 86400000000L))
             .toSeq.distinct.sorted.foreach { a =>
               val fresh = (a until a + window).filterNot(contributed)
               fresh.foreach(d => out += DayUser(d, user))
               contributed ++= fresh
+              last = a
             }
+          // state self-pruning: in-order arrival means every FUTURE
+          // activity day a' ≥ last, so its contributions land in
+          // [a', a'+window) ⊆ [last, ∞) — contributed days below `last`
+          // are unreachable and safe to drop. Per-user state is thereby
+          // O(window) forever, not O(lifetime active days).
+          if (last > Long.MinValue)
+            contributed = contributed.filter(_ >= last)
           state.update(contributed.toArray.sorted)
           out.result().iterator
       }
@@ -161,8 +170,10 @@ object EventAnalytics {
               emitted += off; out += CohortCell(cw, off, user)
             }
           }
+          var lastWk = Long.MinValue
           evs.toSeq.sortBy(_.ts_us).foreach { e =>
             val wk = Math.floorDiv(e.ts_us, usPerWeek)
+            lastWk = math.max(lastWk, wk)
             if (e.event_type == "signup") {
               if (cohort.isEmpty) {
                 cohort = Some(wk)
@@ -170,6 +181,13 @@ object EventAnalytics {
               }
             } else if (cohort.isEmpty) pre += wk
             else emit(wk)
+          }
+          // state self-pruning (the rolling-active discipline): in-order
+          // arrival means future activity weeks are ≥ lastWk, so emitted
+          // offsets below (lastWk − cohort) can never be generated again —
+          // the emitted set stays O(1), not O(user lifetime in weeks).
+          if (lastWk > Long.MinValue) cohort.foreach { cw =>
+            emitted = emitted.filter(_ >= lastWk - cw)
           }
           state.update(CohortState(cohort, pre.toArray.sorted,
             emitted.toArray.sorted))

@@ -134,6 +134,29 @@ class EventAnalyticsStreamSpec extends SparkSuite {
     assert(want.nonEmpty)
   }
 
+  test("state self-pruning: a long-lived user still emits each cell once") {
+    // 100 consecutive active days across 10 batches — with pruning the
+    // contributed-day state stays O(window); a pruning bug shows up as a
+    // duplicate (re-emitted after drop) or a hole (over-pruned)
+    val day = 86400000000L
+    val evs = (0 until 100).map(i => UserEvent(1L, "view", 500L * day + i * day))
+    val incs = replay(evs, nBatches = 10, mode = "append")(ds =>
+      EventAnalytics.rollingActiveIncrements(ds, window = 7).toDF())
+      .select("day").as[Long].collect().toSeq.sorted
+    assert(incs == (500L until 606L).toList,
+      "every window day from first activity to last+6, exactly once")
+
+    // 60 weekly activities after a signup — emitted-offset state prunes
+    // to O(1) while the cells stay append-once
+    val wk = day * 7
+    val cEvs = UserEvent(2L, "signup", 40L * wk) +:
+      (0 until 60).map(i => UserEvent(2L, "click", 40L * wk + i * wk + 1000L))
+    val cells = replay(cEvs, nBatches = 12, mode = "append")(ds =>
+      EventAnalytics.cohortIncrements(ds).toDF())
+      .select("week_offset").as[Long].collect().toSeq.sorted
+    assert(cells == (0L until 60L).toList)
+  }
+
   test("batch boundaries are irrelevant: 1 batch equals many") {
     val evs = orderedEvents.take(400)
     def counts(n: Int) = {
