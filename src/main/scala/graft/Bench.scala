@@ -66,7 +66,18 @@ object Bench {
         t.printStackTrace()
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // UNTIMED inter-query hygiene: queries persist/localCheckpoint
+      // internally and their blocks outlive the query (freed only when the
+      // RDD is GC'd), so a long board at larger SFs accumulates storage
+      // blocks until eviction churn inflates later queries (measured ~10×
+      // on sub-second scans late in the sf3 run; the same queries re-time
+      // clean in isolation). Drop leaked blocks so each query is measured
+      // against a clean store.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      dt
     }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     selected.foreach { case (name, fn) =>
