@@ -85,6 +85,35 @@ object StreamBench {
           .outputMode("update")
           .option("checkpointLocation", tmp.resolve("cp3").toString).start()
       }, {
+        // the streaming event-analytics faces: the events table replayed
+        // user-keyed through funnel-progress + rolling-active state
+        // machines in ONE query (union of the two state ops' outputs is
+        // not needed — time the heavier funnel; rolling-active parity is
+        // spec'd, its state shape is the same per-user discipline)
+        val ev = graft.core.Tables.events(spark, sfDir)
+        val evTopic = tmp.resolve("events-ua").toString
+        ev.select(col("user_id").cast("string").as("key"),
+            concat_ws("|", col("event_type"),
+              unix_micros(col("ts")).cast("string")).as("value"),
+            pmod(col("user_id"), lit(16)).cast("int").as("seg"))
+          .repartition(16, col("seg")).drop("seg")
+          .write.format("graft-topic").option("path", evTopic)
+          .mode("append").save()
+        timedRows("funnel_events_per_s", n) {
+          val ds = spark.readStream.format("graft-topic")
+            .option("path", evTopic).load()
+            .select(col("key").cast("long").as("user_id"),
+              split(col("value"), "\\|").as("kv"))
+            .select(col("user_id"), col("kv")(0).as("event_type"),
+              col("kv")(1).cast("long").as("ts_us"))
+            .as[graft.streaming.UserEvent]
+          graft.streaming.EventAnalytics.funnelProgress(ds)
+            .writeStream.format("memory").queryName("sb_funnel")
+            .outputMode("update")
+            .option("checkpointLocation", tmp.resolve("cp6").toString)
+            .start()
+        }
+      }, {
         // the continuous-dedup flagship: docs stream through the persisted
         // LSH pair index into the persisted cluster index (probe + append +
         // link-append per micro-batch, checkpointing on)
