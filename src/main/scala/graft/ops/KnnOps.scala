@@ -158,11 +158,14 @@ object KnnOps {
       .where(col("__cl") =!= col("__ql"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
       .groupBy(col("query_id"))
-      .agg(max(struct(col("sim"), (-col("neighbor_id")).as("nid"))).as("n"))
+      // min over (−sim, id): highest sim, ties to the SMALLER id — the
+      // numeric score is negated, never the id (any orderable id type)
+      .agg(min(struct((-col("sim")).as("ns"),
+        col("neighbor_id").as("id"), col("sim"))).as("n"))
     pos.join(neg, "query_id")
       .select(col("query_id").as(idCol), col("__ql").as("anchor_label"),
         col("p.id").as("pos_id"), round(col("p.sim"), 6).as("pos_sim"),
-        (-col("n.nid")).as("neg_id"), round(col("n.sim"), 6).as("neg_sim"),
+        col("n.id").as("neg_id"), round(col("n.sim"), 6).as("neg_sim"),
         (col("n.sim") + margin > col("p.sim")).as("violated"))
   }
 
@@ -190,13 +193,15 @@ object KnnOps {
         // hardest positive: min (sim, id) among same-label rows
         min(when(same, struct(col("sim"), col("neighbor_id").as("id"))))
           .as("p"),
-        // hardest negative: max (sim, -id) — highest sim, ties to small id
-        max(when(!same, struct(col("sim"), (-col("neighbor_id")).as("nid"))))
+        // hardest negative: min (−sim, id) — highest sim, ties to the
+        // smaller id, without negating the id (any orderable id type)
+        min(when(!same, struct((-col("sim")).as("ns"),
+          col("neighbor_id").as("id"), col("sim"))))
           .as("n"))
       .where(col("p").isNotNull && col("n").isNotNull)
       .select(col("query_id").as(idCol), col("__ql").as("anchor_label"),
         col("p.id").as("pos_id"), round(col("p.sim"), 6).as("pos_sim"),
-        (-col("n.nid")).as("neg_id"), round(col("n.sim"), 6).as("neg_sim"),
+        col("n.id").as("neg_id"), round(col("n.sim"), 6).as("neg_sim"),
         (col("n.sim") + margin > col("p.sim")).as("violated"))
   }
 }
