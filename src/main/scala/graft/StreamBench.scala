@@ -107,7 +107,11 @@ object StreamBench {
             .select(col("user_id"), col("kv")(0).as("event_type"),
               col("kv")(1).cast("long").as("ts_us"))
             .as[graft.streaming.UserEvent]
-          graft.streaming.EventAnalytics.funnelProgress(ds)
+          // production face: eviction ON — users silent 30 event-time
+          // days drop from the state store instead of living forever
+          graft.streaming.EventAnalytics.funnelProgress(ds,
+              evict = Some(graft.streaming.EventAnalytics.Eviction(
+                watermarkLagMs = 60000L, horizonMs = 30L * 86400000L)))
             .writeStream.format("memory").queryName("sb_funnel")
             .outputMode("update")
             .option("checkpointLocation", tmp.resolve("cp6").toString)

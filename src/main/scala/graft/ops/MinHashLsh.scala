@@ -140,11 +140,34 @@ object MinHashLsh {
     * "bounded by the block" was not a scale bound at all).
     *
     * threshold = 0 keeps the all-pairs block join — every pair is in the
-    * answer, so no candidate filter can help. */
+    * answer, so no candidate filter can help.
+    *
+    * '''Exact boundary arithmetic.''' The prefix length and the size-ratio
+    * filter are computed in integer arithmetic against a rational
+    * UNDER-approximation of the threshold (num/den with den = 10⁶,
+    * num = ⌊t·den⌋ − 1): double `ceil(t·n)` inflates when t·n is integral
+    * but t is not dyadic (0.1·30 → ceil 4, not 3), silently shortening the
+    * prefix below the Bayardo bound, and `|A| ≥ t·|B|` in doubles prunes
+    * legal pairs at exact equality. Slightly loose candidate sets are free
+    * (the exact merge-intersection verify removes them); a missed pair is a
+    * correctness bug — so every boundary rounds toward MORE candidates,
+    * which also absorbs the output's round-to-6-decimals tolerance.
+    *
+    * '''Adaptive small-block fast path.''' Blocks of at most
+    * `smallBlockCutoff` docs skip candidate generation and go straight to
+    * the all-pairs join + threshold filter: a C-doc block costs ≤ C²/2
+    * cheap merge-intersections, below the prefix machinery's explode +
+    * equi-join + distinct constant until C is in the hundreds. Total
+    * all-pairs work stays ≤ n·C/2 comparisons — linear in corpus size for
+    * fixed C — so the measured-sublinear scale shape is preserved while
+    * small corpora keep the all-pairs floor. Output is row-identical on
+    * either side of the cutoff (spec'd across it in JaccardBlockedSpec). */
   def jaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
                      blockCol: String, shingleK: Int = 3,
-                     threshold: Double = 0.0): DataFrame = {
+                     threshold: Double = 0.0,
+                     smallBlockCutoff: Int = 512): DataFrame = {
     require(threshold >= 0.0 && threshold < 1.0, s"bad threshold $threshold")
+    require(smallBlockCutoff >= 0, s"bad cutoff $smallBlockCutoff")
     val sh = Par.spread(docs.select(col(idCol), col(blockCol), col(textCol)))
       .select(col(idCol), col(blockCol),
         hashedShingles(col(textCol), shingleK).as("__sh"))
@@ -165,10 +188,10 @@ object MinHashLsh {
           .otherwise(lit(0.0)))
         .where(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    if (threshold == 0.0) {
-      val a = sh.select(col(idCol).as("doc_a"), col(blockCol),
+    def allPairs(s: DataFrame): DataFrame = {
+      val a = s.select(col(idCol).as("doc_a"), col(blockCol),
         col("__sh").as("__sha"))
-      val b = sh.select(col(idCol).as("doc_b"), col(blockCol).as("__blk_b"),
+      val b = s.select(col(idCol).as("doc_b"), col(blockCol).as("__blk_b"),
         col("__sh").as("__shb"))
       a.join(b,
           col(blockCol) === col("__blk_b") && col("doc_a") < col("doc_b"))
@@ -182,13 +205,30 @@ object MinHashLsh {
             (size(col("__sha")) + size(col("__shb")) - col("inter")), 6))
           .otherwise(lit(0.0)))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    } else {
-      val posts = sh
+    }
+    if (threshold == 0.0) allPairs(sh)
+    else {
+      // rational under-approximation num/den < threshold (exact in longs):
+      // prefix bound ceil(num·n/den) ≤ ceil(t·n) ⇒ prefixes never shorter
+      // than Bayardo's; size-ratio in longs never prunes a legal pair; the
+      // extra 1e-6 slack covers the round-6 output tolerance
+      val den = 1000000L
+      val num = math.max(0L, math.floor(threshold * den).toLong - 1L)
+      // per-block doc count: one shuffle on the block key, which the
+      // downstream block-keyed joins reuse
+      val sized = sh.withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(blockCol))))
+      val small = sized.where(col("__bn") <= smallBlockCutoff).drop("__bn")
+      val large = sized.where(col("__bn") > smallBlockCutoff).drop("__bn")
+      val smallPairs = allPairs(small).where(col("jaccard") >= threshold)
+      // ceil(num·n/den) = (num·n + den − 1) div den; operands ≤ 1e6·2³¹
+      // stay exact through the double division
+      val ceilTn = floor((lit(num) * col("__n") + lit(den - 1L)) / lit(den))
+      val posts = large
         .withColumn("__n", size(col("__sh")))
         .select(col(blockCol), col(idCol), col("__n"),
           explode(slice(col("__sh"), lit(1),
-            (col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-              .cast("int"))).as("__v"))
+            (col("__n") - ceilTn + 1).cast("int"))).as("__v"))
       val cands = posts
         .select(col(blockCol), col(idCol).as("doc_a"),
           col("__n").as("__na"), col("__v"))
@@ -197,11 +237,14 @@ object MinHashLsh {
             col("__v").as("__vb")),
           col(blockCol) === col("__blk_b") && col("__v") === col("__vb") &&
             col("doc_a") < col("doc_b") &&
-            // size-ratio filter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t
-            col("__na") * lit(1.0) >= lit(threshold) * col("__nb") &&
-            col("__nb") * lit(1.0) >= lit(threshold) * col("__na"))
+            // size-ratio filter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t,
+            // relaxed to num/den and tested in exact long arithmetic
+            col("__na") * lit(den) >= lit(num) * col("__nb") &&
+            col("__nb") * lit(den) >= lit(num) * col("__na"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      verified(cands)
+      // blocks are wholly small or wholly large, so the two sides
+      // partition the pair space — the union is exact, never overlapping
+      smallPairs.unionByName(verified(cands))
     }
   }
 }

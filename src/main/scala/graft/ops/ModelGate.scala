@@ -85,9 +85,11 @@ object ModelGate {
 
   /** `docs` + `scoreCol` appended: broadcast `model`, one session per
     * partition, rows scored in order-preserving batches of `batchSize`.
-    * `featCol` must be array<bigint>; a null feature row yields a null
-    * score (fails closed under [[FilterCascade]]'s null-is-failure
-    * rule). */
+    * `featCol` must be array<bigint>; a null feature row — or a feature
+    * array CONTAINING a null element — yields a null score (fails closed
+    * under [[FilterCascade]]'s null-is-failure rule; a partially-null
+    * vector is no more trustworthy than a missing one, and must not
+    * surface as an opaque executor NPE). */
   def withScores(docs: DataFrame, featCol: String, scoreCol: String,
                  model: Model, batchSize: Int = 256): DataFrame = {
     require(batchSize >= 1 && batchSize <= 65536, s"bad batch size $batchSize")
@@ -104,7 +106,18 @@ object ModelGate {
       it.grouped(batchSize).flatMap { rows =>
         val feats = rows.map { r =>
           if (r.isNullAt(fIdx)) null
-          else r.getSeq[Long](fIdx).toArray
+          else {
+            // array<bigint> is nullable-element by default: a null INSIDE
+            // the vector fails closed like a null vector, not as an NPE
+            val s = r.getSeq[Any](fIdx)
+            if (s.exists(_ == null)) null
+            else {
+              val a = new Array[Long](s.length)
+              var i = 0
+              s.foreach { v => a(i) = v.asInstanceOf[Long]; i += 1 }
+              a
+            }
+          }
         }
         val live = feats.zipWithIndex.filter(_._1 != null)
         val scores: Map[Int, Long] = if (live.isEmpty) Map.empty else {

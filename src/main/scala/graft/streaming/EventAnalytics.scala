@@ -49,40 +49,100 @@ case class TrendingRank(wstart_ms: Long, rk: Int, event_type: String,
   *
   * '''Scale shape.''' State is user-keyed and bounded: the funnel stores
   * three optional timestamps per user; rolling-active stores at most
-  * `window` contributed days per active day per user, with days older
-  * than the horizon evictable on watermark timeout. Both shard across
+  * `window` contributed days per active day per user. Both shard across
   * executors on the user key in the state store — the per-key sharding
-  * Key_Shared dispatch gives the reference. */
+  * Key_Shared dispatch gives the reference.
+  *
+  * '''Key-population eviction.''' Per-key state is provably bounded, but
+  * without eviction the KEY population grows with lifetime distinct users
+  * — a departed user's funnel row would live forever. Passing an
+  * [[EventAnalytics.Eviction]] policy wires `EventTimeTimeout`: the input
+  * is watermarked (`max event time − watermarkLagMs`), every state row
+  * arms a timeout at `last event time + horizonMs`, and a key silent past
+  * the horizon is REMOVED from the state store when the watermark passes
+  * it. The watermark also makes Spark drop late input rows before the
+  * stateful operator, so a post-eviction event cannot resurrect a zombie
+  * key with empty state and quietly recompute wrong answers — compose
+  * with [[LateDataRouter]] upstream to capture that late slice as a side
+  * output instead of a silent drop (the WindowFunctionExecutor
+  * drop-or-route contract, pulsar-functions/instance/.../windowing/
+  * WindowFunctionExecutor.java:109-118). Policy `None` keeps the
+  * unbounded-replay face the batch-parity fixtures use. */
 object EventAnalytics {
+
+  /** Eviction policy: watermark lag (how far out-of-order on-time events
+    * may be) and the silence horizon after which a key's state is dropped.
+    * Both in milliseconds of EVENT time. */
+  final case class Eviction(watermarkLagMs: Long, horizonMs: Long) {
+    require(watermarkLagMs >= 0, s"bad watermark lag $watermarkLagMs")
+    require(horizonMs > 0, s"bad horizon $horizonMs")
+  }
+
+  /** Watermark the event stream for an eviction policy (the event-time
+    * column is derived from `ts_us`; extra columns are invisible to the
+    * typed operators but the watermark rides the plan into the stateful
+    * exec, arming timeouts and late-row filtering). */
+  private def watermarked(ds: Dataset[UserEvent], e: Eviction)
+  : Dataset[UserEvent] = {
+    import ds.sparkSession.implicits._
+    ds.withColumn("__et", timestamp_micros(col("ts_us")))
+      .withWatermark("__et", s"${e.watermarkLagMs} milliseconds")
+      .as[UserEvent]
+  }
+
+  private def timeoutConf(evict: Option[Eviction]): GroupStateTimeout =
+    if (evict.isDefined) GroupStateTimeout.EventTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  /** Arm the key's eviction timeout at `lastEventMs + horizon`, clamped
+    * above the current watermark (Spark rejects a timeout at or below
+    * it — a key whose last event already trails the watermark by more
+    * than the horizon evicts at the next watermark advance). */
+  private def armTimeout(state: org.apache.spark.sql.streaming.GroupState[_],
+                         e: Eviction, lastEventMs: Long): Unit =
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs() + 1, lastEventMs + e.horizonMs))
 
   /** Streaming funnel: per-user first-qualifying-event state, emitted in
     * Update mode whenever a user's progress advances. The latest row per
     * user equals the batch fold; [[funnelCounts]] rolls the table up to
     * `q_funnel`'s one-row report. */
-  def funnelProgress(ds: Dataset[UserEvent]): Dataset[FunnelProgress] = {
+  def funnelProgress(ds: Dataset[UserEvent],
+                     evict: Option[Eviction] = None)
+  : Dataset[FunnelProgress] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.user_id)
+    evict.map(watermarked(ds, _)).getOrElse(ds).groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, FunnelProgress](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf(evict)) {
         (user, evs, state) =>
-          val prev = state.getOption.getOrElse(
-            FunnelProgress(user, None, None, None))
-          var (t1, t2, t3) = (prev.t1, prev.t2, prev.t3)
-          // value-based conditions make same-ts order irrelevant; the sort
-          // only guarantees the FIRST qualifying event is the MIN one
-          evs.toSeq.sortBy(_.ts_us).foreach { e =>
-            e.event_type match {
-              case "view" if t1.isEmpty => t1 = Some(e.ts_us)
-              case "click" if t1.exists(e.ts_us > _) && t2.isEmpty =>
-                t2 = Some(e.ts_us)
-              case "purchase" if t2.exists(e.ts_us > _) && t3.isEmpty =>
-                t3 = Some(e.ts_us)
-              case _ => ()
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(
+              FunnelProgress(user, None, None, None))
+            var (t1, t2, t3) = (prev.t1, prev.t2, prev.t3)
+            var lastUs = Long.MinValue
+            // value-based conditions make same-ts order irrelevant; the
+            // sort only guarantees the FIRST qualifying event is the MIN
+            evs.toSeq.sortBy(_.ts_us).foreach { e =>
+              lastUs = math.max(lastUs, e.ts_us)
+              e.event_type match {
+                case "view" if t1.isEmpty => t1 = Some(e.ts_us)
+                case "click" if t1.exists(e.ts_us > _) && t2.isEmpty =>
+                  t2 = Some(e.ts_us)
+                case "purchase" if t2.exists(e.ts_us > _) && t3.isEmpty =>
+                  t3 = Some(e.ts_us)
+                case _ => ()
+              }
             }
+            val cur = FunnelProgress(user, t1, t2, t3)
+            val advanced = cur != prev
+            // an eviction policy arms a timeout on EVERY state row, so
+            // the row must exist even when this batch made no progress
+            if (advanced || evict.isDefined) state.update(cur)
+            evict.foreach(armTimeout(state, _, lastUs / 1000L))
+            if (advanced) Iterator.single(cur)
+            else Iterator.empty // no progress → no emission
           }
-          val cur = FunnelProgress(user, t1, t2, t3)
-          if (cur != prev) { state.update(cur); Iterator.single(cur) }
-          else Iterator.empty // no progress → no emission
       }
   }
 
@@ -102,33 +162,42 @@ object EventAnalytics {
     * downstream per-day count over the emitted pairs equals
     * `q_rolling_active`'s trailing-window distinct count. State per user =
     * the contributed-day set (≤ window × active-days, horizon-evictable). */
-  def rollingActiveIncrements(ds: Dataset[UserEvent], window: Int = 7)
+  def rollingActiveIncrements(ds: Dataset[UserEvent], window: Int = 7,
+                              evict: Option[Eviction] = None)
   : Dataset[DayUser] = {
     require(window >= 1 && window <= 370, s"bad window $window")
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.user_id)
+    evict.map(watermarked(ds, _)).getOrElse(ds).groupByKey(_.user_id)
       .flatMapGroupsWithState[Array[Long], DayUser](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(evict)) {
         (user, evs, state) =>
-          var contributed = state.getOption.getOrElse(Array.empty[Long]).toSet
-          val out = Seq.newBuilder[DayUser]
-          var last = Long.MinValue
-          evs.map(e => Math.floorDiv(e.ts_us, 86400000000L))
-            .toSeq.distinct.sorted.foreach { a =>
-              val fresh = (a until a + window).filterNot(contributed)
-              fresh.foreach(d => out += DayUser(d, user))
-              contributed ++= fresh
-              last = a
-            }
-          // state self-pruning: in-order arrival means every FUTURE
-          // activity day a' ≥ last, so its contributions land in
-          // [a', a'+window) ⊆ [last, ∞) — contributed days below `last`
-          // are unreachable and safe to drop. Per-user state is thereby
-          // O(window) forever, not O(lifetime active days).
-          if (last > Long.MinValue)
-            contributed = contributed.filter(_ >= last)
-          state.update(contributed.toArray.sorted)
-          out.result().iterator
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var contributed =
+              state.getOption.getOrElse(Array.empty[Long]).toSet
+            val out = Seq.newBuilder[DayUser]
+            var last = Long.MinValue
+            val seq = evs.toSeq
+            val lastUs =
+              if (seq.isEmpty) Long.MinValue else seq.map(_.ts_us).max
+            seq.map(e => Math.floorDiv(e.ts_us, 86400000000L))
+              .distinct.sorted.foreach { a =>
+                val fresh = (a until a + window).filterNot(contributed)
+                fresh.foreach(d => out += DayUser(d, user))
+                contributed ++= fresh
+                last = a
+              }
+            // state self-pruning: in-order arrival means every FUTURE
+            // activity day a' ≥ last, so its contributions land in
+            // [a', a'+window) ⊆ [last, ∞) — contributed days below `last`
+            // are unreachable and safe to drop. Per-user state is thereby
+            // O(window) forever, not O(lifetime active days).
+            if (last > Long.MinValue)
+              contributed = contributed.filter(_ >= last)
+            state.update(contributed.toArray.sorted)
+            evict.foreach(armTimeout(state, _, lastUs / 1000L))
+            out.result().iterator
+          }
       }
   }
 
@@ -151,47 +220,63 @@ object EventAnalytics {
     * so pre-signup activity weeks are BUFFERED in state and replayed the
     * moment the signup lands; users who never sign up hold only that
     * bounded week set. */
-  def cohortIncrements(ds: Dataset[UserEvent]): Dataset[CohortCell] = {
+  def cohortIncrements(ds: Dataset[UserEvent],
+                       evict: Option[Eviction] = None)
+  : Dataset[CohortCell] = {
     import ds.sparkSession.implicits._
     val usPerWeek = 86400000000L * 7L
-    ds.groupByKey(_.user_id)
+    evict.map(watermarked(ds, _)).getOrElse(ds).groupByKey(_.user_id)
       .flatMapGroupsWithState[CohortState, CohortCell](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(evict)) {
         (user, evs, state) =>
-          val st = state.getOption.getOrElse(
-            CohortState(None, Array.empty, Array.empty))
-          var cohort = st.cohortWk
-          var pre = st.preSignupWeeks.toSet
-          var emitted = st.emitted.toSet
-          val out = Seq.newBuilder[CohortCell]
-          def emit(actWk: Long): Unit = cohort.foreach { cw =>
-            val off = actWk - cw
-            if (off >= 0 && !emitted(off)) {
-              emitted += off; out += CohortCell(cw, off, user)
-            }
-          }
-          var lastWk = Long.MinValue
-          evs.toSeq.sortBy(_.ts_us).foreach { e =>
-            val wk = Math.floorDiv(e.ts_us, usPerWeek)
-            lastWk = math.max(lastWk, wk)
-            if (e.event_type == "signup") {
-              if (cohort.isEmpty) {
-                cohort = Some(wk)
-                pre.foreach(emit); pre = Set.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(
+              CohortState(None, Array.empty, Array.empty))
+            var cohort = st.cohortWk
+            var pre = st.preSignupWeeks.toSet
+            var emitted = st.emitted.toSet
+            val out = Seq.newBuilder[CohortCell]
+            def emit(actWk: Long): Unit = cohort.foreach { cw =>
+              val off = actWk - cw
+              if (off >= 0 && !emitted(off)) {
+                emitted += off; out += CohortCell(cw, off, user)
               }
-            } else if (cohort.isEmpty) pre += wk
-            else emit(wk)
+            }
+            var lastWk = Long.MinValue
+            var lastUs = Long.MinValue
+            evs.toSeq.sortBy(_.ts_us).foreach { e =>
+              val wk = Math.floorDiv(e.ts_us, usPerWeek)
+              lastWk = math.max(lastWk, wk)
+              lastUs = math.max(lastUs, e.ts_us)
+              if (e.event_type == "signup") {
+                if (cohort.isEmpty) {
+                  cohort = Some(wk)
+                  pre.foreach(emit); pre = Set.empty
+                }
+              } else if (cohort.isEmpty) pre += wk
+              else emit(wk)
+            }
+            // state self-pruning (the rolling-active discipline): in-order
+            // arrival means future activity weeks are ≥ lastWk, so emitted
+            // offsets below (lastWk − cohort) can never be generated again
+            // — the emitted set stays O(1), not O(user lifetime in weeks.)
+            // The same argument prunes the never-signed-up buffer: a
+            // future signup's cohort week is ≥ lastWk, so buffered weeks
+            // strictly below lastWk could only produce negative offsets —
+            // dead weight; without the prune, a user who never signs up
+            // holds O(distinct lifetime activity weeks).
+            if (lastWk > Long.MinValue) {
+              cohort match {
+                case Some(cw) => emitted = emitted.filter(_ >= lastWk - cw)
+                case None => pre = pre.filter(_ >= lastWk)
+              }
+            }
+            state.update(CohortState(cohort, pre.toArray.sorted,
+              emitted.toArray.sorted))
+            evict.foreach(armTimeout(state, _, lastUs / 1000L))
+            out.result().iterator
           }
-          // state self-pruning (the rolling-active discipline): in-order
-          // arrival means future activity weeks are ≥ lastWk, so emitted
-          // offsets below (lastWk − cohort) can never be generated again —
-          // the emitted set stays O(1), not O(user lifetime in weeks).
-          if (lastWk > Long.MinValue) cohort.foreach { cw =>
-            emitted = emitted.filter(_ >= lastWk - cw)
-          }
-          state.update(CohortState(cohort, pre.toArray.sorted,
-            emitted.toArray.sorted))
-          out.result().iterator
       }
   }
 
@@ -205,27 +290,35 @@ object EventAnalytics {
     * per-type count map (bounded by event-type cardinality), re-emitting
     * that hour's CURRENT top-k whenever a batch touches it (Update mode —
     * latest emission per (window, rank) is the answer, `q_trending`'s
-    * (n desc, type asc) ordering). Hours older than the watermark horizon
-    * would be evicted via state timeout in a deployment; the fixture
-    * replay keeps them all. */
-  def trendingTop(ds: Dataset[UserEvent], k: Int = 3)
+    * (n desc, type asc) ordering). With an [[Eviction]] policy, an hour
+    * whose last event trails the watermark by the horizon is dropped from
+    * the state store — closed hours stop paying state rent. */
+  def trendingTop(ds: Dataset[UserEvent], k: Int = 3,
+                  evict: Option[Eviction] = None)
   : Dataset[TrendingRank] = {
     require(k >= 1 && k <= 100, s"bad k $k")
     import ds.sparkSession.implicits._
-    ds.groupByKey(e => Math.floorDiv(e.ts_us, 3600000000L))
+    evict.map(watermarked(ds, _)).getOrElse(ds)
+      .groupByKey(e => Math.floorDiv(e.ts_us, 3600000000L))
       .flatMapGroupsWithState[Map[String, Long], TrendingRank](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf(evict)) {
         (hour, evs, state) =>
-          var counts = state.getOption.getOrElse(Map.empty[String, Long])
-          evs.foreach { e =>
-            counts = counts.updated(e.event_type,
-              counts.getOrElse(e.event_type, 0L) + 1L)
-          }
-          state.update(counts)
-          counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
-            .zipWithIndex.iterator.map { case ((t, n), i) =>
-              TrendingRank(hour * 3600000L, i + 1, t, n)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var counts = state.getOption.getOrElse(Map.empty[String, Long])
+            var lastUs = Long.MinValue
+            evs.foreach { e =>
+              lastUs = math.max(lastUs, e.ts_us)
+              counts = counts.updated(e.event_type,
+                counts.getOrElse(e.event_type, 0L) + 1L)
             }
+            state.update(counts)
+            evict.foreach(armTimeout(state, _, lastUs / 1000L))
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+              .zipWithIndex.iterator.map { case ((t, n), i) =>
+                TrendingRank(hour * 3600000L, i + 1, t, n)
+              }
+          }
       }
   }
 }

@@ -60,6 +60,19 @@ class ModelGateSpec extends SparkSuite {
       "an unscorable document must not silently pass the gate")
   }
 
+  test("a null ELEMENT inside a feature vector fails closed, not as NPE") {
+    // array<bigint> is nullable-element by default; a partially-null
+    // vector must take the null-score path like a null vector — the old
+    // getSeq[Long] read NPE'd in the executor instead
+    val df = Seq((1L, Seq[java.lang.Long](5L, null, 2L)),
+        (2L, Seq[java.lang.Long](1L, 2L, 3L)))
+      .toDF("id", "f")
+    val rows = ModelGate.withScores(df, "f", "s", ModelGate.LinearStub(3))
+      .orderBy("id").select($"s").collect()
+    assert(rows(0).isNullAt(0), "null-element vector scores null")
+    assert(!rows(1).isNullAt(0), "the clean vector still scores")
+  }
+
   test("a model that drops or pads rows fails loudly") {
     val ex = intercept[org.apache.spark.SparkException] {
       ModelGate.withScores(docs(10, 1), "f", "s",

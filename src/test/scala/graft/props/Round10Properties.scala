@@ -26,8 +26,10 @@ class Round10Properties extends SparkSuite {
         (i.toLong, s"b${i % 2}", text(round * 1000L + i)))
         .toDF("doc_id", "source", "text")
       for (t <- Seq(0.1, 0.34, 0.67)) {
+        // cutoff 0 forces the prefix path (30-doc blocks would otherwise
+        // take the small-block all-pairs shortcut and test nothing)
         val fast = MinHashLsh.jaccardBlocked(docs, "doc_id", "text",
-            "source", shingleK = 2, threshold = t)
+            "source", shingleK = 2, threshold = t, smallBlockCutoff = 0)
           .as[(Long, Long, Double)].collect().toSeq.sorted
         val truth = MinHashLsh.jaccardBlocked(docs, "doc_id", "text",
             "source", shingleK = 2, threshold = 0.0)

@@ -29,7 +29,13 @@ def main():
             rows[name] = {"small_s": t1, "big_s": t10, "ratio": None,
                           "flag": "missing-or-failed"}
             continue
-        ratio = t10 / t1 if t1 > 0 else None
+        if t1 == 0:
+            # a zero base makes the ratio undefined -- flag the one query
+            # instead of crashing the whole analysis
+            rows[name] = {"small_s": 0.0, "big_s": round(t10, 3),
+                          "ratio": None, "flag": "zero-base"}
+            continue
+        ratio = t10 / t1
         entry = {"small_s": round(t1, 3), "big_s": round(t10, 3),
                  "ratio": round(ratio, 2)}
         if ratio > flag:
