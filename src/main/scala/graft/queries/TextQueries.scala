@@ -168,6 +168,54 @@ object TextQueries {
     * around zero, so ≥ 0 gates about half the corpus. */
   private def modelRule: (String, org.apache.spark.sql.Column) =
     "model" -> (col("model_score") >= 0L)
+
+  // full 64-dim features: the teacher's labels are linearly separable in
+  // this space, so 8 perceptron passes reach ~99% (measured 0.992 at
+  // sf0.01) — training demonstrably WORKS, not just runs; a 16-dim
+  // student capped at ~0.6 and proved only the plumbing
+  private val trainedDim = 64
+  private val trainedEpochs = 8
+
+  /** The in-engine-TRAINED classifier head (the step past the stub): a
+    * batch perceptron learns the teacher gate's labels from the
+    * quantized embedding features — [[graft.ops.LinearTrainer]], K full
+    * gradient passes, one map-side-combined aggregate each — then serves
+    * through the SAME [[graft.ops.ModelGate]] plumbing as any external
+    * model. Weights persist as a corpus-fingerprint-keyed artifact
+    * (trained once per snapshot, shared across processes); the 16-row
+    * weight collect is bounded by construction. Per-doc output
+    * (trained_score, pred, label) pins training AND inference: one wrong
+    * gradient in any pass moves every downstream score. */
+  private def trainedScored(s: SparkSession, d: String): DataFrame = {
+    val feats = transform(col("embedding"),
+      e => floor(e.cast("double") * lit(1024.0)).cast("long"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), feats.as("__f"))
+    val base = Tables.documents(s, d).select(col("doc_id")).join(emb, "doc_id")
+    val labeled = graft.ops.ModelGate.withScores(base, "__f", "__teacher",
+        graft.ops.ModelGate.LinearStub(64))
+      .withColumn("label", when(col("__teacher") >= 0L, 1L).otherwise(0L))
+      .withColumn("__f16", slice(col("__f"), 1, trainedDim))
+    // hyperparameters are part of the artifact identity — a dim/epoch
+    // change must retrain, not serve a stale head
+    val wDf = Artifacts.materialized(s, d,
+        s"trained-linear-d$trainedDim-e$trainedEpochs") {
+      val w = graft.ops.LinearTrainer.trainPerceptron(labeled, "__f16",
+        "label", trainedDim, trainedEpochs)
+      import s.implicits._
+      w.toSeq.zipWithIndex.map { case (wj, j) => (j + 1, wj) }
+        .toDF("j", "w")
+    }
+    val w = wDf.orderBy("j").collect().map(_.getLong(1))
+    graft.ops.ModelGate.withScores(labeled, "__f16", "trained_score",
+        graft.ops.LinearTrainer.TrainedLinear(w))
+      .select(col("doc_id"), col("trained_score"),
+        (col("trained_score") >= 0L).as("pred"), col("label"))
+  }
+
+  /** Mask bit 32: the trained head's verdict as one more cascade rule. */
+  private def trainedRule: (String, org.apache.spark.sql.Column) =
+    "trained" -> (col("trained_score") >= 0L)
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -1423,6 +1471,35 @@ object TextQueries {
           cascadeRules :+ modelRule),
         cascadeRules.map(_._1) :+ "model")),
 
+    // The TRAINED classifier head (model-proven gate, not stub-proven):
+    // per-doc trained score, prediction and teacher label — training is
+    // replayed oracle-side as unrolled integer gradient passes, so any
+    // drift in any pass fails the hash compare.
+    "q_model_trained" -> ((s, d) => trainedScored(s, d)),
+
+    // The trained head's evaluation as data: corpus size, correct
+    // predictions, integer-permille accuracy — one aggregate over the
+    // scored frame.
+    "q_model_trained_eval" -> ((s, d) =>
+      trainedScored(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === (col("label") === 1L), 1L)
+          .otherwise(0L)).as("n_correct"))
+        .select(col("n_docs"), col("n_correct"),
+          expr("(1000 * n_correct) div n_docs").as("acc_permille"))),
+
+    // The full cascade with BOTH model slots: heuristic rules, the stub
+    // teacher (bit 16) and the in-engine-trained head (bit 32) — the
+    // FineWeb-Edu-style double gate in one scan + one id join.
+    "q_model_trained_gate" -> ((s, d) => {
+      val tr = trainedScored(s, d).select(col("doc_id"), col("trained_score"))
+      graft.ops.FilterCascade.withVerdict(
+          modelScored(s, d).join(tr, "doc_id"),
+          cascadeRules :+ modelRule :+ trainedRule)
+        .select(col("doc_id"), col("model_score"), col("trained_score"),
+          col("fail_mask"), col("keep"))
+    }),
+
     // HTML main-content extraction (the trafilatura/jusText slot, rule
     // zero UPSTREAM of the cascade): segment the chrome-planted page at
     // block-tag boundaries, strip inline tags, keep blocks ≥ 40 chars
@@ -1862,6 +1939,44 @@ object TextQueries {
        ms AS (
          SELECT doc_id, CAST(sum(w * f) AS BIGINT) AS model_score
          FROM ft JOIN wt USING (i) GROUP BY doc_id)"""
+  }
+
+  /** Unrolled integer-exact perceptron training replay (depends on
+    * [[modelScoreCtes]]' `ft`/`ms`): teacher labels from the stub score,
+    * zero-initialized weights, then per pass a predict CTE
+    * (ŷ = [Σ w·x ≥ 0]) and an update CTE (w += Σ (y − ŷ)·x) — the exact
+    * arithmetic [[graft.ops.LinearTrainer.trainPerceptron]] runs — ending
+    * in `ts(doc_id, trained_score)` under the final weights. `x` is
+    * restricted to docs present in `documents`, mirroring the engine's
+    * documents⋈embeddings training set. */
+  private def trainedCtes(dim: Int, epochs: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""lab AS (
+         SELECT doc_id, CASE WHEN model_score >= 0 THEN 1 ELSE 0 END AS y
+         FROM ms),
+       x AS (
+         SELECT ft.doc_id, ft.i, ft.f
+         FROM ft JOIN documents dd ON dd.doc_id = ft.doc_id
+         WHERE ft.i <= $dim),
+       w0 AS (SELECT i, CAST(0 AS BIGINT) AS w
+              FROM range(1, ${dim + 1}) t(i))""")
+    for (k <- 1 to epochs) {
+      sb.append(s""",
+       p$k AS (
+         SELECT x.doc_id,
+                CASE WHEN sum(w.w * x.f) >= 0 THEN 1 ELSE 0 END AS yhat
+         FROM x JOIN w${k - 1} w USING (i) GROUP BY x.doc_id),
+       w$k AS (
+         SELECT x.i, w.w + sum((l.y - p.yhat) * x.f) AS w
+         FROM x JOIN w${k - 1} w USING (i)
+           JOIN lab l USING (doc_id) JOIN p$k p USING (doc_id)
+         GROUP BY x.i, w.w)""")
+    }
+    sb.append(s""",
+       ts AS (
+         SELECT x.doc_id, CAST(sum(w.w * x.f) AS BIGINT) AS trained_score
+         FROM x JOIN w$epochs w USING (i) GROUP BY x.doc_id)""")
+    sb.toString
   }
 
   private lazy val bpeIdsCtes: String = {
@@ -3971,6 +4086,40 @@ object TextQueries {
                 CAST(sum(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_keep
          FROM fm""",
+    // trained-head replay: teacher labels from the stub score, 4 unrolled
+    // perceptron passes in exact integer arithmetic, final-weight scoring
+    "q_model_trained" ->
+      s"""WITH $modelScoreCtes, ${trainedCtes(trainedDim, trainedEpochs)}
+         SELECT t.doc_id, t.trained_score, t.trained_score >= 0 AS pred,
+                CAST(l.y AS BIGINT) AS label
+         FROM ts t JOIN lab l USING (doc_id)""",
+    "q_model_trained_eval" ->
+      s"""WITH $modelScoreCtes, ${trainedCtes(trainedDim, trainedEpochs)},
+         sc AS (
+           SELECT t.doc_id,
+                  CASE WHEN (t.trained_score >= 0) = (l.y = 1)
+                    THEN 1 ELSE 0 END AS ok
+           FROM ts t JOIN lab l USING (doc_id))
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(ok) AS BIGINT) AS n_correct,
+                CAST((1000 * sum(ok)) // count(*) AS BIGINT) AS acc_permille
+         FROM sc""",
+    // double-gate replay: heuristic mask + stub bit 16 + trained bit 32
+    "q_model_trained_gate" ->
+      s"""WITH $cascadeMaskCtes, $modelScoreCtes,
+         ${trainedCtes(trainedDim, trainedEpochs)}
+         SELECT m.doc_id, ms.model_score, t.trained_score,
+                CAST(m.fail_mask
+                  + CASE WHEN ms.model_score >= 0 THEN 0 ELSE 16 END
+                  + CASE WHEN t.trained_score >= 0 THEN 0 ELSE 32 END
+                  AS BIGINT) AS fail_mask,
+                (m.fail_mask
+                  + CASE WHEN ms.model_score >= 0 THEN 0 ELSE 16 END
+                  + CASE WHEN t.trained_score >= 0 THEN 0 ELSE 32 END) = 0
+                  AS keep
+         FROM msk m JOIN ms ON ms.doc_id = m.doc_id
+           JOIN ts t ON t.doc_id = m.doc_id""",
+
     // extraction replay: the same chrome-planting expression, the same
     // block segmentation / inline-strip / whitespace-collapse, the same
     // integer cross-multiplied length + link-density keep rule, kept
