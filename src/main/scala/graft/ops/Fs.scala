@@ -6,6 +6,22 @@ import java.io.File
   * code paths. */
 object Fs {
 
+  /** Fault-injection hook for the store lifecycle: [[GenStore]] calls
+    * [[step]] at every driver-side IO boundary (generation alloc, data
+    * write, pointer swap sub-steps, per-generation reap). Production
+    * cost is one volatile read of a null; a test installs a trap that
+    * throws at the Nth crossing to simulate a crash BETWEEN IO steps,
+    * then asserts reopen-and-replay convergence (FaultInjectionSpec).
+    * Driver-side only by design — executor-side parquet task writes are
+    * already covered by Spark's job-level commit protocol. */
+  @volatile private[graft] var stepTrap: String => Unit = null
+
+  /** Cross an IO step boundary; no-op unless a trap is installed. */
+  @inline def step(label: String): Unit = {
+    val t = stepTrap
+    if (t != null) t(label)
+  }
+
   /** Recursive delete (no symlink traversal protection — callers own the
     * trees they delete). Missing files are fine. */
   def deleteRecursively(f: File): Unit = {

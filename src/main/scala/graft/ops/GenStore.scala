@@ -49,7 +49,10 @@ private[ops] final class GenStore(path: String) {
     if (existing.isEmpty) 0 else existing.max + 1
   }
 
-  def newGenDir(): File = new File(path, s"gen-${nextGenIndex()}")
+  def newGenDir(): File = {
+    Fs.step("gen.alloc")
+    new File(path, s"gen-${nextGenIndex()}")
+  }
 
   /** Atomically re-point `_current` at `genName`. POSIX rename replaces in
     * one step (no window with no pointer); on filesystems where the atomic
@@ -58,18 +61,23 @@ private[ops] final class GenStore(path: String) {
     * recoverable by [[currentGen]] rather than reading as an empty store. */
   def swapPointer(genName: String): Unit = {
     import java.nio.file.{Files, StandardCopyOption => O}
+    Fs.step("swap.begin")
     val tmp = new File(path, "._current.tmp")
     Files.write(tmp.toPath, genName.getBytes("UTF-8"))
+    Fs.step("swap.tmp-written")
     try Files.move(tmp.toPath, pointer.toPath,
       O.ATOMIC_MOVE, O.REPLACE_EXISTING)
     catch {
       case _: java.io.IOException =>
         if (pointer.exists())
           Files.copy(pointer.toPath, prevPointer.toPath, O.REPLACE_EXISTING)
+        Fs.step("swap.prev-copied")
         pointer.delete()
+        Fs.step("swap.old-deleted")
         if (!tmp.renameTo(pointer))
           throw new java.io.IOException(s"pointer swap failed at $path")
     }
+    Fs.step("swap.done")
   }
 
   /** Delete every generation directory not named in `keep` (the live one
@@ -78,7 +86,7 @@ private[ops] final class GenStore(path: String) {
     Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
         !keep(f.getName))
-      .foreach(Fs.deleteRecursively)
+      .foreach { g => Fs.step("reap.delete"); Fs.deleteRecursively(g) }
 
   /** The generation appends land in: the live one, or a freshly-created
     * `gen-0` (pointer swapped before the first write, so a crash
@@ -94,6 +102,7 @@ private[ops] final class GenStore(path: String) {
       beforeCreate(root)
       val gen = newGenDir()
       gen.mkdirs()
+      Fs.step("create.gen-made")
       swapPointer(gen.getName)
       gen
     }
