@@ -1,0 +1,115 @@
+package graft.ops
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, APPENDABLE link-edge store — the incremental face of the
+  * link-graph artifact: crawl batches append `(src, dst)` edges as they
+  * are discovered and the graph queries read the deduped union. A
+  * full-corpus edge extraction is a 100 TB scan; crawl DELTAS are
+  * batch-sized — rebuilding the artifact per snapshot throws the
+  * difference away, appending keeps it.
+  *
+  * '''Layout: a generation is a set of `batch-*` directories''', each a
+  * complete ep-partitioned parquet dataset (`ep` = hash(src, dst) mod 16,
+  * so membership probes prune to one partition within every batch).
+  * Appends are staged-then-renamed: the batch writes to a private
+  * `.stage-*` dir and ONE atomic rename publishes it into the live
+  * generation. That makes concurrent appenders safe — a Hadoop committer
+  * stages task files under `_temporary` INSIDE the output directory, so
+  * two concurrent `mode("append")` jobs into one dir delete each other's
+  * in-flight task files; per-batch staging gives every job its own
+  * committer root (spec'd by the concurrent-appenders EdgeIndexSpec case).
+  *
+  * '''Crash contract''' (the shared [[GenStore]] discipline, swept by
+  * FaultInjectionSpec): a crash before the publish rename leaves an
+  * ignored `.stage-*` orphan (bounded by crash count — never read, never
+  * counted); after it, a complete batch. A replayed batch publishes
+  * identical `(src, dst, ord)` rows under a fresh name and [[edges]]
+  * collapses them, so replay never changes the graph. [[compact]]
+  * rewrites one arbitrated row per edge under the atomic pointer swap;
+  * like every store's maintenance face it assumes append quiescence
+  * (the MaintenanceLoop discipline) — APPENDS may race each other
+  * freely, compact-vs-append is the one serialized pair.
+  *
+  * Reference analog: ledger ADD-entry appends with periodic compaction
+  * (managed-ledger/.../ManagedLedgerImpl.java) — state accumulates by
+  * append, readers see the union, a maintenance pass rewrites.
+  */
+final class EdgeIndex(spark: SparkSession, path: String) {
+
+  private val gens = new GenStore(path)
+
+  private def ep = pmod(xxhash64(col("src"), col("dst")), lit(16))
+
+  private def batchDirs(gen: File): Seq[File] =
+    Option(gen.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .sortBy(_.getName).toSeq
+
+  /** Append one crawl batch's edges. Duplicate edges within the batch
+    * collapse before the write; duplicates ACROSS batches (or from a
+    * crash-replayed batch) are collapsed by [[edges]]/[[compact]]. */
+  def addEdges(batch: DataFrame, ord: Long): Unit = {
+    val gen = gens.liveOrCreate()
+    val stage = new File(path,
+      s".stage-${java.util.UUID.randomUUID()}")
+    batch.select(col("src"), col("dst")).distinct()
+      .withColumn("ord", lit(ord)).withColumn("ep", ep)
+      .write.mode("overwrite").partitionBy("ep")
+      .parquet(stage.getAbsolutePath)
+    Fs.step("edge.batch-staged")
+    val dest = new File(gen,
+      s"batch-$ord-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.move(stage.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Fs.step("edge.batch-published")
+  }
+
+  /** The live generation's raw `(src, dst, ord)` rows across all
+    * published batches (pre-dedup — compaction audits, row counting).
+    * One scan per batch dir unioned (each dir is its own ep-partitioned
+    * dataset — a single multi-path read would demand one shared
+    * basePath); compaction keeps the union width at one. */
+  def rawRows(): DataFrame = {
+    val gen = gens.currentGen().getOrElse(
+      throw new IllegalStateException(s"empty edge index at $path"))
+    val dirs = batchDirs(gen)
+    if (dirs.isEmpty)
+      throw new IllegalStateException(s"empty edge index at $path")
+    dirs.map(d => spark.read.parquet(d.getAbsolutePath))
+      .reduce(_ unionByName _)
+  }
+
+  /** The accumulated edge set, deduped — equal to a full rebuild over
+    * the union of every appended batch (spec'd in EdgeIndexSpec). */
+  def edges(): DataFrame =
+    rawRows().select(col("src"), col("dst")).dropDuplicates("src", "dst")
+
+  /** Rewrite the live generation to one row per edge (earliest ord wins —
+    * pure bookkeeping, the edge set is unchanged); keeps the replaced
+    * generation for one cycle. */
+  def compact(): Unit = gens.currentGen().foreach { cur =>
+    val dirs = batchDirs(cur)
+    if (dirs.nonEmpty) {
+      val next = gens.newGenDir()
+      dirs.map(d => spark.read.parquet(d.getAbsolutePath))
+        .reduce(_ unionByName _)
+        .groupBy(col("src"), col("dst")).agg(min(col("ord")).as("ord"))
+        .withColumn("ep", ep)
+        .repartition(col("ep"))
+        .write.mode("overwrite").partitionBy("ep")
+        .parquet(new File(next, "batch-0-compacted").getAbsolutePath)
+      gens.swapPointer(next.getName)
+      gens.reapExcept(Set(next.getName, cur.getName))
+    }
+  }
+
+  /** Whether any batch has been published (a pure directory listing). */
+  def hasData: Boolean = gens.currentGen().exists(batchDirs(_).nonEmpty)
+
+  /** Live generation path (plan audits / external scans). */
+  def currentGenerationPath: Option[String] =
+    gens.currentGen().map(_.getAbsolutePath)
+}

@@ -94,17 +94,35 @@ private[ops] final class GenStore(path: String) {
     * each store's append semantics must make replayable). `beforeCreate`
     * runs whenever no live generation exists — the first creation, or
     * recovery after a crashed pointer swap — so keep it idempotent
-    * (layout guards, not one-time initialization). */
+    * (layout guards, not one-time initialization).
+    *
+    * '''Concurrency''': IN-PROCESS concurrent creators (e.g. crawl
+    * workers fanning out onto one empty [[EdgeIndex]]) serialize on a
+    * per-path lock — without it, racers allocate different generations
+    * and the last replacing pointer swap orphans every batch the other
+    * "winners" already published (POSIX rename REPLACES, so there is no
+    * portable filesystem test-and-set to build a lock-free cold start
+    * on). CROSS-process, creation follows the provision-then-fan-out
+    * contract: the store is created by a single writer before concurrent
+    * appenders attach — the reference's shape too: a ledger is created
+    * in one metadata operation before entries are appended
+    * (managed-ledger/.../ManagedLedgerImpl.java open-or-create). */
   def liveOrCreate(beforeCreate: File => Unit = _ => ()): File =
     currentGen().getOrElse {
-      val root = new File(path)
-      root.mkdirs()
-      beforeCreate(root)
-      val gen = newGenDir()
-      gen.mkdirs()
-      Fs.step("create.gen-made")
-      swapPointer(gen.getName)
-      gen
+      val lock = GenStore.createLocks.computeIfAbsent(
+        new File(path).getAbsolutePath, _ => new Object)
+      lock.synchronized {
+        currentGen().getOrElse {
+          val root = new File(path)
+          root.mkdirs()
+          beforeCreate(root)
+          val gen = newGenDir()
+          gen.mkdirs()
+          Fs.step("create.gen-made")
+          swapPointer(gen.getName)
+          gen
+        }
+      }
     }
 
   /** Whether the live generation holds any data per `present` — a pure
@@ -146,4 +164,10 @@ private[ops] final class GenStore(path: String) {
     currentGen().filter(g =>
       Option(g.listFiles()).getOrElse(Array.empty).exists(present))
       .map(g => spark.read.parquet(g.getAbsolutePath))
+}
+
+private[ops] object GenStore {
+  /** Per-path cold-start creation locks (see [[GenStore.liveOrCreate]]). */
+  private val createLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

@@ -214,10 +214,19 @@ object MinHashLsh {
       // extra 1e-6 slack covers the round-6 output tolerance
       val den = 1000000L
       val num = math.max(0L, math.floor(threshold * den).toLong - 1L)
-      // per-block doc count: one shuffle on the block key, which the
-      // downstream block-keyed joins reuse
-      val sized = sh.withColumn("__bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(blockCol))))
+      // per-block doc counts (map-side-combined agg); the ONE-ROW max
+      // probe decides the plan driver-side: when every block fits the
+      // cutoff, skip the prefix machinery entirely — an empty large side
+      // still costs its explode/join/distinct stages in scheduler time,
+      // which at small corpora dwarfs the all-pairs work itself
+      val sizes = sh.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+      val maxBn = sizes.agg(max(col("__bn"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      if (maxBn <= smallBlockCutoff)
+        return allPairs(sh).where(col("jaccard") >= threshold)
+      val sized = sh.join(sizes, blockCol)
       val small = sized.where(col("__bn") <= smallBlockCutoff).drop("__bn")
       val large = sized.where(col("__bn") > smallBlockCutoff).drop("__bn")
       val smallPairs = allPairs(small).where(col("jaccard") >= threshold)

@@ -224,16 +224,30 @@ object Pq {
   /** Persist a trained model as (mi, ci, v) parquet — the codebook twin of
     * [[KMeans.saveCentroids]], so a persisted index can bind its quantizers
     * to the generation whose postings they encoded. */
-  def saveModel(spark: org.apache.spark.sql.SparkSession, path: String,
-                model: Model): Unit = {
+  /** The model as (mi, ci, v) rows — the persisted representation. */
+  def modelRows(spark: org.apache.spark.sql.SparkSession,
+                model: Model): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val rows = for {
       mi <- 0 until model.m
       ci <- model.codebooks(mi).indices
     } yield (mi, ci, model.codebooks(mi)(ci).toSeq)
-    rows.toDF("mi", "ci", "v")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    rows.toDF("mi", "ci", "v").coalesce(1)
   }
+
+  /** Rebuild a model from (mi, ci, v) rows (parquet doubles round-trip
+    * exactly, so the rebuilt model encodes bit-identically). */
+  def modelOfRows(rows: Array[(Int, Int, Seq[Double])]): Model = {
+    require(rows.nonEmpty, "no PQ model rows")
+    val m = rows.map(_._1).max + 1
+    val cbs = Array.tabulate(m)(mi =>
+      rows.filter(_._1 == mi).sortBy(_._2).map(_._3.toArray))
+    Model(m, cbs(0)(0).length, cbs)
+  }
+
+  def saveModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                model: Model): Unit =
+    modelRows(spark, model).write.mode("overwrite").parquet(path)
 
   /** Load a model persisted by [[saveModel]] — parquet doubles round-trip
     * exactly, so encode/ADC under the loaded model are bit-identical to
@@ -241,13 +255,8 @@ object Pq {
   def loadModel(spark: org.apache.spark.sql.SparkSession,
                 path: String): Model = {
     import spark.implicits._
-    val rows = spark.read.parquet(path)
+    modelOfRows(spark.read.parquet(path)
       .select(col("mi").cast("int"), col("ci").cast("int"), col("v"))
-      .as[(Int, Int, Seq[Double])].collect()
-    require(rows.nonEmpty, s"no PQ model rows at $path")
-    val m = rows.map(_._1).max + 1
-    val cbs = Array.tabulate(m)(mi =>
-      rows.filter(_._1 == mi).sortBy(_._2).map(_._3.toArray))
-    Model(m, cbs(0)(0).length, cbs)
+      .as[(Int, Int, Seq[Double])].collect())
   }
 }

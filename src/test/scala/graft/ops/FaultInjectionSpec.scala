@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * driver-side IO boundary ([[Fs.step]] crossings: generation alloc,
   * pointer-swap sub-steps, per-generation reap) and asserts that
   * reopening the store and replaying the same workload converges on the
-  * uninjected answer. One parameterized sweep, run across all nine
+  * uninjected answer. One parameterized sweep, run across all ten
   * GenStore-backed stores (KV, LSH pairs, components, exact-dedup,
-  * paragraph, IVF, IVF-PQ, SimHash, BM25).
+  * paragraph, IVF, IVF-PQ, SimHash, BM25, link edges).
   *
   * Reference analog: the broker's ledger-recovery-on-open path —
   * managed-ledger/.../ManagedLedgerImpl.java initializes by replaying
@@ -83,7 +83,7 @@ class FaultInjectionSpec extends SparkSuite {
   private def kvRows(t: (String, Long, String)*) =
     t.toSeq.toDF("k", "ver", "v")
 
-  // ---- the nine stores -------------------------------------------------
+  // ---- the ten stores --------------------------------------------------
 
   test("KV store: crash anywhere in merge/swap/reap replays to LWW state") {
     sweep("kv") { dir =>
@@ -199,6 +199,19 @@ class FaultInjectionSpec extends SparkSuite {
       canon(new IvfPqIndex(spark, dir, "vec_id", "embedding", model, cents)
         .search(q, base, nprobe = 2, k = 3, shortlist = 20)
         .select(col("query_id"), col("neighbor_id"), round(col("sim"), 9)))
+    }
+  }
+
+  test("edge index: crash sweep converges on the deduped edge set") {
+    val b1 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val b2 = Seq((2L, 3L), (3L, 4L), (5L, 1L)).toDF("src", "dst")
+    sweep("edges") { dir =>
+      val idx = new EdgeIndex(spark, dir)
+      idx.addEdges(b1, ord = 0)
+      idx.compact()
+      idx.addEdges(b2, ord = 1)
+    } { dir =>
+      canon(new EdgeIndex(spark, dir).edges())
     }
   }
 

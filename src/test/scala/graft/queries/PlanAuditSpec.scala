@@ -605,7 +605,8 @@ class PlanAuditSpec extends SparkSuite {
     // after the artifact build, the executed plan's scan is the
     // node/edge-sized parquet — the documents table never appears
     val p = plan("q_degree_dist")
-    assert(p.contains("link-edges"), s"scan must hit the artifact:\n$p")
+    assert(p.contains("link-edge-index"),
+      s"scan must hit the appendable edge store:\n$p")
     assert(!p.contains("documents.parquet"),
       "the corpus is only touched by the one-time artifact build")
   }

@@ -132,6 +132,25 @@ class EventAnalyticsEvictionSpec extends SparkSuite {
     assert(u1Days == (100L until 107L).toList, s"got $u1Days")
   }
 
+  test("cohort: a never-signed-up user evicts with its buffered weeks") {
+    val wk = 86400000000L * 7L
+    // u1 browses but never signs up (its pre-signup buffer is pure state
+    // rent); u2 signs up and keeps the watermark moving past u1's horizon
+    val b1 = Seq(UserEvent(1L, "view", 40L * wk),
+      UserEvent(2L, "signup", 40L * wk))
+    val b2 = Seq(UserEvent(2L, "click", 41L * wk))
+    val b3 = Seq(UserEvent(2L, "click", 41L * wk + 7200000000L))
+    val (outDf, cp) = replayBatches(Seq(b1, b2, b3), "append")(ds =>
+      EventAnalytics.cohortIncrements(ds, evict = Some(policy)).toDF())
+    assert(stateKeys(cp) == Set(2L),
+      s"the never-signed-up key must evict: ${stateKeys(cp)}")
+    // u2's cell (the week-1 click; the signup itself is not activity)
+    // survives in the output history, emitted exactly once
+    val cells = outDf.where(col("user_id") === 2L)
+      .select("week_offset").as[Long].collect().toSeq.sorted
+    assert(cells == Seq(1L))
+  }
+
   test("trending: a closed hour stops paying state rent") {
     val hour = 3600000000L
     val b1 = Seq(UserEvent(1L, "view", 10L * hour + 1L),

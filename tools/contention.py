@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Concurrent-board contention analysis: per-query wall-time ratios between
+a serial Bench record and one or more `--threads N` records ->
+BENCH_CONCURRENT.json.
+
+With N query threads sharing one local[C] session, a query's wall time
+under contention is expected to grow toward N x (slot sharing: the
+scheduler divides the same C cores among N concurrent job DAGs). Ratios
+well ABOVE the thread count mark interference beyond fair sharing --
+shared driver locks, registry/factory serialization, broadcast-cleanup
+stalls, storage churn -- the defect class plan audits cannot see.
+
+Usage: python3 tools/contention.py <serial.json> <out.json> \
+           <threads:concurrent.json> [<threads:concurrent.json> ...]
+"""
+import json
+import sys
+
+
+def main():
+    serial_f, out_f = sys.argv[1:3]
+    serial = json.load(open(serial_f))
+    runs = []
+    for spec in sys.argv[3:]:
+        n, f = spec.split(":", 1)
+        runs.append((int(n), json.load(open(f))))
+    base = serial["queries"]
+    report = {"serial_total_s": round(serial["value"], 1),
+              "serial_loadavg_start": serial.get("loadavg_start"),
+              "runs": []}
+    for n, rec in runs:
+        qs = rec["queries"]
+        ratios = {}
+        for name, t1 in sorted(base.items()):
+            tc = qs.get(name)
+            if tc is None or t1 is None or t1 <= 0 or tc < 0:
+                ratios[name] = {"serial_s": t1, "concurrent_s": tc,
+                                "ratio": None, "flag": "missing-or-failed"}
+                continue
+            r = tc / t1
+            entry = {"serial_s": round(t1, 3), "concurrent_s": round(tc, 3),
+                     "ratio": round(r, 2)}
+            # interference = beyond 2x the fair-share expectation, on a
+            # base big enough that the ratio is not scheduler noise
+            if r > 2.0 * n and t1 >= 0.3:
+                entry["flag"] = "interference?"
+            elif r > 2.0 * n:
+                entry["flag"] = "noise-base"
+            ratios[name] = entry
+        vals = [v["ratio"] for v in ratios.values() if v["ratio"] is not None]
+        vals.sort()
+        flagged = {k: v for k, v in sorted(
+            ratios.items(), key=lambda kv: -(kv[1].get("ratio") or 0))
+            if "flag" in v}
+        report["runs"].append({
+            "threads": n,
+            "wall_s": round(rec["value"], 1),
+            "sum_query_s": round(rec.get("sum_query_s", -1), 1),
+            "speedup_vs_serial_wall": round(serial["value"] / rec["value"], 2),
+            "median_ratio": round(vals[len(vals) // 2], 2) if vals else None,
+            "p90_ratio": round(vals[int(len(vals) * 0.9)], 2) if vals else None,
+            "n_flagged": sum(1 for v in flagged.values()
+                             if v["flag"] == "interference?"),
+            "flagged": flagged,
+            "queries": ratios,
+        })
+    json.dump(report, open(out_f, "w"), indent=1)
+    for r in report["runs"]:
+        print(f"threads={r['threads']}: wall {r['wall_s']}s "
+              f"(speedup {r['speedup_vs_serial_wall']}x), "
+              f"median ratio {r['median_ratio']}x, p90 {r['p90_ratio']}x, "
+              f"{r['n_flagged']} interference flags")
+        for k, v in r["flagged"].items():
+            if v.get("flag") == "interference?":
+                print(f"  {k}: {v['serial_s']}s -> {v['concurrent_s']}s "
+                      f"({v['ratio']}x)")
+
+
+if __name__ == "__main__":
+    main()
