@@ -16,10 +16,16 @@ package graft.ops
   * failed once will fail again).
   */
 final class SingleFlight[K, V] {
-  private final class Cell(compute: () => V) { lazy val value: V = compute() }
+  // the lazy val holds a Try, not the raw value: a throwing lazy-val
+  // initializer is RETRIED on next access (the bitmap never sets), which
+  // would silently re-run a failed training per caller — memoizing the
+  // Try makes the failure as single-flight as the success
+  private final class Cell(compute: () => V) {
+    lazy val value: scala.util.Try[V] = scala.util.Try(compute())
+  }
   private val cells = new java.util.concurrent.ConcurrentHashMap[K, Cell]()
 
   /** The memoized value for `k`, computing it at most once process-wide. */
   def apply(k: K)(compute: => V): V =
-    cells.computeIfAbsent(k, _ => new Cell(() => compute)).value
+    cells.computeIfAbsent(k, _ => new Cell(() => compute)).value.get
 }
