@@ -38,7 +38,28 @@ object Hits {
     * to ~`scale` per side (floor losses excepted). Edges are dedup'd;
     * nodes = src ∪ dst; sink nodes get hub 0, source nodes auth 0. */
   def scores(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-             scale: Long = 1000000L): DataFrame = {
+             scale: Long = 1000000L): DataFrame =
+    scoresFrom(edges, srcCol, dstCol, iters, scale, init = None)
+
+  /** The incremental (crawl-delta) face: mutual reinforcement seeded
+    * from a previous snapshot's HUB vector instead of uniform full
+    * scale — delta nodes join at the uniform SHARE `scale / n` (a
+    * snapshot hub averages scale/n, so a delta node enters as a typical
+    * hub, not a dominant one). No renormalization is needed, unlike
+    * [[PageRank.ranksWarm]]: every half-round L1-normalizes, so only
+    * the seed's RATIOS matter and mass can never accumulate. Same
+    * contraction-to-fixed-point argument (power iteration on AᵀA /
+    * AAᵀ), so a near-snapshot seed needs fewer rounds for the same
+    * movement tolerance (spec'd in HitsWarmSpec); integer-exact end to
+    * end, oracle-replayed two-phase by `q_hits_incremental`. */
+  def scoresWarm(edges: DataFrame, srcCol: String, dstCol: String,
+                 iters: Int, init: DataFrame,
+                 scale: Long = 1000000L): DataFrame =
+    scoresFrom(edges, srcCol, dstCol, iters, scale, init = Some(init))
+
+  private def scoresFrom(edges: DataFrame, srcCol: String, dstCol: String,
+                         iters: Int, scale: Long,
+                         init: Option[DataFrame]): DataFrame = {
     require(iters >= 1 && iters <= 50, s"bad iteration count $iters")
     // scale² must not overflow before the degree bound below can apply
     require(scale >= 1L && scale <= 1000000000L, s"bad scale $scale")
@@ -59,9 +80,21 @@ object Hits {
     require(maxDeg < degBound,
       s"HITS overflow: max node degree $maxDeg * scale^2 ($scale^2) would " +
         s"exceed 2^63; lower `scale` or cap degrees (UrlOps.domainCap) first")
-    // every hub starts at full scale; the first normalization rescales,
-    // so only the RATIOS of the init matter (uniform ⇒ any positive unit)
-    var hub = nodes.select(col("node"), lit(scale).as("hub"))
+    // every hub starts at full scale (the first normalization rescales,
+    // so only the RATIOS of the init matter — uniform ⇒ any positive
+    // unit), or at the previous snapshot's hub vector with delta nodes
+    // at the uniform share (see [[scoresWarm]])
+    var hub = init match {
+      case None => nodes.select(col("node"), lit(scale).as("hub"))
+      case Some(prev) =>
+        val n = nodes.count()
+        nodes.join(
+            prev.select(col("node"), col("hub").cast("long").as("__ph")),
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__ph"), lit(scale / math.max(n, 1L))).as("hub"))
+          .localCheckpoint(true)
+    }
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       // auth update: sum incoming hub mass, L1-normalize in fixed point

@@ -264,6 +264,14 @@ object WebQueries {
           SELECT doc_id % 50 AS src, (doc_id*13+11) % 60 AS dst
           FROM documents))"""
 
+  /** The same edge CTE with MATERIALIZED evaluation: DuckDB inlines a
+    * plain CTE once PER REFERENCE, and the two-phase warm-start oracles
+    * reference the edge/node tables in every unrolled round — enough
+    * re-opened parquet handles to trip the fd limit. Materializing
+    * evaluates each base table once. */
+  private val edgesSqlCteMat: String =
+    edgesSqlCte.replaceFirst("e AS \\(", "e AS MATERIALIZED (")
+
   /** One unrolled PageRank round as chained CTEs — contribution
     * `rank // outdeg`, damping `(85·x) // 100`, dangling `dang // n` —
     * parameterized on the phase's edge/node/degree CTE names so the cold
@@ -273,14 +281,15 @@ object WebQueries {
       meta: String, nVar: String, prev: String, out: String,
       s_ : String): String =
     s""",
-      c_$out AS (SELECT $e.dst AS node, sum(r.rank // $od.outdeg) AS in_sum
+      c_$out AS MATERIALIZED (
+          SELECT $e.dst AS node, sum(r.rank // $od.outdeg) AS in_sum
               FROM $e JOIN $prev r ON $e.src = r.node
               JOIN $od ON $e.src = $od.src
               GROUP BY $e.dst),
       d_$out AS (SELECT coalesce(sum(r.rank), 0) AS dang
               FROM $prev r LEFT JOIN $od ON r.node = $od.src
               WHERE $od.src IS NULL),
-      $out AS (SELECT $nodes.node,
+      $out AS MATERIALIZED (SELECT $nodes.node,
                 CAST((15 * ${s_}) // (100 * $nVar)
                   + (85 * (coalesce(c_$out.in_sum, 0) + dang // $nVar)) // 100
                   AS BIGINT) AS rank
@@ -322,15 +331,15 @@ object WebQueries {
     // 15*S / rank*S then overflow int32/int64 mid-expression
     val S = "CAST(1000000000 AS BIGINT)"
     val sb = new StringBuilder
-    sb.append(s"""WITH $edgesSqlCte,
-      e0 AS (
+    sb.append(s"""WITH $edgesSqlCteMat,
+      e0 AS MATERIALIZED (
         SELECT DISTINCT src, dst FROM (
           SELECT doc_id % 50 AS src, (doc_id*7+3) % 60 AS dst
           FROM documents WHERE doc_id % 10 < 9
           UNION ALL
           SELECT doc_id % 50 AS src, (doc_id*13+11) % 60 AS dst
           FROM documents WHERE doc_id % 10 < 9)),
-      nodes0 AS (SELECT DISTINCT node FROM (
+      nodes0 AS MATERIALIZED (SELECT DISTINCT node FROM (
           SELECT src AS node FROM e0 UNION SELECT dst AS node FROM e0)),
       meta0 AS (SELECT count(*) AS n0 FROM nodes0),
       od0 AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
@@ -339,10 +348,10 @@ object WebQueries {
       sb.append(pagerankRoundSql("e0", "od0", "nodes0", "meta0", "n0",
         s"p${i - 1}", s"p$i", S))
     sb.append(s""",
-      nodes AS (SELECT DISTINCT node FROM (
+      nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
           SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
       meta AS (SELECT count(*) AS n FROM nodes),
-      od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
       r0raw AS (SELECT nodes.node,
                CAST(coalesce(p$iters1.rank, $S // n) AS BIGINT) AS rank
              FROM nodes CROSS JOIN meta
@@ -363,36 +372,83 @@ object WebQueries {
   /** Unrolled integer-exact HITS oracle: `iters` chained CTE round pairs
     * replaying [[Hits.scores]] — edge-sum then L1 normalization
     * `(raw · S) // tot` per side — over the same planted edge set. */
+  /** One unrolled HITS round pair (edge-sum + L1 normalization per
+    * side), parameterized on the phase's edge/node CTE names — shared by
+    * the cold ([[hitsSql]]) and two-phase warm ([[hitsIncrementalSql]])
+    * oracles. `hPrev` -> auth `a_$tag` -> hub `h_$tag`. */
+  private def hitsRoundSql(e: String, nodes: String, hPrev: String,
+                           tag: String, s_ : String): String =
+    s""",
+      ar_$tag AS MATERIALIZED (SELECT $e.dst AS node, sum(h.hub) AS raw
+               FROM $e JOIN $hPrev h ON $e.src = h.node GROUP BY $e.dst),
+      at_$tag AS (SELECT sum(raw) AS tot FROM ar_$tag),
+      a_$tag AS MATERIALIZED (SELECT $nodes.node,
+                CAST(coalesce((ar_$tag.raw * ${s_}) // at_$tag.tot, 0)
+                  AS BIGINT) AS auth
+              FROM $nodes CROSS JOIN at_$tag
+              LEFT JOIN ar_$tag ON $nodes.node = ar_$tag.node),
+      hr_$tag AS MATERIALIZED (SELECT $e.src AS node, sum(a.auth) AS raw
+               FROM $e JOIN a_$tag a ON $e.dst = a.node GROUP BY $e.src),
+      ht_$tag AS (SELECT sum(raw) AS tot FROM hr_$tag),
+      h_$tag AS MATERIALIZED (SELECT $nodes.node,
+                CAST(coalesce((hr_$tag.raw * ${s_}) // ht_$tag.tot, 0)
+                  AS BIGINT) AS hub
+              FROM $nodes CROSS JOIN ht_$tag
+              LEFT JOIN hr_$tag ON $nodes.node = hr_$tag.node)"""
+
   private def hitsSql(iters: Int, k: Int): String = {
     val S = "1000000"
     val sb = new StringBuilder
     sb.append(s"""WITH $edgesSqlCte,
       nodes AS (SELECT DISTINCT node FROM (
           SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
-      h0 AS (SELECT node, CAST($S AS BIGINT) AS hub FROM nodes)""")
-    for (i <- 1 to iters) {
-      sb.append(s""",
-      ar$i AS (SELECT e.dst AS node, sum(h.hub) AS raw
-               FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
-      at$i AS (SELECT sum(raw) AS tot FROM ar$i),
-      a$i AS (SELECT nodes.node,
-                CAST(coalesce((ar$i.raw * $S) // at$i.tot, 0) AS BIGINT)
-                  AS auth
-              FROM nodes CROSS JOIN at$i
-              LEFT JOIN ar$i ON nodes.node = ar$i.node),
-      hr$i AS (SELECT e.src AS node, sum(a.auth) AS raw
-               FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
-      ht$i AS (SELECT sum(raw) AS tot FROM hr$i),
-      h$i AS (SELECT nodes.node,
-                CAST(coalesce((hr$i.raw * $S) // ht$i.tot, 0) AS BIGINT)
-                  AS hub
-              FROM nodes CROSS JOIN ht$i
-              LEFT JOIN hr$i ON nodes.node = hr$i.node)""")
-    }
+      h_r0 AS (SELECT node, CAST($S AS BIGINT) AS hub FROM nodes)""")
+    for (i <- 1 to iters)
+      sb.append(hitsRoundSql("e", "nodes", s"h_r${i - 1}", s"r$i", S))
     sb.append(s"""
-      SELECT h$iters.node, hub, auth FROM h$iters
-      JOIN a$iters ON h$iters.node = a$iters.node
-      ORDER BY auth DESC, h$iters.node LIMIT $k""")
+      SELECT h_r$iters.node, hub, auth FROM h_r$iters
+      JOIN a_r$iters ON h_r$iters.node = a_r$iters.node
+      ORDER BY auth DESC, h_r$iters.node LIMIT $k""")
+    sb.toString
+  }
+
+  /** Unrolled two-phase warm-start HITS oracle replaying
+    * `q_hits_incremental`: `iters1` round pairs over the pre-delta
+    * edges (doc_id % 10 < 9) from uniform full-scale hubs, then the
+    * snapshot's hub vector — delta nodes at the uniform SHARE `S // n`
+    * (no renormalization: every half-round L1-normalizes) — seeds
+    * `iters2` round pairs over the full graph. */
+  private def hitsIncrementalSql(iters1: Int, iters2: Int,
+                                 k: Int): String = {
+    val S = "1000000"
+    val sb = new StringBuilder
+    sb.append(s"""WITH $edgesSqlCteMat,
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT doc_id % 50 AS src, (doc_id*7+3) % 60 AS dst
+          FROM documents WHERE doc_id % 10 < 9
+          UNION ALL
+          SELECT doc_id % 50 AS src, (doc_id*13+11) % 60 AS dst
+          FROM documents WHERE doc_id % 10 < 9)),
+      nodes0 AS MATERIALIZED (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e0 UNION SELECT dst AS node FROM e0)),
+      h_p0 AS (SELECT node, CAST($S AS BIGINT) AS hub FROM nodes0)""")
+    for (i <- 1 to iters1)
+      sb.append(hitsRoundSql("e0", "nodes0", s"h_p${i - 1}", s"p$i", S))
+    sb.append(s""",
+      nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+      meta AS (SELECT count(*) AS n FROM nodes),
+      h_w0 AS (SELECT nodes.node,
+                 CAST(coalesce(h_p$iters1.hub, $S // n) AS BIGINT) AS hub
+               FROM nodes CROSS JOIN meta
+               LEFT JOIN h_p$iters1 ON nodes.node = h_p$iters1.node)""")
+    for (i <- 1 to iters2)
+      sb.append(hitsRoundSql("e", "nodes", s"h_w${i - 1}", s"w$i", S))
+    sb.append(s"""
+      SELECT h_w$iters2.node, hub, auth FROM h_w$iters2
+      JOIN a_w$iters2 ON h_w$iters2.node = a_w$iters2.node
+      ORDER BY auth DESC, h_w$iters2.node LIMIT $k""")
     sb.toString
   }
 
@@ -441,9 +497,15 @@ object WebQueries {
     // spec'd in PageRankWarmSpec). scale=1e9: the renormalizing
     // multiply must keep rank·scale inside 2^63 in BOTH engines.
     "q_pagerank_incremental" -> ((s, d) => {
-      val prev = PageRank.ranks(
-        linkEdges(Tables.documents(s, d).where(col("doc_id") % 10 < 9)),
-        "src", "dst", iters = 5, scale = 1000000000L)
+      // the previous snapshot's rank vector is itself a persisted
+      // corpus artifact (in deployment it EXISTS — it was computed at
+      // snapshot time); the delta re-rank reads it and pays only the
+      // warm rounds. Deterministic integer ranks, so the found-on-disk
+      // path is bit-identical to a fresh phase-1 run.
+      val prev = Artifacts.materialized(s, d, "pagerank-snapshot-i5")(
+        PageRank.ranks(
+          linkEdges(Tables.documents(s, d).where(col("doc_id") % 10 < 9)),
+          "src", "dst", iters = 5, scale = 1000000000L).coalesce(1))
       PageRank.ranksWarm(edgeArtifact(s, d), "src", "dst", iters = 3,
           init = prev, scale = 1000000000L)
         .orderBy(col("rank").desc, col("node")).limit(15)
@@ -503,6 +565,23 @@ object WebQueries {
     // mutual-reinforcement rounds in integer fixed point, top-15 content
     // pages by authority — the directory-vs-content split PageRank alone
     // cannot make.
+    // The crawl-delta HITS re-rank (the [[q_pagerank_incremental]]
+    // pattern on the mutual-reinforcement side): the pre-delta
+    // snapshot's persisted HUB vector seeds 2 round pairs over the full
+    // appended graph — delta nodes at the uniform share; no seed
+    // renormalization because every half-round L1-normalizes. Top-15
+    // authorities, two-phase integer-exact oracle.
+    "q_hits_incremental" -> ((s, d) => {
+      val prev = Artifacts.materialized(s, d, "hits-snapshot-i4")(
+        Hits.scores(
+          linkEdges(Tables.documents(s, d).where(col("doc_id") % 10 < 9)),
+          "src", "dst", iters = 4)
+          .select(col("node"), col("hub")).coalesce(1))
+      Hits.scoresWarm(edgeArtifact(s, d), "src", "dst", iters = 2,
+          init = prev)
+        .orderBy(col("auth").desc, col("node")).limit(15)
+    }),
+
     "q_hits" -> ((s, d) =>
       Hits.topAuthorities(edgeArtifact(s, d), "src", "dst",
         iters = 4, k = 15)),
@@ -629,6 +708,9 @@ object WebQueries {
       pagerankIncrementalSql(iters1 = 5, iters2 = 3, k = 15),
 
     "q_hits" -> hitsSql(iters = 4, k = 15),
+
+    "q_hits_incremental" ->
+      hitsIncrementalSql(iters1 = 4, iters2 = 2, k = 15),
 
     "q_url_params" ->
       s"""WITH $urlCorpusCtes,
