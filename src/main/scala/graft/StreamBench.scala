@@ -61,6 +61,8 @@ object StreamBench {
       "n_docs" -> 0L, "fail_gopher" -> 0L, "fail_length" -> 0L,
       "fail_model" -> 0L, "n_keep" -> 0L)
     var simhashDups = 0L
+    var nEdges = 0L
+    var edgeRankS = 0.0
     val chunkDir = tmp.resolve("chunks").toString
 
     val results = Seq(
@@ -183,11 +185,17 @@ object StreamBench {
           tmp.resolve("para").toString, "doc_id", "text")
         val simhash = new graft.ops.SimHashIndex(spark,
           tmp.resolve("simhash").toString, "doc_id")
+        // link-graph ingest: every batch appends its cascade-survivors'
+        // outlink edges (planted residues, the WebQueries shape) to the
+        // appendable edge store — the crawl-delta accumulation face; the
+        // post-stream warm rank below consumes it
+        val edgeIdx = new graft.ops.EdgeIndex(spark,
+          tmp.resolve("edges").toString)
         val cascadeRules = Seq(
           "gopher" -> graft.ops.GopherQuality.keepExpr(col("text"),
             minWords = 30L, maxMeanLen = 5L, maxDupNum = 3L, maxDupDen = 5L),
           "length" -> (length(col("text")) >= 100L))
-        timedRows("curate_pipeline_docs_per_s", nd) {
+        val pipeRate = timedRows("curate_pipeline_docs_per_s", nd) {
           spark.readStream.format("graft-topic").option("path", docsTopic).load()
             .select(col("key").cast("long").as("doc_id"),
               col("value").as("text"))
@@ -253,6 +261,9 @@ object StreamBench {
                 val novelIds = exact.addAndDedup(kept, ord = e, bloom = true)
                   .select(col("doc_id")).localCheckpoint(true)
                 val fresh = kept.join(novelIds, Seq("doc_id"))
+                edgeIdx.addEdges(fresh.select(
+                  (col("doc_id") % 50).as("src"),
+                  expr("(doc_id * 7 + 3) % 60").as("dst")), ord = e)
                 // strip corpus-recurring structural units before the
                 // text-side indexes (near-dup pairing + full-text) — the
                 // ingest-time boilerplate filter; embeddings keep the
@@ -282,6 +293,18 @@ object StreamBench {
             }
             .option("checkpointLocation", tmp.resolve("cp5").toString).start()
         }
+        // consumption face of the streamed link-graph: compact the
+        // appended batches, rank off the node/edge-sized store (3
+        // rounds) — untimed store maintenance, timed rank
+        if (edgeIdx.hasData) {
+          edgeIdx.compact()
+          nEdges = edgeIdx.edges().count()
+          val t0 = System.nanoTime()
+          graft.ops.PageRank.topRanks(edgeIdx.edges(), "src", "dst",
+            iters = 3, k = 10).collect()
+          edgeRankS = (System.nanoTime() - t0) / 1e9
+        }
+        pipeRate
       })
 
     val nChunks =
@@ -292,7 +315,7 @@ object StreamBench {
     val attJson = attTotals
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",",
-        s""","simhash_dups":$simhashDups,"n_chunks":$nChunks}""")
+        s""","simhash_dups":$simhashDups,"n_chunks":$nChunks,"n_edges":$nEdges,"edge_rank_s":${f"$edgeRankS%.2f"}}""")
     println(s"""{"metric":"stream_rows_per_s","rows":$n,"queries":$qs,"curate_attrition":$attJson,"sf":"$sfDir"}""")
     spark.stop()
   }
