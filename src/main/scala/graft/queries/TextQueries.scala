@@ -996,6 +996,17 @@ object TextQueries {
     // Corpus MIXING: per-language char budgets (the domain-reweighting
     // step of training-mix assembly) — fill each language's quota in
     // deterministic hash order.
+    // DPO/RLHF preference-pair assembly: 4 planted responses per prompt
+    // (p = doc_id div 4), best n_chars elected chosen, up to 2 rejected
+    // ≥40 units below it, hardest-negative first — one hash shuffle on
+    // the prompt key, pair volume capped per group by design.
+    "q_preference_pairs" -> ((s, d) =>
+      graft.ops.PreferencePairs.pairs(
+          Tables.documents(s, d).withColumn("prompt", expr("doc_id div 4")),
+          "prompt", "doc_id", col("n_chars").cast("long"),
+          margin = 40L, maxRejected = 2)
+        .orderBy(col("prompt"), col("rejected_id"))),
+
     "q_sample_mixture" -> ((s, d) =>
       graft.ops.Sampling.mixtureBudget(Tables.documents(s, d), "lang",
         col("doc_id"), col("n_chars"),
@@ -3464,6 +3475,29 @@ object TextQueries {
                 CAST(coalesce(ll_fp, 0) AS BIGINT) AS ll_fp,
                 coalesce(ll_fp, 0) >= -3000000 * coalesce(n_tri, 0) AS keep
          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
+    "q_preference_pairs" ->
+      """WITH sc AS (
+           SELECT doc_id // 4 AS prompt, doc_id,
+                  CAST(n_chars AS BIGINT) AS score
+           FROM documents),
+         ch AS (
+           SELECT prompt, doc_id AS chosen_id, score AS chosen_score,
+                  row_number() OVER (PARTITION BY prompt
+                    ORDER BY score DESC, doc_id) AS rk
+           FROM sc),
+         c1 AS (SELECT prompt, chosen_id, chosen_score FROM ch WHERE rk = 1),
+         rj AS (
+           SELECT sc.prompt, chosen_id, chosen_score,
+                  sc.doc_id AS rejected_id, sc.score AS rejected_score,
+                  chosen_score - sc.score AS score_gap,
+                  row_number() OVER (PARTITION BY sc.prompt
+                    ORDER BY sc.score ASC, sc.doc_id) AS rj
+           FROM sc JOIN c1 ON sc.prompt = c1.prompt
+           WHERE sc.doc_id <> chosen_id AND chosen_score - sc.score >= 40)
+         SELECT prompt, chosen_id, chosen_score, rejected_id,
+                rejected_score, score_gap
+         FROM rj WHERE rj <= 2 ORDER BY prompt, rejected_id""",
+
     "q_sample_mixture" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars,

@@ -601,6 +601,19 @@ class PlanAuditSpec extends SparkSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1)
   }
 
+  test("preference pairs: one grp-key shuffle drives both windows + join") {
+    val p = plan("q_preference_pairs")
+    // the election window, the rejected window, and the chosen join all
+    // key on grp — hashpartitioning(grp) appears, and the total exchange
+    // count stays bounded (grp hash + the final presentation sort); a
+    // naive build would re-shuffle per window
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(p.contains("hashpartitioning(grp"), s"grp-keyed shuffle:\n$p")
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("graph queries read the persisted edge artifact, not the corpus") {
     // after the artifact build, the executed plan's scan is the
     // node/edge-sized parquet — the documents table never appears
