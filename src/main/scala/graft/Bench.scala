@@ -16,11 +16,15 @@ object Bench {
     // in every per-query line (the r10 lesson). Wait for the load to
     // drain rather than silently timing against contention; after the
     // grace window proceed anyway — a late record beats no record — with
-    // the wait visible in the JSON for the reader to discount.
+    // the wait visible in the JSON for the reader to discount. The 600 s
+    // cap exists because loadavg is a 1-minute EWMA: the sbt compile that
+    // launched this main can alone hold it above 1 for ~3 minutes, and
+    // the r11 record started at 1.57 because the old 180 s cap expired
+    // while that decay was still in flight.
     val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble)
       .getOrElse(1.0)
     var loadWaitS = 0
-    while (loadavg >= maxLoad && loadWaitS < 180) {
+    while (loadavg >= maxLoad && loadWaitS < 600) {
       System.err.println(f"BENCH: loadavg ${loadavg}%.2f >= $maxLoad%.1f — " +
         s"waiting for a quiet box (${loadWaitS}s)")
       Thread.sleep(10000); loadWaitS += 10
@@ -52,9 +56,11 @@ object Bench {
     // service posture under a concurrent board: FIFO lets one query's wide
     // stage occupy every task slot while an ITERATIVE query's many small
     // jobs starve behind it once per iteration (measured 11–24× inflation
-    // on the KMeans-training queries at --threads 4/8); FAIR interleaves
-    // slots across concurrent jobs, bounding interference near the
-    // fair-share expectation
+    // on the KMeans-training queries at --threads 4/8); FAIR with one
+    // pool per worker thread (assigned in runConcurrent — mode alone
+    // leaves every job in the FIFO 'default' pool) interleaves slots
+    // across concurrent jobs, bounding interference near the fair-share
+    // expectation
     if (threads > 1) builder.config("spark.scheduler.mode", "FAIR")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -134,20 +140,28 @@ object Bench {
     // both looks like real operator cost (it inverted a 3x MinHash win into
     // an apparent regression once). Re-time the slowest queries at the END
     // of the run — the second look lands minutes after the first,
-    // decorrelating the noise — and keep the min.
-    val retimed = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
-      .flatMap { case (name, first) =>
+    // decorrelating the noise — and keep the min. BOTH timings go into the
+    // full record ("retimed": {name: {first, retime}}) so the one-sided
+    // correction is auditable: on a noisy box a min-keep can only lower
+    // the record, and the reader must be able to see by how much.
+    val retimes = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
+      .map { case (name, first) =>
         val again = once(name, selected(name))
-        if (again >= 0 && again < first) { results(name) = again; Some(name) }
-        else None
+        if (again >= 0 && again < first) results(name) = again
+        (name, first, again)
       }
+    val retimed = retimes.collect {
+      case (name, first, again) if again >= 0 && again < first => name }
+    val retimesJson = retimes.map { case (name, first, again) =>
+      "\"" + name + "\":{\"first\":" + first + ",\"retime\":" + again + "}"
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"retimed_improved":$retimedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"retimed_improved":$retimedJson,"retimed":$retimesJson,"sf":"$sfDir"}"""
     // stop BEFORE printing: Spark's shutdown chatter must not land after
     // the record — the JSON line is the LAST thing this main writes to
     // stdout (only sbt's own [success] trailer can follow it)
@@ -297,7 +311,14 @@ object Bench {
     val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val t0 = System.nanoTime()
-    graft.ops.Fs.inParallel(1 to threads, maxThreads = threads) { _ =>
+    graft.ops.Fs.inParallel(1 to threads, maxThreads = threads) { i =>
+      // FAIR mode alone is NOT enough: without a pool assignment every
+      // job lands in the single 'default' pool, whose internal scheduling
+      // is FIFO — ordering identical to global FIFO. One pool PER WORKER
+      // THREAD (pools materialize on demand, weight 1 each) is what makes
+      // the scheduler actually interleave task slots across the
+      // concurrent board threads.
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"bench-$i")
       var next = queue.poll()
       while (next != null) {
         val (name, fn) = next

@@ -64,6 +64,27 @@ object LinearTrainer {
     val proj = data.select(col(featCol), col(labelCol).cast("long")
       .as("__y")).persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // Overflow headroom is enforced against the MEASURED feature
+      // magnitude and row count (one cheap aggregate over the persisted
+      // projection), not a documented promise — the HITS discipline:
+      //  - a per-pass gradient sum is Σᵢ errᵢ·xᵢⱼ with |err| ≤ 1, so it
+      //    is bounded by n·max|x|;
+      //  - the training/serving dot product is Σⱼ wⱼ·xⱼ, bounded by
+      //    dim·max|w|·max|x|.
+      // Both must clear Int64 with 4× headroom. The per-pass weight bound
+      // below covers the NEXT pass's dot product and serving on any
+      // feature vector within the measured magnitude.
+      val stats = proj.agg(
+        count(lit(1)).as("__n"),
+        max(array_max(transform(col(featCol), x => abs(x)))).as("__mf"))
+        .head()
+      val n = stats.getLong(0)
+      val maxF = math.max(1L,
+        if (stats.isNullAt(1)) 0L else stats.getLong(1))
+      val headroom = Long.MaxValue / 4
+      require(maxF <= headroom / math.max(1L, n) && maxF <= headroom / dim,
+        s"feature magnitude $maxF overflows: n=$n rows, dim=$dim")
+      val wBound = headroom / (dim.toLong * maxF)
       var w = Array.fill(dim)(0L)
       for (pass <- 1 to epochs) {
         val err = col("__y") - when(dot(featCol, w) >= 0L, 1L).otherwise(0L)
@@ -73,12 +94,10 @@ object LinearTrainer {
           .agg(grads.head, grads.tail: _*).head()
         w = Array.tabulate(dim)(j =>
           w(j) + (if (row.isNullAt(j)) 0L else row.getLong(j)))
-        // headroom: |w| ≤ epochs·Σ|x| and the serving dot product must
-        // stay inside long range — enforce, don't document (the HITS
-        // overflow discipline)
         val maxW = w.map(math.abs).max
-        require(maxW <= (1L << 52),
-          s"weight overflow risk after pass $pass: max |w| = $maxW")
+        require(maxW <= wBound,
+          s"weight overflow risk after pass $pass: max |w| = $maxW > " +
+            s"2^61 / (dim $dim x max|feature| $maxF) = $wBound")
       }
       w
     } finally { proj.unpersist(); () }

@@ -182,8 +182,8 @@ object TextQueries {
     * gradient passes, one map-side-combined aggregate each — then serves
     * through the SAME [[graft.ops.ModelGate]] plumbing as any external
     * model. Weights persist as a corpus-fingerprint-keyed artifact
-    * (trained once per snapshot, shared across processes); the 16-row
-    * weight collect is bounded by construction. Per-doc output
+    * (trained once per snapshot, shared across processes); the
+    * trainedDim-row weight collect is bounded by construction. Per-doc output
     * (trained_score, pred, label) pins training AND inference: one wrong
     * gradient in any pass moves every downstream score. */
   private def trainedScored(s: SparkSession, d: String): DataFrame = {
@@ -195,19 +195,19 @@ object TextQueries {
     val labeled = graft.ops.ModelGate.withScores(base, "__f", "__teacher",
         graft.ops.ModelGate.LinearStub(64))
       .withColumn("label", when(col("__teacher") >= 0L, 1L).otherwise(0L))
-      .withColumn("__f16", slice(col("__f"), 1, trainedDim))
+      .withColumn("__ft", slice(col("__f"), 1, trainedDim))
     // hyperparameters are part of the artifact identity — a dim/epoch
     // change must retrain, not serve a stale head
     val wDf = Artifacts.materialized(s, d,
         s"trained-linear-d$trainedDim-e$trainedEpochs") {
-      val w = graft.ops.LinearTrainer.trainPerceptron(labeled, "__f16",
+      val w = graft.ops.LinearTrainer.trainPerceptron(labeled, "__ft",
         "label", trainedDim, trainedEpochs)
       import s.implicits._
       w.toSeq.zipWithIndex.map { case (wj, j) => (j + 1, wj) }
         .toDF("j", "w")
     }
     val w = wDf.orderBy("j").collect().map(_.getLong(1))
-    graft.ops.ModelGate.withScores(labeled, "__f16", "trained_score",
+    graft.ops.ModelGate.withScores(labeled, "__ft", "trained_score",
         graft.ops.LinearTrainer.TrainedLinear(w))
       .select(col("doc_id"), col("trained_score"),
         (col("trained_score") >= 0L).as("pred"), col("label"))
@@ -4120,8 +4120,9 @@ object TextQueries {
                 CAST(sum(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_keep
          FROM fm""",
-    // trained-head replay: teacher labels from the stub score, 4 unrolled
-    // perceptron passes in exact integer arithmetic, final-weight scoring
+    // trained-head replay: teacher labels from the stub score, then
+    // trainedEpochs unrolled perceptron passes in exact integer
+    // arithmetic and final-weight scoring
     "q_model_trained" ->
       s"""WITH $modelScoreCtes, ${trainedCtes(trainedDim, trainedEpochs)}
          SELECT t.doc_id, t.trained_score, t.trained_score >= 0 AS pred,

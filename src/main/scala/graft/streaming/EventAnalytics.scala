@@ -67,7 +67,14 @@ case class TrendingRank(wstart_ms: Long, rk: Int, event_type: String,
   * output instead of a silent drop (the WindowFunctionExecutor
   * drop-or-route contract, pulsar-functions/instance/.../windowing/
   * WindowFunctionExecutor.java:109-118). Policy `None` keeps the
-  * unbounded-replay face the batch-parity fixtures use. */
+  * unbounded-replay face the batch-parity fixtures use.
+  *
+  * Under a policy the state self-prunes (dedup sets, pre-signup buffers)
+  * against the WATERMARK, not the batch max event time: the policy
+  * explicitly admits events out of order up to `watermarkLagMs`, and a
+  * late-but-on-time event must still find the state that keeps its
+  * emission exactly-once/complete. Without a policy the prunes use the
+  * batch max, valid under the in-order contract above. */
 object EventAnalytics {
 
   /** Eviction policy: watermark lag (how far out-of-order on-time events
@@ -102,6 +109,21 @@ object EventAnalytics {
                          e: Eviction, lastEventMs: Long): Unit =
     state.setTimeoutTimestamp(
       math.max(state.getCurrentWatermarkMs() + 1, lastEventMs + e.horizonMs))
+
+  /** A lower bound (µs of event time) on any FUTURE event this key can
+    * still receive — the floor the state self-prunes against. Without an
+    * eviction policy the per-key in-order contract makes this batch's max
+    * a valid bound; WITH one, arrival may be out of order by up to the
+    * watermark lag, so the batch max over-prunes (a late-but-on-time
+    * event below it would find its dedup/buffer state gone) and the only
+    * safe bound is the watermark itself — the stateful exec drops rows
+    * behind the watermark before they reach the fold, so nothing below it
+    * is ever re-processed. */
+  private def futureFloorUs(evict: Option[Eviction],
+      state: org.apache.spark.sql.streaming.GroupState[_],
+      batchMaxUs: Long): Long =
+    if (evict.isDefined) state.getCurrentWatermarkMs() * 1000L
+    else batchMaxUs
 
   /** Streaming funnel: per-user first-qualifying-event state, emitted in
     * Update mode whenever a user's progress advances. The latest row per
@@ -166,6 +188,18 @@ object EventAnalytics {
                               evict: Option[Eviction] = None)
   : Dataset[DayUser] = {
     require(window >= 1 && window <= 370, s"bad window $window")
+    // horizon-vs-window coupling, enforced not documented: a key evicted
+    // after `horizonMs` of silence loses its contributed-day dedup state.
+    // A returning on-time event's time exceeds lastEvent + horizon, so its
+    // window days start ≥ lastDay + horizon-in-days — with the horizon at
+    // least the window, those days are disjoint from every previously
+    // contributed day and Append-mode (day, user) pairs stay exactly-once;
+    // with a shorter horizon a return inside an old window would re-emit
+    // already-contributed pairs.
+    evict.foreach(e => require(e.horizonMs >= window * 86400000L,
+      s"eviction horizon ${e.horizonMs} ms < window $window days: a key " +
+        "evicted mid-window could re-emit contributed (day, user) pairs " +
+        "on return — widen the horizon to at least the window"))
     import ds.sparkSession.implicits._
     evict.map(watermarked(ds, _)).getOrElse(ds).groupByKey(_.user_id)
       .flatMapGroupsWithState[Array[Long], DayUser](
@@ -176,7 +210,6 @@ object EventAnalytics {
             var contributed =
               state.getOption.getOrElse(Array.empty[Long]).toSet
             val out = Seq.newBuilder[DayUser]
-            var last = Long.MinValue
             val seq = evs.toSeq
             val lastUs =
               if (seq.isEmpty) Long.MinValue else seq.map(_.ts_us).max
@@ -185,15 +218,18 @@ object EventAnalytics {
                 val fresh = (a until a + window).filterNot(contributed)
                 fresh.foreach(d => out += DayUser(d, user))
                 contributed ++= fresh
-                last = a
               }
-            // state self-pruning: in-order arrival means every FUTURE
-            // activity day a' ≥ last, so its contributions land in
-            // [a', a'+window) ⊆ [last, ∞) — contributed days below `last`
-            // are unreachable and safe to drop. Per-user state is thereby
-            // O(window) forever, not O(lifetime active days).
-            if (last > Long.MinValue)
-              contributed = contributed.filter(_ >= last)
+            // state self-pruning: every FUTURE activity day a' is at least
+            // the future floor F (in-order contract without eviction; the
+            // watermark with one), so its contributions land in
+            // [a', a'+window) ⊆ [F, ∞) — contributed days below F are
+            // never re-checked and safe to drop. Per-user state is thereby
+            // O(window + watermark lag in days), not O(lifetime).
+            val floorUs = futureFloorUs(evict, state, lastUs)
+            if (floorUs > Long.MinValue) {
+              val floorDay = Math.floorDiv(floorUs, 86400000000L)
+              contributed = contributed.filter(_ >= floorDay)
+            }
             state.update(contributed.toArray.sorted)
             evict.foreach(armTimeout(state, _, lastUs / 1000L))
             out.result().iterator
@@ -243,11 +279,9 @@ object EventAnalytics {
                 emitted += off; out += CohortCell(cw, off, user)
               }
             }
-            var lastWk = Long.MinValue
             var lastUs = Long.MinValue
             evs.toSeq.sortBy(_.ts_us).foreach { e =>
               val wk = Math.floorDiv(e.ts_us, usPerWeek)
-              lastWk = math.max(lastWk, wk)
               lastUs = math.max(lastUs, e.ts_us)
               if (e.event_type == "signup") {
                 if (cohort.isEmpty) {
@@ -257,19 +291,24 @@ object EventAnalytics {
               } else if (cohort.isEmpty) pre += wk
               else emit(wk)
             }
-            // state self-pruning (the rolling-active discipline): in-order
-            // arrival means future activity weeks are ≥ lastWk, so emitted
-            // offsets below (lastWk − cohort) can never be generated again
-            // — the emitted set stays O(1), not O(user lifetime in weeks.)
+            // state self-pruning (the rolling-active discipline): future
+            // activity weeks are ≥ the future-floor week F, so emitted
+            // offsets below (F − cohort) can never be generated again —
+            // the emitted set stays O(1), not O(user lifetime in weeks).
             // The same argument prunes the never-signed-up buffer: a
-            // future signup's cohort week is ≥ lastWk, so buffered weeks
-            // strictly below lastWk could only produce negative offsets —
-            // dead weight; without the prune, a user who never signs up
-            // holds O(distinct lifetime activity weeks).
-            if (lastWk > Long.MinValue) {
+            // future signup's cohort week is ≥ F, so buffered weeks
+            // strictly below F could only produce negative offsets — dead
+            // weight. Pruning against the batch max instead of F would
+            // break under an eviction policy: a signup arriving late but
+            // on-time (its week below weeks already seen, within the
+            // watermark lag) must still find its same-week pre-signup
+            // buffer to emit the offset-0 cell.
+            val floorUs = futureFloorUs(evict, state, lastUs)
+            if (floorUs > Long.MinValue) {
+              val floorWk = Math.floorDiv(floorUs, usPerWeek)
               cohort match {
-                case Some(cw) => emitted = emitted.filter(_ >= lastWk - cw)
-                case None => pre = pre.filter(_ >= lastWk)
+                case Some(cw) => emitted = emitted.filter(_ >= floorWk - cw)
+                case None => pre = pre.filter(_ >= floorWk)
               }
             }
             state.update(CohortState(cohort, pre.toArray.sorted,

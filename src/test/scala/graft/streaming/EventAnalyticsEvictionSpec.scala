@@ -115,21 +115,81 @@ class EventAnalyticsEvictionSpec extends SparkSuite {
 
   test("rolling-active: silent key evicts; survivor state stays pruned") {
     val day = 86400000000L
+    // the operator ENFORCES horizon ≥ window (an earlier eviction would
+    // lose the contributed-day dedup state and re-emit pairs on return)
+    val rollPolicy =
+      EventAnalytics.Eviction(watermarkLagMs = 1000L,
+        horizonMs = 7L * 86400000L)
     val b1 = Seq(UserEvent(1L, "view", 100L * day),
       UserEvent(2L, "view", 100L * day))
-    // u2 active 3 days later; then far later — watermark passes u1's
-    // 1h-after-last-event timeout, next batch evicts u1
+    // u2 stays active; u1's timeout arms at day 107 — the day-110 batch
+    // moves the watermark past it and the next batch evicts u1
     val b2 = Seq(UserEvent(2L, "view", 103L * day))
     val b3 = Seq(UserEvent(2L, "view", 110L * day))
-    val (outDf, cp) = replayBatches(Seq(b1, b2, b3), "append")(ds =>
+    val b4 = Seq(UserEvent(2L, "view", 111L * day))
+    val (outDf, cp) = replayBatches(Seq(b1, b2, b3, b4), "append")(ds =>
       EventAnalytics.rollingActiveIncrements(ds, window = 7,
-        evict = Some(policy)).toDF())
+        evict = Some(rollPolicy)).toDF())
     assert(stateKeys(cp) == Set(2L), s"got ${stateKeys(cp)}")
     // increments emitted BEFORE eviction are retained downstream: u1
     // contributed its 7 window days from day 100 exactly once
     val u1Days = outDf.where(col("user_id") === 1L)
       .select("day").as[Long].collect().toSeq.sorted
     assert(u1Days == (100L until 107L).toList, s"got $u1Days")
+  }
+
+  test("rolling-active: horizon shorter than the window is rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[UserEvent]
+    val bad = EventAnalytics.Eviction(watermarkLagMs = 1000L,
+      horizonMs = 3600000L)
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.rollingActiveIncrements(source.toDS(), window = 7,
+        evict = Some(bad))
+    }
+    assert(e.getMessage.contains("horizon"))
+  }
+
+  test("rolling-active: late-but-on-time return stays exactly-once") {
+    // the eviction policy admits out-of-order arrival up to the lag, so
+    // the contributed-day prune must use the WATERMARK, not the batch max
+    // — pruning at the batch max would drop day-100's dedup entries when
+    // day 110 arrives, and the on-time day-105 return would re-emit them
+    val day = 86400000000L
+    val p = EventAnalytics.Eviction(watermarkLagMs = 7L * 86400000L,
+      horizonMs = 7L * 86400000L)
+    val batches = Seq(
+      Seq(UserEvent(1L, "view", 100L * day)),
+      Seq(UserEvent(1L, "view", 110L * day)),
+      // watermark after day 110 = day 103; day 105 is late but ON-time
+      Seq(UserEvent(1L, "view", 105L * day)))
+    val (outDf, _) = replayBatches(batches, "append")(ds =>
+      EventAnalytics.rollingActiveIncrements(ds, window = 7,
+        evict = Some(p)).toDF())
+    val days = outDf.where(col("user_id") === 1L)
+      .select("day").as[Long].collect().toSeq.sorted
+    // batch parity: days 100–116 contributed, each EXACTLY once
+    assert(days == (100L to 116L).toList, s"got $days")
+  }
+
+  test("cohort: a late-but-on-time signup still finds its pre-buffer") {
+    // same exposure on the pre-signup buffer: a signup whose week is
+    // below weeks already seen (but within the watermark lag) must still
+    // emit the offset-0 cell from the buffered same-week activity
+    val wk = 86400000000L * 7L
+    val p = EventAnalytics.Eviction(watermarkLagMs = 14L * 86400000L,
+      horizonMs = 3600000L)
+    val batches = Seq(
+      Seq(UserEvent(1L, "view", 40L * wk)),
+      Seq(UserEvent(1L, "view", 41L * wk)),
+      // watermark after week 41 = week 39; the week-40 signup is on-time
+      Seq(UserEvent(1L, "signup", 40L * wk + 1000000L)))
+    val (outDf, _) = replayBatches(batches, "append")(ds =>
+      EventAnalytics.cohortIncrements(ds, evict = Some(p)).toDF())
+    val cells = outDf.where(col("user_id") === 1L)
+      .select("week_offset").as[Long].collect().toSeq.sorted
+    assert(cells == Seq(0L, 1L),
+      s"offset-0 (buffered week-40 view) and offset-1 must emit: $cells")
   }
 
   test("cohort: a never-signed-up user evicts with its buffered weeks") {
