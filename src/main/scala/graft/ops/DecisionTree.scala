@@ -32,6 +32,44 @@ object DecisionTree {
     * the two sides (used when the side is a leaf). */
   final case class Split(bucket: Long, thr: Long, labGe: Long, labLt: Long)
 
+  /** The full depth-2 model: the root split plus one split per side. */
+  final case class Trained(root: Split, ge: Split, lt: Split)
+
+  /** The trained tree served through the [[ModelGate]] contract — the
+    * same broadcast-once / session-per-partition / batched plumbing as
+    * the linear heads, so the cascade treats a tree classifier exactly
+    * like a linear one. The feature vector is the DENSE bucket-count
+    * array from [[denseFeatures]] (index b = token count in hash bucket
+    * b); the score is the tree's ±1 verdict. */
+  final case class TreeModel(t: Trained) extends ModelGate.Model {
+    override def open(): ModelGate.Session = { batch =>
+      batch.map { f =>
+        def c(b: Long): Long =
+          if (b >= 0 && b < f.length) f(b.toInt) else 0L
+        val side = if (c(t.root.bucket) >= t.root.thr) t.ge else t.lt
+        if (c(side.bucket) >= side.thr) side.labGe else side.labLt
+      }
+    }
+  }
+
+  /** Dense per-doc feature vectors for [[TreeModel]] serving: the sparse
+    * hashed counts pivoted into a length-`buckets` array<bigint> at
+    * `outCol` (docs with no tokens get all zeros, never null — a missing
+    * vector would bypass the gate session). One id-keyed groupBy +
+    * left join; `buckets` longs per row, corpus-linear. */
+  def denseFeatures(docs: DataFrame, idCol: String, textCol: String,
+                    buckets: Int, outCol: String): DataFrame = {
+    val m = features(docs, idCol, textCol, buckets)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("__m"))
+    docs.join(m, Seq(idCol), "left")
+      .withColumn(outCol,
+        transform(sequence(lit(0L), lit(buckets - 1L)),
+          b => coalesce(element_at(col("__m"), b), lit(0L))))
+      .drop("__m")
+  }
+
   /** Sparse hashed features (id, b, c); docs with no tokens have no rows
     * (they fall to every split's lt side — count 0). */
   def features(docs: DataFrame, idCol: String, textCol: String,
@@ -89,17 +127,12 @@ object DecisionTree {
     if (2L * t.getLong(0) >= t.getLong(1)) 1L else -1L
   }
 
-  /** Train a depth-2 tree (root + one split per side) and score every
-    * doc: (id, y, c_root, pred, correct). `labelCol` must be ±1. */
-  def trainPredict(docs: DataFrame, idCol: String, textCol: String,
-                   labelCol: Column, buckets: Int,
-                   maxThr: Int): DataFrame = {
-    val f = features(docs, idCol, textCol, buckets).persist()
-    val y = docs.select(col(idCol), labelCol.cast("long").as("y"))
+  private def countOf(bucket: Long): Column =
+    coalesce(sum(when(col("b") === bucket, col("c"))), lit(0L))
 
-    def countOf(bucket: Long): Column =
-      coalesce(sum(when(col("b") === bucket, col("c"))), lit(0L))
-
+  /** The three split elections over an already-persisted feature table. */
+  private def trainOn(f: DataFrame, y: DataFrame, idCol: String,
+                      maxThr: Int): Trained = {
     val root = bestSplit(f, y, idCol, maxThr)
       .getOrElse(Split(-1L, 1L, majority(y), majority(y)))
     // per-doc root-bucket count decides the side
@@ -115,21 +148,42 @@ object DecisionTree {
       .getOrElse(Split(-1L, Long.MaxValue, root.labGe, root.labGe))
     val ltSplit = bestSplit(f, ltSide, idCol, maxThr)
       .getOrElse(Split(-1L, Long.MaxValue, root.labLt, root.labLt))
+    Trained(root, geSplit, ltSplit)
+  }
 
+  /** Train the depth-2 tree and return the model — the training half of
+    * [[trainPredict]], exposed so the tree can be persisted (a 3-row
+    * artifact) and served through the [[ModelGate]] like any other head. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+            labelCol: Column, buckets: Int, maxThr: Int): Trained = {
+    val f = features(docs, idCol, textCol, buckets).persist()
+    try trainOn(f, docs.select(col(idCol), labelCol.cast("long").as("y")),
+      idCol, maxThr)
+    finally { f.unpersist(); () }
+  }
+
+  /** Train a depth-2 tree (root + one split per side) and score every
+    * doc: (id, y, c_root, pred, correct). `labelCol` must be ±1. */
+  def trainPredict(docs: DataFrame, idCol: String, textCol: String,
+                   labelCol: Column, buckets: Int,
+                   maxThr: Int): DataFrame = {
+    val f = features(docs, idCol, textCol, buckets).persist()
+    val y = docs.select(col(idCol), labelCol.cast("long").as("y"))
+    val t = trainOn(f, y, idCol, maxThr)
     val counts = f.groupBy(col(idCol)).agg(
-      countOf(root.bucket).as("c_root"),
-      countOf(geSplit.bucket).as("c_ge"),
-      countOf(ltSplit.bucket).as("c_lt"))
+      countOf(t.root.bucket).as("c_root"),
+      countOf(t.ge.bucket).as("c_ge"),
+      countOf(t.lt.bucket).as("c_lt"))
     f.unpersist()
     y.join(counts, Seq(idCol), "left")
       .na.fill(0L, Seq("c_root", "c_ge", "c_lt"))
       .withColumn("pred",
-        when(col("c_root") >= root.thr,
-          when(col("c_ge") >= geSplit.thr, geSplit.labGe)
-            .otherwise(geSplit.labLt))
+        when(col("c_root") >= t.root.thr,
+          when(col("c_ge") >= t.ge.thr, t.ge.labGe)
+            .otherwise(t.ge.labLt))
           .otherwise(
-            when(col("c_lt") >= ltSplit.thr, ltSplit.labGe)
-              .otherwise(ltSplit.labLt)))
+            when(col("c_lt") >= t.lt.thr, t.lt.labGe)
+              .otherwise(t.lt.labLt)))
       .withColumn("correct", col("pred") === col("y"))
       .select(col(idCol), col("y"), col("c_root"), col("pred"),
         col("correct"))

@@ -216,6 +216,42 @@ object TextQueries {
   /** Mask bit 32: the trained head's verdict as one more cascade rule. */
   private def trainedRule: (String, org.apache.spark.sql.Column) =
     "trained" -> (col("trained_score") >= 0L)
+
+  /** The planted OR-of-two-rules tree label (shared with
+    * `q_classifier_tree`): ≥2 "customer" tokens or ≥3 "vector" tokens. */
+  private def treeLabelCol: org.apache.spark.sql.Column = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    when(size(filter(toks, t => t === "customer")) >= 2 ||
+      size(filter(toks, t => t === "vector")) >= 3, 1L).otherwise(-1L)
+  }
+
+  /** Documents + the TREE head's verdict through the [[graft.ops
+    * .ModelGate]]: `q_classifier_tree`'s depth-2 histogram tree trains
+    * once per corpus snapshot (a 3-row persisted artifact — root/ge/lt
+    * splits), then serves via the SAME broadcast/session/batch plumbing
+    * as the linear heads over dense bucket-count features. Every model
+    * family the engine trains now exits through one serving contract. */
+  private def treeGateScored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tDf = Artifacts.materialized(s, d, "tree-gate-b64-t3") {
+      val t = graft.ops.DecisionTree.train(docs, "doc_id", "text",
+        treeLabelCol, buckets = 64, maxThr = 3)
+      import s.implicits._
+      Seq(("root", t.root), ("ge", t.ge), ("lt", t.lt))
+        .map { case (n, sp) => (n, sp.bucket, sp.thr, sp.labGe, sp.labLt) }
+        .toDF("node", "b", "thr", "lab_ge", "lab_lt")
+    }
+    val sp = tDf.collect().map(r => r.getString(0) ->
+      graft.ops.DecisionTree.Split(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val trained =
+      graft.ops.DecisionTree.Trained(sp("root"), sp("ge"), sp("lt"))
+    graft.ops.ModelGate.withScores(
+      graft.ops.DecisionTree.denseFeatures(docs, "doc_id", "text",
+        buckets = 64, outCol = "__f"),
+      "__f", "tree_score", graft.ops.DecisionTree.TreeModel(trained))
+      .drop("__f")
+  }
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -968,15 +1004,10 @@ object TextQueries {
     // root alone cannot express (the lt-child must discover the second
     // rule), so the emitted per-doc verdicts demonstrate real
     // hierarchical learning as data.
-    "q_classifier_tree" -> ((s, d) => {
-      val toks = filter(split(col("text"), " "), t => t =!= "")
-      val label = when(
-        size(filter(toks, t => t === "customer")) >= 2 ||
-          size(filter(toks, t => t === "vector")) >= 3, 1L).otherwise(-1L)
+    "q_classifier_tree" -> ((s, d) =>
       graft.ops.DecisionTree.trainPredict(Tables.documents(s, d), "doc_id",
-          "text", label, buckets = 64, maxThr = 3)
-        .orderBy(col("doc_id"))
-    }),
+          "text", treeLabelCol, buckets = 64, maxThr = 3)
+        .orderBy(col("doc_id"))),
 
     // CCNet's head/middle/tail split: per language, rank documents by
     // mean negative log-likelihood under the en-trained LM and cut into
@@ -1510,6 +1541,17 @@ object TextQueries {
         .select(col("doc_id"), col("model_score"), col("trained_score"),
           col("fail_mask"), col("keep"))
     }),
+
+    // The TREE head through the ModelGate (every trained family exits
+    // through ONE serving contract): q_classifier_tree's depth-2 tree,
+    // artifact-persisted, scores documents via the broadcast/session/
+    // batch gate path and its ±1 verdict joins the heuristic cascade as
+    // mask bit 16 — oracle replays training AND the mask composition.
+    "q_model_tree_gate" -> ((s, d) =>
+      graft.ops.FilterCascade.withVerdict(treeGateScored(s, d),
+          cascadeRules :+ ("tree" -> (col("tree_score") >= 0L)))
+        .select(col("doc_id"), col("tree_score"), col("fail_mask"),
+          col("keep"))),
 
     // HTML main-content extraction (the trafilatura/jusText slot, rule
     // zero UPSTREAM of the cascade): segment the chrome-planted page at
@@ -2439,12 +2481,14 @@ object TextQueries {
            CROSS JOIN gd
            GROUP BY p.doc_id)"""
 
-  /** Depth-2 decision-tree oracle: the same hashed-count features, the
-    * same sparse (bucket, threshold) candidate cells, the same
-    * integer-accuracy argmax per node — root over all docs, then one
-    * split per side, then the four-leaf prediction. Mirrors
-    * [[graft.ops.DecisionTree.trainPredict]] cell for cell. */
-  private def treeSql(buckets: Int, maxThr: Int): String = {
+  /** Depth-2 decision-tree oracle CTE chain: the same hashed-count
+    * features, the same sparse (bucket, threshold) candidate cells, the
+    * same integer-accuracy argmax per node — root over all docs, then
+    * one split per side, then the four-leaf prediction. Mirrors
+    * [[graft.ops.DecisionTree.trainPredict]] cell for cell; ends in
+    * `tpred(doc_id, y, c_root, pred)` so both the classifier query and
+    * the tree-through-the-gate query build on it. */
+  private def treeCtes(buckets: Int, maxThr: Int): String = {
     def nib(i: Int) =
       s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
         s" THEN ascii(substr(h,$i,1)) - 48" +
@@ -2477,7 +2521,7 @@ object TextQueries {
                    ORDER BY greatest(acc_pos, acc_neg) DESC, b ASC, t ASC)
                    AS rn FROM sc$nm)
            WHERE rn = 1)"""
-    s"""WITH tk AS (SELECT doc_id,
+    s"""tk AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS toks
            FROM documents),
        y AS (SELECT doc_id,
@@ -2513,22 +2557,17 @@ object TextQueries {
          SELECT y.doc_id, CAST(coalesce(sum(fc.c), 0) AS BIGINT) AS c
          FROM y CROSS JOIN pickL
          LEFT JOIN fc ON fc.doc_id = y.doc_id AND fc.b = pickL.b
-         GROUP BY y.doc_id)
-       SELECT cr.doc_id, cr.y, cr.c_root,
-              CASE WHEN cr.c_root >= cr.rt
-                   THEN CASE WHEN cg.c >= pickG.t THEN pickG.lab_ge
-                             ELSE pickG.lab_lt END
-                   ELSE CASE WHEN cl.c >= pickL.t THEN pickL.lab_ge
-                             ELSE pickL.lab_lt END END AS pred,
-              (CASE WHEN cr.c_root >= cr.rt
-                    THEN CASE WHEN cg.c >= pickG.t THEN pickG.lab_ge
-                              ELSE pickG.lab_lt END
-                    ELSE CASE WHEN cl.c >= pickL.t THEN pickL.lab_ge
-                              ELSE pickL.lab_lt END END) = cr.y AS correct
-       FROM cr JOIN cg ON cg.doc_id = cr.doc_id
-       JOIN cl ON cl.doc_id = cr.doc_id
-       CROSS JOIN pickG CROSS JOIN pickL
-       ORDER BY cr.doc_id"""
+         GROUP BY y.doc_id),
+       tpred AS (
+         SELECT cr.doc_id, cr.y, cr.c_root,
+                CASE WHEN cr.c_root >= cr.rt
+                     THEN CASE WHEN cg.c >= pickG.t THEN pickG.lab_ge
+                               ELSE pickG.lab_lt END
+                     ELSE CASE WHEN cl.c >= pickL.t THEN pickL.lab_ge
+                               ELSE pickL.lab_lt END END AS pred
+         FROM cr JOIN cg ON cg.doc_id = cr.doc_id
+         JOIN cl ON cl.doc_id = cr.doc_id
+         CROSS JOIN pickG CROSS JOIN pickL)"""
   }
 
   /** RAG chunk-embedding CTEs (chunking → hash16 feature components →
@@ -3314,7 +3353,20 @@ object TextQueries {
                 coalesce(ll_fp, 0) >= -3400000 * coalesce(n_trans, 0) AS keep
          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
 
-    "q_classifier_tree" -> treeSql(buckets = 64, maxThr = 3),
+    "q_classifier_tree" ->
+      s"""WITH ${treeCtes(buckets = 64, maxThr = 3)}
+         SELECT doc_id, y, c_root, pred, pred = y AS correct
+         FROM tpred ORDER BY doc_id""",
+    // tree-through-the-gate replay: the same training chain, the tree's
+    // ±1 verdict composed onto the heuristic mask as bit 16
+    "q_model_tree_gate" ->
+      s"""WITH $cascadeMaskCtes, ${treeCtes(buckets = 64, maxThr = 3)}
+         SELECT m.doc_id, CAST(t.pred AS BIGINT) AS tree_score,
+                CAST(m.fail_mask + CASE WHEN t.pred >= 0
+                  THEN 0 ELSE 16 END AS BIGINT) AS fail_mask,
+                (m.fail_mask + CASE WHEN t.pred >= 0
+                  THEN 0 ELSE 16 END) = 0 AS keep
+         FROM msk m JOIN tpred t ON t.doc_id = m.doc_id""",
 
     // CCNet head/middle/tail replay: the same per-doc integer scores, the
     // same non-negative integer ranking key, ntile(3) per language with

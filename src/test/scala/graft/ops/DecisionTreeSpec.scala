@@ -61,4 +61,32 @@ class DecisionTreeSpec extends SparkSuite {
       .select("pred").as[Long].collect().toSeq
     assert(out == Seq(-1L, -1L, -1L), "majority label −1 everywhere")
   }
+
+  test("gate-served tree matches trainPredict's verdict for every doc") {
+    // the ModelGate serving path (dense bucket-count features + the
+    // broadcast TreeModel session) must agree with the in-plan predict
+    // expression doc for doc
+    val t = DecisionTree.train(corpus, "doc_id", "text", label,
+      buckets = 64, maxThr = 3)
+    val viaGate = ModelGate.withScores(
+        DecisionTree.denseFeatures(corpus, "doc_id", "text", 64, "__f"),
+        "__f", "score", DecisionTree.TreeModel(t))
+      .select(col("doc_id"), col("score"))
+    val direct = DecisionTree.trainPredict(corpus, "doc_id", "text", label,
+        buckets = 64, maxThr = 3)
+      .select(col("doc_id"), col("pred"))
+    val joined = viaGate.join(direct, "doc_id").collect()
+    assert(joined.length == 8 &&
+      joined.forall(r => r.getLong(1) == r.getLong(2)),
+      s"gate and plan verdicts must agree: ${joined.mkString(",")}")
+  }
+
+  test("dense features: a tokenless doc gets all zeros, never null") {
+    val withEmpty = corpus.unionByName(Seq((9L, "")).toDF("doc_id", "text"))
+    val f = DecisionTree
+      .denseFeatures(withEmpty, "doc_id", "text", 64, "__f")
+      .where($"doc_id" === 9L).select($"__f").as[Seq[Long]].collect()
+    assert(f.length == 1 && f.head.length == 64 && f.head.forall(_ == 0L),
+      "a null vector would bypass the gate session")
+  }
 }
