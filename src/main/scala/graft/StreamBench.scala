@@ -55,6 +55,57 @@ object StreamBench {
 
     val src = () => spark.readStream.format("graft-topic").option("path", topic).load()
 
+    // the user-keyed event replay consumed by the funnel stage (staged once,
+    // read by both provider passes)
+    val evTopic = tmp.resolve("events-ua").toString
+    graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("key"),
+        concat_ws("|", col("event_type"),
+          unix_micros(col("ts")).cast("string")).as("value"),
+        pmod(col("user_id"), lit(16)).cast("int").as("seg"))
+      .repartition(16, col("seg")).drop("seg")
+      .write.format("graft-topic").option("path", evTopic)
+      .mode("append").save()
+
+    // the three state-store-backed stages, run under BOTH providers (the
+    // default HDFS-backed in-memory store and RocksDB — the production
+    // posture for key populations beyond heap); `sfx` keys the record name,
+    // checkpoint, and sink so the passes never share state
+    def winStage(sfx: String) = timed(s"windowed_agg${sfx}_rows_per_s") {
+      src().withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "1 hour"), col("key"))
+        .agg(count(lit(1)), sum(length(col("value"))))
+        .writeStream.format("memory").queryName(s"sb_win$sfx")
+        .outputMode("append")
+        .option("checkpointLocation", tmp.resolve(s"cp2$sfx").toString).start()
+    }
+    def tvStage(sfx: String) = timed(s"tableview${sfx}_rows_per_s") {
+      graft.streaming.StatefulOps.tableViewStream(
+        src().select(col("key"), col("value"), col("offset"),
+          col("event_time").as("eventTime")).as[graft.streaming.KeyedMsg])
+        .writeStream.format("memory").queryName(s"sb_tv$sfx")
+        .outputMode("update")
+        .option("checkpointLocation", tmp.resolve(s"cp3$sfx").toString).start()
+    }
+    def funnelStage(sfx: String) = timedRows(s"funnel${sfx}_events_per_s", n) {
+      val ds = spark.readStream.format("graft-topic")
+        .option("path", evTopic).load()
+        .select(col("key").cast("long").as("user_id"),
+          split(col("value"), "\\|").as("kv"))
+        .select(col("user_id"), col("kv")(0).as("event_type"),
+          col("kv")(1).cast("long").as("ts_us"))
+        .as[graft.streaming.UserEvent]
+      // production face: eviction ON — users silent 30 event-time
+      // days drop from the state store instead of living forever
+      graft.streaming.EventAnalytics.funnelProgress(ds,
+          evict = Some(graft.streaming.EventAnalytics.Eviction(
+            watermarkLagMs = 60000L, horizonMs = 30L * 86400000L)))
+        .writeStream.format("memory").queryName(s"sb_funnel$sfx")
+        .outputMode("update")
+        .option("checkpointLocation", tmp.resolve(s"cp6$sfx").toString)
+        .start()
+    }
+
     // curate-stage audit state, reported in the final JSON record:
     // cascade attrition totals across micro-batches + chunk-store size
     val attTotals = scala.collection.mutable.LinkedHashMap(
@@ -71,55 +122,11 @@ object StreamBench {
           .option("path", tmp.resolve("out1").toString)
           .option("checkpointLocation", tmp.resolve("cp1").toString).start()
       },
-      timed("windowed_agg_rows_per_s") {
-        src().withWatermark("event_time", "1 hour")
-          .groupBy(window(col("event_time"), "1 hour"), col("key"))
-          .agg(count(lit(1)), sum(length(col("value"))))
-          .writeStream.format("memory").queryName("sb_win")
-          .outputMode("append")
-          .option("checkpointLocation", tmp.resolve("cp2").toString).start()
-      },
-      timed("tableview_rows_per_s") {
-        graft.streaming.StatefulOps.tableViewStream(
-          src().select(col("key"), col("value"), col("offset"),
-            col("event_time").as("eventTime")).as[graft.streaming.KeyedMsg])
-          .writeStream.format("memory").queryName("sb_tv")
-          .outputMode("update")
-          .option("checkpointLocation", tmp.resolve("cp3").toString).start()
-      }, {
-        // the streaming event-analytics faces: the events table replayed
-        // user-keyed through funnel-progress + rolling-active state
-        // machines in ONE query (union of the two state ops' outputs is
-        // not needed — time the heavier funnel; rolling-active parity is
-        // spec'd, its state shape is the same per-user discipline)
-        val ev = graft.core.Tables.events(spark, sfDir)
-        val evTopic = tmp.resolve("events-ua").toString
-        ev.select(col("user_id").cast("string").as("key"),
-            concat_ws("|", col("event_type"),
-              unix_micros(col("ts")).cast("string")).as("value"),
-            pmod(col("user_id"), lit(16)).cast("int").as("seg"))
-          .repartition(16, col("seg")).drop("seg")
-          .write.format("graft-topic").option("path", evTopic)
-          .mode("append").save()
-        timedRows("funnel_events_per_s", n) {
-          val ds = spark.readStream.format("graft-topic")
-            .option("path", evTopic).load()
-            .select(col("key").cast("long").as("user_id"),
-              split(col("value"), "\\|").as("kv"))
-            .select(col("user_id"), col("kv")(0).as("event_type"),
-              col("kv")(1).cast("long").as("ts_us"))
-            .as[graft.streaming.UserEvent]
-          // production face: eviction ON — users silent 30 event-time
-          // days drop from the state store instead of living forever
-          graft.streaming.EventAnalytics.funnelProgress(ds,
-              evict = Some(graft.streaming.EventAnalytics.Eviction(
-                watermarkLagMs = 60000L, horizonMs = 30L * 86400000L)))
-            .writeStream.format("memory").queryName("sb_funnel")
-            .outputMode("update")
-            .option("checkpointLocation", tmp.resolve("cp6").toString)
-            .start()
-        }
-      }, {
+      // the streaming event-analytics faces: the events table replayed
+      // user-keyed through funnel-progress (the heavier machine;
+      // rolling-active parity is spec'd, its state shape is the same
+      // per-user discipline)
+      winStage(""), tvStage(""), funnelStage(""), {
         // the continuous-dedup flagship: docs stream through the persisted
         // LSH pair index into the persisted cluster index (probe + append +
         // link-append per micro-batch, checkpointing on)
@@ -305,7 +312,17 @@ object StreamBench {
           edgeRankS = (System.nanoTime() - t0) / 1e9
         }
         pipeRate
-      })
+      }) ++ {
+      // second pass of the stateful stages on RocksDB: same data, same
+      // wiring, only the state-store provider differs — the two records
+      // sit side by side in the JSON so the provider cost is measured,
+      // not asserted
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try Seq(winStage("_rocksdb"), tvStage("_rocksdb"),
+        funnelStage("_rocksdb"))
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
 
     val nChunks =
       try spark.read.parquet(chunkDir).count()
