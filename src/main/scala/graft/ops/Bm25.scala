@@ -145,16 +145,24 @@ final class Bm25Index(spark: SparkSession, path: String,
   }
 
   /** Append one batch's postings + stats row. `ord` identifies the batch
-    * for replay-dedup; pass the same ord when retrying a crashed append. */
+    * for replay-dedup; pass the same ord when retrying a crashed append.
+    * An EMPTY batch appends nothing: if it were the store's FIRST append,
+    * the postings dir would hold zero data files and every later read
+    * would fail schema inference. The stats row is collected anyway (one
+    * row), so the guard costs no extra job. */
   def add(batch: DataFrame, ord: Long): Unit = {
     val gen = gens.liveOrCreate()
     val (postings, stats) = Bm25.postingsOf(batch, idCol, textCol)
+    val statsRow = stats.withColumn("ord", lit(ord))
+    val collected = statsRow.collect()
+    if (collected.head.getAs[Long]("n_docs") == 0L) return
     postings
       .withColumn("ord", lit(ord))
       .withColumn("tp", concat(lit("p"), substring(md5(col("t")), 1, 1)))
       .write.mode("append").partitionBy("tp")
       .parquet(gen.getAbsolutePath + "/postings")
-    stats.withColumn("ord", lit(ord))
+    spark.createDataFrame(
+        java.util.Arrays.asList(collected: _*), statsRow.schema)
       .write.mode("append").parquet(gen.getAbsolutePath + "/_stats")
   }
 

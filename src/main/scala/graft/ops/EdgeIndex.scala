@@ -45,12 +45,33 @@ final class EdgeIndex(spark: SparkSession, path: String) {
 
   private def batchDirs(gen: File): Seq[File] =
     Option(gen.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-")
+        && hasDataFiles(f))
       .sortBy(_.getName).toSeq
+
+  /** Whether the directory holds any actual data file (a partitioned
+    * write of ZERO rows leaves only `_SUCCESS` — schema inference on such
+    * a dir fails, so data-less dirs are never published or read). */
+  private def hasDataFiles(dir: File): Boolean = {
+    def walk(f: File): Boolean =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File]).exists(walk)
+      else !f.getName.startsWith("_") && !f.getName.startsWith(".")
+    walk(dir)
+  }
+
+  private def rmTree(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmTree)
+    f.delete(); ()
+  }
 
   /** Append one crawl batch's edges. Duplicate edges within the batch
     * collapse before the write; duplicates ACROSS batches (or from a
-    * crash-replayed batch) are collapsed by [[edges]]/[[compact]]. */
+    * crash-replayed batch) are collapsed by [[edges]]/[[compact]]. An
+    * EMPTY batch (a crawl delta with no new links, or a replayed epoch
+    * whose every doc was already stored upstream) publishes nothing —
+    * the staged dir has no data files and is discarded. */
   def addEdges(batch: DataFrame, ord: Long): Unit = {
     val gen = gens.liveOrCreate()
     val stage = new File(path,
@@ -60,6 +81,7 @@ final class EdgeIndex(spark: SparkSession, path: String) {
       .write.mode("overwrite").partitionBy("ep")
       .parquet(stage.getAbsolutePath)
     Fs.step("edge.batch-staged")
+    if (!hasDataFiles(stage)) { rmTree(stage); return }
     val dest = new File(gen,
       s"batch-$ord-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.move(stage.toPath, dest.toPath,

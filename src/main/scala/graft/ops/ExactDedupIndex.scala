@@ -24,13 +24,19 @@ import org.apache.spark.sql.functions._
   * the partitions its fingerprints hash into, then appends the survivors —
   * O(batch) work against a corpus-sized store.
   *
-  * '''Crash contract.''' A replayed [[addAndDedup]] re-probes with the
-  * partially-appended state visible, so already-appended rows drop out of
-  * the anti-join and the remainder lands exactly once: the STORE converges
-  * (at-most-one row per fingerprint) even though a replayed call's return
-  * value may be smaller than the original's. Appends are serialized by a
-  * single driver (the shared cron-loop contract); [[compact]] rewrites one
-  * file per partition under the atomic pointer swap.
+  * '''Crash contract.''' The novelty probe masks a batch row only against
+  * rows stored by STRICTLY EARLIER batches (`stored.ord < ord`) — a
+  * replayed [[addAndDedup]] with the same ord therefore returns the SAME
+  * novel set as the original call (the crashed attempt's own appends
+  * cannot mask it), which is what keeps a COMPOSED pipeline convergent: a
+  * downstream store fed from this call's return (LSH, BM25, edges, IVF in
+  * the curate path) sees the batch again on replay instead of starving
+  * (StreamRestartSpec). Re-appended rows are byte-identical (same fp, id,
+  * ord) and [[keepers]]/[[compact]] arbitrate by the (ord, id) total
+  * order, so the store still converges to at-most-one keeper per
+  * fingerprint. Appends are serialized by a single driver (the shared
+  * cron-loop contract); [[compact]] rewrites one file per partition under
+  * the atomic pointer swap.
   */
 final class ExactDedupIndex(spark: SparkSession, path: String,
                             idCol: String, textCol: String) {
@@ -74,7 +80,11 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
         val touched = probes.select(substring(col("fp"), 1, 1))
           .distinct().collect().map(r => "p" + r.getString(0))
         if (touched.isEmpty) probes
-        else probes.join(st.where(col("fpp").isin(touched.toSeq: _*))
+        // mask only against STRICTLY EARLIER batches: a replayed call's
+        // own prior appends (same ord) must not hide the batch from the
+        // caller — see the crash contract above
+        else probes.join(st.where(col("fpp").isin(touched.toSeq: _*)
+            && col("ord") < lit(ord))
           .select(col("fp")), Seq("fp"), "left_anti")
     }
     val haveBits = bloomDir(gen).exists()

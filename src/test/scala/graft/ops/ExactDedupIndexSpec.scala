@@ -40,13 +40,19 @@ class ExactDedupIndexSpec extends SparkSuite {
       Set(1L, 4L, 6L, 7L))
   }
 
-  test("replaying a batch under the same ord leaves the store unchanged") {
+  test("same-ord replay returns the SAME novel set; keepers converge") {
     val idx = newIdx()
-    idx.addAndDedup(corpus.where(col("id") <= 4), 1L)
+    val orig = idx.addAndDedup(corpus.where(col("id") <= 4), 1L)
+      .select("id").as[Long].collect().toSet
     val before = idx.keepers().collect().toSet
-    // crashed-append replay: everything already stored drops out
+    // crashed-append replay: the attempt's own appends (same ord) must
+    // NOT mask the batch — a composed pipeline feeds downstream stores
+    // from this return value, so replay has to re-deliver the batch
     val replay = idx.addAndDedup(corpus.where(col("id") <= 4), 1L)
-    assert(replay.isEmpty)
+      .select("id").as[Long].collect().toSet
+    assert(replay == orig)
+    // the re-appended rows are byte-identical; (ord, id) arbitration
+    // keeps the keeper set fixed
     assert(idx.keepers().collect().toSet == before)
   }
 
@@ -78,9 +84,12 @@ class ExactDedupIndexSpec extends SparkSuite {
       idx.addAndDedup(corpus.where(!col("id").isin(2L, 4L, 6L)), 2L, bloom)
     }
     assert(fast.keepers().collect().toSet == plain.keepers().collect().toSet)
-    // replay convergence holds on the bloom path too
+    // replay convergence holds on the bloom path too: the crashed
+    // attempt's bits route every fp through the exact anti-join, which
+    // masks only ord<2 rows — so the ord-2 novel set comes back intact
     val replay = fast.addAndDedup(corpus, 2L, bloom = true)
-    assert(replay.isEmpty)
+    assert(replay.select("id").as[Long].collect().toSet == Set(7L))
+    assert(fast.keepers().collect().toSet == plain.keepers().collect().toSet)
   }
 
   test("bloom bits backfill when enabled on a store populated without them") {
