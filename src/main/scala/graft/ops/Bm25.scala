@@ -150,20 +150,22 @@ final class Bm25Index(spark: SparkSession, path: String,
     * the postings dir would hold zero data files and every later read
     * would fail schema inference. The stats row is collected anyway (one
     * row), so the guard costs no extra job. */
-  def add(batch: DataFrame, ord: Long): Unit = {
+  def add(batch: DataFrame, ord: Long): Unit =
+      StoreLock.exclusive(new File(path)) {
     val gen = gens.liveOrCreate()
     val (postings, stats) = Bm25.postingsOf(batch, idCol, textCol)
     val statsRow = stats.withColumn("ord", lit(ord))
     val collected = statsRow.collect()
-    if (collected.head.getAs[Long]("n_docs") == 0L) return
-    postings
-      .withColumn("ord", lit(ord))
-      .withColumn("tp", concat(lit("p"), substring(md5(col("t")), 1, 1)))
-      .write.mode("append").partitionBy("tp")
-      .parquet(gen.getAbsolutePath + "/postings")
-    spark.createDataFrame(
-        java.util.Arrays.asList(collected: _*), statsRow.schema)
-      .write.mode("append").parquet(gen.getAbsolutePath + "/_stats")
+    if (collected.head.getAs[Long]("n_docs") != 0L) {
+      postings
+        .withColumn("ord", lit(ord))
+        .withColumn("tp", concat(lit("p"), substring(md5(col("t")), 1, 1)))
+        .write.mode("append").partitionBy("tp")
+        .parquet(gen.getAbsolutePath + "/postings")
+      spark.createDataFrame(
+          java.util.Arrays.asList(collected: _*), statsRow.schema)
+        .write.mode("append").parquet(gen.getAbsolutePath + "/_stats")
+    }
   }
 
   private def live(): File = gens.currentGen().getOrElse(
@@ -191,7 +193,7 @@ final class Bm25Index(spark: SparkSession, path: String,
 
   /** Rewrite the live generation to one postings file per partition and a
     * single stats row; keeps the replaced generation for one cycle. */
-  def compact(): Unit = {
+  def compact(): Unit = StoreLock.exclusive(new File(path)) {
     val cur = live()
     val postings = spark.read.parquet(cur.getAbsolutePath + "/postings")
       .dropDuplicates("t", idCol)

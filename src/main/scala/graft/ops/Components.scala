@@ -330,7 +330,8 @@ class ComponentsIndex(spark: SparkSession, path: String) {
     * append is O(2·batch) rows; no closure work happens here. */
   def addPairs(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b",
-               ord: Long = System.currentTimeMillis()): Unit = {
+               ord: Long = System.currentTimeMillis()): Unit =
+      StoreLock.exclusive(new File(path)) {
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
@@ -399,7 +400,8 @@ class ComponentsIndex(spark: SparkSession, path: String) {
     * kept link set, since expiry can split compacted stars. The replaced
     * generation is kept one cycle for lazy readers; older ones are
     * deleted. */
-  def compact(retainOrdGe: Option[Long] = None): Unit = {
+  def compact(retainOrdGe: Option[Long] = None): Unit =
+      StoreLock.exclusive(new File(path)) {
     val prev = gens.currentGen()
     allRows().foreach { all =>
       // newest evidence per node: max ord over the rows it heads. Raw

@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   * (StreamRestartSpec). Re-appended rows are byte-identical (same fp, id,
   * ord) and [[keepers]]/[[compact]] arbitrate by the (ord, id) total
   * order, so the store still converges to at-most-one keeper per
-  * fingerprint. Appends are serialized by a single driver (the shared
-  * cron-loop contract); [[compact]] rewrites one file per partition under
-  * the atomic pointer swap.
+  * fingerprint. Appends and compaction serialize across threads AND
+  * processes on [[StoreLock]] (probe-then-append is semantically
+  * single-writer — and enforced, not assumed, since
+  * CrossProcessStoreSpec); [[compact]] rewrites one file per partition
+  * under the atomic pointer swap.
   */
 final class ExactDedupIndex(spark: SparkSession, path: String,
                             idCol: String, textCol: String) {
@@ -65,7 +67,8 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
     * summary is bits-only: at 100 TB the common case (a mostly-novel
     * batch) reads kilobytes instead of scanning postings. */
   def addAndDedup(batch: DataFrame, ord: Long,
-                  bloom: Boolean = false): DataFrame = {
+                  bloom: Boolean = false): DataFrame =
+      StoreLock.exclusive(new File(path)) {
     val gen = gens.liveOrCreate()
     val fps = batch
       .select(col(idCol), fingerprint(col(textCol)).as("fp"))
@@ -132,7 +135,8 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
 
   /** Rewrite the live generation to one arbitrated row per fingerprint,
     * one file per partition; keeps the replaced generation for one cycle. */
-  def compact(): Unit = gens.currentGen().foreach { cur =>
+  def compact(): Unit = StoreLock.exclusive(new File(path)) {
+    gens.currentGen().foreach { cur =>
     val next = gens.newGenDir()
     spark.read.parquet(cur.getAbsolutePath)
       .groupBy(col("fp"))
@@ -150,7 +154,7 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
         .write.mode("overwrite").parquet(bloomDir(next).getAbsolutePath)
     gens.swapPointer(next.getName)
     gens.reapExcept(Set(next.getName, cur.getName))
-  }
+  } }
 
   /** Live generation path (plan audits / external scans). */
   def currentGenerationPath: Option[String] =

@@ -121,7 +121,8 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
   /** As [[addAndFindPairs]], with an explicit batch ord (epoch-ms or any
     * monotone batch stamp) persisted on the appended postings — the age
     * axis [[compact]]'s retention horizon prunes on. */
-  def addAndFindPairs(batch: DataFrame, batchOrd: Long): DataFrame = {
+  def addAndFindPairs(batch: DataFrame, batchOrd: Long): DataFrame =
+      StoreLock.exclusive(new File(path)) {
     val rowsPerBand = numHashes / bands
     val newBB = MinHashLsh.bandBuckets(
       MinHashLsh.signatures(batch, idCol, textCol, shingleK, numHashes),
@@ -218,7 +219,8 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
     * until the next compact so a lazy reader bound to it stays scannable;
     * anything older (including crash orphans) is deleted. No-op on an
     * empty index. */
-  def compact(retainOrdGe: Option[Long] = None): Unit = {
+  def compact(retainOrdGe: Option[Long] = None): Unit =
+      StoreLock.exclusive(new File(path)) {
     val prev = currentGen()
     postings().foreach { p =>
       val kept = retainOrdGe.map(h => p.where(col("ord") >= h)).getOrElse(p)

@@ -63,7 +63,8 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
     * One file per touched cell. A null cell fails the write loudly — Hive
     * partitioning would otherwise bury the row in the default partition
     * where search's cell filter can never find it (silent data loss). */
-  def add(batch: DataFrame, cell: Column): Unit = {
+  def add(batch: DataFrame, cell: Column): Unit =
+      StoreLock.exclusive(new File(path)) {
     val c = cell.cast("int")
     val guarded = when(c.isNull, raise_error(
       lit("IvfIndex.add: null cell assignment — row would be unsearchable")))
@@ -206,7 +207,8 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
     * concurrent [[searchOwn]] reader sees either the old pair or the new
     * pair, never a mix. Returns what the monitor saw (None when no policy
     * ran: no postings, no policy, or no owned quantizer). */
-  def compact(recall: Option[RecallPolicy] = None): Option[CompactStats] = {
+  def compact(recall: Option[RecallPolicy] = None): Option[CompactStats] =
+      StoreLock.exclusive(new File(path)) {
     val prev = gens.currentGen()
     postings().map { pAll =>
       val p = pAll.dropDuplicates(idCol).persist()

@@ -89,7 +89,8 @@ final class IvfPqIndex(spark: SparkSession, path: String, idCol: String,
   /** Append one batch: vectors are coarse-assigned and PQ-encoded in the
     * same scan — under the LIVE generation's quantizers — and only
     * (id, codes, cell) is written, never the vector. */
-  def add(batch: DataFrame): Unit = {
+  def add(batch: DataFrame): Unit =
+      StoreLock.exclusive(new File(path)) {
     val g = appendGen()
     // first write into a fresh generation pins the constructor pair to it,
     // so the generation is self-contained from its first row
@@ -120,6 +121,7 @@ final class IvfPqIndex(spark: SparkSession, path: String, idCol: String,
     * (None when it did not run). */
   def compact(recallWith: Option[(DataFrame, IvfPqIndex.RecallPolicy)] = None)
       : Option[IvfPqIndex.CompactStats] =
+      StoreLock.exclusive(new File(path)) {
     gens.currentGen().map { cur =>
       val (liveModel, liveCoarse) = pairIn(cur)
       val p = spark.read.parquet(cur.getAbsolutePath)
@@ -174,7 +176,7 @@ final class IvfPqIndex(spark: SparkSession, path: String, idCol: String,
         gens.reapExcept(Set(next.getName, cur.getName))
         stats
       } finally { p.unpersist(); () }
-    }.flatten
+    }.flatten }
 
   /** IVFADC+R search over the stored codes: probed cells are collected
     * from the (tiny, broadcast) query set and pushed as a STATIC partition

@@ -48,7 +48,8 @@ final class ParagraphIndex(spark: SparkSession, path: String,
     * with every non-first unit occurrence excised (same contract as
     * [[ParagraphDedup.excise]]: untouched docs verbatim, fully-excised
     * docs as empty rows). */
-  def addAndExcise(batch: DataFrame, ord: Long): DataFrame = {
+  def addAndExcise(batch: DataFrame, ord: Long): DataFrame =
+      StoreLock.exclusive(new java.io.File(path)) {
     gens.liveOrCreate()
     val u = explodeUnits(batch, idCol, textCol, sep)
       .withColumn("ph", md5(col("para")))
@@ -114,7 +115,8 @@ final class ParagraphIndex(spark: SparkSession, path: String,
 
   /** Rewrite the live generation to one arbitrated keeper per unit, one
     * file per partition; keeps the replaced generation for one cycle. */
-  def compact(): Unit = gens.currentGen().foreach { cur =>
+  def compact(): Unit = StoreLock.exclusive(new java.io.File(path)) {
+    gens.currentGen().foreach { cur =>
     val next = gens.newGenDir()
     spark.read.parquet(cur.getAbsolutePath)
       .groupBy(col("ph"))
@@ -126,7 +128,7 @@ final class ParagraphIndex(spark: SparkSession, path: String,
       .parquet(next.getAbsolutePath)
     gens.swapPointer(next.getName)
     gens.reapExcept(Set(next.getName, cur.getName))
-  }
+  } }
 
   /** Live generation path (plan audits / external scans). */
   def currentGenerationPath: Option[String] =

@@ -67,7 +67,8 @@ final class SimHashIndex(spark: SparkSession, path: String, idCol: String,
   /** Probe + flag + append one batch. Returns one row per batch doc that
     * HAS a fingerprint: (id, simhash, is_dup, keeper) — keeper the
     * smallest earlier id within `maxHamming`, null for novel docs. */
-  def addAndDedup(batch: DataFrame, textCol: String, ord: Long): DataFrame = {
+  def addAndDedup(batch: DataFrame, textCol: String, ord: Long): DataFrame =
+      StoreLock.exclusive(new java.io.File(path)) {
     gens.liveOrCreate()
     val sh = SimHashDedup.simhash16(batch, idCol, textCol)
     val m = melt(sh).persist()
@@ -133,7 +134,8 @@ final class SimHashIndex(spark: SparkSession, path: String, idCol: String,
   /** Rewrite the live generation to distinct posting rows (crash-replay
     * residue collapsed), one file per partition; keeps the replaced
     * generation for one cycle. */
-  def compact(): Unit = gens.currentGen().foreach { cur =>
+  def compact(): Unit = StoreLock.exclusive(new java.io.File(path)) {
+    gens.currentGen().foreach { cur =>
     val next = gens.newGenDir()
     spark.read.parquet(cur.getAbsolutePath)
       // full-row distinct: true replays collapse, while a conflicting
@@ -147,7 +149,7 @@ final class SimHashIndex(spark: SparkSession, path: String, idCol: String,
       .parquet(next.getAbsolutePath)
     gens.swapPointer(next.getName)
     gens.reapExcept(Set(next.getName, cur.getName))
-  }
+  } }
 
   /** Live generation path (plan audits / external scans). */
   def currentGenerationPath: Option[String] =
