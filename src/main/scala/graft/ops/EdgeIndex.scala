@@ -71,7 +71,24 @@ final class EdgeIndex(spark: SparkSession, path: String) {
     * crash-replayed batch) are collapsed by [[edges]]/[[compact]]. An
     * EMPTY batch (a crawl delta with no new links, or a replayed epoch
     * whose every doc was already stored upstream) publishes nothing —
-    * the staged dir has no data files and is discarded. */
+    * the staged dir has no data files and is discarded.
+    *
+    * '''Append vs compact''' (the one pair the per-store [[StoreLock]]
+    * does NOT serialize here — appenders stay lock-free and parallel):
+    * a [[compact]] that listed batches BEFORE this publish and swapped
+    * the pointer after it would strand the batch in the replaced
+    * generation. Both sides close the window without a lock — after
+    * publishing, the appender re-reads the pointer and MOVES its batch
+    * into the new live generation if it changed (one atomic rename per
+    * swap it lost against), while compact carries over any batch that
+    * appeared in the replaced generation after its listing. Whichever
+    * side sees the race moves the dir; the loser of the (at most one)
+    * double-move gets NoSuchFile and stops. A batch that lands twice in
+    * the read set is harmless by the store's replay contract —
+    * [[edges]]/[[compact]] collapse byte-identical rows. A crash between
+    * publish and the re-check is the ordinary crash-replay case: the
+    * caller re-appends, the stranded copy is reaped with its
+    * generation. */
   def addEdges(batch: DataFrame, ord: Long): Unit = {
     val gen = gens.liveOrCreate()
     val stage = new File(path,
@@ -87,6 +104,24 @@ final class EdgeIndex(spark: SparkSession, path: String) {
     java.nio.file.Files.move(stage.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Fs.step("edge.batch-published")
+    // re-check the pointer: follow any compaction swap(s) that happened
+    // since liveOrCreate, so the batch is never stranded in a replaced
+    // generation (see the append-vs-compact contract above)
+    var cur = dest
+    var live = gens.currentGen().orNull
+    while (cur != null && live != null &&
+        cur.getParentFile.getCanonicalPath != live.getCanonicalPath) {
+      try {
+        val moved = new File(live, cur.getName)
+        java.nio.file.Files.move(cur.toPath, moved.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        cur = moved
+      } catch {
+        // a concurrent compactor's carry-over already moved it
+        case _: java.nio.file.NoSuchFileException => cur = null
+      }
+      live = gens.currentGen().orNull
+    }
   }
 
   /** The live generation's raw `(src, dst, ord)` rows across all
@@ -111,7 +146,10 @@ final class EdgeIndex(spark: SparkSession, path: String) {
 
   /** Rewrite the live generation to one row per edge (earliest ord wins —
     * pure bookkeeping, the edge set is unchanged); keeps the replaced
-    * generation for one cycle. */
+    * generation for one cycle. Safe against concurrent appenders: after
+    * the swap, one carry-over pass moves any batch published into the
+    * replaced generation after the listing (the other half of the
+    * [[addEdges]] append-vs-compact handshake). */
   def compact(): Unit = gens.currentGen().foreach { cur =>
     val dirs = batchDirs(cur)
     if (dirs.nonEmpty) {
@@ -124,6 +162,17 @@ final class EdgeIndex(spark: SparkSession, path: String) {
         .write.mode("overwrite").partitionBy("ep")
         .parquet(new File(next, "batch-0-compacted").getAbsolutePath)
       gens.swapPointer(next.getName)
+      Fs.step("edge.compact-swapped")
+      val seen = dirs.map(_.getName).toSet
+      batchDirs(cur).filterNot(d => seen(d.getName)).foreach { late =>
+        try java.nio.file.Files.move(late.toPath,
+          new File(next, late.getName).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // the appender's own pointer re-check moved it first
+          case _: java.nio.file.NoSuchFileException => ()
+        }
+      }
       gens.reapExcept(Set(next.getName, cur.getName))
     }
   }
