@@ -90,7 +90,32 @@ final class EdgeIndex(spark: SparkSession, path: String) {
     * caller re-appends, the stranded copy is reaped with its
     * generation. */
   def addEdges(batch: DataFrame, ord: Long): Unit = {
-    val gen = gens.liveOrCreate()
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      // losing requires a full swap+reap cycle landing inside one
+      // publish window — 5 consecutive losses means a runaway
+      // compactor, which deserves a loud failure, not a spin
+      require(attempts <= 5,
+        s"addEdges lost against $attempts maintenance cycles at $path")
+      done = tryPublish(batch, ord)
+    }
+  }
+
+  /** One staged-write + publish attempt. Returns false — replay the
+    * batch — only when a concurrent reap deleted it before it reached
+    * the live generation (two full maintenance cycles inside one
+    * publish window); a replayed batch that ALSO survived elsewhere
+    * collapses under the store's replay dedup. */
+  private def tryPublish(batch: DataFrame, ord: Long): Boolean = {
+    // cold start is the ONE append step that must serialize across
+    // processes (two creators could allocate DIFFERENT generations and
+    // the later pointer swap would orphan the earlier one's batches —
+    // GenStore's in-process lock can't see another JVM). Steady-state
+    // appends never take the lock.
+    val gen = gens.currentGen().getOrElse(
+      StoreLock.exclusive(new File(path))(gens.liveOrCreate()))
     val stage = new File(path,
       s".stage-${java.util.UUID.randomUUID()}")
     batch.select(col("src"), col("dst")).distinct()
@@ -98,30 +123,49 @@ final class EdgeIndex(spark: SparkSession, path: String) {
       .write.mode("overwrite").partitionBy("ep")
       .parquet(stage.getAbsolutePath)
     Fs.step("edge.batch-staged")
-    if (!hasDataFiles(stage)) { rmTree(stage); return }
-    val dest = new File(gen,
-      s"batch-$ord-${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.move(stage.toPath, dest.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (!hasDataFiles(stage)) { rmTree(stage); return true }
+    val name = s"batch-$ord-${java.util.UUID.randomUUID()}"
+    // publish: the generation we grabbed can be reaped under us by
+    // back-to-back compactions — re-aim the rename at the live pointer
+    var target = new File(gen, name)
+    var published = false
+    while (!published) {
+      try {
+        java.nio.file.Files.move(stage.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        published = true
+      } catch {
+        case _: java.nio.file.NoSuchFileException =>
+          if (!stage.isDirectory) return false
+          target = new File(gens.currentGen().getOrElse(
+            StoreLock.exclusive(new File(path))(gens.liveOrCreate())), name)
+      }
+    }
     Fs.step("edge.batch-published")
-    // re-check the pointer: follow any compaction swap(s) that happened
-    // since liveOrCreate, so the batch is never stranded in a replaced
-    // generation (see the append-vs-compact contract above)
-    var cur = dest
+    // follow any compaction swap(s) since the publish, so the batch is
+    // never stranded in a replaced generation (the append-vs-compact
+    // handshake — compact's carry-over covers the other orderings)
+    var cur = target
     var live = gens.currentGen().orNull
     while (cur != null && live != null &&
         cur.getParentFile.getCanonicalPath != live.getCanonicalPath) {
       try {
-        val moved = new File(live, cur.getName)
+        val moved = new File(live, name)
         java.nio.file.Files.move(cur.toPath, moved.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         cur = moved
       } catch {
-        // a concurrent compactor's carry-over already moved it
+        // a concurrent compactor's carry-over moved it — or a reap won
         case _: java.nio.file.NoSuchFileException => cur = null
       }
       live = gens.currentGen().orNull
     }
+    // when the move chain lost track, distinguish carried-over (name
+    // present in the live generation) from reaped (gone — replay). A
+    // batch a compactor FOLDED into its rewrite reads as absent and
+    // replays; the duplicate collapses under the replay dedup.
+    cur != null ||
+      gens.currentGen().exists(g => new File(g, name).isDirectory)
   }
 
   /** The live generation's raw `(src, dst, ord)` rows across all

@@ -136,7 +136,10 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
   /** Rewrite the live generation to one arbitrated row per fingerprint,
     * one file per partition; keeps the replaced generation for one cycle. */
   def compact(): Unit = StoreLock.exclusive(new File(path)) {
-    gens.currentGen().foreach { cur =>
+    gens.currentGen()
+      .filter(_ => gens.hasData(f =>
+        f.isDirectory && f.getName.startsWith("fpp=")))
+      .foreach { cur =>
     val next = gens.newGenDir()
     spark.read.parquet(cur.getAbsolutePath)
       .groupBy(col("fp"))

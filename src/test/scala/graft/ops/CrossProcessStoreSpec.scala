@@ -15,6 +15,10 @@ import scala.jdk.CollectionConverters._
   * and ONE ExactDedupIndex (StoreLock-serialized probe-then-append)
   * concurrently, with a ready/go barrier so the append phases actually
   * overlap, and asserts both stores land on the serial baseline's state.
+  * The stores start COLD (both workers race creation on an empty root —
+  * the creation path serializes on StoreLock) and a maintenance thread
+  * in THIS process compacts both stores on a tight loop throughout, so
+  * generation swaps and reaps interleave the cross-process appends.
   *
   * Finding that motivated StoreLock (recorded in SCALING.md): without it,
   * two processes' append jobs into one directory share the committer's
@@ -63,8 +67,6 @@ class CrossProcessStoreSpec extends SparkSuite {
     val plan = (for {
       i <- 0 until Batches; w <- 1 to Workers
     } yield (w, i)).sortBy { case (w, i) => ForkAppend.ord(w, i) }
-    serEdges.addEdges(ForkAppend.edgeBatch(spark, 0, 0), ord = 0L)
-    serExact.addAndDedup(ForkAppend.docBatch(spark, 0, 0), ord = 0L)
     plan.foreach { case (w, i) =>
       serEdges.addEdges(ForkAppend.edgeBatch(spark, w, i), ForkAppend.ord(w, i))
       serExact.addAndDedup(ForkAppend.docBatch(spark, w, i), ForkAppend.ord(w, i))
@@ -73,12 +75,14 @@ class CrossProcessStoreSpec extends SparkSuite {
     val wantKeepers = canon(serExact.keepers())
     assert(wantEdges.nonEmpty && wantKeepers.nonEmpty)
 
-    // ---- concurrent run: provision-then-fan-out, then two real JVMs
+    // ---- concurrent run: two real JVMs, COLD start — no provisioning.
+    // Store creation itself must be cross-process safe (both workers
+    // race liveOrCreate on an empty root; without the creation lock the
+    // racers allocate different generations and the later pointer swap
+    // orphans the earlier one's data).
     val root = Files.createTempDirectory("xproc").toFile.getAbsolutePath
     val edges = new EdgeIndex(spark, s"$root/edges")
     val exact = new ExactDedupIndex(spark, s"$root/exact", "id", "text")
-    edges.addEdges(ForkAppend.edgeBatch(spark, 0, 0), ord = 0L)
-    exact.addAndDedup(ForkAppend.docBatch(spark, 0, 0), ord = 0L)
 
     val procs = (1 to Workers).map(w => w -> fork(root, w))
     // both children are warm before any append: release the barrier
@@ -93,12 +97,32 @@ class CrossProcessStoreSpec extends SparkSuite {
       Thread.sleep(100)
     }
     Files.write(new File(root, "go").toPath, Array.empty[Byte])
+    // maintenance churn DURING the fan-out: this process compacts both
+    // stores on a tight loop while the children append — generation
+    // swaps and reaps must stay safe across processes (StoreLock
+    // serializes the exact store's faces; the edge store's publish
+    // retry + carry-over handshake covers its lock-free appends)
+    @volatile var compactions = 0
+    @volatile var churnFailure: Throwable = null
+    val compactor = new Thread(() => {
+      try while (procs.exists(_._2.isAlive)) {
+        edges.compact(); exact.compact()
+        compactions += 1
+        Thread.sleep(200)
+      } catch { case t: Throwable => churnFailure = t }
+    })
+    compactor.setDaemon(true)
+    compactor.start()
     procs.foreach { case (w, p) =>
       assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
         s"worker $w timed out")
       assert(p.exitValue() == 0, s"worker $w failed:\n" + new String(
         Files.readAllBytes(new File(root, s"worker-$w.log").toPath)))
     }
+
+    compactor.join(60000)
+    assert(churnFailure == null, s"compaction churn failed: $churnFailure")
+    assert(compactions > 0, "the churn loop never ran a compaction")
 
     // ---- the stores' read faces equal the serial baseline's
     assert(canon(edges.edges()) == wantEdges,
