@@ -317,11 +317,17 @@ object StreamBench {
       // wiring, only the state-store provider differs — the two records
       // sit side by side in the JSON so the provider cost is measured,
       // not asserted
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try Seq(winStage("_rocksdb"), tvStage("_rocksdb"),
         funnelStage("_rocksdb"))
-      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // restore the session's OWN provider, not the HDFS default — a
+      // rocksdbState=true session must not be silently downgraded for
+      // everything after these stages
+      finally prevProv.fold(spark.conf.unset(provKey))(
+        spark.conf.set(provKey, _))
     }
 
     val nChunks =

@@ -146,10 +146,14 @@ final class Bm25Index(spark: SparkSession, path: String,
 
   /** Append one batch's postings + stats row. `ord` identifies the batch
     * for replay-dedup; pass the same ord when retrying a crashed append.
-    * An EMPTY batch appends nothing: if it were the store's FIRST append,
-    * the postings dir would hold zero data files and every later read
-    * would fail schema inference. The stats row is collected anyway (one
-    * row), so the guard costs no extra job. */
+    * An EMPTY batch appends nothing, and a batch whose every doc
+    * tokenizes to NOTHING (fully-excised paragraph-dedup survivors)
+    * appends its stats row but no postings: a zero-row partitioned
+    * postings write leaves a dir with no data files, and as the store's
+    * first append that breaks schema inference for every later read.
+    * The stats row still lands (token-less docs dilute avgdl, as in
+    * Lucene) and is written from the already-collected row, so both
+    * guards cost no extra job. */
   def add(batch: DataFrame, ord: Long): Unit =
       StoreLock.exclusive(new File(path)) {
     val gen = gens.liveOrCreate()
@@ -157,11 +161,12 @@ final class Bm25Index(spark: SparkSession, path: String,
     val statsRow = stats.withColumn("ord", lit(ord))
     val collected = statsRow.collect()
     if (collected.head.getAs[Long]("n_docs") != 0L) {
-      postings
-        .withColumn("ord", lit(ord))
-        .withColumn("tp", concat(lit("p"), substring(md5(col("t")), 1, 1)))
-        .write.mode("append").partitionBy("tp")
-        .parquet(gen.getAbsolutePath + "/postings")
+      if (collected.head.getAs[Long]("n_toks") != 0L)
+        postings
+          .withColumn("ord", lit(ord))
+          .withColumn("tp", concat(lit("p"), substring(md5(col("t")), 1, 1)))
+          .write.mode("append").partitionBy("tp")
+          .parquet(gen.getAbsolutePath + "/postings")
       spark.createDataFrame(
           java.util.Arrays.asList(collected: _*), statsRow.schema)
         .write.mode("append").parquet(gen.getAbsolutePath + "/_stats")
@@ -175,6 +180,9 @@ final class Bm25Index(spark: SparkSession, path: String,
     * Byte-identical to [[Bm25.score]] over the same accumulated corpus. */
   def search(queries: Seq[(String, String)], k: Int): DataFrame = {
     val gen = live()
+    // a store fed only token-less docs so far has stats but no postings
+    if (!Fs.hasDataFiles(new File(gen, "postings")))
+      throw new IllegalStateException(s"BM25 index at $path has no postings")
     val terms = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
     val prefixes = terms.map(t => "p" + md5Hex(t).substring(0, 1)).distinct
     val postings = spark.read.parquet(gen.getAbsolutePath + "/postings")
@@ -195,19 +203,21 @@ final class Bm25Index(spark: SparkSession, path: String,
     * single stats row; keeps the replaced generation for one cycle. */
   def compact(): Unit = StoreLock.exclusive(new File(path)) {
     val cur = live()
-    val postings = spark.read.parquet(cur.getAbsolutePath + "/postings")
-      .dropDuplicates("t", idCol)
-    val stats = spark.read.parquet(cur.getAbsolutePath + "/_stats")
-      .dropDuplicates("ord")
-      .agg(max(col("ord")).as("ord"), sum(col("n_docs")).as("n_docs"),
-        sum(col("n_toks")).as("n_toks"))
-      .select(col("n_docs"), col("n_toks"), col("ord"))
-    val next = gens.newGenDir()
-    postings.repartition(col("tp")).write.mode("overwrite")
-      .partitionBy("tp").parquet(next.getAbsolutePath + "/postings")
-    stats.coalesce(1).write.mode("overwrite")
-      .parquet(next.getAbsolutePath + "/_stats")
-    gens.swapPointer(next.getName)
-    gens.reapExcept(Set(next.getName, cur.getName))
+    if (Fs.hasDataFiles(new File(cur, "postings"))) {
+      val postings = spark.read.parquet(cur.getAbsolutePath + "/postings")
+        .dropDuplicates("t", idCol)
+      val stats = spark.read.parquet(cur.getAbsolutePath + "/_stats")
+        .dropDuplicates("ord")
+        .agg(max(col("ord")).as("ord"), sum(col("n_docs")).as("n_docs"),
+          sum(col("n_toks")).as("n_toks"))
+        .select(col("n_docs"), col("n_toks"), col("ord"))
+      val next = gens.newGenDir()
+      postings.repartition(col("tp")).write.mode("overwrite")
+        .partitionBy("tp").parquet(next.getAbsolutePath + "/postings")
+      stats.coalesce(1).write.mode("overwrite")
+        .parquet(next.getAbsolutePath + "/_stats")
+      gens.swapPointer(next.getName)
+      gens.reapExcept(Set(next.getName, cur.getName))
+    }
   }
 }

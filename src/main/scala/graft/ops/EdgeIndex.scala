@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
   * counted); after it, a complete batch. A replayed batch publishes
   * identical `(src, dst, ord)` rows under a fresh name and [[edges]]
   * collapses them, so replay never changes the graph. [[compact]]
-  * rewrites one arbitrated row per edge under the atomic pointer swap;
-  * like every store's maintenance face it assumes append quiescence
-  * (the MaintenanceLoop discipline) — APPENDS may race each other
-  * freely, compact-vs-append is the one serialized pair.
+  * rewrites one arbitrated row per edge under the atomic pointer swap.
+  * APPENDS may race each other — and race compact — freely: the
+  * publish-retry/carry-over handshake (see [[addEdges]]) converges
+  * every append-vs-compact interleaving without a lock, and
+  * CrossProcessStoreSpec exercises it under cross-process compaction
+  * churn. Compact-vs-compact is the one [[StoreLock]]-serialized pair.
   *
   * Reference analog: ledger ADD-entry appends with periodic compaction
   * (managed-ledger/.../ManagedLedgerImpl.java) — state accumulates by
@@ -46,25 +48,8 @@ final class EdgeIndex(spark: SparkSession, path: String) {
   private def batchDirs(gen: File): Seq[File] =
     Option(gen.listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isDirectory && f.getName.startsWith("batch-")
-        && hasDataFiles(f))
+        && Fs.hasDataFiles(f))
       .sortBy(_.getName).toSeq
-
-  /** Whether the directory holds any actual data file (a partitioned
-    * write of ZERO rows leaves only `_SUCCESS` — schema inference on such
-    * a dir fails, so data-less dirs are never published or read). */
-  private def hasDataFiles(dir: File): Boolean = {
-    def walk(f: File): Boolean =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[File]).exists(walk)
-      else !f.getName.startsWith("_") && !f.getName.startsWith(".")
-    walk(dir)
-  }
-
-  private def rmTree(f: File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmTree)
-    f.delete(); ()
-  }
 
   /** Append one crawl batch's edges. Duplicate edges within the batch
     * collapse before the write; duplicates ACROSS batches (or from a
@@ -123,7 +108,7 @@ final class EdgeIndex(spark: SparkSession, path: String) {
       .write.mode("overwrite").partitionBy("ep")
       .parquet(stage.getAbsolutePath)
     Fs.step("edge.batch-staged")
-    if (!hasDataFiles(stage)) { rmTree(stage); return true }
+    if (!Fs.hasDataFiles(stage)) { Fs.deleteRecursively(stage); return true }
     val name = s"batch-$ord-${java.util.UUID.randomUUID()}"
     // publish: the generation we grabbed can be reaped under us by
     // back-to-back compactions — re-aim the rename at the live pointer
@@ -193,8 +178,13 @@ final class EdgeIndex(spark: SparkSession, path: String) {
     * generation for one cycle. Safe against concurrent appenders: after
     * the swap, one carry-over pass moves any batch published into the
     * replaced generation after the listing (the other half of the
-    * [[addEdges]] append-vs-compact handshake). */
-  def compact(): Unit = gens.currentGen().foreach { cur =>
+    * [[addEdges]] append-vs-compact handshake). Compact-vs-COMPACT is
+    * serialized on [[StoreLock]] — two unserialized compactors would
+    * race `nextGenIndex` onto one generation name and share a committer
+    * `_temporary` root inside it (the corruption StoreLock exists for);
+    * appends never take the lock. */
+  def compact(): Unit = StoreLock.exclusive(new File(path)) {
+    gens.currentGen().foreach { cur =>
     val dirs = batchDirs(cur)
     if (dirs.nonEmpty) {
       val next = gens.newGenDir()
@@ -219,7 +209,7 @@ final class EdgeIndex(spark: SparkSession, path: String) {
       }
       gens.reapExcept(Set(next.getName, cur.getName))
     }
-  }
+  } }
 
   /** Whether any batch has been published (a pure directory listing). */
   def hasData: Boolean = gens.currentGen().exists(batchDirs(_).nonEmpty)

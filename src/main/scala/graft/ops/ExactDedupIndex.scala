@@ -39,6 +39,17 @@ import org.apache.spark.sql.functions._
   * single-writer — and enforced, not assumed, since
   * CrossProcessStoreSpec); [[compact]] rewrites one file per partition
   * under the atomic pointer swap.
+  *
+  * '''Ord discipline.''' The strictly-earlier mask makes `ord` a
+  * LOGICAL BATCH IDENTITY, not a hint: callers must never reuse an ord
+  * for different content, and new batches must carry ords above
+  * everything already stored. Replaying a crashed batch under its own
+  * ord is the one sanctioned reuse. The streaming caller satisfies this
+  * for free by reusing its checkpoint (epoch ids only grow); restarting
+  * a pipeline from a FRESH checkpoint against an existing store resets
+  * epoch ids to 0 and must offset them past the store's max ord, or a
+  * new batch's duplicates of stored content read as novel and the
+  * min-(ord, id) arbitration flips keepers.
   */
 final class ExactDedupIndex(spark: SparkSession, path: String,
                             idCol: String, textCol: String) {

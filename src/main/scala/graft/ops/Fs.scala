@@ -22,6 +22,18 @@ object Fs {
     if (t != null) t(label)
   }
 
+  /** Whether the tree under `dir` holds any actual data file (a
+    * partitioned parquet write of ZERO rows leaves only `_SUCCESS` —
+    * schema inference over such a dir fails, so stores check this before
+    * publishing or reading). */
+  def hasDataFiles(dir: File): Boolean = {
+    def walk(f: File): Boolean =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File]).exists(walk)
+      else !f.getName.startsWith("_") && !f.getName.startsWith(".")
+    walk(dir)
+  }
+
   /** Recursive delete (no symlink traversal protection — callers own the
     * trees they delete). Missing files are fine. */
   def deleteRecursively(f: File): Unit = {
