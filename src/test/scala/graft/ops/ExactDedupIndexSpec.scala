@@ -56,6 +56,31 @@ class ExactDedupIndexSpec extends SparkSuite {
     assert(idx.keepers().collect().toSet == before)
   }
 
+  test("concurrent in-process appenders converge to the serial keepers") {
+    // 8 threads race addAndDedup on ONE store — StoreLock's per-path
+    // monitor serializes them (this is the in-JVM half of the
+    // CrossProcessStoreSpec story; unserialized, the probe-then-append
+    // calls would corrupt each other's committer staging)
+    val dir = java.nio.file.Files
+      .createTempDirectory("exidx-conc").toFile.getAbsolutePath
+    val idx = new ExactDedupIndex(spark, dir, "id", "text")
+    // half unique per batch, half from a shared pool — cross-thread dups
+    val batches = (0 until 8).map { b =>
+      (b, (0 until 10).map { j =>
+        val id = b * 1000L + j
+        (id, if (j % 2 == 0) s"unique b$b j$j" else s"pool ${(b + j) % 5}")
+      }.toDF("id", "text"))
+    }
+    Fs.inParallel(batches, maxThreads = 8) { case (b, df) =>
+      idx.addAndDedup(df, ord = b.toLong)
+    }
+    // serial baseline in ord order
+    val ser = new ExactDedupIndex(spark, java.nio.file.Files
+      .createTempDirectory("exidx-ser").toFile.getAbsolutePath, "id", "text")
+    batches.foreach { case (b, df) => ser.addAndDedup(df, ord = b.toLong) }
+    assert(idx.keepers().collect().toSet == ser.keepers().collect().toSet)
+  }
+
   test("compact rewrites one file per partition, keepers unchanged") {
     val idx = newIdx()
     idx.addAndDedup(corpus.where(col("id") % 2 === 1), 1L)
