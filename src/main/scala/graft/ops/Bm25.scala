@@ -199,8 +199,19 @@ final class Bm25Index(spark: SparkSession, path: String,
       .crossJoin(broadcast(stats)), idCol, k)
   }
 
-  /** Rewrite the live generation to one postings file per partition and a
-    * single stats row; keeps the replaced generation for one cycle. */
+  /** Rewrite the live generation to one postings file per partition and
+    * one stats FILE; keeps the replaced generation for one cycle.
+    *
+    * Stats rows stay PER-ORD through compaction (deduped, not summed):
+    * the crash contract sanctions replaying a crashed batch under its own
+    * ord, and a replay landing AFTER a compaction appends that batch's
+    * stats row again — against an aggregate row labeled `max(ord)` the
+    * two would collide on the ord key and `search`'s dropDuplicates
+    * could keep either one, silently collapsing N/Σtokens (hence avgdl
+    * and every IDF) to one batch's counts. Kept per-ord, the replayed
+    * row dedups against its byte-identical original instead. Cost: one
+    * tiny row per batch ever ingested in a single coalesced file — the
+    * per-search stats read stays one file scan. */
   def compact(): Unit = StoreLock.exclusive(new File(path)) {
     val cur = live()
     if (Fs.hasDataFiles(new File(cur, "postings"))) {
@@ -208,9 +219,6 @@ final class Bm25Index(spark: SparkSession, path: String,
         .dropDuplicates("t", idCol)
       val stats = spark.read.parquet(cur.getAbsolutePath + "/_stats")
         .dropDuplicates("ord")
-        .agg(max(col("ord")).as("ord"), sum(col("n_docs")).as("n_docs"),
-          sum(col("n_toks")).as("n_toks"))
-        .select(col("n_docs"), col("n_toks"), col("ord"))
       val next = gens.newGenDir()
       postings.repartition(col("tp")).write.mode("overwrite")
         .partitionBy("tp").parquet(next.getAbsolutePath + "/postings")

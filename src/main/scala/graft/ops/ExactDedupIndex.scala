@@ -40,21 +40,76 @@ import org.apache.spark.sql.functions._
   * CrossProcessStoreSpec); [[compact]] rewrites one file per partition
   * under the atomic pointer swap.
   *
-  * '''Ord discipline.''' The strictly-earlier mask makes `ord` a
-  * LOGICAL BATCH IDENTITY, not a hint: callers must never reuse an ord
-  * for different content, and new batches must carry ords above
-  * everything already stored. Replaying a crashed batch under its own
-  * ord is the one sanctioned reuse. The streaming caller satisfies this
-  * for free by reusing its checkpoint (epoch ids only grow); restarting
-  * a pipeline from a FRESH checkpoint against an existing store resets
-  * epoch ids to 0 and must offset them past the store's max ord, or a
-  * new batch's duplicates of stored content read as novel and the
-  * min-(ord, id) arbitration flips keepers.
+  * '''Ord discipline — enforced as an advisory high-water mark.''' The
+  * strictly-earlier mask makes `ord` a LOGICAL BATCH IDENTITY, not a
+  * hint: callers must never reuse an ord for different content, and new
+  * batches must carry ords above everything already stored. Replaying a
+  * crashed batch under its own ord is the one sanctioned reuse. The
+  * streaming caller satisfies this for free by reusing its checkpoint
+  * (epoch ids only grow); restarting a pipeline from a FRESH checkpoint
+  * against an existing store resets epoch ids to 0 — duplicates of
+  * stored content then read as novel and the min-(ord, id) arbitration
+  * flips keepers. The store persists the max ord it has committed
+  * (`_ord_hwm`, updated under [[StoreLock]]) and checks every append
+  * against it: an append BELOW the high-water logs a loud warning (it is
+  * legitimate only for a late CONCURRENT appender whose batch genuinely
+  * predates the stored ones — the cross-process fan-out shape), and with
+  * `strictOrd = true` fails instead — the right mode for the
+  * single-appender streaming topology, where a below-high-water ord can
+  * ONLY be the fresh-checkpoint footgun. Equality is never flagged: that
+  * is the sanctioned same-ord crash replay.
   */
 final class ExactDedupIndex(spark: SparkSession, path: String,
-                            idCol: String, textCol: String) {
+                            idCol: String, textCol: String,
+                            strictOrd: Boolean = false) {
 
   private val gens = new GenStore(path)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def hwmFile = new File(path, "_ord_hwm")
+
+  /** The highest ord any append has committed, if any — the advisory
+    * high-water mark new appends are checked against. */
+  def ordHighWater(): Option[Long] =
+    if (!hwmFile.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(hwmFile.toPath),
+      "UTF-8").trim.toLong)
+
+  /** Advance the persisted high-water mark (caller holds [[StoreLock]]).
+    * Written AFTER the row append: a crash between the two leaves the
+    * mark stale-low, which only weakens the advisory — never blocks the
+    * sanctioned replay. */
+  private def advanceHwm(ord: Long): Unit =
+    if (ordHighWater().forall(_ < ord)) {
+      val tmp = new File(path, "._ord_hwm.tmp")
+      java.nio.file.Files.write(tmp.toPath, ord.toString.getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp.toPath, hwmFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.io.IOException => // non-atomic-move filesystem:
+        // plain replace — the mark is advisory, a torn read is a warning
+        // misfire at worst
+        java.nio.file.Files.copy(tmp.toPath, hwmFile.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tmp.delete()
+      }
+    }
+
+  /** The ord-discipline check (see the class scaladoc): below-high-water
+    * appends warn, or fail under `strictOrd`. */
+  private def checkOrd(ord: Long): Unit =
+    ordHighWater().filter(ord < _).foreach { hwm =>
+      val msg = s"exact-dedup append ord=$ord is BELOW the store's " +
+        s"high-water ord=$hwm at $path. Legitimate only for a late " +
+        "concurrent appender whose batch genuinely predates the stored " +
+        "ones; a pipeline restarted from a FRESH checkpoint against an " +
+        "existing store must offset its epoch ids past the stored max, " +
+        "or duplicates of stored content read as novel and keeper " +
+        "election flips."
+      if (strictOrd) throw new IllegalStateException(msg)
+      log.warn(msg)
+    }
 
   private def fpp = concat(lit("p"), substring(col("fp"), 1, 1))
 
@@ -80,6 +135,7 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
   def addAndDedup(batch: DataFrame, ord: Long,
                   bloom: Boolean = false): DataFrame =
       StoreLock.exclusive(new File(path)) {
+    checkOrd(ord)
     val gen = gens.liveOrCreate()
     val fps = batch
       .select(col(idCol), fingerprint(col(textCol)).as("fp"))
@@ -126,6 +182,7 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
     novel.withColumn("ord", lit(ord)).withColumn("fpp", fpp)
       .write.mode("append").partitionBy("fpp")
       .parquet(gen.getAbsolutePath)
+    advanceHwm(ord)
     novel.select(col(idCol), col("fp"))
   }
 

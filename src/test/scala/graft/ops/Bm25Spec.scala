@@ -63,6 +63,27 @@ class Bm25Spec extends SparkSuite {
     assert(perPart.nonEmpty && perPart.forall(_ == 1))
   }
 
+  test("replaying the LAST batch after a compaction keeps stats exact") {
+    // the compacted-stats collision: before per-ord stats survived
+    // compaction, the aggregate row was labeled max(ord), so a sanctioned
+    // replay of that same batch appended a second, conflicting row under
+    // the same ord and search could keep either — collapsing n_docs /
+    // n_toks (avgdl, IDF) to one batch's counts
+    val oneShot = Bm25.score(corpus, "id", "text", qs, 10).collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("bm25replay").toFile
+    val idx = new Bm25Index(spark, dir.getAbsolutePath, "id", "text")
+    idx.add(corpus.where(col("id") <= 3), 1L)
+    idx.add(corpus.where(col("id") > 3), 2L)
+    idx.compact()
+    // crash window: the ord-2 append's checkpoint never committed, the
+    // maintenance loop compacted, then the caller replays ord 2
+    idx.add(corpus.where(col("id") > 3), 2L)
+    assert(idx.search(qs, 10).collect().toSet == oneShot)
+    // and the state stays convergent through the NEXT compaction too
+    idx.compact()
+    assert(idx.search(qs, 10).collect().toSet == oneShot)
+  }
+
   test("streamed ingest (foreachBatch, epoch = ord) equals one-shot search") {
     val topic = java.nio.file.Files.createTempDirectory("bm25-topic")
       .toFile.getAbsolutePath

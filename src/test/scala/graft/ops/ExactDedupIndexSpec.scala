@@ -102,6 +102,48 @@ class ExactDedupIndexSpec extends SparkSuite {
     intercept[IllegalStateException](newIdx().keepers())
   }
 
+  test("ord high-water: fresh-checkpoint footgun fails under strictOrd") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("exidx-hwm").toFile.getAbsolutePath
+    val idx = new ExactDedupIndex(spark, dir, "id", "text", strictOrd = true)
+    idx.addAndDedup(corpus.where(col("id") <= 4), 5L)
+    assert(idx.ordHighWater().contains(5L))
+    // same-ord replay stays sanctioned under strict mode (crash replay)
+    idx.addAndDedup(corpus.where(col("id") <= 4), 5L)
+    // the footgun: a fresh checkpoint resets epoch ids below the stored
+    // max — duplicates of stored content would read as novel and flip
+    // keepers; strict mode fails LOUDLY instead
+    val e = intercept[IllegalStateException](
+      idx.addAndDedup(corpus.where(col("id") > 4), 1L))
+    assert(e.getMessage.contains("high-water"))
+    // the mark survives compaction (it lives in the store root)
+    idx.compact()
+    assert(idx.ordHighWater().contains(5L))
+    intercept[IllegalStateException](
+      idx.addAndDedup(corpus.where(col("id") > 4), 2L))
+    // and appends above the mark proceed, advancing it
+    idx.addAndDedup(corpus.where(col("id") > 4), 6L)
+    assert(idx.ordHighWater().contains(6L))
+  }
+
+  test("ord high-water: late concurrent appender stays allowed by default") {
+    // the default (advisory) mode: a below-high-water ord is legitimate
+    // for a late CONCURRENT appender whose batch genuinely predates the
+    // stored ones — it logs a warning but converges to the serial result
+    val idx = newIdx()
+    idx.addAndDedup(corpus.where(col("id").isin(1L, 6L)), 4L)
+    // arrives late with a LOWER ord: content "dup one" under id 2 at ord
+    // 2 predates the stored (4, 1) row, so the keeper flips to it — the
+    // exact (ord, id) arbitration a serial run would produce
+    idx.addAndDedup(corpus.where(col("id").isin(2L, 7L)), 2L)
+    val ser = newIdx()
+    ser.addAndDedup(corpus.where(col("id").isin(2L, 7L)), 2L)
+    ser.addAndDedup(corpus.where(col("id").isin(1L, 6L)), 4L)
+    assert(idx.keepers().collect().toSet == ser.keepers().collect().toSet)
+    // the mark tracks the MAX ord seen, not the last append
+    assert(idx.ordHighWater().contains(4L))
+  }
+
   test("bloom path returns exactly what the plain path returns") {
     val plain = newIdx(); val fast = newIdx()
     for ((idx, bloom) <- Seq((plain, false), (fast, true))) {
