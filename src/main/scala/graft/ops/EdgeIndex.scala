@@ -75,6 +75,11 @@ final class EdgeIndex(spark: SparkSession, path: String) {
     * caller re-appends, the stranded copy is reaped with its
     * generation. */
   def addEdges(batch: DataFrame, ord: Long): Unit = {
+    // lock-free appends never pass through StoreLock.exclusive, so the
+    // multi-driver fencing check runs explicitly: an appender whose
+    // driver lost (or never held) a fenced store's ownership fails
+    // loudly here instead of publishing into a store it no longer owns
+    StoreFence.verify(new File(path))
     var attempts = 0
     var done = false
     while (!done) {

@@ -54,8 +54,21 @@ private[ops] object StoreLock {
     * for the store rooted at `root`. Creates the root if needed (the
     * first append provisions the store). Blocks until the current holder
     * releases; lock lifetime is one append/compact call, so waiters see
-    * seconds, not sessions. */
-  def exclusive[T](root: File)(body: => T): T = {
+    * seconds, not sessions.
+    *
+    * Also the data-path FENCING point: once the lock is held, the write
+    * is checked against the store's ownership epoch
+    * ([[StoreFence.verify]]) — a pass-through on unfenced stores, a loud
+    * [[FencedStoreException]] for a writer whose driver lost (or never
+    * held) ownership. */
+  def exclusive[T](root: File)(body: => T): T =
+    withPathLock(root) { StoreFence.verify(root); body }
+
+  /** The raw lock, WITHOUT the fencing check — [[StoreFence]]'s own
+    * owner-file updates go through here (acquire must be able to bump
+    * the epoch it is about to hold). Everything else uses
+    * [[exclusive]]. */
+  def withPathLock[T](root: File)(body: => T): T = {
     val canon = root.getCanonicalFile
     val mon = monitors.computeIfAbsent(canon.getPath, _ => new Object)
     mon.synchronized {
