@@ -91,23 +91,64 @@ class StreamRestartSpec extends SparkSuite {
     if (crashAfter.contains(step)) throw new InjectedCrash
   }
 
+  private val RocksCls =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ConfKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def withProvider[T](cls: Option[String])(body: => T): T = {
+    val prev = spark.conf.getOption(ConfKey)
+    cls.fold(spark.conf.unset(ConfKey))(spark.conf.set(ConfKey, _))
+    try body
+    finally prev.fold(spark.conf.unset(ConfKey))(spark.conf.set(ConfKey, _))
+  }
+
+  /** Names of files under the checkpoint's state dir (recursive). */
+  private def stateFiles(cp: String): Seq[String] = {
+    val root = new java.io.File(cp, "state")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    if (root.exists()) walk(root).map(_.getName) else Seq.empty
+  }
+
+  private def rocksArtifacts(cp: String): Boolean =
+    stateFiles(cp).exists(n => n.endsWith(".zip") || n.endsWith(".changelog"))
+
   /** Run the pipeline over the whole topic; optionally crash once at
-    * (epoch, afterSteps) and restart from the checkpoint. */
-  private def runPipeline(crash: Option[(Long, Int)]): Stores = {
+    * (epoch, afterSteps) and restart from the checkpoint.
+    *
+    * `stateful = true` adds a state-store-backed stage (streaming
+    * dropDuplicates on the unique doc_id — row-wise a pass-through, so
+    * the faces stay comparable) upstream of the store appends: the
+    * crash-restart then ALSO exercises the state store's own restore
+    * path — load the pre-crash version, replay the failed batch — which
+    * under `provider = RocksDB` is the changelog/snapshot restore the
+    * production crash case runs. `restartProvider` (only meaningful
+    * with a crash) restarts under a DIFFERENT session conf — the
+    * misconfiguration case. */
+  private def runPipeline(crash: Option[(Long, Int)],
+                          provider: Option[String] = None,
+                          stateful: Boolean = false,
+                          restartProvider: Option[Option[String]] = None)
+      : (Stores, String) = {
     val root = Files.createTempDirectory("restart-st").toFile.getAbsolutePath
     val st = Stores(root)
     @volatile var armed = crash
-    def start() = spark.readStream.format("graft-topic")
-      .option("path", docsTopic).option("maxSegmentsPerTrigger", "1").load()
-      .select(col("key").cast("long").as("doc_id"), col("value").as("text"))
-      .writeStream
-      .foreachBatch { (b: DataFrame, e: Long) =>
-        val crashAfter = armed.collect { case (ce, cs) if ce == e =>
-          armed = None; cs }
-        appendBatch(st, b, e, crashAfter)
-      }
-      .option("checkpointLocation", s"$root/cp").start()
-    val q = start()
+    def start() = {
+      val src = spark.readStream.format("graft-topic")
+        .option("path", docsTopic).option("maxSegmentsPerTrigger", "1").load()
+        .select(col("key").cast("long").as("doc_id"), col("value").as("text"))
+      (if (stateful) src.dropDuplicates("doc_id") else src)
+        .writeStream
+        .foreachBatch { (b: DataFrame, e: Long) =>
+          val crashAfter = armed.collect { case (ce, cs) if ce == e =>
+            armed = None; cs }
+          appendBatch(st, b, e, crashAfter)
+        }
+        .option("checkpointLocation", s"$root/cp").start()
+    }
+    val q = withProvider(provider)(start())
     try q.processAllAvailable()
     catch { case _: Throwable => }
     if (crash.isDefined) {
@@ -115,8 +156,9 @@ class StreamRestartSpec extends SparkSuite {
       assert(!q.isActive)
       // the process died with appends landed and the offset uncommitted —
       // restart from the checkpoint; the failed epoch replays (same id,
-      // same segment data), then the rest of the topic drains
-      val q2 = start()
+      // same segment data — and, with a stateful stage, the state store
+      // restores its pre-crash version first), then the topic drains
+      val q2 = withProvider(restartProvider.getOrElse(provider))(start())
       q2.processAllAvailable()
       assert(q2.exception.isEmpty, s"restart must converge: ${q2.exception}")
       q2.stop()
@@ -124,7 +166,7 @@ class StreamRestartSpec extends SparkSuite {
       assert(q.exception.isEmpty, s"clean run failed: ${q.exception}")
       q.stop()
     }
-    st
+    (st, s"$root/cp")
   }
 
   private def canon(df: DataFrame): Seq[String] =
@@ -147,24 +189,55 @@ class StreamRestartSpec extends SparkSuite {
   }
 
   private lazy val cleanFaces: Map[String, Seq[String]] = {
-    val f = faces(runPipeline(None))
+    val f = faces(runPipeline(None)._1)
     f.foreach { case (k, v) => assert(v.nonEmpty, s"$k face is vacuous") }
     f
   }
 
-  test("crash after ALL appends, before commit: restart converges every store") {
-    val got = faces(runPipeline(Some((1L, 5))))
+  private def assertConverged(got: Map[String, Seq[String]],
+                              what: String): Unit =
     cleanFaces.foreach { case (k, want) =>
-      assert(got(k) == want, s"store $k diverged after restart:\n" +
+      assert(got(k) == want, s"store $k diverged after $what:\n" +
         s"  got  ${got(k).take(5)}\n  want ${want.take(5)}")
     }
+
+  test("crash after ALL appends, before commit: restart converges every store") {
+    assertConverged(faces(runPipeline(Some((1L, 5)))._1), "restart")
   }
 
   test("crash MID-batch (2 of 5 stores appended): restart converges every store") {
-    val got = faces(runPipeline(Some((2L, 2))))
-    cleanFaces.foreach { case (k, want) =>
-      assert(got(k) == want, s"store $k diverged after mid-batch restart:\n" +
-        s"  got  ${got(k).take(5)}\n  want ${want.take(5)}")
-    }
+    assertConverged(faces(runPipeline(Some((2L, 2)))._1), "mid-batch restart")
+  }
+
+  test("crash + restart under ROCKSDB (changelog/snapshot restore): every store converges") {
+    val (st, cp) = runPipeline(Some((1L, 5)), provider = Some(RocksCls),
+      stateful = true)
+    assert(rocksArtifacts(cp),
+      "RocksDB must actually engage (the stateful stage's store)")
+    assertConverged(faces(st), "RocksDB restart")
+  }
+
+  test("MID-batch crash + restart under ROCKSDB converges every store") {
+    val (st, cp) = runPipeline(Some((2L, 2)), provider = Some(RocksCls),
+      stateful = true)
+    assert(rocksArtifacts(cp), "RocksDB must actually engage")
+    assertConverged(faces(st), "RocksDB mid-batch restart")
+  }
+
+  test("provider flipped on restart: the CHECKPOINT pins the provider, not the session conf") {
+    // the misconfiguration case the RocksDB-parity story leaves open: a
+    // checkpoint written under the default provider, restarted in a
+    // session configured for RocksDB. Spark records the provider class
+    // in the checkpoint's offset metadata and FORCES it back on restart
+    // (OffsetSeqMetadata.relevantSparkConfs), so the flip is ignored
+    // rather than failing or mixing state formats — pinned here so a
+    // Spark behavior change (e.g. the conf silently winning and reading
+    // default-provider state as RocksDB files) fails this spec loudly.
+    val (st, cp) = runPipeline(Some((1L, 5)), provider = None,
+      stateful = true, restartProvider = Some(Some(RocksCls)))
+    assert(!rocksArtifacts(cp),
+      "the default-provider checkpoint must keep the default provider " +
+        "on restart — RocksDB artifacts mean the session conf won")
+    assertConverged(faces(st), "provider-flipped restart")
   }
 }
