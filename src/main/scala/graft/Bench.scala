@@ -128,7 +128,9 @@ object Bench {
       dt
     }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val loadAtFirst = scala.collection.mutable.HashMap.empty[String, Double]
     selected.foreach { case (name, fn) =>
+      loadAtFirst(name) = loadavg
       val a = once(name, fn)
       val best = if (a < 0) a else {
         val b = once(name, fn); if (b < 0) b else math.min(a, b)
@@ -140,20 +142,29 @@ object Bench {
     // both looks like real operator cost (it inverted a 3x MinHash win into
     // an apparent regression once). Re-time the slowest queries at the END
     // of the run — the second look lands minutes after the first,
-    // decorrelating the noise — and keep the min. BOTH timings go into the
-    // full record ("retimed": {name: {first, retime}}) so the one-sided
-    // correction is auditable: on a noisy box a min-keep can only lower
-    // the record, and the reader must be able to see by how much.
+    // decorrelating the noise. A min-keep alone can be FLATTERED by reroll
+    // luck on a noisy box, so the retime is adopted only when the box was
+    // AT LEAST AS QUIET at the retime as at the first look (loadavg gate):
+    // a faster reroll under higher load is luck, a faster reroll under
+    // equal-or-lower load is the first timing's noise being removed. BOTH
+    // timings and BOTH loads go into the full record
+    // ("retimed": {name: {first, retime, load_first, load_retime,
+    // adopted}}) so every adoption — and every refusal — is auditable.
     val retimes = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
       .map { case (name, first) =>
+        val loadRetime = loadavg
         val again = once(name, selected(name))
-        if (again >= 0 && again < first) results(name) = again
-        (name, first, again)
+        val adopted = again >= 0 && again < first &&
+          loadRetime <= loadAtFirst(name)
+        if (adopted) results(name) = again
+        (name, first, again, loadAtFirst(name), loadRetime, adopted)
       }
     val retimed = retimes.collect {
-      case (name, first, again) if again >= 0 && again < first => name }
-    val retimesJson = retimes.map { case (name, first, again) =>
-      "\"" + name + "\":{\"first\":" + first + ",\"retime\":" + again + "}"
+      case (name, _, _, _, _, true) => name }
+    val retimesJson = retimes.map {
+      case (name, first, again, lf, lr, adopted) =>
+        "\"" + name + "\":{\"first\":" + first + ",\"retime\":" + again +
+          f""","load_first":$lf%.2f,"load_retime":$lr%.2f,"adopted":$adopted}"""
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -174,7 +174,21 @@ final class EdgeIndex(spark: SparkSession, path: String) {
   }
 
   /** The accumulated edge set, deduped — equal to a full rebuild over
-    * the union of every appended batch (spec'd in EdgeIndexSpec). */
+    * the union of every appended batch (spec'd in EdgeIndexSpec).
+    *
+    * '''Reader staleness bound''' (weaker for LATE-PUBLISHED batches
+    * than the plain one-cycle [[GenStore]] guarantee): the
+    * append-vs-compact handshake MOVES a batch dir between generations
+    * — compact's carry-over, or the appender's own follow-the-pointer
+    * retry — so a lazy reader whose plan captured a listing that
+    * included such a batch can hit NoSuchFile mid-scan even though
+    * neither generation was reaped yet. Plans consumed promptly
+    * (collect/count/write within the maintenance cadence, every use in
+    * this library) never see it; a long-lived cached plan should be
+    * re-created from a fresh `edges()` call on scan failure rather
+    * than retried. Batches present at compaction's LISTING keep the
+    * full one-cycle guarantee — they are folded into the rewrite and
+    * their source generation is retained for one cycle. */
   def edges(): DataFrame =
     rawRows().select(col("src"), col("dst")).dropDuplicates("src", "dst")
 

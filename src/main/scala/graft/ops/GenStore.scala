@@ -102,10 +102,13 @@ private[ops] final class GenStore(path: String) {
     * and the last replacing pointer swap orphans every batch the other
     * "winners" already published (POSIX rename REPLACES, so there is no
     * portable filesystem test-and-set to build a lock-free cold start
-    * on). CROSS-process, creation follows the provision-then-fan-out
-    * contract: the store is created by a single writer before concurrent
-    * appenders attach — the reference's shape too: a ledger is created
-    * in one metadata operation before entries are appended
+    * on). CROSS-process, the callers serialize creation on
+    * [[StoreLock]]: the probe-then-append stores hold it for every
+    * append anyway, and [[EdgeIndex]]'s lock-free appenders take it for
+    * the one cold-start step (CrossProcessStoreSpec races two real JVMs
+    * on an empty root to pin this). The reference's shape is the same
+    * metadata-op-before-appends: a ledger is created in one metadata
+    * operation before entries are appended
     * (managed-ledger/.../ManagedLedgerImpl.java open-or-create). */
   def liveOrCreate(beforeCreate: File => Unit = _ => ()): File =
     currentGen().getOrElse {

@@ -13,13 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * an actual OS process boundary (file locks, committer `_temporary`
   * roots, and renames are all per-process state).
   *
-  * Protocol: the parent provisions both stores (the documented
-  * provision-then-fan-out cold-start contract), forks workers, each
-  * worker drops `ready-<id>` and blocks on the parent's `go` flag so the
-  * append phases genuinely overlap, then appends its batches alternating
-  * between the two stores. Batch content is a pure function of
-  * (worker, i) — the spec replays the same batches serially (in global
-  * ord order) for the baseline.
+  * Protocol: both stores start COLD — the workers deliberately RACE
+  * creation on an empty root (since [[graft.ops.StoreLock]] serializes
+  * the cold-start generation allocation across processes, creation no
+  * longer needs the old provision-then-fan-out convention). Each worker
+  * drops `ready-<id>` and blocks on the parent's `go` flag so the
+  * append phases genuinely overlap, then appends its batches
+  * alternating between the two stores. Batch content is a pure function
+  * of (worker, i) — the spec replays the same batches serially (in
+  * global ord order) for the baseline.
   */
 object ForkAppend {
 
