@@ -186,8 +186,12 @@ object StreamBench {
         val cents = ivf.centroids(emb, k = 16, iters = 2)
         val bm25 = new graft.ops.Bm25Index(spark,
           tmp.resolve("bm25").toString, "doc_id", "text")
+        // single-appender topology (one streaming query owns the store,
+        // epoch ids only grow) — strict ord mode, so a fresh-checkpoint
+        // restart against the existing store fails loudly instead of
+        // silently flipping keepers
         val exact = new graft.ops.ExactDedupIndex(spark,
-          tmp.resolve("exact").toString, "doc_id", "text")
+          tmp.resolve("exact").toString, "doc_id", "text", strictOrd = true)
         val para = new graft.ops.ParagraphIndex(spark,
           tmp.resolve("para").toString, "doc_id", "text")
         val simhash = new graft.ops.SimHashIndex(spark,

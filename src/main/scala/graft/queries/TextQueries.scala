@@ -960,7 +960,8 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val dir = java.nio.file.Files.createTempDirectory("graft-exact-idx")
         .toFile.getAbsolutePath
-      val idx = new graft.ops.ExactDedupIndex(s, dir, "doc_id", "text")
+      val idx = new graft.ops.ExactDedupIndex(s, dir, "doc_id", "text",
+        strictOrd = true) // single-appender: below-high-water ords fail
       idx.addAndDedup(docs.where(col("doc_id") % 2 === 1), ord = 1L,
         bloom = true)
       idx.addAndDedup(docs.where(col("doc_id") % 2 === 0), ord = 2L,
