@@ -143,19 +143,29 @@ object Bench {
     // an apparent regression once). Re-time the slowest queries at the END
     // of the run — the second look lands minutes after the first,
     // decorrelating the noise. A min-keep alone can be FLATTERED by reroll
-    // luck on a noisy box, so the retime is adopted only when the box was
-    // AT LEAST AS QUIET at the retime as at the first look (loadavg gate):
-    // a faster reroll under higher load is luck, a faster reroll under
-    // equal-or-lower load is the first timing's noise being removed. BOTH
-    // timings and BOTH loads go into the full record
-    // ("retimed": {name: {first, retime, load_first, load_retime,
-    // adopted}}) so every adoption — and every refusal — is auditable.
+    // luck on a noisy box, so the retime is adopted only when the box is at
+    // least as quiet at the retime as it was at the first look — where
+    // "as quiet" must account for the bench's OWN load: loadavg mid-board
+    // reflects the board's active cores (1-min EWMA), so a retime's load is
+    // compared against max(load at the first look, the board's MEDIAN
+    // per-query load) — the median is the bench's steady self-load, and a
+    // retime at or below it ran under ordinary board conditions, while a
+    // genuinely external spike at retime time still blocks adoption.
+    // (A bare load_retime <= load_first gate systematically refused
+    // legitimate corrections for queries timed early, when the EWMA had
+    // not yet ramped.) BOTH timings and BOTH loads go into the full
+    // record ("retimed": {name: {first, retime, load_first, load_retime,
+    // adopted}} + "load_board_median") so every adoption — and every
+    // refusal — is auditable.
+    val loadSamples = loadAtFirst.values.toSeq.sorted
+    val boardMedianLoad =
+      if (loadSamples.isEmpty) 0.0 else loadSamples(loadSamples.size / 2)
     val retimes = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
       .map { case (name, first) =>
         val loadRetime = loadavg
         val again = once(name, selected(name))
         val adopted = again >= 0 && again < first &&
-          loadRetime <= loadAtFirst(name)
+          loadRetime <= math.max(loadAtFirst(name), boardMedianLoad)
         if (adopted) results(name) = again
         (name, first, again, loadAtFirst(name), loadRetime, adopted)
       }
@@ -172,7 +182,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"retimed_improved":$retimedJson,"retimed":$retimesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"load_board_median":${f"$boardMedianLoad%.2f"},"retimed_improved":$retimedJson,"retimed":$retimesJson,"sf":"$sfDir"}"""
     // stop BEFORE printing: Spark's shutdown chatter must not land after
     // the record — the JSON line is the LAST thing this main writes to
     // stdout (only sbt's own [success] trailer can follow it)

@@ -114,6 +114,12 @@ final class EdgeIndex(spark: SparkSession, path: String) {
       .parquet(stage.getAbsolutePath)
     Fs.step("edge.batch-staged")
     if (!Fs.hasDataFiles(stage)) { Fs.deleteRecursively(stage); return true }
+    // the staged write above is the LONG part of an append — re-check the
+    // fence right before the batch becomes visible, so a takeover landing
+    // mid-write is caught at the publish instant instead of leaking one
+    // batch into a store this driver no longer owns
+    try StoreFence.verify(new File(path))
+    catch { case t: Throwable => Fs.deleteRecursively(stage); throw t }
     val name = s"batch-$ord-${java.util.UUID.randomUUID()}"
     // publish: the generation we grabbed can be reaped under us by
     // back-to-back compactions — re-aim the rename at the live pointer

@@ -70,31 +70,30 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
   private def hwmFile = new File(path, "_ord_hwm")
 
   /** The highest ord any append has committed, if any — the advisory
-    * high-water mark new appends are checked against. */
+    * high-water mark new appends are checked against. A torn or
+    * corrupt mark (possible only on the non-atomic-move fallback path
+    * of [[Fs.atomicWriteString]]) reads as None with a warning: the
+    * mark is ADVISORY, so an unreadable file must degrade to "no
+    * check", never brick every append with a parse error. */
   def ordHighWater(): Option[Long] =
     if (!hwmFile.exists()) None
-    else Some(new String(java.nio.file.Files.readAllBytes(hwmFile.toPath),
-      "UTF-8").trim.toLong)
+    else {
+      val raw = new String(
+        java.nio.file.Files.readAllBytes(hwmFile.toPath), "UTF-8").trim
+      raw.toLongOption.orElse {
+        log.warn(s"unreadable ord high-water mark at $hwmFile ('$raw') — " +
+          "treating as absent; the next append rewrites it")
+        None
+      }
+    }
 
   /** Advance the persisted high-water mark (caller holds [[StoreLock]]).
     * Written AFTER the row append: a crash between the two leaves the
     * mark stale-low, which only weakens the advisory — never blocks the
     * sanctioned replay. */
   private def advanceHwm(ord: Long): Unit =
-    if (ordHighWater().forall(_ < ord)) {
-      val tmp = new File(path, "._ord_hwm.tmp")
-      java.nio.file.Files.write(tmp.toPath, ord.toString.getBytes("UTF-8"))
-      try java.nio.file.Files.move(tmp.toPath, hwmFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      catch { case _: java.io.IOException => // non-atomic-move filesystem:
-        // plain replace — the mark is advisory, a torn read is a warning
-        // misfire at worst
-        java.nio.file.Files.copy(tmp.toPath, hwmFile.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        tmp.delete()
-      }
-    }
+    if (ordHighWater().forall(_ < ord))
+      Fs.atomicWriteString(hwmFile, ord.toString)
 
   /** The ord-discipline check (see the class scaladoc): below-high-water
     * appends warn, or fail under `strictOrd`. */

@@ -22,6 +22,27 @@ object Fs {
     if (t != null) t(label)
   }
 
+  /** Atomically replace `target` with `content` (UTF-8): write a tmp
+    * sibling, ATOMIC_MOVE it over the target, and on filesystems without
+    * atomic move fall back to a plain replacing copy — callers of this
+    * helper hold small ADVISORY state (ownership epochs, high-water
+    * marks) whose readers must treat a torn/unparseable read as "mark
+    * unreadable", never as data loss. Shared by [[StoreFence]] and the
+    * ord high-water mark so the subtle sequence lives once. */
+  def atomicWriteString(target: File, content: String): Unit = {
+    val tmp = new File(target.getParentFile, "." + target.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+    try java.nio.file.Files.move(tmp.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.io.IOException =>
+      java.nio.file.Files.copy(tmp.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tmp.delete()
+      ()
+    }
+  }
+
   /** Whether the tree under `dir` holds any actual data file (a
     * partitioned parquet write of ZERO rows leaves only `_SUCCESS` —
     * schema inference over such a dir fails, so stores check this before

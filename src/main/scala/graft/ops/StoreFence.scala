@@ -85,17 +85,8 @@ object StoreFence {
 
   private def writeOwner(root: File, o: Owner): Unit = {
     root.mkdirs()
-    val tmp = new File(root, "._owner.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      s"${o.epoch}|${o.ownerId}|${o.heartbeatMs}".getBytes("UTF-8"))
-    try java.nio.file.Files.move(tmp.toPath, ownerFile(root).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch { case _: java.io.IOException =>
-      java.nio.file.Files.copy(tmp.toPath, ownerFile(root).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      tmp.delete()
-    }
+    Fs.atomicWriteString(ownerFile(root),
+      s"${o.epoch}|${o.ownerId}|${o.heartbeatMs}")
   }
 
   /** Attach as the store's owner: bump the epoch past the incumbent's
@@ -105,7 +96,13 @@ object StoreFence {
     * incumbent). Re-acquiring a store this id already owns refreshes
     * the lease. Returns the held epoch. */
   def acquire(root: File, ownerId: String, leaseMs: Long = 60000L,
-              force: Boolean = false): Long =
+              force: Boolean = false): Long = {
+    // the owner file is '|'-delimited; an id that can't round-trip would
+    // write a file no reader can parse — fencing out EVERYONE (fail-safe
+    // but bricked until manual deletion). Reject it at the door.
+    require(ownerId.nonEmpty && !ownerId.exists(c => c == '|' || c == '\n'
+        || c == '\r'),
+      s"ownerId must be non-empty and free of '|' and newlines: '$ownerId'")
     StoreLock.withPathLock(root) {
       val canon = root.getCanonicalFile
       val now = System.currentTimeMillis()
@@ -124,6 +121,7 @@ object StoreFence {
       held.put(canon.getPath, next)
       next.epoch
     }
+  }
 
   /** Refresh the lease — and learn about a takeover: a beat from a
     * deposed owner throws instead of re-asserting stale ownership. */
@@ -140,7 +138,22 @@ object StoreFence {
 
   /** The data-path check, run at the head of every store write: pass on
     * an unfenced store; on a fenced one, require this process to hold
-    * the CURRENT epoch. */
+    * the CURRENT epoch.
+    *
+    * '''Granularity: per append/compact CALL.''' The check runs before
+    * the write body, so a takeover landing MID-write is detected at the
+    * writer's next call (or heartbeat), not mid-flight — the window is
+    * one in-flight batch. [[EdgeIndex]] narrows its own window by
+    * re-verifying right before the publish rename (the staged write is
+    * the long part; the publish is the instant the batch becomes
+    * visible). Same shape as the reference: a fenced BookKeeper writer
+    * learns at its next addEntry, and in-flight entries of the fenced
+    * ledger are the recovery reader's to arbitrate.
+    *
+    * Lock-free callers can race their OWN driver's re-acquire (disk
+    * epoch bumps before the held map updates); an epoch gap under the
+    * SAME ownerId is that benign in-flight refresh, not a takeover —
+    * ownerIds are per-driver unique by contract. */
   def verify(root: File): Unit = {
     val canon = root.getCanonicalFile
     readOwner(canon).foreach { disk =>
@@ -149,6 +162,9 @@ object StoreFence {
           s"store $canon is fenced (owner '${disk.ownerId}', epoch " +
             s"${disk.epoch}) and this process never acquired ownership — " +
             "an errant writer must fail loudly, not corrupt silently")
+        case Some(mine) if mine.epoch != disk.epoch
+            && mine.ownerId == disk.ownerId =>
+          () // our own acquire/heartbeat mid-update — benign
         case Some(mine) if mine.epoch < disk.epoch =>
           throw new FencedStoreException(
             s"store $canon was taken over: held epoch ${mine.epoch} " +
@@ -157,7 +173,8 @@ object StoreFence {
         case Some(mine) if mine.epoch > disk.epoch =>
           throw new FencedStoreException(
             s"store $canon owner file regressed below the held epoch " +
-              s"(${disk.epoch} < ${mine.epoch}) — refusing to write")
+              s"(${disk.epoch} < ${mine.epoch}, owner '${disk.ownerId}') " +
+              "— refusing to write")
         case _ => ()
       }
     }

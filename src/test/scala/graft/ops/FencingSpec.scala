@@ -143,6 +143,11 @@ class FencingSpec extends SparkSuite {
     // attached must fail verify, and must fail to attach over the lease
     StoreFence.acquire(new File(root), "parent-driver")
     idx.addAndDedup(docs, 1L).count()
+    // the append above is a Spark job of unbounded wall time on a loaded
+    // box — refresh the lease right before forking, so the child's
+    // non-forced acquire deterministically sees a LIVE owner (an expired
+    // lease would let it attach legitimately and flake the test)
+    StoreFence.heartbeat(new File(root))
     val w1 = fork("stale-writer", root)
     assert(w1.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
     assert(w1.exitValue() == 0, "child must be fenced:\n" + new String(

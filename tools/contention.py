@@ -21,6 +21,12 @@ import sys
 # They are still listed in "flagged" (annotated, auditable) but do not
 # count toward n_flagged, so a known-benign shape stops consuming review
 # attention every round. Add entries only with the evidence inline.
+# Each adjudication's evidence claim is CHECKED against the records it
+# suppresses: these entries all rest on "absolute concurrent cost is
+# flat across widths", so if the widest run's concurrent_s exceeds the
+# narrowest's by more than FLATNESS_TOLERANCE the suppression is
+# voided and the query re-flags as interference -- a later real lock
+# cannot hide behind a stale adjudication.
 ADJUDICATED = {
     "q_bloom_prefilter":
         "cold bits-broadcast build straddles the concurrent board's scans; "
@@ -28,6 +34,17 @@ ADJUDICATED = {
         "both t4 and t8 - a lock would grow with threads), so this is slot "
         "sharing on the broadcast-build jobs, not interference",
 }
+FLATNESS_TOLERANCE = 1.5
+
+
+def adjudication_holds(name, runs):
+    """The flatness evidence, re-checked: concurrent cost at the widest
+    width must not exceed the narrowest by more than the tolerance."""
+    pts = sorted((n, rec["queries"].get(name))
+                 for n, rec in runs if rec["queries"].get(name, -1) > 0)
+    if len(pts) < 2:
+        return True  # one width: nothing to check against
+    return pts[-1][1] <= pts[0][1] * FLATNESS_TOLERANCE
 
 
 def main():
@@ -56,9 +73,15 @@ def main():
             # interference = beyond 2x the fair-share expectation, on a
             # base big enough that the ratio is not scheduler noise
             if r > 2.0 * n and t1 >= 0.3:
-                if name in ADJUDICATED:
+                if name in ADJUDICATED and adjudication_holds(name, runs):
                     entry["flag"] = "adjudicated"
                     entry["adjudication"] = ADJUDICATED[name]
+                elif name in ADJUDICATED:
+                    entry["flag"] = "interference?"
+                    entry["adjudication_voided"] = (
+                        "flatness evidence violated: concurrent cost grew "
+                        f">{FLATNESS_TOLERANCE}x from the narrowest to the "
+                        "widest run")
                 else:
                     entry["flag"] = "interference?"
             elif r > 2.0 * n:
