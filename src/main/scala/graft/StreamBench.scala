@@ -178,14 +178,14 @@ object StreamBench {
           .select(col("vec_id").as("doc_id"), col("embedding"))
           .localCheckpoint(true)
         val lsh = new graft.ops.MinHashIndex(spark,
-          tmp.resolve("lsh2").toString, "doc_id", "text")
+          tmp.resolve("lsh2").toString, "doc_id", "text", strictOrd = true)
         val cc = new graft.ops.ComponentsIndex(spark,
-          tmp.resolve("cc2").toString)
+          tmp.resolve("cc2").toString, strictOrd = true)
         val ivf = new graft.ops.IvfIndex(spark,
           tmp.resolve("ivf").toString, "doc_id", "embedding")
         val cents = ivf.centroids(emb, k = 16, iters = 2)
         val bm25 = new graft.ops.Bm25Index(spark,
-          tmp.resolve("bm25").toString, "doc_id", "text")
+          tmp.resolve("bm25").toString, "doc_id", "text", strictOrd = true)
         // single-appender topology (one streaming query owns the store,
         // epoch ids only grow) — strict ord mode, so a fresh-checkpoint
         // restart against the existing store fails loudly instead of

@@ -135,9 +135,15 @@ object Bm25 {
   * file per partition under the atomic pointer swap.
   */
 final class Bm25Index(spark: SparkSession, path: String,
-                      idCol: String, textCol: String) {
+                      idCol: String, textCol: String,
+                      strictOrd: Boolean = false) {
 
   private val gens = new GenStore(path)
+
+  // the shared ord-discipline advisory: a fresh-checkpoint restart
+  // re-adds stored documents under NEW (lower) ords, and here that
+  // silently DOUBLE-COUNTS their tf — the worst of the ord footguns
+  private val hwm = new OrdHighWater(new File(path), "bm25", strictOrd)
 
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -156,6 +162,7 @@ final class Bm25Index(spark: SparkSession, path: String,
     * guards cost no extra job. */
   def add(batch: DataFrame, ord: Long): Unit =
       StoreLock.exclusive(new File(path)) {
+    hwm.check(ord)
     val gen = gens.liveOrCreate()
     val (postings, stats) = Bm25.postingsOf(batch, idCol, textCol)
     val statsRow = stats.withColumn("ord", lit(ord))
@@ -170,6 +177,7 @@ final class Bm25Index(spark: SparkSession, path: String,
       spark.createDataFrame(
           java.util.Arrays.asList(collected: _*), statsRow.schema)
         .write.mode("append").parquet(gen.getAbsolutePath + "/_stats")
+      hwm.advance(ord)
     }
   }
 

@@ -279,9 +279,16 @@ object Components {
   * (`MessageDeduplication.takeSnapshot`,
   * pulsar-broker/.../persistent/MessageDeduplication.java).
   */
-class ComponentsIndex(spark: SparkSession, path: String) {
+class ComponentsIndex(spark: SparkSession, path: String,
+                      strictOrd: Boolean = false) {
 
   private val gens = new GenStore(path)
+
+  // shared ord-discipline advisory: pair evidence is stamped `ord` and
+  // compact's retention prunes on it — a fresh-checkpoint restart's
+  // reset ords would mis-age evidence (see [[OrdHighWater]])
+  private val hwm = new OrdHighWater(new java.io.File(path), "components",
+    strictOrd)
 
   private def appendGen(): File = gens.liveOrCreate()
 
@@ -332,6 +339,7 @@ class ComponentsIndex(spark: SparkSession, path: String) {
                bCol: String = "doc_b",
                ord: Long = System.currentTimeMillis()): Unit =
       StoreLock.exclusive(new File(path)) {
+    hwm.check(ord)
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
@@ -339,6 +347,7 @@ class ComponentsIndex(spark: SparkSession, path: String) {
       .withColumn("ord", lit(ord))
       .write.mode("append")
       .parquet(new File(appendGen(), "delta").getAbsolutePath)
+    hwm.advance(ord)
   }
 
   /** Delta links contracted onto their snapshot roots: each endpoint maps

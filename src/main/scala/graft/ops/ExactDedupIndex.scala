@@ -65,50 +65,13 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
 
   private val gens = new GenStore(path)
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
-  private def hwmFile = new File(path, "_ord_hwm")
+  private val hwm = new OrdHighWater(new File(path), "exact-dedup", strictOrd)
 
   /** The highest ord any append has committed, if any — the advisory
-    * high-water mark new appends are checked against. A torn or
-    * corrupt mark (possible only on the non-atomic-move fallback path
-    * of [[Fs.atomicWriteString]]) reads as None with a warning: the
-    * mark is ADVISORY, so an unreadable file must degrade to "no
-    * check", never brick every append with a parse error. */
-  def ordHighWater(): Option[Long] =
-    if (!hwmFile.exists()) None
-    else {
-      val raw = new String(
-        java.nio.file.Files.readAllBytes(hwmFile.toPath), "UTF-8").trim
-      raw.toLongOption.orElse {
-        log.warn(s"unreadable ord high-water mark at $hwmFile ('$raw') — " +
-          "treating as absent; the next append rewrites it")
-        None
-      }
-    }
-
-  /** Advance the persisted high-water mark (caller holds [[StoreLock]]).
-    * Written AFTER the row append: a crash between the two leaves the
-    * mark stale-low, which only weakens the advisory — never blocks the
-    * sanctioned replay. */
-  private def advanceHwm(ord: Long): Unit =
-    if (ordHighWater().forall(_ < ord))
-      Fs.atomicWriteString(hwmFile, ord.toString)
-
-  /** The ord-discipline check (see the class scaladoc): below-high-water
-    * appends warn, or fail under `strictOrd`. */
-  private def checkOrd(ord: Long): Unit =
-    ordHighWater().filter(ord < _).foreach { hwm =>
-      val msg = s"exact-dedup append ord=$ord is BELOW the store's " +
-        s"high-water ord=$hwm at $path. Legitimate only for a late " +
-        "concurrent appender whose batch genuinely predates the stored " +
-        "ones; a pipeline restarted from a FRESH checkpoint against an " +
-        "existing store must offset its epoch ids past the stored max, " +
-        "or duplicates of stored content read as novel and keeper " +
-        "election flips."
-      if (strictOrd) throw new IllegalStateException(msg)
-      log.warn(msg)
-    }
+    * high-water mark new appends are checked against (see
+    * [[OrdHighWater]], the discipline shared with the other ord-stamped
+    * stores). */
+  def ordHighWater(): Option[Long] = hwm.value()
 
   private def fpp = concat(lit("p"), substring(col("fp"), 1, 1))
 
@@ -134,7 +97,7 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
   def addAndDedup(batch: DataFrame, ord: Long,
                   bloom: Boolean = false): DataFrame =
       StoreLock.exclusive(new File(path)) {
-    checkOrd(ord)
+    hwm.check(ord)
     val gen = gens.liveOrCreate()
     val fps = batch
       .select(col(idCol), fingerprint(col(textCol)).as("fp"))
@@ -181,7 +144,7 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
     novel.withColumn("ord", lit(ord)).withColumn("fpp", fpp)
       .write.mode("append").partitionBy("fpp")
       .parquet(gen.getAbsolutePath)
-    advanceHwm(ord)
+    hwm.advance(ord)
     novel.select(col(idCol), col("fp"))
   }
 

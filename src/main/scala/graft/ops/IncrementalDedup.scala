@@ -50,10 +50,15 @@ import org.apache.spark.sql.functions._
 class MinHashIndex(spark: SparkSession, path: String, idCol: String,
                    textCol: String, shingleK: Int = 3, numHashes: Int = 16,
                    bands: Int = 4, maxBucket: Int = 1024,
-                   prefixChars: Int = 1) {
+                   prefixChars: Int = 1, strictOrd: Boolean = false) {
 
   // generation-directory layout + crash-safe pointer: shared [[GenStore]]
   private val gens = new GenStore(path)
+
+  // shared ord-discipline advisory: a below-high-water ord mis-AGES the
+  // appended postings (compact's retention horizon prunes on ord), the
+  // fresh-checkpoint footgun's shape for this store
+  private val hwm = new OrdHighWater(new File(path), "minhash-lsh", strictOrd)
   private def currentGen(): Option[File] = gens.currentGen()
 
   /** Absolute path of the live postings generation, if any — for plan
@@ -123,6 +128,7 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
     * axis [[compact]]'s retention horizon prunes on. */
   def addAndFindPairs(batch: DataFrame, batchOrd: Long): DataFrame =
       StoreLock.exclusive(new File(path)) {
+    hwm.check(batchOrd)
     val rowsPerBand = numHashes / bands
     val newBB = MinHashLsh.bandBuckets(
       MinHashLsh.signatures(batch, idCol, textCol, shingleK, numHashes),
@@ -204,6 +210,7 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
         .repartition(col("band"), col("bp"))
         .write.mode("append").partitionBy("band", "bp")
         .parquet(appendGen().getAbsolutePath)
+      hwm.advance(batchOrd)
       pairs
     } finally newBB.unpersist()
   }

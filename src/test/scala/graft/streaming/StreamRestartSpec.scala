@@ -58,11 +58,19 @@ class StreamRestartSpec extends SparkSuite {
     Seq("q1" -> words.take(2).mkString(" "), "q2" -> words.slice(2, 4).mkString(" "))
   }
 
+  // STRICT ord mode everywhere it exists: crash-replay re-delivers the
+  // failed epoch under its OWN id (equality — the sanctioned reuse), so
+  // the restart legs double as proof that strict mode and the crash
+  // contract compose — a restart from the SAME checkpoint never trips
+  // the high-water check, while a fresh-checkpoint restart would
   private case class Stores(root: String) {
-    val exact = new ExactDedupIndex(spark, s"$root/exact", "doc_id", "text")
-    val lsh = new MinHashIndex(spark, s"$root/lsh", "doc_id", "text")
-    val cc = new ComponentsIndex(spark, s"$root/cc")
-    val bm25 = new Bm25Index(spark, s"$root/bm25", "doc_id", "text")
+    val exact = new ExactDedupIndex(spark, s"$root/exact", "doc_id", "text",
+      strictOrd = true)
+    val lsh = new MinHashIndex(spark, s"$root/lsh", "doc_id", "text",
+      strictOrd = true)
+    val cc = new ComponentsIndex(spark, s"$root/cc", strictOrd = true)
+    val bm25 = new Bm25Index(spark, s"$root/bm25", "doc_id", "text",
+      strictOrd = true)
     val edges = new EdgeIndex(spark, s"$root/edges")
     val ivf = new IvfIndex(spark, s"$root/ivf", "doc_id", "embedding")
   }
