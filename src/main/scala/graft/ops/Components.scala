@@ -334,20 +334,33 @@ class ComponentsIndex(spark: SparkSession, path: String,
   /** Append one batch of pairs, stamped `ord` (epoch-ms or any monotone
     * batch stamp — the evidence-age axis [[compact]]'s retention prunes
     * on). Each pair lands twice (once headed by each endpoint), so the
-    * append is O(2·batch) rows; no closure work happens here. */
+    * append is O(2·batch) rows; no closure work happens here.
+    *
+    * The `-1` default stamps wall-clock ingest time — refused on a
+    * strict-ord store, where one ~epoch-ms stamp onto an epoch-id-fed
+    * store would advance the high-water mark past every future epoch id
+    * and wedge all later appends. */
   def addPairs(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b",
-               ord: Long = System.currentTimeMillis()): Unit =
+               ord: Long = -1L): Unit =
       StoreLock.exclusive(new File(path)) {
-    hwm.check(ord)
+    val stamp =
+      if (ord != -1L) ord
+      else {
+        require(!strictOrd, "a strict-ord ComponentsIndex requires an " +
+          "explicit batch ord: the wall-clock default would advance the " +
+          "high-water mark past every epoch-id-scale ord")
+        System.currentTimeMillis()
+      }
+    hwm.check(stamp)
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
     p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
-      .withColumn("ord", lit(ord))
+      .withColumn("ord", lit(stamp))
       .write.mode("append")
       .parquet(new File(appendGen(), "delta").getAbsolutePath)
-    hwm.advance(ord)
+    hwm.advance(stamp)
   }
 
   /** Delta links contracted onto their snapshot roots: each endpoint maps

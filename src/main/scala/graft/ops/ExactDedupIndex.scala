@@ -40,24 +40,11 @@ import org.apache.spark.sql.functions._
   * CrossProcessStoreSpec); [[compact]] rewrites one file per partition
   * under the atomic pointer swap.
   *
-  * '''Ord discipline — enforced as an advisory high-water mark.''' The
-  * strictly-earlier mask makes `ord` a LOGICAL BATCH IDENTITY, not a
-  * hint: callers must never reuse an ord for different content, and new
-  * batches must carry ords above everything already stored. Replaying a
-  * crashed batch under its own ord is the one sanctioned reuse. The
-  * streaming caller satisfies this for free by reusing its checkpoint
-  * (epoch ids only grow); restarting a pipeline from a FRESH checkpoint
-  * against an existing store resets epoch ids to 0 — duplicates of
-  * stored content then read as novel and the min-(ord, id) arbitration
-  * flips keepers. The store persists the max ord it has committed
-  * (`_ord_hwm`, updated under [[StoreLock]]) and checks every append
-  * against it: an append BELOW the high-water logs a loud warning (it is
-  * legitimate only for a late CONCURRENT appender whose batch genuinely
-  * predates the stored ones — the cross-process fan-out shape), and with
-  * `strictOrd = true` fails instead — the right mode for the
-  * single-appender streaming topology, where a below-high-water ord can
-  * ONLY be the fresh-checkpoint footgun. Equality is never flagged: that
-  * is the sanctioned same-ord crash replay.
+  * '''Ord discipline''': the strictly-earlier mask makes `ord` a
+  * LOGICAL BATCH IDENTITY — here a violated discipline flips keepers
+  * (min-(ord, id) arbitration reads stored duplicates as novel). The
+  * shared advisory high-water mark enforces it; semantics, the
+  * fresh-checkpoint footgun, and `strictOrd` live in [[OrdHighWater]].
   */
 final class ExactDedupIndex(spark: SparkSession, path: String,
                             idCol: String, textCol: String,

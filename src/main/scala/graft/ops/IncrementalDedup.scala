@@ -120,8 +120,17 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
   /** Probe + emit + append for one batch, stamped with the current wall
     * clock as its batch ord. Returns (doc_a, doc_b) candidate near-dup
     * pairs, doc_a < doc_b, involving at least one batch document. */
-  def addAndFindPairs(batch: DataFrame): DataFrame =
+  def addAndFindPairs(batch: DataFrame): DataFrame = {
+    // the wall-clock default is for stores whose age axis IS ingest time;
+    // on a strict store it is almost certainly a mistake — one ~epoch-ms
+    // stamp onto an epoch-id-fed store advances the high-water mark past
+    // every future epoch id and wedges all later appends, so refuse it
+    // up front instead of bricking the store
+    require(!strictOrd, "a strict-ord MinHashIndex requires an explicit " +
+      "batch ord: the wall-clock default would advance the high-water " +
+      "mark past every epoch-id-scale ord")
     addAndFindPairs(batch, System.currentTimeMillis())
+  }
 
   /** As [[addAndFindPairs]], with an explicit batch ord (epoch-ms or any
     * monotone batch stamp) persisted on the appended postings — the age
