@@ -15,9 +15,12 @@ final class FencedStoreException(msg: String)
   * rested on the MaintenanceLoop ownership *convention*. This object
   * turns that convention into a checked epoch:
   *
-  *  - `_owner` in the store root carries `epoch|ownerId|heartbeatMs`,
-  *    written by write-tmp + atomic rename (torn reads fail safe: an
-  *    unparseable owner file REJECTS writers rather than admitting all).
+  *  - `_owner` in the store root carries
+  *    `epoch|ownerId|nonce|heartbeatMs`, written by write-tmp + atomic
+  *    rename (torn reads fail safe: an unparseable owner file REJECTS
+  *    writers rather than admitting all). The nonce is a per-process
+  *    instance id: ownerIds are configured names a restarted driver
+  *    reuses, so "is this record mine" is decided by nonce, never id.
   *  - [[acquire]] is the attach operation: it bumps the epoch and makes
   *    this process the owner. Attaching over a LIVE owner (heartbeat
   *    younger than the lease) fails loudly unless `force = true` — an
@@ -36,13 +39,19 @@ final class FencedStoreException(msg: String)
   *
   * The mechanism needs only small-file read-after-write plus a rename —
   * both available on HDFS and object stores (rename non-atomicity only
-  * widens the torn-read window, which fails safe). What it deliberately
-  * does NOT provide is mutual exclusion for the acquire itself: two
-  * simultaneous FORCED takeovers can race the epoch bump. That matches
-  * the reference's shape — fencing protects the data path, while
-  * electing the single rightful owner stays with the deployment's
-  * coordinator (the cron/MaintenanceLoop driver assignment here;
-  * the metadata store there).
+  * widens the torn-read window, which fails safe); the owner/high-water
+  * IO goes through [[AdvisoryFs]], whose Hadoop `FileSystem`
+  * implementation is the non-POSIX deployment path (the `File` overloads
+  * below are the local/shared-mount convenience face). What it
+  * deliberately does NOT provide is mutual exclusion for the acquire
+  * itself: two simultaneous FORCED takeovers can race the epoch bump —
+  * but the race is no longer silent: both racers mint the same epoch
+  * under different process nonces, and [[verify]] fences whichever one
+  * the disk file did not keep at its first post-race write. Electing the
+  * single rightful owner stays with the deployment's coordinator (the
+  * cron/MaintenanceLoop driver assignment here; the metadata store
+  * there), matching the reference's shape — fencing protects the data
+  * path.
   *
   * Reference analog: exclusive-producer access — one writer owns the
   * topic and a competing attach fails or fences the incumbent
@@ -54,7 +63,17 @@ final class FencedStoreException(msg: String)
   */
 object StoreFence {
 
-  private case class Owner(epoch: Long, ownerId: String, heartbeatMs: Long)
+  private case class Owner(epoch: Long, ownerId: String, nonce: String,
+                           heartbeatMs: Long)
+
+  /** Per-process instance nonce, minted once per JVM and stamped into
+    * every owner record this process writes. ownerIds are CONFIGURED
+    * names — a restarted driver naturally reuses its id — so identity
+    * comparisons that decide "is this record mine" key on the nonce,
+    * never on the id: the restarted driver's records are NOT the old
+    * process's records, even under the same configured name. */
+  private val processNonce =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   /** Epoch this process holds per canonical store root (the in-memory
     * half of the attach; disk is the source of truth for who CURRENTLY
@@ -71,8 +90,18 @@ object StoreFence {
       val raw = new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
       raw.split('|') match {
+        // current format: epoch|ownerId|nonce|heartbeatMs
+        case Array(e, id, n, hb) if e.nonEmpty && hb.nonEmpty =>
+          try Some(Owner(e.toLong, id, n, hb.toLong))
+          catch { case _: NumberFormatException =>
+            throw new FencedStoreException(
+              s"unparseable owner file at $f: '$raw' — refusing to write")
+          }
+        // legacy nonce-less format: reads as an empty nonce, which never
+        // equals a live process's nonce — a legacy record is always
+        // "someone else's", the fail-safe direction
         case Array(e, id, hb) if e.nonEmpty && hb.nonEmpty =>
-          try Some(Owner(e.toLong, id, hb.toLong))
+          try Some(Owner(e.toLong, id, "", hb.toLong))
           catch { case _: NumberFormatException =>
             throw new FencedStoreException(
               s"unparseable owner file at $f: '$raw' — refusing to write")
@@ -86,7 +115,7 @@ object StoreFence {
   private def writeOwner(root: File, o: Owner): Unit = {
     root.mkdirs()
     Fs.atomicWriteString(ownerFile(root),
-      s"${o.epoch}|${o.ownerId}|${o.heartbeatMs}")
+      s"${o.epoch}|${o.ownerId}|${o.nonce}|${o.heartbeatMs}")
   }
 
   /** Attach as the store's owner: bump the epoch past the incumbent's
@@ -116,7 +145,8 @@ object StoreFence {
               " — a second driver must not attach over a live owner; " +
               "pass force=true only for deliberate failover")
       }
-      val next = Owner(cur.map(_.epoch + 1).getOrElse(1L), ownerId, now)
+      val next = Owner(cur.map(_.epoch + 1).getOrElse(1L), ownerId,
+        processNonce, now)
       writeOwner(canon, next)
       held.put(canon.getPath, next)
       next.epoch
@@ -124,14 +154,24 @@ object StoreFence {
   }
 
   /** Refresh the lease — and learn about a takeover: a beat from a
-    * deposed owner throws instead of re-asserting stale ownership. */
+    * deposed owner throws instead of re-asserting stale ownership. The
+    * record written back is re-read FROM DISK (matched by nonce), never
+    * the held copy — a beat racing this process's own re-acquire must
+    * refresh the NEWER epoch, not regress the owner file to the stale
+    * held one (the zombie-heartbeat corruption: a deposed process whose
+    * beat rewrote its stale epoch over the successor's would un-fence
+    * itself; here the nonce mismatch makes [[verify]] throw first). */
   def heartbeat(root: File): Unit = StoreLock.withPathLock(root) {
     val canon = root.getCanonicalFile
     val mine = Option(held.get(canon.getPath)).getOrElse(
       throw new FencedStoreException(
         s"heartbeat on $canon without a held ownership — acquire first"))
     verify(canon)
-    val next = mine.copy(heartbeatMs = System.currentTimeMillis())
+    // verify passed ⇒ disk is this process instance's record (same
+    // nonce, possibly a newer epoch from our own re-acquire) or absent
+    // (owner file deleted out-of-band — re-establish from the held copy)
+    val disk = readOwner(canon).getOrElse(mine)
+    val next = disk.copy(heartbeatMs = System.currentTimeMillis())
     writeOwner(canon, next)
     held.put(canon.getPath, next)
   }
@@ -151,9 +191,16 @@ object StoreFence {
     * ledger are the recovery reader's to arbitrate.
     *
     * Lock-free callers can race their OWN driver's re-acquire (disk
-    * epoch bumps before the held map updates); an epoch gap under the
-    * SAME ownerId is that benign in-flight refresh, not a takeover —
-    * ownerIds are per-driver unique by contract. */
+    * epoch bumps before the held map updates); the benign case is keyed
+    * on the per-process NONCE, not the ownerId — a configured ownerId
+    * survives a driver restart, so an id match proves nothing about
+    * which process wrote the record, while the nonce is minted per JVM
+    * and an epoch gap under OUR nonce can only be our own in-flight
+    * refresh. Any different-nonce record fences by epoch, and EQUAL
+    * epochs under different nonces throw too: that is the aftermath of
+    * a raced double force-takeover (both racers read epoch N and wrote
+    * N+1 — disk carries one of them, and the loser must learn at its
+    * next write, not keep writing forever). */
   def verify(root: File): Unit = {
     val canon = root.getCanonicalFile
     readOwner(canon).foreach { disk =>
@@ -162,9 +209,8 @@ object StoreFence {
           s"store $canon is fenced (owner '${disk.ownerId}', epoch " +
             s"${disk.epoch}) and this process never acquired ownership — " +
             "an errant writer must fail loudly, not corrupt silently")
-        case Some(mine) if mine.epoch != disk.epoch
-            && mine.ownerId == disk.ownerId =>
-          () // our own acquire/heartbeat mid-update — benign
+        case Some(mine) if disk.nonce == mine.nonce =>
+          () // our own record (acquire/heartbeat mid-update) — benign
         case Some(mine) if mine.epoch < disk.epoch =>
           throw new FencedStoreException(
             s"store $canon was taken over: held epoch ${mine.epoch} " +
@@ -175,7 +221,17 @@ object StoreFence {
             s"store $canon owner file regressed below the held epoch " +
               s"(${disk.epoch} < ${mine.epoch}, owner '${disk.ownerId}') " +
               "— refusing to write")
-        case _ => ()
+        case Some(mine) =>
+          // equal epoch, different process instance: a raced double
+          // force-takeover minted the same epoch twice (or a second
+          // process reused this driver's configured ownerId at the same
+          // epoch). The disk file is the arbiter; this writer lost.
+          throw new FencedStoreException(
+            s"store $canon holds epoch ${disk.epoch} under a DIFFERENT " +
+              s"process (owner '${disk.ownerId}') while this process " +
+              s"holds the same epoch ('${mine.ownerId}') — a raced " +
+              "takeover minted one epoch twice; the on-disk record wins " +
+              "and this writer is fenced")
       }
     }
   }
