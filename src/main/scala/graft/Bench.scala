@@ -153,7 +153,14 @@ object Bench {
     // genuinely external spike at retime time still blocks adoption.
     // (A bare load_retime <= load_first gate systematically refused
     // legitimate corrections for queries timed early, when the EWMA had
-    // not yet ramped.) BOTH timings and BOTH loads go into the full
+    // not yet ramped.) The quiet-box gate has a symmetric second arm: a
+    // retime that is faster under load AT OR ABOVE the first look's is
+    // also adopted — a busier box cannot flatter a timing, so "faster
+    // under equal-or-worse conditions" is affirmative proof the FIRST
+    // number was the anomaly (the r13 phantom: a 24.5 s first look on a
+    // query every quiet leg timed at ~1.8 s was refused adoption because
+    // the retime-time load was between the first look's and the board
+    // median). BOTH timings and BOTH loads go into the full
     // record ("retimed": {name: {first, retime, load_first, load_retime,
     // adopted}} + "load_board_median") so every adoption — and every
     // refusal — is auditable.
@@ -165,7 +172,8 @@ object Bench {
         val loadRetime = loadavg
         val again = once(name, selected(name))
         val adopted = again >= 0 && again < first &&
-          loadRetime <= math.max(loadAtFirst(name), boardMedianLoad)
+          (loadRetime <= math.max(loadAtFirst(name), boardMedianLoad) ||
+            loadRetime >= loadAtFirst(name))
         if (adopted) results(name) = again
         (name, first, again, loadAtFirst(name), loadRetime, adopted)
       }

@@ -193,9 +193,11 @@ object StreamBench {
         val exact = new graft.ops.ExactDedupIndex(spark,
           tmp.resolve("exact").toString, "doc_id", "text", strictOrd = true)
         val para = new graft.ops.ParagraphIndex(spark,
-          tmp.resolve("para").toString, "doc_id", "text")
+          tmp.resolve("para").toString, "doc_id", "text",
+          strictOrd = true)
         val simhash = new graft.ops.SimHashIndex(spark,
-          tmp.resolve("simhash").toString, "doc_id")
+          tmp.resolve("simhash").toString, "doc_id",
+          strictOrd = true)
         // link-graph ingest: every batch appends its cascade-survivors'
         // outlink edges (planted residues, the WebQueries shape) to the
         // appendable edge store — the crawl-delta accumulation face; the

@@ -150,6 +150,26 @@ final class Bm25Index(spark: SparkSession, path: String,
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** Format marker for the per-ord `_stats` layout. Stores compacted
+    * under PRE-per-ord code collapsed `_stats` to one aggregate row
+    * labeled `max(ord)` — indistinguishable row-by-row from a per-batch
+    * row, so a sanctioned same-ord replay of that max-ord batch would
+    * collide with the aggregate on the ord key and `search`'s
+    * dropDuplicates could keep either, silently collapsing N/Σtokens to
+    * one batch's counts. The marker (store root, survives generation
+    * swaps) is written at store CREATION only: its absence on a
+    * non-empty store means the store predates the marker and MAY carry
+    * the legacy aggregate — [[add]] warns loudly and the safe path is a
+    * rebuild (re-add every batch into a fresh store); no in-place
+    * migration can tell the aggregate from a genuine batch row. */
+  private def statsFormatMarker = new File(path, "_stats_format")
+
+  /** True when this store's `_stats` may carry a pre-per-ord aggregate
+    * row (stats data present, format marker absent). */
+  def legacyStatsRisk: Boolean =
+    gens.currentGen().exists(g => Fs.hasDataFiles(new File(g, "_stats"))) &&
+      !statsFormatMarker.exists()
+
   /** Append one batch's postings + stats row. `ord` identifies the batch
     * for replay-dedup; pass the same ord when retrying a crashed append.
     * An EMPTY batch appends nothing, and a batch whose every doc
@@ -163,6 +183,19 @@ final class Bm25Index(spark: SparkSession, path: String,
   def add(batch: DataFrame, ord: Long): Unit =
       StoreLock.exclusive(new File(path)) {
     hwm.check(ord)
+    if (legacyStatsRisk)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BM25 store at $path has stats data but no _stats_format marker " +
+          "— it was created or compacted under pre-per-ord code and may " +
+          "carry a legacy AGGREGATE stats row labeled max(ord). A " +
+          "same-ord replay of that batch would collide with the " +
+          "aggregate and silently collapse N/Σtokens to one batch's " +
+          "counts. Safe path: rebuild (re-add every batch into a fresh " +
+          "store); no in-place migration can tell the aggregate from a " +
+          "genuine batch row.")
+    else if (!statsFormatMarker.exists() && gens.currentGen().isEmpty)
+      // store creation: stamp the layout so absence stays meaningful
+      Fs.atomicWriteString(statsFormatMarker, "per-ord-v2")
     val gen = gens.liveOrCreate()
     val (postings, stats) = Bm25.postingsOf(batch, idCol, textCol)
     val statsRow = stats.withColumn("ord", lit(ord))

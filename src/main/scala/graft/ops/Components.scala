@@ -331,36 +331,37 @@ class ComponentsIndex(spark: SparkSession, path: String,
     case (s, d) => s.orElse(d)
   }
 
+  /** Wall-clock-stamped append — for stores whose evidence-age axis IS
+    * ingest time. Refused on a strict-ord store (one ~epoch-ms stamp
+    * onto an epoch-id-fed store would advance the high-water mark past
+    * every future epoch id and wedge all later appends) — the same
+    * overload shape as [[MinHashIndex]]'s no-ord `addAndFindPairs`:
+    * the explicit-ord face accepts ANY Long, including the negative
+    * monotone stamps an in-band sentinel would silently remap to
+    * wall-clock. */
+  def addPairs(pairs: DataFrame, aCol: String, bCol: String): Unit = {
+    require(!strictOrd, "a strict-ord ComponentsIndex requires an " +
+      "explicit batch ord: the wall-clock default would advance the " +
+      "high-water mark past every epoch-id-scale ord")
+    addPairs(pairs, aCol, bCol, System.currentTimeMillis())
+  }
+
   /** Append one batch of pairs, stamped `ord` (epoch-ms or any monotone
     * batch stamp — the evidence-age axis [[compact]]'s retention prunes
     * on). Each pair lands twice (once headed by each endpoint), so the
-    * append is O(2·batch) rows; no closure work happens here.
-    *
-    * The `-1` default stamps wall-clock ingest time — refused on a
-    * strict-ord store, where one ~epoch-ms stamp onto an epoch-id-fed
-    * store would advance the high-water mark past every future epoch id
-    * and wedge all later appends. */
+    * append is O(2·batch) rows; no closure work happens here. */
   def addPairs(pairs: DataFrame, aCol: String = "doc_a",
-               bCol: String = "doc_b",
-               ord: Long = -1L): Unit =
+               bCol: String = "doc_b", ord: Long): Unit =
       StoreLock.exclusive(new File(path)) {
-    val stamp =
-      if (ord != -1L) ord
-      else {
-        require(!strictOrd, "a strict-ord ComponentsIndex requires an " +
-          "explicit batch ord: the wall-clock default would advance the " +
-          "high-water mark past every epoch-id-scale ord")
-        System.currentTimeMillis()
-      }
-    hwm.check(stamp)
+    hwm.check(ord)
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
     p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
-      .withColumn("ord", lit(stamp))
+      .withColumn("ord", lit(ord))
       .write.mode("append")
       .parquet(new File(appendGen(), "delta").getAbsolutePath)
-    hwm.advance(stamp)
+    hwm.advance(ord)
   }
 
   /** Delta links contracted onto their snapshot roots: each endpoint maps

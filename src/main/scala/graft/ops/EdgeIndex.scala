@@ -236,6 +236,28 @@ final class EdgeIndex(spark: SparkSession, path: String) {
     }
   } }
 
+  /** Published, uncompacted batch directories in the live generation —
+    * the width of the union plan reads build, which is the axis read
+    * latency degrades on: measured LINEAR at ~0.10 s per uncompacted
+    * batch, returning to the floor after [[compact]]
+    * (BATCH_COUNT_R13.json; SCALING.md "store-state accumulation"). A
+    * pure directory listing. */
+  def uncompactedBatches: Int =
+    gens.currentGen().map(batchDirs(_).size).getOrElse(0)
+
+  /** Count-triggered compaction — the maintenance-loop policy: compact
+    * when the accumulated batch count exceeds `maxBatches`
+    * ([[CompactionPolicy.maxBatches]] derives the threshold from the
+    * measured per-batch read cost and a read-latency budget), so read
+    * latency is bounded by the BUDGET rather than by how often the cron
+    * happens to fire, and a quiet store is never rewritten just because
+    * time passed. Returns true when it compacted. */
+  def compactIfDue(maxBatches: Int): Boolean = {
+    val due = uncompactedBatches > maxBatches
+    if (due) compact()
+    due
+  }
+
   /** Whether any batch has been published (a pure directory listing). */
   def hasData: Boolean = gens.currentGen().exists(batchDirs(_).nonEmpty)
 

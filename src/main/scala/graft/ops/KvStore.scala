@@ -70,7 +70,18 @@ object KvStoreExpiry {
   *
   * @param ord       versioning column (struct allowed): last-write-wins is
   *                  decided by this — across merges, replays, and
-  *                  out-of-order batches the state converges
+  *                  out-of-order batches the state converges.
+  *                  '''LWW is by CALLER-SUPPLIED ord, never arrival
+  *                  order''': a merge whose ord is below the stored
+  *                  entry's LOSES by design (that is what makes replays
+  *                  and out-of-order batches converge), which carries the
+  *                  same fresh-checkpoint footgun as the ord-stamped
+  *                  indexes ([[OrdHighWater]]) — a pipeline restarted
+  *                  with RESET ords (epoch ids back at 0) sees every new
+  *                  write silently lose to the stored state. Callers own
+  *                  the ord axis: derive it from data (event time,
+  *                  version numbers) or offset restarted epoch ids past
+  *                  the stored maximum
   * @param valueCol  the column whose null marks a tombstone
   * @param expireAtCol optional epoch-ms column; entries with a non-null
   *                  value ≤ `now` are invisible to [[read]] and reaped at

@@ -30,9 +30,17 @@ import org.apache.spark.sql.functions._
   */
 final class ParagraphIndex(spark: SparkSession, path: String,
                            idCol: String, textCol: String,
-                           sep: String = "\n\n") {
+                           sep: String = "\n\n",
+                           strictOrd: Boolean = false) {
 
   private val gens = new GenStore(path)
+
+  // the shared ord-discipline advisory: cross-batch keep-first is
+  // arbitrated by min(struct(ord, id, pos)) at read and compact — a
+  // fresh-checkpoint restart that resets ords silently FLIPS keepers to
+  // the replayed copies, the exact footgun [[OrdHighWater]] exists for
+  private val hwm = new OrdHighWater(new java.io.File(path), "paragraph",
+    strictOrd)
 
   private def php = concat(lit("p"), substring(col("ph"), 1, 1))
 
@@ -50,6 +58,7 @@ final class ParagraphIndex(spark: SparkSession, path: String,
     * docs as empty rows). */
   def addAndExcise(batch: DataFrame, ord: Long): DataFrame =
       StoreLock.exclusive(new java.io.File(path)) {
+    hwm.check(ord)
     gens.liveOrCreate()
     val u = explodeUnits(batch, idCol, textCol, sep)
       .withColumn("ph", md5(col("para")))
@@ -101,6 +110,7 @@ final class ParagraphIndex(spark: SparkSession, path: String,
       .withColumn("ord", lit(ord)).withColumn("php", php)
       .write.mode("append").partitionBy("php")
       .parquet(gens.currentGen().get.getAbsolutePath)
+    hwm.advance(ord)
 
     exciseByDrops(batch, idCol, textCol, sep, u, drops)
   }

@@ -44,9 +44,16 @@ import org.apache.spark.sql.functions._
   * the atomic pointer swap.
   */
 final class SimHashIndex(spark: SparkSession, path: String, idCol: String,
-                         maxHamming: Int = 1) {
+                         maxHamming: Int = 1, strictOrd: Boolean = false) {
 
   private val gens = new GenStore(path)
+
+  // the shared ord-discipline advisory: the dup flag is EXISTS-EARLIER,
+  // where "earlier" is (earlier batch, or smaller id in-batch) — a
+  // fresh-checkpoint restart that resets ords re-probes stored docs as
+  // if they were new and flips verdicts silently (see [[OrdHighWater]])
+  private val hwm = new OrdHighWater(new java.io.File(path), "simhash",
+    strictOrd)
   private val blocks = maxHamming + 1
   require(16 % blocks == 0, s"16 bits must split evenly into $blocks blocks")
   private val width = 16 / blocks
@@ -69,6 +76,7 @@ final class SimHashIndex(spark: SparkSession, path: String, idCol: String,
     * smallest earlier id within `maxHamming`, null for novel docs. */
   def addAndDedup(batch: DataFrame, textCol: String, ord: Long): DataFrame =
       StoreLock.exclusive(new java.io.File(path)) {
+    hwm.check(ord)
     gens.liveOrCreate()
     val sh = SimHashDedup.simhash16(batch, idCol, textCol)
     val m = melt(sh).persist()
@@ -127,6 +135,7 @@ final class SimHashIndex(spark: SparkSession, path: String, idCol: String,
       .withColumn("pb", concat(lit("b"), col("blk")))
       .write.mode("append").partitionBy("pb")
       .parquet(gens.currentGen().get.getAbsolutePath)
+    hwm.advance(ord)
     m.unpersist()
     verdict
   }

@@ -16,11 +16,12 @@ final class FencedStoreException(msg: String)
   * turns that convention into a checked epoch:
   *
   *  - `_owner` in the store root carries
-  *    `epoch|ownerId|nonce|heartbeatMs`, written by write-tmp + atomic
-  *    rename (torn reads fail safe: an unparseable owner file REJECTS
-  *    writers rather than admitting all). The nonce is a per-process
-  *    instance id: ownerIds are configured names a restarted driver
-  *    reuses, so "is this record mine" is decided by nonce, never id.
+  *    `epoch|ownerId|nonce|heartbeatMs`, written by an atomic-or-
+  *    overwriting replace (torn reads fail safe: an unparseable owner
+  *    file REJECTS writers rather than admitting all). The nonce is a
+  *    per-process instance id: ownerIds are configured names a restarted
+  *    driver reuses, so "is this record mine" is decided by nonce, never
+  *    id.
   *  - [[acquire]] is the attach operation: it bumps the epoch and makes
   *    this process the owner. Attaching over a LIVE owner (heartbeat
   *    younger than the lease) fails loudly unless `force = true` — an
@@ -37,21 +38,20 @@ final class FencedStoreException(msg: String)
   *    a deposed owner learns it lost the store at its next beat, not at
   *    its next append.
   *
-  * The mechanism needs only small-file read-after-write plus a rename —
-  * both available on HDFS and object stores (rename non-atomicity only
-  * widens the torn-read window, which fails safe); the owner/high-water
-  * IO goes through [[AdvisoryFs]], whose Hadoop `FileSystem`
-  * implementation is the non-POSIX deployment path (the `File` overloads
-  * below are the local/shared-mount convenience face). What it
-  * deliberately does NOT provide is mutual exclusion for the acquire
-  * itself: two simultaneous FORCED takeovers can race the epoch bump —
-  * but the race is no longer silent: both racers mint the same epoch
-  * under different process nonces, and [[verify]] fences whichever one
-  * the disk file did not keep at its first post-race write. Electing the
-  * single rightful owner stays with the deployment's coordinator (the
-  * cron/MaintenanceLoop driver assignment here; the metadata store
-  * there), matching the reference's shape — fencing protects the data
-  * path.
+  * The mechanism needs only small-file read-after-write plus an
+  * overwriting replace — both available on HDFS and object stores. The
+  * owner/high-water IO goes through [[AdvisoryFs]]: [[HadoopAdvisoryFs]]
+  * (any Hadoop `FileSystem`) is the non-POSIX deployment path, and the
+  * `File` overloads below are the local/shared-mount convenience face
+  * over [[LocalAdvisoryFs]]. What it deliberately does NOT provide is
+  * mutual exclusion for the acquire itself: two simultaneous FORCED
+  * takeovers can race the epoch bump — but the race is no longer silent:
+  * both racers mint the same epoch under different process nonces, and
+  * [[verify]] fences whichever one the disk file did not keep at its
+  * first post-race write. Electing the single rightful owner stays with
+  * the deployment's coordinator (the cron/MaintenanceLoop driver
+  * assignment here; the metadata store there), matching the reference's
+  * shape — fencing protects the data path.
   *
   * Reference analog: exclusive-producer access — one writer owns the
   * topic and a competing attach fails or fences the incumbent
@@ -81,42 +81,51 @@ object StoreFence {
   private val held =
     new java.util.concurrent.ConcurrentHashMap[String, Owner]()
 
-  private def ownerFile(root: File) = new File(root, "_owner")
+  /** In-process serialization for the generic [[AdvisoryFs]] faces: a
+    * non-POSIX root has no OS lock to take, but threads of one process
+    * must still not interleave read-bump-write. The `File` overloads
+    * additionally hold [[StoreLock.withPathLock]] (cross-process local
+    * exclusion); this monitor nests inside it harmlessly. */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def readOwner(root: File): Option[Owner] = {
-    val f = ownerFile(root)
-    if (!f.exists()) None
-    else {
-      val raw = new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+  private def keyLock[T](key: String)(body: => T): T =
+    monitors.computeIfAbsent(key, _ => new Object).synchronized(body)
+
+  private def ownerPath(afs: AdvisoryFs, root: String): String =
+    afs.child(root, "_owner")
+
+  private def readOwner(afs: AdvisoryFs, root: String): Option[Owner] =
+    afs.read(ownerPath(afs, root)).map { rawFull =>
+      val raw = rawFull.trim
       raw.split('|') match {
         // current format: epoch|ownerId|nonce|heartbeatMs
         case Array(e, id, n, hb) if e.nonEmpty && hb.nonEmpty =>
-          try Some(Owner(e.toLong, id, n, hb.toLong))
+          try Owner(e.toLong, id, n, hb.toLong)
           catch { case _: NumberFormatException =>
             throw new FencedStoreException(
-              s"unparseable owner file at $f: '$raw' — refusing to write")
+              s"unparseable owner file at ${ownerPath(afs, root)}: " +
+                s"'$raw' — refusing to write")
           }
         // legacy nonce-less format: reads as an empty nonce, which never
         // equals a live process's nonce — a legacy record is always
         // "someone else's", the fail-safe direction
         case Array(e, id, hb) if e.nonEmpty && hb.nonEmpty =>
-          try Some(Owner(e.toLong, id, "", hb.toLong))
+          try Owner(e.toLong, id, "", hb.toLong)
           catch { case _: NumberFormatException =>
             throw new FencedStoreException(
-              s"unparseable owner file at $f: '$raw' — refusing to write")
+              s"unparseable owner file at ${ownerPath(afs, root)}: " +
+                s"'$raw' — refusing to write")
           }
         case _ => throw new FencedStoreException(
-          s"unparseable owner file at $f: '$raw' — refusing to write")
+          s"unparseable owner file at ${ownerPath(afs, root)}: '$raw' — " +
+            "refusing to write")
       }
     }
-  }
 
-  private def writeOwner(root: File, o: Owner): Unit = {
-    root.mkdirs()
-    Fs.atomicWriteString(ownerFile(root),
+  private def writeOwner(afs: AdvisoryFs, root: String, o: Owner): Unit =
+    afs.write(ownerPath(afs, root),
       s"${o.epoch}|${o.ownerId}|${o.nonce}|${o.heartbeatMs}")
-  }
 
   /** Attach as the store's owner: bump the epoch past the incumbent's
     * and record it for this process. Fails loudly when the incumbent is
@@ -124,57 +133,76 @@ object StoreFence {
     * unless `force` (deliberate failover/recovery, which fences the
     * incumbent). Re-acquiring a store this id already owns refreshes
     * the lease. Returns the held epoch. */
-  def acquire(root: File, ownerId: String, leaseMs: Long = 60000L,
-              force: Boolean = false): Long = {
+  def acquire(afs: AdvisoryFs, root: String, ownerId: String,
+              leaseMs: Long, force: Boolean): Long = {
     // the owner file is '|'-delimited; an id that can't round-trip would
     // write a file no reader can parse — fencing out EVERYONE (fail-safe
     // but bricked until manual deletion). Reject it at the door.
     require(ownerId.nonEmpty && !ownerId.exists(c => c == '|' || c == '\n'
         || c == '\r'),
       s"ownerId must be non-empty and free of '|' and newlines: '$ownerId'")
-    StoreLock.withPathLock(root) {
-      val canon = root.getCanonicalFile
+    val key = afs.canonical(root)
+    keyLock(key) {
       val now = System.currentTimeMillis()
-      val cur = readOwner(canon)
+      val cur = readOwner(afs, root)
       cur.foreach { o =>
         val fresh = now - o.heartbeatMs < leaseMs
         if (o.ownerId != ownerId && fresh && !force)
           throw new FencedStoreException(
-            s"store $canon is owned by '${o.ownerId}' (epoch ${o.epoch}, " +
+            s"store $key is owned by '${o.ownerId}' (epoch ${o.epoch}, " +
               s"heartbeat ${now - o.heartbeatMs} ms ago, lease $leaseMs ms)" +
               " — a second driver must not attach over a live owner; " +
               "pass force=true only for deliberate failover")
       }
       val next = Owner(cur.map(_.epoch + 1).getOrElse(1L), ownerId,
         processNonce, now)
-      writeOwner(canon, next)
-      held.put(canon.getPath, next)
+      writeOwner(afs, root, next)
+      held.put(key, next)
       next.epoch
     }
   }
 
+  /** Local/shared-mount face of [[acquire]] (adds the cross-process OS
+    * path lock the POSIX deployment has available). */
+  def acquire(root: File, ownerId: String, leaseMs: Long = 60000L,
+              force: Boolean = false): Long =
+    StoreLock.withPathLock(root)(
+      acquire(LocalAdvisoryFs, root.getPath, ownerId, leaseMs, force))
+
   /** Refresh the lease — and learn about a takeover: a beat from a
-    * deposed owner throws instead of re-asserting stale ownership. The
-    * record written back is re-read FROM DISK (matched by nonce), never
-    * the held copy — a beat racing this process's own re-acquire must
-    * refresh the NEWER epoch, not regress the owner file to the stale
-    * held one (the zombie-heartbeat corruption: a deposed process whose
-    * beat rewrote its stale epoch over the successor's would un-fence
-    * itself; here the nonce mismatch makes [[verify]] throw first). */
-  def heartbeat(root: File): Unit = StoreLock.withPathLock(root) {
-    val canon = root.getCanonicalFile
-    val mine = Option(held.get(canon.getPath)).getOrElse(
-      throw new FencedStoreException(
-        s"heartbeat on $canon without a held ownership — acquire first"))
-    verify(canon)
-    // verify passed ⇒ disk is this process instance's record (same
-    // nonce, possibly a newer epoch from our own re-acquire) or absent
-    // (owner file deleted out-of-band — re-establish from the held copy)
-    val disk = readOwner(canon).getOrElse(mine)
-    val next = disk.copy(heartbeatMs = System.currentTimeMillis())
-    writeOwner(canon, next)
-    held.put(canon.getPath, next)
+    * deposed owner throws instead of re-asserting stale ownership. ONE
+    * disk read feeds both the fencing decision and the write-back, and a
+    * snapshot is adopted ONLY when its nonce is this process's own —
+    * a foreign-nonce record (a takeover landing at any point around the
+    * beat) throws, never gets copied into the held map. A same-nonce
+    * snapshot below the held epoch (a non-atomic-replace store briefly
+    * re-exposing this process's own OLDER write) is also not trusted:
+    * the write-back keeps `max(disk.epoch, held.epoch)` so the beat can
+    * never regress the epoch below values a third party may have
+    * observed. */
+  def heartbeat(afs: AdvisoryFs, root: String): Unit = {
+    val key = afs.canonical(root)
+    keyLock(key) {
+      val mine = Option(held.get(key)).getOrElse(
+        throw new FencedStoreException(
+          s"heartbeat on $key without a held ownership — acquire first"))
+      // the ONE read: fencing decision and write-back share this snapshot
+      val disk = readOwner(afs, root)
+      verifySnapshot(key, disk, Some(mine))
+      // passed ⇒ disk is this process instance's record (same nonce) or
+      // absent (owner file deleted out-of-band — re-establish held copy)
+      val base = disk.getOrElse(mine)
+      val next = base.copy(
+        epoch = math.max(base.epoch, mine.epoch),
+        heartbeatMs = System.currentTimeMillis())
+      writeOwner(afs, root, next)
+      held.put(key, next)
+    }
   }
+
+  /** Local/shared-mount face of [[heartbeat]]. */
+  def heartbeat(root: File): Unit =
+    StoreLock.withPathLock(root)(heartbeat(LocalAdvisoryFs, root.getPath))
 
   /** The data-path check, run at the head of every store write: pass on
     * an unfenced store; on a fenced one, require this process to hold
@@ -201,47 +229,63 @@ object StoreFence {
     * a raced double force-takeover (both racers read epoch N and wrote
     * N+1 — disk carries one of them, and the loser must learn at its
     * next write, not keep writing forever). */
-  def verify(root: File): Unit = {
-    val canon = root.getCanonicalFile
-    readOwner(canon).foreach { disk =>
-      Option(held.get(canon.getPath)) match {
+  def verify(afs: AdvisoryFs, root: String): Unit = {
+    val key = afs.canonical(root)
+    verifySnapshot(key, readOwner(afs, root), Option(held.get(key)))
+  }
+
+  /** Local/shared-mount face of [[verify]]. */
+  def verify(root: File): Unit =
+    verify(LocalAdvisoryFs, root.getPath)
+
+  /** The fencing decision over ONE owner-file snapshot — shared by
+    * [[verify]] (fresh read) and [[heartbeat]] (the same read that feeds
+    * its write-back, closing the adopt-a-foreign-record TOCTOU). */
+  private def verifySnapshot(key: String, disk: Option[Owner],
+                             mine: Option[Owner]): Unit =
+    disk.foreach { d =>
+      mine match {
         case None => throw new FencedStoreException(
-          s"store $canon is fenced (owner '${disk.ownerId}', epoch " +
-            s"${disk.epoch}) and this process never acquired ownership — " +
+          s"store $key is fenced (owner '${d.ownerId}', epoch " +
+            s"${d.epoch}) and this process never acquired ownership — " +
             "an errant writer must fail loudly, not corrupt silently")
-        case Some(mine) if disk.nonce == mine.nonce =>
+        case Some(m) if d.nonce == m.nonce =>
           () // our own record (acquire/heartbeat mid-update) — benign
-        case Some(mine) if mine.epoch < disk.epoch =>
+        case Some(m) if m.epoch < d.epoch =>
           throw new FencedStoreException(
-            s"store $canon was taken over: held epoch ${mine.epoch} " +
-              s"('${mine.ownerId}') < current epoch ${disk.epoch} " +
-              s"('${disk.ownerId}') — this writer is fenced")
-        case Some(mine) if mine.epoch > disk.epoch =>
+            s"store $key was taken over: held epoch ${m.epoch} " +
+              s"('${m.ownerId}') < current epoch ${d.epoch} " +
+              s"('${d.ownerId}') — this writer is fenced")
+        case Some(m) if m.epoch > d.epoch =>
           throw new FencedStoreException(
-            s"store $canon owner file regressed below the held epoch " +
-              s"(${disk.epoch} < ${mine.epoch}, owner '${disk.ownerId}') " +
+            s"store $key owner file regressed below the held epoch " +
+              s"(${d.epoch} < ${m.epoch}, owner '${d.ownerId}') " +
               "— refusing to write")
-        case Some(mine) =>
+        case Some(m) =>
           // equal epoch, different process instance: a raced double
           // force-takeover minted the same epoch twice (or a second
           // process reused this driver's configured ownerId at the same
           // epoch). The disk file is the arbiter; this writer lost.
           throw new FencedStoreException(
-            s"store $canon holds epoch ${disk.epoch} under a DIFFERENT " +
-              s"process (owner '${disk.ownerId}') while this process " +
-              s"holds the same epoch ('${mine.ownerId}') — a raced " +
+            s"store $key holds epoch ${d.epoch} under a DIFFERENT " +
+              s"process (owner '${d.ownerId}') while this process " +
+              s"holds the same epoch ('${m.ownerId}') — a raced " +
               "takeover minted one epoch twice; the on-disk record wins " +
               "and this writer is fenced")
       }
     }
-  }
 
   /** Drop this process's held ownership WITHOUT touching disk (tests; a
     * clean shutdown may also release so a successor can attach without
     * waiting out the lease — pass `deleteOwnerFile = true` for that). */
-  def release(root: File, deleteOwnerFile: Boolean = false): Unit = {
-    val canon = root.getCanonicalFile
-    held.remove(canon.getPath)
-    if (deleteOwnerFile) ownerFile(canon).delete()
+  def release(afs: AdvisoryFs, root: String,
+              deleteOwnerFile: Boolean): Unit = {
+    val key = afs.canonical(root)
+    held.remove(key)
+    if (deleteOwnerFile) afs.delete(ownerPath(afs, root))
   }
+
+  /** Local/shared-mount face of [[release]]. */
+  def release(root: File, deleteOwnerFile: Boolean = false): Unit =
+    release(LocalAdvisoryFs, root.getPath, deleteOwnerFile)
 }

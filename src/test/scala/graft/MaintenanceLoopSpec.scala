@@ -24,6 +24,44 @@ import org.apache.spark.sql.functions._
 class MaintenanceLoopSpec extends SparkSuite {
   import spark.implicits._
 
+  test("compaction triggers on batch COUNT, not cron cadence") {
+    // the policy from the measured curve (BATCH_COUNT_R13.json): edge
+    // reads degrade ~0.10 s per uncompacted batch, so a 0.5 s
+    // read-latency budget prices K = 5 batches — the loop compacts when
+    // the count exceeds K, never merely because a fire happened
+    val dir = Files.createTempDirectory("loop-policy").toFile.getAbsolutePath
+    val edges = new graft.ops.EdgeIndex(spark, dir)
+    val k = graft.ops.CompactionPolicy.maxBatches(readBudgetS = 0.5)
+    assert(k == 5)
+
+    def addBatches(r: Range): Unit = r.foreach(i =>
+      edges.addEdges(Seq((i.toLong, i + 100L)).toDF("src", "dst"), i.toLong))
+    def fires(n: Int): Seq[Boolean] = {
+      val start = LocalDateTime.of(2024, 1, 1, 0, 0)
+      var clock = start
+      val out = Seq.newBuilder[Boolean]
+      CronTriggerer.runLoop(CronTriggerer.parse("* * * * *"),
+        runPass = _ => out += edges.compactIfDue(k),
+        now = () => clock, sleepUntil = at => clock = at, maxFires = n)
+      out.result()
+    }
+
+    // 3 batches — under the threshold: repeated fires must NOT rewrite
+    // the store (cadence alone never triggers)
+    addBatches(1 to 3)
+    assert(fires(3) == Seq(false, false, false))
+    assert(edges.uncompactedBatches == 3,
+      "a quiet store under budget must not be rewritten by the cron")
+
+    // 3 more — past the threshold: the next fire compacts to one batch
+    // dir (read floor restored), and the following fire is a no-op again
+    addBatches(4 to 6)
+    assert(edges.uncompactedBatches == 6)
+    assert(fires(2) == Seq(true, false))
+    assert(edges.uncompactedBatches == 1)
+    assert(edges.edges().count() == 6, "compaction must lose no edges")
+  }
+
   test("one cron loop reaps stores, re-ingests due buckets, and compacts the index") {
     // KV store with TTL + tombstone horizon: a live key, an expiring key,
     // and a deleted key — only maintenance passes may touch them afterwards

@@ -84,6 +84,28 @@ class Bm25Spec extends SparkSuite {
     assert(idx.search(qs, 10).collect().toSet == oneShot)
   }
 
+  test("pre-per-ord stores are detected: marker stamped at creation, absence flags risk") {
+    // a store created by CURRENT code carries the _stats_format marker
+    // from its first add, so legacyStatsRisk stays false for its lifetime
+    val dir = java.nio.file.Files.createTempDirectory("bm25fmt").toFile
+    val idx = new Bm25Index(spark, dir.getAbsolutePath, "id", "text")
+    idx.add(corpus.where(col("id") <= 3), 1L)
+    assert(new java.io.File(dir, "_stats_format").exists())
+    assert(!idx.legacyStatsRisk)
+    idx.compact()
+    assert(!idx.legacyStatsRisk)
+
+    // a store predating the marker (stats data, no marker) may carry the
+    // pre-per-ord AGGREGATE stats row — the add path must flag it (and
+    // warn) rather than silently risking the max-ord replay collision;
+    // no in-place migration can tell an aggregate from a batch row, so
+    // the documented safe path is a rebuild
+    new java.io.File(dir, "_stats_format").delete()
+    assert(idx.legacyStatsRisk)
+    idx.add(corpus.where(col("id") > 3), 2L) // warns, never bricks
+    assert(idx.legacyStatsRisk, "an add must NOT silence the risk flag")
+  }
+
   test("streamed ingest (foreachBatch, epoch = ord) equals one-shot search") {
     val topic = java.nio.file.Files.createTempDirectory("bm25-topic")
       .toFile.getAbsolutePath

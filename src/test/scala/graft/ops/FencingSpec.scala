@@ -28,10 +28,19 @@ class FencingSpec extends SparkSuite {
 
   /** Simulate a REMOTE driver's takeover: bump the on-disk owner file
     * past this process's held epoch (the in-JVM half; the two-JVM case
-    * below does it through a real process). */
+    * below does it through a real process). Writes the current 4-field
+    * format under a foreign nonce — the record a real remote acquire
+    * leaves. */
   private def remoteTakeover(root: String, epoch: Long): Unit =
-    Files.write(new File(root, "_owner").toPath,
-      s"$epoch|remote-driver|${System.currentTimeMillis()}".getBytes("UTF-8"))
+    writeOwnerFile(root,
+      s"$epoch|remote-driver|feedfeedfeed|${System.currentTimeMillis()}")
+
+  private def writeOwnerFile(root: String, content: String): Unit =
+    Files.write(new File(root, "_owner").toPath, content.getBytes("UTF-8"))
+
+  private def readOwnerFile(root: String): String =
+    new String(Files.readAllBytes(new File(root, "_owner").toPath), "UTF-8")
+      .trim
 
   test("attach semantics: live owner blocks, force or expired lease fences") {
     val root = new File(tmp("fence-attach"))
@@ -47,6 +56,59 @@ class FencingSpec extends SparkSuite {
     // expired lease admits a successor without force
     Thread.sleep(5)
     assert(StoreFence.acquire(root, "driver-c", leaseMs = 1L) == 4L)
+    StoreFence.release(root, deleteOwnerFile = true)
+  }
+
+  test("nonce identity: benign self-refresh, equal-epoch fence, zombie beat") {
+    val root = new File(tmp("fence-nonce"))
+    val e0 = StoreFence.acquire(root, "driver-a")
+    val myNonce = readOwnerFile(root.getPath).split('|')(2)
+    assert(myNonce.nonEmpty)
+
+    // (1) same-nonce benign self-refresh: disk carries OUR nonce at a
+    // NEWER epoch (this driver's own in-flight re-acquire, seen by a
+    // lock-free verify before the held map updated) — verify passes,
+    // and heartbeat adopts the newer epoch rather than regressing it
+    writeOwnerFile(root.getPath,
+      s"${e0 + 5}|driver-a|$myNonce|${System.currentTimeMillis()}")
+    StoreFence.verify(root)
+    StoreFence.heartbeat(root)
+    assert(readOwnerFile(root.getPath).split('|')(0).toLong == e0 + 5,
+      "heartbeat must adopt the disk snapshot's newer same-nonce epoch")
+
+    // (2) a same-nonce snapshot BELOW the held epoch (a non-atomic
+    // replace briefly re-exposing this process's own older write) is
+    // not trusted either: the beat writes back max(disk, held)
+    writeOwnerFile(root.getPath,
+      s"$e0|driver-a|$myNonce|${System.currentTimeMillis()}")
+    StoreFence.heartbeat(root)
+    assert(readOwnerFile(root.getPath).split('|')(0).toLong == e0 + 5,
+      "heartbeat must never regress the epoch below the held one")
+
+    // (3) equal epoch under a DIFFERENT nonce: the aftermath of a raced
+    // double force-takeover (both racers minted the same epoch; disk
+    // kept the other one's record) — this writer lost and must fence
+    writeOwnerFile(root.getPath,
+      s"${e0 + 5}|driver-b|beefbeefbeef|${System.currentTimeMillis()}")
+    val eq = intercept[FencedStoreException](StoreFence.verify(root))
+    assert(eq.getMessage.contains("minted one epoch twice"))
+
+    // (4) zombie heartbeat: after a foreign takeover, the deposed beat
+    // throws AND never touches the owner file — a single disk snapshot
+    // feeds both the fencing decision and the write-back, so the beat
+    // cannot adopt the successor's record or clobber it with its own
+    writeOwnerFile(root.getPath, "99|driver-b|beefbeefbeef|12345")
+    intercept[FencedStoreException](StoreFence.heartbeat(root))
+    assert(readOwnerFile(root.getPath) == "99|driver-b|beefbeefbeef|12345",
+      "a fenced heartbeat must leave the successor's record untouched")
+
+    // (5) a legacy 3-field (nonce-less) record is always someone
+    // else's, even under this driver's own id at the held epoch —
+    // the fail-safe parse direction
+    writeOwnerFile(root.getPath,
+      s"${e0 + 5}|driver-a|${System.currentTimeMillis()}")
+    val lg = intercept[FencedStoreException](StoreFence.verify(root))
+    assert(lg.getMessage.contains("DIFFERENT"))
     StoreFence.release(root, deleteOwnerFile = true)
   }
 
@@ -160,6 +222,32 @@ class FencingSpec extends SparkSuite {
     assert(w2.exitValue() == 0, "takeover child failed:\n" + new String(
       Files.readAllBytes(new File(root, "fork-takeover.log").toPath)))
     intercept[FencedStoreException](idx.addAndDedup(docs, 2L))
+    intercept[FencedStoreException](StoreFence.heartbeat(new File(root)))
+    StoreFence.release(new File(root))
+  }
+
+  test("two JVMs: raced double takeover — the disk loser's write throws") {
+    val root = tmp("fence-race")
+    val docs = Seq((1L, "one doc"), (2L, "two doc")).toDF("id", "text")
+    val idx = new ExactDedupIndex(spark, root, "id", "text")
+
+    // this driver force-acquires (one racer); a REAL second JVM leaves
+    // the disk state of the other racer winning the same epoch (see
+    // ForkFence same-epoch-steal: the race itself needs a non-POSIX
+    // root — the local OS lock serializes acquires — so the child
+    // plants the post-race record under its own process nonce)
+    StoreFence.acquire(new File(root), "parent-driver", force = true)
+    idx.addAndDedup(docs, 1L).count()
+    StoreFence.heartbeat(new File(root))
+    val w = fork("same-epoch-steal", root, "racer-driver")
+    assert(w.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(w.exitValue() == 0, "steal child failed:\n" + new String(
+      Files.readAllBytes(new File(root, "fork-same-epoch-steal.log").toPath)))
+
+    // the disk kept the child's record at OUR epoch: this process is
+    // the race's loser and must learn at its next write and next beat
+    val e = intercept[FencedStoreException](idx.addAndDedup(docs, 2L))
+    assert(e.getMessage.contains("minted one epoch twice"))
     intercept[FencedStoreException](StoreFence.heartbeat(new File(root)))
     StoreFence.release(new File(root))
   }

@@ -1,0 +1,100 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The non-POSIX deployment path of the store-ownership layer:
+  * [[StoreFence]] and [[OrdHighWater]] routed through [[HadoopAdvisoryFs]]
+  * over a Hadoop `FileSystem` — exercised here on a `LocalFileSystem`
+  * instance, the same `FileSystem` contract surface HDFS/S3A implement.
+  * No Spark session: the fencing check is pure owner-file machinery,
+  * which is exactly what makes it deployable beyond POSIX.
+  *
+  * Reference analog: BookKeeper keeps fencing state in the storage layer
+  * itself (managed-ledger/.../ManagedLedgerImpl.java). */
+class HadoopFsSpec extends AnyFunSuite {
+
+  private def localAfs(): HadoopAdvisoryFs = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    new HadoopAdvisoryFs(org.apache.hadoop.fs.FileSystem.getLocal(conf))
+  }
+
+  private def now = System.currentTimeMillis()
+
+  test("advisory IO contract: read-absent, round-trip, replace, delete") {
+    val afs = localAfs()
+    val root = Files.createTempDirectory("hfs-io").toString
+    val p = afs.child(root, "_probe")
+    assert(afs.read(p).isEmpty)
+    afs.write(p, "one|two|3")
+    assert(afs.read(p).contains("one|two|3"))
+    afs.write(p, "replaced") // overwrite keeps the path present
+    assert(afs.read(p).contains("replaced"))
+    afs.delete(p)
+    assert(afs.read(p).isEmpty)
+    // canonical is stable and scheme-qualified (the held-map key)
+    assert(afs.canonical(root) == afs.canonical(root + "/"))
+    assert(afs.canonical(root).startsWith("file:"))
+  }
+
+  test("acquire/verify/heartbeat/release through a Hadoop FileSystem") {
+    val afs = localAfs()
+    val root = Files.createTempDirectory("hfs-fence").toString
+    assert(StoreFence.acquire(afs, root, "driver-a", 60000L, false) == 1L)
+    StoreFence.verify(afs, root) // the owner passes its own data path
+    StoreFence.heartbeat(afs, root)
+    // re-acquire by the same id refreshes (epoch still bumps)
+    assert(StoreFence.acquire(afs, root, "driver-a", 60000L, false) == 2L)
+    // a second id must not attach over the live lease, force fences
+    intercept[FencedStoreException](
+      StoreFence.acquire(afs, root, "driver-b", 60000L, false))
+    // a remote takeover (foreign nonce, higher epoch) fences this holder
+    afs.write(afs.child(root, "_owner"), s"99|driver-b|beefbeefbeef|$now")
+    intercept[FencedStoreException](StoreFence.verify(afs, root))
+    intercept[FencedStoreException](StoreFence.heartbeat(afs, root))
+    StoreFence.release(afs, root, deleteOwnerFile = true)
+    assert(afs.read(afs.child(root, "_owner")).isEmpty)
+  }
+
+  test("torn/unparseable owner records fail safe: REJECT, never admit") {
+    val afs = localAfs()
+    val root = Files.createTempDirectory("hfs-torn").toString
+    // a reader landing mid-create-overwrite sees a short record; the
+    // fencing path must reject writers on it, not treat it as unfenced
+    afs.write(afs.child(root, "_owner"), "7|drive")
+    val e = intercept[FencedStoreException](StoreFence.verify(afs, root))
+    assert(e.getMessage.contains("unparseable"))
+  }
+
+  test("one on-disk format: a Hadoop-face record fences the File face") {
+    val afs = localAfs()
+    val root = Files.createTempDirectory("hfs-interop").toString
+    afs.write(afs.child(root, "_owner"), s"5|hdfs-driver|cafecafecafe|$now")
+    // a local-face process that never acquired reads the same record
+    // and is fenced — the two faces share one format, not two stores
+    val e = intercept[FencedStoreException](
+      StoreFence.verify(new java.io.File(root)))
+    assert(e.getMessage.contains("never acquired"))
+  }
+
+  test("ord high-water advisory through a Hadoop FileSystem") {
+    val afs = localAfs()
+    val root = Files.createTempDirectory("hfs-hwm").toString
+    val hwm = new OrdHighWater(afs, root, "hfs-spec", true)
+    assert(hwm.value().isEmpty)
+    hwm.check(5L)
+    hwm.advance(5L)
+    assert(hwm.value().contains(5L))
+    hwm.check(5L) // same-ord crash replay is the one sanctioned reuse
+    intercept[IllegalStateException](hwm.check(3L)) // strict: below fails
+    hwm.advance(3L) // the mark never regresses
+    assert(hwm.value().contains(5L))
+    // unreadable mark degrades to "no check" (advisory), next advance heals
+    afs.write(afs.child(root, "_ord_hwm"), "not-a-long")
+    assert(hwm.value().isEmpty)
+    hwm.check(1L)
+    hwm.advance(9L)
+    assert(hwm.value().contains(9L))
+  }
+}

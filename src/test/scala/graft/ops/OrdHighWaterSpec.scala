@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * ord-stamped store: a fresh-checkpoint restart (ords reset below the
   * stored max) fails loudly under strict mode on BM25 (where it would
   * silently double-count tf), MinHash-LSH and components (where it
-  * would mis-age retention evidence) — ExactDedupIndex's cases live in
+  * would mis-age retention evidence), SimHash (where it would flip
+  * exists-earlier verdicts) and the paragraph index (where it would flip
+  * keep-first keepers) — ExactDedupIndex's cases live in
   * ExactDedupIndexSpec. Same-ord crash replay stays sanctioned, and a
   * torn/corrupt mark degrades to "no check" instead of bricking
   * appends. */
@@ -53,13 +55,50 @@ class OrdHighWaterSpec extends SparkSuite {
     idx.addPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"), ord = 5L) // replay
     intercept[IllegalStateException](
       idx.addPairs(Seq((2L, 3L)).toDF("doc_a", "doc_b"), ord = 3L))
-    // wall-clock-defaulted call refused on a strict store (would wedge)
+    // the wall-clock overload refused on a strict store (would wedge)
     intercept[IllegalArgumentException](
-      idx.addPairs(Seq((2L, 3L)).toDF("doc_a", "doc_b")))
+      idx.addPairs(Seq((2L, 3L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b"))
     // ... but stays available on the default (advisory) store
     val lax = new ComponentsIndex(spark, tmp("cc-lax"))
-    lax.addPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+    lax.addPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
     assert(lax.resolveAll().count() > 0)
+    // a NEGATIVE explicit ord is a legal monotone stamp, not a sentinel:
+    // it must be honored verbatim (and advance the mark), never silently
+    // remapped to wall-clock
+    val neg = new ComponentsIndex(spark, tmp("cc-neg"), strictOrd = true)
+    neg.addPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"), ord = -5L)
+    neg.addPairs(Seq((2L, 3L)).toDF("doc_a", "doc_b"), ord = -1L)
+    intercept[IllegalStateException](
+      neg.addPairs(Seq((3L, 4L)).toDF("doc_a", "doc_b"), ord = -4L))
+    assert(neg.resolveAll().count() == 3)
+  }
+
+  test("strict simhash index rejects a below-high-water append (flipped exists-earlier verdicts)") {
+    val dir = tmp("simhash-hwm")
+    val idx = new SimHashIndex(spark, dir, "id", strictOrd = true)
+    idx.addAndDedup(docs, "text", ord = 5L).count()
+    // same-ord crash replay: sanctioned, verdicts unchanged, no residue
+    val replay = idx.addAndDedup(docs, "text", ord = 5L)
+    assert(replay.where(col("is_dup")).count() == 0,
+      "a replayed batch must keep its original verdicts")
+    intercept[IllegalStateException](
+      idx.addAndDedup(docs, "text", ord = 2L))
+    idx.addAndDedup(docs.withColumn("id", col("id") + 10), "text", 6L)
+      .count() // above the mark: fine
+  }
+
+  test("strict paragraph index rejects a below-high-water append (flipped keepers)") {
+    val dir = tmp("para-hwm")
+    val idx = new ParagraphIndex(spark, dir, "id", "text", strictOrd = true)
+    val d = Seq((1L, "shared unit\n\nown one")).toDF("id", "text")
+    idx.addAndExcise(d, ord = 5L).count()
+    idx.addAndExcise(d, ord = 5L).count() // same-ord replay: sanctioned
+    assert(idx.keepers().where(col("keeper_id") === 1L).count() == 2)
+    intercept[IllegalStateException](idx.addAndExcise(
+      Seq((2L, "shared unit\n\nown two")).toDF("id", "text"), ord = 3L))
+    idx.addAndExcise(
+      Seq((3L, "shared unit\n\nown three")).toDF("id", "text"), ord = 6L)
+      .count() // above the mark: fine
   }
 
   test("a torn/corrupt mark degrades to no-check and self-heals — never bricks appends") {

@@ -19,6 +19,15 @@ import graft.ops.{FencedStoreException, StoreFence}
   *  - `takeover <root> <ownerId>`: deliberate failover — force-acquire,
   *    bumping the epoch past the parent's, then exit 0. The parent's
   *    next append must then fail in ITS process.
+  *  - `same-epoch-steal <root> <ownerId>`: the aftermath of a RACED
+  *    double force-takeover — both drivers read epoch N and wrote N+1;
+  *    disk kept this child's record. The race itself cannot be staged on
+  *    a local mount ([[graft.ops.StoreLock]]'s OS lock serializes
+  *    acquires there; only non-POSIX roots can interleave), so the child
+  *    reads the parent's owner record and rewrites it at the SAME epoch
+  *    under its own freshly-minted process nonce — the exact disk state
+  *    the race leaves. The parent (the disk loser) must then fail its
+  *    next write loudly instead of writing forever.
   */
 object ForkFence {
   def main(args: Array[String]): Unit = args.toList match {
@@ -38,6 +47,18 @@ object ForkFence {
     case "takeover" :: root :: ownerId :: Nil =>
       val epoch = StoreFence.acquire(new File(root), ownerId, force = true)
       println(s"takeover epoch=$epoch")
+      sys.exit(0)
+    case "same-epoch-steal" :: root :: ownerId :: Nil =>
+      val f = new File(root, "_owner")
+      val cur = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      val epoch = cur.split('|').head.toLong
+      val childNonce =
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      java.nio.file.Files.write(f.toPath,
+        s"$epoch|$ownerId|$childNonce|${System.currentTimeMillis()}"
+          .getBytes("UTF-8"))
+      println(s"same-epoch-steal epoch=$epoch nonce=$childNonce")
       sys.exit(0)
     case other =>
       System.err.println(s"ForkFence: bad args $other")

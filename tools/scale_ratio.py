@@ -10,16 +10,60 @@ base times where the ratio is mostly noise -- both are listed, the
 analyst separates them in SCALING.md).
 
 Usage: python3 tools/scale_ratio.py <bench_small.json> <bench_big.json>
-           <data_factor> <out.json> [flag_ratio]
+           <data_factor> <out.json> [flag_ratio] [retimes.json]
+
+retimes.json ({name: isolated_big_retime_s}) carries quiet-box isolated
+re-timings of flagged queries AS EVIDENCE: a flag whose retime lands
+back inside the threshold is adjudicated "retimed-clean" in the
+artifact itself (checked entry, not prose) -- the retime number is the
+evidence and the script re-checks it, so a later real regression
+re-flags the query even if the stale retime file is still passed.
 """
 import json
 import sys
+
+# Standing adjudications, carried as CHECKED entries (the contention.py
+# pattern) instead of SCALING.md prose: queries whose above-threshold
+# ratio has been investigated and attributed to a deliberately
+# super-linear FIXTURE, not a plan defect. They are still listed in
+# "flagged" (annotated, auditable) but do not count toward n_flagged.
+# Each entry's evidence claim is CHECKED against the records it
+# suppresses: both rest on "the fixture is corpus-QUADRATIC by
+# construction", so the measured ratio must stay inside the quadratic
+# envelope (1.2 x factor^2, the same headroom the linear flag uses) --
+# if it grows past even that, the suppression is voided and the query
+# re-flags: a real regression cannot hide behind a stale adjudication.
+# (Sub-0.3 s bases are auto-labeled "noise-base" below and need no
+# standing entry; one-off board-position noise is re-timed per round,
+# not suppressed here.)
+ADJUDICATED = {
+    "q_decontaminate_span":
+        "fixture quadratic BY CONSTRUCTION: plantedSpanCorpus plants the "
+        "same passages into every 17th doc, so sharing pairs grow with "
+        "corpus^2, and the board query disables the degenerate-bucket "
+        "star cap (maxBucket=MaxValue) so the DuckDB oracle's uncapped "
+        "cross product stays exact; the production face keeps the cap "
+        "(1024), which linearizes exactly this blow-up (SpanDedupSpec)",
+    "q_simhash_dedup":
+        "oracle-parity batch face: within-bucket pair expansion tracks "
+        "planted dup density, which the fixture grows with corpus^2; the "
+        "scale face is the persisted SimHashIndex "
+        "(q_simhash_incremental, ~1x), whose store side is "
+        "pre-aggregated per fingerprint",
+}
+
+
+def adjudication_holds(ratio, factor):
+    """The quadratic-fixture evidence, re-checked: the measured ratio
+    must stay inside the quadratic envelope."""
+    return ratio is not None and ratio <= 1.2 * factor * factor
 
 
 def main():
     small_f, big_f, factor, out_f = sys.argv[1:5]
     factor = float(factor)
     flag = float(sys.argv[5]) if len(sys.argv) > 5 else 1.2 * factor
+    retimes = json.load(open(sys.argv[6])) if len(sys.argv) > 6 else {}
     small = json.load(open(small_f))["queries"]
     big = json.load(open(big_f))["queries"]
     rows = {}
@@ -39,9 +83,39 @@ def main():
         entry = {"small_s": round(t1, 3), "big_s": round(t10, 3),
                  "ratio": round(ratio, 2)}
         if ratio > flag:
-            entry["flag"] = ("noise-base" if t1 < 0.3 else "superlinear?")
+            if name in ADJUDICATED and adjudication_holds(ratio, factor):
+                entry["flag"] = "adjudicated"
+                entry["adjudication"] = ADJUDICATED[name]
+            elif name in ADJUDICATED:
+                entry["flag"] = "superlinear?"
+                entry["adjudication_voided"] = (
+                    f"ratio {ratio:.1f} exceeds the quadratic envelope "
+                    f"{1.2 * factor * factor:.1f} the adjudication rests "
+                    f"on -- re-flagging: " + ADJUDICATED[name])
+            else:
+                entry["flag"] = ("noise-base" if t1 < 0.3
+                                 else "superlinear?")
+            # isolated quiet-box retime as CHECKED adjudication evidence
+            if entry["flag"] != "adjudicated" and name in retimes:
+                rt = float(retimes[name])
+                rt_ratio = rt / t1
+                entry["retime_big_s"] = round(rt, 3)
+                entry["retime_ratio"] = round(rt_ratio, 2)
+                if rt_ratio <= flag:
+                    entry["flag"] = "adjudicated"
+                    entry["adjudication"] = (
+                        f"re-timed alone on a quiet box: {rt:.2f}s "
+                        f"({rt_ratio:.2f}x, inside the {flag:.1f}x "
+                        "threshold) -- the sweep pass ran against ambient "
+                        "load; box noise, not growth")
+                else:
+                    entry["adjudication_voided"] = (
+                        f"isolated retime {rt:.2f}s ({rt_ratio:.2f}x) "
+                        "CONFIRMS the flag -- not noise")
         rows[name] = entry
     flagged = {k: v for k, v in rows.items() if "flag" in v}
+    n_flagged = sum(1 for v in flagged.values()
+                    if v["flag"] != "adjudicated")
     summary = {
         "data_factor": factor,
         "flag_threshold": flag,
@@ -50,7 +124,8 @@ def main():
                                    if v.get("small_s", -1) >= 0), 1),
         "total_big_s": round(sum(v["big_s"] for v in rows.values()
                                  if (v.get("big_s") or -1) >= 0), 1),
-        "n_flagged": len(flagged),
+        "n_flagged": n_flagged,
+        "n_adjudicated": len(flagged) - n_flagged,
         "flagged": {k: v for k, v in sorted(
             flagged.items(), key=lambda kv: -(kv[1].get("ratio") or 0))},
         "queries": rows,
@@ -58,7 +133,8 @@ def main():
     json.dump(summary, open(out_f, "w"), indent=1)
     print(f"wrote {out_f}: {len(rows)} queries, "
           f"{summary['total_small_s']}s -> {summary['total_big_s']}s, "
-          f"{len(flagged)} flagged (> {flag:.1f}x)")
+          f"{n_flagged} flagged (> {flag:.1f}x), "
+          f"{summary['n_adjudicated']} adjudicated")
     for k, v in summary["flagged"].items():
         print(f"  {k}: {v['small_s']}s -> {v['big_s']}s "
               f"({v['ratio']}x, {v['flag']})")
