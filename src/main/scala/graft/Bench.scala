@@ -142,28 +142,24 @@ object Bench {
     // both looks like real operator cost (it inverted a 3x MinHash win into
     // an apparent regression once). Re-time the slowest queries at the END
     // of the run — the second look lands minutes after the first,
-    // decorrelating the noise. A min-keep alone can be FLATTERED by reroll
-    // luck on a noisy box, so the retime is adopted only when the box is at
-    // least as quiet at the retime as it was at the first look — where
-    // "as quiet" must account for the bench's OWN load: loadavg mid-board
-    // reflects the board's active cores (1-min EWMA), so a retime's load is
-    // compared against max(load at the first look, the board's MEDIAN
-    // per-query load) — the median is the bench's steady self-load, and a
-    // retime at or below it ran under ordinary board conditions, while a
-    // genuinely external spike at retime time still blocks adoption.
-    // (A bare load_retime <= load_first gate systematically refused
-    // legitimate corrections for queries timed early, when the EWMA had
-    // not yet ramped.) The quiet-box gate has a symmetric second arm: a
-    // retime that is faster under load AT OR ABOVE the first look's is
-    // also adopted — a busier box cannot flatter a timing, so "faster
-    // under equal-or-worse conditions" is affirmative proof the FIRST
-    // number was the anomaly (the r13 phantom: a 24.5 s first look on a
-    // query every quiet leg timed at ~1.8 s was refused adoption because
-    // the retime-time load was between the first look's and the board
-    // median). BOTH timings and BOTH loads go into the full
-    // record ("retimed": {name: {first, retime, load_first, load_retime,
-    // adopted}} + "load_board_median") so every adoption — and every
-    // refusal — is auditable.
+    // decorrelating the noise. Adoption policy: a faster retime is ALWAYS
+    // adopted. The earlier quiet-box-only gate (adopt only when
+    // load_retime <= max(load_first, board median)) tried to block
+    // reroll-luck flattering, but its two legitimate-adoption cases —
+    // (a) retime at-least-as-quiet as the first look, (b) retime faster
+    // under load AT OR ABOVE the first look's, where a busier box cannot
+    // flatter a timing so the FIRST number must have been the anomaly —
+    // jointly cover the whole load line: any load_retime is either below
+    // max(load_first, median) or at/above load_first. So the honest form
+    // of the policy is an unconditional min-keep, stated as such rather
+    // than hidden behind a vacuous conditional. What keeps it safe is the
+    // AUDIT TRAIL, not a gate: BOTH timings and BOTH loads go into the
+    // full record ("retimed": {name: {first, retime, load_first,
+    // load_retime, adopted}} + "load_board_median"), so a suspicious
+    // adoption is visible, and a retime under a genuine external spike
+    // will virtually never BE faster in the first place (the r13 phantom
+    // went the other way: a 24.5 s first look on a query every quiet leg
+    // timed at ~1.8 s was refused adoption by the asymmetric gate).
     val loadSamples = loadAtFirst.values.toSeq.sorted
     val boardMedianLoad =
       if (loadSamples.isEmpty) 0.0 else loadSamples(loadSamples.size / 2)
@@ -171,9 +167,7 @@ object Bench {
       .map { case (name, first) =>
         val loadRetime = loadavg
         val again = once(name, selected(name))
-        val adopted = again >= 0 && again < first &&
-          (loadRetime <= math.max(loadAtFirst(name), boardMedianLoad) ||
-            loadRetime >= loadAtFirst(name))
+        val adopted = again >= 0 && again < first
         if (adopted) results(name) = again
         (name, first, again, loadAtFirst(name), loadRetime, adopted)
       }

@@ -78,7 +78,16 @@ object LocalAdvisoryFs extends AdvisoryFs {
   * create-overwrite keeps the path present throughout; a reader landing
   * mid-write sees a short or empty record, which parses as unreadable and
   * REJECTS on the fencing path (fail-safe) and degrades to "no check" on
-  * the high-water path (advisory by design). */
+  * the high-water path (advisory by design).
+  *
+  * '''Mixing faces on one local root:''' the held-epoch key aligns (see
+  * [[canonical]]), but a CHECKSUMMED `FileSystem` (the default
+  * `FileSystem.getLocal`) keeps `.crc` sidecars that a `File`-face
+  * rewrite silently invalidates — the next Hadoop-face read then fails
+  * loudly with a `ChecksumException` (fail-safe, but an operational
+  * nuisance). Pass `getLocal(conf).getRawFileSystem` when both faces
+  * drive one local mount; on HDFS/S3A the question does not arise (the
+  * `File` face cannot reach those roots at all). */
 final class HadoopAdvisoryFs(fs: org.apache.hadoop.fs.FileSystem)
     extends AdvisoryFs {
   import org.apache.hadoop.fs.Path
@@ -106,6 +115,16 @@ final class HadoopAdvisoryFs(fs: org.apache.hadoop.fs.FileSystem)
   }
   override def child(root: String, name: String): String =
     new Path(root, name).toString
-  override def canonical(root: String): String =
-    fs.makeQualified(new Path(root)).toString
+  override def canonical(root: String): String = {
+    val q = fs.makeQualified(new Path(root))
+    val uri = q.toUri
+    // a file-scheme root is the SAME store the `File` overloads may
+    // drive (a LocalFileSystem-backed deployment, or tests): key it
+    // identically to [[LocalAdvisoryFs]] so a process mixing the two
+    // faces on one local root shares one held-epoch entry instead of
+    // self-fencing under two spellings; non-file schemes key by URI
+    if (uri.getScheme == "file")
+      new File(uri.getPath).getCanonicalPath
+    else q.toString
+  }
 }

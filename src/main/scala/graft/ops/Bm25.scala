@@ -193,8 +193,11 @@ final class Bm25Index(spark: SparkSession, path: String,
           "counts. Safe path: rebuild (re-add every batch into a fresh " +
           "store); no in-place migration can tell the aggregate from a " +
           "genuine batch row.")
-    else if (!statsFormatMarker.exists() && gens.currentGen().isEmpty)
-      // store creation: stamp the layout so absence stays meaningful
+    else if (!statsFormatMarker.exists())
+      // no stats data yet (legacyStatsRisk is false), so there is
+      // nothing a legacy aggregate could hide in: stamp the layout
+      // before this add lands the store's FIRST stats row — covers both
+      // store creation and a pre-marker store whose adds were all empty
       Fs.atomicWriteString(statsFormatMarker, "per-ord-v2")
     val gen = gens.liveOrCreate()
     val (postings, stats) = Bm25.postingsOf(batch, idCol, textCol)

@@ -44,6 +44,9 @@ object CompactionPolicy {
     require(readBudgetS > 0 && perBatchReadCostS > 0,
       s"budget and per-batch cost must be positive: " +
         s"$readBudgetS / $perBatchReadCostS")
-    math.max(1, (readBudgetS / perBatchReadCostS).toInt)
+    // floor with an epsilon: 0.3/0.1 is 2.9999999999999996 in doubles,
+    // and a bare toInt would price K one batch LOW for every budget
+    // that is an exact multiple of the per-batch cost
+    math.max(1, (readBudgetS / perBatchReadCostS + 1e-9).toInt)
   }
 }

@@ -85,7 +85,12 @@ object StoreFence {
     * non-POSIX root has no OS lock to take, but threads of one process
     * must still not interleave read-bump-write. The `File` overloads
     * additionally hold [[StoreLock.withPathLock]] (cross-process local
-    * exclusion); this monitor nests inside it harmlessly. */
+    * exclusion); this monitor nests inside it harmlessly. Like
+    * [[StoreLock]]'s monitor map, entries are never removed — dropping
+    * one while another thread waits on it would mint a SECOND monitor
+    * and break the mutual exclusion — so growth is bounded only by the
+    * number of distinct store roots a process touches (one small Object
+    * each), the same accepted bound. */
   private val monitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -144,7 +149,26 @@ object StoreFence {
     val key = afs.canonical(root)
     keyLock(key) {
       val now = System.currentTimeMillis()
-      val cur = readOwner(afs, root)
+      // an UNPARSEABLE owner record rejects ordinary attachers (the
+      // fail-safe direction) — but it must not brick the deliberate
+      // RECOVERY path too: a writer that crashed mid non-atomic replace
+      // ([[HadoopAdvisoryFs.write]] has no tmp+rename) leaves a torn
+      // record forever, and force=true is exactly the documented way
+      // out. A forced acquire treats the torn record as a fenceable
+      // incumbent: the epoch resumes from the record's first field when
+      // that much survived (+1), else restarts at 1 — possibly BELOW a
+      // live holder's epoch, in which case that holder's next verify
+      // throws "regressed" loudly (fencing the incumbent is what force
+      // means; the failure is never silent).
+      val cur =
+        try readOwner(afs, root)
+        catch {
+          case _: FencedStoreException if force =>
+            val salvaged = afs.read(ownerPath(afs, root))
+              .flatMap(_.trim.split('|').headOption)
+              .flatMap(_.toLongOption)
+            Some(Owner(salvaged.getOrElse(0L), "<torn>", "", now))
+        }
       cur.foreach { o =>
         val fresh = now - o.heartbeatMs < leaseMs
         if (o.ownerId != ownerId && fresh && !force)
@@ -231,7 +255,16 @@ object StoreFence {
     * next write, not keep writing forever). */
   def verify(afs: AdvisoryFs, root: String): Unit = {
     val key = afs.canonical(root)
-    verifySnapshot(key, readOwner(afs, root), Option(held.get(key)))
+    // under keyLock: [[HadoopAdvisoryFs.write]]'s create-overwrite is
+    // not atomic, so an unlocked read could catch THIS process's own
+    // in-flight heartbeat/acquire mid-write and spuriously fence the
+    // rightful owner on a torn record. The lock serializes against our
+    // own writers; a torn read of a REMOTE writer's replace still
+    // rejects — the fail-safe direction, and a transient one (the next
+    // call reads the completed record).
+    keyLock(key) {
+      verifySnapshot(key, readOwner(afs, root), Option(held.get(key)))
+    }
   }
 
   /** Local/shared-mount face of [[verify]]. */

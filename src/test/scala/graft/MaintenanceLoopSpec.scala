@@ -33,6 +33,10 @@ class MaintenanceLoopSpec extends SparkSuite {
     val edges = new graft.ops.EdgeIndex(spark, dir)
     val k = graft.ops.CompactionPolicy.maxBatches(readBudgetS = 0.5)
     assert(k == 5)
+    // exact-multiple budgets must not price K one batch low through FP
+    // truncation (0.3/0.1 is 2.999... in doubles)
+    assert(graft.ops.CompactionPolicy.maxBatches(readBudgetS = 0.3) == 3)
+    assert(graft.ops.CompactionPolicy.maxBatches(readBudgetS = 1.2) == 12)
 
     def addBatches(r: Range): Unit = r.foreach(i =>
       edges.addEdges(Seq((i.toLong, i + 100L)).toDF("src", "dst"), i.toLong))

@@ -104,6 +104,18 @@ class Bm25Spec extends SparkSuite {
     assert(idx.legacyStatsRisk)
     idx.add(corpus.where(col("id") > 3), 2L) // warns, never bricks
     assert(idx.legacyStatsRisk, "an add must NOT silence the risk flag")
+
+    // a pre-marker store with a generation but NO stats data yet (all
+    // adds were empty) has nothing a legacy aggregate could hide in:
+    // the first real add stamps the marker instead of flagging forever
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25fmt2").toFile
+    val idx2 = new Bm25Index(spark, dir2.getAbsolutePath, "id", "text")
+    idx2.add(corpus.limit(0), 1L) // empty: creates the gen, no stats
+    new java.io.File(dir2, "_stats_format").delete()
+    assert(!idx2.legacyStatsRisk)
+    idx2.add(corpus.where(col("id") <= 3), 2L)
+    assert(new java.io.File(dir2, "_stats_format").exists())
+    assert(!idx2.legacyStatsRisk)
   }
 
   test("streamed ingest (foreachBatch, epoch = ord) equals one-shot search") {

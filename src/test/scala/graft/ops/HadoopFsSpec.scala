@@ -33,9 +33,12 @@ class HadoopFsSpec extends AnyFunSuite {
     assert(afs.read(p).contains("replaced"))
     afs.delete(p)
     assert(afs.read(p).isEmpty)
-    // canonical is stable and scheme-qualified (the held-map key)
+    // canonical is stable (the held-map key), and for a file-scheme
+    // root it ALIGNS with the File face's key — a process mixing the
+    // two faces on one local root must share one held-epoch entry, not
+    // self-fence under two spellings
     assert(afs.canonical(root) == afs.canonical(root + "/"))
-    assert(afs.canonical(root).startsWith("file:"))
+    assert(afs.canonical(root) == LocalAdvisoryFs.canonical(root))
   }
 
   test("acquire/verify/heartbeat/release through a Hadoop FileSystem") {
@@ -65,6 +68,34 @@ class HadoopFsSpec extends AnyFunSuite {
     afs.write(afs.child(root, "_owner"), "7|drive")
     val e = intercept[FencedStoreException](StoreFence.verify(afs, root))
     assert(e.getMessage.contains("unparseable"))
+    // an ordinary (non-forced) acquire is rejected on it too
+    intercept[FencedStoreException](
+      StoreFence.acquire(afs, root, "driver-a", 60000L, false))
+    // ... but the torn record must not brick RECOVERY: a writer that
+    // crashed mid non-atomic replace leaves it forever, and force=true
+    // is the documented way out — the epoch resumes past the salvaged
+    // first field (7), so the crashed holder's epoch stays fenced
+    assert(StoreFence.acquire(afs, root, "driver-a", 60000L, true) == 8L)
+    StoreFence.verify(afs, root)
+    StoreFence.release(afs, root, deleteOwnerFile = true)
+  }
+
+  test("one root, both faces, one held entry: no self-fencing on local FS") {
+    // the RAW local FS: a checksummed FileSystem keeps .crc sidecars a
+    // File-face rewrite invalidates, so mixed-face local usage rides the
+    // raw face (the AdvisoryFs scaladoc contract)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val afs = new HadoopAdvisoryFs(
+      org.apache.hadoop.fs.FileSystem.getLocal(conf).getRawFileSystem)
+    val root = Files.createTempDirectory("hfs-mixed").toString
+    // acquire through the Hadoop face; the data path driven through the
+    // File face (StoreLock.exclusive → verify(File)) must see THIS
+    // process's ownership, not fence it as a stranger
+    StoreFence.acquire(afs, root, "driver-a", 60000L, false)
+    StoreFence.verify(new java.io.File(root))
+    StoreFence.heartbeat(new java.io.File(root))
+    StoreFence.verify(afs, root)
+    StoreFence.release(afs, root, deleteOwnerFile = true)
   }
 
   test("one on-disk format: a Hadoop-face record fences the File face") {

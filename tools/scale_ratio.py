@@ -12,12 +12,17 @@ analyst separates them in SCALING.md).
 Usage: python3 tools/scale_ratio.py <bench_small.json> <bench_big.json>
            <data_factor> <out.json> [flag_ratio] [retimes.json]
 
-retimes.json ({name: isolated_big_retime_s}) carries quiet-box isolated
-re-timings of flagged queries AS EVIDENCE: a flag whose retime lands
-back inside the threshold is adjudicated "retimed-clean" in the
-artifact itself (checked entry, not prose) -- the retime number is the
-evidence and the script re-checks it, so a later real regression
-re-flags the query even if the stale retime file is still passed.
+retimes.json ({name: {"retime_s": s, "for_big_s": s}}) carries
+quiet-box isolated re-timings of flagged queries AS EVIDENCE: a flag
+whose retime lands back inside the threshold is adjudicated
+"retimed-clean" in the artifact itself (checked entry, not prose).
+The evidence is tied to the MEASUREMENT it explains: "for_big_s"
+records the flagged big-board number the retime adjudicated, and the
+adjudication is voided as STALE when the current big_s has grown past
+it (beyond RETIME_STALENESS_TOLERANCE) -- a retime of last round's
+noise says nothing about this round's bigger number, so a later real
+regression re-flags the query even if the stale retime file is still
+passed.
 """
 import json
 import sys
@@ -59,6 +64,12 @@ def adjudication_holds(ratio, factor):
     return ratio is not None and ratio <= 1.2 * factor * factor
 
 
+# A retime adjudicates only the measurement it retimed: if the current
+# big-board number has grown past the recorded one by more than this,
+# the retime is STALE evidence and the flag stands.
+RETIME_STALENESS_TOLERANCE = 1.25
+
+
 def main():
     small_f, big_f, factor, out_f = sys.argv[1:5]
     factor = float(factor)
@@ -97,11 +108,19 @@ def main():
                                  else "superlinear?")
             # isolated quiet-box retime as CHECKED adjudication evidence
             if entry["flag"] != "adjudicated" and name in retimes:
-                rt = float(retimes[name])
+                rec = retimes[name]
+                rt = float(rec["retime_s"])
+                for_big = float(rec["for_big_s"])
                 rt_ratio = rt / t1
                 entry["retime_big_s"] = round(rt, 3)
                 entry["retime_ratio"] = round(rt_ratio, 2)
-                if rt_ratio <= flag:
+                if t10 > for_big * RETIME_STALENESS_TOLERANCE:
+                    entry["adjudication_voided"] = (
+                        f"retime evidence is STALE: it adjudicated a "
+                        f"{for_big:.2f}s measurement but the current "
+                        f"big_s is {t10:.2f}s (> {RETIME_STALENESS_TOLERANCE}x"
+                        ") -- re-time on a quiet box before suppressing")
+                elif rt_ratio <= flag:
                     entry["flag"] = "adjudicated"
                     entry["adjudication"] = (
                         f"re-timed alone on a quiet box: {rt:.2f}s "
