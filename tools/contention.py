@@ -11,7 +11,18 @@ shared driver locks, registry/factory serialization, broadcast-cleanup
 stalls, storage churn -- the defect class plan audits cannot see.
 
 Usage: python3 tools/contention.py <serial.json> <out.json> \
-           <threads:concurrent.json> [<threads:concurrent.json> ...]
+           <threads:concurrent.json> [<threads:concurrent.json> ...] \
+           [--reruns reruns.json]
+
+reruns.json ({name: {"threads": N, "rerun_s": s, "for_concurrent_s": s}})
+carries SAME-WIDTH re-runs of flagged queries as checked adjudication
+evidence: an over-fair-share flag whose same-width rerun lands back
+inside the fair-share envelope was a one-off scheduling spike (the
+iterative-query pattern: each CC/k-means round re-queues behind the
+full board, so one unlucky interleaving inflates one timing), not a
+lock -- a lock reproduces. The evidence is tied to the measurement it
+explains ("for_concurrent_s"): if the current concurrent_s has grown
+past it, the rerun is STALE and the flag stands.
 """
 import json
 import sys
@@ -47,11 +58,20 @@ def adjudication_holds(name, runs):
     return pts[-1][1] <= pts[0][1] * FLATNESS_TOLERANCE
 
 
+RERUN_STALENESS_TOLERANCE = 1.25
+
+
 def main():
     serial_f, out_f = sys.argv[1:3]
     serial = json.load(open(serial_f))
+    args = sys.argv[3:]
+    reruns = {}
+    if "--reruns" in args:
+        i = args.index("--reruns")
+        reruns = json.load(open(args[i + 1]))
+        args = args[:i] + args[i + 2:]
     runs = []
-    for spec in sys.argv[3:]:
+    for spec in args:
         n, f = spec.split(":", 1)
         runs.append((int(n), json.load(open(f))))
     base = serial["queries"]
@@ -84,6 +104,32 @@ def main():
                         "widest run")
                 else:
                     entry["flag"] = "interference?"
+                # same-width rerun as CHECKED adjudication evidence: a
+                # lock reproduces; a one-off scheduling spike does not
+                if (entry["flag"] == "interference?" and name in reruns
+                        and reruns[name].get("threads") == n):
+                    rec_r = reruns[name]
+                    rr = float(rec_r["rerun_s"])
+                    for_c = float(rec_r["for_concurrent_s"])
+                    entry["rerun_s"] = round(rr, 3)
+                    entry["rerun_ratio"] = round(rr / t1, 2)
+                    if tc > for_c * RERUN_STALENESS_TOLERANCE:
+                        entry["adjudication_voided"] = (
+                            f"rerun evidence is STALE: it adjudicated a "
+                            f"{for_c:.2f}s measurement but the current "
+                            f"concurrent_s is {tc:.2f}s -- re-run at this "
+                            "width before suppressing")
+                    elif rr / t1 <= 2.0 * n:
+                        entry["flag"] = "adjudicated"
+                        entry["adjudication"] = (
+                            f"same-width rerun landed at {rr:.2f}s "
+                            f"({rr / t1:.2f}x, inside the {2.0 * n:.0f}x "
+                            "fair-share envelope): a one-off scheduling "
+                            "spike, not a lock -- a lock reproduces")
+                    else:
+                        entry["adjudication_voided"] = (
+                            f"same-width rerun {rr:.2f}s ({rr / t1:.2f}x) "
+                            "CONFIRMS the flag -- reproducible, not noise")
             elif r > 2.0 * n:
                 entry["flag"] = "noise-base"
             ratios[name] = entry
