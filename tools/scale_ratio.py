@@ -12,10 +12,14 @@ analyst separates them in SCALING.md).
 Usage: python3 tools/scale_ratio.py <bench_small.json> <bench_big.json>
            <data_factor> <out.json> [flag_ratio] [retimes.json]
 
-retimes.json ({name: {"retime_s": s, "for_big_s": s}}) carries
-quiet-box isolated re-timings of flagged queries AS EVIDENCE: a flag
-whose retime lands back inside the threshold is adjudicated
-"retimed-clean" in the artifact itself (checked entry, not prose).
+retimes.json ({name: {"retime_s": s, "for_big_s": s,
+"small_retime_s": s?}}) carries quiet-box isolated re-timings of
+flagged queries AS EVIDENCE: a flag whose retime lands back inside the
+threshold is adjudicated "retimed-clean" in the artifact itself
+(checked entry, not prose). Board-condition noise lands on BOTH sides
+of a sweep ratio, so when "small_retime_s" (an isolated re-time of the
+SMALL-side board number) is present the evidence ratio is
+isolated/isolated rather than isolated/sweep.
 The evidence is tied to the MEASUREMENT it explains: "for_big_s"
 records the flagged big-board number the retime adjudicated, and the
 adjudication is voided as STALE when the current big_s has grown past
@@ -111,8 +115,12 @@ def main():
                 rec = retimes[name]
                 rt = float(rec["retime_s"])
                 for_big = float(rec["for_big_s"])
-                rt_ratio = rt / t1
+                small = (float(rec["small_retime_s"])
+                         if "small_retime_s" in rec else t1)
+                rt_ratio = rt / small
                 entry["retime_big_s"] = round(rt, 3)
+                if "small_retime_s" in rec:
+                    entry["retime_small_s"] = round(small, 3)
                 entry["retime_ratio"] = round(rt_ratio, 2)
                 if t10 > for_big * RETIME_STALENESS_TOLERANCE:
                     entry["adjudication_voided"] = (
@@ -123,10 +131,10 @@ def main():
                 elif rt_ratio <= flag:
                     entry["flag"] = "adjudicated"
                     entry["adjudication"] = (
-                        f"re-timed alone on a quiet box: {rt:.2f}s "
-                        f"({rt_ratio:.2f}x, inside the {flag:.1f}x "
-                        "threshold) -- the sweep pass ran against ambient "
-                        "load; box noise, not growth")
+                        f"re-timed alone: {rt:.2f}s / {small:.2f}s = "
+                        f"{rt_ratio:.2f}x, inside the {flag:.1f}x "
+                        "threshold -- the sweep ratio carried "
+                        "board-condition noise")
                 else:
                     entry["adjudication_voided"] = (
                         f"isolated retime {rt:.2f}s ({rt_ratio:.2f}x) "
