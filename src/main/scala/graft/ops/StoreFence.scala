@@ -314,8 +314,14 @@ object StoreFence {
   def release(afs: AdvisoryFs, root: String,
               deleteOwnerFile: Boolean): Unit = {
     val key = afs.canonical(root)
-    held.remove(key)
-    if (deleteOwnerFile) afs.delete(ownerPath(afs, root))
+    // under keyLock like every other held/disk mutator: an unserialized
+    // release racing an in-flight heartbeat would interleave as
+    // remove+delete THEN the beat's writeOwner+held.put — resurrecting
+    // both and blocking a successor's ordinary acquire for a full lease
+    keyLock(key) {
+      held.remove(key)
+      if (deleteOwnerFile) afs.delete(ownerPath(afs, root))
+    }
   }
 
   /** Local/shared-mount face of [[release]]. */

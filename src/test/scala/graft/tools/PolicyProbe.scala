@@ -68,7 +68,10 @@ object PolicyProbe {
     }
 
     val pr = policyReads.result()
-    def fmt(d: Double) = f"$d%.3f"
+    // Locale.ROOT: the default-locale f-interpolator would emit
+    // comma-decimal numbers on de/fr boxes — invalid JSON
+    def fmt(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val line =
       s"""{"probe":"compaction_policy","n":$n,"budget_s":$budgetS,""" +
       s""""k":$k,"per_batch_cost_s":${CompactionPolicy.EdgePerBatchReadCostS},""" +

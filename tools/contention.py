@@ -14,15 +14,18 @@ Usage: python3 tools/contention.py <serial.json> <out.json> \
            <threads:concurrent.json> [<threads:concurrent.json> ...] \
            [--reruns reruns.json]
 
-reruns.json ({name: {"threads": N, "rerun_s": s, "for_concurrent_s": s}})
-carries SAME-WIDTH re-runs of flagged queries as checked adjudication
-evidence: an over-fair-share flag whose same-width rerun lands back
-inside the fair-share envelope was a one-off scheduling spike (the
-iterative-query pattern: each CC/k-means round re-queues behind the
-full board, so one unlucky interleaving inflates one timing), not a
-lock -- a lock reproduces. The evidence is tied to the measurement it
-explains ("for_concurrent_s"): if the current concurrent_s has grown
-past it, the rerun is STALE and the flag stands.
+reruns.json ({name: {"threads": N, "rerun_s": s, "for_concurrent_s": s,
+"for_serial_s": s?}}) carries SAME-WIDTH re-runs of flagged queries as
+checked adjudication evidence: an over-fair-share flag whose same-width
+rerun lands back inside the fair-share envelope was a one-off
+scheduling spike (the iterative-query pattern: each CC/k-means round
+re-queues behind the full board, so one unlucky interleaving inflates
+one timing), not a lock -- a lock reproduces. The evidence is tied to
+the measurement PAIR it explains: if the current concurrent_s has grown
+past "for_concurrent_s", or the current serial base has moved outside
+"for_serial_s"'s tolerance band in either direction (a shrunken serial
+base inflates the current ratio just as a grown concurrent side does),
+the rerun is STALE and the flag stands.
 """
 import json
 import sys
@@ -109,16 +112,31 @@ def main():
                 if (entry["flag"] == "interference?" and name in reruns
                         and reruns[name].get("threads") == n):
                     rec_r = reruns[name]
+                    # preserve any standing-adjudication voiding message:
+                    # the rerun is independent evidence and may still
+                    # adjudicate, but the artifact IS the audit trail
+                    if "adjudication_voided" in entry:
+                        entry["standing_adjudication_voided"] = (
+                            entry.pop("adjudication_voided"))
                     rr = float(rec_r["rerun_s"])
                     for_c = float(rec_r["for_concurrent_s"])
+                    tol = RERUN_STALENESS_TOLERANCE
+                    for_s = float(rec_r.get("for_serial_s", t1))
+                    serial_stale = not (for_s / tol <= t1 <= for_s * tol)
                     entry["rerun_s"] = round(rr, 3)
                     entry["rerun_ratio"] = round(rr / t1, 2)
-                    if tc > for_c * RERUN_STALENESS_TOLERANCE:
+                    if tc > for_c * tol:
                         entry["adjudication_voided"] = (
                             f"rerun evidence is STALE: it adjudicated a "
                             f"{for_c:.2f}s measurement but the current "
                             f"concurrent_s is {tc:.2f}s -- re-run at this "
                             "width before suppressing")
+                    elif serial_stale:
+                        entry["adjudication_voided"] = (
+                            f"rerun evidence is STALE on the SERIAL side: "
+                            f"it adjudicated a {for_s:.2f}s base but the "
+                            f"current serial_s is {t1:.2f}s (outside the "
+                            f"{tol}x band) -- re-measure before suppressing")
                     elif rr / t1 <= 2.0 * n:
                         entry["flag"] = "adjudicated"
                         entry["adjudication"] = (

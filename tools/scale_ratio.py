@@ -13,20 +13,22 @@ Usage: python3 tools/scale_ratio.py <bench_small.json> <bench_big.json>
            <data_factor> <out.json> [flag_ratio] [retimes.json]
 
 retimes.json ({name: {"retime_s": s, "for_big_s": s,
-"small_retime_s": s?}}) carries quiet-box isolated re-timings of
-flagged queries AS EVIDENCE: a flag whose retime lands back inside the
-threshold is adjudicated "retimed-clean" in the artifact itself
-(checked entry, not prose). Board-condition noise lands on BOTH sides
-of a sweep ratio, so when "small_retime_s" (an isolated re-time of the
-SMALL-side board number) is present the evidence ratio is
-isolated/isolated rather than isolated/sweep.
-The evidence is tied to the MEASUREMENT it explains: "for_big_s"
-records the flagged big-board number the retime adjudicated, and the
-adjudication is voided as STALE when the current big_s has grown past
-it (beyond RETIME_STALENESS_TOLERANCE) -- a retime of last round's
-noise says nothing about this round's bigger number, so a later real
-regression re-flags the query even if the stale retime file is still
-passed.
+"small_retime_s": s?, "for_small_s": s?}}) carries quiet-box isolated
+re-timings of flagged queries AS EVIDENCE: a flag whose retime lands
+back inside the threshold is adjudicated "retimed-clean" in the
+artifact itself (checked entry, not prose). Board-condition noise
+lands on BOTH sides of a sweep ratio, so when "small_retime_s" (an
+isolated re-time of the SMALL-side board number) is present the
+evidence ratio is isolated/isolated rather than isolated/sweep.
+The evidence is tied to the MEASUREMENT PAIR it explains: "for_big_s"
+(and "for_small_s", required beside small_retime_s) record the board
+numbers the retime adjudicated, and the adjudication is voided as
+STALE when the current big_s has grown past for_big_s OR the current
+small_s has moved outside for_small_s's tolerance band in either
+direction -- a retime of last round's numbers says nothing about this
+round's different ones (a shrunken small side inflates the current
+sweep ratio just as a grown big side does), so a later real regression
+re-flags the query even if the stale retime file is still passed.
 """
 import json
 import sys
@@ -113,25 +115,46 @@ def main():
             # isolated quiet-box retime as CHECKED adjudication evidence
             if entry["flag"] != "adjudicated" and name in retimes:
                 rec = retimes[name]
+                # a standing adjudication's envelope may already have
+                # been voided above; a rerun is independent evidence, so
+                # it may still adjudicate -- but the artifact keeps the
+                # earlier voiding on record (it IS the audit trail)
+                if "adjudication_voided" in entry:
+                    entry["standing_adjudication_voided"] = (
+                        entry.pop("adjudication_voided"))
                 rt = float(rec["retime_s"])
                 for_big = float(rec["for_big_s"])
-                small = (float(rec["small_retime_s"])
-                         if "small_retime_s" in rec else t1)
-                rt_ratio = rt / small
+                small_rt = (float(rec["small_retime_s"])
+                            if "small_retime_s" in rec else t1)
+                rt_ratio = rt / small_rt
                 entry["retime_big_s"] = round(rt, 3)
                 if "small_retime_s" in rec:
-                    entry["retime_small_s"] = round(small, 3)
+                    entry["retime_small_s"] = round(small_rt, 3)
                 entry["retime_ratio"] = round(rt_ratio, 2)
-                if t10 > for_big * RETIME_STALENESS_TOLERANCE:
+                tol = RETIME_STALENESS_TOLERANCE
+                # the denominator evidence goes stale in BOTH directions:
+                # a shrunken current small side inflates the sweep ratio
+                # just as a grown big side does, and an isolated
+                # small_retime_s of the OLD number would suppress it
+                for_small = float(rec.get("for_small_s", t1))
+                small_stale = ("small_retime_s" in rec and
+                               not (for_small / tol <= t1 <= for_small * tol))
+                if t10 > for_big * tol:
                     entry["adjudication_voided"] = (
                         f"retime evidence is STALE: it adjudicated a "
                         f"{for_big:.2f}s measurement but the current "
-                        f"big_s is {t10:.2f}s (> {RETIME_STALENESS_TOLERANCE}x"
+                        f"big_s is {t10:.2f}s (> {tol}x"
                         ") -- re-time on a quiet box before suppressing")
+                elif small_stale:
+                    entry["adjudication_voided"] = (
+                        f"retime evidence is STALE on the SMALL side: it "
+                        f"adjudicated a {for_small:.2f}s small_s but the "
+                        f"current small_s is {t1:.2f}s (outside the {tol}x "
+                        "band) -- re-time both sides before suppressing")
                 elif rt_ratio <= flag:
                     entry["flag"] = "adjudicated"
                     entry["adjudication"] = (
-                        f"re-timed alone: {rt:.2f}s / {small:.2f}s = "
+                        f"re-timed alone: {rt:.2f}s / {small_rt:.2f}s = "
                         f"{rt_ratio:.2f}x, inside the {flag:.1f}x "
                         "threshold -- the sweep ratio carried "
                         "board-condition noise")
