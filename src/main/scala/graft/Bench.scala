@@ -176,7 +176,8 @@ object Bench {
     val retimesJson = retimes.map {
       case (name, first, again, lf, lr, adopted) =>
         "\"" + name + "\":{\"first\":" + first + ",\"retime\":" + again +
-          f""","load_first":$lf%.2f,"load_retime":$lr%.2f,"adopted":$adopted}"""
+          s""","load_first":${JsonNum.fmt(lf, 2)},"load_retime":${
+            JsonNum.fmt(lr, 2)},"adopted":$adopted}"""
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -184,7 +185,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"load_board_median":${f"$boardMedianLoad%.2f"},"retimed_improved":$retimedJson,"retimed":$retimesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"load_board_median":${JsonNum.fmt(boardMedianLoad, 2)},"retimed_improved":$retimedJson,"retimed":$retimesJson,"sf":"$sfDir"}"""
     // stop BEFORE printing: Spark's shutdown chatter must not land after
     // the record — the JSON line is the LAST thing this main writes to
     // stdout (only sbt's own [success] trailer can follow it)
@@ -203,7 +204,7 @@ object Bench {
     // shape, timings at ms precision, and only as many per-query entries
     // (slowest first — the ones plan audits care about) as fit the budget;
     // "omitted" + "full" say where the rest live
-    def fmt(v: Double): String = f"$v%.3f"
+    def fmt(v: Double): String = JsonNum.fmt(v, 3)
     val budget = 1800
     val sortedEntries = results.toSeq.sortBy { case (_, v) =>
       if (v < 0) Double.MaxValue else -v } // failed (-1) last; failed[] names them
@@ -286,11 +287,11 @@ object Bench {
         a(repeat - 1) / a(1) > 2.0
     }
     val qs = times.map { case (k, a) =>
-      "\"" + k + "\":[" + a.map(v => f"$v%.3f").mkString(",") + "]"
+      "\"" + k + "\":[" + a.map(v => JsonNum.fmt(v, 3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"soak","iters":$repeat,"unit":"sec","totals":[${
-        totals.map(v => f"$v%.1f").mkString(",")}],"heap_mb":[${
+        totals.map(v => JsonNum.fmt(v, 1)).mkString(",")}],"heap_mb":[${
         heaps.mkString(",")}],"threads_live":[${
         threadsLive.mkString(",")}],"drift_flagged":[${
         drift.map("\"" + _ + "\"").mkString(",")}],"failed":[${

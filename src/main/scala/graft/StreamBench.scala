@@ -339,12 +339,12 @@ object StreamBench {
     val nChunks =
       try spark.read.parquet(chunkDir).count()
       catch { case _: Throwable => 0L }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + JsonNum.fmt(v, 0) }
       .mkString("{", ",", "}")
     val attJson = attTotals
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",",
-        s""","simhash_dups":$simhashDups,"n_chunks":$nChunks,"n_edges":$nEdges,"edge_rank_s":${f"$edgeRankS%.2f"}}""")
+        s""","simhash_dups":$simhashDups,"n_chunks":$nChunks,"n_edges":$nEdges,"edge_rank_s":${JsonNum.fmt(edgeRankS, 2)}}""")
     println(s"""{"metric":"stream_rows_per_s","rows":$n,"queries":$qs,"curate_attrition":$attJson,"sf":"$sfDir"}""")
     spark.stop()
   }

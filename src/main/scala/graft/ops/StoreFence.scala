@@ -310,7 +310,13 @@ object StoreFence {
 
   /** Drop this process's held ownership WITHOUT touching disk (tests; a
     * clean shutdown may also release so a successor can attach without
-    * waiting out the lease — pass `deleteOwnerFile = true` for that). */
+    * waiting out the lease — pass `deleteOwnerFile = true` for that).
+    * The delete only happens when the on-disk record is still THIS
+    * process's own (nonce match): a deposed driver's clean shutdown
+    * must not delete its successor's owner file — that would un-fence
+    * the store for every writer until the successor's next beat. A
+    * torn/unparseable record is also left in place (it REJECTS writers,
+    * the fail-safe direction; recovery is the forced acquire). */
   def release(afs: AdvisoryFs, root: String,
               deleteOwnerFile: Boolean): Unit = {
     val key = afs.canonical(root)
@@ -319,12 +325,22 @@ object StoreFence {
     // remove+delete THEN the beat's writeOwner+held.put — resurrecting
     // both and blocking a successor's ordinary acquire for a full lease
     keyLock(key) {
-      held.remove(key)
-      if (deleteOwnerFile) afs.delete(ownerPath(afs, root))
+      val mine = Option(held.remove(key))
+      if (deleteOwnerFile) {
+        val ours = mine.exists { m =>
+          try readOwner(afs, root).exists(_.nonce == m.nonce)
+          catch { case _: FencedStoreException => false }
+        }
+        if (ours) afs.delete(ownerPath(afs, root))
+      }
     }
   }
 
-  /** Local/shared-mount face of [[release]]. */
+  /** Local/shared-mount face of [[release]] (adds the cross-process OS
+    * path lock like its acquire/heartbeat siblings, so a release cannot
+    * interleave with another PROCESS's acquire on a shared mount and
+    * delete the record that acquire just wrote). */
   def release(root: File, deleteOwnerFile: Boolean = false): Unit =
-    release(LocalAdvisoryFs, root.getPath, deleteOwnerFile)
+    StoreLock.withPathLock(root)(
+      release(LocalAdvisoryFs, root.getPath, deleteOwnerFile))
 }

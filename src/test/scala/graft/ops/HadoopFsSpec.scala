@@ -53,9 +53,17 @@ class HadoopFsSpec extends AnyFunSuite {
     intercept[FencedStoreException](
       StoreFence.acquire(afs, root, "driver-b", 60000L, false))
     // a remote takeover (foreign nonce, higher epoch) fences this holder
-    afs.write(afs.child(root, "_owner"), s"99|driver-b|beefbeefbeef|$now")
+    val successor = s"99|driver-b|beefbeefbeef|$now"
+    afs.write(afs.child(root, "_owner"), successor)
     intercept[FencedStoreException](StoreFence.verify(afs, root))
     intercept[FencedStoreException](StoreFence.heartbeat(afs, root))
+    // the DEPOSED driver's clean shutdown must NOT delete its
+    // successor's owner record — that would un-fence the store for
+    // every writer until the successor's next beat
+    StoreFence.release(afs, root, deleteOwnerFile = true)
+    assert(afs.read(afs.child(root, "_owner")).contains(successor))
+    // ... while the RIGHTFUL owner's release does delete its own record
+    StoreFence.acquire(afs, root, "driver-b", 1L, false) // lease expired
     StoreFence.release(afs, root, deleteOwnerFile = true)
     assert(afs.read(afs.child(root, "_owner")).isEmpty)
   }

@@ -103,9 +103,9 @@ object BatchCountProbe {
     val postS = stores.map(s => s -> median3(readOnce(s))).toMap
     def arr(m: Map[String, collection.mutable.ArrayBuffer[Double]]) =
       stores.map(s => "\"" + s + "\":[" +
-        m(s).map(v => f"$v%.3f").mkString(",") + "]").mkString("{", ",", "}")
+        m(s).map(v => graft.JsonNum.fmt(v, 3)).mkString(",") + "]").mkString("{", ",", "}")
     def obj(m: Map[String, Double]) =
-      stores.map(s => "\"" + s + "\":" + f"${m(s)}%.3f")
+      stores.map(s => "\"" + s + "\":" + graft.JsonNum.fmt(m(s), 3))
         .mkString("{", ",", "}")
     val line = s"""{"probe":"batch_count","n":$n,"checkpoints":[${
       cps.mkString(",")}],"read_s":${arr(readS)},"append_s":${

@@ -68,10 +68,7 @@ object PolicyProbe {
     }
 
     val pr = policyReads.result()
-    // Locale.ROOT: the default-locale f-interpolator would emit
-    // comma-decimal numbers on de/fr boxes — invalid JSON
-    def fmt(d: Double) =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def fmt(d: Double) = graft.JsonNum.fmt(d, 3)
     val line =
       s"""{"probe":"compaction_policy","n":$n,"budget_s":$budgetS,""" +
       s""""k":$k,"per_batch_cost_s":${CompactionPolicy.EdgePerBatchReadCostS},""" +

@@ -121,11 +121,22 @@ def main():
                     rr = float(rec_r["rerun_s"])
                     for_c = float(rec_r["for_concurrent_s"])
                     tol = RERUN_STALENESS_TOLERANCE
+                    # for_serial_s is REQUIRED: defaulting the anchor to
+                    # the current t1 would make the band check trivially
+                    # pass and silently disable the serial-side guard
+                    # for legacy rerun records
+                    has_anchor = "for_serial_s" in rec_r
                     for_s = float(rec_r.get("for_serial_s", t1))
                     serial_stale = not (for_s / tol <= t1 <= for_s * tol)
                     entry["rerun_s"] = round(rr, 3)
                     entry["rerun_ratio"] = round(rr / t1, 2)
-                    if tc > for_c * tol:
+                    if not has_anchor:
+                        entry["adjudication_voided"] = (
+                            "rerun record lacks for_serial_s -- the "
+                            "serial-side staleness check cannot run; "
+                            "re-record the evidence with the serial base "
+                            "it adjudicated")
+                    elif tc > for_c * tol:
                         entry["adjudication_voided"] = (
                             f"rerun evidence is STALE: it adjudicated a "
                             f"{for_c:.2f}s measurement but the current "

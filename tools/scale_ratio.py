@@ -135,11 +135,21 @@ def main():
                 # the denominator evidence goes stale in BOTH directions:
                 # a shrunken current small side inflates the sweep ratio
                 # just as a grown big side does, and an isolated
-                # small_retime_s of the OLD number would suppress it
+                # small_retime_s of the OLD number would suppress it.
+                # for_small_s is REQUIRED beside small_retime_s: without
+                # the anchor the band check cannot run, and defaulting it
+                # to the current t1 would make it trivially pass --
+                # silently disabling the guard for legacy records
                 for_small = float(rec.get("for_small_s", t1))
                 small_stale = ("small_retime_s" in rec and
                                not (for_small / tol <= t1 <= for_small * tol))
-                if t10 > for_big * tol:
+                if "small_retime_s" in rec and "for_small_s" not in rec:
+                    entry["adjudication_voided"] = (
+                        "retime record carries small_retime_s without "
+                        "for_small_s -- the small-side staleness check "
+                        "cannot run; re-record the evidence with the "
+                        "small_s it adjudicated")
+                elif t10 > for_big * tol:
                     entry["adjudication_voided"] = (
                         f"retime evidence is STALE: it adjudicated a "
                         f"{for_big:.2f}s measurement but the current "
