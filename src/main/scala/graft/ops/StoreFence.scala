@@ -312,11 +312,22 @@ object StoreFence {
     * clean shutdown may also release so a successor can attach without
     * waiting out the lease — pass `deleteOwnerFile = true` for that).
     * The delete only happens when the on-disk record is still THIS
-    * process's own (nonce match): a deposed driver's clean shutdown
-    * must not delete its successor's owner file — that would un-fence
-    * the store for every writer until the successor's next beat. A
-    * torn/unparseable record is also left in place (it REJECTS writers,
-    * the fail-safe direction; recovery is the forced acquire). */
+    * process's own (nonce match against the PROCESS nonce, not the held
+    * map — a release after an earlier no-delete release must still be
+    * able to clean up this process's record): a deposed driver's clean
+    * shutdown must not delete its successor's owner file — that would
+    * un-fence the store for every writer until the successor's next
+    * beat. A torn/unparseable record is also left in place (it REJECTS
+    * writers, the fail-safe direction; recovery is the forced acquire).
+    *
+    * '''Non-POSIX scope:''' the check-then-delete is atomic against
+    * other LOCAL processes only (the `File` face's OS lock); on an
+    * HDFS/S3 root a FORCED takeover racing this release can have its
+    * just-written record deleted — a transient unfenced window the
+    * successor's own next heartbeat/append closes (heartbeat
+    * re-establishes an absent owner file from the held copy). A
+    * contested failover on a non-POSIX root should therefore let the
+    * lease expire rather than pass `deleteOwnerFile = true`. */
   def release(afs: AdvisoryFs, root: String,
               deleteOwnerFile: Boolean): Unit = {
     val key = afs.canonical(root)
@@ -325,22 +336,25 @@ object StoreFence {
     // remove+delete THEN the beat's writeOwner+held.put — resurrecting
     // both and blocking a successor's ordinary acquire for a full lease
     keyLock(key) {
-      val mine = Option(held.remove(key))
+      held.remove(key)
       if (deleteOwnerFile) {
-        val ours = mine.exists { m =>
-          try readOwner(afs, root).exists(_.nonce == m.nonce)
+        val ours =
+          try readOwner(afs, root).exists(_.nonce == processNonce)
           catch { case _: FencedStoreException => false }
-        }
         if (ours) afs.delete(ownerPath(afs, root))
       }
     }
   }
 
-  /** Local/shared-mount face of [[release]] (adds the cross-process OS
-    * path lock like its acquire/heartbeat siblings, so a release cannot
-    * interleave with another PROCESS's acquire on a shared mount and
-    * delete the record that acquire just wrote). */
+  /** Local/shared-mount face of [[release]]. The OS path lock (which
+    * acquire/heartbeat also hold) is taken only for the delete variant —
+    * it is what makes check-then-delete atomic against another local
+    * PROCESS's acquire; the no-delete variant touches nothing on disk,
+    * and wrapping it would mkdirs the root as a side effect (teardown
+    * paths release AFTER deleting the store directory). */
   def release(root: File, deleteOwnerFile: Boolean = false): Unit =
-    StoreLock.withPathLock(root)(
-      release(LocalAdvisoryFs, root.getPath, deleteOwnerFile))
+    if (deleteOwnerFile)
+      StoreLock.withPathLock(root)(
+        release(LocalAdvisoryFs, root.getPath, deleteOwnerFile = true))
+    else release(LocalAdvisoryFs, root.getPath, deleteOwnerFile = false)
 }

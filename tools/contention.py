@@ -15,7 +15,9 @@ Usage: python3 tools/contention.py <serial.json> <out.json> \
            [--reruns reruns.json]
 
 reruns.json ({name: {"threads": N, "rerun_s": s, "for_concurrent_s": s,
-"for_serial_s": s?}}) carries SAME-WIDTH re-runs of flagged queries as
+"for_serial_s": s}} -- all fields required; a record lacking
+"for_serial_s" is voided, never silently half-checked) carries
+SAME-WIDTH re-runs of flagged queries as
 checked adjudication evidence: an over-fair-share flag whose same-width
 rerun lands back inside the fair-share envelope was a one-off
 scheduling spike (the iterative-query pattern: each CC/k-means round
@@ -121,16 +123,12 @@ def main():
                     rr = float(rec_r["rerun_s"])
                     for_c = float(rec_r["for_concurrent_s"])
                     tol = RERUN_STALENESS_TOLERANCE
-                    # for_serial_s is REQUIRED: defaulting the anchor to
-                    # the current t1 would make the band check trivially
-                    # pass and silently disable the serial-side guard
-                    # for legacy rerun records
-                    has_anchor = "for_serial_s" in rec_r
-                    for_s = float(rec_r.get("for_serial_s", t1))
-                    serial_stale = not (for_s / tol <= t1 <= for_s * tol)
                     entry["rerun_s"] = round(rr, 3)
                     entry["rerun_ratio"] = round(rr / t1, 2)
-                    if not has_anchor:
+                    # for_serial_s is REQUIRED (see docstring): the
+                    # anchored values are only read inside this branch so
+                    # no fallback default can ever silently stand in
+                    if "for_serial_s" not in rec_r:
                         entry["adjudication_voided"] = (
                             "rerun record lacks for_serial_s -- the "
                             "serial-side staleness check cannot run; "
@@ -142,12 +140,15 @@ def main():
                             f"{for_c:.2f}s measurement but the current "
                             f"concurrent_s is {tc:.2f}s -- re-run at this "
                             "width before suppressing")
-                    elif serial_stale:
+                    elif not (float(rec_r["for_serial_s"]) / tol <= t1
+                              <= float(rec_r["for_serial_s"]) * tol):
                         entry["adjudication_voided"] = (
                             f"rerun evidence is STALE on the SERIAL side: "
-                            f"it adjudicated a {for_s:.2f}s base but the "
-                            f"current serial_s is {t1:.2f}s (outside the "
-                            f"{tol}x band) -- re-measure before suppressing")
+                            f"it adjudicated a "
+                            f"{float(rec_r['for_serial_s']):.2f}s base but "
+                            f"the current serial_s is {t1:.2f}s (outside "
+                            f"the {tol}x band) -- re-measure before "
+                            "suppressing")
                     elif rr / t1 <= 2.0 * n:
                         entry["flag"] = "adjudicated"
                         entry["adjudication"] = (

@@ -140,9 +140,8 @@ def main():
                 # the anchor the band check cannot run, and defaulting it
                 # to the current t1 would make it trivially pass --
                 # silently disabling the guard for legacy records
-                for_small = float(rec.get("for_small_s", t1))
-                small_stale = ("small_retime_s" in rec and
-                               not (for_small / tol <= t1 <= for_small * tol))
+                # the anchored small_s is only read inside its branch, so
+                # no fallback default can ever silently stand in for it
                 if "small_retime_s" in rec and "for_small_s" not in rec:
                     entry["adjudication_voided"] = (
                         "retime record carries small_retime_s without "
@@ -155,12 +154,15 @@ def main():
                         f"{for_big:.2f}s measurement but the current "
                         f"big_s is {t10:.2f}s (> {tol}x"
                         ") -- re-time on a quiet box before suppressing")
-                elif small_stale:
+                elif ("small_retime_s" in rec and
+                      not (float(rec["for_small_s"]) / tol <= t1
+                           <= float(rec["for_small_s"]) * tol)):
                     entry["adjudication_voided"] = (
                         f"retime evidence is STALE on the SMALL side: it "
-                        f"adjudicated a {for_small:.2f}s small_s but the "
-                        f"current small_s is {t1:.2f}s (outside the {tol}x "
-                        "band) -- re-time both sides before suppressing")
+                        f"adjudicated a {float(rec['for_small_s']):.2f}s "
+                        f"small_s but the current small_s is {t1:.2f}s "
+                        f"(outside the {tol}x band) -- re-time both sides "
+                        "before suppressing")
                 elif rt_ratio <= flag:
                     entry["flag"] = "adjudicated"
                     entry["adjudication"] = (
