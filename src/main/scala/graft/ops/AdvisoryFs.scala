@@ -52,10 +52,15 @@ trait AdvisoryFs {
   * and readers never see a torn record at all. */
 object LocalAdvisoryFs extends AdvisoryFs {
   override def read(path: String): Option[String] = {
-    val f = new File(path)
-    if (!f.exists()) None
-    else Some(new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    // no exists-then-read: a concurrent delete (an owner's release on a
+    // shared root) landing between the two calls would escape as an
+    // unexpected exception type instead of the documented absent ⇒ None
+    try Some(new String(
+      java.nio.file.Files.readAllBytes(new File(path).toPath), "UTF-8"))
+    catch {
+      case _: java.nio.file.NoSuchFileException |
+           _: java.io.FileNotFoundException => None
+    }
   }
   override def write(path: String, content: String): Unit = {
     val f = new File(path)
@@ -93,18 +98,21 @@ final class HadoopAdvisoryFs(fs: org.apache.hadoop.fs.FileSystem)
   import org.apache.hadoop.fs.Path
 
   override def read(path: String): Option[String] = {
-    val p = new Path(path)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(out.toByteArray, "UTF-8"))
-      } finally in.close()
-    }
+    // open directly and map absent ⇒ None instead of exists-then-open:
+    // a concurrent delete between the two calls (a rightful owner's
+    // release removing `_owner` on a shared root) would otherwise throw
+    // FileNotFoundException out of verify/readOwner, escaping the
+    // documented absent ⇒ None contract as an unexpected exception type
+    val in =
+      try fs.open(new Path(path))
+      catch { case _: java.io.FileNotFoundException => return None }
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(new String(out.toByteArray, "UTF-8"))
+    } finally in.close()
   }
   override def write(path: String, content: String): Unit = {
     val out = fs.create(new Path(path), true)

@@ -251,9 +251,12 @@ final class EdgeIndex(spark: SparkSession, path: String) {
     * measured per-batch read cost and a read-latency budget), so read
     * latency is bounded by the BUDGET rather than by how often the cron
     * happens to fire, and a quiet store is never rewritten just because
-    * time passed. Returns true when it compacted. */
+    * time passed. `>=`, not `>`: at exactly K batches reads already sit
+    * at floor + the full budget, so waiting for K+1 would overshoot the
+    * advertised budget by one per-batch cost before the NEXT loop fire
+    * even starts. Returns true when it compacted. */
   def compactIfDue(maxBatches: Int): Boolean = {
-    val due = uncompactedBatches > maxBatches
+    val due = uncompactedBatches >= maxBatches
     if (due) compact()
     due
   }

@@ -128,6 +128,30 @@ private[ops] final class GenStore(path: String) {
       }
     }
 
+  /** Append depth of the live generation: the maximum number of data
+    * files accumulated in any ONE directory (a Hive partition leaf, or a
+    * plain append dir for unpartitioned stores) — the store-generic
+    * count-compaction trigger ([[CompactionPolicy]]). Each append lands
+    * at most one file per touched leaf and a compacted generation holds
+    * exactly one, so this is how many uncompacted appends the WIDEST
+    * leaf makes a read pay for (listing + footer reads for the
+    * mode("append") probe stores; plan width for union-plan stores,
+    * which count their own batch dirs — [[EdgeIndex.uncompactedBatches]]).
+    * Underscore/dot-prefixed names are skipped: side artifacts
+    * (`_bloom`, `_quantizer`, `_stats`) have their own lifecycles. A
+    * pure recursive directory listing, no Spark job. */
+  def appendDepth(): Int = {
+    def walk(d: File): Int = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+        .filterNot(f => f.getName.startsWith("_") ||
+          f.getName.startsWith("."))
+      val here = kids.count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val below = kids.filter(_.isDirectory).map(walk)
+      (here +: below.toSeq).max
+    }
+    currentGen().map(walk).getOrElse(0)
+  }
+
   /** Whether the live generation holds any data per `present` — a pure
     * directory listing, no Spark job (use for guards where [[readLive]]'s
     * schema-inference read would be wasted work). */

@@ -16,12 +16,22 @@ final class FencedStoreException(msg: String)
   * turns that convention into a checked epoch:
   *
   *  - `_owner` in the store root carries
-  *    `epoch|ownerId|nonce|heartbeatMs`, written by an atomic-or-
+  *    `v2|epoch|ownerId|nonce|heartbeatMs|#`, written by an atomic-or-
   *    overwriting replace (torn reads fail safe: an unparseable owner
-  *    file REJECTS writers rather than admitting all). The nonce is a
-  *    per-process instance id: ownerIds are configured names a restarted
-  *    driver reuses, so "is this record mine" is decided by nonce, never
-  *    id.
+  *    file REJECTS writers rather than admitting all). The leading
+  *    version marker plus trailing terminator make the record
+  *    TRUNCATION-PROOF under a non-atomic replace: any proper prefix of
+  *    a v2 record still leads with `v2` but lacks the 6-field/`#` shape,
+  *    so it parses as unreadable (REJECT) — it can never masquerade as
+  *    an older complete record whose last field happens to read as an
+  *    ancient heartbeat (which would ADMIT a non-forced takeover over a
+  *    LIVE owner, the one fail direction this file must never take).
+  *    Records from pre-terminator stores (4-field `epoch|id|nonce|hb`,
+  *    3-field nonce-less) stay readable; their truncation hazard is
+  *    bounded to records written by old code and disappears at the
+  *    store's first v2 write. The nonce is a per-process instance id:
+  *    ownerIds are configured names a restarted driver reuses, so "is
+  *    this record mine" is decided by nonce, never id.
   *  - [[acquire]] is the attach operation: it bumps the epoch and makes
   *    this process the owner. Attaching over a LIVE owner (heartbeat
   *    younger than the lease) fails loudly unless `force = true` — an
@@ -104,7 +114,29 @@ object StoreFence {
     afs.read(ownerPath(afs, root)).map { rawFull =>
       val raw = rawFull.trim
       raw.split('|') match {
-        // current format: epoch|ownerId|nonce|heartbeatMs
+        // current format: v2|epoch|ownerId|nonce|heartbeatMs|#. The
+        // terminator proves the heartbeat field arrived whole; a v2
+        // record missing it (any truncation under a non-atomic replace)
+        // falls through to the v2-prefix reject case below.
+        case Array("v2", e, id, n, hb, "#") if e.nonEmpty && hb.nonEmpty =>
+          try Owner(e.toLong, id, n, hb.toLong)
+          catch { case _: NumberFormatException =>
+            throw new FencedStoreException(
+              s"unparseable owner file at ${ownerPath(afs, root)}: " +
+                s"'$raw' — refusing to write")
+          }
+        // anything else leading with the v2 marker is a torn v2 record:
+        // REJECT. This case is what closes the truncated-record ADMIT
+        // path — a prefix cut mid-heartbeat (`v2|7|driver|ab12|17`)
+        // must not parse as a complete record from 1970.
+        case fields if fields.headOption.contains("v2") =>
+          throw new FencedStoreException(
+            s"torn v2 owner file at ${ownerPath(afs, root)}: '$raw' — " +
+              "refusing to write")
+        // legacy pre-terminator format: epoch|ownerId|nonce|heartbeatMs.
+        // Kept readable for stores last written by old code; note a
+        // LEGACY record truncated mid-heartbeat is indistinguishable
+        // from a complete legacy record (the hazard v2 closes).
         case Array(e, id, n, hb) if e.nonEmpty && hb.nonEmpty =>
           try Owner(e.toLong, id, n, hb.toLong)
           catch { case _: NumberFormatException =>
@@ -130,7 +162,7 @@ object StoreFence {
 
   private def writeOwner(afs: AdvisoryFs, root: String, o: Owner): Unit =
     afs.write(ownerPath(afs, root),
-      s"${o.epoch}|${o.ownerId}|${o.nonce}|${o.heartbeatMs}")
+      s"v2|${o.epoch}|${o.ownerId}|${o.nonce}|${o.heartbeatMs}|#")
 
   /** Attach as the store's owner: bump the epoch past the incumbent's
     * and record it for this process. Fails loudly when the incumbent is
@@ -164,8 +196,13 @@ object StoreFence {
         try readOwner(afs, root)
         catch {
           case _: FencedStoreException if force =>
+            // epoch field: first for legacy records, second behind the
+            // `v2` marker — a torn v2 prefix keeps its marker, so the
+            // salvage still resumes past the crashed holder's epoch
             val salvaged = afs.read(ownerPath(afs, root))
-              .flatMap(_.trim.split('|').headOption)
+              .map(_.trim.split('|').toSeq)
+              .map(fs => if (fs.headOption.contains("v2")) fs.drop(1) else fs)
+              .flatMap(_.headOption)
               .flatMap(_.toLongOption)
             Some(Owner(salvaged.getOrElse(0L), "<torn>", "", now))
         }

@@ -57,13 +57,15 @@ class MaintenanceLoopSpec extends SparkSuite {
     assert(edges.uncompactedBatches == 3,
       "a quiet store under budget must not be rewritten by the cron")
 
-    // 3 more — past the threshold: the next fire compacts to one batch
-    // dir (read floor restored), and the following fire is a no-op again
-    addBatches(4 to 6)
-    assert(edges.uncompactedBatches == 6)
+    // 2 more — exactly AT the threshold: K batches already cost the
+    // full budget, so the next fire compacts (>=, not > — waiting for
+    // K+1 would overshoot the advertised budget by one per-batch cost),
+    // restoring the read floor; the following fire is a no-op again
+    addBatches(4 to 5)
+    assert(edges.uncompactedBatches == 5)
     assert(fires(2) == Seq(true, false))
     assert(edges.uncompactedBatches == 1)
-    assert(edges.edges().count() == 6, "compaction must lose no edges")
+    assert(edges.edges().count() == 5, "compaction must lose no edges")
   }
 
   test("one cron loop reaps stores, re-ingests due buckets, and compacts the index") {

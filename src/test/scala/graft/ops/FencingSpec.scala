@@ -28,12 +28,12 @@ class FencingSpec extends SparkSuite {
 
   /** Simulate a REMOTE driver's takeover: bump the on-disk owner file
     * past this process's held epoch (the in-JVM half; the two-JVM case
-    * below does it through a real process). Writes the current 4-field
-    * format under a foreign nonce — the record a real remote acquire
-    * leaves. */
+    * below does it through a real process). Writes the current v2
+    * terminated format under a foreign nonce — the record a real remote
+    * acquire leaves. */
   private def remoteTakeover(root: String, epoch: Long): Unit =
     writeOwnerFile(root,
-      s"$epoch|remote-driver|feedfeedfeed|${System.currentTimeMillis()}")
+      s"v2|$epoch|remote-driver|feedfeedfeed|${System.currentTimeMillis()}|#")
 
   private def writeOwnerFile(root: String, content: String): Unit =
     Files.write(new File(root, "_owner").toPath, content.getBytes("UTF-8"))
@@ -41,6 +41,13 @@ class FencingSpec extends SparkSuite {
   private def readOwnerFile(root: String): String =
     new String(Files.readAllBytes(new File(root, "_owner").toPath), "UTF-8")
       .trim
+
+  /** (epoch, ownerId, nonce, heartbeatMs) positions of the on-disk
+    * record, with the v2 marker/terminator stripped when present. */
+  private def ownerFields(root: String): Array[String] = {
+    val fs = readOwnerFile(root).split('|')
+    if (fs.headOption.contains("v2")) fs.slice(1, fs.length - 1) else fs
+  }
 
   test("attach semantics: live owner blocks, force or expired lease fences") {
     val root = new File(tmp("fence-attach"))
@@ -62,7 +69,7 @@ class FencingSpec extends SparkSuite {
   test("nonce identity: benign self-refresh, equal-epoch fence, zombie beat") {
     val root = new File(tmp("fence-nonce"))
     val e0 = StoreFence.acquire(root, "driver-a")
-    val myNonce = readOwnerFile(root.getPath).split('|')(2)
+    val myNonce = ownerFields(root.getPath)(2)
     assert(myNonce.nonEmpty)
 
     // (1) same-nonce benign self-refresh: disk carries OUR nonce at a
@@ -70,26 +77,26 @@ class FencingSpec extends SparkSuite {
     // lock-free verify before the held map updated) — verify passes,
     // and heartbeat adopts the newer epoch rather than regressing it
     writeOwnerFile(root.getPath,
-      s"${e0 + 5}|driver-a|$myNonce|${System.currentTimeMillis()}")
+      s"v2|${e0 + 5}|driver-a|$myNonce|${System.currentTimeMillis()}|#")
     StoreFence.verify(root)
     StoreFence.heartbeat(root)
-    assert(readOwnerFile(root.getPath).split('|')(0).toLong == e0 + 5,
+    assert(ownerFields(root.getPath)(0).toLong == e0 + 5,
       "heartbeat must adopt the disk snapshot's newer same-nonce epoch")
 
     // (2) a same-nonce snapshot BELOW the held epoch (a non-atomic
     // replace briefly re-exposing this process's own older write) is
     // not trusted either: the beat writes back max(disk, held)
     writeOwnerFile(root.getPath,
-      s"$e0|driver-a|$myNonce|${System.currentTimeMillis()}")
+      s"v2|$e0|driver-a|$myNonce|${System.currentTimeMillis()}|#")
     StoreFence.heartbeat(root)
-    assert(readOwnerFile(root.getPath).split('|')(0).toLong == e0 + 5,
+    assert(ownerFields(root.getPath)(0).toLong == e0 + 5,
       "heartbeat must never regress the epoch below the held one")
 
     // (3) equal epoch under a DIFFERENT nonce: the aftermath of a raced
     // double force-takeover (both racers minted the same epoch; disk
     // kept the other one's record) — this writer lost and must fence
     writeOwnerFile(root.getPath,
-      s"${e0 + 5}|driver-b|beefbeefbeef|${System.currentTimeMillis()}")
+      s"v2|${e0 + 5}|driver-b|beefbeefbeef|${System.currentTimeMillis()}|#")
     val eq = intercept[FencedStoreException](StoreFence.verify(root))
     assert(eq.getMessage.contains("minted one epoch twice"))
 
@@ -97,9 +104,9 @@ class FencingSpec extends SparkSuite {
     // throws AND never touches the owner file — a single disk snapshot
     // feeds both the fencing decision and the write-back, so the beat
     // cannot adopt the successor's record or clobber it with its own
-    writeOwnerFile(root.getPath, "99|driver-b|beefbeefbeef|12345")
+    writeOwnerFile(root.getPath, "v2|99|driver-b|beefbeefbeef|12345|#")
     intercept[FencedStoreException](StoreFence.heartbeat(root))
-    assert(readOwnerFile(root.getPath) == "99|driver-b|beefbeefbeef|12345",
+    assert(readOwnerFile(root.getPath) == "v2|99|driver-b|beefbeefbeef|12345|#",
       "a fenced heartbeat must leave the successor's record untouched")
 
     // (5) a legacy 3-field (nonce-less) record is always someone

@@ -88,6 +88,53 @@ class HadoopFsSpec extends AnyFunSuite {
     StoreFence.release(afs, root, deleteOwnerFile = true)
   }
 
+  test("a v2 record truncated mid-heartbeat REJECTS, never reads as ancient") {
+    val afs = localAfs()
+    val root = Files.createTempDirectory("hfs-trunc").toString
+    // the prefix a non-atomic create-overwrite can expose when the
+    // writer dies mid-heartbeat-number: 5 fields, all non-empty. The
+    // pre-terminator format would have parsed this as a COMPLETE record
+    // whose heartbeat (17 ms after 1970) expired any lease — admitting
+    // a non-forced takeover over a LIVE owner, the one fail direction
+    // the fencing layer must never take. The v2 marker + `#` terminator
+    // make every proper prefix unreadable instead: REJECT.
+    afs.write(afs.child(root, "_owner"), "v2|7|driver-a|ab12cd34ef56|17")
+    val e = intercept[FencedStoreException](StoreFence.verify(afs, root))
+    assert(e.getMessage.contains("torn v2"))
+    intercept[FencedStoreException](
+      StoreFence.acquire(afs, root, "driver-b", 60000L, false))
+    // deliberate recovery stays possible, resuming past the salvaged
+    // epoch field (the marker is skipped, 7 survives)
+    assert(StoreFence.acquire(afs, root, "driver-b", 60000L, true) == 8L)
+    StoreFence.verify(afs, root)
+    StoreFence.release(afs, root, deleteOwnerFile = true)
+  }
+
+  test("release racing a forced takeover: successor's beat closes the window") {
+    val afs = localAfs()
+    val root = Files.createTempDirectory("hfs-release-race").toString
+    // a successor force-takes over a wedged owner's store...
+    val e = StoreFence.acquire(afs, root, "driver-b", 60000L, true)
+    // ...and the deposed driver's in-flight release(deleteOwnerFile =
+    // true) wins the non-POSIX check-then-delete race: its read saw its
+    // OWN record, the takeover landed in between, its delete removed
+    // the successor's fresh record ([[StoreFence.release]]'s documented
+    // race). The out-of-band delete reproduces that race's disk outcome.
+    afs.delete(afs.child(root, "_owner"))
+    // the transient unfenced window is REAL — the record is absent
+    assert(afs.read(afs.child(root, "_owner")).isEmpty)
+    // ...and the successor's next heartbeat closes it, re-establishing
+    // the owner record from the held copy at the held epoch
+    StoreFence.heartbeat(afs, root)
+    val restored = afs.read(afs.child(root, "_owner"))
+    assert(restored.exists(_.startsWith(s"v2|$e|driver-b|")),
+      s"heartbeat must restore the deleted owner record, got $restored")
+    // closed: a second driver's ordinary attach is rejected again
+    intercept[FencedStoreException](
+      StoreFence.acquire(afs, root, "driver-c", 60000L, false))
+    StoreFence.release(afs, root, deleteOwnerFile = true)
+  }
+
   test("one root, both faces, one held entry: no self-fencing on local FS") {
     // the RAW local FS: a checksummed FileSystem keeps .crc sidecars a
     // File-face rewrite invalidates, so mixed-face local usage rides the

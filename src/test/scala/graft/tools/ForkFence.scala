@@ -52,11 +52,13 @@ object ForkFence {
       val f = new File(root, "_owner")
       val cur = new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
-      val epoch = cur.split('|').head.toLong
+      val fields = cur.split('|').toSeq
+      val epoch = (if (fields.headOption.contains("v2")) fields(1)
+                   else fields.head).toLong
       val childNonce =
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       java.nio.file.Files.write(f.toPath,
-        s"$epoch|$ownerId|$childNonce|${System.currentTimeMillis()}"
+        s"v2|$epoch|$ownerId|$childNonce|${System.currentTimeMillis()}|#"
           .getBytes("UTF-8"))
       println(s"same-epoch-steal epoch=$epoch nonce=$childNonce")
       sys.exit(0)

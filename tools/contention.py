@@ -120,20 +120,29 @@ def main():
                     if "adjudication_voided" in entry:
                         entry["standing_adjudication_voided"] = (
                             entry.pop("adjudication_voided"))
-                    rr = float(rec_r["rerun_s"])
-                    for_c = float(rec_r["for_concurrent_s"])
                     tol = RERUN_STALENESS_TOLERANCE
-                    entry["rerun_s"] = round(rr, 3)
-                    entry["rerun_ratio"] = round(rr / t1, 2)
-                    # for_serial_s is REQUIRED (see docstring): the
-                    # anchored values are only read inside this branch so
-                    # no fallback default can ever silently stand in
-                    if "for_serial_s" not in rec_r:
+                    # EVERY required field is validated up front: a
+                    # record missing any of them is voided on the entry
+                    # (the same handling for_serial_s always had), never
+                    # half-checked -- a bare KeyError here would abort
+                    # the whole analysis for one malformed record
+                    missing = [k for k in ("rerun_s", "for_concurrent_s",
+                                           "for_serial_s")
+                               if k not in rec_r]
+                    rr = float(rec_r["rerun_s"]) if "rerun_s" in rec_r \
+                        else None
+                    for_c = (float(rec_r["for_concurrent_s"])
+                             if "for_concurrent_s" in rec_r else None)
+                    if rr is not None:
+                        entry["rerun_s"] = round(rr, 3)
+                        entry["rerun_ratio"] = round(rr / t1, 2)
+                    if missing:
                         entry["adjudication_voided"] = (
-                            "rerun record lacks for_serial_s -- the "
-                            "serial-side staleness check cannot run; "
-                            "re-record the evidence with the serial base "
-                            "it adjudicated")
+                            "rerun record lacks required field(s) "
+                            + ", ".join(missing) + " -- the staleness "
+                            "checks cannot run; re-record the evidence "
+                            "in full (rerun_s, for_concurrent_s, "
+                            "for_serial_s)")
                     elif tc > for_c * tol:
                         entry["adjudication_voided"] = (
                             f"rerun evidence is STALE: it adjudicated a "

@@ -122,16 +122,25 @@ def main():
                 if "adjudication_voided" in entry:
                     entry["standing_adjudication_voided"] = (
                         entry.pop("adjudication_voided"))
-                rt = float(rec["retime_s"])
-                for_big = float(rec["for_big_s"])
+                tol = RETIME_STALENESS_TOLERANCE
+                # EVERY required field is validated up front: a record
+                # missing retime_s/for_big_s is voided on the entry (the
+                # same handling the for_small_s anchor always had),
+                # never half-checked via a KeyError that aborts the
+                # whole analysis for one malformed record
+                missing = [k for k in ("retime_s", "for_big_s")
+                           if k not in rec]
+                rt = float(rec["retime_s"]) if "retime_s" in rec else None
+                for_big = (float(rec["for_big_s"])
+                           if "for_big_s" in rec else None)
                 small_rt = (float(rec["small_retime_s"])
                             if "small_retime_s" in rec else t1)
-                rt_ratio = rt / small_rt
-                entry["retime_big_s"] = round(rt, 3)
+                rt_ratio = rt / small_rt if rt is not None else None
+                if rt is not None:
+                    entry["retime_big_s"] = round(rt, 3)
+                    entry["retime_ratio"] = round(rt_ratio, 2)
                 if "small_retime_s" in rec:
                     entry["retime_small_s"] = round(small_rt, 3)
-                entry["retime_ratio"] = round(rt_ratio, 2)
-                tol = RETIME_STALENESS_TOLERANCE
                 # the denominator evidence goes stale in BOTH directions:
                 # a shrunken current small side inflates the sweep ratio
                 # just as a grown big side does, and an isolated
@@ -142,7 +151,13 @@ def main():
                 # silently disabling the guard for legacy records
                 # the anchored small_s is only read inside its branch, so
                 # no fallback default can ever silently stand in for it
-                if "small_retime_s" in rec and "for_small_s" not in rec:
+                if missing:
+                    entry["adjudication_voided"] = (
+                        "retime record lacks required field(s) "
+                        + ", ".join(missing) + " -- the staleness "
+                        "checks cannot run; re-record the evidence in "
+                        "full (retime_s, for_big_s)")
+                elif "small_retime_s" in rec and "for_small_s" not in rec:
                     entry["adjudication_voided"] = (
                         "retime record carries small_retime_s without "
                         "for_small_s -- the small-side staleness check "
