@@ -272,4 +272,20 @@ final class Bm25Index(spark: SparkSession, path: String,
       gens.reapExcept(Set(next.getName, cur.getName))
     }
   }
+
+  /** Count-triggered compaction — the maintenance-loop policy
+    * ([[EdgeIndex.compactIfDue]] generalized to the probe stores):
+    * compact when the widest partition has accumulated `maxBatches`
+    * uncompacted append files ([[GenStore.appendDepth]]); price K with
+    * [[CompactionPolicy.maxBatches]] and this family's measured
+    * per-append read cost ([[CompactionPolicy.ProbeStorePerBatchReadCostS]]
+    * — milder than the edge store's union-plan growth, so K is larger).
+    * Each cron fire is a pure directory listing unless the store is
+    * actually due; `>=` so the advertised budget is never overshot.
+    * Returns true when it compacted. */
+  def compactIfDue(maxBatches: Int): Boolean = {
+    val due = gens.appendDepth() >= maxBatches
+    if (due) compact()
+    due
+  }
 }

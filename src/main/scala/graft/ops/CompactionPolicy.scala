@@ -35,6 +35,16 @@ object CompactionPolicy {
     * count, the LINEARITY is the structural part). */
   val EdgePerBatchReadCostS: Double = 0.10
 
+  /** The partition-pruned probe stores' measured per-append read cost
+    * (exact-dedup 0.218→0.546 s and BM25 0.766→1.261 s over 200 appends
+    * on the same r13 curve — ~0.002 s/append): these stores keep ONE
+    * scan whose file count grows (listing + parquet footer reads), not
+    * a union plan whose width grows, so they degrade ~50× milder than
+    * the edge store and the same read budget prices a ~50× larger K.
+    * The count unit is [[GenStore.appendDepth]] — files accumulated in
+    * the WIDEST partition, which is what a pruned probe actually lists. */
+  val ProbeStorePerBatchReadCostS: Double = 0.002
+
   /** The batch-count threshold for a read-latency budget: how many
     * uncompacted batches may accumulate before reads exceed
     * `readBudgetS` above the post-compact floor. At least 1 — a store

@@ -463,4 +463,18 @@ class ComponentsIndex(spark: SparkSession, path: String,
       }
     }
   }
+
+  /** Count-triggered [[compact]] — the maintenance-loop policy
+    * ([[EdgeIndex.compactIfDue]] generalized): fires when the delta
+    * dir has accumulated `maxBatches` uncompacted append files
+    * ([[GenStore.appendDepth]]; `>=` so the advertised read budget is
+    * never overshot), forwarding `retainOrdGe` to the compaction it
+    * triggers. A fire on an under-threshold store is a pure directory
+    * listing. Returns true when it compacted. */
+  def compactIfDue(maxBatches: Int,
+                   retainOrdGe: Option[Long] = None): Boolean = {
+    val due = gens.appendDepth() >= maxBatches
+    if (due) compact(retainOrdGe)
+    due
+  }
 }

@@ -248,4 +248,17 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
     }
   }
 
+  /** Count-triggered [[compact]] — the maintenance-loop policy
+    * ([[EdgeIndex.compactIfDue]] generalized): fires when the widest
+    * partition holds `maxBatches` uncompacted append files
+    * ([[GenStore.appendDepth]]; `>=` so the advertised read budget is
+    * never overshot), forwarding `retainOrdGe` to the compaction it
+    * triggers. A fire on an under-threshold store is a pure directory
+    * listing. Returns true when it compacted. */
+  def compactIfDue(maxBatches: Int,
+                   retainOrdGe: Option[Long] = None): Boolean = {
+    val due = gens.appendDepth() >= maxBatches
+    if (due) compact(retainOrdGe)
+    due
+  }
 }

@@ -234,10 +234,18 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
         }
         val next = gens.newGenDir()
         val retrainTo =
-          if (stats.exists(_.retrained))
-            Some(KMeans.fit(p, idCol, vecCol, cents.get.length,
-              recall.get.refitIters))
-          else None
+          if (stats.exists(_.retrained)) {
+            // retrains SIZE the quantizer to the corpus it now holds
+            // (√n rule, [[IvfIndex.grownCells]]): a store that grew 100×
+            // since training would otherwise keep its original cell
+            // count forever, and per-cell postings lists — hence every
+            // probe's candidate volume — would grow linearly with the
+            // corpus. The retrain is already a full rewrite, so growing
+            // the cell count costs nothing extra beyond the fit itself.
+            val grown = IvfIndex.grownCells(cents.get.length, p.count(),
+              recall.get.cellsPerSqrtN)
+            Some(KMeans.fit(p, idCol, vecCol, grown, recall.get.refitIters))
+          } else None
         val rebucketed = retrainTo match {
           case Some(nc) =>
             p.withColumn("cell", KMeans.assignExpr(col(vecCol), nc))
@@ -254,6 +262,21 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
       } finally { p.unpersist(); () }
     }.flatten
   }
+
+  /** Count-triggered [[compact]] — the maintenance-loop policy
+    * ([[EdgeIndex.compactIfDue]] generalized): fires when the widest
+    * cell has accumulated `maxBatches` uncompacted append files
+    * ([[GenStore.appendDepth]]; `>=` so the advertised read budget is
+    * never overshot), forwarding the [[IvfIndex.RecallPolicy]] to the
+    * compaction it triggers (so the drift monitor runs exactly when the
+    * store is rewritten anyway). A fire on an under-threshold store is
+    * a pure directory listing. Returns true when it compacted. */
+  def compactIfDue(maxBatches: Int,
+                   recall: Option[RecallPolicy] = None): Boolean = {
+    val due = gens.appendDepth() >= maxBatches
+    if (due) compact(recall)
+    due
+  }
 }
 
 object IvfIndex {
@@ -261,9 +284,30 @@ object IvfIndex {
   /** Drift-monitor settings for [[IvfIndex.compact]]: measure
     * recall@`k` at `nprobe` probes on a `sampleN`-vector deterministic
     * sample; re-fit the quantizer (`refitIters` Lloyd iterations) and
-    * rebucket when measured recall drops below `target`. */
+    * rebucket when measured recall drops below `target`. A retrain also
+    * GROWS the cell count to `cellsPerSqrtN`·√n when the store has
+    * outgrown its layout ([[grownCells]]); 0.0 pins the original count
+    * (the pre-r16 behavior, for layouts sized by an external policy). */
   final case class RecallPolicy(target: Double, nprobe: Int = 2, k: Int = 10,
-                                sampleN: Int = 64, refitIters: Int = 5)
+                                sampleN: Int = 64, refitIters: Int = 5,
+                                cellsPerSqrtN: Double = 1.0)
+
+  /** The √n cell-count rule for retrains: enough cells that per-cell
+    * postings lists stay ~`1/cellsPerSqrtN`·√n rows, so a probe's
+    * candidate volume grows as √n with the corpus instead of linearly —
+    * at a fixed cell count an every-anchor kNN-join does
+    * O(n²·nprobe/ncells) work and a 100 TB store takes a year where a
+    * √n-sized one takes a day. Never shrinks: fewer cells than the live
+    * layout would only coarsen a working quantizer (and the quantizer
+    * fit itself costs ncells·n per Lloyd pass, which at ncells ∝ √n
+    * stays O(n^1.5), the same order as the probes it serves — growing
+    * FASTER than √n would make training the bottleneck instead).
+    * Reference analog for grow-with-load index sizing: the bucketed
+    * delayed-delivery tracker re-buckets as the delayed set grows
+    * (pulsar-broker/.../delayed/bucket/BucketDelayedDeliveryTracker.java). */
+  def grownCells(current: Int, n: Long, cellsPerSqrtN: Double = 1.0): Int =
+    math.max(current,
+      math.ceil(cellsPerSqrtN * math.sqrt(n.toDouble)).toInt)
 
   /** What [[IvfIndex.compact]]'s monitor observed: the measured recall and
     * whether it triggered a retrain+rebucket. */

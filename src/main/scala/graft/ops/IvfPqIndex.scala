@@ -178,6 +178,21 @@ final class IvfPqIndex(spark: SparkSession, path: String, idCol: String,
       } finally { p.unpersist(); () }
     }.flatten }
 
+  /** Count-triggered [[compact]] — the maintenance-loop policy
+    * ([[EdgeIndex.compactIfDue]] generalized): fires when the widest
+    * cell has accumulated `maxBatches` uncompacted append files
+    * ([[GenStore.appendDepth]]; `>=` so the advertised read budget is
+    * never overshot), forwarding the recall monitor to the compaction
+    * it triggers. A fire on an under-threshold store is a pure
+    * directory listing. Returns true when it compacted. */
+  def compactIfDue(maxBatches: Int,
+      recallWith: Option[(DataFrame, IvfPqIndex.RecallPolicy)] = None)
+      : Boolean = {
+    val due = gens.appendDepth() >= maxBatches
+    if (due) compact(recallWith)
+    due
+  }
+
   /** IVFADC+R search over the stored codes: probed cells are collected
     * from the (tiny, broadcast) query set and pushed as a STATIC partition
     * filter, the ADC shortlist runs on code rows only, and the exact

@@ -349,4 +349,135 @@ class MaintenanceLoopSpec extends SparkSuite {
       _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
       "exact-dedup postings not compacted under the loop")
   }
+
+  test("count-triggered compaction generalizes to every persisted store") {
+    // the r15 policy lived on EdgeIndex alone; every other store
+    // compacted on cadence, letting file counts grow unboundedly between
+    // cron fires. compactIfDue now rides GenStore.appendDepth (files in
+    // the widest partition — what a pruned probe actually lists), with K
+    // priced from the probe family's measured ~0.002 s/append curve
+    // (BATCH_COUNT_R13.json) instead of the edge store's 0.10.
+    val base = Files.createTempDirectory("loop-count").toFile.getAbsolutePath
+
+    // deterministic depth leg, driven under the cron loop: IVF cells are
+    // caller-assigned, so every add lands one file in cell 0 and
+    // appendDepth counts adds exactly
+    val ivf = new IvfIndex(spark, s"$base/ivf", "vec_id", "embedding")
+    val k = graft.ops.CompactionPolicy.maxBatches(readBudgetS = 0.006,
+      graft.ops.CompactionPolicy.ProbeStorePerBatchReadCostS)
+    assert(k == 3)
+    def addVec(i: Int): Unit = ivf.add(
+      Seq((i.toLong, Seq.fill(4)(i.toFloat))).toDF("vec_id", "embedding"),
+      lit(0))
+    (1 to 2).foreach(addVec)
+    val start = LocalDateTime.of(2024, 1, 1, 0, 0)
+    var clock = start
+    val fired = Seq.newBuilder[Boolean]
+    CronTriggerer.runLoop(CronTriggerer.parse("* * * * *"),
+      runPass = _ => fired += ivf.compactIfDue(k),
+      now = () => clock, sleepUntil = at => clock = at, maxFires = 2)
+    assert(fired.result() == Seq(false, false),
+      "2 appends under K=3 must not be rewritten by cadence alone")
+    addVec(3)
+    val fired2 = Seq.newBuilder[Boolean]
+    CronTriggerer.runLoop(CronTriggerer.parse("* * * * *"),
+      runPass = _ => fired2 += ivf.compactIfDue(k),
+      now = () => clock, sleepUntil = at => clock = at, maxFires = 2)
+    assert(fired2.result() == Seq(true, false),
+      "the 3rd append reaches K and the NEXT fire must compact, once")
+    val hits = ivf.search(
+      Seq((0L, Seq(2f, 2f, 2f, 2f))).toDF("vec_id", "embedding"),
+      array(lit(0)), k = 3)
+    assert(hits.select("neighbor_id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L), "compaction must lose no postings")
+
+    // face leg for the rest of the family: under-threshold fires are
+    // listings (generation unchanged), a due fire compacts to one file
+    // per partition leaf and preserves the read face
+    import org.apache.spark.sql.DataFrame
+    val docs1 = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta"))
+      .toDF("id", "text")
+    val docs2 = Seq((3L, "alpha beta gamma delta"), (4L, "eta theta iota"))
+      .toDF("id", "text")
+
+    val ex2 = new graft.ops.ExactDedupIndex(spark, s"$base/exact", "id", "text")
+    ex2.addAndDedup(docs1, 1L).count()
+    ex2.addAndDedup(docs2, 2L).count()
+    val exKeep = ex2.keepers().as[(String, Long)].collect().toSet
+    val exGenBefore = ex2.currentGenerationPath.get
+    assert(!ex2.compactIfDue(1000) &&
+      ex2.currentGenerationPath.get == exGenBefore,
+      "an under-threshold fire must not rewrite the store")
+    assert(ex2.compactIfDue(1))
+    assert(ex2.keepers().as[(String, Long)].collect().toSet == exKeep,
+      "count-triggered compaction changed exact-dedup keepers")
+
+    val bm = new graft.ops.Bm25Index(spark, s"$base/bm25", "id", "text")
+    bm.add(docs1, 1L); bm.add(docs2, 2L)
+    val q = Seq(("q1", "alpha beta"))
+    val bmBefore = bm.search(q, 2).select("id").as[Long].collect().toSet
+    assert(!bm.compactIfDue(1000))
+    assert(bm.compactIfDue(1))
+    assert(bm.search(q, 2).select("id").as[Long].collect().toSet == bmBefore,
+      "count-triggered compaction changed BM25 results")
+
+    val mh = new MinHashIndex(spark, s"$base/lsh", "id", "text")
+    mh.addAndFindPairs(docs1, 1L).count()
+    mh.addAndFindPairs(docs2, 2L).count()
+    assert(!mh.compactIfDue(1000))
+    assert(mh.compactIfDue(1))
+    // the store still matches a known near-dup after the rewrite
+    assert(mh.addAndFindPairs(
+        Seq((9L, "alpha beta gamma delta")).toDF("id", "text"), 3L)
+      .count() >= 1, "count-triggered compaction lost LSH postings")
+
+    val co = new ComponentsIndex(spark, s"$base/cc")
+    co.addPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"), ord = 1L)
+    co.addPairs(Seq((2L, 3L)).toDF("doc_a", "doc_b"), ord = 2L)
+    assert(!co.compactIfDue(1000))
+    assert(co.compactIfDue(1))
+    assert(co.resolveAll().where(col("component") === 1L).count() == 3,
+      "count-triggered compaction split the merged component")
+
+    val sh = new graft.ops.SimHashIndex(spark, s"$base/simhash", "id")
+    sh.addAndDedup(docs1, "text", 1L).count()
+    sh.addAndDedup(docs2, "text", 2L).count()
+    assert(!sh.compactIfDue(1000))
+    assert(sh.compactIfDue(1))
+    assert(sh.addAndDedup(
+        Seq((9L, "alpha beta gamma delta")).toDF("id", "text"), "text", 3L)
+      .where(col("is_dup")).count() == 1,
+      "count-triggered compaction lost SimHash fingerprints")
+
+    val pa2 = new graft.ops.ParagraphIndex(spark, s"$base/para", "id", "text")
+    pa2.addAndExcise(Seq((1L, "shared unit\n\nown one")).toDF("id", "text"),
+      1L).count()
+    pa2.addAndExcise(Seq((2L, "shared unit\n\nown two")).toDF("id", "text"),
+      2L).count()
+    val paKeep = pa2.keepers().collect().toSet
+    assert(!pa2.compactIfDue(1000))
+    assert(pa2.compactIfDue(1))
+    assert(pa2.keepers().collect().toSet == paKeep,
+      "count-triggered compaction changed paragraph keepers")
+
+    val vecs = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(1f, 1f, 0f, 0f)), (4L, Seq(0f, 0f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val pqModel = graft.ops.Pq.train(vecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 1)
+    val cents = graft.ops.KMeans.fit(vecs, "vec_id", "embedding", 2, 1)
+    val ipq = new graft.ops.IvfPqIndex(spark, s"$base/ivfpq", "vec_id",
+      "embedding", pqModel, cents)
+    ipq.add(vecs.where(col("vec_id") <= 2))
+    ipq.add(vecs.where(col("vec_id") > 2))
+    def ipqTop: Set[(Long, Long)] = ipq.search(
+        vecs.where(col("vec_id") === 1L), vecs, nprobe = 2, k = 2,
+        shortlist = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ipqBefore = ipqTop
+    assert(!ipq.compactIfDue(1000))
+    assert(ipq.compactIfDue(1))
+    assert(ipqTop == ipqBefore,
+      "count-triggered compaction changed IVF-PQ results")
+  }
 }

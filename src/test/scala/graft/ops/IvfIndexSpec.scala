@@ -229,4 +229,60 @@ class IvfIndexSpec extends SparkSuite {
     assert(got == oneShot)
   }
 
+  test("a retrain grows the cell count with the corpus (sqrt-n rule)") {
+    import graft.ops.IvfIndex.RecallPolicy
+    // the rule itself: grows as ceil(c*sqrt(n)), never shrinks below the
+    // live layout, scales by the coefficient, and 0.0 opts out
+    assert(IvfIndex.grownCells(8, 1800L) == 43)
+    assert(IvfIndex.grownCells(64, 1800L) == 64)
+    assert(IvfIndex.grownCells(8, 1800L, cellsPerSqrtN = 0.5) == 22)
+    assert(IvfIndex.grownCells(8, 1800L, cellsPerSqrtN = 0.0) == 8)
+
+    // end to end: a store trained at 4 cells on a small snapshot, grown
+    // past it by drifted appends — the policy-triggered retrain must
+    // size the NEW quantizer from the store (ceil(sqrt(132)) = 12), not
+    // keep the stale 4 forever (per-cell lists, hence every probe's
+    // candidate volume, would otherwise grow linearly with the corpus)
+    val path = tmp()
+    val idx = new IvfIndex(spark, path, "vec_id", "embedding")
+    def at(theta: Double, psi: Double, r: Double, id: Long) =
+      (id, Seq((r * math.cos(theta) * math.cos(psi)).toFloat,
+        (r * math.sin(theta) * math.cos(psi)).toFloat,
+        (r * math.sin(psi)).toFloat))
+    val initial = (for (j <- 0 until 4; i <- 0 until 3) yield
+      at(j * 0.35 + i * 0.002, 0.0, 10.0 + i, j * 100L + i))
+      .toDF("vec_id", "embedding")
+    val cents = idx.centroids(initial, k = 4, iters = 5)
+    assert(cents.length == 4)
+    idx.add(initial, graft.ops.KMeans.assignExpr(col("embedding"), cents))
+    // 120 drifted rows in 20 tight 6-point blobs on elevation rings the
+    // 4-cell quantizer never saw — they dice across cells, recall sags
+    val drifted = (for (b <- 0 until 20; m <- 0 until 6) yield {
+      val sign = if (m % 2 == 0) 1 else -1
+      at((b % 4 + 0.5) * 0.35 + sign * (0.02 + 0.05 * (m / 2)),
+        0.3 + 0.25 * (b / 4), 4.0, 10000L + b * 10 + m)
+    }).toDF("vec_id", "embedding")
+    idx.add(drifted, graft.ops.KMeans.assignExpr(col("embedding"), cents))
+
+    val pol = RecallPolicy(target = 0.85, nprobe = 1, k = 5, sampleN = 64,
+      refitIters = 8)
+    val stats = idx.compact(Some(pol))
+    assert(stats.exists(_.retrained),
+      s"drifted corpus should trip the monitor: $stats")
+    val liveQ = graft.ops.KMeans.loadCentroids(spark, new java.io.File(
+      new java.io.File(path, new GenStore(path).currentGen().get.getName),
+      "_quantizer").getAbsolutePath)
+    assert(liveQ.length == 12,
+      s"retrain must size cells by sqrt(132 rows) = 12, got ${liveQ.length}")
+    // correctness is untouched by the growth: probing every cell of the
+    // grown layout still equals exact brute force
+    val all = initial.unionByName(drifted)
+    val queries = drifted.where(col("vec_id") < 10010)
+    val got = rows(idx.search(queries,
+      graft.ops.KMeans.probeExpr(col("embedding"), liveQ, liveQ.length),
+      k = 3))
+    assert(got == rows(Similarity.bruteForceTopK(
+      queries, all, "vec_id", "embedding", 3)))
+  }
+
 }
