@@ -163,21 +163,69 @@ object Bench {
     val loadSamples = loadAtFirst.values.toSeq.sorted
     val boardMedianLoad =
       if (loadSamples.isEmpty) 0.0 else loadSamples(loadSamples.size / 2)
-    val retimes = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
-      .map { case (name, first) =>
-        val loadRetime = loadavg
-        val again = once(name, selected(name))
-        val adopted = again >= 0 && again < first
-        if (adopted) results(name) = again
-        (name, first, again, loadAtFirst(name), loadRetime, adopted)
+    // the standing quiet-box record (BENCH_QUIET_*.json, committed per
+    // round; override with SPARK_GRAFT_QUIET_BASELINE) makes the board
+    // SELF-adjudicating: the top-10 pass below retimes only the slowest
+    // ABSOLUTE queries, so a sub-second query showing >2x its quiet
+    // record (position noise late in a long board) used to ship
+    // un-adjudicated. A second pass keys on the board/quiet ratio
+    // instead, regardless of absolute time.
+    val quietFile = sys.env.get("SPARK_GRAFT_QUIET_BASELINE").orElse {
+      val names = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+        .filter(n => n.startsWith("BENCH_QUIET") && n.endsWith(".json"))
+      if (names.isEmpty) None else Some(names.max)
+    }
+    val quiet: Map[String, Double] = quietFile.map { f =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "UTF-8")
+        val qStart = txt.indexOf("\"queries\":{")
+        if (qStart < 0) Map.empty[String, Double]
+        else {
+          val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+          "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+            .findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case t: Throwable =>
+        System.err.println(s"BENCH: unreadable quiet baseline $f: " +
+          t.getMessage)
+        Map.empty[String, Double]
       }
+    }.getOrElse(Map.empty)
+    def retimeOne(name: String, first: Double, trigger: String) = {
+      val loadRetime = loadavg
+      val again = once(name, selected(name))
+      val adopted = again >= 0 && again < first
+      if (adopted) results(name) = again
+      (name, first, again, loadAtFirst(name), loadRetime, adopted, trigger)
+    }
+    val slowestPass = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
+      .map { case (name, first) => retimeOne(name, first, "slowest") }
+    val alreadyRetimed = slowestPass.map(_._1).toSet
+    // pass 2: board/quiet > 2 on a non-trivial quiet base (ratios over a
+    // sub-20 ms base are pure noise), excluding pass-1 names
+    val quietPass = results.toSeq.collect {
+      case (name, v) if v >= 0 && !alreadyRetimed(name) &&
+          quiet.get(name).exists(qv => qv > 0.02 && v / qv > 2.0) =>
+        retimeOne(name, v, "quiet_ratio")
+    }
+    val retimes = slowestPass ++ quietPass
     val retimed = retimes.collect {
-      case (name, _, _, _, _, true) => name }
+      case (name, _, _, _, _, true, _) => name }
+    // adopted-count summary (not just the per-query trail): downstream
+    // analysis can threshold systematic retime optimism — a board where
+    // most retimes adopt is a board whose first-look numbers were
+    // conditions, and any cross-record comparison should discount it
+    val retimedAdoptedN = retimes.count(_._6)
     val retimesJson = retimes.map {
-      case (name, first, again, lf, lr, adopted) =>
+      case (name, first, again, lf, lr, adopted, trigger) =>
         "\"" + name + "\":{\"first\":" + first + ",\"retime\":" + again +
           s""","load_first":${JsonNum.fmt(lf, 2)},"load_retime":${
-            JsonNum.fmt(lr, 2)},"adopted":$adopted}"""
+            JsonNum.fmt(lr, 2)},"adopted":$adopted,"trigger":"$trigger"""" +
+          quiet.get(name).map(v =>
+            s""","quiet":${JsonNum.fmt(v, 3)}""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -185,7 +233,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"load_board_median":${JsonNum.fmt(boardMedianLoad, 2)},"retimed_improved":$retimedJson,"retimed":$retimesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"load_board_median":${JsonNum.fmt(boardMedianLoad, 2)},"quiet_baseline":${quietFile.map("\"" + _ + "\"").getOrElse("null")},"retimed_n":${retimes.size},"retimed_adopted_n":$retimedAdoptedN,"retimed_improved":$retimedJson,"retimed":$retimesJson,"sf":"$sfDir"}"""
     // stop BEFORE printing: Spark's shutdown chatter must not land after
     // the record — the JSON line is the LAST thing this main writes to
     // stdout (only sbt's own [success] trailer can follow it)
@@ -213,7 +261,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
         entries.mkString("{", ",", "}")},"failed":$failedJson,"n_queries":${
         results.size},"omitted":$omitted,"full":"$outFile","loadavg_start":${
-        fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"retimed_improved":$retimedJson,"sf":"$sfDir"}"""
+        fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"retimed_n":${
+        retimes.size},"retimed_adopted_n":$retimedAdoptedN,"retimed_improved":$retimedJson,"sf":"$sfDir"}"""
     val keep = Iterator.range(sortedEntries.size, -1, -1).find(n =>
       compactLine(sortedEntries.take(n), sortedEntries.size - n).length <= budget)
       .getOrElse(0)
