@@ -137,11 +137,31 @@ object KnnOps {
   def tripletMineIvf(anchors: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, labelCol: String,
                      centroids: Array[Array[Double]], nprobe: Int,
-                     margin: Double): DataFrame = {
+                     margin: Double, posCap: Int = Int.MaxValue): DataFrame = {
     val qp = anchors.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       col(labelCol).as("__ql"))
-    val cpos = Par.spread(corpus.select(col(idCol).as("neighbor_id"),
+    val cposAll = Par.spread(corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), col(labelCol).as("__ql")))
+    // `posCap` bounds the positive side's label block to a deterministic
+    // hash-ordered sample of ≤ posCap members per label (compiled to a
+    // WindowGroupLimit — per-partition top-N, no global sort): the
+    // positive join is anchors × their label block, and label blocks
+    // grow linearly with the corpus, so the "complete block" exact
+    // positive is O(n²/|labels|) at mining scale — the one part of this
+    // miner cells cannot block (same-label members CONCENTRATE in the
+    // anchor's own cells, so near-cell probing would only find easy
+    // positives). The sampled hardest positive is dominance-safe in the
+    // honest direction: a subset's min similarity is ≥ the full block's,
+    // so `violated` can only under-fire, never invent a violation. A
+    // nonempty block always keeps ≥ 1 sampled member (rank, not modulo).
+    val cpos =
+      if (posCap == Int.MaxValue) cposAll
+      else {
+        val w = Window.partitionBy(col("__ql"))
+          .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+        cposAll.withColumn("__pr", row_number().over(w))
+          .where(col("__pr") <= posCap).drop("__pr")
+      }
     val pos = cpos.join(broadcast(qp), "__ql")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))

@@ -746,6 +746,30 @@ object TextQueries {
         maxBucket = Int.MaxValue)
     }),
 
+    // The PRODUCTION face of span decontamination: the hot-bucket star
+    // cap callers actually run (the default maxBucket = 1024) — a
+    // degenerate fingerprint bucket (global boilerplate) pairs its test
+    // members against the bucket's hub train doc only, instead of the
+    // full te×tr cross product. The uncapped face above stays for
+    // oracle-exact ground truth (and carries the standing quadratic
+    // adjudication in tools/scale_ratio.py); THIS face is the one whose
+    // scale curve matters. The oracle REPLAYS the cap end to end: winnow
+    // selection (md5 5-gram window minima with leftmost-min positions),
+    // per-fingerprint bucket sizes, the te×tr ≤ 1024 branch vs the
+    // min-(id,pos)-hub star, then intersects the ground-truth spans with
+    // the surviving (test, train, diagonal) candidates — exact at any
+    // scale, including ones where the cap BINDS (checked at sf0.1, where
+    // the planted-passage buckets exceed it: every 17th of 5k docs
+    // shares the passage, te×tr ≈ 29×265 > 1024).
+    "q_decontaminate_span_capped" -> ((s, d) => {
+      val corpus = plantedSpanCorpus(Tables.documents(s, d))
+      graft.ops.SpanDedup.crossSpans(
+        corpus.where(col("doc_id") % 10 =!= 0),
+        corpus.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", minTokens = 8, k = 5, w = 3,
+        maxBucket = 1024)
+    }),
+
     // The excision decision derived from the spans: every shared span is
     // cut from the larger doc of its pair; per-doc cuts merge into
     // disjoint intervals. Reads the persisted span artifact.
@@ -2261,6 +2285,73 @@ object TextQueries {
                CAST(span_len AS BIGINT) AS span_len
         FROM spans"""
 
+  /** The capped face's oracle replays the ENTIRE candidate machinery —
+    * winnowing fingerprint selection, bucket sizing, the cap branch and
+    * the hub star — because the cap changes WHICH (pair, diagonal)
+    * candidates get extended, not how extension works: output = the
+    * uncapped ground-truth spans restricted to surviving candidates.
+    * Mirrors [[graft.ops.SpanDedup.postings]] (md5 over space-joined
+    * 5-grams, window-of-3 minima at their leftmost in-window position,
+    * all hashes for docs with < 3 grams, distinct (h, pos)) and
+    * [[graft.ops.SpanDedup.crossSpans]]'s bucket logic (te×tr > cap ⇒
+    * star around the minimal-(id, pos) train member). */
+  private lazy val spanDecontaminateCappedSql =
+    s"""WITH ${spanCtesWith("a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0")},
+        ghash AS (
+          SELECT doc_id, i, md5(g5) AS h FROM grams),
+        ng AS (SELECT doc_id, max(i) AS n FROM ghash GROUP BY doc_id),
+        wmin AS (
+          SELECT doc_id, i AS ws,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS mh
+          FROM ghash),
+        selw AS (
+          SELECT w.doc_id, w.mh AS h, min(h2.i) AS pos
+          FROM wmin w
+          JOIN ng ON ng.doc_id = w.doc_id
+          JOIN ghash h2 ON h2.doc_id = w.doc_id
+                       AND h2.i BETWEEN w.ws AND w.ws + 2 AND h2.h = w.mh
+          WHERE w.ws <= ng.n - 2
+          GROUP BY w.doc_id, w.mh, w.ws),
+        sel AS (
+          SELECT DISTINCT doc_id, h, pos FROM selw
+          UNION
+          SELECT DISTINCT g.doc_id, g.h, g.i AS pos
+          FROM ghash g JOIN ng ON ng.doc_id = g.doc_id
+          WHERE ng.n < 3),
+        post AS (SELECT doc_id, h, pos, doc_id % 10 = 0 AS is_te FROM sel),
+        bsz AS (
+          SELECT h, count(*) FILTER (WHERE is_te) AS nte,
+                 count(*) FILTER (WHERE NOT is_te) AS ntr
+          FROM post GROUP BY h
+          HAVING count(*) FILTER (WHERE is_te) > 0
+             AND count(*) FILTER (WHERE NOT is_te) > 0),
+        hub AS (
+          SELECT h, doc_id AS hub_id, pos AS hub_pos FROM (
+            SELECT h, doc_id, pos, row_number() OVER (PARTITION BY h
+              ORDER BY doc_id, pos) AS rn
+            FROM post WHERE NOT is_te) WHERE rn = 1),
+        cand AS (
+          SELECT DISTINCT doc_a, doc_b, d FROM (
+            SELECT te.doc_id AS doc_a, tr.doc_id AS doc_b,
+                   tr.pos - te.pos AS d
+            FROM post te
+            JOIN bsz ON bsz.h = te.h AND bsz.nte * bsz.ntr <= 1024
+            JOIN post tr ON tr.h = te.h AND NOT tr.is_te
+            WHERE te.is_te
+            UNION ALL
+            SELECT te.doc_id, hub.hub_id, hub.hub_pos - te.pos
+            FROM post te
+            JOIN bsz ON bsz.h = te.h AND bsz.nte * bsz.ntr > 1024
+            JOIN hub ON hub.h = te.h
+            WHERE te.is_te))
+        SELECT s.doc_a AS test_id, s.doc_b AS train_id,
+               CAST(s.a_start AS BIGINT) AS test_start,
+               CAST(s.a_start + s.d AS BIGINT) AS train_start,
+               CAST(s.span_len AS BIGINT) AS span_len
+        FROM spans s JOIN cand c
+          ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b AND c.d = s.d"""
+
   private lazy val spanExciseSql =
     s"""WITH $spanCtes,
         cuts AS (
@@ -2832,6 +2923,7 @@ object TextQueries {
     "q_paragraph_excise" -> paragraphExciseSql,
     "q_paragraph_incremental" -> paragraphIncrementalSql,
     "q_decontaminate_span" -> spanDecontaminateSql,
+    "q_decontaminate_span_capped" -> spanDecontaminateCappedSql,
     "q_token_bpe_trained" -> bpeTrainedSql,
     "q_sample_budget_bpe" -> bpeBudgetSql,
     "q_encode_ids" -> bpeEncodeIdsSql,

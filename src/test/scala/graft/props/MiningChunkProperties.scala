@@ -121,6 +121,41 @@ class MiningChunkProperties extends SparkSuite {
     }
   }
 
+  test("tripletMineIvf posCap: sampled positive dominates, negatives untouched") {
+    val rows = corpus(53L, 80)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = graft.ops.KMeans.fit(df, "vec_id", "embedding", 4, 2)
+    val anchors = df.where($"vec_id" % 3 === 0)
+    val un = KnnOps.tripletMineIvf(anchors, df, "vec_id", "embedding",
+        "label", cents, nprobe = 2, margin = 0.1)
+      .select($"vec_id", $"pos_sim".as("pse"), $"neg_id".as("ne"),
+        $"neg_sim".as("nse"))
+    // cap = 3 BINDS on every label block here: the mined positive is the
+    // hardest within a deterministic sample, so its similarity can only
+    // be >= the full block's hardest (a subset's min rises), and the
+    // negative side must be bit-identical (the cap is positives-only)
+    val capped = KnnOps.tripletMineIvf(anchors, df, "vec_id", "embedding",
+      "label", cents, nprobe = 2, margin = 0.1, posCap = 3)
+    val j = capped.join(un, "vec_id")
+      .select($"vec_id", $"pos_sim", $"pse", $"neg_id", $"ne",
+        $"neg_sim", $"nse")
+      .as[(Long, Double, Double, Long, Long, Double, Double)].collect()
+    assert(j.nonEmpty)
+    j.foreach { case (id, psi, pse, ni, ne, nsi, nse) =>
+      assert(psi >= pse, s"anchor $id: sampled hardest positive must " +
+        s"dominate the complete block's ($psi < $pse)")
+      assert(ni == ne && nsi == nse,
+        s"anchor $id: the positive cap must not touch the negative side")
+    }
+    // a cap wider than every block is a no-op: bit-identical output
+    val wide = KnnOps.tripletMineIvf(anchors, df, "vec_id", "embedding",
+      "label", cents, nprobe = 2, margin = 0.1, posCap = 1000)
+      .orderBy("vec_id").collect().toSeq
+    assert(wide == KnnOps.tripletMineIvf(anchors, df, "vec_id",
+        "embedding", "label", cents, nprobe = 2, margin = 0.1)
+      .orderBy("vec_id").collect().toSeq)
+  }
+
   test("knnClassifyIvf probing every cell equals the exact vote") {
     val rows = corpus(41L, 80)
     val df = rows.toDF("vec_id", "embedding", "label")

@@ -54,7 +54,9 @@ ADJUDICATED = {
         "corpus^2, and the board query disables the degenerate-bucket "
         "star cap (maxBucket=MaxValue) so the DuckDB oracle's uncapped "
         "cross product stays exact; the production face keeps the cap "
-        "(1024), which linearizes exactly this blow-up (SpanDedupSpec)",
+        "(1024), which linearizes exactly this blow-up, and is itself "
+        "on the board with a cap-replaying oracle "
+        "(q_decontaminate_span_capped) and on the scale curve",
     "q_simhash_dedup":
         "oracle-parity batch face: within-bucket pair expansion tracks "
         "planted dup density, which the fixture grows with corpus^2; the "
