@@ -180,8 +180,14 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(f)), "UTF-8")
+        // the quiet record adjudicates ONLY its own scale: a ratio
+        // against another SF's record is data growth, not box noise —
+        // an sf1 sweep compared to the sf0.1 quiet record would retime
+        // the whole board for nothing
+        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
         val qStart = txt.indexOf("\"queries\":{")
-        if (qStart < 0) Map.empty[String, Double]
+        if (qStart < 0 || !sfOk) Map.empty[String, Double]
         else {
           val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
           "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
@@ -233,7 +239,8 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"load_board_median":${JsonNum.fmt(boardMedianLoad, 2)},"quiet_baseline":${quietFile.map("\"" + _ + "\"").getOrElse("null")},"retimed_n":${retimes.size},"retimed_adopted_n":$retimedAdoptedN,"retimed_improved":$retimedJson,"retimed":$retimesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"load_board_median":${JsonNum.fmt(boardMedianLoad, 2)},"quiet_baseline":${quietFile.filter(_ => quiet.nonEmpty)
+        .map("\"" + _ + "\"").getOrElse("null")},"retimed_n":${retimes.size},"retimed_adopted_n":$retimedAdoptedN,"retimed_improved":$retimedJson,"retimed":$retimesJson,"sf":"$sfDir"}"""
     // stop BEFORE printing: Spark's shutdown chatter must not land after
     // the record — the JSON line is the LAST thing this main writes to
     // stdout (only sbt's own [success] trailer can follow it)
