@@ -103,18 +103,26 @@ object VectorQueries {
     * that would silently restore the quadratic join. The bounded
     * `exact` sample is the same frame the caller's recall claim audits
     * against. */
-  private def tunedNprobe(sample: org.apache.spark.sql.DataFrame,
+  private val nprobeCache =
+    new graft.ops.SingleFlight[(String, String, Int), Int]
+  private def tunedNprobe(d: String,
+                          sample: org.apache.spark.sql.DataFrame,
                           train: org.apache.spark.sql.DataFrame,
                           exact: org.apache.spark.sql.DataFrame,
-                          cents: Array[Array[Double]]): Int = {
-    val wide = Seq(4, 6, 8, 12, 16, 24).filter(_ <= cents.length)
-    val budgets = if (wide.isEmpty) Seq(cents.length) else wide
-    val profile = graft.ops.Similarity.ivfProbeProfile(sample, train,
-      "vec_id", "embedding", cents, budgets, 5)
-    graft.ops.Similarity.chooseProbeBudget(
-      graft.ops.Similarity.probeRecalls(profile, exact, budgets), 0.6)
-      .select(col("chosen_nprobe")).head().getInt(0)
-  }
+                          cents: Array[Array[Double]]): Int =
+    // the chosen budget is a trained artifact like the quantizer it
+    // tunes (deterministic in the corpus + layout) — cached per
+    // (table, layout) under the same SingleFlight discipline as
+    // unitCentroidsFor, so a long-lived session prices it once
+    nprobeCache((d, "knn", cents.length)) {
+      val wide = Seq(4, 6, 8, 12, 16, 24).filter(_ <= cents.length)
+      val budgets = if (wide.isEmpty) Seq(cents.length) else wide
+      val profile = graft.ops.Similarity.ivfProbeProfile(sample, train,
+        "vec_id", "embedding", cents, budgets, 5)
+      graft.ops.Similarity.chooseProbeBudget(
+        graft.ops.Similarity.probeRecalls(profile, exact, budgets), 0.6)
+        .select(col("chosen_nprobe")).head().getInt(0)
+    }
 
   /** [[tunedNprobe]]'s sibling for the triplet miner, priced on the
     * miner's own metric: smallest budget whose mined hardest negative
@@ -125,10 +133,12 @@ object VectorQueries {
     * loop is the standard sample-tune: each step is one corpus scan
     * against the BOUNDED sample (posCap 2 — only the negative side is
     * read), so tuning stays linear in the corpus. */
-  private def tunedTripletNprobe(sampleAnchors: org.apache.spark.sql.DataFrame,
+  private def tunedTripletNprobe(d: String,
+                                 sampleAnchors: org.apache.spark.sql.DataFrame,
                                  corpus: org.apache.spark.sql.DataFrame,
                                  exactNeg: org.apache.spark.sql.DataFrame,
-                                 cents: Array[Array[Double]]): Int = {
+                                 cents: Array[Array[Double]]): Int =
+    nprobeCache((d, "triplet", cents.length)) {
     val wide = Seq(4, 6, 8, 12, 16, 24).filter(_ <= cents.length)
     val budgets = if (wide.isEmpty) Seq(cents.length) else wide
     val total = exactNeg.count().toDouble
@@ -140,7 +150,7 @@ object VectorQueries {
       mined.join(exactNeg, "vec_id")
         .where(col("ni") === col("ne")).count() / total >= 0.6
     }.getOrElse(budgets.last)
-  }
+    }
 
   /** Coarse quantizer over UNIT vectors (the cosine-metric face of
     * [[centroidsFor]], which trains on raw vectors). */
@@ -566,7 +576,7 @@ object VectorQueries {
         // consumed by the tuner, the slot count and the recall join —
         // bounded (sample×5 rows), materialize once
         .localCheckpoint(true)
-      val nprobe = tunedNprobe(sample, train, exact, cents)
+      val nprobe = tunedNprobe(d, sample, train, exact, cents)
       val ann = Similarity.ivfTopKProbed(
         test, train, "vec_id", "embedding", cents, nprobe, k = 5)
         .select(col("query_id"), col("neighbor_id"))
@@ -618,7 +628,7 @@ object VectorQueries {
       val exact = graft.ops.KnnOps.tripletMine(
         sampleAnchors, uemb, "vec_id", "embedding", "label", margin = 0.1)
         .localCheckpoint(true)
-      val nprobe = tunedTripletNprobe(sampleAnchors, uemb,
+      val nprobe = tunedTripletNprobe(d, sampleAnchors, uemb,
         exact.select(col("vec_id"), col("neg_id").as("ne")), cents)
       val ivf = graft.ops.KnnOps.tripletMineIvf(
         anchors, uemb, "vec_id", "embedding", "label", cents,
