@@ -465,15 +465,23 @@ class ComponentsIndex(spark: SparkSession, path: String,
   }
 
   /** Count-triggered [[compact]] — the maintenance-loop policy
-    * ([[EdgeIndex.compactIfDue]] generalized): fires when the delta
-    * dir has accumulated `maxBatches` uncompacted append files
-    * ([[GenStore.appendDepth]]; `>=` so the advertised read budget is
-    * never overshot), forwarding `retainOrdGe` to the compaction it
-    * triggers. A fire on an under-threshold store is a pure directory
+    * ([[EdgeIndex.compactIfDue]] generalized): fires when the DELTA dir
+    * has accumulated `maxBatches` uncompacted append files (`>=` so the
+    * advertised read budget is never overshot), forwarding
+    * `retainOrdGe` to the compaction it triggers. Due-ness counts the
+    * delta side only, NOT [[GenStore.appendDepth]] over the whole
+    * generation: `stars/` is the compacted form itself and its file
+    * count is the closure write's shuffle width — counting it would
+    * re-rewrite a quiet store on every fire once K is at or below that
+    * width. A fire on an under-threshold store is a pure directory
     * listing. Returns true when it compacted. */
   def compactIfDue(maxBatches: Int,
                    retainOrdGe: Option[Long] = None): Boolean = {
-    val due = gens.appendDepth() >= maxBatches
+    val deltaDepth = gens.currentGen().map { g =>
+      Option(new File(g, "delta").listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }.getOrElse(0)
+    val due = deltaDepth >= maxBatches
     if (due) compact(retainOrdGe)
     due
   }

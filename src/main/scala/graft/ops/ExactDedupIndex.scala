@@ -176,6 +176,12 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
     gens.reapExcept(Set(next.getName, cur.getName))
   } }
 
+  /** Files accumulated in the WIDEST partition of the live generation —
+    * the count [[compactIfDue]] triggers on, exposed for monitoring and
+    * the policy probe (the probe-store analog of
+    * [[EdgeIndex.uncompactedBatches]]). A pure directory listing. */
+  def appendDepth: Int = gens.appendDepth()
+
   /** Count-triggered compaction — the maintenance-loop policy
     * ([[EdgeIndex.compactIfDue]] generalized to the probe stores):
     * compact when the widest partition has accumulated `maxBatches`

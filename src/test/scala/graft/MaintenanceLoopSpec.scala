@@ -411,6 +411,10 @@ class MaintenanceLoopSpec extends SparkSuite {
     assert(ex2.compactIfDue(1))
     assert(ex2.keepers().as[(String, Long)].collect().toSet == exKeep,
       "count-triggered compaction changed exact-dedup keepers")
+    // the compacted form is one file per partition leaf, so the floor
+    // depth is 1 and any production K (>= 2) leaves a quiet store alone
+    assert(!ex2.compactIfDue(2),
+      "a just-compacted store must not be rewritten again")
 
     val bm = new graft.ops.Bm25Index(spark, s"$base/bm25", "id", "text")
     bm.add(docs1, 1L); bm.add(docs2, 2L)
@@ -438,6 +442,11 @@ class MaintenanceLoopSpec extends SparkSuite {
     assert(co.compactIfDue(1))
     assert(co.resolveAll().where(col("component") === 1L).count() == 3,
       "count-triggered compaction split the merged component")
+    // due-ness counts the DELTA side only: the compacted stars/ dir is
+    // as wide as the closure's shuffle, and counting it would rewrite
+    // this quiet store on every fire even at K = 1
+    assert(!co.compactIfDue(1),
+      "a compacted components store (empty delta) must read as not due")
 
     val sh = new graft.ops.SimHashIndex(spark, s"$base/simhash", "id")
     sh.addAndDedup(docs1, "text", 1L).count()
