@@ -21,14 +21,42 @@ object Bench {
     // launched this main can alone hold it above 1 for ~3 minutes, and
     // the r11 record started at 1.57 because the old 180 s cap expired
     // while that decay was still in flight.
-    val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble)
-      .getOrElse(1.0)
+    // quiet-CAPTURE mode (SPARK_GRAFT_QUIET_CAPTURE=1): this run intends
+    // to become the standing BENCH_QUIET record every later board
+    // self-adjudicates against, so its capture conditions are a hard
+    // gate, not a grace window — the r16 record was taken at loadavg
+    // 0.81 vs r15's 0.25 and drifted quiet-to-quiet +19% for box
+    // reasons, which the 10-query A/B then had to rescue. A quiet
+    // capture REFUSES to run (exit 2, no record written) when the load
+    // has not drained below the gate by the end of the wait window; the
+    // gate value is stamped into the record so a reader can verify the
+    // conditions the standing baseline was taken under.
+    val quietCapture = sys.env.get("SPARK_GRAFT_QUIET_CAPTURE").contains("1")
+    val quietGate = sys.env.get("SPARK_GRAFT_QUIET_GATE").map(_.toDouble)
+      .getOrElse(0.5)
+    val maxLoad = {
+      val m = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble)
+        .getOrElse(1.0)
+      if (quietCapture) math.min(m, quietGate) else m
+    }
     var loadWaitS = 0
     while (loadavg >= maxLoad && loadWaitS < 600) {
       System.err.println(f"BENCH: loadavg ${loadavg}%.2f >= $maxLoad%.1f — " +
         s"waiting for a quiet box (${loadWaitS}s)")
       Thread.sleep(10000); loadWaitS += 10
     }
+    if (quietCapture && loadavg >= quietGate) {
+      System.err.println(f"BENCH: QUIET CAPTURE REFUSED — loadavg " +
+        f"${loadavg}%.2f >= gate $quietGate%.2f after ${loadWaitS}s wait; " +
+        "a record taken on a loaded box would poison every later board's " +
+        "ratio adjudication. Retry when the box drains.")
+      sys.exit(2)
+    }
+    // the EXTERNAL load the gate actually enforced: loadavg_start is read
+    // after the warmup, whose own 32-thread burst moves the 1-minute EWMA
+    // — so the record carries both (entry = box conditions, start =
+    // entry + self-load), and a reader audits the capture against entry
+    val loadEntry = loadavg
     // args parse BEFORE the session: --threads decides the scheduler mode
     def takeOpt(as: Seq[String], flag: String): (Option[String], Seq[String]) =
       as.indexOf(flag) match {
@@ -171,10 +199,20 @@ object Bench {
     // un-adjudicated. A second pass keys on the board/quiet ratio
     // instead, regardless of absolute time.
     val quietFile = sys.env.get("SPARK_GRAFT_QUIET_BASELINE").orElse {
-      val names = Option(new java.io.File(".").listFiles())
-        .getOrElse(Array.empty).map(_.getName)
-        .filter(n => n.startsWith("BENCH_QUIET") && n.endsWith(".json"))
-      if (names.isEmpty) None else Some(names.max)
+      val files = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("BENCH_QUIET") &&
+          f.getName.endsWith(".json"))
+      // newest ROUND wins, parsed from the name (BENCH_QUIET_r16.json):
+      // lexicographic max breaks across digit widths (r99 > r100) and
+      // case (R17 < r16), either of which would silently hand the
+      // ratio-retime pass a stale round's record. Nameless files tie at
+      // round -1 and fall back to mtime.
+      def round(n: String): Long =
+        "[rR](\\d+)".r.findFirstMatchIn(n).map(_.group(1).toLong)
+          .getOrElse(-1L)
+      files.sortBy(f => (round(f.getName), f.lastModified()))
+        .lastOption.map(_.getName)
     }
     val quiet: Map[String, Double] = quietFile.map { f =>
       try {
@@ -187,12 +225,29 @@ object Bench {
         val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
           .exists(_.group(1) == sfDir)
         val qStart = txt.indexOf("\"queries\":{")
-        if (qStart < 0 || !sfOk) Map.empty[String, Double]
-        else {
-          val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
-          "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
-            .findAllMatchIn(body)
+        // every empty-parse path LOGS its reason: a silent empty map
+        // quietly disables the ratio-retime pass this file exists to
+        // power, and a format drift (renamed field, nested value) would
+        // otherwise be indistinguishable from "no baseline committed"
+        if (!sfOk) {
+          System.err.println(s"BENCH: quiet baseline $f is for a " +
+            s"different sf than $sfDir — ratio-retime pass disabled " +
+            "(expected when benching a non-gate scale)")
+          Map.empty[String, Double]
+        } else if (qStart < 0) {
+          System.err.println(s"BENCH: quiet baseline $f has no " +
+            "\"queries\":{ object — format drift? ratio-retime pass " +
+            "disabled")
+          Map.empty[String, Double]
+        } else {
+          val parsed = "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+            .findAllMatchIn(txt.substring(qStart + 11,
+              txt.indexOf('}', qStart)))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          if (parsed.isEmpty)
+            System.err.println(s"BENCH: quiet baseline $f parsed to an " +
+              "EMPTY query map — format drift? ratio-retime pass disabled")
+          parsed
         }
       } catch { case t: Throwable =>
         System.err.println(s"BENCH: unreadable quiet baseline $f: " +
@@ -238,8 +293,16 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // quiet captures carry their gate in the record: a reader of the
+    // standing baseline can verify the conditions it was taken under
+    // instead of trusting the capture discipline
+    val gateJson =
+      if (quietCapture)
+        s""","quiet_capture":true,"quiet_gate":$quietGate,"loadavg_entry":${
+          JsonNum.fmt(loadEntry, 2)}"""
+      else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"load_board_median":${JsonNum.fmt(boardMedianLoad, 2)},"quiet_baseline":${quietFile.filter(_ => quiet.nonEmpty)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS$gateJson,"load_board_median":${JsonNum.fmt(boardMedianLoad, 2)},"quiet_baseline":${quietFile.filter(_ => quiet.nonEmpty)
         .map("\"" + _ + "\"").getOrElse("null")},"retimed_n":${retimes.size},"retimed_adopted_n":$retimedAdoptedN,"retimed_improved":$retimedJson,"retimed":$retimesJson,"sf":"$sfDir"}"""
     // stop BEFORE printing: Spark's shutdown chatter must not land after
     // the record — the JSON line is the LAST thing this main writes to
