@@ -59,6 +59,53 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
       .find(d => new File(d, "_SUCCESS").exists())
       .map(d => KMeans.loadCentroids(spark, d.getAbsolutePath))
 
+  /** The tuned probe budget bound to generation `g` — `_probe_budget`
+    * beside `_quantizer`, format `v1|nprobe|recall|#`. The budget is the
+    * same kind of trained artifact as the quantizer it prices (chosen by
+    * a recall-targeted tuning loop, deterministic in corpus + layout),
+    * so it travels with the generation and a retraining [[compact]]
+    * DROPS it: a budget priced for the old cell layout says nothing
+    * about the new one. Unparseable/torn files read as absent — the
+    * budget is advisory pricing state, and the fail-soft direction is
+    * "re-tune", never "refuse". */
+  private def budgetIn(g: Option[File]): Option[(Int, Double)] =
+    g.map(new File(_, "_probe_budget")).filter(_.isFile).flatMap { f =>
+      try {
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .trim.split('|') match {
+            case Array("v1", np, rec, "#") =>
+              Some((np.toInt, rec.toDouble))
+            case _ => None
+          }
+      } catch { case _: Exception => None }
+    }
+
+  /** The live generation's tuned probe budget: (nprobe, the recall it
+    * cleared when tuned), or None when never tuned / invalidated by a
+    * layout-changing retrain. */
+  def probeBudget(): Option[(Int, Double)] = budgetIn(gens.currentGen())
+
+  /** Persist a tuned probe budget into the LIVE generation, beside the
+    * quantizer whose layout it was priced for. */
+  def saveProbeBudget(nprobe: Int, recall: Double): Unit =
+      StoreLock.exclusive(new File(path)) {
+    Fs.atomicWriteString(new File(appendGen(), "_probe_budget"),
+      s"v1|$nprobe|$recall|#")
+  }
+
+  /** The tuned budget, pricing it at most once per layout: the persisted
+    * artifact if present, else `tune` (the caller's recall-targeted
+    * loop, returning the chosen nprobe and the recall it cleared) whose
+    * result is saved for every later session. A new JVM opening this
+    * store reads one tiny file instead of re-paying the profile scans —
+    * and the budget is auditable store state, not a per-process cache. */
+  def tunedProbeBudget(tune: => (Int, Double)): Int =
+    probeBudget().map(_._1).getOrElse {
+      val (np, rec) = tune
+      saveProbeBudget(np, rec)
+      np
+    }
+
   /** Append one batch: each vector lands in the cell `cell` evaluates to.
     * One file per touched cell. A null cell fails the write loudly — Hive
     * partitioning would otherwise bury the row in the default partition
@@ -256,6 +303,16 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
         // quantizer travels with its layout — written BEFORE the swap
         retrainTo.orElse(cents).foreach(cs => KMeans.saveCentroids(spark,
           new File(next, "_quantizer").getAbsolutePath, cs))
+        // the tuned probe budget travels with the LAYOUT it was priced
+        // for: carried verbatim when the layout is unchanged, DROPPED on
+        // a retrain (cells moved and grew — the old budget would price
+        // probes against a layout that no longer exists; the next
+        // [[tunedProbeBudget]] call re-prices against the new one)
+        if (retrainTo.isEmpty)
+          budgetIn(prev).foreach { case (np, rec) =>
+            Fs.atomicWriteString(new File(next, "_probe_budget"),
+              s"v1|$np|$rec|#")
+          }
         gens.swapPointer(next.getName)
         gens.reapExcept(Set(next.getName) ++ prev.map(_.getName))
         stats

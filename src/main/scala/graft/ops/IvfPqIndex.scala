@@ -109,6 +109,49 @@ final class IvfPqIndex(spark: SparkSession, path: String, idCol: String,
       .parquet(g.getAbsolutePath)
   }
 
+  /** The tuned probe budget bound to generation `g` — `_probe_budget`
+    * beside `_pq`/`_coarse`, format `v1|nprobe|recall|#` (the
+    * [[IvfIndex]] contract): a trained artifact priced against THIS
+    * generation's quantizer pair, dropped by a retraining [[compact]]
+    * (new codebooks change shortlist quality, so the old budget's
+    * cleared recall no longer holds). Unparseable/torn reads as absent —
+    * the fail-soft direction for pricing state is "re-tune". */
+  private def budgetIn(g: File): Option[(Int, Double)] = {
+    val f = new File(g, "_probe_budget")
+    if (!f.isFile) None
+    else
+      try {
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .trim.split('|') match {
+            case Array("v1", np, rec, "#") => Some((np.toInt, rec.toDouble))
+            case _ => None
+          }
+      } catch { case _: Exception => None }
+  }
+
+  /** The live generation's tuned (nprobe, cleared recall), or None when
+    * never tuned / invalidated by a codebook retrain. */
+  def probeBudget(): Option[(Int, Double)] =
+    gens.currentGen().flatMap(budgetIn)
+
+  /** Persist a tuned probe budget into the LIVE generation, beside the
+    * quantizer pair it was priced for. */
+  def saveProbeBudget(nprobe: Int, recall: Double): Unit =
+      StoreLock.exclusive(new File(path)) {
+    Fs.atomicWriteString(new File(appendGen(), "_probe_budget"),
+      s"v1|$nprobe|$recall|#")
+  }
+
+  /** The tuned budget, pricing it at most once per quantizer pair: the
+    * persisted artifact if present, else `tune` (saved for every later
+    * session — a new JVM reads one tiny file instead of re-profiling). */
+  def tunedProbeBudget(tune: => (Int, Double)): Int =
+    probeBudget().map(_._1).getOrElse {
+      val (np, rec) = tune
+      saveProbeBudget(np, rec)
+      np
+    }
+
   /** Rewrite to one file per cell in a fresh generation (atomic pointer
     * swap; the replaced generation stays readable for one cycle).
     * Replay-identical rows collapse via FULL-ROW dedup; a same-id row with
@@ -172,6 +215,15 @@ final class IvfPqIndex(spark: SparkSession, path: String, idCol: String,
           .write.partitionBy("cell").parquet(next.getAbsolutePath)
         // quantizers travel with their layout — written BEFORE the swap
         savePair(next, outModel, liveCoarse)
+        // the tuned probe budget travels with the quantizer pair it was
+        // priced for: carried verbatim when the pair is unchanged,
+        // DROPPED on a codebook retrain (the next tunedProbeBudget call
+        // re-prices against the new codes)
+        if (!stats.exists(_.retrained))
+          budgetIn(cur).foreach { case (np, rec) =>
+            Fs.atomicWriteString(new File(next, "_probe_budget"),
+              s"v1|$np|$rec|#")
+          }
         gens.swapPointer(next.getName)
         gens.reapExcept(Set(next.getName, cur.getName))
         stats

@@ -28,4 +28,10 @@ final class SingleFlight[K, V] {
   /** The memoized value for `k`, computing it at most once process-wide. */
   def apply(k: K)(compute: => V): V =
     cells.computeIfAbsent(k, _ => new Cell(() => compute)).value.get
+
+  /** Drop one key's cell (tests: simulate a fresh process over the same
+    * persisted artifact store). An in-flight computation for the key
+    * completes and is discarded; a racer that entered before the drop
+    * still gets its value — exactly a new process's cold-memo shape. */
+  private[graft] def drop(k: K): Unit = { cells.remove(k); () }
 }

@@ -85,7 +85,7 @@ object VectorQueries {
     * cells the candidate list grows only as √n; the same rule
     * [[graft.ops.IvfIndex.grownCells]] applies to persisted-store
     * retrains. */
-  private def sqrtCells(n: Long): Int =
+  private[graft] def sqrtCells(n: Long): Int =
     math.max(8, math.round(8.0 * math.sqrt(n / 1800.0)).toInt)
 
   /** Recall-targeted probe budget for the kNN-join family — the missing
@@ -103,25 +103,26 @@ object VectorQueries {
     * that would silently restore the quadratic join. The bounded
     * `exact` sample is the same frame the caller's recall claim audits
     * against. */
-  private val nprobeCache =
-    new graft.ops.SingleFlight[(String, String, Int), Int]
   private def tunedNprobe(d: String,
                           sample: org.apache.spark.sql.DataFrame,
                           train: org.apache.spark.sql.DataFrame,
                           exact: org.apache.spark.sql.DataFrame,
                           cents: Array[Array[Double]]): Int =
     // the chosen budget is a trained artifact like the quantizer it
-    // tunes (deterministic in the corpus + layout) — cached per
-    // (table, layout) under the same SingleFlight discipline as
-    // unitCentroidsFor, so a long-lived session prices it once
-    nprobeCache((d, "knn", cents.length)) {
+    // tunes (deterministic in the corpus + layout) — PERSISTED per
+    // (table, family, cell count) through [[ProbeBudgets]] beside the
+    // quantizer artifact, with the SingleFlight memo on top: a
+    // long-lived session prices it once, and a NEW session reads the
+    // stored budget instead of re-paying the profile scans
+    ProbeBudgets.tuned(sample.sparkSession, d, "knn", cents.length) {
       val wide = Seq(4, 6, 8, 12, 16, 24).filter(_ <= cents.length)
       val budgets = if (wide.isEmpty) Seq(cents.length) else wide
       val profile = graft.ops.Similarity.ivfProbeProfile(sample, train,
         "vec_id", "embedding", cents, budgets, 5)
-      graft.ops.Similarity.chooseProbeBudget(
+      val row = graft.ops.Similarity.chooseProbeBudget(
         graft.ops.Similarity.probeRecalls(profile, exact, budgets), 0.6)
-        .select(col("chosen_nprobe")).head().getInt(0)
+        .select(col("chosen_nprobe"), col("achieved_recall")).head()
+      (row.getInt(0), row.getDouble(1))
     }
 
   /** [[tunedNprobe]]'s sibling for the triplet miner, priced on the
@@ -138,18 +139,24 @@ object VectorQueries {
                                  corpus: org.apache.spark.sql.DataFrame,
                                  exactNeg: org.apache.spark.sql.DataFrame,
                                  cents: Array[Array[Double]]): Int =
-    nprobeCache((d, "triplet", cents.length)) {
-    val wide = Seq(4, 6, 8, 12, 16, 24).filter(_ <= cents.length)
-    val budgets = if (wide.isEmpty) Seq(cents.length) else wide
-    val total = exactNeg.count().toDouble
-    budgets.find { np =>
-      val mined = graft.ops.KnnOps.tripletMineIvf(sampleAnchors, corpus,
-        "vec_id", "embedding", "label", cents, nprobe = np, margin = 0.1,
-        posCap = 2)
-        .select(col("vec_id"), col("neg_id").as("ni"))
-      mined.join(exactNeg, "vec_id")
-        .where(col("ni") === col("ne")).count() / total >= 0.6
-    }.getOrElse(budgets.last)
+    ProbeBudgets.tuned(corpus.sparkSession, d, "triplet", cents.length) {
+      val wide = Seq(4, 6, 8, 12, 16, 24).filter(_ <= cents.length)
+      val budgets = if (wide.isEmpty) Seq(cents.length) else wide
+      val total = exactNeg.count().toDouble
+      // persist the agreement the chosen budget cleared alongside it —
+      // on fallback (no budget met the bound) this is the WIDEST
+      // budget's agreement, i.e. the best this layout can do
+      var lastAgreement = 0.0
+      val chosen = budgets.find { np =>
+        val mined = graft.ops.KnnOps.tripletMineIvf(sampleAnchors, corpus,
+          "vec_id", "embedding", "label", cents, nprobe = np, margin = 0.1,
+          posCap = 2)
+          .select(col("vec_id"), col("neg_id").as("ni"))
+        lastAgreement = mined.join(exactNeg, "vec_id")
+          .where(col("ni") === col("ne")).count() / total
+        lastAgreement >= 0.6
+      }.getOrElse(budgets.last)
+      (chosen, lastAgreement)
     }
 
   /** Coarse quantizer over UNIT vectors (the cosine-metric face of

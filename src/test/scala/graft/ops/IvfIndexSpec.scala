@@ -229,6 +229,48 @@ class IvfIndexSpec extends SparkSuite {
     assert(got == oneShot)
   }
 
+  test("probe budget persists beside the quantizer; compact carries it; " +
+    "a retrain drops it") {
+    import graft.ops.IvfIndex.RecallPolicy
+    val path = tmp()
+    val idx = new IvfIndex(spark, path, "vec_id", "embedding")
+    val train = (0 until 12).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat,
+        (0.1f * (i % 3)))))
+      .toDF("vec_id", "embedding")
+    val cents = idx.centroids(train, k = 3, iters = 4)
+    idx.add(train, KMeans.assignExpr(col("embedding"), cents))
+    assert(idx.probeBudget().isEmpty)
+
+    // price once, persist; a NEW handle over the same path (the fresh-JVM
+    // shape) must READ the stored budget, never re-run the tuning loop
+    var tunes = 0
+    assert(idx.tunedProbeBudget { tunes += 1; (2, 0.81) } == 2)
+    assert(tunes == 1)
+    val idx2 = new IvfIndex(spark, path, "vec_id", "embedding")
+    assert(idx2.tunedProbeBudget { tunes += 1; (99, 0.0) } == 2,
+      "a new session must read the persisted budget")
+    assert(tunes == 1)
+    assert(idx2.probeBudget().contains((2, 0.81)))
+
+    // a layout-preserving compact carries the budget into the new
+    // generation (same cells — the pricing still holds)
+    idx.compact()
+    assert(idx.probeBudget().contains((2, 0.81)),
+      "plain compact must carry the budget with the unchanged layout")
+
+    // a retraining compact DROPS it: the new layout invalidates the
+    // pricing (target > 1 forces the monitor to retrain)
+    val stats = idx.compact(Some(RecallPolicy(target = 1.01, nprobe = 1,
+      k = 3, sampleN = 12, refitIters = 4)))
+    assert(stats.exists(_.retrained), s"forced retrain should fire: $stats")
+    assert(idx.probeBudget().isEmpty,
+      "a retrain must invalidate the budget priced for the old layout")
+    // and the next tuned call re-prices against the new layout
+    assert(idx.tunedProbeBudget { tunes += 1; (3, 0.9) } == 3)
+    assert(tunes == 2)
+  }
+
   test("a retrain grows the cell count with the corpus (sqrt-n rule)") {
     import graft.ops.IvfIndex.RecallPolicy
     // the rule itself: grows as ceil(c*sqrt(n)), never shrinks below the

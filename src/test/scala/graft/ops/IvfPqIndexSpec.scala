@@ -122,6 +122,39 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(answers() == before, "monitored compact changed the answers")
   }
 
+  test("probe budget persists in the generation; compact carries it; " +
+    "a codebook retrain drops it") {
+    val df = corpus(31L, 120)
+    val cents = KMeans.fit(df, "vec_id", "embedding", 4, 2)
+    val junk = Pq.Model(4, 2, Array.fill(4)(Array(
+      Array(0.0, 0.0), Array(0.01, 0.01), Array(-0.01, 0.01),
+      Array(0.02, 0.0))))
+    val dir = Files.createTempDirectory("ivfpq-budget").toFile.getAbsolutePath
+    val idx = new IvfPqIndex(spark, dir, "vec_id", "embedding", junk, cents)
+    idx.add(df)
+    assert(idx.probeBudget().isEmpty)
+    var tunes = 0
+    assert(idx.tunedProbeBudget { tunes += 1; (2, 0.77) } == 2)
+    assert(tunes == 1)
+    // new handle over the same path — the fresh-JVM shape — reads the
+    // stored budget instead of re-running the tuning loop
+    val idx2 = new IvfPqIndex(spark, dir, "vec_id", "embedding", junk, cents)
+    assert(idx2.tunedProbeBudget { tunes += 1; (99, 0.0) } == 2)
+    assert(tunes == 1)
+    // an unmonitored compact keeps the quantizer pair — budget carried
+    idx.compact()
+    assert(idx.probeBudget().contains((2, 0.77)))
+    // a retraining compact (junk codebooks, recall tanks) drops it: the
+    // budget priced shortlist quality under codebooks that are gone
+    val stats = idx.compact(Some((df, IvfPqIndex.RecallPolicy(target = 0.9,
+      nprobe = 2, k = 5, sampleN = 16, refitIters = 3, shortlist = 8)))).get
+    assert(stats.retrained, s"junk codebooks should trip the monitor: $stats")
+    assert(idx.probeBudget().isEmpty,
+      "a codebook retrain must invalidate the stored budget")
+    assert(idx.tunedProbeBudget { tunes += 1; (4, 0.95) } == 4)
+    assert(tunes == 2)
+  }
+
   test("a conflicting re-add (same id, different vector) fails compact loudly") {
     val df = corpus(29L, 40)
     val cents = KMeans.fit(df, "vec_id", "embedding", 4, 2)
