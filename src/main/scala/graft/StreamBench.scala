@@ -116,6 +116,23 @@ object StreamBench {
     var edgeRankS = 0.0
     val chunkDir = tmp.resolve("chunks").toString
 
+    // store maintenance runs the COUNT policy in-pipeline, not a cadence
+    // or an end-of-run pass: every owned store gets a per-batch
+    // compactIfDue(K) with K priced per family from the measured cost
+    // curves (CompactionPolicy — union-plan edge store K = budget/0.10,
+    // partition-pruned probe stores K = budget/0.002, the ~50× milder
+    // constant PROBE_STORE_POLICY_R16 measured). A fire on an
+    // under-threshold store is one directory listing, so the per-batch
+    // call is near-free; the JSON records per-store fire counts so a
+    // reader can audit that compaction tracked accumulation, not a clock.
+    val edgeK = graft.ops.CompactionPolicy.maxBatches(readBudgetS = 0.5)
+    val probeK = graft.ops.CompactionPolicy.maxBatches(readBudgetS = 0.1,
+      graft.ops.CompactionPolicy.ProbeStorePerBatchReadCostS)
+    val compactFires =
+      scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def fired(store: String, due: Boolean): Unit =
+      if (due) compactFires(store) = compactFires.getOrElse(store, 0L) + 1
+
     val results = Seq(
       timed("passthrough_rows_per_s") {
         src().writeStream.format("graft-topic")
@@ -149,6 +166,8 @@ object StreamBench {
             .writeStream
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
               cc.addPairs(lsh.addAndFindPairs(b, batchOrd = e), ord = e)
+              fired("lsh", lsh.compactIfDue(probeK))
+              fired("cc", cc.compactIfDue(probeK))
             }
             .option("checkpointLocation", tmp.resolve("cp4").toString).start()
         }
@@ -302,15 +321,26 @@ object StreamBench {
                   .write.mode("overwrite")
                   .option("partitionOverwriteMode", "dynamic")
                   .partitionBy("batch").parquet(chunkDir)
+                // count-policy maintenance, per batch: a directory
+                // listing each unless the store is actually due
+                fired("exact", exact.compactIfDue(probeK))
+                fired("para", para.compactIfDue(probeK))
+                fired("simhash", simhash.compactIfDue(probeK))
+                fired("lsh2", lsh.compactIfDue(probeK))
+                fired("cc2", cc.compactIfDue(probeK))
+                fired("ivf", ivf.compactIfDue(probeK))
+                fired("bm25", bm25.compactIfDue(probeK))
+                fired("edges", edgeIdx.compactIfDue(edgeK))
               } finally { kept.unpersist(); () }
             }
             .option("checkpointLocation", tmp.resolve("cp5").toString).start()
         }
-        // consumption face of the streamed link-graph: compact the
-        // appended batches, rank off the node/edge-sized store (3
-        // rounds) — untimed store maintenance, timed rank
+        // consumption face of the streamed link-graph: rank off the
+        // node/edge-sized store AS THE COUNT POLICY LEFT IT — no
+        // end-of-run compact; maintenance already ran per batch under
+        // compactIfDue(edgeK), so any residue below K is exactly the
+        // read cost the policy's budget prices in
         if (edgeIdx.hasData) {
-          edgeIdx.compact()
           nEdges = edgeIdx.edges().count()
           val t0 = System.nanoTime()
           graft.ops.PageRank.topRanks(edgeIdx.edges(), "src", "dst",
@@ -345,7 +375,11 @@ object StreamBench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",",
         s""","simhash_dups":$simhashDups,"n_chunks":$nChunks,"n_edges":$nEdges,"edge_rank_s":${JsonNum.fmt(edgeRankS, 2)}}""")
-    println(s"""{"metric":"stream_rows_per_s","rows":$n,"queries":$qs,"curate_attrition":$attJson,"sf":"$sfDir"}""")
+    val compactJson = compactFires
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(s"""{"edge_k":$edgeK,"probe_k":$probeK,"fires":{""", ",",
+        "}}")
+    println(s"""{"metric":"stream_rows_per_s","rows":$n,"queries":$qs,"curate_attrition":$attJson,"compactions":$compactJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
