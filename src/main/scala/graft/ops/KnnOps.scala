@@ -138,6 +138,16 @@ object KnnOps {
                      vecCol: String, labelCol: String,
                      centroids: Array[Array[Double]], nprobe: Int,
                      margin: Double, posCap: Int = Int.MaxValue): DataFrame = {
+    // posCap = 1 could silently DROP an anchor: the one hash-sampled
+    // member of its label block may be the anchor itself, which the
+    // query_id =!= neighbor_id filter removes, leaving no positive — the
+    // anchor then vanishes through the inner pos/neg join, contradicting
+    // the anchor-completeness contract below. >= 2 guarantees a usable
+    // member survives for every anchor in a nonempty block.
+    require(posCap >= 2,
+      s"posCap must be >= 2 for anchor-completeness (got $posCap): with " +
+        "one sampled member per label block, an anchor whose block sample " +
+        "is itself loses its positive and drops from the output")
     val qp = anchors.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       col(labelCol).as("__ql"))
     val cposAll = Par.spread(corpus.select(col(idCol).as("neighbor_id"),

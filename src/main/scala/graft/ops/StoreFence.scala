@@ -136,7 +136,13 @@ object StoreFence {
         // legacy pre-terminator format: epoch|ownerId|nonce|heartbeatMs.
         // Kept readable for stores last written by old code; note a
         // LEGACY record truncated mid-heartbeat is indistinguishable
-        // from a complete legacy record (the hazard v2 closes).
+        // from a complete legacy record (the hazard v2 closes). The
+        // window is ONE attach wide: every write path emits v2
+        // ([[writeOwner]]), so the store's first acquire — or the
+        // incumbent's first heartbeat — migrates the record on disk
+        // (HadoopFsSpec pins the acquire-migrates case for both legacy
+        // forms); only a store nobody has touched since the upgrade
+        // still carries the ambiguity.
         case Array(e, id, n, hb) if e.nonEmpty && hb.nonEmpty =>
           try Owner(e.toLong, id, n, hb.toLong)
           catch { case _: NumberFormatException =>

@@ -110,6 +110,32 @@ class HadoopFsSpec extends AnyFunSuite {
     StoreFence.release(afs, root, deleteOwnerFile = true)
   }
 
+  test("first contact migrates a legacy owner record to v2 on disk") {
+    val afs = localAfs()
+    // a store last written by pre-terminator code: 4-field legacy record
+    // with an expired heartbeat. Until something rewrites it, the
+    // truncation-ambiguity hazard (a prefix cut mid-heartbeat parses as
+    // a complete ancient record) stays open — the migration contract is
+    // that the store's FIRST acquire closes it by leaving a v2 record,
+    // so the legacy window lasts exactly one attach, never "until some
+    // later v2-era write happens to land".
+    val root = Files.createTempDirectory("hfs-legacy").toString
+    afs.write(afs.child(root, "_owner"), s"7|old-driver|abcdabcdabcd|12345")
+    val epoch = StoreFence.acquire(afs, root, "driver-a", 60000L, false)
+    assert(epoch == 8L, "acquire must resume past the legacy epoch")
+    val rec = afs.read(afs.child(root, "_owner")).get
+    assert(rec.startsWith("v2|8|driver-a|") && rec.endsWith("|#"),
+      s"acquire over a legacy record must leave a v2 record on disk: $rec")
+    // same for the 3-field nonce-less form
+    val root2 = Files.createTempDirectory("hfs-legacy3").toString
+    afs.write(afs.child(root2, "_owner"), s"3|older-driver|12345")
+    assert(StoreFence.acquire(afs, root2, "driver-a", 60000L, false) == 4L)
+    val rec2 = afs.read(afs.child(root2, "_owner")).get
+    assert(rec2.startsWith("v2|4|") && rec2.endsWith("|#"), rec2)
+    StoreFence.release(afs, root, deleteOwnerFile = true)
+    StoreFence.release(afs, root2, deleteOwnerFile = true)
+  }
+
   test("release racing a forced takeover: successor's beat closes the window") {
     val afs = localAfs()
     val root = Files.createTempDirectory("hfs-release-race").toString

@@ -30,7 +30,9 @@ object RecallProbe {
       .localCheckpoint(true)
     val train = emb.where(col("vec_id") % 10 =!= 0).localCheckpoint(true)
     val n = train.count()
-    val ncells = math.max(8, math.round(8.0 * math.sqrt(n / 1800.0)).toInt)
+    // the PRODUCTION layout rule, not a copy: a drifted duplicate would
+    // make this probe measure a different layout than the board runs
+    val ncells = graft.queries.VectorQueries.sqrtCells(n)
     println(s"RECALL_PROBE n_train=$n ncells=$ncells")
     val cents = KMeans.fit(train, "vec_id", "embedding", ncells, 2)
     val probes = (if (args.length > 1) args.drop(1).map(_.toInt).toSeq

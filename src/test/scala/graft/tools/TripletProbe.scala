@@ -27,7 +27,8 @@ object TripletProbe {
           .as("embedding"), col("label"))
       .localCheckpoint(true)
     val n = uemb.count()
-    val ncells = math.max(8, math.round(8.0 * math.sqrt(n / 1800.0)).toInt)
+    // the PRODUCTION layout rule, not a copy (see RecallProbe)
+    val ncells = graft.queries.VectorQueries.sqrtCells(n)
     val cents = KMeans.fit(uemb, "vec_id", "embedding", ncells, 2)
     val anchors = uemb.where(col("vec_id") % 7 === 0 && col("vec_id") < 2000)
     val exact = KnnOps.tripletMine(anchors, uemb, "vec_id", "embedding",
