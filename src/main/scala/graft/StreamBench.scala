@@ -160,7 +160,14 @@ object StreamBench {
           tmp.resolve("lsh").toString, "doc_id", "text")
         val cc = new graft.ops.ComponentsIndex(spark, tmp.resolve("cc").toString)
         timedRows("dedup_pipeline_docs_per_s", nd) {
-          spark.readStream.format("graft-topic").option("path", docsTopic).load()
+          // paced admission (one segment per trigger): the store-backed
+          // pipelines must run as a SEQUENCE of micro-batches — the
+          // continuous-ingest shape they exist for, and the only shape
+          // under which the count-compaction policy has anything to
+          // count (a single giant batch appends once and no store can
+          // ever be due)
+          spark.readStream.format("graft-topic").option("path", docsTopic)
+            .option("maxSegmentsPerTrigger", "1").load()
             .select(col("key").cast("long").as("doc_id"),
               col("value").as("text"))
             .writeStream
@@ -228,7 +235,10 @@ object StreamBench {
             minWords = 30L, maxMeanLen = 5L, maxDupNum = 3L, maxDupDen = 5L),
           "length" -> (length(col("text")) >= 100L))
         val pipeRate = timedRows("curate_pipeline_docs_per_s", nd) {
-          spark.readStream.format("graft-topic").option("path", docsTopic).load()
+          // paced like the dedup stage above: 16 micro-batches, so the
+          // per-batch compactIfDue calls see real accumulation
+          spark.readStream.format("graft-topic").option("path", docsTopic)
+            .option("maxSegmentsPerTrigger", "1").load()
             .select(col("key").cast("long").as("doc_id"),
               col("value").as("text"))
             .writeStream
