@@ -215,35 +215,36 @@ object Bench {
         .lastOption.map(_.getName)
     }
     val quiet: Map[String, Double] = quietFile.map { f =>
+      // a REAL JSON parse (jackson, shipped with Spark), not substring
+      // surgery: the file is tiny and the old hand parse silently
+      // yielded an empty/truncated map on any format evolution —
+      // quietly disabling the ratio-retime pass it exists to power.
+      // Every empty path LOGS its reason: format drift must be
+      // distinguishable from "no baseline committed".
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(f)), "UTF-8")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(f))
         // the quiet record adjudicates ONLY its own scale: a ratio
         // against another SF's record is data growth, not box noise —
         // an sf1 sweep compared to the sf0.1 quiet record would retime
         // the whole board for nothing
-        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfDir)
-        val qStart = txt.indexOf("\"queries\":{")
-        // every empty-parse path LOGS its reason: a silent empty map
-        // quietly disables the ratio-retime pass this file exists to
-        // power, and a format drift (renamed field, nested value) would
-        // otherwise be indistinguishable from "no baseline committed"
+        val sfOk = Option(node.get("sf")).exists(_.asText() == sfDir)
+        val qNode = Option(node.get("queries")).filter(_.isObject)
         if (!sfOk) {
           System.err.println(s"BENCH: quiet baseline $f is for a " +
             s"different sf than $sfDir — ratio-retime pass disabled " +
             "(expected when benching a non-gate scale)")
           Map.empty[String, Double]
-        } else if (qStart < 0) {
+        } else if (qNode.isEmpty) {
           System.err.println(s"BENCH: quiet baseline $f has no " +
-            "\"queries\":{ object — format drift? ratio-retime pass " +
+            "\"queries\" object — format drift? ratio-retime pass " +
             "disabled")
           Map.empty[String, Double]
         } else {
-          val parsed = "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
-            .findAllMatchIn(txt.substring(qStart + 11,
-              txt.indexOf('}', qStart)))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          import scala.jdk.CollectionConverters._
+          val parsed = qNode.get.fields().asScala
+            .filter(_.getValue.isNumber)
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
           if (parsed.isEmpty)
             System.err.println(s"BENCH: quiet baseline $f parsed to an " +
               "EMPTY query map — format drift? ratio-retime pass disabled")
