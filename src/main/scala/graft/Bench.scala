@@ -7,6 +7,25 @@ import org.apache.spark.sql.SparkSession
   * query absorbs JVM/codegen startup so per-query numbers reflect steady
   * state. */
 object Bench {
+
+  /** The standing quiet baseline among `files` ((name, mtime) of the
+    * cwd listing): newest ROUND wins, parsed from the name
+    * (`BENCH_QUIET_r16.json`) — lexicographic max breaks across digit
+    * widths (r99 > r100) and case (R17 < r16), either of which would
+    * silently hand the ratio-retime pass a stale round's record.
+    * Round-less names tie at -1 and fall back to mtime. */
+  private[graft] def pickQuietBaseline(
+      files: Seq[(String, Long)]): Option[String] = {
+    def round(n: String): Long =
+      "[rR](\\d+)".r.findFirstMatchIn(n).map(_.group(1).toLong)
+        .getOrElse(-1L)
+    files
+      .filter { case (n, _) =>
+        n.startsWith("BENCH_QUIET") && n.endsWith(".json") }
+      .sortBy { case (n, mtime) => (round(n), mtime) }
+      .lastOption.map(_._1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -198,22 +217,10 @@ object Bench {
     // record (position noise late in a long board) used to ship
     // un-adjudicated. A second pass keys on the board/quiet ratio
     // instead, regardless of absolute time.
-    val quietFile = sys.env.get("SPARK_GRAFT_QUIET_BASELINE").orElse {
-      val files = Option(new java.io.File(".").listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("BENCH_QUIET") &&
-          f.getName.endsWith(".json"))
-      // newest ROUND wins, parsed from the name (BENCH_QUIET_r16.json):
-      // lexicographic max breaks across digit widths (r99 > r100) and
-      // case (R17 < r16), either of which would silently hand the
-      // ratio-retime pass a stale round's record. Nameless files tie at
-      // round -1 and fall back to mtime.
-      def round(n: String): Long =
-        "[rR](\\d+)".r.findFirstMatchIn(n).map(_.group(1).toLong)
-          .getOrElse(-1L)
-      files.sortBy(f => (round(f.getName), f.lastModified()))
-        .lastOption.map(_.getName)
-    }
+    val quietFile = sys.env.get("SPARK_GRAFT_QUIET_BASELINE").orElse(
+      pickQuietBaseline(Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty).toSeq
+        .map(f => (f.getName, f.lastModified()))))
     val quiet: Map[String, Double] = quietFile.map { f =>
       // a REAL JSON parse (jackson, shipped with Spark), not substring
       // surgery: the file is tiny and the old hand parse silently
