@@ -59,38 +59,22 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
       .find(d => new File(d, "_SUCCESS").exists())
       .map(d => KMeans.loadCentroids(spark, d.getAbsolutePath))
 
-  /** The tuned probe budget bound to generation `g` — `_probe_budget`
-    * beside `_quantizer`, format `v1|nprobe|recall|#`. The budget is the
-    * same kind of trained artifact as the quantizer it prices (chosen by
-    * a recall-targeted tuning loop, deterministic in corpus + layout),
-    * so it travels with the generation and a retraining [[compact]]
-    * DROPS it: a budget priced for the old cell layout says nothing
-    * about the new one. Unparseable/torn files read as absent — the
-    * budget is advisory pricing state, and the fail-soft direction is
-    * "re-tune", never "refuse". */
-  private def budgetIn(g: Option[File]): Option[(Int, Double)] =
-    g.map(new File(_, "_probe_budget")).filter(_.isFile).flatMap { f =>
-      try {
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          .trim.split('|') match {
-            case Array("v1", np, rec, "#") =>
-              Some((np.toInt, rec.toDouble))
-            case _ => None
-          }
-      } catch { case _: Exception => None }
-    }
-
-  /** The live generation's tuned probe budget: (nprobe, the recall it
+  /** The live generation's tuned probe budget ([[ProbeBudgetFile]],
+    * `_probe_budget` beside `_quantizer`): (nprobe, the recall it
     * cleared when tuned), or None when never tuned / invalidated by a
-    * layout-changing retrain. */
-  def probeBudget(): Option[(Int, Double)] = budgetIn(gens.currentGen())
+    * layout-changing retrain. The budget is the same kind of trained
+    * artifact as the quantizer it prices (chosen by a recall-targeted
+    * tuning loop, deterministic in corpus + layout), so it travels with
+    * the generation and a retraining [[compact]] DROPS it: a budget
+    * priced for the old cell layout says nothing about the new one. */
+  def probeBudget(): Option[(Int, Double)] =
+    gens.currentGen().flatMap(ProbeBudgetFile.read)
 
   /** Persist a tuned probe budget into the LIVE generation, beside the
     * quantizer whose layout it was priced for. */
   def saveProbeBudget(nprobe: Int, recall: Double): Unit =
       StoreLock.exclusive(new File(path)) {
-    Fs.atomicWriteString(new File(appendGen(), "_probe_budget"),
-      s"v1|$nprobe|$recall|#")
+    ProbeBudgetFile.write(appendGen(), nprobe, recall)
   }
 
   /** The tuned budget, pricing it at most once per layout: the persisted
@@ -309,10 +293,7 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
         // probes against a layout that no longer exists; the next
         // [[tunedProbeBudget]] call re-prices against the new one)
         if (retrainTo.isEmpty)
-          budgetIn(prev).foreach { case (np, rec) =>
-            Fs.atomicWriteString(new File(next, "_probe_budget"),
-              s"v1|$np|$rec|#")
-          }
+          prev.foreach(ProbeBudgetFile.carry(_, next))
         gens.swapPointer(next.getName)
         gens.reapExcept(Set(next.getName) ++ prev.map(_.getName))
         stats

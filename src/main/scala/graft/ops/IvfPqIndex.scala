@@ -109,37 +109,20 @@ final class IvfPqIndex(spark: SparkSession, path: String, idCol: String,
       .parquet(g.getAbsolutePath)
   }
 
-  /** The tuned probe budget bound to generation `g` — `_probe_budget`
-    * beside `_pq`/`_coarse`, format `v1|nprobe|recall|#` (the
-    * [[IvfIndex]] contract): a trained artifact priced against THIS
-    * generation's quantizer pair, dropped by a retraining [[compact]]
-    * (new codebooks change shortlist quality, so the old budget's
-    * cleared recall no longer holds). Unparseable/torn reads as absent —
-    * the fail-soft direction for pricing state is "re-tune". */
-  private def budgetIn(g: File): Option[(Int, Double)] = {
-    val f = new File(g, "_probe_budget")
-    if (!f.isFile) None
-    else
-      try {
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          .trim.split('|') match {
-            case Array("v1", np, rec, "#") => Some((np.toInt, rec.toDouble))
-            case _ => None
-          }
-      } catch { case _: Exception => None }
-  }
-
-  /** The live generation's tuned (nprobe, cleared recall), or None when
-    * never tuned / invalidated by a codebook retrain. */
+  /** The live generation's tuned probe budget ([[ProbeBudgetFile]],
+    * `_probe_budget` beside `_pq`/`_coarse` — the [[IvfIndex]]
+    * contract): a trained artifact priced against THIS generation's
+    * quantizer pair, dropped by a retraining [[compact]] (new codebooks
+    * change shortlist quality, so the old budget's cleared recall no
+    * longer holds). */
   def probeBudget(): Option[(Int, Double)] =
-    gens.currentGen().flatMap(budgetIn)
+    gens.currentGen().flatMap(ProbeBudgetFile.read)
 
   /** Persist a tuned probe budget into the LIVE generation, beside the
     * quantizer pair it was priced for. */
   def saveProbeBudget(nprobe: Int, recall: Double): Unit =
       StoreLock.exclusive(new File(path)) {
-    Fs.atomicWriteString(new File(appendGen(), "_probe_budget"),
-      s"v1|$nprobe|$recall|#")
+    ProbeBudgetFile.write(appendGen(), nprobe, recall)
   }
 
   /** The tuned budget, pricing it at most once per quantizer pair: the
@@ -220,10 +203,7 @@ final class IvfPqIndex(spark: SparkSession, path: String, idCol: String,
         // DROPPED on a codebook retrain (the next tunedProbeBudget call
         // re-prices against the new codes)
         if (!stats.exists(_.retrained))
-          budgetIn(cur).foreach { case (np, rec) =>
-            Fs.atomicWriteString(new File(next, "_probe_budget"),
-              s"v1|$np|$rec|#")
-          }
+          ProbeBudgetFile.carry(cur, next)
         gens.swapPointer(next.getName)
         gens.reapExcept(Set(next.getName, cur.getName))
         stats

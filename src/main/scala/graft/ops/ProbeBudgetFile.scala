@@ -1,0 +1,44 @@
+package graft.ops
+
+import java.io.File
+
+/** The `_probe_budget` generation artifact shared by [[IvfIndex]] and
+  * [[IvfPqIndex]]: one tiny record `v1|nprobe|recall|#` persisted beside
+  * the quantizer whose layout (or codebook pair) the budget was priced
+  * for. One reader/writer so the two stores can never drift on the
+  * format.
+  *
+  * Fail direction: the budget is advisory PRICING state, not a safety
+  * record — an unparseable/torn/absent file reads as None and the caller
+  * re-tunes. (Contrast [[StoreFence]]'s owner records, where torn must
+  * REJECT: admitting a writer corrupts, while re-tuning merely re-pays
+  * one profile.) The terminator still makes a truncated record
+  * detectable rather than mis-parsed. */
+object ProbeBudgetFile {
+
+  private val Name = "_probe_budget"
+
+  /** The budget bound to generation `g`: (nprobe, the recall/agreement
+    * it cleared when tuned), or None when never tuned or unreadable. */
+  def read(g: File): Option[(Int, Double)] = {
+    val f = new File(g, Name)
+    if (!f.isFile) None
+    else
+      try {
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .trim.split('|') match {
+            case Array("v1", np, rec, "#") => Some((np.toInt, rec.toDouble))
+            case _ => None
+          }
+      } catch { case _: Exception => None }
+  }
+
+  /** Persist (atomic tmp+rename) into generation `g`. */
+  def write(g: File, nprobe: Int, recall: Double): Unit =
+    Fs.atomicWriteString(new File(g, Name), s"v1|$nprobe|$recall|#")
+
+  /** Carry `from`'s budget into `to` verbatim (a layout-preserving
+    * compact); absent stays absent. */
+  def carry(from: File, to: File): Unit =
+    read(from).foreach { case (np, rec) => write(to, np, rec) }
+}
