@@ -13,18 +13,38 @@ object Bench {
     * (`BENCH_QUIET_r16.json`) — lexicographic max breaks across digit
     * widths (r99 > r100) and case (R17 < r16), either of which would
     * silently hand the ratio-retime pass a stale round's record.
-    * Round-less names tie at -1 and fall back to mtime. */
+    * Round-less names tie at -1 and fall back to mtime.
+    *
+    * When `wantSf` is given, candidates whose RECORD declares that sf
+    * (via `sfOf`, a content probe) are preferred: once per-scale quiet
+    * records exist, a newer other-scale capture must not shadow the
+    * same-sf baseline — the downstream sf guard would just empty the
+    * quiet map and silently disable the ratio pass the baseline exists
+    * to power. Falls back to all candidates when none declare a match
+    * (older records, unreadable files). */
   private[graft] def pickQuietBaseline(
-      files: Seq[(String, Long)]): Option[String] = {
+      files: Seq[(String, Long)],
+      sfOf: String => Option[String] = _ => None,
+      wantSf: Option[String] = None): Option[String] = {
     def round(n: String): Long =
       "[rR](\\d+)".r.findFirstMatchIn(n).map(_.group(1).toLong)
         .getOrElse(-1L)
-    files
-      .filter { case (n, _) =>
-        n.startsWith("BENCH_QUIET") && n.endsWith(".json") }
-      .sortBy { case (n, mtime) => (round(n), mtime) }
+    val candidates = files.filter { case (n, _) =>
+      n.startsWith("BENCH_QUIET") && n.endsWith(".json") }
+    val pool = wantSf
+      .map(sf => candidates.filter { case (n, _) => sfOf(n).contains(sf) })
+      .filter(_.nonEmpty)
+      .getOrElse(candidates)
+    pool.sortBy { case (n, mtime) => (round(n), mtime) }
       .lastOption.map(_._1)
   }
+
+  /** The `sf` field of a Bench record on disk, or None when absent or
+    * unreadable (feeds [[pickQuietBaseline]]'s same-sf preference). */
+  private def sfOfRecord(name: String): Option[String] =
+    try Option(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(name)).get("sf")).map(_.asText())
+    catch { case _: Exception => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,6 +113,14 @@ object Bench {
     require(repeat >= 1 && repeat <= 50, s"bad --repeat $repeat")
     require(repeat == 1 || threads == 1,
       "--repeat and --threads are separate faces; pass one")
+    // the standing quiet record is the SERIAL board by definition — a
+    // soak or concurrent record under the capture flag would neither
+    // carry the gate stamp (those faces return early) nor be a valid
+    // baseline for the serial ratio-retime pass; refuse rather than
+    // emit an unstamped record the flag promised to stamp
+    require(!quietCapture || (threads == 1 && repeat == 1),
+      "SPARK_GRAFT_QUIET_CAPTURE=1 is the serial-board face; drop " +
+        "--threads/--repeat for a quiet capture")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -220,7 +248,8 @@ object Bench {
     val quietFile = sys.env.get("SPARK_GRAFT_QUIET_BASELINE").orElse(
       pickQuietBaseline(Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty).toSeq
-        .map(f => (f.getName, f.lastModified()))))
+        .map(f => (f.getName, f.lastModified())),
+        sfOfRecord, Some(sfDir)))
     val quiet: Map[String, Double] = quietFile.map { f =>
       // a REAL JSON parse (jackson, shipped with Spark), not substring
       // surgery: the file is tiny and the old hand parse silently

@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * ledger indexes (`tiered-storage/.../OffloadIndexBlockImpl.java`).
   */
 class IvfIndex(spark: SparkSession, path: String, idCol: String,
-               vecCol: String) {
+               vecCol: String) extends ProbeBudgeted {
   import IvfIndex.{CompactStats, RecallPolicy}
 
   private val gens = new GenStore(path)
@@ -59,36 +59,14 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
       .find(d => new File(d, "_SUCCESS").exists())
       .map(d => KMeans.loadCentroids(spark, d.getAbsolutePath))
 
-  /** The live generation's tuned probe budget ([[ProbeBudgetFile]],
-    * `_probe_budget` beside `_quantizer`): (nprobe, the recall it
-    * cleared when tuned), or None when never tuned / invalidated by a
-    * layout-changing retrain. The budget is the same kind of trained
-    * artifact as the quantizer it prices (chosen by a recall-targeted
-    * tuning loop, deterministic in corpus + layout), so it travels with
-    * the generation and a retraining [[compact]] DROPS it: a budget
-    * priced for the old cell layout says nothing about the new one. */
-  def probeBudget(): Option[(Int, Double)] =
-    gens.currentGen().flatMap(ProbeBudgetFile.read)
-
-  /** Persist a tuned probe budget into the LIVE generation, beside the
-    * quantizer whose layout it was priced for. */
-  def saveProbeBudget(nprobe: Int, recall: Double): Unit =
-      StoreLock.exclusive(new File(path)) {
-    ProbeBudgetFile.write(appendGen(), nprobe, recall)
-  }
-
-  /** The tuned budget, pricing it at most once per layout: the persisted
-    * artifact if present, else `tune` (the caller's recall-targeted
-    * loop, returning the chosen nprobe and the recall it cleared) whose
-    * result is saved for every later session. A new JVM opening this
-    * store reads one tiny file instead of re-paying the profile scans —
-    * and the budget is auditable store state, not a per-process cache. */
-  def tunedProbeBudget(tune: => (Int, Double)): Int =
-    probeBudget().map(_._1).getOrElse {
-      val (np, rec) = tune
-      saveProbeBudget(np, rec)
-      np
-    }
+  // the tuned probe budget ([[ProbeBudgeted]]: probeBudget /
+  // saveProbeBudget / tunedProbeBudget) lives in `_probe_budget` beside
+  // `_quantizer` — the same kind of trained artifact (deterministic in
+  // corpus + layout), so it travels with the generation and a
+  // retraining [[compact]] DROPS it: a budget priced for the old cell
+  // layout says nothing about the new one
+  override protected def probeBudgetGens: GenStore = gens
+  override protected def probeBudgetRoot: File = new File(path)
 
   /** Append one batch: each vector lands in the cell `cell` evaluates to.
     * One file per touched cell. A null cell fails the write loudly — Hive

@@ -48,7 +48,7 @@ import org.apache.spark.sql.functions._
   * reads the authoritative full-precision rows. */
 final class IvfPqIndex(spark: SparkSession, path: String, idCol: String,
                        vecCol: String, model: Pq.Model,
-                       coarse: Array[Array[Double]]) {
+                       coarse: Array[Array[Double]]) extends ProbeBudgeted {
 
   private val gens = new GenStore(path)
 
@@ -109,31 +109,13 @@ final class IvfPqIndex(spark: SparkSession, path: String, idCol: String,
       .parquet(g.getAbsolutePath)
   }
 
-  /** The live generation's tuned probe budget ([[ProbeBudgetFile]],
-    * `_probe_budget` beside `_pq`/`_coarse` — the [[IvfIndex]]
-    * contract): a trained artifact priced against THIS generation's
-    * quantizer pair, dropped by a retraining [[compact]] (new codebooks
-    * change shortlist quality, so the old budget's cleared recall no
-    * longer holds). */
-  def probeBudget(): Option[(Int, Double)] =
-    gens.currentGen().flatMap(ProbeBudgetFile.read)
-
-  /** Persist a tuned probe budget into the LIVE generation, beside the
-    * quantizer pair it was priced for. */
-  def saveProbeBudget(nprobe: Int, recall: Double): Unit =
-      StoreLock.exclusive(new File(path)) {
-    ProbeBudgetFile.write(appendGen(), nprobe, recall)
-  }
-
-  /** The tuned budget, pricing it at most once per quantizer pair: the
-    * persisted artifact if present, else `tune` (saved for every later
-    * session — a new JVM reads one tiny file instead of re-profiling). */
-  def tunedProbeBudget(tune: => (Int, Double)): Int =
-    probeBudget().map(_._1).getOrElse {
-      val (np, rec) = tune
-      saveProbeBudget(np, rec)
-      np
-    }
+  // the tuned probe budget ([[ProbeBudgeted]]) lives in `_probe_budget`
+  // beside `_pq`/`_coarse` — priced against THIS generation's quantizer
+  // pair and dropped by a retraining [[compact]] (new codebooks change
+  // shortlist quality, so the old budget's cleared recall no longer
+  // holds)
+  override protected def probeBudgetGens: GenStore = gens
+  override protected def probeBudgetRoot: File = new File(path)
 
   /** Rewrite to one file per cell in a fresh generation (atomic pointer
     * swap; the replaced generation stays readable for one cycle).

@@ -42,3 +42,43 @@ object ProbeBudgetFile {
   def carry(from: File, to: File): Unit =
     read(from).foreach { case (np, rec) => write(to, np, rec) }
 }
+
+/** The budget accessor trio over a [[GenStore]]-backed index, held once
+  * so [[IvfIndex]] and [[IvfPqIndex]] cannot drift on it; each store
+  * keeps its OWN invalidation semantics in its compact (layout retrain
+  * vs codebook retrain — the carry/drop decision lives there, not
+  * here). */
+trait ProbeBudgeted {
+  /** The store's generation pointer (the budget lives in the live
+    * generation, beside the quantizer artifacts). */
+  protected def probeBudgetGens: GenStore
+  /** The store root (the write serializes under its [[StoreLock]]). */
+  protected def probeBudgetRoot: File
+
+  /** The live generation's tuned probe budget: (nprobe, the
+    * recall/agreement it cleared when tuned), or None when never tuned
+    * or invalidated by a retraining compact. */
+  def probeBudget(): Option[(Int, Double)] =
+    probeBudgetGens.currentGen().flatMap(ProbeBudgetFile.read)
+
+  /** Persist a tuned probe budget into the LIVE generation, beside the
+    * quantizer it was priced for. */
+  def saveProbeBudget(nprobe: Int, recall: Double): Unit =
+    StoreLock.exclusive(probeBudgetRoot) {
+      ProbeBudgetFile.write(probeBudgetGens.liveOrCreate(), nprobe, recall)
+    }
+
+  /** The tuned budget, pricing it at most once per layout: the
+    * persisted artifact if present, else `tune` (the caller's
+    * recall-targeted loop, returning the chosen nprobe and the metric
+    * it cleared) whose result is saved for every later session. A new
+    * JVM opening the store reads one tiny file instead of re-paying
+    * the profile scans — the budget is auditable store state, not a
+    * per-process cache. */
+  def tunedProbeBudget(tune: => (Int, Double)): Int =
+    probeBudget().map(_._1).getOrElse {
+      val (np, rec) = tune
+      saveProbeBudget(np, rec)
+      np
+    }
+}

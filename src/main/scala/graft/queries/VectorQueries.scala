@@ -143,6 +143,13 @@ object VectorQueries {
       val wide = Seq(4, 6, 8, 12, 16, 24).filter(_ <= cents.length)
       val budgets = if (wide.isEmpty) Seq(cents.length) else wide
       val total = exactNeg.count().toDouble
+      // an empty exact side must fail LOUDLY like the knn twin's
+      // probeRecalls does — dividing by zero here would persist
+      // agreement = NaN into the budget artifact for the lifetime of
+      // the corpus snapshot
+      require(total > 0,
+        "tunedTripletNprobe: exact miner produced no negatives — the " +
+          "anchor sample matched no rows, so agreement is undefined")
       // persist the agreement the chosen budget cleared alongside it —
       // on fallback (no budget met the bound) this is the WIDEST
       // budget's agreement, i.e. the best this layout can do

@@ -30,6 +30,27 @@ class BenchSpec extends AnyFunSuite {
       .contains("BENCH_QUIET_r2.json"))
   }
 
+  test("same-sf records are preferred over a newer other-scale capture") {
+    val sfs = Map(
+      "BENCH_QUIET_r17.json" -> "/root/testdata/sf0.1",
+      "BENCH_QUIET_sf3_r18.json" -> "/root/repo/target/scale/sf3")
+    val files = Seq(("BENCH_QUIET_r17.json", 0L),
+      ("BENCH_QUIET_sf3_r18.json", 9L))
+    // the sf0.1 board must NOT pick the newer sf3 record — the
+    // downstream sf guard would empty the quiet map and silently
+    // disable the ratio pass despite a same-sf baseline sitting on disk
+    assert(Bench.pickQuietBaseline(files, sfs.get,
+      Some("/root/testdata/sf0.1")).contains("BENCH_QUIET_r17.json"))
+    // and an sf3 board picks its own record
+    assert(Bench.pickQuietBaseline(files, sfs.get,
+      Some("/root/repo/target/scale/sf3"))
+      .contains("BENCH_QUIET_sf3_r18.json"))
+    // no sf match anywhere (older records, unreadable files): fall back
+    // to the full candidate pool rather than dropping the baseline
+    assert(Bench.pickQuietBaseline(files, _ => None, Some("/elsewhere"))
+      .contains("BENCH_QUIET_sf3_r18.json"))
+  }
+
   test("non-quiet files are never candidates; empty listing yields None") {
     assert(Bench.pickQuietBaseline(Seq(
       ("BENCH_r17.json", 9L), ("BENCH_QUIET_r1.json.bak", 9L),
