@@ -256,4 +256,109 @@ object MinHashLsh {
       smallPairs.unionByName(verified(cands))
     }
   }
+
+  /** Exact n-gram CONTAINMENT within a blocking key: ordered pairs
+    * (doc_a, doc_b) with C(a→b) = |Sh(a) ∩ Sh(b)| / |Sh(a)| ≥
+    * `threshold` — the asymmetric twin of [[jaccardBlocked]], and the
+    * dedup face Jaccard structurally misses: a short document embedded
+    * whole in a long one (a quote-inclusion, a boilerplate-wrapped
+    * repost, a chunk of a larger page) has containment ≈ 1 while its
+    * Jaccard is diluted by the long side's union. An empty shingle set
+    * contains nothing (C undefined ⇒ excluded), and every doc trivially
+    * contains itself, so self-pairs are dropped.
+    *
+    * '''Scale path''' (the set-containment-join prefix filter —
+    * asymmetric where Bayardo's is symmetric): C(a→b) ≥ t needs
+    * overlap ≥ ⌈t·|a|⌉, which depends on the QUERY side's size only. So
+    * only the query side posts a prefix (canonical hash order, length
+    * |a| − ⌈t·|a|⌉ + 1 — missing all of it caps overlap at ⌈t·|a|⌉ − 1);
+    * the INDEX side posts every shingle, because the partner-size-
+    * dependent bound ⌈t·|a|⌉ cannot shorten b's postings without knowing
+    * |a| first. Candidates are the block-local inverted-index join of
+    * the two, plus the size filter |b| ≥ ⌈t·|a|⌉ (b cannot hold t·|a|
+    * shared shingles with fewer rows than that); the exact
+    * merge-intersection verify then scores them. Same exact rational
+    * boundary arithmetic as [[jaccardBlocked]] (under-approximate
+    * num/den, every bound rounds toward MORE candidates), and the same
+    * adaptive small-block all-pairs fast path. */
+  def containmentBlocked(docs: DataFrame, idCol: String, textCol: String,
+                         blockCol: String, shingleK: Int = 3,
+                         threshold: Double = 0.0,
+                         smallBlockCutoff: Int = 512): DataFrame = {
+    require(threshold >= 0.0 && threshold < 1.0, s"bad threshold $threshold")
+    require(smallBlockCutoff >= 0, s"bad cutoff $smallBlockCutoff")
+    val sh = Par.spread(docs.select(col(idCol), col(blockCol), col(textCol)))
+      .select(col(idCol), col(blockCol),
+        hashedShingles(col(textCol), shingleK).as("__sh"))
+    // C = inter/|a| is UNDEFINED for an empty query side — those rows
+    // are excluded in every face (even threshold = 0), not scored 0:
+    // "the empty doc is contained in nothing" and "contains nothing"
+    // both hold vacuously, and emitting a 0 row would invent a
+    // similarity judgment about a doc with no shingles. The filter
+    // also keeps the division away from ANSI 0/0.
+    def scoreExpr = round(col("inter") / size(col("__sha")), 6)
+    def verified(pairs: DataFrame): DataFrame =
+      pairs
+        .join(sh.select(col(idCol).as("doc_a"), col("__sh").as("__sha")),
+          "doc_a")
+        .join(sh.select(col(idCol).as("doc_b"), col("__sh").as("__shb")),
+          "doc_b")
+        .where(size(col("__sha")) > 0)
+        .withColumn("inter", GraftExpressions
+          .sorted_intersect_count(col("__sha"), col("__shb")).cast("double"))
+        .withColumn("containment", scoreExpr)
+        .where(col("containment") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("containment"))
+    def allPairs(s: DataFrame): DataFrame = {
+      val a = s.select(col(idCol).as("doc_a"), col(blockCol),
+        col("__sh").as("__sha"))
+        .where(size(col("__sha")) > 0)
+      val b = s.select(col(idCol).as("doc_b"), col(blockCol).as("__blk_b"),
+        col("__sh").as("__shb"))
+      a.join(b,
+          col(blockCol) === col("__blk_b") && col("doc_a") =!= col("doc_b"))
+        .withColumn("inter", GraftExpressions
+          .sorted_intersect_count(col("__sha"), col("__shb")).cast("double"))
+        .withColumn("containment", scoreExpr)
+        .select(col("doc_a"), col("doc_b"), col("containment"))
+    }
+    if (threshold == 0.0) allPairs(sh)
+    else {
+      val den = 1000000L
+      val num = math.max(0L, math.floor(threshold * den).toLong - 1L)
+      val sizes = sh.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+      val maxBn = sizes.agg(max(col("__bn"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      if (maxBn <= smallBlockCutoff)
+        return allPairs(sh).where(col("containment") >= threshold)
+      val sized = sh.join(sizes, blockCol)
+      val small = sized.where(col("__bn") <= smallBlockCutoff).drop("__bn")
+      val large = sized.where(col("__bn") > smallBlockCutoff).drop("__bn")
+      val smallPairs = allPairs(small).where(col("containment") >= threshold)
+      // o = ⌈num·|a|/den⌉ ≤ ⌈t·|a|⌉ — the required-overlap bound,
+      // under-approximated so the prefix is never shorter than exact
+      val ceilTn = floor((lit(num) * col("__n") + lit(den - 1L)) / lit(den))
+      val queryPosts = large
+        .withColumn("__n", size(col("__sh")))
+        .select(col(blockCol), col(idCol).as("doc_a"),
+          col("__n").as("__na"),
+          explode(slice(col("__sh"), lit(1),
+            (col("__n") - ceilTn + 1).cast("int"))).as("__v"))
+      val indexPosts = large
+        .withColumn("__nb", size(col("__sh")))
+        .select(col(blockCol).as("__blk_b"), col(idCol).as("doc_b"),
+          col("__nb"), explode(col("__sh")).as("__vb"))
+      val cands = queryPosts
+        .join(indexPosts,
+          col(blockCol) === col("__blk_b") && col("__v") === col("__vb") &&
+            col("doc_a") =!= col("doc_b") &&
+            // |b| ≥ ⌈t·|a|⌉, tested in exact long arithmetic on the
+            // under-approximation (never prunes a legal pair)
+            col("__nb") * lit(den) >= lit(num) * col("__na"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      smallPairs.unionByName(verified(cands))
+    }
+  }
 }

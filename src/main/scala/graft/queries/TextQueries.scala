@@ -309,6 +309,21 @@ object TextQueries {
         "source", shingleK = 3, threshold = 0.12)
     }),
 
+    // Asymmetric n-gram CONTAINMENT within the blocking key: ordered
+    // pairs where ≥ 60% of doc_a's shingles sit inside doc_b — the dedup
+    // face Jaccard structurally misses (a short doc embedded whole in a
+    // long one has containment ≈ 1 while its Jaccard is diluted by the
+    // long side's union: quote inclusions, boilerplate-wrapped reposts,
+    // chunks of larger pages). Scale path: the set-containment prefix
+    // filter — only the query side posts a prefix ((1−t)·|a|+1, since
+    // the required overlap ⌈t·|a|⌉ depends on the query's size alone),
+    // the index side posts all, size filter |b| ≥ ⌈t·|a|⌉, exact
+    // merge-intersect verify.
+    "q_ngram_containment" -> ((s, d) => {
+      MinHashLsh.containmentBlocked(Tables.documents(s, d), "doc_id",
+        "text", "source", shingleK = 3, threshold = 0.6)
+    }),
+
     // MinHash signature: first 4 hash values per doc (oracle-checkable slice
     // of the full 16-hash signature).
     "q_minhash_sig" -> ((s, d) => {
@@ -2790,6 +2805,26 @@ object TextQueries {
           JOIN sizes za ON za.doc_id = doc_a
           JOIN sizes zb ON zb.doc_id = doc_b
           WHERE round(inter / (za.sz + zb.sz - inter), 6) >= 0.12""",
+    // containment replay: same shingle rows, directional pairs, the
+    // QUERY side's size as the denominator — a doc with no shingles has
+    // no shingle_rows, so it appears on neither side (the engine's
+    // undefined-for-empty contract)
+    "q_ngram_containment" ->
+      s"""WITH $shingleCte,
+          sizes AS (SELECT doc_id, count(*) AS sz FROM shingle_rows GROUP BY doc_id),
+          src AS (SELECT doc_id, source FROM documents),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS DOUBLE) AS inter
+            FROM shingle_rows a
+            JOIN shingle_rows b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+            JOIN src sa ON sa.doc_id = a.doc_id
+            JOIN src sb ON sb.doc_id = b.doc_id AND sa.source = sb.source
+            GROUP BY a.doc_id, b.doc_id)
+          SELECT doc_a, doc_b, round(inter / za.sz, 6) AS containment
+          FROM inter
+          JOIN sizes za ON za.doc_id = doc_a
+          WHERE round(inter / za.sz, 6) >= 0.6""",
     "q_minhash_sig" ->
       s"""WITH $shingleCte
           SELECT doc_id, ${(0 until 4).map(i => s"min(md5('$i:' || sh)) AS mh$i").mkString(", ")}
