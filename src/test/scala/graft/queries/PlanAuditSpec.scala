@@ -591,6 +591,17 @@ class PlanAuditSpec extends SparkSuite {
         "hash-shuffleable at any scale (broadcast at this tiny sf)")
   }
 
+  test("containment join shuffles on shingle values, never block²") {
+    val p = plan("q_ngram_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "no block cross-product anywhere in the candidate path")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "candidates come from an EQUI-join of the query-side prefix " +
+        "postings against the full index postings on (block, shingle) — " +
+        "hash-shuffleable at any scale")
+  }
+
   test("learned reranker: corpus untouched past the shortlist, no products") {
     val p = plan("q_rag_rerank_model")
     assert(!p.contains("CartesianProduct"))
