@@ -39,6 +39,21 @@ object Bench {
       .lastOption.map(_._1)
   }
 
+  /** Whether a slowest-pass retime is warranted for a query timed at
+    * `boardS` with quiet-record base `quiet`: a first look the standing
+    * quiet record CONFIRMS (ratio ≤ 1.3 on a non-trivial base) is
+    * already adjudicated — re-timing it spends board minutes to learn
+    * what the baseline just said, and kept r17's headline at 26 retimes
+    * on a loaded box. No baseline (or a sub-20 ms base, where ratios are
+    * noise) keeps the unconditional retime: the backstop must not
+    * silently narrow when the adjudication data is absent. */
+  private[graft] def slowRetimeNeeded(boardS: Double,
+                                      quiet: Option[Double]): Boolean =
+    quiet match {
+      case Some(q) if q > 0.02 => boardS / q > 1.3
+      case _ => true
+    }
+
   /** The `sf` field of a Bench record on disk, or None when absent or
     * unreadable (feeds [[pickQuietBaseline]]'s same-sf preference). */
   private def sfOfRecord(name: String): Option[String] =
@@ -82,6 +97,22 @@ object Bench {
     while (loadavg >= maxLoad && loadWaitS < 600) {
       System.err.println(f"BENCH: loadavg ${loadavg}%.2f >= $maxLoad%.1f — " +
         s"waiting for a quiet box (${loadWaitS}s)")
+      Thread.sleep(10000); loadWaitS += 10
+    }
+    // board-grade second stage (non-quiet runs): the r17 board started at
+    // loadavg 1.5 because the 600 s window expired mid-drain and the run
+    // proceeded — and then needed 26 retimes to adjudicate itself. A
+    // MILDER hard-ish gate (~2.0, the level where per-query noise clearly
+    // dominates) gets a second window before giving up: a headline board
+    // should be captured on a box quiet enough that the retime pass is a
+    // backstop, not the measurement. After both windows proceed anyway —
+    // a late record beats no record, and the stamped loadavg_entry lets
+    // the reader discount it.
+    val boardGate = sys.env.get("SPARK_GRAFT_BOARD_GATE").map(_.toDouble)
+      .getOrElse(2.0)
+    while (!quietCapture && loadavg >= boardGate && loadWaitS < 1200) {
+      System.err.println(f"BENCH: loadavg ${loadavg}%.2f >= board gate " +
+        f"$boardGate%.1f — extended wait (${loadWaitS}s)")
       Thread.sleep(10000); loadWaitS += 10
     }
     if (quietCapture && loadavg >= quietGate) {
@@ -172,12 +203,13 @@ object Bench {
       else SparkEntry.queries.filter { case (n, _) => nameArgs.contains(n) }
     val loadStart = loadavg
     if (threads > 1) {
-      runConcurrent(spark, sfDir, selected, threads, outArg, loadStart,
-        loadWaitS)
+      runConcurrent(spark, sfDir, selected, threads, outArg, loadEntry,
+        loadStart, loadWaitS)
       return
     }
     if (repeat > 1) {
-      runSoak(spark, sfDir, selected, repeat, outArg, loadStart, loadWaitS)
+      runSoak(spark, sfDir, selected, repeat, outArg, loadEntry, loadStart,
+        loadWaitS)
       return
     }
     def once(name: String,
@@ -300,6 +332,8 @@ object Bench {
       (name, first, again, loadAtFirst(name), loadRetime, adopted, trigger)
     }
     val slowestPass = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
+      .filter { case (name, first) =>
+        slowRetimeNeeded(first, quiet.get(name)) }
       .map { case (name, first) => retimeOne(name, first, "slowest") }
     val alreadyRetimed = slowestPass.map(_._1).toSet
     // pass 2: board/quiet > 2 on a non-trivial quiet base (ratios over a
@@ -335,11 +369,13 @@ object Bench {
     // instead of trusting the capture discipline
     val gateJson =
       if (quietCapture)
-        s""","quiet_capture":true,"quiet_gate":$quietGate,"loadavg_entry":${
-          JsonNum.fmt(loadEntry, 2)}"""
+        s""","quiet_capture":true,"quiet_gate":$quietGate"""
       else ""
+    // EVERY record stamps its entry load (pre-warmup — the box conditions
+    // the gate actually enforced), not just quiet captures: a board
+    // reader audits capture conditions the same way a quiet reader does
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS$gateJson,"load_board_median":${JsonNum.fmt(boardMedianLoad, 2)},"quiet_baseline":${quietFile.filter(_ => quiet.nonEmpty)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_entry":${JsonNum.fmt(loadEntry, 2)},"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS$gateJson,"load_board_median":${JsonNum.fmt(boardMedianLoad, 2)},"quiet_baseline":${quietFile.filter(_ => quiet.nonEmpty)
         .map("\"" + _ + "\"").getOrElse("null")},"retimed_n":${retimes.size},"retimed_adopted_n":$retimedAdoptedN,"retimed_improved":$retimedJson,"retimed":$retimesJson,"sf":"$sfDir"}"""
     // stop BEFORE printing: Spark's shutdown chatter must not land after
     // the record — the JSON line is the LAST thing this main writes to
@@ -398,8 +434,8 @@ object Bench {
     * warm base) and board-level time/heap drift ratios for SCALING.md. */
   private def runSoak(spark: SparkSession, sfDir: String,
       selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-      repeat: Int, outArg: Option[String], loadStart: Double,
-      loadWaitS: Int): Unit = {
+      repeat: Int, outArg: Option[String], loadEntry: Double,
+      loadStart: Double, loadWaitS: Int): Unit = {
     def loadavg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     def heapMb: Long = {
@@ -451,7 +487,7 @@ object Bench {
         heaps.mkString(",")}],"threads_live":[${
         threadsLive.mkString(",")}],"drift_flagged":[${
         drift.map("\"" + _ + "\"").mkString(",")}],"failed":[${
-        failed.map("\"" + _ + "\"").mkString(",")}],"queries":$qs,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"sf":"$sfDir"}"""
+        failed.map("\"" + _ + "\"").mkString(",")}],"queries":$qs,"loadavg_entry":${JsonNum.fmt(loadEntry, 2)},"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"sf":"$sfDir"}"""
     spark.stop()
     val outFile = outArg.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
@@ -481,8 +517,8 @@ object Bench {
     * once at the end). */
   private def runConcurrent(spark: SparkSession, sfDir: String,
       selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-      threads: Int, outArg: Option[String], loadStart: Double,
-      loadWaitS: Int): Unit = {
+      threads: Int, outArg: Option[String], loadEntry: Double,
+      loadStart: Double, loadWaitS: Int): Unit = {
     def loadavg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val queue = new java.util.concurrent.ConcurrentLinkedQueue[
@@ -525,7 +561,7 @@ object Bench {
     val failedJson = failed.asScala.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"wall_concurrent","value":$wall,"unit":"sec","threads":$threads,"sum_query_s":$sumS,"queries":$qs,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"sf":"$sfDir"}"""
+      s"""{"metric":"wall_concurrent","value":$wall,"unit":"sec","threads":$threads,"sum_query_s":$sumS,"queries":$qs,"failed":$failedJson,"loadavg_entry":${JsonNum.fmt(loadEntry, 2)},"loadavg_start":$loadStart,"loadavg_end":$loadavg,"loadavg_wait_s":$loadWaitS,"sf":"$sfDir"}"""
     spark.stop()
     val outFile = outArg.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))

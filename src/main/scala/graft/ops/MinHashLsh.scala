@@ -230,31 +230,43 @@ object MinHashLsh {
       val small = sized.where(col("__bn") <= smallBlockCutoff).drop("__bn")
       val large = sized.where(col("__bn") > smallBlockCutoff).drop("__bn")
       val smallPairs = allPairs(small).where(col("jaccard") >= threshold)
-      // ceil(num·n/den) = (num·n + den − 1) div den; operands ≤ 1e6·2³¹
-      // stay exact through the double division
-      val ceilTn = floor((lit(num) * col("__n") + lit(den - 1L)) / lit(den))
-      val posts = large
-        .withColumn("__n", size(col("__sh")))
-        .select(col(blockCol), col(idCol), col("__n"),
-          explode(slice(col("__sh"), lit(1),
-            (col("__n") - ceilTn + 1).cast("int"))).as("__v"))
-      val cands = posts
-        .select(col(blockCol), col(idCol).as("doc_a"),
-          col("__n").as("__na"), col("__v"))
-        .join(posts.select(col(blockCol).as("__blk_b"),
-            col(idCol).as("doc_b"), col("__n").as("__nb"),
-            col("__v").as("__vb")),
-          col(blockCol) === col("__blk_b") && col("__v") === col("__vb") &&
-            col("doc_a") < col("doc_b") &&
-            // size-ratio filter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t,
-            // relaxed to num/den and tested in exact long arithmetic
-            col("__na") * lit(den) >= lit(num) * col("__nb") &&
-            col("__nb") * lit(den) >= lit(num) * col("__na"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      val cands = jaccardLargeCands(large, idCol, blockCol, num, den)
       // blocks are wholly small or wholly large, so the two sides
       // partition the pair space — the union is exact, never overlapping
       smallPairs.unionByName(verified(cands))
     }
+  }
+
+  /** Prefix-filtered candidate id-pairs for [[jaccardBlocked]]'s
+    * large-block side — ONE builder shared with the stats face, so the
+    * measured candidate counts can never drift from the operator's
+    * actual candidate shape. `large` is the (id, block, __sh) frame of
+    * docs in above-cutoff blocks; num/den the rational
+    * under-approximation of the threshold. */
+  private def jaccardLargeCands(large: DataFrame, idCol: String,
+                                blockCol: String, num: Long,
+                                den: Long): DataFrame = {
+    // ceil(num·n/den) = (num·n + den − 1) div den; operands ≤ 1e6·2³¹
+    // stay exact through the double division
+    val ceilTn = floor((lit(num) * col("__n") + lit(den - 1L)) / lit(den))
+    val posts = large
+      .withColumn("__n", size(col("__sh")))
+      .select(col(blockCol), col(idCol), col("__n"),
+        explode(slice(col("__sh"), lit(1),
+          (col("__n") - ceilTn + 1).cast("int"))).as("__v"))
+    posts
+      .select(col(blockCol), col(idCol).as("doc_a"),
+        col("__n").as("__na"), col("__v"))
+      .join(posts.select(col(blockCol).as("__blk_b"),
+          col(idCol).as("doc_b"), col("__n").as("__nb"),
+          col("__v").as("__vb")),
+        col(blockCol) === col("__blk_b") && col("__v") === col("__vb") &&
+          col("doc_a") < col("doc_b") &&
+          // size-ratio filter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t,
+          // relaxed to num/den and tested in exact long arithmetic
+          col("__na") * lit(den) >= lit(num) * col("__nb") &&
+          col("__nb") * lit(den) >= lit(num) * col("__na"))
+      .select(col("doc_a"), col("doc_b")).distinct()
   }
 
   /** Exact n-gram CONTAINMENT within a blocking key: ordered pairs
@@ -337,28 +349,108 @@ object MinHashLsh {
       val small = sized.where(col("__bn") <= smallBlockCutoff).drop("__bn")
       val large = sized.where(col("__bn") > smallBlockCutoff).drop("__bn")
       val smallPairs = allPairs(small).where(col("containment") >= threshold)
-      // o = ⌈num·|a|/den⌉ ≤ ⌈t·|a|⌉ — the required-overlap bound,
-      // under-approximated so the prefix is never shorter than exact
-      val ceilTn = floor((lit(num) * col("__n") + lit(den - 1L)) / lit(den))
-      val queryPosts = large
-        .withColumn("__n", size(col("__sh")))
-        .select(col(blockCol), col(idCol).as("doc_a"),
-          col("__n").as("__na"),
-          explode(slice(col("__sh"), lit(1),
-            (col("__n") - ceilTn + 1).cast("int"))).as("__v"))
-      val indexPosts = large
-        .withColumn("__nb", size(col("__sh")))
-        .select(col(blockCol).as("__blk_b"), col(idCol).as("doc_b"),
-          col("__nb"), explode(col("__sh")).as("__vb"))
-      val cands = queryPosts
-        .join(indexPosts,
-          col(blockCol) === col("__blk_b") && col("__v") === col("__vb") &&
-            col("doc_a") =!= col("doc_b") &&
-            // |b| ≥ ⌈t·|a|⌉, tested in exact long arithmetic on the
-            // under-approximation (never prunes a legal pair)
-            col("__nb") * lit(den) >= lit(num) * col("__na"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      val cands = containmentLargeCands(large, idCol, blockCol, num, den)
       smallPairs.unionByName(verified(cands))
     }
+  }
+
+  /** [[containmentBlocked]]'s large-block candidate id-pairs — the
+    * asymmetric set-containment prefix filter, ONE builder shared with
+    * the stats face (same no-drift contract as [[jaccardLargeCands]]). */
+  private def containmentLargeCands(large: DataFrame, idCol: String,
+                                    blockCol: String, num: Long,
+                                    den: Long): DataFrame = {
+    // o = ⌈num·|a|/den⌉ ≤ ⌈t·|a|⌉ — the required-overlap bound,
+    // under-approximated so the prefix is never shorter than exact
+    val ceilTn = floor((lit(num) * col("__n") + lit(den - 1L)) / lit(den))
+    val queryPosts = large
+      .withColumn("__n", size(col("__sh")))
+      .select(col(blockCol), col(idCol).as("doc_a"),
+        col("__n").as("__na"),
+        explode(slice(col("__sh"), lit(1),
+          (col("__n") - ceilTn + 1).cast("int"))).as("__v"))
+    val indexPosts = large
+      .withColumn("__nb", size(col("__sh")))
+      .select(col(blockCol).as("__blk_b"), col(idCol).as("doc_b"),
+        col("__nb"), explode(col("__sh")).as("__vb"))
+    queryPosts
+      .join(indexPosts,
+        col(blockCol) === col("__blk_b") && col("__v") === col("__vb") &&
+          col("doc_a") =!= col("doc_b") &&
+          // |b| ≥ ⌈t·|a|⌉, tested in exact long arithmetic on the
+          // under-approximation (never prunes a legal pair)
+          col("__nb") * lit(den) >= lit(num) * col("__na"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Candidate-volume diagnostics for the prefix-filtered dedup faces —
+    * the measure-don't-assert half of the scale adjudication (r17
+    * verdict #1): one row of COUNTS, no verify work, so a per-SF timing
+    * ratio decomposes into candidates/doc (data structure — how block
+    * density grows in the corpus) × seconds/candidate (engine). The
+    * candidate frames come from the SAME private builders the operators
+    * run ([[jaccardLargeCands]]/[[containmentLargeCands]]); the
+    * small-block side is counted arithmetically from block sizes — the
+    * all-pairs fast path admits every in-block pair by construction
+    * (jaccard: n·(n−1)/2 unordered; containment: nonempty·(n−1)
+    * ordered).
+    *
+    * Columns: n_docs (docs with a shingle row — the operator's working
+    * set), n_blocks, max_block, n_cand_small, n_cand_large,
+    * n_candidates. */
+  def candidateStats(docs: DataFrame, idCol: String, textCol: String,
+                     blockCol: String, containment: Boolean,
+                     shingleK: Int = 3, threshold: Double = 0.6,
+                     smallBlockCutoff: Int = 512): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, s"bad threshold $threshold")
+    val sh = Par.spread(docs.select(col(idCol), col(blockCol), col(textCol)))
+      .select(col(idCol), col(blockCol),
+        hashedShingles(col(textCol), shingleK).as("__sh"))
+    val den = 1000000L
+    val num = math.max(0L, math.floor(threshold * den).toLong - 1L)
+    val sizes = sh.groupBy(col(blockCol)).agg(
+      count(lit(1)).as("__bn"),
+      sum(when(size(col("__sh")) > 0, 1L).otherwise(0L)).as("__bne"))
+    // n·(n−1) is even, so the /2 is exact — cast back from Spark's
+    // always-double division to keep the counts integral
+    val smallCand =
+      if (containment) col("__bne") * (col("__bn") - 1L)
+      else (col("__bn") * (col("__bn") - 1L) / 2L).cast("long")
+    val blockAgg = sizes.agg(
+      coalesce(sum(col("__bn")), lit(0L)).as("n_docs"),
+      count(lit(1)).as("n_blocks"),
+      coalesce(max(col("__bn")), lit(0L)).as("max_block"),
+      coalesce(sum(when(col("__bn") <= smallBlockCutoff, smallCand)
+        .otherwise(0L)), lit(0L)).as("n_cand_small"))
+    val large = sh.join(
+      sizes.where(col("__bn") > smallBlockCutoff).select(col(blockCol)),
+      blockCol)
+    val largeCands =
+      if (containment) containmentLargeCands(large, idCol, blockCol, num, den)
+      else jaccardLargeCands(large, idCol, blockCol, num, den)
+    blockAgg.crossJoin(largeCands.agg(count(lit(1)).as("n_cand_large")))
+      .withColumn("n_candidates", col("n_cand_small") + col("n_cand_large"))
+  }
+
+  /** [[candidatePairs]]' volume diagnostics: one row — n_docs (signed
+    * docs), n_buckets (multi-member band buckets), n_bucket_pairs (pairs
+    * the bucket expansion emits BEFORE the distinct, the capped
+    * n·(n−1)/2-or-star arithmetic of the operator), so the LSH scale
+    * curve decomposes like the prefix-filtered twins'. */
+  def candidatePairStats(docs: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int = 3, numHashes: Int = 16,
+                         bands: Int = 4, maxBucket: Int = 1024): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
+    val bb = bandBuckets(sigs, idCol, bands, rows)
+    val grouped = bb.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+    val pairsOf = when(col("__n") <= maxBucket,
+      (col("__n") * (col("__n") - 1L) / 2L).cast("long"))
+      .otherwise(col("__n") - 1L)
+    sigs.agg(count(lit(1)).as("n_docs")).crossJoin(
+      grouped.agg(coalesce(count(lit(1)), lit(0L)).as("n_buckets"),
+        coalesce(sum(pairsOf), lit(0L)).as("n_bucket_pairs")))
   }
 }

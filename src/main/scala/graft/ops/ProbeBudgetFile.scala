@@ -62,7 +62,15 @@ trait ProbeBudgeted {
     probeBudgetGens.currentGen().flatMap(ProbeBudgetFile.read)
 
   /** Persist a tuned probe budget into the LIVE generation, beside the
-    * quantizer it was priced for. */
+    * quantizer it was priced for.
+    *
+    * MUST NOT be called while already holding the store's [[StoreLock]]
+    * (e.g. from inside a compact): the OS `FileChannel.lock` underneath
+    * is not reentrant within a JVM, so a nested acquire throws
+    * `OverlappingFileLockException`. No current caller nests — compacts
+    * carry or drop the budget via [[ProbeBudgetFile]] directly, under
+    * the lock they already hold. Same constraint for
+    * [[tunedProbeBudget]], which calls this on the tune path. */
   def saveProbeBudget(nprobe: Int, recall: Double): Unit =
     StoreLock.exclusive(probeBudgetRoot) {
       ProbeBudgetFile.write(probeBudgetGens.liveOrCreate(), nprobe, recall)

@@ -51,6 +51,18 @@ class BenchSpec extends AnyFunSuite {
       .contains("BENCH_QUIET_sf3_r18.json"))
   }
 
+  test("slowest-pass retime skips quiet-confirmed first looks only") {
+    // confirmed by the standing record (ratio <= 1.3): skip the retime
+    assert(!Bench.slowRetimeNeeded(1.0, Some(1.0)))
+    assert(!Bench.slowRetimeNeeded(1.3, Some(1.0)))
+    // above the ratio: the first look disagrees with the record — retime
+    assert(Bench.slowRetimeNeeded(1.4, Some(1.0)))
+    // no baseline: the backstop must not narrow without adjudication data
+    assert(Bench.slowRetimeNeeded(5.0, None))
+    // sub-20 ms base: ratios are noise, keep the unconditional retime
+    assert(Bench.slowRetimeNeeded(5.0, Some(0.01)))
+  }
+
   test("non-quiet files are never candidates; empty listing yields None") {
     assert(Bench.pickQuietBaseline(Seq(
       ("BENCH_r17.json", 9L), ("BENCH_QUIET_r1.json.bak", 9L),

@@ -7,11 +7,19 @@ Usage: python3 tools/ab_drift.py <out.json> <labelA> <legA1> [legA2...] \
 Each leg file is a Bench full record ({"queries":{name:sec,...}}). The
 record keeps min-of-legs per tree per query plus every raw leg, and the
 B/A ratio — the same shape as AB_DRIFT_R16.json, so the cross-round
-adjudication tooling reads both. Queries missing from either tree are
-skipped (a tree that predates a query cannot be compared on it). A leg
-where a query FAILED (Bench records -1) is excluded from that query's
-min, and the exclusion is recorded per tree ("<label>_failed_legs") —
-a min-of-one must never read as a two-leg probe.
+adjudication tooling reads both.
+
+Leg coverage is per query, not per file: a query is compared when SOME
+leg of each tree ran it, so third-leg RE-PROBE files covering only the
+suspect queries fold into the same assembly (their rows simply carry 3
+entries in the `_legs` arrays). A query probed with >2 legs on either
+side also records `ratio_first2` — the ratio the first two legs alone
+would have produced — so a reader sees the re-probe's effect, not just
+its conclusion. Queries present in one tree's legs but not the other's
+are recorded in `skipped_missing` (not silently dropped). A leg where a
+query FAILED (Bench records -1) is excluded from that query's min, and
+the exclusion is recorded per tree ("<label>_failed_legs"); a ZERO
+timing is skipped with a warning rather than dividing by it.
 """
 import json
 import statistics
@@ -41,16 +49,30 @@ def main():
         return [json.load(open(f))["queries"] for f in files]
 
     a_legs, b_legs = legs(fa), legs(fb)
-    names = sorted(set.intersection(
-        *[set(l) for l in a_legs + b_legs]))
+    a_names = set().union(*[set(l) for l in a_legs])
+    b_names = set().union(*[set(l) for l in b_legs])
+    names = sorted(a_names & b_names)
+    skipped_missing = sorted(a_names ^ b_names)
+    if skipped_missing:
+        print(f"WARNING: {len(skipped_missing)} queries present in only "
+              f"one tree's legs, skipped: {', '.join(skipped_missing)}",
+              file=sys.stderr)
     queries = {}
     dropped = 0
     for q in names:
-        av = [l[q] for l in a_legs if l[q] >= 0]
-        bv = [l[q] for l in b_legs if l[q] >= 0]
+        # leg order is file order — the interleave order the runner used,
+        # so "first two" below means the original 2-leg probe
+        a_present = [l[q] for l in a_legs if q in l]
+        b_present = [l[q] for l in b_legs if q in l]
+        av = [v for v in a_present if v >= 0]
+        bv = [v for v in b_present if v >= 0]
         if not av or not bv:
             print(f"WARNING: {q} failed in every leg of one tree — "
                   "skipped", file=sys.stderr)
+            continue
+        if min(av) == 0 or min(bv) == 0:
+            print(f"WARNING: {q} has a zero-second leg timing — "
+                  "skipped rather than divided by", file=sys.stderr)
             continue
         entry = {
             f"{la}_min_s": round(min(av), 3),
@@ -59,10 +81,15 @@ def main():
             f"{la}_legs": [round(v, 3) for v in av],
             f"{lb}_legs": [round(v, 3) for v in bv],
         }
-        for lbl, got, ran in ((la, av, a_legs), (lb, bv, b_legs)):
-            if len(got) < len(ran):
-                entry[f"{lbl}_failed_legs"] = len(ran) - len(got)
-                dropped += len(ran) - len(got)
+        if len(av) > 2 or len(bv) > 2:
+            a2 = [v for v in a_present[:2] if v > 0]
+            b2 = [v for v in b_present[:2] if v > 0]
+            if a2 and b2:
+                entry["ratio_first2"] = round(min(b2) / min(a2), 2)
+        for lbl, got, present in ((la, av, a_present), (lb, bv, b_present)):
+            if len(got) < len(present):
+                entry[f"{lbl}_failed_legs"] = len(present) - len(got)
+                dropped += len(present) - len(got)
         queries[q] = entry
     ratios = [v["ratio"] for v in queries.values()]
     rec = {
@@ -72,6 +99,7 @@ def main():
             if ratios else None,
         "faster_on_b": sum(1 for v in queries.values() if v["ratio"] < 1),
         "failed_legs_dropped": dropped,
+        "skipped_missing": skipped_missing,
         "queries": queries,
     }
     with open(out, "w") as f:
@@ -79,7 +107,8 @@ def main():
     print(f"wrote {out}: {len(queries)} queries, "
           f"median {rec['median_ratio']}, "
           f"{rec['faster_on_b']} faster on {lb}, "
-          f"{dropped} failed legs dropped")
+          f"{dropped} failed legs dropped, "
+          f"{len(skipped_missing)} skipped missing")
 
 
 if __name__ == "__main__":
