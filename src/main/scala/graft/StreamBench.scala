@@ -111,6 +111,19 @@ object StreamBench {
     val attTotals = scala.collection.mutable.LinkedHashMap(
       "n_docs" -> 0L, "fail_gopher" -> 0L, "fail_length" -> 0L,
       "fail_model" -> 0L, "n_keep" -> 0L)
+    // per-stage wall seconds across all curate micro-batches (r17 verdict
+    // ask #3: the 18 docs/s number was unattributed) — each entry wraps
+    // the ACTION that materializes that stage's plan, so lazily-built
+    // upstream work lands in the stage that first forces it (noted per
+    // stage below)
+    val stageS = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def staged[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      stageS(name) = stageS.getOrElse(name, 0.0) +
+        (System.nanoTime() - t0) / 1e9
+      r
+    }
     var simhashDups = 0L
     var nEdges = 0L
     var edgeRankS = 0.0
@@ -282,10 +295,13 @@ object StreamBench {
               // downstream
               val allRules = cascadeRules :+
                 ("model" -> (col("model_score") >= 0L))
-              val decided = graft.ops.FilterCascade
-                .withVerdict(scored, allRules).localCheckpoint(true)
-              val att = graft.ops.FilterCascade
-                .attrition(decided, allRules.map(_._1)).collect().head
+              // forces extract + normalize + model gate + cascade (the
+              // localCheckpoint materializes the whole upstream plan)
+              val decided = staged("extract_gate_cascade")(
+                graft.ops.FilterCascade
+                  .withVerdict(scored, allRules).localCheckpoint(true))
+              val att = staged("attrition")(graft.ops.FilterCascade
+                .attrition(decided, allRules.map(_._1)).collect().head)
               attTotals.keys.foreach(k =>
                 attTotals(k) += att.getAs[Long](k))
               System.err.println(s"curate batch=$e " + attTotals.keys
@@ -300,47 +316,56 @@ object StreamBench {
                 // localCheckpoint (NOT persist): the probe plan reads the
                 // store being appended to — path-registered caches would
                 // be recached post-append with a refreshed listing
-                val novelIds = exact.addAndDedup(kept, ord = e, bloom = true)
-                  .select(col("doc_id")).localCheckpoint(true)
+                // (this stage also materializes `kept`: the eval-set
+                // anti-join + the persist, the first action on it)
+                val novelIds = staged("exact_dedup")(
+                  exact.addAndDedup(kept, ord = e, bloom = true)
+                    .select(col("doc_id")).localCheckpoint(true))
                 val fresh = kept.join(novelIds, Seq("doc_id"))
-                edgeIdx.addEdges(fresh.select(
+                staged("edges_append")(edgeIdx.addEdges(fresh.select(
                   (col("doc_id") % 50).as("src"),
-                  expr("(doc_id * 7 + 3) % 60").as("dst")), ord = e)
+                  expr("(doc_id * 7 + 3) % 60").as("dst")), ord = e))
                 // strip corpus-recurring structural units before the
                 // text-side indexes (near-dup pairing + full-text) — the
                 // ingest-time boilerplate filter; embeddings keep the
                 // untouched doc ids
-                val excised = para.addAndExcise(fresh, ord = e)
+                val excised = staged("para_excise")(
+                  para.addAndExcise(fresh, ord = e))
                 // cheap near-dup FLAG at ingest: the persisted simhash
                 // index marks docs within hamming 1 of any earlier
                 // arrival (exists-earlier detection) before the heavier
                 // LSH pairing + cluster resolution refine the clusters
-                simhashDups += simhash.addAndDedup(excised, "text", ord = e)
-                  .where(col("is_dup")).count()
-                cc.addPairs(lsh.addAndFindPairs(excised, batchOrd = e), ord = e)
-                ivf.add(fresh.join(emb, "doc_id")
+                simhashDups += staged("simhash_flag")(
+                  simhash.addAndDedup(excised, "text", ord = e)
+                    .where(col("is_dup")).count())
+                staged("lsh_cc")(cc.addPairs(
+                  lsh.addAndFindPairs(excised, batchOrd = e), ord = e))
+                staged("ivf_add")(ivf.add(fresh.join(emb, "doc_id")
                   .select(col("doc_id"), col("embedding")),
-                  graft.ops.KMeans.assignExpr(col("embedding"), cents))
-                bm25.add(excised, ord = e)
+                  graft.ops.KMeans.assignExpr(col("embedding"), cents)))
+                staged("bm25_add")(bm25.add(excised, ord = e))
                 // RAG chunk store: overlapping windows of the excised text,
                 // partitioned by epoch so a replayed batch overwrites only
                 // its own partition (idempotent sink)
-                graft.ops.RagChunk.chunks(excised, "doc_id", "text",
-                    window = 64, stride = 48)
-                  .withColumn("batch", lit(e))
-                  .write.mode("overwrite")
-                  .option("partitionOverwriteMode", "dynamic")
-                  .partitionBy("batch").parquet(chunkDir)
+                staged("chunk_write")(
+                  graft.ops.RagChunk.chunks(excised, "doc_id", "text",
+                      window = 64, stride = 48)
+                    .withColumn("batch", lit(e))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch").parquet(chunkDir))
                 // count-policy maintenance, per batch: a directory
                 // listing each unless the store is actually due
-                fired("exact", exact.compactIfDue(probeK))
-                fired("para", para.compactIfDue(probeK))
-                fired("simhash", simhash.compactIfDue(probeK))
-                fired("lsh2", lsh.compactIfDue(probeK))
-                fired("cc2", cc.compactIfDue(probeK))
-                fired("ivf", ivf.compactIfDue(probeK))
-                fired("bm25", bm25.compactIfDue(probeK))
-                fired("edges", edgeIdx.compactIfDue(edgeK))
+                staged("compact_sweep") {
+                  fired("exact", exact.compactIfDue(probeK))
+                  fired("para", para.compactIfDue(probeK))
+                  fired("simhash", simhash.compactIfDue(probeK))
+                  fired("lsh2", lsh.compactIfDue(probeK))
+                  fired("cc2", cc.compactIfDue(probeK))
+                  fired("ivf", ivf.compactIfDue(probeK))
+                  fired("bm25", bm25.compactIfDue(probeK))
+                  fired("edges", edgeIdx.compactIfDue(edgeK))
+                }
               } finally { kept.unpersist(); () }
             }
             .option("checkpointLocation", tmp.resolve("cp5").toString).start()
@@ -385,11 +410,14 @@ object StreamBench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",",
         s""","simhash_dups":$simhashDups,"n_chunks":$nChunks,"n_edges":$nEdges,"edge_rank_s":${JsonNum.fmt(edgeRankS, 2)}}""")
+    val stageJson = stageS
+      .map { case (k, v) => "\"" + k + "\":" + JsonNum.fmt(v, 2) }
+      .mkString("{", ",", "}")
     val compactJson = compactFires
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString(s"""{"edge_k":$edgeK,"probe_k":$probeK,"fires":{""", ",",
         "}}")
-    println(s"""{"metric":"stream_rows_per_s","rows":$n,"queries":$qs,"curate_attrition":$attJson,"compactions":$compactJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"stream_rows_per_s","rows":$n,"queries":$qs,"curate_attrition":$attJson,"curate_stage_s":$stageJson,"compactions":$compactJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

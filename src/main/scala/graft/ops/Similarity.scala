@@ -86,6 +86,46 @@ object Similarity {
     topK(scoreAgainst(c, q, "__cell"), k, Seq("query_id"))
   }
 
+  /** Multi-probe IVF ANN over a PRE-ASSIGNED corpus — the read face of a
+    * persisted cell-materialized index (`cellCol` written once at
+    * ingest/artifact-build time, the [[IvfIndex]]/[[graft.queries
+    * .Artifacts]] posture): per query the `nprobe` nearest cells are
+    * probed, and only probed-cell rows are scored. Unlike
+    * [[ivfTopKProbed]] the corpus is NOT re-assigned per run — at scale
+    * the per-query cost is the probed-cell candidate volume, not a
+    * corpus-wide distance pass, which is the whole point of persisting
+    * the index. */
+  def ivfTopKPreassigned(queries: DataFrame, candidates: DataFrame,
+                         idCol: String, vecCol: String, cellCol: String,
+                         centroids: Array[Array[Double]],
+                         nprobe: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cell",
+        explode(KMeans.probeExpr(col("__qv"), centroids, nprobe)))
+    val c = Par.spread(candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(cellCol).as("__cell")))
+    topK(scoreAgainst(c, q, "__cell"), k, Seq("query_id"))
+  }
+
+  /** [[ivfProbeProfile]] over a PRE-ASSIGNED corpus — the tuning loop's
+    * read face when the cell column is already materialized: several
+    * probe budgets profiled in one pass without re-assigning the corpus. */
+  def ivfProbeProfilePreassigned(queries: DataFrame, candidates: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 cellCol: String,
+                                 centroids: Array[Array[Double]],
+                                 probes: Seq[Int], k: Int): DataFrame = {
+    val maxProbe = probes.max
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cells", KMeans.probeExpr(col("__qv"), centroids, maxProbe))
+      .withColumn("nprobe", explode(typedlit(probes)))
+      .withColumn("__cell", explode(slice(col("__cells"), lit(1), col("nprobe"))))
+      .drop("__cells")
+    val c = Par.spread(candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(cellCol).as("__cell")))
+    topK(scoreAgainst(c, q, "__cell"), k, Seq("nprobe", "query_id"))
+  }
+
   /** Probe-setting profile in ONE corpus pass: the query side explodes
     * (nprobe variant × probed cell), so comparing several recall settings
     * multiplies only the broadcast side — the corpus is scanned and

@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions.col
   */
 object ProbeBudgets {
 
-  private val memo = new graft.ops.SingleFlight[(String, String, Int), Int]
+  private val memo =
+    new graft.ops.SingleFlight[(String, String, Int), (Int, Double)]
 
   /** The tuned budget for (`corpus dir`, `kind`, `cells`): the in-process
     * memo, then the persisted artifact, then — only on a cold store —
@@ -39,12 +40,23 @@ object ProbeBudgets {
     * cleared; both persist, so the budget is auditable store state). */
   def tuned(s: SparkSession, d: String, kind: String, cells: Int)(
       compute: => (Int, Double)): Int =
+    tunedWithMetric(s, d, kind, cells)(compute)._1
+
+  /** [[tuned]] plus the metric the chosen budget cleared when tuned —
+    * for callers whose claim row REPORTS the cleared recall (the
+    * q_rag_retrieve_ivf pattern: the audit ran at tune time against the
+    * exact twin and persisted; re-running the brute-force audit per
+    * query would put the exhaustive read back on the scale curve the
+    * indexed twin exists to beat). */
+  def tunedWithMetric(s: SparkSession, d: String, kind: String, cells: Int)(
+      compute: => (Int, Double)): (Int, Double) =
     memo((d, kind, cells)) {
       import s.implicits._
-      Artifacts.materialized(s, d, s"nprobe-$kind-c$cells") {
+      val row = Artifacts.materialized(s, d, s"nprobe-$kind-c$cells") {
         val (np, metric) = compute
         Seq((np, metric)).toDF("nprobe", "metric").coalesce(1)
-      }.select(col("nprobe").cast("int")).head().getInt(0)
+      }.select(col("nprobe").cast("int"), col("metric")).head()
+      (row.getInt(0), row.getDouble(1))
     }
 
   /** Tests: simulate a fresh process's cold memo over the same artifact

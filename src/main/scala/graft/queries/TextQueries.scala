@@ -62,6 +62,35 @@ object TextQueries {
           .cast("double")))
       .select(col("cid"), col("vec"))
 
+  /** Trained coarse quantizer over the RAG chunk corpus — √n-sized like
+    * the kNN-join family's ([[VectorQueries.sqrtCells]]), persisted per
+    * corpus snapshot; the cell count is derived INSIDE the build so no
+    * per-run chunk count is paid just to name the artifact. */
+  private val ragCentroidCache =
+    new graft.ops.SingleFlight[String, Array[Array[Double]]]
+  private def ragCentroidsFor(s: SparkSession, d: String): Array[Array[Double]] =
+    ragCentroidCache(d)(VectorQueries.matrixArtifact(s, d, "rag-ivf-centroids") {
+      val chunks = ragChunkVecs(s, d)
+      graft.ops.KMeans.fit(chunks, "cid", "vec",
+        VectorQueries.sqrtCells(chunks.count()), iters = 2)
+    })
+
+  /** The cell-materialized chunk index (cid, vec, cell) — the persisted
+    * IVF posture for RAG retrieval: chunking, hash16 embedding, and cell
+    * assignment are INGEST work paid once per corpus snapshot; retrieval
+    * queries read the artifact back and score only probed cells. The
+    * brute twin `q_rag_retrieve` re-derives all of it per run — the
+    * exhaustive-read baseline this index is the scale path beside
+    * (reference analog: `CompactedTopicImpl.findStartPoint` binary
+    * search vs the linear scan, pulsar-broker/.../CompactedTopicImpl
+    * .java:169-197). */
+  private def ragAssigned(s: SparkSession, d: String): DataFrame =
+    Artifacts.materialized(s, d, "rag-ivf-assigned") {
+      val cents = ragCentroidsFor(s, d)
+      ragChunkVecs(s, d).withColumn("cell",
+        graft.ops.KMeans.assignExpr(col("vec"), cents))
+    }
+
   /** The BPE-encoded corpus (doc_id, input_ids) under the trained merges —
     * what a tokenized-dataset directory holds on disk; the id report and
     * the packed training records both read it. */
@@ -1683,6 +1712,49 @@ object TextQueries {
         ragChunkVecs(s, d).where(col("cid") < 2000L),
         ragChunkVecs(s, d), "cid", "vec", 5)),
 
+    // The INDEXED twin of q_rag_retrieve — the RAG closure's scale path:
+    // same queries, persisted cell-materialized IVF index
+    // ([[ragAssigned]] — chunking, embedding, and assignment are ingest
+    // work, not per-query work), recall-tuned probe budget persisted
+    // beside the quantizer (the q_knn_ivf discipline: the budget is
+    // priced ONCE per corpus snapshot against the exact brute twin on
+    // these same queries, and the cleared recall@5 persists as auditable
+    // store state — re-running the brute audit per query would put the
+    // exhaustive read back on the scale curve the index exists to beat).
+    // Claims: every query retrieved (ann_complete) and the tuned recall
+    // cleared the margined bound (recall_ok; tune target 0.7, bound
+    // 0.55 — measured 0.75/0.85 at nprobe 2-of-8 on sf0.01/sf0.001 and
+    // 0.87 at 2-of-21 on sf0.1; scale curve in BENCH_SCALE_RAG_R18.json).
+    "q_rag_retrieve_ivf" -> ((s, d) => {
+      val cents = ragCentroidsFor(s, d)
+      val assigned = ragAssigned(s, d)
+      val queries = assigned.where(col("cid") < 2000L)
+        .select(col("cid"), col("vec"))
+      val (nprobe, tunedRecall) =
+        ProbeBudgets.tunedWithMetric(s, d, "rag", cents.length) {
+          val budgets = Seq(2, 3, 4, 6, 8, 12, 16, 24)
+            .filter(_ <= cents.length)
+          val exact = graft.ops.Similarity.bruteForceTopK(
+            queries, assigned.select(col("cid"), col("vec")),
+            "cid", "vec", 5)
+            .select(col("query_id"), col("neighbor_id"))
+            .localCheckpoint(true)
+          val profile = graft.ops.Similarity.ivfProbeProfilePreassigned(
+            queries, assigned, "cid", "vec", "cell", cents, budgets, 5)
+          val row = graft.ops.Similarity.chooseProbeBudget(
+            graft.ops.Similarity.probeRecalls(profile, exact, budgets), 0.7)
+            .select(col("chosen_nprobe"), col("achieved_recall")).head()
+          (row.getInt(0), row.getDouble(1))
+        }
+      val ann = graft.ops.Similarity.ivfTopKPreassigned(
+        queries, assigned, "cid", "vec", "cell", cents, nprobe, k = 5)
+      queries.agg(count(lit(1)).as("n_queries")).crossJoin(
+          ann.agg(countDistinct(col("query_id")).as("__annq")))
+        .select(col("n_queries"),
+          (col("__annq") === col("n_queries")).as("ann_complete"),
+          lit(tunedRecall >= 0.55).as("recall_ok"))
+    }),
+
     // Diverse retrieval: the top-10 cosine shortlist re-ranked by greedy
     // MMR (λ=0.7) so near-duplicate chunks don't crowd the context
     // window — 3 picks per query, penalty = max cosine to the already
@@ -2681,11 +2753,10 @@ object TextQueries {
     * query-candidate dot products), shared by the retrieval baseline and
     * the MMR re-rank. Ends with `comp`(cid, i, x) and `dots`(query_id,
     * neighbor_id, dp, nq, nc). */
-  private lazy val ragVecCtes: String = {
-    def nib(i: Int) =
-      s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
-        s" THEN ascii(substr(h,$i,1)) - 48" +
-        s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+  /** Chunking prefix alone (ends with `ch`(doc_id, chunk_idx,
+    * chunk_text)) — reused by the IVF twin's claim oracle, which only
+    * needs the query-chunk count. */
+  private lazy val ragChunkCtes: String =
     s"""d AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          ch AS (
@@ -2693,7 +2764,14 @@ object TextQueries {
                   array_to_string(list_slice(toks, s + 1, s + 32), ' ')
                     AS chunk_text
            FROM d, LATERAL unnest(range(0, len(toks), 24)) AS t(s)
-           WHERE s = 0 OR len(toks) - s > 8),
+           WHERE s = 0 OR len(toks) - s > 8)"""
+
+  private lazy val ragVecCtes: String = {
+    def nib(i: Int) =
+      s"(CASE WHEN ascii(substr(h,$i,1)) <= 57" +
+        s" THEN ascii(substr(h,$i,1)) - 48" +
+        s" ELSE ascii(substr(h,$i,1)) - 87 END)"
+    s"""$ragChunkCtes,
          ev AS (
            SELECT doc_id * 1000 + chunk_idx AS cid, i,
                   md5(CAST(i AS VARCHAR) || ':' || chunk_text) AS h
@@ -4438,6 +4516,16 @@ object TextQueries {
                              neighbor_id ASC) AS rank
            FROM dots)
          WHERE rank <= 5""",
+
+    // IVF-twin claims: the query-chunk count replays from the chunking
+    // CTEs; ann_complete and recall_ok are engine claims (trained
+    // quantizer + tuned budget are not SQL-replayable), the
+    // q_knn_ivf/q_triplet_ivf precedent
+    "q_rag_retrieve_ivf" ->
+      s"""WITH $ragChunkCtes
+         SELECT count(*) AS n_queries, true AS ann_complete,
+                true AS recall_ok
+         FROM ch WHERE doc_id * 1000 + chunk_idx < 2000""",
 
     // learned-reranker replay: same shortlist, pair features as exact
     // integer q×c products, stub weights rebuilt in SQL, top-3 by score

@@ -25,7 +25,7 @@ object VectorQueries {
     * ANN queries pay a 6–8 s k-means/PQ training INSIDE whichever query
     * hit the cold cache (serial best-of-2 masked it; a once-run
     * concurrent board surfaced it as phantom 9–18× "interference"). */
-  private def matrixArtifact(s: SparkSession, d: String, kind: String)(
+  private[queries] def matrixArtifact(s: SparkSession, d: String, kind: String)(
       train: => Array[Array[Double]]): Array[Array[Double]] = {
     import s.implicits._
     Artifacts.materialized(s, d, kind) {

@@ -182,6 +182,40 @@ class SimilaritySpec extends SparkSuite {
       Option(err.getCause).exists(_.getMessage.contains("empty")))
   }
 
+  test("preassigned read faces equal the assign-per-run faces") {
+    // the persisted-index contract: scoring over a corpus whose cell
+    // column was materialized at build time must be ROW-IDENTICAL to
+    // re-assigning per run — both for the search and the tuning profile
+    val emb = (0 until 400).map { i =>
+      val c = VectorFunctions.plane(i % 10, 16)
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (i.toLong, Seq.tabulate(16)(j =>
+        (c(j) / n + 0.2 * math.sin(i * 16.0 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = KMeans.fit(emb, "vec_id", "embedding", 6, iters = 2)
+    val assigned = emb.withColumn("cell",
+      KMeans.assignExpr(col("embedding"), cents))
+    val queries = emb.where(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    for (np <- Seq(1, 3)) {
+      val pre = rows(Similarity.ivfTopKPreassigned(queries, assigned,
+        "vec_id", "embedding", "cell", cents, np, 5))
+      val per = rows(Similarity.ivfTopKProbed(queries, emb,
+        "vec_id", "embedding", cents, np, 5))
+      assert(pre == per, s"search diverged at nprobe=$np")
+    }
+    val budgets = Seq(1, 3, 6)
+    def profRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("nprobe", "query_id", "neighbor_id", "rank")
+        .as[(Int, Long, Long, Int)].collect().toSet
+    assert(profRows(Similarity.ivfProbeProfilePreassigned(queries, assigned,
+        "vec_id", "embedding", "cell", cents, budgets, 5)) ==
+      profRows(Similarity.ivfProbeProfile(queries, emb,
+        "vec_id", "embedding", cents, budgets, 5)))
+  }
+
   test("codegen FloatVectorDot equals the zip_with/aggregate formulation") {
     val vecs = (0 until 200).map { i =>
       (Seq.tabulate(64)(j => (math.sin(i * 64 + j)).toFloat),

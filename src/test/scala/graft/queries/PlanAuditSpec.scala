@@ -602,6 +602,19 @@ class PlanAuditSpec extends SparkSuite {
         "hash-shuffleable at any scale")
   }
 
+  test("rag IVF twin: probed scoring is a cell equi-join on the " +
+    "persisted index, never a corpus product") {
+    val p = plan("q_rag_retrieve_ivf")
+    // the candidate path is the broadcast-query ⋈ cell-materialized
+    // corpus equi-join (the persisted-index read shape); the only
+    // nested-loop joins allowed are the 1-row claim-assembly crossJoins
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"probed scoring must be an equi-join on cell:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "no corpus-scale cross product in the retrieval path")
+  }
+
   test("learned reranker: corpus untouched past the shortlist, no products") {
     val p = plan("q_rag_rerank_model")
     assert(!p.contains("CartesianProduct"))
