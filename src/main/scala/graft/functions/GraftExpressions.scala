@@ -354,6 +354,222 @@ case class KMeansAssignArgmin(child: Expression, cents: Array[Double],
     copy(child = newChild)
 }
 
+/** Min squared L2 distance from a vector to any of k centers, clamped at
+  * ≥ 0 — the fused form of the k-means‖ init's per-center
+  * `least(...)` fold ([[graft.ops.KMeans]] minDistSq), which was O(k)
+  * NESTED column nodes: with oversampling l = 2k per round, a √n-sized
+  * quantizer fit beyond ~150 cells accumulates ~800 candidate centers
+  * and the nested-least tree overflowed the driver stack during column
+  * conversion (sf9 rag corpus). Bit-identical: same
+  * (v² − 2·v·c) + c² per center with the shared left-to-right dots,
+  * fold-left min with NaN-is-largest (Spark `least`), final
+  * `greatest(·, 0)` clamp. `cents` flat at c·dim + j. */
+case class KMeansMinDistSq(child: Expression, cents: Array[Double],
+                           c2: Array[Double], k: Int, dim: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kmeans_min_dist_sq"
+
+  private def vGetter: String = child.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case other => throw new IllegalArgumentException(
+      s"kmeans_min_dist_sq expects array<float|double> vector, got " +
+        other.simpleString)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val vv = v.asInstanceOf[ArrayData]
+    val vDouble = vGetter == "getDouble"
+    val n = math.min(dim, vv.numElements())
+    var v2 = 0.0
+    var j = 0
+    while (j < n) {
+      val x = if (vDouble) vv.getDouble(j) else vv.getFloat(j).toDouble
+      v2 += x * x
+      j += 1
+    }
+    var best = Double.NaN
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      j = 0
+      while (j < n) {
+        val x = if (vDouble) vv.getDouble(j) else vv.getFloat(j).toDouble
+        dot += x * cents(c * dim + j)
+        j += 1
+      }
+      val d = v2 - 2.0 * dot + c2(c)
+      if (c == 0 || d < best ||
+          (java.lang.Double.isNaN(best) && !java.lang.Double.isNaN(d)))
+        best = d
+      c += 1
+    }
+    if (java.lang.Double.isNaN(best)) best else math.max(best, 0.0)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val centsRef = ctx.addReferenceObj("kmCents", cents, "double[]")
+    val c2Ref = ctx.addReferenceObj("kmC2", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val v2 = ctx.freshName("v2")
+      val best = ctx.freshName("best"); val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val x = ctx.freshName("x")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |double $v2 = 0.0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  double $x = (double) $v.$vGetter($j);
+         |  $v2 += $x * $x;
+         |}
+         |double $best = Double.NaN;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += (double) $v.$vGetter($j) * $centsRef[$c * $dim + $j];
+         |  }
+         |  double $d = $v2 - 2.0 * $dot + $c2Ref[$c];
+         |  if ($c == 0 || $d < $best ||
+         |      (Double.isNaN($best) && !Double.isNaN($d))) {
+         |    $best = $d;
+         |  }
+         |}
+         |${ev.value} = Double.isNaN($best)
+         |  ? $best : java.lang.Math.max($best, 0.0);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** The `nprobe` nearest centroids by (|c|² − 2·v·c, cell index), nearest
+  * first — the fused form of [[graft.ops.KMeans.probeExpr]]'s old
+  * k-struct + sort_array tree, which was O(k) COLUMN NODES: at the √n
+  * cell counts the kNN/RAG families reach beyond ~150 cells (the sf9
+  * rag corpus sizes to ~200), merely CONVERTING that tree overflowed
+  * the driver stack before any row ran. One expression, k bounded only
+  * by the flat centroid array. Bit-identical ordering to the tree form:
+  * same c² fold, same left-to-right dot, distances compared NaN-largest
+  * with exact-equality ties broken by cell index ascending (Spark's
+  * struct ordering under sort_array). `cents` flat at c·dim + j. */
+case class KMeansProbeList(child: Expression, cents: Array[Double],
+                           c2: Array[Double], k: Int, dim: Int, nprobe: Int)
+  extends UnaryExpression {
+  require(nprobe >= 1, s"bad nprobe $nprobe")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "kmeans_probe_list"
+
+  private def vGetter: String = child.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case other => throw new IllegalArgumentException(
+      s"kmeans_probe_list expects array<float|double> vector, got " +
+        other.simpleString)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val vv = v.asInstanceOf[ArrayData]
+    val vDouble = vGetter == "getDouble"
+    val n = math.min(dim, vv.numElements())
+    val m = math.min(nprobe, k)
+    val bd = new Array[Double](m); val bi = new Array[Int](m)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (vDouble) vv.getDouble(j) else vv.getFloat(j).toDouble
+        dot += x * cents(c * dim + j)
+        j += 1
+      }
+      val d = c2(c) - 2.0 * dot
+      var pos = filled
+      while (pos > 0 && {
+        val pd = bd(pos - 1); val pi = bi(pos - 1)
+        val cmp =
+          if ((java.lang.Double.isNaN(d) && java.lang.Double.isNaN(pd)) ||
+            d == pd) 0
+          else if (java.lang.Double.isNaN(d)) 1
+          else if (java.lang.Double.isNaN(pd)) -1
+          else if (d > pd) 1 else -1
+        cmp < 0 || (cmp == 0 && c < pi)
+      }) pos -= 1
+      if (pos < m) {
+        val end = if (filled < m) filled else m - 1
+        var t = end
+        while (t > pos) { bd(t) = bd(t - 1); bi(t) = bi(t - 1); t -= 1 }
+        bd(pos) = d; bi(pos) = c
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val centsRef = ctx.addReferenceObj("kmCents", cents, "double[]")
+    val c2Ref = ctx.addReferenceObj("kmC2", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val bd = ctx.freshName("bd"); val bi = ctx.freshName("bi")
+      val filled = ctx.freshName("filled"); val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val pos = ctx.freshName("pos")
+      val pd = ctx.freshName("pd"); val pi = ctx.freshName("pi")
+      val cmp = ctx.freshName("cmp"); val end = ctx.freshName("end")
+      val t = ctx.freshName("t")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |int $m = java.lang.Math.min($nprobe, $k);
+         |double[] $bd = new double[$m]; int[] $bi = new int[$m];
+         |int $filled = 0;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += (double) $v.$vGetter($j) * $centsRef[$c * $dim + $j];
+         |  }
+         |  double $d = $c2Ref[$c] - 2.0 * $dot;
+         |  int $pos = $filled;
+         |  while ($pos > 0) {
+         |    double $pd = $bd[$pos - 1]; int $pi = $bi[$pos - 1];
+         |    int $cmp;
+         |    if ((Double.isNaN($d) && Double.isNaN($pd)) || $d == $pd) {
+         |      $cmp = 0;
+         |    } else if (Double.isNaN($d)) { $cmp = 1; }
+         |    else if (Double.isNaN($pd)) { $cmp = -1; }
+         |    else { $cmp = $d > $pd ? 1 : -1; }
+         |    if ($cmp < 0 || ($cmp == 0 && $c < $pi)) { $pos--; }
+         |    else { break; }
+         |  }
+         |  if ($pos < $m) {
+         |    int $end = $filled < $m ? $filled : $m - 1;
+         |    for (int $t = $end; $t > $pos; $t--) {
+         |      $bd[$t] = $bd[$t - 1]; $bi[$t] = $bi[$t - 1];
+         |    }
+         |    $bd[$pos] = $d; $bi[$pos] = $c;
+         |    if ($filled < $m) { $filled++; }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($bi, $filled));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 /** All m PQ sub-codes of one vector in one pass — the fused form of
   * m × (slice + [[KMeansAssignArgmin]]). Same flat codebook layout as
   * [[PqAdcScore]] ((mi·k + c)·subDim + j, c² at mi·k + c); identical
@@ -534,6 +750,18 @@ object GraftExpressions {
                     k: Int, dim: Int): Column =
     ExpressionUtils.column(KMeansAssignArgmin(
       ExpressionUtils.expression(vec), cents, c2, k, dim))
+
+  /** See [[KMeansMinDistSq]]; `cents` flat at c·dim + j. */
+  def kmeans_min_dist_sq(vec: Column, cents: Array[Double],
+                         c2: Array[Double], k: Int, dim: Int): Column =
+    ExpressionUtils.column(KMeansMinDistSq(
+      ExpressionUtils.expression(vec), cents, c2, k, dim))
+
+  /** See [[KMeansProbeList]]; `cents` flat at c·dim + j. */
+  def kmeans_probe_list(vec: Column, cents: Array[Double], c2: Array[Double],
+                        k: Int, dim: Int, nprobe: Int): Column =
+    ExpressionUtils.column(KMeansProbeList(
+      ExpressionUtils.expression(vec), cents, c2, k, dim, nprobe))
 
   /** See [[PqEncode]]; layout shared with [[PqAdcScore]]. */
   def pq_encode(vec: Column, books: Array[Double], c2: Array[Double],

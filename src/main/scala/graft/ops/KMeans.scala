@@ -2,7 +2,6 @@ package graft.ops
 
 import scala.collection.mutable.ArrayBuffer
 
-import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -82,14 +81,21 @@ object KMeans {
   }
 
   /** Min squared L2 distance from `vec` to any of `centers` (|v|² included —
-    * needed for the absolute d² the ‖-init sampling uses). */
+    * needed for the absolute d² the ‖-init sampling uses). Fused
+    * ([[graft.functions.KMeansMinDistSq]]): the old per-center
+    * nested-least fold was O(|centers|) column nodes, and the ‖-init's
+    * oversampled candidate set (~2k per round) overflowed the driver
+    * stack during column conversion once √n quantizers passed ~150
+    * cells; identical values. */
   private def minDistSq(vec: Column, centers: Array[Array[Double]]): Column = {
-    val v2 = VectorFunctions.dot(vec, vec)
-    val ds = centers.map { c =>
-      val c2 = c.map(x => x * x).sum
-      v2 - lit(2.0) * VectorFunctions.dot(vec, typedlit(c.toSeq)) + lit(c2)
+    val k = centers.length
+    val dim = centers(0).length
+    val flat = new Array[Double](k * dim)
+    centers.zipWithIndex.foreach { case (c, i) =>
+      System.arraycopy(c, 0, flat, i * dim, dim)
     }
-    greatest(ds.reduce((a, b) => least(a, b)), lit(0.0)) // clamp fp negatives
+    val c2 = centers.map(c => c.map(x => x * x).sum)
+    graft.functions.GraftExpressions.kmeans_min_dist_sq(vec, flat, c2, k, dim)
   }
 
   /** Train centroids: k-means‖ init + `iters` Lloyd iterations over one
@@ -155,18 +161,23 @@ object KMeans {
 
   /** Multi-probe list: indices of the `nprobe` nearest centroids, nearest
     * first. Real IVF probes several cells — single-probe recall falls off a
-    * cliff for queries near cell boundaries (the verdict's nprobe=1 gap). */
+    * cliff for queries near cell boundaries (the verdict's nprobe=1 gap).
+    * Fused ([[graft.functions.KMeansProbeList]]) like [[assignExpr]]: the
+    * old k-struct + sort_array tree was O(k) column nodes and overflowed
+    * the driver stack just being CONVERTED once √n cell counts passed
+    * ~150 (the sf9 rag corpus sizes to ~200 cells); output is
+    * bit-identical. */
   def probeExpr(vec: Column, centroids: Array[Array[Double]],
                 nprobe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct(
-        (lit(c2) - lit(2.0) * VectorFunctions.dot(vec, typedlit(c.toSeq)))
-          .as("d"),
-        lit(i).as("i"))
+    val k = centroids.length
+    val dim = centroids(0).length
+    val flat = new Array[Double](k * dim)
+    centroids.zipWithIndex.foreach { case (c, i) =>
+      System.arraycopy(c, 0, flat, i * dim, dim)
     }
-    transform(slice(sort_array(array(scored.toIndexedSeq: _*)), 1, nprobe),
-      s => s.getField("i"))
+    val c2 = centroids.map(c => c.map(x => x * x).sum)
+    graft.functions.GraftExpressions.kmeans_probe_list(
+      vec, flat, c2, k, dim, nprobe)
   }
 
   /** Train + assign: returns the input with a `cell` column — feed straight

@@ -216,6 +216,65 @@ class SimilaritySpec extends SparkSuite {
         "vec_id", "embedding", cents, budgets, 5)))
   }
 
+  test("fused probe list equals the struct-sort tree form and builds at " +
+    "cell counts where the tree overflowed") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8.0 + j)))
+    }.toDF("vec_id", "vec")
+    val cents = Array.tabulate(12)(c =>
+      Array.tabulate(8)(j => math.cos(c * 8.0 + j)))
+    // the pre-fusion tree form, replicated verbatim
+    def treeProbe(vec: org.apache.spark.sql.Column, nprobe: Int) = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) *
+          VectorFunctions.dot(vec, typedlit(c.toSeq))).as("d"),
+          lit(i).as("i"))
+      }
+      transform(slice(sort_array(array(scored.toIndexedSeq: _*)), 1, nprobe),
+        s => s.getField("i"))
+    }
+    for (np <- Seq(1, 4, 12, 20)) {
+      val fused = vecs.select(col("vec_id"),
+          KMeans.probeExpr(col("vec"), cents, np).as("p"))
+        .as[(Long, Seq[Int])].collect().toMap
+      val tree = vecs.select(col("vec_id"), treeProbe(col("vec"), np).as("p"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(fused == tree, s"probe lists diverged at nprobe=$np")
+    }
+    // ~200+ cells: the struct-sort tree overflowed the driver stack while
+    // CONVERTING the column nodes (sf9 rag corpus); the fused form must
+    // simply run
+    val big = Array.tabulate(256)(c =>
+      Array.tabulate(8)(j => math.sin(c * 17.0 + j)))
+    val probed = vecs.select(KMeans.probeExpr(col("vec"), big, 8))
+      .as[Seq[Int]].collect()
+    assert(probed.forall(p => p.length == 8 && p.distinct.length == 8))
+    // the fused min-dist² (the k-means‖ init's sampling weight — the other
+    // O(k)-column-node fold that overflowed) equals the nested-least tree
+    def flatOf(cs: Array[Array[Double]]) = {
+      val f = new Array[Double](cs.length * 8)
+      cs.zipWithIndex.foreach { case (c, i) =>
+        System.arraycopy(c, 0, f, i * 8, 8) }
+      f
+    }
+    val treeMin = vecs.select(col("vec_id"), {
+      val v2 = VectorFunctions.dot(col("vec"), col("vec"))
+      val ds = cents.map { c =>
+        val c2 = c.map(x => x * x).sum
+        v2 - lit(2.0) * VectorFunctions.dot(col("vec"), typedlit(c.toSeq)) +
+          lit(c2)
+      }
+      greatest(ds.reduce((a, b) => least(a, b)), lit(0.0)).as("d2")
+    }).as[(Long, Double)].collect().toMap
+    val fusedMin = vecs.select(col("vec_id"),
+        graft.functions.GraftExpressions.kmeans_min_dist_sq(col("vec"),
+          flatOf(cents), cents.map(_.map(x => x * x).sum), cents.length, 8)
+          .as("d2"))
+      .as[(Long, Double)].collect().toMap
+    assert(treeMin == fusedMin, "min-dist² diverged from the tree form")
+  }
+
   test("codegen FloatVectorDot equals the zip_with/aggregate formulation") {
     val vecs = (0 until 200).map { i =>
       (Seq.tabulate(64)(j => (math.sin(i * 64 + j)).toFloat),
