@@ -328,9 +328,14 @@ object StreamBench {
                 // strip corpus-recurring structural units before the
                 // text-side indexes (near-dup pairing + full-text) — the
                 // ingest-time boilerplate filter; embeddings keep the
-                // untouched doc ids
+                // untouched doc ids. localCheckpoint: the excision is a
+                // LAZY plan over batch + para-store probe joins, and FOUR
+                // consumers read it (simhash, lsh→cc, bm25, chunk write)
+                // — without materializing once, each consumer re-ran the
+                // whole excision, which the r18 stage timers surfaced as
+                // inflated probe-store stages
                 val excised = staged("para_excise")(
-                  para.addAndExcise(fresh, ord = e))
+                  para.addAndExcise(fresh, ord = e).localCheckpoint(true))
                 // cheap near-dup FLAG at ingest: the persisted simhash
                 // index marks docs within hamming 1 of any earlier
                 // arrival (exists-earlier detection) before the heavier
