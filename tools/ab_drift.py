@@ -1,8 +1,17 @@
 #!/usr/bin/env python3
 """Assemble an interleaved A/B drift record from per-leg Bench --out files.
 
-Usage: python3 tools/ab_drift.py <out.json> <labelA> <legA1> [legA2...] \
+Usage: python3 tools/ab_drift.py [--first-look] <out.json> \
+           <labelA> <legA1> [legA2...] \
            -- <labelB> <legB1> [legB2...] [-- protocol text...]
+
+--first-look strips retime ADOPTIONS from every leg before comparing
+(each leg's "retimed" trail carries {first, retime, adopted}; adopted
+entries are reverted to their first look). Use it whenever the two
+trees' Bench versions retime differently — r18's quiet-confirmed
+retime skip gives the OLDER tree more timing attempts per leg, which
+reads as a phantom ratio shift if raw (post-retime) numbers are
+compared.
 
 Each leg file is a Bench full record ({"queries":{name:sec,...}}). The
 record keeps min-of-legs per tree per query plus every raw leg, and the
@@ -27,8 +36,12 @@ import sys
 
 
 def main():
-    out = sys.argv[1]
-    rest = sys.argv[2:]
+    args = sys.argv[1:]
+    first_look = "--first-look" in args
+    if first_look:
+        args = [a for a in args if a != "--first-look"]
+    out = args[0]
+    rest = args[1:]
     groups, cur = [], []
     for a in rest:
         if a == "--":
@@ -46,7 +59,16 @@ def main():
         "min-of-legs per tree")
 
     def legs(files):
-        return [json.load(open(f))["queries"] for f in files]
+        out = []
+        for f in files:
+            rec = json.load(open(f))
+            qs = dict(rec["queries"])
+            if first_look:
+                for name, t in rec.get("retimed", {}).items():
+                    if t.get("adopted") and name in qs:
+                        qs[name] = t["first"]
+            out.append(qs)
+        return out
 
     a_legs, b_legs = legs(fa), legs(fb)
     a_names = set().union(*[set(l) for l in a_legs])
