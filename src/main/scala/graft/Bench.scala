@@ -54,6 +54,18 @@ object Bench {
       case _ => true
     }
 
+  /** Whether a pass-2 (board/quiet ratio) retime is warranted: ratio > 2
+    * on a non-trivial quiet base (sub-20 ms bases are pure noise) AND an
+    * absolute excess over quiet worth adjudicating. The delta guard is
+    * the r18 lesson: three of that board's five quiet_ratio retimes were
+    * sub-second queries 0.1–0.25 s over their quiet base — position
+    * noise on a box the board loads up itself; a retime there spends a
+    * board slot to adjudicate epsilon no claim rests on (per-query
+    * claims ride the QUIET record, and 0.25 s cannot move a 100+ s
+    * headline). Queries with a real excess still retime. */
+  private[graft] def quietRetimeNeeded(boardS: Double, quiet: Double): Boolean =
+    quiet > 0.02 && boardS / quiet > 2.0 && boardS - quiet > 0.25
+
   /** The `sf` field of a Bench record on disk, or None when absent or
     * unreadable (feeds [[pickQuietBaseline]]'s same-sf preference). */
   private def sfOfRecord(name: String): Option[String] =
@@ -110,10 +122,15 @@ object Bench {
     // the reader discount it.
     val boardGate = sys.env.get("SPARK_GRAFT_BOARD_GATE").map(_.toDouble)
       .getOrElse(2.0)
-    while (!quietCapture && loadavg >= boardGate && loadWaitS < 1200) {
+    // the board gate gets its OWN 600 s budget (not the remainder of the
+    // first window's): a first window that exits immediately must not hand
+    // the board gate a 1200 s wait, and one that expired in full must not
+    // leave it zero. loadWaitS stays the TOTAL stamped in the record.
+    var boardWaitS = 0
+    while (!quietCapture && loadavg >= boardGate && boardWaitS < 600) {
       System.err.println(f"BENCH: loadavg ${loadavg}%.2f >= board gate " +
         f"$boardGate%.1f — extended wait (${loadWaitS}s)")
-      Thread.sleep(10000); loadWaitS += 10
+      Thread.sleep(10000); boardWaitS += 10; loadWaitS += 10
     }
     if (quietCapture && loadavg >= quietGate) {
       System.err.println(f"BENCH: QUIET CAPTURE REFUSED — loadavg " +
@@ -336,11 +353,12 @@ object Bench {
         slowRetimeNeeded(first, quiet.get(name)) }
       .map { case (name, first) => retimeOne(name, first, "slowest") }
     val alreadyRetimed = slowestPass.map(_._1).toSet
-    // pass 2: board/quiet > 2 on a non-trivial quiet base (ratios over a
-    // sub-20 ms base are pure noise), excluding pass-1 names
+    // pass 2: board/quiet > 2 with a non-trivial ABSOLUTE excess (see
+    // quietRetimeNeeded — the delta guard is what cut the r18 board's
+    // epsilon retimes), excluding pass-1 names
     val quietPass = results.toSeq.collect {
       case (name, v) if v >= 0 && !alreadyRetimed(name) &&
-          quiet.get(name).exists(qv => qv > 0.02 && v / qv > 2.0) =>
+          quiet.get(name).exists(qv => quietRetimeNeeded(v, qv)) =>
         retimeOne(name, v, "quiet_ratio")
     }
     val retimes = slowestPass ++ quietPass

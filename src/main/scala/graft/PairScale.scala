@@ -106,9 +106,14 @@ object PairScale {
           jSec),
         "q_ngram_containment" -> (cStats ++ Map("n_verified" -> cRows),
           cSec),
+        // the LSH path emits DISTINCT candidate pairs with no threshold
+        // verification (verification is the consumer's job) — named so,
+        // not n_verified, or readers of BENCH_SCALE_PAIRS would take it
+        // for a similarity-verified count like the jaccard/containment
+        // faces'
         "q_minhash_lsh" -> (lStats ++ Map(
           "n_candidates" -> lStats("n_bucket_pairs"),
-          "n_verified" -> lRows), lSec))
+          "n_distinct_pairs" -> lRows), lSec))
     }
 
     // adjacent-dir decomposition: seconds ratio = (candidates ratio) ×

@@ -340,9 +340,23 @@ object StreamBench {
                 // index marks docs within hamming 1 of any earlier
                 // arrival (exists-earlier detection) before the heavier
                 // LSH pairing + cluster resolution refine the clusters
-                simhashDups += staged("simhash_flag")(
-                  simhash.addAndDedup(excised, "text", ord = e)
-                    .where(col("is_dup")).count())
+                simhashDups += staged("simhash_flag") {
+                  // per-batch count + flagged-id digest on stderr: the
+                  // determinism audit trail (two runs of identical code
+                  // must print identical lines; a diverging batch is
+                  // localized instead of surfacing as a run-total wobble)
+                  val flagged = simhash.addAndDedup(excised, "text", ord = e)
+                    .where(col("is_dup"))
+                    .agg(count(lit(1)).as("n"),
+                      md5(concat_ws(",", sort_array(
+                        collect_list(col("doc_id").cast("string")))))
+                        .as("digest"))
+                    .collect().head
+                  System.err.println(s"curate batch=$e simhash_dups=" +
+                    s"${flagged.getAs[Long]("n")} ids_md5=" +
+                    flagged.getAs[String]("digest"))
+                  flagged.getAs[Long]("n")
+                }
                 staged("lsh_cc")(cc.addPairs(
                   lsh.addAndFindPairs(excised, batchOrd = e), ord = e))
                 staged("ivf_add")(ivf.add(fresh.join(emb, "doc_id")

@@ -63,6 +63,19 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.slowRetimeNeeded(5.0, Some(0.01)))
   }
 
+  test("pass-2 retime needs ratio > 2 AND a non-epsilon absolute excess") {
+    // the r18 epsilon retimes: big ratio, tiny delta — skipped now
+    assert(!Bench.quietRetimeNeeded(0.26, 0.117))
+    assert(!Bench.quietRetimeNeeded(0.35, 0.129))
+    // real excess over quiet: still adjudicated
+    assert(Bench.quietRetimeNeeded(1.33, 0.595))
+    assert(Bench.quietRetimeNeeded(1.55, 0.51))
+    // ratio at-or-under 2 never triggers, whatever the delta
+    assert(!Bench.quietRetimeNeeded(7.0, 3.6))
+    // sub-20 ms base: pass-2 ratios are pure noise there
+    assert(!Bench.quietRetimeNeeded(5.0, 0.01))
+  }
+
   test("non-quiet files are never candidates; empty listing yields None") {
     assert(Bench.pickQuietBaseline(Seq(
       ("BENCH_r17.json", 9L), ("BENCH_QUIET_r1.json.bak", 9L),

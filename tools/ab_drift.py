@@ -23,12 +23,24 @@ leg of each tree ran it, so third-leg RE-PROBE files covering only the
 suspect queries fold into the same assembly (their rows simply carry 3
 entries in the `_legs` arrays). A query probed with >2 legs on either
 side also records `ratio_first2` — the ratio the first two legs alone
-would have produced — so a reader sees the re-probe's effect, not just
-its conclusion. Queries present in one tree's legs but not the other's
-are recorded in `skipped_missing` (not silently dropped). A leg where a
-query FAILED (Bench records -1) is excluded from that query's min, and
-the exclusion is recorded per tree ("<label>_failed_legs"); a ZERO
-timing is skipped with a warning rather than dividing by it.
+would have produced — emitted only when BOTH trees have two valid
+first legs (a failed first leg would silently turn it into a
+min-of-one ratio; such rows carry `ratio_first2_partial` instead).
+Queries present in one tree's legs but not the other's are recorded in
+`skipped_missing`; queries skipped for a zero-second leg timing are
+recorded in `skipped_zero` (neither is silently dropped — the record
+is the artifact readers audit). A leg where a query FAILED (Bench
+records -1) is excluded from that query's min, and the exclusion is
+recorded per tree ("<label>_failed_legs").
+
+Every leg's capture conditions ride into the record: `<label>_leg_loads`
+carries each leg file's `loadavg_entry` (the box load the gate actually
+enforced), so a monotone-load window is visible as data instead of
+operator memory. `--order "A B B A"` records the EXECUTION order of the
+legs (tokens are tree labels in run sequence — the ABBA interleave
+tools/ab_run.py emits by construction); without it the record says
+`"leg_order": "unrecorded"` so an assembled-by-hand record is
+distinguishable from a protocol-scheduled one.
 """
 import json
 import statistics
@@ -40,6 +52,11 @@ def main():
     first_look = "--first-look" in args
     if first_look:
         args = [a for a in args if a != "--first-look"]
+    leg_order = "unrecorded"
+    if "--order" in args:
+        i = args.index("--order")
+        leg_order = args[i + 1].split()
+        args = args[:i] + args[i + 2:]
     out = args[0]
     rest = args[1:]
     groups, cur = [], []
@@ -59,7 +76,7 @@ def main():
         "min-of-legs per tree")
 
     def legs(files):
-        out = []
+        out, loads = [], []
         for f in files:
             rec = json.load(open(f))
             qs = dict(rec["queries"])
@@ -68,9 +85,10 @@ def main():
                     if t.get("adopted") and name in qs:
                         qs[name] = t["first"]
             out.append(qs)
-        return out
+            loads.append(rec.get("loadavg_entry"))
+        return out, loads
 
-    a_legs, b_legs = legs(fa), legs(fb)
+    (a_legs, a_loads), (b_legs, b_loads) = legs(fa), legs(fb)
     a_names = set().union(*[set(l) for l in a_legs])
     b_names = set().union(*[set(l) for l in b_legs])
     names = sorted(a_names & b_names)
@@ -81,6 +99,7 @@ def main():
               file=sys.stderr)
     queries = {}
     dropped = 0
+    skipped_zero = []
     for q in names:
         # leg order is file order — the interleave order the runner used,
         # so "first two" below means the original 2-leg probe
@@ -95,6 +114,7 @@ def main():
         if min(av) == 0 or min(bv) == 0:
             print(f"WARNING: {q} has a zero-second leg timing — "
                   "skipped rather than divided by", file=sys.stderr)
+            skipped_zero.append(q)
             continue
         entry = {
             f"{la}_min_s": round(min(av), 3),
@@ -106,8 +126,13 @@ def main():
         if len(av) > 2 or len(bv) > 2:
             a2 = [v for v in a_present[:2] if v > 0]
             b2 = [v for v in b_present[:2] if v > 0]
-            if a2 and b2:
+            # only an honest two-vs-two comparison gets the documented
+            # name: a failed first leg would silently make this a
+            # min-of-one ratio, so it is labeled partial instead
+            if len(a2) == 2 and len(b2) == 2:
                 entry["ratio_first2"] = round(min(b2) / min(a2), 2)
+            elif a2 and b2:
+                entry["ratio_first2_partial"] = round(min(b2) / min(a2), 2)
         for lbl, got, present in ((la, av, a_present), (lb, bv, b_present)):
             if len(got) < len(present):
                 entry[f"{lbl}_failed_legs"] = len(present) - len(got)
@@ -116,12 +141,16 @@ def main():
     ratios = [v["ratio"] for v in queries.values()]
     rec = {
         "protocol": protocol,
+        "leg_order": leg_order,
+        f"{la}_leg_loads": a_loads,
+        f"{lb}_leg_loads": b_loads,
         "n_queries": len(queries),
         "median_ratio": round(statistics.median(ratios), 3)
             if ratios else None,
         "faster_on_b": sum(1 for v in queries.values() if v["ratio"] < 1),
         "failed_legs_dropped": dropped,
         "skipped_missing": skipped_missing,
+        "skipped_zero": skipped_zero,
         "queries": queries,
     }
     with open(out, "w") as f:
