@@ -201,13 +201,16 @@ final class Bm25Index(spark: SparkSession, path: String,
       Fs.atomicWriteString(statsFormatMarker, "per-ord-v2")
     val gen = gens.liveOrCreate()
     val (postings, stats) = Bm25.postingsOf(batch, idCol, textCol)
-    val statsRow = stats.withColumn("ord", lit(ord))
+    val statsRow = stats.withColumn("ord", graft.functions.Params.paramLong(ord))
     val collected = statsRow.collect()
     if (collected.head.getAs[Long]("n_docs") != 0L) {
       if (collected.head.getAs[Long]("n_toks") != 0L)
+        // paramLong keeps the plan source batch-stable; repartition on the
+        // partition column lands one file per touched tp leaf per append
         postings
-          .withColumn("ord", lit(ord))
+          .withColumn("ord", graft.functions.Params.paramLong(ord))
           .withColumn("tp", concat(lit("p"), substring(md5(col("t")), 1, 1)))
+          .repartition(col("tp"))
           .write.mode("append").partitionBy("tp")
           .parquet(gen.getAbsolutePath + "/postings")
       spark.createDataFrame(

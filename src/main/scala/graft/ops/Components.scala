@@ -358,7 +358,7 @@ class ComponentsIndex(spark: SparkSession, path: String,
       .where(col("a") =!= col("b"))
       .distinct()
     p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
-      .withColumn("ord", lit(ord))
+      .withColumn("ord", graft.functions.Params.paramLong(ord))
       .write.mode("append")
       .parquet(new File(appendGen(), "delta").getAbsolutePath)
     hwm.advance(ord)

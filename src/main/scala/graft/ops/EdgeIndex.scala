@@ -109,7 +109,8 @@ final class EdgeIndex(spark: SparkSession, path: String) {
     val stage = new File(path,
       s".stage-${java.util.UUID.randomUUID()}")
     batch.select(col("src"), col("dst")).distinct()
-      .withColumn("ord", lit(ord)).withColumn("ep", ep)
+      .withColumn("ord", graft.functions.Params.paramLong(ord))
+      .withColumn("ep", ep)
       .write.mode("overwrite").partitionBy("ep")
       .parquet(stage.getAbsolutePath)
     Fs.step("edge.batch-staged")

@@ -102,8 +102,12 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
         // mask only against STRICTLY EARLIER batches: a replayed call's
         // own prior appends (same ord) must not hide the batch from the
         // caller — see the crash contract above
+        // fpp isin stays literal (planning-time partition pruning); the
+        // ord horizon rides a paramLong so the probe plan's generated
+        // source is batch-stable (parquet row-group pruning on ord was
+        // worthless anyway — every uncompacted file is a single batch)
         else probes.join(st.where(col("fpp").isin(touched.toSeq: _*)
-            && col("ord") < lit(ord))
+            && col("ord") < graft.functions.Params.paramLong(ord))
           .select(col("fp")), Seq("fp"), "left_anti")
     }
     val haveBits = bloomDir(gen).exists()
@@ -128,7 +132,8 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
       Bloom.bits(bitsSrc, BloomK)
         .write.mode("append").parquet(bloomDir(gen).getAbsolutePath)
     }
-    novel.withColumn("ord", lit(ord)).withColumn("fpp", fpp)
+    novel.withColumn("ord", graft.functions.Params.paramLong(ord))
+      .withColumn("fpp", fpp)
       .write.mode("append").partitionBy("fpp")
       .parquet(gen.getAbsolutePath)
     hwm.advance(ord)

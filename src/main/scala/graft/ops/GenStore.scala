@@ -181,6 +181,15 @@ private[ops] final class GenStore(path: String) {
         Option(g.listFiles()).getOrElse(Array.empty).exists(present))
       .map(g => spark.read.parquet(g.getAbsolutePath))
 
+  /** The store's schema, learned from the FIRST real read and pinned for
+    * the life of this handle: schema inference on a parquet read is a
+    * footer-read Spark job, and the per-micro-batch probe stores re-read
+    * their live generation every trigger — per-process, that job is pure
+    * constant overhead after the first batch (a store's schema never
+    * changes across appends/compactions). */
+  @volatile private var schemaCache
+  : Option[org.apache.spark.sql.types.StructType] = None
+
   /** The live generation's data as a DataFrame, when `present` says it
     * holds any (a zero-row append leaves only a _SUCCESS marker — reading
     * that would fail schema inference). Only a MISSING store maps to None;
@@ -190,7 +199,15 @@ private[ops] final class GenStore(path: String) {
                present: File => Boolean): Option[org.apache.spark.sql.DataFrame] =
     currentGen().filter(g =>
       Option(g.listFiles()).getOrElse(Array.empty).exists(present))
-      .map(g => spark.read.parquet(g.getAbsolutePath))
+      .map { g =>
+        schemaCache match {
+          case Some(s) => spark.read.schema(s).parquet(g.getAbsolutePath)
+          case None =>
+            val df = spark.read.parquet(g.getAbsolutePath)
+            schemaCache = Some(df.schema)
+            df
+        }
+      }
 }
 
 private[ops] object GenStore {

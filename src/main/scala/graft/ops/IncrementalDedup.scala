@@ -214,8 +214,11 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
       // repartition ON the partition columns first: otherwise every task
       // writes one file into every directory it has rows for — tasks ×
       // dirs tiny files per batch instead of one file per touched dir
+      // paramLong (not lit): the ord is the only thing that changes in
+      // this plan batch-to-batch — referenced, the generated source is
+      // byte-stable and the codegen cache hits every trigger
       newBB.drop("__new").withColumn("bp", bp)
-        .withColumn("ord", lit(batchOrd))
+        .withColumn("ord", graft.functions.Params.paramLong(batchOrd))
         .repartition(col("band"), col("bp"))
         .write.mode("append").partitionBy("band", "bp")
         .parquet(appendGen().getAbsolutePath)

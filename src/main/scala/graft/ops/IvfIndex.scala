@@ -47,8 +47,10 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
   private def postingsIn(g: File): Option[DataFrame] =
     if (hasCells(g)) Some(spark.read.parquet(g.getAbsolutePath)) else None
 
+  // readLive (not postingsIn): the GenStore schema cache spares the
+  // per-call footer-inference job — this is the per-micro-batch read path
   private def postings(): Option[DataFrame] =
-    gens.currentGen().flatMap(postingsIn)
+    gens.readLive(spark, f => f.isDirectory && f.getName.startsWith("cell="))
 
   /** The quantizer bound to generation `g`: the in-generation artifact
     * (written by [[centroids]] and carried/retrained by [[compact]]), or
@@ -83,6 +85,66 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
       .write.mode("append").partitionBy("cell")
       .parquet(appendGen().getAbsolutePath)
   }
+
+  /** Replay-idempotent append — the STREAMING face of [[add]]: batch ids
+    * are anti-joined against the stored ids of only the touched cells
+    * (static partition filter from one bounded driver collect — the
+    * probe-store discipline of [[SimHashIndex]]/[[MinHashIndex]]), so a
+    * crash-replayed micro-batch re-lands NOTHING. [[search]] was already
+    * replay-stable via read-side id dedup; this face keeps the STORE
+    * itself converged — no duplicate posting rows accumulating toward
+    * every later compaction/count. O(batch + touched-cell postings) work
+    * against a corpus-sized store. */
+  def addIdempotent(batch: DataFrame, cell: Column): Unit =
+      StoreLock.exclusive(new File(path)) {
+    val c = cell.cast("int")
+    val guarded = when(c.isNull, raise_error(
+      lit("IvfIndex.addIdempotent: null cell assignment — row would be " +
+        "unsearchable"))).otherwise(c)
+    // two consumers (touched-cell collect, append) — materialize the
+    // assignment once
+    val assigned = batch.select(col(idCol), col(vecCol), guarded.as("cell"))
+      .persist()
+    try {
+      val touched = assigned.select(col("cell")).distinct()
+        .collect().map(_.getInt(0))
+      val storedIds = postings()
+        .filter(_ => touched.nonEmpty)
+        .map(_.where(col("cell").isin(touched.toSeq: _*))
+          .select(col(idCol)).distinct())
+      val fresh = storedIds
+        .map(si => assigned.join(si, Seq(idCol), "left_anti"))
+        .getOrElse(assigned)
+      fresh.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(appendGen().getAbsolutePath)
+    } finally { assigned.unpersist(); () }
+  }
+
+  /** Live generation path (plan audits / external scans) — the
+    * [[SimHashIndex.currentGenerationPath]] convention. */
+  def currentGenerationPath: Option[String] =
+    gens.currentGen().map(_.getAbsolutePath)
+
+  /** Whether any postings landed yet — a pure directory listing. */
+  def hasData: Boolean =
+    gens.hasData(f => f.isDirectory && f.getName.startsWith("cell="))
+
+  /** The live postings as (id, vec, cell) — the store-reading face for
+    * callers pairing their own probe machinery with the stored layout
+    * (recall-profile tuning, [[Similarity.ivfTopKPreassigned]]). */
+  def postingsDf(): Option[DataFrame] = postings()
+
+  /** The persisted quantizer of the live generation, if any — the cell
+    * layout the stored postings were assigned under. */
+  def quantizer(): Option[Array[Array[Double]]] =
+    quantizerIn(gens.currentGen())
+
+  /** Distinct stored vectors (0 on an empty store) — the audit face for
+    * continuously-ingested stores; id-distinct so a pre-[[addIdempotent]]
+    * crash replay's residue can't inflate it. */
+  def postingsCount(): Long =
+    postings().map(_.select(col(idCol)).distinct().count()).getOrElse(0L)
 
   /** Top-k cosine neighbors from the probed cells only. `queries` must be
     * small (it is broadcast); `probeCells` is an array column of cell ids

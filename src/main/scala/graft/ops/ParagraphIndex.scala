@@ -44,13 +44,22 @@ final class ParagraphIndex(spark: SparkSession, path: String,
 
   private def php = concat(lit("p"), substring(col("ph"), 1, 1))
 
-  private def storedKeepers(): Option[DataFrame] =
+  /** Stored keepers, optionally pruned to the `php` partitions a batch
+    * touches BEFORE the arbitration aggregate — an isin on the partition
+    * column prunes directories at planning time, so both the scan and the
+    * per-ph min run over only the touched slices (the un-pruned face
+    * aggregated the whole store every probe). */
+  private def storedKeepers(
+      phpTouched: Option[Seq[String]] = None): Option[DataFrame] =
     gens.readLive(spark,
         f => f.isDirectory && f.getName.startsWith("php="))
-      .map(_.groupBy(col("ph"))
-        .agg(min(struct(col("ord"), col(idCol), col("pos"))).as("__k"))
-        .select(col("ph"), col(s"__k.$idCol").as("__kid"),
-          col("__k.pos").as("__kpos")))
+      .map { df =>
+        phpTouched.map(t => df.where(col("php").isin(t: _*))).getOrElse(df)
+          .groupBy(col("ph"))
+          .agg(min(struct(col("ord"), col(idCol), col("pos"))).as("__k"))
+          .select(col("ph"), col(s"__k.$idCol").as("__kid"),
+            col("__k.pos").as("__kpos"))
+      }
 
   /** Probe + excise + append one batch; returns the batch's documents
     * with every non-first unit occurrence excised (same contract as
@@ -63,17 +72,17 @@ final class ParagraphIndex(spark: SparkSession, path: String,
     val u = explodeUnits(batch, idCol, textCol, sep)
       .withColumn("ph", md5(col("para")))
 
-    // store keepers for ONLY the partitions this batch's hashes touch
-    val pruned = storedKeepers() match {
-      case None => None
-      case Some(st) =>
+    // store keepers for ONLY the partitions this batch's hashes touch —
+    // pruned on the php partition column inside storedKeepers, so the
+    // scan AND the arbitration aggregate cover just the touched slices
+    val pruned =
+      if (gens.currentGen().isEmpty) None
+      else {
         val touched = u.select(substring(col("ph"), 1, 1)).distinct()
           .collect().map(r => "p" + r.getString(0))
         if (touched.isEmpty) None
-        else Some(st.where(
-          concat(lit("p"), substring(col("ph"), 1, 1))
-            .isin(touched.toSeq: _*)))
-    }
+        else storedKeepers(Some(touched.toSeq))
+      }
 
     // batch-first occurrence per unit (map-side combinable min)
     val first = u.groupBy(col("ph"))
@@ -107,7 +116,8 @@ final class ParagraphIndex(spark: SparkSession, path: String,
     }
     novel.select(col("ph"), col("__fid").as(idCol),
         col("__fpos").as("pos"))
-      .withColumn("ord", lit(ord)).withColumn("php", php)
+      .withColumn("ord", graft.functions.Params.paramLong(ord))
+      .withColumn("php", php)
       .write.mode("append").partitionBy("php")
       .parquet(gens.currentGen().get.getAbsolutePath)
     hwm.advance(ord)

@@ -85,12 +85,16 @@ final class SimHashIndex(spark: SparkSession, path: String, idCol: String,
     val touched = m.select(bucketKey.as("k")).distinct()
       .collect().map(_.getLong(0))
 
+    // pb isin stays a literal partition filter (planning-time pruning,
+    // never codegen'd); the exact-bucket narrowing goes through the
+    // reference-based set so the probe plan's generated source is
+    // byte-stable across batches ([[graft.functions.LongSetContains]])
     val stored = gens.readLive(spark,
         f => f.isDirectory && f.getName.startsWith("pb="))
       .filter(_ => touched.nonEmpty)
       .map(_.where(col("pb").isin(
           touched.map(k => s"b${k / 65536}").distinct.toSeq: _*)
-          && bucketKey.isin(touched.toSeq: _*)))
+          && graft.functions.Params.inLongSet(bucketKey, touched.toSet)))
     // ≤ 2^(16−width) rows per bucket: per-fingerprint min id
     val storeAgg = stored.map(_.groupBy(col("blk"), col("v"), col("simhash"))
       .agg(min(col(idCol)).as("cand")))
@@ -131,8 +135,13 @@ final class SimHashIndex(spark: SparkSession, path: String, idCol: String,
     val fresh = storedIds
       .map(si => m.join(si, Seq(idCol), "left_anti"))
       .getOrElse(m)
-    fresh.withColumn("ord", lit(ord))
+    // paramLong keeps the append plan's generated source batch-stable;
+    // the pre-write repartition on the partition column lands ONE file
+    // per touched leaf per append (the appendDepth contract) instead of
+    // one per (task × leaf)
+    fresh.withColumn("ord", graft.functions.Params.paramLong(ord))
       .withColumn("pb", concat(lit("b"), col("blk")))
+      .repartition(blocks, col("pb"))
       .write.mode("append").partitionBy("pb")
       .parquet(gens.currentGen().get.getAbsolutePath)
     hwm.advance(ord)

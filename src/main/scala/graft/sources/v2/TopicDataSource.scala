@@ -923,11 +923,18 @@ case class SegmentCommit(files: Seq[String]) extends WriterCommitMessage
 /** One staged-but-invisible segment from a task: the tmp file plus the
   * pruning stats gathered while writing it. `name` is the final segment
   * name for streaming epochs (computed from the epoch id) and empty for
-  * batch, where the DRIVER stamps names at job commit. Visibility always
-  * happens at job/epoch commit, in ascending-name order. */
+  * batch, where the DRIVER stamps names at job commit. `taskPart` is the
+  * Spark task partition that staged the file — the DATA-deterministic key
+  * batch name-stamping orders on (tmp paths are UUIDs; ordering on them
+  * assigned names by scheduling accident, so the same written DataFrame
+  * produced differently-composed segments run to run, and every
+  * paced-replay consumer downstream saw run-varying batch membership —
+  * the `simhash_dups` 209-vs-213 wobble). Visibility always happens at
+  * job/epoch commit, in ascending-name order. */
 case class StagedSegment(path: String, name: String, n: Long,
                          minOff: Long, maxOff: Long,
-                         minPt: Long, maxPt: Long, nullPt: Long)
+                         minPt: Long, maxPt: Long, nullPt: Long,
+                         taskPart: Int = -1)
 case class StagedCommit(segments: Seq[StagedSegment]) extends WriterCommitMessage
 
 /** Shared driver-side reveal: rename staged tmps to their final names in
@@ -1009,9 +1016,16 @@ class TopicBatchWrite(path: String, queryId: String, schema: StructType)
     new TopicStagedWriterFactory(path, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // order by (envelope partition, staging task partition): both are
+    // functions of the DATA, so the name↔content assignment is identical
+    // across runs of the same write — ordering on the UUID tmp path made
+    // it a scheduling accident (see [[StagedSegment.taskPart]]). The path
+    // tiebreak only matters for a replayed legacy commit message without
+    // taskPart.
     val staged = messages.toSeq
       .collect { case StagedCommit(ss) => ss }.flatten
-      .sortBy(_.path)
+      .sortBy(s => (new File(s.path).getParentFile.getName, s.taskPart,
+        s.path))
     // stamping and reveal share ONE critical section (the reveal's lock is
     // reentrant): if stamps were issued outside it, two concurrent batch
     // commits could interleave so the job holding HIGHER stamps reveals
@@ -1108,9 +1122,11 @@ object SegmentClock {
 class TopicStagedWriterFactory(path: String, schema: StructType)
   extends DataWriterFactory {
   /** Batch tasks stage invisibly; the driver names segments at job commit
-    * ([[TopicBatchWrite.commit]]). */
+    * ([[TopicBatchWrite.commit]]), ordered by the task partition staged
+    * here (the data-deterministic stamping key). */
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SegmentWriter(path, stagedName = "", writeSchema = schema)
+    new SegmentWriter(path, stagedName = "", writeSchema = schema,
+      taskPart = partitionId)
 }
 
 class TopicStreamWriterFactory(path: String, alphaQueryId: String,
@@ -1142,7 +1158,8 @@ class TopicStreamWriterFactory(path: String, alphaQueryId: String,
   * persists as null (partition defaults to 0), so legacy 9-column producers
   * and full-envelope producers coexist. */
 class SegmentWriter(root: String, stagedName: String,
-                    writeSchema: StructType = TopicTable.schema)
+                    writeSchema: StructType = TopicTable.schema,
+                    taskPart: Int = -1)
   extends DataWriter[InternalRow] {
   private val nf = JsonNodeFactory.instance
   private val fieldIdx: Map[String, Int] =
@@ -1211,7 +1228,7 @@ class SegmentWriter(root: String, stagedName: String,
     val segs = outs.values.toSeq.sortBy(_.dir.getName).map { po =>
       po.out.close()
       StagedSegment(po.tmp.getAbsolutePath, stagedName, po.n,
-        po.minOff, po.maxOff, po.minPt, po.maxPt, po.nullPt)
+        po.minOff, po.maxOff, po.minPt, po.maxPt, po.nullPt, taskPart)
     }
     StagedCommit(segs)
   }

@@ -41,6 +41,26 @@ class IvfIndexSpec extends SparkSuite {
     assert(rows(idx.search(queries, array(col("label")), k = 3)) == before)
   }
 
+  test("addIdempotent: a replayed micro-batch re-lands nothing (store-level no-op)") {
+    val idx = new IvfIndex(spark, tmp(), "vec_id", "embedding")
+    val b0 = emb.where(col("vec_id") % 3 === 0)
+    idx.addIdempotent(b0, col("label"))
+    val afterFirst = idx.postingsCount()
+    assert(afterFirst == b0.count())
+    // crash replay of the same batch: ids anti-join away — the STORE is
+    // unchanged, not merely the (id-deduped) search view of it
+    idx.addIdempotent(b0, col("label"))
+    assert(idx.postingsCount() == afterFirst)
+    // byte-level: no duplicate posting rows accumulated
+    val raw = spark.read.parquet(idx.currentGenerationPath.get)
+    assert(raw.count() == afterFirst)
+    // later batches still land, and search equals the one-shot answer
+    idx.addIdempotent(emb.where(col("vec_id") % 3 =!= 0), col("label"))
+    val queries = emb.where(col("vec_id") < 10)
+    assert(rows(idx.search(queries, array(col("label")), k = 3)) ==
+      rows(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", "label", 3)))
+  }
+
   test("search prunes the postings scan to the probed cells") {
     val path = tmp()
     val idx = new IvfIndex(spark, path, "vec_id", "embedding")

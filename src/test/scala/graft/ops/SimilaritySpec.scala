@@ -287,6 +287,45 @@ class SimilaritySpec extends SparkSuite {
     assert(fused.toSeq == composed.toSeq) // bitwise: same accumulation order
   }
 
+  test("fused probe-list / min-dist² twins agree under BOTH codegen modes") {
+    // KMeansProbeList / KMeansMinDistSq carry HAND-WRITTEN twin paths —
+    // doGenCode and nullSafeEval — and the tree-equality test above runs
+    // whichever path the session default picks. Exercise both explicitly:
+    // wholeStage=true (compiled) and wholeStage=false + NO_CODEGEN
+    // (interpreted), r18 verdict ask #6.
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8.0 + j)))
+    }.toDF("vec_id", "vec")
+    val cents = Array.tabulate(12)(c =>
+      Array.tabulate(8)(j => math.cos(c * 8.0 + j)))
+    val flat = new Array[Double](cents.length * 8)
+    cents.zipWithIndex.foreach { case (c, i) =>
+      System.arraycopy(c, 0, flat, i * 8, 8) }
+    val c2 = cents.map(_.map(x => x * x).sum)
+    def run(): (Map[Long, Seq[Int]], Map[Long, Double]) = (
+      vecs.select(col("vec_id"), KMeans.probeExpr(col("vec"), cents, 5)
+          .as("p")).as[(Long, Seq[Int])].collect().toMap,
+      vecs.select(col("vec_id"),
+          graft.functions.GraftExpressions.kmeans_min_dist_sq(col("vec"),
+            flat, c2, cents.length, 8).as("d2"))
+        .as[(Long, Double)].collect().toMap)
+    val modes = Seq(("true", "FALLBACK"), ("false", "NO_CODEGEN"))
+    val results = modes.map { case (ws, fm) =>
+      val ws0 = spark.conf.get("spark.sql.codegen.wholeStage")
+      val fm0 = spark.conf.get("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", fm)
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws0)
+        spark.conf.set("spark.sql.codegen.factoryMode", fm0)
+      }
+    }
+    assert(results(0) == results(1),
+      "fused k-means expressions diverged between the compiled and " +
+        "interpreted twin paths")
+  }
+
   test("srpBucket is deterministic across evaluations") {
     val emb = Seq((0L, vec(1f, 2f, 3f)), (1L, vec(-1f, 0f, 1f)))
       .toDF("vec_id", "embedding")

@@ -589,6 +589,74 @@ class TopicDataSourceSpec extends SparkSuite {
       .count() == 30)
   }
 
+  test("batch name stamping is data-deterministic: same write, same segment contents") {
+    // names were stamped in UUID-tmp-path order before: the same
+    // DataFrame written twice landed DIFFERENT rows under the Nth segment
+    // name, so any paced consumer (maxSegmentsPerTrigger) saw run-varying
+    // micro-batch membership — the StreamBench simhash_dups 209-vs-213
+    // wobble. Stamping now orders on (envelope partition, staging task
+    // partition), both functions of the data.
+    def write(): String = {
+      val dir = tmpDir()
+      (0 until 60).map { i =>
+        ("t1", i % 2, i.toLong, s"k$i", s"v$i", ts("2024-01-01 00:00:00"),
+          ts("2024-01-01 00:00:00"), "p", i.toLong)
+      }.toDF("topic", "partition", "offset", "key", "value", "event_time",
+        "publish_time", "producer_name", "sequence_id")
+        .repartition(6, col("sequence_id"))
+        .write.format("graft-topic").option("path", dir)
+        .mode("append").save()
+      dir
+    }
+    def contentsBySegmentOrdinal(dir: String): Seq[Set[String]] =
+      graft.sources.v2.TopicTable.listPartitioned(dir)
+        .sortBy { case (p, f) => (p, f.getName) }
+        .map { case (_, f) =>
+          scala.io.Source.fromFile(f, "UTF-8").getLines()
+            .map(l => l.split("\"key\":\"")(1).takeWhile(_ != '"')).toSet
+        }.toSeq
+    val a = contentsBySegmentOrdinal(write())
+    val b = contentsBySegmentOrdinal(write())
+    // SegmentClock is global so absolute names differ across topics —
+    // compare by ordinal: the Nth revealed segment must hold the same rows
+    assert(a == b,
+      s"segment composition differed between identical writes:\n$a\nvs\n$b")
+  }
+
+  test("paced replay delivers identical micro-batch membership across runs") {
+    // the full ask-#2 claim: write once, consume twice with
+    // maxSegmentsPerTrigger=1 — every trigger must hold the SAME keys in
+    // the SAME order of batches, so any exists-earlier verdict downstream
+    // (simhash dup flags, keeper election) is a pure function of the data
+    val dir = tmpDir()
+    (0 until 48).map { i =>
+      ("t1", i % 4, i.toLong, s"k$i", s"v$i", ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 00:00:00"), "p", i.toLong)
+    }.toDF("topic", "partition", "offset", "key", "value", "event_time",
+      "publish_time", "producer_name", "sequence_id")
+      .repartition(4, col("sequence_id"))
+      .write.format("graft-topic").option("path", dir)
+      .mode("append").save()
+    def consume(): Seq[(Long, Set[String])] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[String])]
+      val q = spark.readStream.format("graft-topic").option("path", dir)
+        .option("maxSegmentsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
+          got += ((e, b.select("key").as[String].collect().toSet)); ()
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-det-cp").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      got.toSeq
+    }
+    val a = consume()
+    val b = consume()
+    assert(a.nonEmpty && a.map(_._2.size).sum == 48)
+    assert(a == b, s"micro-batch membership diverged between runs:\n$a\nvs\n$b")
+  }
+
   test("whollyOlderThan refuses a segment mixing old rows with null-time rows") {
     import graft.sources.v2.SegmentStats
     val dir = tmpDir()
