@@ -21,7 +21,13 @@ object StreamBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "false") // streaming plans
+      // AQE OFF — measured, not assumed (r19): Spark keeps AQE off the
+      // true streaming plans either way, and for the foreachBatch store
+      // ops the coalescing win (16-task micro-stages -> the few
+      // partitions a ~21-doc batch fills) is outweighed by AQE's
+      // per-query-stage job round-trips — curate measured 62 docs/s
+      // with AQE vs 71 without, identical outputs
+      .config("spark.sql.adaptive.enabled", "false")
       // the probe stores re-run the same plan shapes every micro-batch
       // with only referenced parameters changing (Params.paramLong /
       // inLongSet) — the default 100-entry generated-class cache thrashes
