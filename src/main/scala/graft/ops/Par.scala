@@ -32,7 +32,7 @@ import org.apache.spark.sql.DataFrame
   * files; on a filesystem we cannot stat, the file-count heuristic is the
   * fallback.
   */
-private[ops] object Par {
+private[graft] object Par {
   private def fileSize(path: String): Long =
     try {
       val p =

@@ -330,8 +330,14 @@ object TextQueries {
     // The language-router audit: confusion matrix of labeled vs
     // predicted language — the table that decides whether the lang-id
     // heuristic is safe to route training data by. One map-side rollup.
+    // Par.spread before the lang-id projection: the corpus ships as ONE
+    // parquet file per table, so the (CodegenFallback) token-filter scoring
+    // otherwise runs in a single scan task while the other cores idle —
+    // the guide §2.5 one-unsplittable-file case. spread is a no-op once
+    // the scan is already wider than the core count (100 TB shape).
     "q_langid_confusion" -> ((s, d) =>
-      Tables.documents(s, d)
+      graft.ops.Par.spread(
+          Tables.documents(s, d).select(col("lang"), col("text")))
         .select(col("lang").as("lang_meta"),
           langId(col("text")).as("lang_pred"))
         .groupBy(col("lang_meta"), col("lang_pred"))
@@ -648,7 +654,11 @@ object TextQueries {
     // rollup, so Spark's WindowGroupLimit keeps per-partition top-k
     // heaps instead of sorting the full distinct-gram table.
     "q_ngram_concentration" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // spread before the trigram explode: one corpus file = one scan task
+      // otherwise explodes + partial-aggregates the whole trigram stream
+      // on one core (guide §2.5); no-op when the scan is already wide
+      val docs = graft.ops.Par.spread(
+        Tables.documents(s, d).select(col("lang"), col("text")))
       val toks = filter(split(col("text"), " "), t => t =!= "")
       val grams = docs.select(col("lang"),
         explode(when(size(toks) >= 3,
@@ -676,7 +686,9 @@ object TextQueries {
     // n-gram stream is scan-stage (guarded transform, no join); the
     // rollup is one aggregate with two-phase distinct.
     "q_ngram_diversity" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // spread before the n-gram explodes (see q_ngram_concentration)
+      val docs = graft.ops.Par.spread(
+        Tables.documents(s, d).select(col("lang"), col("text")))
       val toks = filter(split(col("text"), " "), t => t =!= "")
       // three explodes unioned, NOT one fused struct-array explode: the
       // fused form materializes every (n, gram) struct per row before
