@@ -210,7 +210,7 @@ final class Bm25Index(spark: SparkSession, path: String,
         postings
           .withColumn("ord", graft.functions.Params.paramLong(ord))
           .withColumn("tp", concat(lit("p"), substring(md5(col("t")), 1, 1)))
-          .repartition(col("tp"))
+          .transform(d => Par.byCols(d, col("tp")))
           .write.mode("append").partitionBy("tp")
           .parquet(gen.getAbsolutePath + "/postings")
       spark.createDataFrame(
@@ -267,7 +267,7 @@ final class Bm25Index(spark: SparkSession, path: String,
       val stats = spark.read.parquet(cur.getAbsolutePath + "/_stats")
         .dropDuplicates("ord")
       val next = gens.newGenDir()
-      postings.repartition(col("tp")).write.mode("overwrite")
+      postings.transform(d => Par.byCols(d, col("tp"))).write.mode("overwrite")
         .partitionBy("tp").parquet(next.getAbsolutePath + "/postings")
       stats.coalesce(1).write.mode("overwrite")
         .parquet(next.getAbsolutePath + "/_stats")

@@ -218,7 +218,7 @@ final class EdgeIndex(spark: SparkSession, path: String) {
         .reduce(_ unionByName _)
         .groupBy(col("src"), col("dst")).agg(min(col("ord")).as("ord"))
         .withColumn("ep", ep)
-        .repartition(col("ep"))
+        .transform(d => Par.byCols(d, col("ep")))
         .write.mode("overwrite").partitionBy("ep")
         .parquet(new File(next, "batch-0-compacted").getAbsolutePath)
       gens.swapPointer(next.getName)

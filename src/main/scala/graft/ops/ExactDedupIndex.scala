@@ -168,7 +168,7 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
       .agg(min(struct(col("ord"), col(idCol))).as("__first"))
       .select(col("fp"), col(s"__first.$idCol").as(idCol),
         col("__first.ord").as("ord"), fpp.as("fpp"))
-      .repartition(col("fpp"))
+      .transform(d => Par.byCols(d, col("fpp")))
       .write.mode("overwrite").partitionBy("fpp")
       .parquet(next.getAbsolutePath)
     // a bloom-maintained store gets fresh (minimal) bits in the new

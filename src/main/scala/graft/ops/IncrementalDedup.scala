@@ -173,7 +173,14 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
             .withColumn("__new", lit(false))
         case None => newBB.limit(0)
       }
+      // explicit-N repartition on the group key (see
+      // [[MinHashLsh.candidatePairs]]): replaces the aggregate's exchange
+      // while opting the pair-expansion stage out of AQE's byte-based
+      // coalescing, which folded it to one task (2 × 1.7 s of the
+      // incremental query was this single-threaded expansion)
       val tagged = oldTouched.unionByName(newBB)
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("band"), col("bucket"))
       // in-group expansion, the candidatePairs shape: sort members by id,
       // pairs (ms[i], ms[j]) i<j keeping only pairs with a new side; the
       // degenerate-bucket star cap fans out around the smallest member.
@@ -217,9 +224,16 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
       // paramLong (not lit): the ord is the only thing that changes in
       // this plan batch-to-batch — referenced, the generated source is
       // byte-stable and the codegen cache hits every trigger
+      // repartition WITH an explicit partition count: keyed on the
+      // partition columns it still lands one file per touched directory
+      // (each (band, bp) combo hashes to one task), but the explicit N
+      // exempts it from AQE coalescing, which folded this small shuffle to
+      // ONE task writing all ~64 partition files sequentially (measured
+      // ~1.1-1.3 s single-task append per batch)
       newBB.drop("__new").withColumn("bp", bp)
         .withColumn("ord", graft.functions.Params.paramLong(batchOrd))
-        .repartition(col("band"), col("bp"))
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("band"), col("bp"))
         .write.mode("append").partitionBy("band", "bp")
         .parquet(appendGen().getAbsolutePath)
       hwm.advance(batchOrd)
@@ -244,7 +258,7 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
     postings().foreach { p =>
       val kept = retainOrdGe.map(h => p.where(col("ord") >= h)).getOrElse(p)
       val next = gens.newGenDir()
-      kept.repartition(col("band"), col("bp"))
+      Par.byCols(kept, col("band"), col("bp"))
         .write.partitionBy("band", "bp").parquet(next.getAbsolutePath)
       gens.swapPointer(next.getName)
       gens.reapExcept(Set(next.getName) ++ prev.map(_.getName))

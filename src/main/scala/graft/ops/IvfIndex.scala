@@ -81,7 +81,7 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
       lit("IvfIndex.add: null cell assignment — row would be unsearchable")))
       .otherwise(c)
     batch.select(col(idCol), col(vecCol), guarded.as("cell"))
-      .repartition(col("cell"))
+      .transform(d => Par.byCols(d, col("cell")))
       .write.mode("append").partitionBy("cell")
       .parquet(appendGen().getAbsolutePath)
   }
@@ -115,7 +115,7 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
       val fresh = storedIds
         .map(si => assigned.join(si, Seq(idCol), "left_anti"))
         .getOrElse(assigned)
-      fresh.repartition(col("cell"))
+      fresh.transform(d => Par.byCols(d, col("cell")))
         .write.mode("append").partitionBy("cell")
         .parquet(appendGen().getAbsolutePath)
     } finally { assigned.unpersist(); () }
@@ -322,7 +322,7 @@ class IvfIndex(spark: SparkSession, path: String, idCol: String,
             p.withColumn("cell", KMeans.assignExpr(col(vecCol), nc))
           case None => p
         }
-        rebucketed.repartition(col("cell"))
+        rebucketed.transform(d => Par.byCols(d, col("cell")))
           .write.partitionBy("cell").parquet(next.getAbsolutePath)
         // quantizer travels with its layout — written BEFORE the swap
         retrainTo.orElse(cents).foreach(cs => KMeans.saveCentroids(spark,

@@ -104,7 +104,7 @@ final class IvfPqIndex(spark: SparkSession, path: String, idCol: String,
     batch.select(col(idCol),
         Pq.encodeExpr(col(vecCol), liveModel).as("codes"),
         guarded.as("cell"))
-      .repartition(col("cell"))
+      .transform(d => Par.byCols(d, col("cell")))
       .write.mode("append").partitionBy("cell")
       .parquet(g.getAbsolutePath)
   }
@@ -176,7 +176,7 @@ final class IvfPqIndex(spark: SparkSession, path: String, idCol: String,
             (nm, re)
           case _ => (liveModel, p)
         }
-        rows.repartition(col("cell"))
+        rows.transform(d => Par.byCols(d, col("cell")))
           .write.partitionBy("cell").parquet(next.getAbsolutePath)
         // quantizers travel with their layout — written BEFORE the swap
         savePair(next, outModel, liveCoarse)

@@ -253,7 +253,7 @@ class BucketedKvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     val staging = new File(path, s"_staging-${java.util.UUID.randomUUID()}")
     try {
       lastPerKey.withColumn("__b", bucketExpr)
-        .repartition(col("__b"))
+        .transform(d => Par.byCols(d, col("__b")))
         .write.partitionBy("__b").parquet(staging.getAbsolutePath)
       val touched = Option(staging.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("__b="))

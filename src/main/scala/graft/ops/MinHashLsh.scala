@@ -70,7 +70,17 @@ object MinHashLsh {
     val rows = numHashes / bands
     val bb = bandBuckets(signatures(docs, idCol, textCol, shingleK, numHashes),
       idCol, bands, rows)
-    val grouped = bb.groupBy(col("band"), col("bucket"))
+    // explicit-N repartition on the group key: it REPLACES the aggregate's
+    // own exchange (same key, so no extra shuffle) but, being
+    // user-numbered, is exempt from AQE partition coalescing — whose
+    // byte-based target would fold this small-bytes/high-CPU shuffle to
+    // ONE partition and run the whole in-bucket pair expansion on a single
+    // task (measured 1.7 s single-task stages on the incremental face).
+    // N rides the session's shuffle-partition conf, so it scales with the
+    // deployment instead of hard-coding the local core count.
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val grouped = bb.repartition(n, col("band"), col("bucket"))
+      .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("ds"))
       .where(size(col("ds")) > 1)
     // ordered pairs (ds[i], ds[j]) for i < j, via indexed transform

@@ -36,7 +36,14 @@ object Mmr {
              lam: Double, lamComp: Double): DataFrame = {
     require(n >= 1 && n <= 64, s"bad selection count $n")
     var selected: Option[DataFrame] = None
-    var remaining = cands
+    // materialize the shortlist ONCE at entry: step 1 self-joins
+    // `remaining` with its own projection (penalty side) and then
+    // anti-joins it again, so a lazy `cands` re-runs the caller's
+    // (typically expensive — brute-force top-k) subtree three times in
+    // the first round alone (measured 2 × ~1.4 s re-derivations in
+    // q_rag_mmr). Shortlist-sized, same discipline as the per-round
+    // checkpoints below.
+    var remaining = cands.localCheckpoint(true)
     for (step <- 1 to n) {
       val pen = selected match {
         case None => remaining

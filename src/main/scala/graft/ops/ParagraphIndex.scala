@@ -143,7 +143,7 @@ final class ParagraphIndex(spark: SparkSession, path: String,
       .agg(min(struct(col("ord"), col(idCol), col("pos"))).as("__k"))
       .select(col("ph"), col(s"__k.$idCol").as(idCol),
         col("__k.pos").as("pos"), col("__k.ord").as("ord"), php.as("php"))
-      .repartition(col("php"))
+      .transform(d => Par.byCols(d, col("php")))
       .write.mode("overwrite").partitionBy("php")
       .parquet(next.getAbsolutePath)
     gens.swapPointer(next.getName)

@@ -162,7 +162,7 @@ final class SimHashIndex(spark: SparkSession, path: String, idCol: String,
       .select(col(idCol), col("simhash"), col("blk"), col("v"), col("ord"))
       .distinct()
       .withColumn("pb", concat(lit("b"), col("blk")))
-      .repartition(col("pb"))
+      .transform(d => Par.byCols(d, col("pb")))
       .write.mode("overwrite").partitionBy("pb")
       .parquet(next.getAbsolutePath)
     gens.swapPointer(next.getName)

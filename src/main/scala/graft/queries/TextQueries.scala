@@ -54,7 +54,13 @@ object TextQueries {
     * vector — the retrieval substrate shared by the brute-force baseline
     * and the MMR diversity re-rank. */
   private def ragChunkVecs(s: SparkSession, d: String): DataFrame =
-    graft.ops.RagChunk.chunks(Tables.documents(s, d),
+    // spread the one-file corpus scan BEFORE chunking + the 8×hash16
+    // md5 embedding — otherwise the whole embed runs in the single scan
+    // task (measured 2 × ~1.45 s single-task map jobs in q_rag_mmr);
+    // no-op once the scan is wider than the core count
+    graft.ops.RagChunk.chunks(
+        graft.ops.Par.spread(
+          Tables.documents(s, d).select(col("doc_id"), col("text"))),
         "doc_id", "text", window = 32, stride = 24)
       .withColumn("cid", col("doc_id") * 1000L + col("chunk_idx"))
       .withColumn("vec", transform(sequence(lit(1), lit(8)), i =>
