@@ -115,13 +115,13 @@ final class ExactDedupIndex(spark: SparkSession, path: String,
     // and this call's own appends then recacheByPath it with a REFRESHED
     // file listing — the probe must keep its pre-append snapshot (an
     // un-cached LogicalRelation pins the listing taken at read creation)
-    val novel = if (bloom && stored.isDefined && haveBits) {
+    val novel = (if (bloom && stored.isDefined && haveBits) {
       val bits = spark.read.parquet(bloomDir(gen).getAbsolutePath).distinct()
       val verdicts = Bloom.withHits(fps, "fp", bits, BloomK)
       val proven = verdicts.where(!col("bloom_hit")).drop("bloom_hit")
       proven.unionAll(antiJoin(
         verdicts.where(col("bloom_hit")).drop("bloom_hit")))
-    } else antiJoin(fps)
+    } else antiJoin(fps))
     if (bloom) {
       // bits must cover EVERY stored fingerprint or false negatives
       // would re-append stored content: a store populated before bloom

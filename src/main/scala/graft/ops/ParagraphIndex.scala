@@ -118,6 +118,7 @@ final class ParagraphIndex(spark: SparkSession, path: String,
         col("__fpos").as("pos"))
       .withColumn("ord", graft.functions.Params.paramLong(ord))
       .withColumn("php", php)
+      .transform(d => Par.byCols(d, col("php")))
       .write.mode("append").partitionBy("php")
       .parquet(gens.currentGen().get.getAbsolutePath)
     hwm.advance(ord)

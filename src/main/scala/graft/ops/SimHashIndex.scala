@@ -78,7 +78,12 @@ final class SimHashIndex(spark: SparkSession, path: String, idCol: String,
       StoreLock.exclusive(new java.io.File(path)) {
     hwm.check(ord)
     gens.liveOrCreate()
+    // materialize the (md5-heavy) fingerprint subtree ONCE: `m` below
+    // covers the posting consumers, but the verdict join re-reads `sh`
+    // itself — lazy, that re-ran the per-token hashing over the batch a
+    // second time (and the caller's action a third)
     val sh = SimHashDedup.simhash16(batch, idCol, textCol)
+      .localCheckpoint(true)
     val m = melt(sh).persist()
 
     // probe planning: the touched bucket keys, collected ONCE
