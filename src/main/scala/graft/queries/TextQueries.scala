@@ -947,7 +947,9 @@ object TextQueries {
     "q_multimodal_meta" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-      val media = docs.as[(Long, String)].map { case (id, src) =>
+      // spread before the encode->decode Dataset maps: real codec work per
+      // row must not inherit the one-file scan's single partition
+      val media = graft.ops.Par.spread(docs).as[(Long, String)].map { case (id, src) =>
         graft.ops.Multimodal.MediaRecord(id, "image",
           graft.ops.Multimodal.encodePng(
             16 + (id % 32).toInt, 16 + (id % 24).toInt, id),
@@ -970,7 +972,9 @@ object TextQueries {
     "q_multimodal_audio" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-      val media = docs.as[(Long, String)].map { case (id, src) =>
+      // spread before the encode->decode Dataset maps: real codec work per
+      // row must not inherit the one-file scan's single partition
+      val media = graft.ops.Par.spread(docs).as[(Long, String)].map { case (id, src) =>
         graft.ops.Multimodal.MediaRecord(id, "audio",
           graft.ops.Multimodal.encodeWav(
             800 + (id % 400).toInt, 8000 * (1 + (id % 3).toInt), id),
@@ -995,7 +999,9 @@ object TextQueries {
     "q_multimodal_frames" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-      val media = docs.as[(Long, String)].map { case (id, src) =>
+      // spread before the encode->decode Dataset maps: real codec work per
+      // row must not inherit the one-file scan's single partition
+      val media = graft.ops.Par.spread(docs).as[(Long, String)].map { case (id, src) =>
         graft.ops.Multimodal.MediaRecord(id, "video",
           graft.ops.Multimodal.encodeGif(
             8 + (id % 16).toInt, 8 + (id % 12).toInt, 2 + (id % 4).toInt, id),
@@ -1919,7 +1925,8 @@ object TextQueries {
     // codec, so a broken decode path cannot pass.
     "q_image_dedup" -> ((s, d) => {
       import s.implicits._
-      val hashed = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val hashed = graft.ops.Par.spread(
+          Tables.documents(s, d).select(col("doc_id"))).as[Long]
         .map { id =>
           val g = id / 5
           val payload = graft.ops.Multimodal.encodePng(
