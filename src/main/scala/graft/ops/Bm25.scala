@@ -178,8 +178,9 @@ final class Bm25Index(spark: SparkSession, path: String,
     * postings write leaves a dir with no data files, and as the store's
     * first append that breaks schema inference for every later read.
     * The stats row still lands (token-less docs dilute avgdl, as in
-    * Lucene) and is written from the already-collected row, so both
-    * guards cost no extra job. */
+    * Lucene) and is written from driver-side scalars (n_docs from a
+    * column-pruned count, n_toks read off the persisted postings), so
+    * both guards cost no tokenize pass. */
   def add(batch: DataFrame, ord: Long): Unit =
       StoreLock.exclusive(new File(path)) {
     hwm.check(ord)
@@ -200,23 +201,35 @@ final class Bm25Index(spark: SparkSession, path: String,
       // store creation and a pre-marker store whose adds were all empty
       Fs.atomicWriteString(statsFormatMarker, "per-ord-v2")
     val gen = gens.liveOrCreate()
-    val (postings, stats) = Bm25.postingsOf(batch, idCol, textCol)
-    val statsRow = stats.withColumn("ord", graft.functions.Params.paramLong(ord))
-    val collected = statsRow.collect()
-    if (collected.head.getAs[Long]("n_docs") != 0L) {
-      if (collected.head.getAs[Long]("n_toks") != 0L)
-        // paramLong keeps the plan source batch-stable; repartition on the
-        // partition column lands one file per touched tp leaf per append
-        postings
-          .withColumn("ord", graft.functions.Params.paramLong(ord))
-          .withColumn("tp", concat(lit("p"), substring(md5(col("t")), 1, 1)))
-          .transform(d => Par.byCols(d, col("tp")))
-          .write.mode("append").partitionBy("tp")
-          .parquet(gen.getAbsolutePath + "/postings")
-      spark.createDataFrame(
-          java.util.Arrays.asList(collected: _*), statsRow.schema)
-        .write.mode("append").parquet(gen.getAbsolutePath + "/_stats")
-      hwm.advance(ord)
+    val (postings, _) = Bm25.postingsOf(batch, idCol, textCol)
+    // n_docs counts ALL batch rows (token-less docs dilute avgdl, as in
+    // Lucene) — a column-pruned count, no tokenize. The old shape
+    // collected the (n_docs, n_toks) stats frame first, which tokenized
+    // the whole batch ONCE for the count and then AGAIN for the postings
+    // write; instead the postings are persisted (batch-sized), n_toks is
+    // read off them (Σtf ≡ non-empty token occurrences), and the write
+    // reuses the materialized blocks — one tokenize pass per add.
+    val nDocs = batch.count()
+    if (nDocs != 0L) {
+      // paramLong keeps the plan source batch-stable; repartition on the
+      // partition column lands one file per touched tp leaf per append
+      val posts = postings
+        .withColumn("ord", graft.functions.Params.paramLong(ord))
+        .withColumn("tp", concat(lit("p"), substring(md5(col("t")), 1, 1)))
+        .persist()
+      try {
+        val nToks = posts.agg(coalesce(sum(col("tf")), lit(0L)))
+          .head.getLong(0)
+        if (nToks != 0L)
+          Par.byCols(posts, col("tp"))
+            .write.mode("append").partitionBy("tp")
+            .parquet(gen.getAbsolutePath + "/postings")
+        import spark.implicits._
+        Seq((nDocs, nToks, ord)).toDF("n_docs", "n_toks", "ord")
+          .coalesce(1)
+          .write.mode("append").parquet(gen.getAbsolutePath + "/_stats")
+        hwm.advance(ord)
+      } finally { posts.unpersist(); () }
     }
   }
 

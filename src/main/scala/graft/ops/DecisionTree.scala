@@ -130,25 +130,34 @@ object DecisionTree {
   private def countOf(bucket: Long): Column =
     coalesce(sum(when(col("b") === bucket, col("c"))), lit(0L))
 
-  /** The three split elections over an already-persisted feature table. */
+  /** The three split elections over an already-persisted feature table.
+    * `y` must be persisted by the caller: every election action below
+    * references it (7 evaluations of a text-derived label expression
+    * otherwise — the label scan is the corpus pass, the histograms read
+    * the persisted features). */
   private def trainOn(f: DataFrame, y: DataFrame, idCol: String,
                       maxThr: Int): Trained = {
     val root = bestSplit(f, y, idCol, maxThr)
       .getOrElse(Split(-1L, 1L, majority(y), majority(y)))
-    // per-doc root-bucket count decides the side
+    // per-doc root-bucket count decides the side — persisted: the two
+    // child elections evaluate their side twice each (totals + cells),
+    // which re-ran this join + feature aggregation 4× when lazy
     val withRoot = y.join(
       f.groupBy(col(idCol)).agg(countOf(root.bucket).as("c_root")),
       Seq(idCol), "left")
       .na.fill(0L, Seq("c_root"))
-    val geSide = withRoot.where(col("c_root") >= root.thr)
-      .select(col(idCol), col("y"))
-    val ltSide = withRoot.where(col("c_root") < root.thr)
-      .select(col(idCol), col("y"))
-    val geSplit = bestSplit(f, geSide, idCol, maxThr)
-      .getOrElse(Split(-1L, Long.MaxValue, root.labGe, root.labGe))
-    val ltSplit = bestSplit(f, ltSide, idCol, maxThr)
-      .getOrElse(Split(-1L, Long.MaxValue, root.labLt, root.labLt))
-    Trained(root, geSplit, ltSplit)
+      .persist()
+    try {
+      val geSide = withRoot.where(col("c_root") >= root.thr)
+        .select(col(idCol), col("y"))
+      val ltSide = withRoot.where(col("c_root") < root.thr)
+        .select(col(idCol), col("y"))
+      val geSplit = bestSplit(f, geSide, idCol, maxThr)
+        .getOrElse(Split(-1L, Long.MaxValue, root.labGe, root.labGe))
+      val ltSplit = bestSplit(f, ltSide, idCol, maxThr)
+        .getOrElse(Split(-1L, Long.MaxValue, root.labLt, root.labLt))
+      Trained(root, geSplit, ltSplit)
+    } finally { withRoot.unpersist(); () }
   }
 
   /** Train the depth-2 tree and return the model — the training half of
@@ -157,9 +166,9 @@ object DecisionTree {
   def train(docs: DataFrame, idCol: String, textCol: String,
             labelCol: Column, buckets: Int, maxThr: Int): Trained = {
     val f = features(docs, idCol, textCol, buckets).persist()
-    try trainOn(f, docs.select(col(idCol), labelCol.cast("long").as("y")),
-      idCol, maxThr)
-    finally { f.unpersist(); () }
+    val y = docs.select(col(idCol), labelCol.cast("long").as("y")).persist()
+    try trainOn(f, y, idCol, maxThr)
+    finally { f.unpersist(); y.unpersist(); () }
   }
 
   /** Train a depth-2 tree (root + one split per side) and score every
@@ -168,13 +177,17 @@ object DecisionTree {
                    labelCol: Column, buckets: Int,
                    maxThr: Int): DataFrame = {
     val f = features(docs, idCol, textCol, buckets).persist()
-    val y = docs.select(col(idCol), labelCol.cast("long").as("y"))
+    // persisted through training (the elections evaluate it ~7×: a
+    // text-derived label re-scanned the corpus each time); unpersisted
+    // before return like f — the final scoring action recomputes each
+    // exactly once
+    val y = docs.select(col(idCol), labelCol.cast("long").as("y")).persist()
     val t = trainOn(f, y, idCol, maxThr)
     val counts = f.groupBy(col(idCol)).agg(
       countOf(t.root.bucket).as("c_root"),
       countOf(t.ge.bucket).as("c_ge"),
       countOf(t.lt.bucket).as("c_lt"))
-    f.unpersist()
+    f.unpersist(); y.unpersist()
     y.join(counts, Seq(idCol), "left")
       .na.fill(0L, Seq("c_root", "c_ge", "c_lt"))
       .withColumn("pred",

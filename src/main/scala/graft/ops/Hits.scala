@@ -95,26 +95,35 @@ object Hits {
             coalesce(col("__ph"), lit(scale / math.max(n, 1L))).as("hub"))
           .localCheckpoint(true)
     }
+    // the L1 total of each half-round is attached INLINE as a
+    // window-over-() on the raw-sum frame (node-sized, post-aggregation)
+    // instead of a separate one-row aggregate broadcast back: the
+    // broadcast build was its own driver job per half-round, and auth
+    // needed its own checkpoint to keep those builds from re-deriving it
+    // — 4 jobs per round where the data dependencies need ONE. The
+    // single-partition window exchange carries only the aggregated
+    // (node, raw) rows, same bytes the old final-agg task read as
+    // partials. Arithmetic unchanged: tot = sum(raw) over the same rows.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(Seq.empty[org.apache.spark.sql.Column]: _*)
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      // auth update: sum incoming hub mass, L1-normalize in fixed point
+      // auth update: sum incoming hub mass, L1-normalize in fixed point.
+      // auth stays LAZY inside the round — with the totals inline the hub
+      // checkpoint job is its only per-round consumer, so it is computed
+      // exactly once per round (the final round's auth is re-derived once
+      // more by the output join below).
       val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
-      val aTot = aRaw.agg(sum(col("raw")).as("tot"))
-      // both sides checkpoint per round: leaving auth lazy re-derives it
-      // in the hTot broadcast build AND the hub checkpoint job (2–3
-      // edge passes per round — measured slower than the extra eager job)
+        .withColumn("tot", sum(col("raw")).over(wAll))
       auth = nodes.join(aRaw, Seq("node"), "left")
-        .crossJoin(broadcast(aTot))
         .select(col("node"),
           coalesce(expr(s"(raw * $scale) div tot"), lit(0L)).as("auth"))
-        .localCheckpoint(true)
       // hub update: sum outgoing authority mass, normalize likewise
       val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
-      val hTot = hRaw.agg(sum(col("raw")).as("tot"))
+        .withColumn("tot", sum(col("raw")).over(wAll))
       hub = nodes.join(hRaw, Seq("node"), "left")
-        .crossJoin(broadcast(hTot))
         .select(col("node"),
           coalesce(expr(s"(raw * $scale) div tot"), lit(0L)).as("hub"))
         .localCheckpoint(true)

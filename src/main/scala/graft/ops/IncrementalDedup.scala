@@ -209,35 +209,45 @@ class MinHashIndex(spark: SparkSession, path: String, idCol: String,
           y => struct(hub("id").as("a"), y("id").as("b"),
             (hub("n") || y("n")).as("n"))),
         p => p("n"))
-      val pairs = grouped
+      val pairsLazy = grouped
         .select(explode(when(size(col("ms")) <= maxBucket, pairsAll)
           .otherwise(pairsStar)).as("p"))
         .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .distinct()
-        // sever lineage BEFORE appending: the append refreshes Spark's view
-        // of the postings path, and a lazily recomputed plan would read this
-        // batch's own postings back as "old"
-        .localCheckpoint(true)
-      // repartition ON the partition columns first: otherwise every task
-      // writes one file into every directory it has rows for — tasks ×
-      // dirs tiny files per batch instead of one file per touched dir
-      // paramLong (not lit): the ord is the only thing that changes in
-      // this plan batch-to-batch — referenced, the generated source is
-      // byte-stable and the codegen cache hits every trigger
-      // repartition WITH an explicit partition count: keyed on the
-      // partition columns it still lands one file per touched directory
-      // (each (band, bp) combo hashes to one task), but the explicit N
-      // exempts it from AQE coalescing, which folded this small shuffle to
-      // ONE task writing all ~64 partition files sequentially (measured
-      // ~1.1-1.3 s single-task append per batch)
-      newBB.drop("__new").withColumn("bp", bp)
-        .withColumn("ord", graft.functions.Params.paramLong(batchOrd))
-        .repartition(spark.sessionState.conf.numShufflePartitions,
-          col("band"), col("bp"))
-        .write.mode("append").partitionBy("band", "bp")
-        .parquet(appendGen().getAbsolutePath)
+      // The pair-expansion checkpoint and the postings append are
+      // INDEPENDENT consumers of the persisted newBB, so they run
+      // OVERLAPPED (guide §2.6): the expansion's postings scan listed its
+      // files when the probe plan was created, so the concurrent append's
+      // new files are invisible to it (the same pinned-listing argument
+      // as the lazy-recompute note below), and the checkpoint still
+      // severs lineage before this call returns — the RETURNED pairs can
+      // never re-read the postings path. A crash between the two is the
+      // already-designed replay case: the member-dedup keeps re-appended
+      // postings idempotent.
+      //
+      // Append shape notes (unchanged): repartition ON the partition
+      // columns (one file per touched directory, not tasks × dirs tiny
+      // files) WITH an explicit N — exempts the small shuffle from AQE
+      // coalescing, which folded it to ONE task writing all ~64 partition
+      // files sequentially (measured ~1.1-1.3 s single-task appends).
+      // paramLong (not lit) keeps the generated source byte-stable so the
+      // codegen cache hits every trigger.
+      val pairsHolder = new Array[DataFrame](1)
+      Fs.inParallel(Seq(true, false), maxThreads = 2) {
+        case true =>
+          // sever lineage BEFORE this call returns: a lazily recomputed
+          // plan would read this batch's own postings back as "old"
+          pairsHolder(0) = pairsLazy.localCheckpoint(true)
+        case false =>
+          newBB.drop("__new").withColumn("bp", bp)
+            .withColumn("ord", graft.functions.Params.paramLong(batchOrd))
+            .repartition(spark.sessionState.conf.numShufflePartitions,
+              col("band"), col("bp"))
+            .write.mode("append").partitionBy("band", "bp")
+            .parquet(appendGen().getAbsolutePath)
+      }
       hwm.advance(batchOrd)
-      pairs
+      pairsHolder(0)
     } finally newBB.unpersist()
   }
 

@@ -70,16 +70,12 @@ object MinHashLsh {
     val rows = numHashes / bands
     val bb = bandBuckets(signatures(docs, idCol, textCol, shingleK, numHashes),
       idCol, bands, rows)
-    // explicit-N repartition on the group key: it REPLACES the aggregate's
-    // own exchange (same key, so no extra shuffle) but, being
-    // user-numbered, is exempt from AQE partition coalescing — whose
-    // byte-based target would fold this small-bytes/high-CPU shuffle to
-    // ONE partition and run the whole in-bucket pair expansion on a single
-    // task (measured 1.7 s single-task stages on the incremental face).
-    // N rides the session's shuffle-partition conf, so it scales with the
-    // deployment instead of hard-coding the local core count.
-    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val grouped = bb.repartition(n, col("band"), col("bucket"))
+    // NO explicit-N repartition here, deliberately: the incremental face
+    // (IncrementalDedup, where AQE coalescing measurably folded the pair
+    // expansion to one task) carries its own width override; on this
+    // one-shot batch face the expansion is not the hot stage and the r19
+    // override regressed q_minhash_lsh ~15% (driver bench + quiet board).
+    val grouped = bb
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("ds"))
       .where(size(col("ds")) > 1)
@@ -309,9 +305,17 @@ object MinHashLsh {
                          smallBlockCutoff: Int = 512): DataFrame = {
     require(threshold >= 0.0 && threshold < 1.0, s"bad threshold $threshold")
     require(smallBlockCutoff >= 0, s"bad cutoff $smallBlockCutoff")
+    // __ne = the CHEAP nonempty test (tokens ≥ k ⟺ shingles nonempty —
+    // the [[signatures]] equivalence): filtering the query side on
+    // size(__sh) > 0 let the optimizer substitute the whole xxhash
+    // shingle transform into a filter PUSHED BELOW Par.spread's exchange,
+    // running it in the 1–2 parquet scan tasks (measured 1.3–1.4 s
+    // single-task stage in q_ngram_containment). The token count splits
+    // the text once but hashes nothing.
     val sh = Par.spread(docs.select(col(idCol), col(blockCol), col(textCol)))
       .select(col(idCol), col(blockCol),
-        hashedShingles(col(textCol), shingleK).as("__sh"))
+        hashedShingles(col(textCol), shingleK).as("__sh"),
+        (tokenCount(col(textCol)) >= shingleK).as("__ne"))
     // C = inter/|a| is UNDEFINED for an empty query side — those rows
     // are excluded in every face (even threshold = 0), not scored 0:
     // "the empty doc is contained in nothing" and "contains nothing"
@@ -321,20 +325,20 @@ object MinHashLsh {
     def scoreExpr = round(col("inter") / size(col("__sha")), 6)
     def verified(pairs: DataFrame): DataFrame =
       pairs
-        .join(sh.select(col(idCol).as("doc_a"), col("__sh").as("__sha")),
+        .join(sh.where(col("__ne"))
+          .select(col(idCol).as("doc_a"), col("__sh").as("__sha")),
           "doc_a")
         .join(sh.select(col(idCol).as("doc_b"), col("__sh").as("__shb")),
           "doc_b")
-        .where(size(col("__sha")) > 0)
         .withColumn("inter", GraftExpressions
           .sorted_intersect_count(col("__sha"), col("__shb")).cast("double"))
         .withColumn("containment", scoreExpr)
         .where(col("containment") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("containment"))
     def allPairs(s: DataFrame): DataFrame = {
-      val a = s.select(col(idCol).as("doc_a"), col(blockCol),
-        col("__sh").as("__sha"))
-        .where(size(col("__sha")) > 0)
+      val a = s.where(col("__ne"))
+        .select(col(idCol).as("doc_a"), col(blockCol),
+          col("__sh").as("__sha"))
       val b = s.select(col(idCol).as("doc_b"), col(blockCol).as("__blk_b"),
         col("__sh").as("__shb"))
       a.join(b,

@@ -122,20 +122,32 @@ object PageRank {
             .localCheckpoint(true)
         }
     }
+    // dangling mass rides INLINE as a window-over-() instead of a one-row
+    // aggregate broadcast back: the broadcast build was its own driver job
+    // per round (2 jobs/round where the dependencies need one). The rank
+    // frame is node-COMPLETE by construction (init selects from `nodes`,
+    // each round rebuilds every row), so the next vector is built from the
+    // checkpointed rank itself: a left join marks out-edge-less nodes and
+    // the window sums their rank over the (node-sized, post-checkpoint)
+    // frame. Arithmetic unchanged — same dang value, same integer formula.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(Seq.empty[org.apache.spark.sql.Column]: _*)
     for (_ <- 1 to iters) {
       val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
       val inSum = contrib.groupBy("node").agg(sum(col("c")).as("in_sum"))
-      val dang = rank.join(outdeg, rank("node") === outdeg("src"),
-          "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dang"))
       // node-sized: eagerly materialized per round, truncating the
       // lineage so the job graph stays O(1) per iteration (the classic
       // iterative-algorithm discipline; content is integer-deterministic,
       // so checkpointing cannot change any value)
-      rank = nodes.join(inSum, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
+      rank = rank
+        .join(outdeg.select(col("src").as("node"), lit(1).as("__o")),
+          Seq("node"), "left")
+        .join(inSum, Seq("node"), "left")
+        .withColumn("dang",
+          sum(when(col("__o").isNull, col("rank")).otherwise(lit(0L)))
+            .over(wAll))
         .select(col("node"),
           (lit(base) +
             expr(s"(85 * (coalesce(in_sum, 0) + (dang div $n))) div 100"))
