@@ -62,7 +62,16 @@ object SimHashDedup {
     // cheaply. A single when(exact, capped) projection nests ~8 higher-order
     // functions and HOFs never codegen, so the merged form ran the whole
     // interpreted tree for every bucket (r2's 4x regression).
-    val grouped = melted.groupBy(col("blk"), col("v"))
+    // explicit-N keyed repartition (the [[Par.byCols]] rationale): it
+    // REPLACES the aggregate's own exchange but is exempt from AQE
+    // byte-based coalescing, which folded the small-bytes/high-CPU
+    // in-bucket pair expansion to ~2 tasks (measured 0.5 s 2-task stage —
+    // the HOF expansion never codegens, so its cost is CPU, not bytes).
+    // 512 distinct (blk, v) keys spread fine over the conf-driven N.
+    val grouped = melted
+      .repartition(melted.sparkSession.sessionState.conf.numShufflePartitions,
+        col("blk"), col("v"))
+      .groupBy(col("blk"), col("v"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
         col("simhash").as("sh")))).as("ds"))
       .where(size(col("ds")) > 1)
