@@ -14,7 +14,13 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   *   runMain graft.Plans --out plans/r19 --all
   *
   * NOT part of the driver contract: Bench/Verify are the graded mains; this
-  * exists so plan claims in OPTIMIZATION_r19.md are reproducible artifacts.
+  * exists so plan claims in OPTIMIZATION_r*.md are reproducible artifacts.
+  *
+  * Measurement caveats (tool-only): rep 1 times only `count()` on the
+  * already-constructed frame, while reps ≥ 2 time construction + count —
+  * A/B claims should use reps 2+ (construction carries store side effects).
+  * For *_incremental queries each rep mutates fresh temp-dir stores, so
+  * reps are i.i.d. in store STATE but not in page-cache warmth.
   */
 object Plans {
 

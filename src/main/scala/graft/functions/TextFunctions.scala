@@ -67,9 +67,11 @@ object TextFunctions {
     // grew combinatorially (split(text) appeared ~90× per row, and the
     // higher-order filters are CodegenFallback, so nothing de-duplicated
     // them at runtime: measured 2.4 s of the 2.35 s q_langid_confusion scan
-    // was this expression). Rank = reverse alphabetical position, so score
-    // ties pick the alphabetically FIRST language — identical semantics to
-    // the fold (which only replaced on strictly-greater).
+    // was this expression). Rank = reverse LIST-order position (the list
+    // is alphabetical today), so score ties pick the EARLIEST-listed
+    // language — identical semantics to the fold (which only replaced on
+    // strictly-greater). If langMarkers ever stops being sorted, the
+    // tie-break follows list order, exactly like the fold did.
     val ranked = langMarkers.zipWithIndex.map { case ((lang, words), i) =>
       val markerArr = array(words.map(lit): _*)
       val sc = size(filter(toks, t => array_contains(markerArr, t)))

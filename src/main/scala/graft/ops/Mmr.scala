@@ -79,11 +79,21 @@ object Mmr {
         // sub-second at sf0.1 for n=5)
         .localCheckpoint(true)
       selected = Some(selected.map(_.unionByName(pick)).getOrElse(pick))
+      // drop the SUPERSEDED remaining's checkpoint blocks once the next
+      // round's remaining is materialized from it (eager, so nothing can
+      // ever re-read the old one): without this every round's blocks
+      // linger until ContextCleaner GC — memory pressure for large
+      // shortlists or repeated rerank calls in one session
+      val prevRemaining = remaining
       remaining = remaining.join(
         pick.select(col(queryCol), col(candCol)), Seq(queryCol, candCol),
         "left_anti")
         .localCheckpoint(true)
+      prevRemaining.unpersist()
     }
+    // the final remaining is never read again (the result is the union of
+    // the per-round pick checkpoints)
+    remaining.unpersist()
     selected.get.select(col(queryCol), col("step"), col(candCol),
       col(relCol), round(col("__score"), 6).as("mmr_score"))
   }
