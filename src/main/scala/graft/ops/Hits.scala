@@ -107,18 +107,21 @@ object Hits {
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(Seq.empty[org.apache.spark.sql.Column]: _*)
     var auth: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // auth update: sum incoming hub mass, L1-normalize in fixed point.
       // auth stays LAZY inside the round — with the totals inline the hub
       // checkpoint job is its only per-round consumer, so it is computed
-      // exactly once per round (the final round's auth is re-derived once
-      // more by the output join below).
+      // exactly once per round. The FINAL round's auth is checkpointed
+      // (one extra job per call, not per round) so the output join below
+      // reads two checkpoints — the O(1)-final-plan contract PlanAuditSpec
+      // pins.
       val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
         .withColumn("tot", sum(col("raw")).over(wAll))
       auth = nodes.join(aRaw, Seq("node"), "left")
         .select(col("node"),
           coalesce(expr(s"(raw * $scale) div tot"), lit(0L)).as("auth"))
+      if (i == iters) auth = auth.localCheckpoint(true)
       // hub update: sum outgoing authority mass, normalize likewise
       val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
